@@ -1,0 +1,47 @@
+"""Loader for the driver-generated parquet corpus (TESTDATA.md).
+
+One quirk: ``events.ts`` is written as parquet TIMESTAMP(NANOS), a type
+Spark SQL does not have. With ``spark.sql.legacy.parquet.nanosAsLong``
+(set in ``session.get_spark``) it scans as a long of nanoseconds; this
+loader converts it to a proper microsecond TimestampType so downstream
+operators and the DuckDB oracle (``CAST(ts AS TIMESTAMP)`` truncates
+ns -> us identically) agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every corpus table as a temp view for spark.sql use."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
