@@ -1,0 +1,574 @@
+"""Query catalog: the engine's operator coverage as named, oracle-checked
+queries over the driver corpus.
+
+Every entry pairs a Spark implementation ``fn(spark, sf_dir) ->
+DataFrame`` with (where SQL-expressible) an ANSI-SQL oracle DuckDB runs
+on the same parquet tables. Column names/aliases are kept identical on
+both sides — the driver's compare sorts columns by name and hashes
+values.
+
+Cross-engine determinism rules used throughout:
+  * money doubles are summed in exact DECIMAL(18,2) space and cast back
+    to double (see functions/aggregates.py) — float-sum order noise
+    would break the value-hash;
+  * every top-k / limit has a unique tiebreak column;
+  * ``events.ts`` is nanos in parquet: Spark converts via
+    sources/corpus.py (ns -> us truncation), oracles use
+    ``CAST(ts AS TIMESTAMP)`` (same truncation);
+  * timestamp gaps compare in exact integer microseconds.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pycasselastic_spark.core.merge import anti_echo, conflict_losers, lww_merge
+from pycasselastic_spark.core.incremental import scan_increment
+from pycasselastic_spark.core.schema import align_schemas
+from pycasselastic_spark.functions.aggregates import money, money_expr_sum, money_sum
+from pycasselastic_spark.operators.relational import (
+    asof_join,
+    sessionize,
+    topk_per_group,
+)
+from pycasselastic_spark.sources.corpus import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Sync core (reference operators O1-O8, SURVEY.md §2.1) modeled on the
+# events table: id = user_id, version = epoch millis of ts, two "stores"
+# split by event_id parity with provenance tags.
+# ---------------------------------------------------------------------------
+
+_STORES_SQL = """
+base AS (
+  SELECT user_id AS id,
+         epoch_ms(CAST(ts AS TIMESTAMP)) AS version,
+         event_type AS text,
+         event_id,
+         CASE WHEN event_id % 2 = 1 THEN 'CASSANDRA' ELSE 'Elastic' END AS source
+  FROM events
+)
+"""
+
+
+def _event_stores(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    base = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("id"),
+        F.unix_millis("ts").alias("version"),
+        F.col("event_type").alias("text"),
+        "event_id",
+        F.when(F.col("event_id") % 2 == 1, "CASSANDRA")
+        .otherwise("Elastic")
+        .alias("source"),
+    )
+    return (
+        base.filter(F.col("event_id") % 2 == 1),
+        base.filter(F.col("event_id") % 2 == 0),
+    )
+
+
+@register(
+    "lww_merge_events",
+    f"""
+WITH {_STORES_SQL}
+SELECT id, version, text, event_id, source
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY id ORDER BY version DESC, event_id DESC) AS rn
+      FROM base)
+WHERE rn = 1
+""",
+    doc="Flagship: bidirectional LWW merge (reference O5+O6+O7 collapsed; "
+    "pyCassElastic.py:316-354,223-314,508-582) as union + argmax-per-id.",
+)
+def lww_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cass, es = _event_stores(spark, sf_dir)
+    return lww_merge([cass, es], "id", "version", tiebreak_cols=["event_id"])
+
+
+@register(
+    "incremental_scan_events",
+    f"""
+WITH {_STORES_SQL}
+SELECT id, version, text, event_id, source FROM base
+WHERE version > 1705000000000 AND version <= 1706000000000
+""",
+    doc="Half-open watermark-window scan (reference O1/O3, "
+    "pyCassElastic.py:205-212,367-384); predicate pushes to the parquet scan.",
+)
+def incremental_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cass, es = _event_stores(spark, sf_dir)
+    both = cass.unionByName(es)
+    return scan_increment(both, "version", 1705000000000, 1706000000000)
+
+
+@register(
+    "anti_echo_documents",
+    """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE source IS NULL OR source <> 'src7'
+""",
+    doc="Provenance echo suppression (reference O4, pyCassElastic.py:386-399): "
+    "negated equi-predicate, pushed down — not a join.",
+)
+def anti_echo_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    return anti_echo(docs, "source", "src7")
+
+
+@register(
+    "conflict_losers_events",
+    f"""
+WITH {_STORES_SQL},
+winners AS (
+  SELECT id, version FROM (
+    SELECT id, version, ROW_NUMBER() OVER (
+      PARTITION BY id ORDER BY version DESC, event_id DESC) AS rn
+    FROM base) WHERE rn = 1
+)
+SELECT b.id, b.version, b.text, b.event_id, b.source
+FROM base b
+WHERE b.source = 'CASSANDRA'
+  AND NOT EXISTS (SELECT 1 FROM winners w
+                  WHERE w.id = b.id AND w.version = b.version)
+""",
+    doc="Conflict-loser retraction set (reference O7, pyCassElastic.py:508-582) "
+    "as a left-anti join against the merge winners.",
+)
+def conflict_losers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cass, es = _event_stores(spark, sf_dir)
+    winners = lww_merge([cass, es], "id", "version", tiebreak_cols=["event_id"])
+    return conflict_losers(cass, winners, "id", "version")
+
+
+@register(
+    "schema_drift_union",
+    """
+SELECT doc_id, text, lang, CAST(NULL AS BIGINT) AS n_chars
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, text, CAST(NULL AS VARCHAR) AS lang, n_chars
+FROM documents WHERE doc_id % 2 = 1
+""",
+    doc="Schema-drift reconciliation (reference O8, pyCassElastic.py:412-446): "
+    "widen-only union with NULL fill via align_schemas.",
+)
+def schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text", "lang")
+    b = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text", "n_chars")
+    aa, bb = align_schemas([a, b])
+    return aa.unionByName(bb)
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage (absent from the reference — SURVEY.md §2.2):
+# hash aggregation, joins of every flavor, windows, sorts, set ops.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+       * (1 - CAST(l_discount AS DECIMAL(18,2)))
+       * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1 shape: filtered scan -> hash agg with 8 aggregates; "
+    "map-side partial aggregation, decimal-exact money sums.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = money("l_extendedprice") * (1 - money("l_discount"))
+    charge = disc_price * (1 + money("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum("l_quantity", "sum_qty"),
+            money_sum("l_extendedprice", "sum_base_price"),
+            money_expr_sum(disc_price, "sum_disc_price"),
+            money_expr_sum(charge, "sum_charge"),
+            (F.sum(money("l_quantity")).cast("double") / n).alias("avg_qty"),
+            (F.sum(money("l_extendedprice")).cast("double") / n).alias("avg_price"),
+            (F.sum(money("l_discount")).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+SELECT l_orderkey,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+""",
+    doc="TPC-H Q3 shape: selective dim filter -> join -> agg. customer is "
+    "broadcast (small side); lineitem never shuffles on the join key.",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    revenue = money("l_extendedprice") * (1 - money("l_discount"))
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(money_expr_sum(revenue, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "q5_region_revenue",
+    """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+GROUP BY n_name
+""",
+    doc="TPC-H Q5 shape: 6-way join with a region filter; all dims "
+    "broadcast, lineitem/orders are the only big relations.",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = money("l_extendedprice") * (1 - money("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .filter(customer.c_nationkey == supplier.s_nationkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(money_expr_sum(revenue, "revenue"))
+    )
+
+
+@register(
+    "topk_orders_per_priority",
+    """
+SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+""",
+    doc="Top-k per group via windowed row_number; single shuffle on the "
+    "group key, streaming evaluation (no per-group materialization).",
+)
+def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return topk_per_group(
+        orders,
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    )
+
+
+@register(
+    "semi_join_customers_with_orders",
+    """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    doc="Left-semi join (EXISTS).",
+)
+def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "anti_join_customers_without_orders",
+    """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
+""",
+    doc="Left-anti join (NOT EXISTS): customers with no large order.",
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "rollup_lineitem_status",
+    """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+    doc="Hierarchical rollup aggregation (grouping sets).",
+)
+def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"), money_sum("l_quantity", "sum_qty")
+    )
+
+
+@register(
+    "cube_orders_status_priority",
+    """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+    doc="Full cube over two dimensions.",
+)
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"), money_sum("o_totalprice", "sum_price")
+    )
+
+
+@register(
+    "distinct_counts_events",
+    """
+SELECT COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT event_type) AS n_types,
+       COUNT(*) AS n_events
+FROM events
+""",
+    doc="Exact distinct aggregation.",
+)
+def distinct_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "except_customers_minus_buyers",
+    """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+""",
+    doc="Set difference (EXCEPT DISTINCT): customers minus big spenders.",
+)
+def except_customers_minus_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    buyers = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return cust.exceptAll(buyers).distinct()
+
+
+@register(
+    "intersect_buyers_and_customers",
+    """
+SELECT o_custkey AS custkey FROM orders
+INTERSECT
+SELECT c_custkey AS custkey FROM customer
+""",
+    doc="Set intersection (INTERSECT DISTINCT).",
+)
+def intersect_buyers_and_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    buyers = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    return buyers.intersect(cust)
+
+
+@register(
+    "top10_orders_by_price",
+    """
+SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+    doc="Global sort + limit (Spark runs TakeOrderedAndProject — a "
+    "per-partition top-k then a k-row merge, no full sort at scale).",
+)
+def top10_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windowing, sessionization, as-of join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tumbling_window_events",
+    """
+SELECT time_bucket(INTERVAL 5 MINUTES, CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Event-time tumbling window aggregation (batch form of the "
+    "streaming windowed agg; epoch-aligned 5-minute buckets).",
+)
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value", "total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+g AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+s AS (
+  SELECT user_id, us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       min(us) AS start_us, max(us) AS end_us
+FROM s GROUP BY user_id, session_id
+""",
+    doc="Batch sessionization (30-min inactivity gap) via lag + "
+    "conditional cumsum; gaps compared in exact integer microseconds.",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", F.unix_micros("ts").alias("us")
+    )
+    sess = sessionize(ev.drop("ts"), ["user_id"], "us", gap_seconds=1_800_000_000)
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+    )
+
+
+@register(
+    "asof_join_last_signup",
+    """
+WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+s AS (SELECT user_id, event_id AS signup_event_id, CAST(ts AS TIMESTAMP) AS signup_ts
+      FROM events WHERE event_type = 'signup')
+SELECT e.event_id, e.user_id, e.ts, s.signup_event_id, s.signup_ts
+FROM e ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ts >= s.signup_ts
+""",
+    doc="As-of (backward) join: each event matched to the user's most "
+    "recent signup at-or-before it. Union + last-non-null window trick — "
+    "one shuffle, no Python (operators/relational.py:asof_join).",
+)
+def asof_join_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    signups = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("event_id").alias("signup_event_id"),
+            F.col("ts").alias("signup_ts"),
+        )
+    )
+    return asof_join(
+        ev, signups, on=["user_id"], left_ts="ts", right_ts="signup_ts",
+        right_prefix="",
+    )

@@ -1,0 +1,38 @@
+"""Catalog smoke tests at sf0.001: every query runs, returns rows, has
+stable column names, and the entry() contract holds. Full value-level
+oracle verification runs via scripts/check_oracles.py at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from pycasselastic_spark.catalog import QUERIES
+
+# queries allowed to be empty at the tiny sf (selectivity-dependent)
+MAY_BE_EMPTY = set()
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"id", "version", "text", "event_id", "source"}
+
+
+def test_contract_shapes():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert all(callable(f) for f in qs.values())
+    assert all(isinstance(s, str) and s.strip() for s in oracles.values())
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_runs(spark, sf_dir, name):
+    df = QUERIES[name].fn(spark, sf_dir)
+    n = df.count()
+    if name not in MAY_BE_EMPTY:
+        assert n > 0, f"{name} returned no rows at {sf_dir}"
+    # column names must be duplicate-free for the oracle hash compare
+    assert len(df.columns) == len(set(df.columns))
