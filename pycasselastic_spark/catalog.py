@@ -572,3 +572,290 @@ def asof_join_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, signups, on=["user_id"], left_ts="ts", right_ts="signup_ts",
         right_prefix="",
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators: dedup (exact / n-gram Jaccard / MinHash-LSH
+# / SimHash / embedding-cosine), similarity search, text analysis.
+# ---------------------------------------------------------------------------
+
+from pycasselastic_spark.operators import dedup as D  # noqa: E402
+from pycasselastic_spark.operators import similarity as S  # noqa: E402
+from pycasselastic_spark.functions import text as TX  # noqa: E402
+
+_SHINGLES_SQL = """
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) >= 3
+              THEN list_distinct(list_transform(
+                     range(1, len(string_split(text, ' ')) - 1),
+                     i -> string_split(text, ' ')[i] || ' ' ||
+                          string_split(text, ' ')[i+1] || ' ' ||
+                          string_split(text, ' ')[i+2]))
+              ELSE [] END AS s
+  FROM documents
+)
+"""
+
+_JACCARD_PAIRS_SQL = f"""
+WITH {_SHINGLES_SQL}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       len(list_intersect(a.s, b.s)) / len(list_distinct(a.s || b.s)) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) / len(list_distinct(a.s || b.s)) >= 0.6
+"""
+
+
+@register(
+    "exact_dedup_documents",
+    """
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1
+""",
+    doc="Exact dedup: one survivor (min doc_id) per identical text; "
+    "hash-shuffle with map-side combine (operators/dedup.py:exact_dedup).",
+)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, ["text"], "doc_id").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "ngram_jaccard_neardup",
+    _JACCARD_PAIRS_SQL,
+    doc="Brute-force exact 3-gram Jaccard near-dup pairs (threshold 0.6) "
+    "— the verification baseline for the LSH path.",
+)
+def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+
+
+@register(
+    "minhash_lsh_neardup",
+    _JACCARD_PAIRS_SQL,
+    doc="MinHash(24 md5 hashes) + LSH(12 bands x 2 rows) near-dup pairs, "
+    "exact-Jaccard verified. Oracle is the brute-force all-pairs answer: "
+    "the LSH candidate generation must not lose a single qualifying pair.",
+)
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=24, band_rows=2, threshold=0.6
+    )
+
+
+_SIMHASH_SQL = """
+fp AS (
+  SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), j ->
+           CASE WHEN list_sum(list_transform(hs, h ->
+                  CASE WHEN CAST(floor(h / power(2, j)) AS BIGINT) % 2 = 1
+                       THEN 1 ELSE -1 END)) >= 0
+                THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS fingerprint
+  FROM (SELECT doc_id,
+               list_transform(list_distinct(string_split(text, ' ')),
+                              w -> ('0x' || substring(md5(w), 1, 8))::BIGINT) AS hs
+        FROM documents)
+)
+"""
+
+
+@register(
+    "simhash_neardup",
+    f"""
+WITH {_SIMHASH_SQL}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.fingerprint, b.fingerprint)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3
+""",
+    doc="SimHash(32-bit over distinct tokens) near-dup pairs, hamming<=3, "
+    "via exact pigeonhole chunk blocking (4x8-bit chunks) — equi-join "
+    "candidates, no cross product (operators/dedup.py:simhash_pairs).",
+)
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+_COS_SQL = (
+    "list_sum(list_transform(range(1, 65), k -> {a}[k]::DOUBLE * {b}[k]::DOUBLE))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), k -> {a}[k]::DOUBLE * {a}[k]::DOUBLE)))"
+    " * sqrt(list_sum(list_transform(range(1, 65), k -> {b}[k]::DOUBLE * {b}[k]::DOUBLE))))"
+)
+
+
+@register(
+    "embedding_cosine_neardup",
+    f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= 0.4
+""",
+    doc="Embedding near-dup pairs, cosine >= 0.4, sequential-double dot "
+    "products (bit-identical to the oracle).",
+)
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return D.embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+@register(
+    "cosine_topk_bruteforce",
+    f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         {_COS_SQL.format(a='q.embedding', b='c.embedding')} AS cosine
+  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+)
+SELECT query_id, match_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, match_id) AS rn
+  FROM p) WHERE rn <= 5
+""",
+    doc="Exact cosine top-5 for 10 query vectors: broadcast nested loop "
+    "(queries broadcast, corpus scanned once) + windowed top-k.",
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+
+
+@register(
+    "cosine_topk_lsh",
+    None,  # approximate — rows-only check; recall vs brute force is tested
+    doc="Approximate cosine top-5 via random-hyperplane LSH banding "
+    "(scale path: equi-join on sign-band keys instead of a cross join). "
+    "Recall vs brute force asserted in tests/test_dedup_similarity.py.",
+)
+def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.lsh_topk(
+        emb, queries, "vec_id", "embedding", k=5, dim=64, num_planes=12, num_bands=6
+    )
+
+
+_STOPS_SQL = "['the','is','and','of','to','a','in']"
+
+
+@register(
+    "text_quality_documents",
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             w -> list_contains({_STOPS_SQL}, w))) / len(string_split(text, ' ')) AS stop_ratio,
+         length(replace(text, ' ', '')) / len(string_split(text, ' ')) AS mean_word_len
+  FROM documents)
+SELECT doc_id, n_tokens, stop_ratio, mean_word_len,
+       least(n_tokens, 100) / 100 * 0.4 + stop_ratio * 0.3
+         + least(mean_word_len, 10.0) / 10 * 0.3 AS quality
+FROM t
+""",
+    doc="Heuristic quality scoring: token count, stopword ratio, mean "
+    "word length, composite score (functions/text.py).",
+)
+def text_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    ws = TX.words("text")
+    return docs.select(
+        "doc_id",
+        F.size(ws).alias("n_tokens"),
+        TX.stopword_ratio(ws, TX.LANG_PROFILES["en"]).alias("stop_ratio"),
+        TX.mean_word_length("text").alias("mean_word_len"),
+        TX.quality_score("text").alias("quality"),
+    )
+
+
+@register(
+    "token_counts_documents",
+    """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_word_tokens,
+       length(replace(text, ' ', '')) AS n_chars_nospace
+FROM documents
+""",
+    doc="Token counting: whitespace tokens + BPE-ish regex word tokens.",
+)
+def token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.whitespace_token_count("text").cast("long").alias("n_ws_tokens"),
+        TX.word_token_count("text").cast("long").alias("n_word_tokens"),
+        F.length(F.regexp_replace("text", " ", "")).cast("long").alias("n_chars_nospace"),
+    )
+
+
+_LANG_SCORE_SQL = (
+    "len(list_filter(string_split(text, ' '), w -> list_contains({prof}, w)))"
+)
+
+_LANG_PROFILES_SQL = {
+    "de": "['der','die','das','und','ist','nicht','ein']",
+    "en": "['the','is','and','of','to','a','in']",
+    "es": "['el','la','de','que','y','los','un']",
+    "fr": "['le','la','les','et','est','une','dans']",
+}
+
+
+@register(
+    "lang_id_documents",
+    f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {_LANG_SCORE_SQL.format(prof=_LANG_PROFILES_SQL['de'])} AS s_de,
+         {_LANG_SCORE_SQL.format(prof=_LANG_PROFILES_SQL['en'])} AS s_en,
+         {_LANG_SCORE_SQL.format(prof=_LANG_PROFILES_SQL['es'])} AS s_es,
+         {_LANG_SCORE_SQL.format(prof=_LANG_PROFILES_SQL['fr'])} AS s_fr
+  FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr) AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'de'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr) AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'en'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr) AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'es'
+            WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred
+FROM s
+""",
+    doc="Heuristic language ID: function-word profile scores, argmax "
+    "with alphabetical tiebreak (functions/text.py:lang_id).",
+)
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", TX.lang_id("text").alias("lang_pred"))
+
+
+@register(
+    "fingerprint_documents",
+    """
+SELECT doc_id,
+       md5(lower(text)) AS content_fp,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(string_split(text, ' '),
+                          w -> ('0x' || substring(md5(w), 1, 8))::BIGINT)),
+         (acc, h) -> (acc * 31 + h) % 2147483647) AS rolling_fp
+FROM documents
+""",
+    doc="Document fingerprints: exact-content md5, order-insensitive "
+    "token-bag md5, and a polynomial rolling hash (functions/text.py).",
+)
+def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.content_fingerprint("text").alias("content_fp"),
+        TX.bag_fingerprint("text").alias("bag_fp"),
+        TX.rolling_fingerprint("text").alias("rolling_fp"),
+    )

@@ -1,0 +1,103 @@
+"""Dedup / similarity operator tests: planted-duplicate recovery, LSH
+vs brute-force equivalence, pigeonhole-blocking exactness, ANN recall."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pycasselastic_spark.operators import dedup as D
+from pycasselastic_spark.operators import similarity as S
+from pycasselastic_spark.sources.corpus import load_table
+
+
+def pairs_set(df):
+    return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+
+class TestExactDedup:
+    def test_planted_duplicates(self, spark):
+        rows = [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma"),  # dup of 1
+            (3, "delta epsilon"),
+            (4, "alpha beta gamma"),  # dup of 1
+            (5, "delta epsilon zeta"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = D.exact_dedup(df, ["text"], "doc_id")
+        got = {r["doc_id"] for r in out.collect()}
+        assert got == {1, 3, 5}  # min doc_id survives
+
+    def test_multi_column_content(self, spark):
+        rows = [(1, "a", "x"), (2, "a", "y"), (3, "a", "x")]
+        df = spark.createDataFrame(rows, ["doc_id", "t1", "t2"])
+        got = {r["doc_id"] for r in D.exact_dedup(df, ["t1", "t2"], "doc_id").collect()}
+        assert got == {1, 2}
+
+
+class TestNearDup:
+    def test_lsh_equals_bruteforce(self, spark, sf_dir):
+        """The LSH candidate path must find every qualifying pair the
+        exact all-pairs scan finds (deterministic md5 hashing => this is
+        a fixed property of the corpus, not a flaky probability)."""
+        docs = load_table(spark, sf_dir, "documents")
+        brute = pairs_set(
+            D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+        )
+        lsh = pairs_set(
+            D.minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+        )
+        assert lsh == brute
+        assert len(brute) > 0
+
+    def test_simhash_blocking_is_exact(self, spark, sf_dir):
+        """Pigeonhole chunk blocking must find exactly the pairs a
+        brute-force hamming scan finds."""
+        docs = load_table(spark, sf_dir, "documents").limit(200)
+        via_blocking = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in D.simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+        }
+        fp = docs.select("doc_id", D.simhash32("text").alias("f")).collect()
+        brute = {}
+        for i, a in enumerate(fp):
+            for b in fp[i + 1 :]:
+                x, y = (a, b) if a["doc_id"] < b["doc_id"] else (b, a)
+                h = bin(x["f"] ^ y["f"]).count("1")
+                if h <= 3:
+                    brute[(x["doc_id"], y["doc_id"])] = h
+        assert via_blocking == brute
+
+    def test_shingles_short_doc(self, spark):
+        df = spark.createDataFrame([(1, "only two")], ["doc_id", "text"])
+        row = df.select(D.shingles("text", 3).alias("s")).collect()[0]
+        assert row["s"] == []
+
+
+class TestSimilarity:
+    def test_bruteforce_topk_sanity(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") < 3)
+        out = S.brute_force_topk(emb, q, "vec_id", "embedding", k=5)
+        rows = out.collect()
+        assert len(rows) == 15
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for qid, matches in by_q.items():
+            assert all(m["match_id"] != qid for m in matches)
+            cosines = [m["cosine"] for m in matches]
+            assert cosines == sorted(cosines, reverse=True)
+
+    def test_lsh_topk_recall(self, spark, sf_dir):
+        """LSH-bucketed ANN must recover most of the true top-5."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") < 10)
+        brute = S.brute_force_topk(emb, q, "vec_id", "embedding", k=5)
+        approx = S.lsh_topk(
+            emb, q, "vec_id", "embedding", k=5, dim=64, num_planes=12, num_bands=6
+        )
+        truth = {(r["query_id"], r["match_id"]) for r in brute.collect()}
+        got = {(r["query_id"], r["match_id"]) for r in approx.collect()}
+        recall = len(truth & got) / len(truth)
+        assert recall >= 0.5, f"LSH recall too low: {recall}"
