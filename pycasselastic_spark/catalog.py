@@ -859,3 +859,71 @@ def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.bag_fingerprint("text").alias("bag_fp"),
         TX.rolling_fingerprint("text").alias("rolling_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns (decode stubbed behind a deterministic fake
+# wire format; Spark plumbing — binary transport, Arrow batches — real).
+# ---------------------------------------------------------------------------
+
+from pycasselastic_spark.operators import multimodal as M  # noqa: E402
+
+
+@register(
+    "multimodal_meta_stats",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         (doc_id % 16 + 4) AS width,
+         octet_length(encode(
+           concat_ws('|',
+             CASE WHEN doc_id % 3 = 0 THEN 'FIMG'
+                  WHEN doc_id % 3 = 1 THEN 'FAUD'
+                  ELSE 'FVID' END,
+             CAST(doc_id % 16 + 4 AS VARCHAR),
+             CAST(doc_id % 8 + 2 AS VARCHAR),
+             CAST(doc_id % 5 + 1 AS VARCHAR))
+           || ';' || repeat(substring(md5(text), 1, 8), 8))) AS nbytes
+  FROM documents)
+SELECT kind, COUNT(*) AS n_media,
+       CAST(SUM(nbytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(width) AS BIGINT) AS total_width
+FROM m GROUP BY kind
+""",
+    doc="Metadata aggregation over the media table without touching "
+    "decode — binary length + typed meta only (column pruning keeps "
+    "real scans narrow).",
+)
+def multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.synthesize_media(spark, sf_dir)
+    return media.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(F.length("content")).cast("long").alias("total_bytes"),
+        F.sum(F.col("meta.width")).cast("long").alias("total_width"),
+    )
+
+
+@register(
+    "multimodal_image_features",
+    None,  # decode runs in mapInPandas — not SQL-expressible
+    doc="Arrow-batched decode + feature extraction over binary media "
+    "columns (operators/multimodal.py:extract_features); rows-only "
+    "check, determinism asserted in tests.",
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.synthesize_media(spark, sf_dir)
+    return M.extract_features(media)
+
+
+@register(
+    "multimodal_frame_sample",
+    None,  # 1:N frame explosion via mapInPandas — not SQL-expressible
+    doc="Frame sampling for video media (every 2nd frame): 1:N "
+    "mapInPandas with per-frame binary slices.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.synthesize_media(spark, sf_dir)
+    return M.sample_frames(media, every_k=2)

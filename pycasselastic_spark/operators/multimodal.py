@@ -1,0 +1,200 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched ``mapInPandas``
+operators.
+
+The container has no real codec libraries (PIL/librosa/ffmpeg), so the
+*decode* step supports a deterministic fake wire format ("FIMG"/"FAUD"/
+"FVID" headers, see ``synthesize_media``) and raises
+``NotImplementedError`` for real formats — the Spark-side contract
+(schema, binary transport, Arrow batch iteration, partition-parallel
+execution, output schemas) is real and tested. Swapping in a real
+decoder is a per-batch function change, not a pipeline change.
+
+Scale notes: mapInPandas streams Arrow batches — content bytes never
+materialize as Python lists row-by-row; partition-parallel with no
+shuffle (narrow transformation). At 100 TB the media table would be
+partitioned by (kind, date) so decode jobs prune to the modality they
+need; metadata aggregations never touch the binary column at all
+(column pruning keeps the scan light — asserted in tests).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                    T.StructField("format", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+_MAGIC = {"image": b"FIMG", "audio": b"FAUD", "video": b"FVID"}
+
+
+def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake media derived from the documents table: doc_id
+    becomes media_id; kind cycles image/audio/video; content is a
+    self-describing fake binary (magic + dims + payload bytes derived
+    from the text md5). Pure column expressions — the binary is built
+    JVM-side, reproducibly, with no RNG."""
+    from pycasselastic_spark.sources.corpus import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    width = (F.col("doc_id") % 16 + 4).cast("int")
+    height = (F.col("doc_id") % 8 + 2).cast("int")
+    n_frames = (F.col("doc_id") % 5 + 1).cast("int")
+    payload = F.repeat(F.substring(F.md5("text"), 1, 8), 8)  # 64 payload bytes
+    magic = (
+        F.when(kind == "image", "FIMG").when(kind == "audio", "FAUD").otherwise("FVID")
+    )
+    header = F.concat_ws(
+        "|", magic, width.cast("string"), height.cast("string"), n_frames.cast("string")
+    )
+    content = F.encode(F.concat(header, F.lit(";"), payload), "utf-8")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        content.alias("content"),
+        F.struct(
+            width.alias("width"),
+            height.alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            n_frames.alias("n_frames"),
+            F.lit("fake").alias("format"),
+        ).alias("meta"),
+    )
+
+
+def _parse_fake(content: bytes) -> dict:
+    """Decode the fake wire format. Real formats are the documented
+    stub boundary."""
+    if content is None:
+        return {"width": None, "height": None, "n_frames": None, "payload": b""}
+    head, _, payload = bytes(content).partition(b";")
+    parts = head.split(b"|")
+    if len(parts) != 4 or parts[0] not in (b"FIMG", b"FAUD", b"FVID"):
+        raise NotImplementedError(
+            "real codec decode is stubbed in this environment; only the "
+            "FIMG/FAUD/FVID fake wire format is supported"
+        )
+    return {
+        "width": int(parts[1]),
+        "height": int(parts[2]),
+        "n_frames": int(parts[3]),
+        "payload": payload,
+    }
+
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, width int, height int, n_frames int, "
+    "payload_bytes int, mean_byte double"
+)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract over Arrow batches (mapInPandas).
+
+    Output: per-media decoded dims and payload statistics. The binary
+    column is consumed inside the batch iterator and not carried
+    forward — downstream stages shuffle only small feature rows."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = [_parse_fake(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "kind": pdf["kind"].values,
+                    "width": [p["width"] for p in parsed],
+                    "height": [p["height"] for p in parsed],
+                    "n_frames": [p["n_frames"] for p in parsed],
+                    "payload_bytes": [len(p["payload"]) for p in parsed],
+                    "mean_byte": [
+                        (sum(p["payload"]) / len(p["payload"])) if p["payload"] else 0.0
+                        for p in parsed
+                    ],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """'Resize' images: rewrites the fake header dims and truncates/pads
+    the payload to out_w*out_h/8 bytes — a stand-in with the exact
+    shape of a real resize (binary in, binary out, new meta)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for content in pdf["content"]:
+                p = _parse_fake(content)
+                payload = p["payload"][: max(1, out_w * out_h // 8)]
+                head = b"|".join(
+                    [b"FIMG", str(out_w).encode(), str(out_h).encode(), b"1"]
+                )
+                out.append(head + b";" + payload)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].values, "content": out}
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        batches, schema="media_id long, content binary"
+    )
+
+
+def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Frame sampling for videos: emits one output row per kept frame
+    (frame payload = the frame's slice of the fake payload) — a 1:N
+    mapInPandas, the shape of real frame extraction."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, frames, data = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                p = _parse_fake(content)
+                n = p["n_frames"] or 0
+                if n <= 0:
+                    continue
+                size = max(1, len(p["payload"]) // n)
+                for f in range(0, n, every_k):
+                    ids.append(mid)
+                    frames.append(f)
+                    data.append(p["payload"][f * size : (f + 1) * size])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": frames, "frame": data}
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        batches, schema="media_id long, frame_idx int, frame binary"
+    )
+
+
+_ = struct  # (struct available for real-codec implementations)

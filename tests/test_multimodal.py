@@ -1,0 +1,68 @@
+"""Multimodal plumbing tests: deterministic fake decode through real
+Arrow/mapInPandas machinery, 1:N frame explosion, stub boundary, and
+binary-column pruning at the parquet scan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pycasselastic_spark.operators import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    return M.synthesize_media(spark, sf_dir).cache()
+
+
+def test_feature_extraction_deterministic(spark, media):
+    feats = {r["media_id"]: r.asDict() for r in M.extract_features(media).collect()}
+    raw = {r["media_id"]: r.asDict() for r in media.collect()}
+    assert len(feats) == len(raw) > 0
+    for mid, f in feats.items():
+        assert f["width"] == raw[mid]["meta"]["width"]
+        assert f["height"] == raw[mid]["meta"]["height"]
+        assert f["payload_bytes"] == 64  # 8-char md5 prefix repeated 8x
+        assert 0 <= f["mean_byte"] <= 255
+
+
+def test_resize_rewrites_header(spark, media):
+    out = M.resize_images(media, 8, 4).collect()
+    assert len(out) > 0
+    for r in out:
+        assert bytes(r["content"]).startswith(b"FIMG|8|4|1;")
+
+
+def test_frame_sample_counts(spark, media):
+    vids = {r["media_id"]: r["meta"]["n_frames"] for r in media.collect()
+            if r["kind"] == "video"}
+    frames = M.sample_frames(media, every_k=2).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert set(by_media) == set(vids)
+    for mid, idxs in by_media.items():
+        expected = list(range(0, vids[mid], 2))
+        assert sorted(idxs) == expected
+
+
+def test_real_codec_is_stubbed(spark):
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"\x89PNG\r\n..."))],
+        "media_id long, kind string, content binary",
+    )
+    with pytest.raises(Exception) as exc:
+        M.extract_features(df).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
+
+
+def test_binary_column_pruned_for_meta_queries(spark, media, tmp_path):
+    """A metadata-only query against the media table must not read the
+    binary column from parquet (column pruning)."""
+    path = str(tmp_path / "media.parquet")
+    media.write.parquet(path)
+    meta_only = spark.read.parquet(path).select("media_id", "meta.width")
+    plan = meta_only._jdf.queryExecution().executedPlan().toString()
+    assert "content" not in plan
