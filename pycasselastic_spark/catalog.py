@@ -927,3 +927,71 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.synthesize_media(spark, sf_dir)
     return M.sample_frames(media, every_k=2)
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming queries — run to completion on the file source and
+# verified against the SAME oracles as their batch twins (stream/batch
+# parity is the correctness claim).
+# ---------------------------------------------------------------------------
+
+import tempfile  # noqa: E402
+import uuid as _uuid  # noqa: E402
+
+from pycasselastic_spark.streaming.sync import (  # noqa: E402
+    SnapshotStore,
+    read_event_stream,
+    start_streaming_sync,
+)
+from pycasselastic_spark.streaming.windows import tumbling_event_counts  # noqa: E402
+
+
+@register(
+    "streaming_tumbling_window_events",
+    QUERIES["tumbling_window_events"].oracle,
+    doc="The tumbling-window aggregation run as a real Structured "
+    "Streaming query (file source -> watermark -> windowed agg -> "
+    "memory sink, availableNow) — must produce byte-identical results "
+    "to the batch twin and its DuckDB oracle.",
+)
+def streaming_tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    agg = tumbling_event_counts(stream)
+    name = f"stream_tumble_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "streaming_lww_sync_events",
+    QUERIES["lww_merge_events"].oracle,
+    doc="The full sync pipeline as Structured Streaming: increments "
+    "stream through foreachBatch into an LWW snapshot store "
+    "(streaming/sync.py); the converged snapshot must equal the batch "
+    "merge and its oracle — the reference daemon's convergence law.",
+)
+def streaming_lww_sync_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    increments = stream.select(
+        F.col("user_id").alias("id"),
+        F.unix_millis("ts").alias("version"),
+        F.col("event_type").alias("text"),
+        "event_id",
+        F.when(F.col("event_id") % 2 == 1, "CASSANDRA")
+        .otherwise("Elastic")
+        .alias("source"),
+    )
+    workdir = tempfile.mkdtemp(prefix="lww-sync-")
+    store = SnapshotStore(
+        spark, f"{workdir}/snapshot", "id", "version", tiebreak_cols=["event_id"]
+    )
+    q = start_streaming_sync(increments, store, f"{workdir}/checkpoint")
+    q.awaitTermination()
+    return store.current()

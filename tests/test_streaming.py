@@ -1,0 +1,126 @@
+"""Structured Streaming tests: micro-batched LWW sync convergence,
+stream/batch parity, and watermark late-data semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+import uuid
+
+from pyspark.sql import functions as F
+
+from pycasselastic_spark.core.merge import lww_merge
+from pycasselastic_spark.sources.corpus import load_table
+from pycasselastic_spark.streaming.sync import (
+    SnapshotStore,
+    read_event_stream,
+    start_streaming_sync,
+)
+from pycasselastic_spark.streaming.windows import tumbling_event_counts
+
+
+def _increments(df):
+    return df.select(
+        F.col("user_id").alias("id"),
+        F.unix_millis("ts").alias("version"),
+        F.col("event_type").alias("text"),
+        "event_id",
+    )
+
+
+def test_multibatch_sync_converges_to_batch_answer(spark, sf_dir, tmp_path):
+    """Split events into 4 files, stream them one file per micro-batch
+    through the foreachBatch LWW sink; the final snapshot must equal the
+    single-shot batch merge (idempotent argmax => order-insensitive)."""
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "stream-src")
+    events.repartition(4).write.parquet(src)
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), "id", "version", tiebreak_cols=["event_id"]
+    )
+    q = start_streaming_sync(
+        _increments(stream), store, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    assert q.lastProgress is not None
+
+    got = {r["id"]: (r["version"], r["event_id"]) for r in store.current().collect()}
+    want = {
+        r["id"]: (r["version"], r["event_id"])
+        for r in lww_merge(
+            [_increments(events)], "id", "version", ["event_id"]
+        ).collect()
+    }
+    assert got == want
+
+
+def test_stream_batch_parity_tumbling(spark, sf_dir):
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    name = f"parity_{uuid.uuid4().hex[:8]}"
+    q = (
+        tumbling_event_counts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {tuple(r) for r in spark.table(name).collect()}
+
+    events = load_table(spark, sf_dir, "events")
+    from pycasselastic_spark.catalog import QUERIES
+
+    batch = {tuple(r) for r in QUERIES["tumbling_window_events"].fn(spark, sf_dir).collect()}
+    assert streamed == batch and len(batch) > 0
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed agg: a row older than the watermark must not
+    reopen its (already emitted) window."""
+    src = str(tmp_path / "late-src")
+    sink_name = f"late_{uuid.uuid4().hex[:8]}"
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(rows, path):
+        df = spark.createDataFrame(
+            [(i, base + dt.timedelta(minutes=m), "click", 1.0) for i, m in rows],
+            "event_id long, ts timestamp, event_type string, value double",
+        )
+        df.coalesce(1).write.mode("append").parquet(path)
+
+    mk([(1, 1), (2, 60)], src)  # batch 1: window 00:00 gets 1 row; max t=01:00
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_name)
+        .option("checkpointLocation", str(tmp_path / "late-ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one late row (00:02, far behind watermark 00:50) and
+        # one fresh row to advance time
+        mk([(3, 2), (4, 61)], src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    emitted = [tuple(r) for r in spark.table(sink_name).collect()]
+    zero = dt.datetime(2024, 1, 1, 0, 0)
+    # the 00:00 window emitted once, with only the on-time row counted
+    assert [t for t in emitted if t[0] == zero] == [(zero, 1)]
