@@ -580,6 +580,7 @@ def asof_join_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from pycasselastic_spark.operators import dedup as D  # noqa: E402
+from pycasselastic_spark.plans.tuning import ensure_parallelism  # noqa: E402
 from pycasselastic_spark.operators import similarity as S  # noqa: E402
 from pycasselastic_spark.functions import text as TX  # noqa: E402
 
@@ -630,7 +631,7 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— the verification baseline for the LSH path.",
 )
 def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
     return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
 
 
@@ -642,22 +643,28 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the LSH candidate generation must not lose a single qualifying pair.",
 )
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
     return D.minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_hashes=24, band_rows=2, threshold=0.6
     )
 
 
-_SIMHASH_SQL = """
-fp AS (
-  SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), j ->
-           CASE WHEN list_sum(list_transform(hs, h ->
+_SIMHASH_HALF_SQL = """CAST(list_sum(list_transform(range(0, 32), j ->
+           CASE WHEN list_sum(list_transform({hs}, h ->
                   CASE WHEN CAST(floor(h / power(2, j)) AS BIGINT) % 2 = 1
                        THEN 1 ELSE -1 END)) >= 0
-                THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS fingerprint
+                THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT)"""
+
+_SIMHASH_SQL = f"""
+fp AS (
+  SELECT doc_id,
+         {_SIMHASH_HALF_SQL.format(hs='hs_hi')} AS fp_hi,
+         {_SIMHASH_HALF_SQL.format(hs='hs_lo')} AS fp_lo
   FROM (SELECT doc_id,
-               list_transform(list_distinct(string_split(text, ' ')),
-                              w -> ('0x' || substring(md5(w), 1, 8))::BIGINT) AS hs
+               list_transform(string_split(text, ' '),
+                              w -> ('0x' || substring(md5(w), 1, 8))::BIGINT) AS hs_hi,
+               list_transform(string_split(text, ' '),
+                              w -> ('0x' || substring(md5(w), 9, 8))::BIGINT) AS hs_lo
         FROM documents)
 )
 """
@@ -668,51 +675,55 @@ fp AS (
     f"""
 WITH {_SIMHASH_SQL}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.fingerprint, b.fingerprint)) AS hamming
+       bit_count(xor(a.fp_hi, b.fp_hi)) + bit_count(xor(a.fp_lo, b.fp_lo)) AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3
+WHERE bit_count(xor(a.fp_hi, b.fp_hi)) + bit_count(xor(a.fp_lo, b.fp_lo)) <= 3
 """,
-    doc="SimHash(32-bit over distinct tokens) near-dup pairs, hamming<=3, "
-    "via exact pigeonhole chunk blocking (4x8-bit chunks) — equi-join "
+    doc="SimHash(64-bit, tf-weighted) near-dup pairs, hamming<=3, via "
+    "exact pigeonhole chunk blocking (4x16-bit chunks) — equi-join "
     "candidates, no cross product (operators/dedup.py:simhash_pairs).",
 )
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
     return D.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
-_COS_SQL = (
-    "list_sum(list_transform(range(1, 65), k -> {a}[k]::DOUBLE * {b}[k]::DOUBLE))"
-    " / (sqrt(list_sum(list_transform(range(1, 65), k -> {a}[k]::DOUBLE * {a}[k]::DOUBLE)))"
-    " * sqrt(list_sum(list_transform(range(1, 65), k -> {b}[k]::DOUBLE * {b}[k]::DOUBLE))))"
-)
+# unit-normalize once per row (mirrors similarity.with_unit_vector), then
+# each pair pays one sequential-double dot product — bit-identical to Spark
+_UNIT_SQL = """
+en AS (SELECT vec_id, embedding,
+              sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE))) AS nrm
+       FROM embeddings),
+eu AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE / nrm) AS u FROM en)
+"""
+_DOT_SQL = "list_sum(list_transform(range(1, 65), k -> {a}[k] * {b}[k]))"
 
 
 @register(
     "embedding_cosine_neardup",
     f"""
-WITH e AS (SELECT vec_id, embedding FROM embeddings)
+WITH {_UNIT_SQL}
 SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-       {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS cosine
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= 0.4
+       {_DOT_SQL.format(a='a.u', b='b.u')} AS cosine
+FROM eu a JOIN eu b ON a.vec_id < b.vec_id
+WHERE {_DOT_SQL.format(a='a.u', b='b.u')} >= 0.4
 """,
-    doc="Embedding near-dup pairs, cosine >= 0.4, sequential-double dot "
-    "products (bit-identical to the oracle).",
+    doc="Embedding near-dup pairs, cosine >= 0.4: normalize once per "
+    "row, sequential-double dot per pair (bit-identical to the oracle).",
 )
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings"), spark)
     return D.embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
 
 
 @register(
     "cosine_topk_bruteforce",
     f"""
-WITH e AS (SELECT vec_id, embedding FROM embeddings),
+WITH {_UNIT_SQL},
 p AS (
   SELECT q.vec_id AS query_id, c.vec_id AS match_id,
-         {_COS_SQL.format(a='q.embedding', b='c.embedding')} AS cosine
-  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+         {_DOT_SQL.format(a='q.u', b='c.u')} AS cosine
+  FROM eu q JOIN eu c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
 )
 SELECT query_id, match_id, cosine FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -723,7 +734,7 @@ SELECT query_id, match_id, cosine FROM (
     "(queries broadcast, corpus scanned once) + windowed top-k.",
 )
 def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings"), spark)
     queries = emb.filter(F.col("vec_id") < 10)
     return S.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
 
@@ -736,7 +747,7 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Recall vs brute force asserted in tests/test_dedup_similarity.py.",
 )
 def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings"), spark)
     queries = emb.filter(F.col("vec_id") < 10)
     return S.lsh_topk(
         emb, queries, "vec_id", "embedding", k=5, dim=64, num_planes=12, num_bands=6
@@ -914,7 +925,7 @@ def multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "check, determinism asserted in tests.",
 )
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = M.synthesize_media(spark, sf_dir)
+    media = ensure_parallelism(M.synthesize_media(spark, sf_dir), spark)
     return M.extract_features(media)
 
 
@@ -925,7 +936,7 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mapInPandas with per-frame binary slices.",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = M.synthesize_media(spark, sf_dir)
+    media = ensure_parallelism(M.synthesize_media(spark, sf_dir), spark)
     return M.sample_frames(media, every_k=2)
 
 
@@ -995,3 +1006,193 @@ def streaming_lww_sync_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = start_streaming_sync(increments, store, f"{workdir}/checkpoint")
     q.awaitTermination()
     return store.current()
+
+
+# ---------------------------------------------------------------------------
+# Additional SURVEY §2.2 coverage: scalar-conversion suite, range join,
+# running window aggregates, pivot, exact percentiles, applyInPandas.
+# ---------------------------------------------------------------------------
+
+from pycasselastic_spark.core import convert as CV  # noqa: E402
+
+
+@register(
+    "convert_roundtrip_events",
+    """
+SELECT event_id,
+       epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_millis,
+       CAST(to_timestamp(CAST(floor(epoch_ms(CAST(ts AS TIMESTAMP)) / 1000) AS BIGINT)) AS TIMESTAMP) AS ts_from_secs,
+       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%f') AS ts_iso,
+       lower(concat(
+         substring(md5(CAST(event_id AS VARCHAR)), 1, 8), '-',
+         substring(md5(CAST(event_id AS VARCHAR)), 9, 4), '-',
+         substring(md5(CAST(event_id AS VARCHAR)), 13, 4), '-',
+         substring(md5(CAST(event_id AS VARCHAR)), 17, 4), '-',
+         substring(md5(CAST(event_id AS VARCHAR)), 21, 12))) AS synthetic_uuid
+FROM events
+""",
+    doc="Scalar conversion suite (reference O13, utils.py:58-74 + "
+    "pyCassElastic.py:275-277): epoch millis, second-precision round "
+    "trip, ISO-8601 micros formatting, UUID canonicalization (here over "
+    "md5-derived hex; core/convert.py:normalize_uuid).",
+)
+def convert_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    raw_hex = F.md5(F.col("event_id").cast("string"))
+    return ev.select(
+        "event_id",
+        CV.to_epoch_millis("ts").alias("ts_millis"),
+        F.timestamp_seconds(F.floor(CV.to_epoch_millis("ts") / 1000)).alias(
+            "ts_from_secs"
+        ),
+        CV.format_iso_micros("ts").alias("ts_iso"),
+        CV.normalize_uuid(raw_hex).alias("synthetic_uuid"),
+    )
+
+
+@register(
+    "range_join_value_buckets",
+    """
+WITH buckets(bucket, lo, hi) AS (
+  VALUES ('small', 0.0, 50.0), ('medium', 50.0, 200.0),
+         ('large', 200.0, 1000.0), ('huge', 1000.0, 1e9)
+)
+SELECT b.bucket, COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events e JOIN buckets b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.bucket
+""",
+    doc="Range (interval) join: events matched to value buckets via "
+    "inequality predicates — broadcast nested loop on the tiny dim "
+    "(at scale: bucketize-then-equi-join rewrite).",
+)
+def range_join_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = ensure_parallelism(_t(spark, sf_dir, "events"), spark)
+    buckets = spark.createDataFrame(
+        [
+            ("small", 0.0, 50.0),
+            ("medium", 50.0, 200.0),
+            ("large", 200.0, 1000.0),
+            ("huge", 1000.0, 1e9),
+        ],
+        ["bucket", "lo", "hi"],
+    )
+    return (
+        ev.join(
+            F.broadcast(buckets),
+            (ev.value >= buckets.lo) & (ev.value < buckets.hi),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value", "sum_value"),
+        )
+    )
+
+
+@register(
+    "running_totals_orders",
+    """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS order_seq
+FROM orders
+""",
+    doc="Running (cumulative) window aggregates per key — decimal-exact "
+    "prefix sums, deterministic ordering.",
+)
+def running_totals_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(money("o_totalprice"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+        .alias("running_spend"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@register(
+    "pivot_orders_status",
+    """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="Pivot (wide aggregation): order counts by status per priority.",
+)
+def pivot_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+@register(
+    "percentile_stats_lineitem",
+    """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50_price,
+       quantile_cont(l_extendedprice, 0.9) AS p90_price,
+       quantile_cont(l_quantity, 0.5) AS p50_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="Exact interpolated percentiles (Spark `percentile` == DuckDB "
+    "`quantile_cont`, bit-identical); at 100 TB swap to "
+    "`percentile_approx` + a documented tolerance.",
+)
+def percentile_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_price"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+        F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+    )
+
+
+@register(
+    "applyinpandas_rank_events",
+    """
+SELECT event_id, event_type,
+       ROW_NUMBER() OVER (PARTITION BY event_type
+                          ORDER BY value DESC, event_id) AS value_rank
+FROM events
+""",
+    doc="Grouped-map Pandas UDF (applyInPandas): per-group dense value "
+    "ranking computed in Arrow batches — the UDAF/UDTF escape hatch "
+    "demonstrated on a deterministic, oracle-checkable computation.",
+)
+def applyinpandas_rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def rank_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["value", "event_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        pdf["value_rank"] = pdf.index + 1
+        return pdf[["event_id", "event_type", "value_rank"]]
+
+    return ev.groupBy("event_type").applyInPandas(
+        rank_group, schema="event_id long, event_type string, value_rank long"
+    )

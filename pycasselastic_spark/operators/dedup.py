@@ -58,21 +58,20 @@ def minhash_signature(sh: Column, num_hashes: int) -> list[Column]:
     ]
 
 
-def token_hash32(w: Column) -> Column:
-    """Deterministic 32-bit token hash both engines can compute:
-    first 8 hex chars of md5, parsed base-16."""
-    return F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+def token_hash32(w: Column, hex_offset: int = 1) -> Column:
+    """Deterministic 32-bit token hash both engines can compute: 8 hex
+    chars of md5 starting at ``hex_offset`` (1-based), parsed base-16."""
+    return F.conv(F.substring(F.md5(w), hex_offset, 8), 16, 10).cast("long")
 
 
-def simhash32(col: Column | str) -> Column:
-    """32-bit SimHash over distinct whitespace tokens: bit j of the
-    fingerprint is 1 iff the sum over tokens of (+1 if bit j of the
-    token hash is set else -1) is >= 0. Bits are extracted with
-    floor-divide/mod (not shifts) so the SQL oracle can mirror the
+def _simhash32_of(hashes: Column) -> Column:
+    """32-bit tf-weighted SimHash over an array of 32-bit token hashes:
+    bit j is 1 iff the sum over ALL tokens (repeats included — term
+    frequency is the weight) of (+1 if bit j of the token hash is set
+    else -1) is >= 0. TF weighting discriminates far better than
+    distinct-token SimHash on small vocabularies. Bits are extracted
+    with floor-divide/mod (not shifts) so the SQL oracle can mirror the
     arithmetic exactly."""
-    c = F.col(col) if isinstance(col, str) else col
-    toks = F.array_distinct(F.split(c, " "))
-    hashes = F.transform(toks, token_hash32)
     bit_vote = lambda h, j: F.when(  # noqa: E731
         F.pmod(F.floor(h / F.pow(F.lit(2.0), j)).cast("long"), 2) == 1, 1
     ).otherwise(-1)
@@ -95,6 +94,25 @@ def simhash32(col: Column | str) -> Column:
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
+    )
+
+
+def simhash32(col: Column | str) -> Column:
+    """32-bit tf-weighted SimHash of a text column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _simhash32_of(F.transform(F.split(c, " "), token_hash32))
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit tf-weighted SimHash as two 32-bit halves (``fp_hi`` from
+    md5 hex chars 1-8 per token, ``fp_lo`` from chars 9-16) — two longs
+    avoid unsigned-64 overflow while keeping the SQL oracle exact."""
+    c = F.col(text_col)
+    toks = F.split(c, " ")
+    return df.select(
+        F.col(id_col).alias("_id"),
+        _simhash32_of(F.transform(toks, lambda w: token_hash32(w, 1))).alias("fp_hi"),
+        _simhash32_of(F.transform(toks, lambda w: token_hash32(w, 9))).alias("fp_lo"),
     )
 
 
@@ -197,42 +215,55 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
 ) -> DataFrame:
-    """SimHash near-dup pairs with pigeonhole blocking: fingerprints are
-    split into ``max_hamming + 1`` chunks; any pair within the hamming
-    budget must agree exactly on at least one chunk, so candidates come
+    """64-bit SimHash near-dup pairs with pigeonhole blocking: the
+    fingerprint is split into 4 x 16-bit chunks; any pair with hamming
+    <= 3 must agree exactly on at least one chunk, so candidates come
     from an equi-join on (chunk index, chunk value) — exact, not
-    probabilistic. Output: (doc_a, doc_b, hamming)."""
-    n_chunks = max_hamming + 1
-    chunk_bits = 32 // n_chunks  # 8 bits per chunk for the default
-    fp = df.select(F.col(id_col).alias("_id"), simhash32(text_col).alias("fingerprint"))
-    chunk = lambda c: F.pmod(  # noqa: E731
-        F.floor(F.col("fingerprint") / F.pow(F.lit(2.0), c * chunk_bits)).cast("long"),
-        F.lit(2 ** chunk_bits),
+    probabilistic. 16-bit chunks keep the candidate buckets small
+    (65536 keys per chunk position vs 256 for 8-bit chunks — the
+    difference between a skew-free equi-join and a quadratic bucket
+    blow-up on clustered fingerprints).
+
+    Fingerprints are computed once and cached before the self-join —
+    without it Spark recomputes the (expensive) simhash subtree for
+    both join sides. Output: (doc_a, doc_b, hamming)."""
+    if max_hamming > 3:
+        raise ValueError("pigeonhole blocking with 4 chunks requires max_hamming <= 3")
+    chunk_bits = 16
+    fp = simhash_fingerprints(df, id_col, text_col).persist()
+    chunk_of = lambda col, c: F.pmod(  # noqa: E731
+        F.floor(F.col(col) / F.pow(F.lit(2.0), c * chunk_bits)).cast("long"),
+        F.lit(2**chunk_bits),
     )
-    chunks = F.array(*[chunk(c) for c in range(n_chunks)])
+    chunks = F.array(
+        chunk_of("fp_hi", 0), chunk_of("fp_hi", 1),
+        chunk_of("fp_lo", 0), chunk_of("fp_lo", 1),
+    )
     blocked = fp.select(
-        "_id", "fingerprint", F.posexplode(chunks).alias("_chunk_idx", "_chunk_val")
+        "_id", "fp_hi", "fp_lo",
+        F.posexplode(chunks).alias("_chunk_idx", "_chunk_val"),
     )
     left = blocked.select(
         F.col("_id").alias("doc_a"),
-        F.col("fingerprint").alias("_fa"),
+        F.col("fp_hi").alias("_ha"),
+        F.col("fp_lo").alias("_la"),
         "_chunk_idx",
         "_chunk_val",
     )
     right = blocked.select(
         F.col("_id").alias("doc_b"),
-        F.col("fingerprint").alias("_fb"),
+        F.col("fp_hi").alias("_hb"),
+        F.col("fp_lo").alias("_lb"),
         "_chunk_idx",
         "_chunk_val",
+    )
+    hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))) + F.bit_count(
+        F.col("_la").bitwiseXOR(F.col("_lb"))
     )
     return (
         left.join(right, ["_chunk_idx", "_chunk_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))).alias("hamming"),
-        )
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
@@ -246,15 +277,17 @@ def embedding_cosine_pairs(
 ) -> DataFrame:
     """Embedding near-dup pairs by cosine similarity (brute force —
     the verification baseline; the LSH-bucketed scale path lives in
-    operators/similarity.py). Dot products run in sequential double
-    precision (bit-identical to the SQL oracle)."""
-    from pycasselastic_spark.operators.similarity import cosine
+    operators/similarity.py). Vectors are unit-normalized once per row
+    (linear), so each pair pays exactly one sequential-double dot
+    product — bit-identical to the SQL oracle."""
+    from pycasselastic_spark.operators.similarity import dot, with_unit_vector
 
-    a = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_vb"))
+    unit = with_unit_vector(df, vec_col, "_u")
+    a = unit.select(F.col(id_col).alias("doc_a"), F.col("_u").alias("_ua"))
+    b = unit.select(F.col(id_col).alias("doc_b"), F.col("_u").alias("_ub"))
     return (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn("cosine", cosine(F.col("_va"), F.col("_vb")))
+        .withColumn("cosine", dot(F.col("_ua"), F.col("_ub")))
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
     )

@@ -58,15 +58,24 @@ class TestNearDup:
             (r["doc_a"], r["doc_b"]): r["hamming"]
             for r in D.simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()
         }
-        fp = docs.select("doc_id", D.simhash32("text").alias("f")).collect()
+        fp = D.simhash_fingerprints(docs, "doc_id", "text").collect()
         brute = {}
         for i, a in enumerate(fp):
             for b in fp[i + 1 :]:
-                x, y = (a, b) if a["doc_id"] < b["doc_id"] else (b, a)
-                h = bin(x["f"] ^ y["f"]).count("1")
+                x, y = (a, b) if a["_id"] < b["_id"] else (b, a)
+                h = bin(x["fp_hi"] ^ y["fp_hi"]).count("1") + bin(
+                    x["fp_lo"] ^ y["fp_lo"]
+                ).count("1")
                 if h <= 3:
-                    brute[(x["doc_id"], y["doc_id"])] = h
+                    brute[(x["_id"], y["_id"])] = h
         assert via_blocking == brute
+
+    def test_simhash_rejects_loose_hamming(self, spark):
+        df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            D.simhash_pairs(df, "doc_id", "text", max_hamming=5)
 
     def test_shingles_short_doc(self, spark):
         df = spark.createDataFrame([(1, "only two")], ["doc_id", "text"])
