@@ -1196,3 +1196,142 @@ def applyinpandas_rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").applyInPandas(
         rank_group, schema="event_id long, event_type string, value_rank long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured data, outer joins, skew mitigation, SCD2 history.
+# ---------------------------------------------------------------------------
+
+from pycasselastic_spark.core.scd2 import scd2_apply  # noqa: E402
+from pycasselastic_spark.operators.skew import salted_count_sum  # noqa: E402
+
+
+@register(
+    "json_extract_events",
+    """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+""",
+    doc="Semi-structured extraction: JSON path into the props column "
+    "(get_json_object, JVM-side) feeding a hash aggregation.",
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "full_outer_join_customer_orders",
+    """
+WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 100),
+o AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+      WHERE o_custkey >= 50 GROUP BY o_custkey)
+SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey, c.c_name, o.n_orders
+FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+""",
+    doc="Full outer join with unmatched rows on both sides (NULL-filled).",
+)
+def full_outer_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 100)
+        .select("c_custkey", "c_name")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") >= 50)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "full_outer").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_name",
+        "n_orders",
+    )
+
+
+@register(
+    "skew_salted_agg_events",
+    """
+SELECT event_type, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+""",
+    doc="Skew-salted two-stage aggregation (operators/skew.py): hot keys "
+    "split across 16 salt buckets, partials re-aggregated; decimal "
+    "partial sums make the result bit-identical to the plain GROUP BY "
+    "oracle.",
+)
+def skew_salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return salted_count_sum(
+        ev, ["event_type"], ["value"], salt_col="event_id", salt_buckets=16
+    )
+
+
+@register(
+    "scd2_customer_history",
+    """
+WITH cur AS (SELECT c_custkey AS id, c_mktsegment AS segment,
+                    0 AS valid_from FROM customer),
+upd AS (
+  SELECT id, version, segment FROM (
+    SELECT o_custkey AS id, epoch_ms(o_orderdate) AS version,
+           o_orderpriority AS segment,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY epoch_ms(o_orderdate) DESC,
+                                       o_orderkey DESC) AS rn
+    FROM orders) WHERE rn = 1
+),
+j AS (SELECT cur.id AS cid, cur.segment AS cseg, cur.valid_from,
+             upd.id AS uid, upd.version, upd.segment AS useg
+      FROM cur FULL OUTER JOIN upd ON cur.id = upd.id)
+SELECT cid AS c_custkey, cseg AS segment,
+       CAST(valid_from AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+FROM j WHERE cid IS NOT NULL
+  AND NOT (uid IS NOT NULL AND version > valid_from AND useg IS DISTINCT FROM cseg)
+UNION ALL
+SELECT cid, cseg, CAST(valid_from AS BIGINT), CAST(version AS BIGINT)
+FROM j WHERE cid IS NOT NULL AND uid IS NOT NULL
+  AND version > valid_from AND useg IS DISTINCT FROM cseg
+UNION ALL
+SELECT uid, useg, CAST(version AS BIGINT), CAST(NULL AS BIGINT)
+FROM j WHERE uid IS NOT NULL
+  AND (cid IS NULL OR (version > valid_from AND useg IS DISTINCT FROM cseg))
+""",
+    doc="SCD2 history maintenance (core/scd2.py): CDC MERGE emulated as "
+    "full-outer join + change detection + close/open rows; the SCD2 "
+    "twin of the LWW (SCD1) merge.",
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    history = cust.select(
+        F.col("c_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    orders = _t(spark, sf_dir, "orders")
+    updates = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        # o_orderdate scans as TIMESTAMP_NTZ; session TZ is UTC so this
+        # cast matches DuckDB's epoch_ms of the naive timestamp
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("version"),
+        F.col("o_orderpriority").alias("segment"),
+        "o_orderkey",
+    )
+    return scd2_apply(
+        history,
+        updates,
+        id_col="c_custkey",
+        version_col="version",
+        attr_cols=["segment"],
+        tiebreak_cols=["o_orderkey"],
+    )

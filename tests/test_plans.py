@@ -1,0 +1,96 @@
+"""Physical-plan quality gates: these tests fail if a future change
+regresses the scale-shape of the plans (lost pushdown, lost broadcast,
+lost map-side partial aggregation, shuffling bucketed joins)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pycasselastic_spark.catalog import QUERIES
+from pycasselastic_spark.core.incremental import scan_increment
+from pycasselastic_spark.core.merge import lww_merge
+from pycasselastic_spark.plans import tuning
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, tmp_path):
+    """scan_increment on a stored version column must push the range
+    predicate into the parquet scan (row-group pruning at scale)."""
+    path = str(tmp_path / "versioned")
+    spark.range(0, 10000).select(
+        F.col("id"), (F.col("id") * 10).alias("version")
+    ).write.parquet(path)
+    df = scan_increment(spark.read.parquet(path), "version", 1000, 2000)
+    assert tuning.has_pushed_filter(df, "version")
+
+
+def test_q1_pushes_shipdate_filter(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"].fn(spark, sf_dir)
+    assert tuning.has_pushed_filter(df, "l_shipdate")
+
+
+def test_q1_prunes_columns(spark, sf_dir):
+    """Q1 reads 7 of 11 lineitem columns — the scan schema must not
+    contain the unused join keys."""
+    df = QUERIES["q1_pricing_summary"].fn(spark, sf_dir)
+    schemas = tuning.scan_read_schema(df)
+    assert schemas and all("l_orderkey" not in s for s in schemas)
+
+
+@pytest.mark.parametrize("name,min_broadcasts", [
+    ("q3_shipping_priority", 2),
+    ("q5_region_revenue", 4),
+])
+def test_dim_joins_are_broadcast(spark, sf_dir, name, min_broadcasts):
+    df = QUERIES[name].fn(spark, sf_dir)
+    assert tuning.broadcast_join_count(df) >= min_broadcasts
+
+
+def test_lww_merge_has_partial_aggregation(spark):
+    """The merge must be a two-phase hash aggregate (map-side combine),
+    not a window sort — the shuffle then carries one candidate row per
+    id per map task instead of every input row."""
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "y"), ("b", 1, "z")], ["id", "version", "text"]
+    )
+    plan = tuning.physical_plan(lww_merge([df], "id", "version"))
+    assert "partial_max_by" in plan or "partial_maxby" in plan.lower()
+    assert "Window" not in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with no
+    Exchange — the co-located join that bucketing buys at scale."""
+    # (warehouse dir is a static conf — tables land in ./spark-warehouse,
+    # dropped below and gitignored)
+    from pycasselastic_spark.sources.corpus import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+     .mode("overwrite").saveAsTable("b_orders"))
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+     .mode("overwrite").saveAsTable("b_lineitem"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = tuning.physical_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan.replace("BroadcastExchange", "")
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_text_ops_stay_jvm_side(spark, sf_dir):
+    """No Python eval nodes in the text-analysis plans — everything
+    stays inside codegen."""
+    for name in ("text_quality_documents", "lang_id_documents", "fingerprint_documents"):
+        plan = tuning.physical_plan(QUERIES[name].fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
