@@ -1335,3 +1335,47 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         attr_cols=["segment"],
         tiebreak_cols=["o_orderkey"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering: connected components over MinHash-LSH pairs.
+# ---------------------------------------------------------------------------
+
+from pycasselastic_spark.operators.components import dedup_by_components  # noqa: E402
+
+
+@register(
+    "neardup_cluster_dedup",
+    f"""
+WITH {_SHINGLES_SQL},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) / len(list_distinct(a.s || b.s)) >= 0.6
+),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+comp AS (
+  -- transitive closure by recursion: smallest reachable doc_id
+  WITH RECURSIVE reach(node, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.s, r.label FROM edges e JOIN reach r ON e.d = r.node
+  )
+  SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+WHERE c.component = d.doc_id
+""",
+    doc="Near-dup cluster dedup: MinHash-LSH pairs -> iterative min-label "
+    "connected components (O(log diameter) joins) -> keep the smallest "
+    "doc_id per cluster. Oracle computes the same transitive closure "
+    "with recursive SQL (operators/components.py).",
+)
+def neardup_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+    return dedup_by_components(docs, pairs, "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )

@@ -1,0 +1,66 @@
+"""Connected-components / cluster-dedup tests, including a plain-Python
+union-find golden check on the real near-dup graph."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pycasselastic_spark.operators import dedup as D
+from pycasselastic_spark.operators.components import (
+    assign_components,
+    connected_components,
+    dedup_by_components,
+)
+from pycasselastic_spark.sources.corpus import load_table
+
+
+def test_chain_and_islands(spark):
+    """A 5-node chain (worst-case diameter) plus a 2-clique."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_singletons_label_themselves(spark):
+    ids = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    pairs = spark.createDataFrame([(0, 1)], ["doc_a", "doc_b"])
+    got = {
+        r["doc_id"]: r["component"]
+        for r in assign_components(ids, pairs, "doc_id").collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 2, 3: 3, 4: 4, 5: 5}
+
+
+def test_matches_union_find_on_real_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+    edge_list = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min id per component
+    comp_min = {}
+    for i in ids:
+        r = find(i)
+        comp_min.setdefault(r, i if i < r else r)
+        comp_min[r] = min(comp_min[r], i)
+    golden_survivors = {i for i in ids if comp_min[find(i)] == i}
+
+    survivors = {
+        r["doc_id"] for r in dedup_by_components(docs, pairs, "doc_id").collect()
+    }
+    assert survivors == golden_survivors
+    assert len(survivors) < len(ids)  # the corpus has planted near-dups
