@@ -1379,3 +1379,99 @@ def neardup_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_by_components(docs, pairs, "doc_id").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming: custom applyInPandasWithState operator and
+# session windows — both verified against batch SQL oracles.
+# ---------------------------------------------------------------------------
+
+from pycasselastic_spark.streaming.stateful import first_event_per_key  # noqa: E402
+from pycasselastic_spark.streaming.windows import session_window_counts  # noqa: E402
+
+
+@register(
+    "streaming_stateful_first_event",
+    """
+SELECT user_id, first_us, first_event_id FROM (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS first_us,
+         event_id AS first_event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+  FROM events) WHERE rn = 1
+""",
+    doc="Custom stateful streaming operator (applyInPandasWithState): "
+    "per-user earliest event maintained as explicit state across "
+    "micro-batches; the converged state must equal the batch argmin "
+    "oracle (streaming/stateful.py).",
+)
+def streaming_stateful_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    increments = stream.select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    name = f"stateful_{_uuid.uuid4().hex[:8]}"
+    q = (
+        first_event_per_key(increments)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # the sink holds a monotone update stream; final answer = min per key
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.min("first_us").alias("first_us"),
+            F.min_by("first_event_id", F.struct("first_us", "first_event_id")).alias(
+                "first_event_id"
+            ),
+        )
+    )
+
+
+@register(
+    "streaming_session_window_events",
+    """
+WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+g AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+s AS (
+  SELECT user_id, us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id, min(us) AS session_start_us, COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+    doc="Event-time session windows (session_window, 30-min gap) run as "
+    "a streaming query; sessions must match the batch lag+cumsum "
+    "sessionization oracle exactly.",
+)
+def streaming_session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    name = f"sess_{_uuid.uuid4().hex[:8]}"
+    q = (
+        session_window_counts(stream, gap="30 minutes")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        "n_events",
+    )

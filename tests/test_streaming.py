@@ -124,3 +124,50 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     zero = dt.datetime(2024, 1, 1, 0, 0)
     # the 00:00 window emitted once, with only the on-time row counted
     assert [t for t in emitted if t[0] == zero] == [(zero, 1)]
+
+
+def test_stateful_first_event_across_batches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState must carry state across micro-batches:
+    stream the events in 4 single-file batches and converge to the
+    batch argmin per user."""
+    from pycasselastic_spark.streaming.stateful import first_event_per_key
+    import uuid as _uuid
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "stateful-src")
+    events.repartition(4).write.parquet(src)
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    inc = stream.select("user_id", F.unix_micros("ts").alias("us"), "event_id")
+    name = f"state_{_uuid.uuid4().hex[:8]}"
+    q = (
+        first_event_per_key(inc)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "state-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert (q.lastProgress or {}).get("batchId", 0) >= 3  # really multi-batch
+
+    got = {
+        r["user_id"]: (r["first_us"], r["first_event_id"])
+        for r in spark.table(name)
+        .groupBy("user_id")
+        .agg(F.min("first_us").alias("first_us"),
+             F.min("first_event_id").alias("first_event_id"))
+        .collect()
+    }
+    want = {
+        r["user_id"]: (r["us"], r["event_id"])
+        for r in events.select(
+            "user_id", F.unix_micros("ts").alias("us"), "event_id"
+        )
+        .groupBy("user_id")
+        .agg(F.min_by(F.struct("us", "event_id"), F.struct("us", "event_id")).alias("m"))
+        .select("user_id", F.col("m.us").alias("us"), F.col("m.event_id").alias("event_id"))
+        .collect()
+    }
+    assert got == want
