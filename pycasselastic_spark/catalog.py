@@ -1475,3 +1475,20 @@ def streaming_session_window_events(spark: SparkSession, sf_dir: str) -> DataFra
         F.unix_micros("session_start").alias("session_start_us"),
         "n_events",
     )
+
+
+@register(
+    "approx_distinct_stats_events",
+    None,  # HLL/KLL sketches differ per engine — accuracy asserted in
+    # tests against the exact answers instead of a value-hash oracle
+    doc="Approximate aggregation sketches for 100 TB cardinalities: "
+    "approx_count_distinct (HyperLogLog++) and percentile_approx; "
+    "relative-error bounds vs exact asserted in tests/test_approx.py.",
+)
+def approx_distinct_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.approx_count_distinct("event_id", rsd=0.02).alias("approx_events"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50_value"),
+    )

@@ -126,15 +126,12 @@ def exact_dedup(df: DataFrame, content_cols: list[str], order_col: str) -> DataF
     smallest ``order_col``). Hash-shuffle on the content digest with
     map-side partial aggregation — the canonical exact dedup at scale."""
     digest = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]))
-    payload = F.struct(F.col(order_col), *[F.col(c) for c in df.columns if c != order_col])
-    keep = (
+    return (
         df.withColumn("_digest", digest)
         .groupBy("_digest")
         .agg(F.min_by(F.struct(*df.columns), F.col(order_col)).alias("_row"))
         .select([F.col(f"_row.{c}").alias(c) for c in df.columns])
     )
-    _ = payload
-    return keep
 
 
 def ngram_jaccard_pairs(

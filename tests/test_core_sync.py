@@ -253,3 +253,23 @@ class TestPipeline:
         assert [r.ok for r in results] == [False, True]
         # a failed spec blocks the watermark advance (at-least-once)
         assert store.last() is None
+
+
+class TestFieldsListProjection:
+    def test_sync_once_projects_fields(self, spark):
+        """Reference O2 (fields_list config, pyCassElastic.py:201):
+        the sync plan only carries the configured columns."""
+        df = spark.createDataFrame(
+            [("a", 1, "x", "S", "extra")], COLS + ["junk"]
+        )
+        spec = SyncSpec(
+            name="proj",
+            id_col="id",
+            version_col="version",
+            filter_date=False,
+            fields_list=("id", "version", "text"),
+            left=StoreSpec(table="l"),
+            right=StoreSpec(table="r"),
+        )
+        res = sync_once(spec, df, df.limit(0), lo=None, hi=None)
+        assert res.winners.columns == ["id", "version", "text"]
