@@ -1492,3 +1492,174 @@ def approx_distinct_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("event_id", rsd=0.02).alias("approx_events"),
         F.percentile_approx("value", 0.5, 10000).alias("approx_p50_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wider SQL surface: EXISTS-agg, decorrelated comparison to a per-key
+# aggregate, HAVING, RANGE window frames, string & null function suites.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_priority_with_big_lineitem",
+    """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_extendedprice > 90000)
+GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4 shape: EXISTS (left-semi join) feeding an aggregation.",
+)
+def q4_priority_with_big_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 90000)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "orders_above_customer_avg",
+    """
+WITH stats AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS s,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n
+  FROM orders)
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM stats
+WHERE CAST(o_totalprice AS DECIMAL(18,2)) * n > s
+""",
+    doc="Correlated-subquery shape (decorrelated): orders above their "
+    "customer's average price — compared exactly via cross-"
+    "multiplication in decimal space (no float-average boundary).",
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey")
+    return (
+        orders.withColumn("_s", F.sum(money("o_totalprice")).over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter(money("o_totalprice") * F.col("_n") > F.col("_s"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "having_frequent_buyers",
+    """
+SELECT o_custkey, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+""",
+    doc="Aggregation with HAVING (post-aggregation filter).",
+)
+def having_frequent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum("o_totalprice", "total_spend"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@register(
+    "range_frame_event_counts",
+    """
+WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+SELECT event_id, user_id,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+                      RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+         AS n_last_10min
+FROM e
+""",
+    doc="RANGE window frame: per user, events in the trailing 10 minutes "
+    "(value-range frame over integer microseconds — exact cross-engine).",
+)
+def range_frame_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-600_000_000, W.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.count(F.lit(1)).over(w).alias("n_last_10min")
+    )
+
+
+@register(
+    "string_suite_documents",
+    """
+SELECT doc_id,
+       upper(split_part(text, ' ', 1)) AS first_word_upper,
+       length(text) AS text_len,
+       strpos(text, 'data') AS data_pos,
+       levenshtein(lang, 'en') AS lang_dist,
+       lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
+       reverse(lang) AS lang_rev,
+       substring(text, 1, 12) AS prefix12
+FROM documents
+""",
+    doc="Scalar string-function suite: case, length, substring search, "
+    "edit distance, padding, reverse — all JVM built-ins.",
+)
+def string_suite_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.upper(F.split_part(F.col("text"), F.lit(" "), F.lit(1))).alias(
+            "first_word_upper"
+        ),
+        F.length("text").cast("long").alias("text_len"),
+        F.instr(F.col("text"), "data").cast("long").alias("data_pos"),
+        F.levenshtein(F.col("lang"), F.lit("en")).cast("long").alias("lang_dist"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
+        F.reverse(F.col("lang")).alias("lang_rev"),
+        F.substring(F.col("text"), 1, 12).alias("prefix12"),
+    )
+
+
+@register(
+    "null_handling_suite",
+    """
+SELECT doc_id,
+       COALESCE(NULLIF(source, 'src7'), 'suppressed') AS source_or_flag,
+       CASE WHEN n_chars IS NULL THEN -1 ELSE n_chars END AS chars_or_neg,
+       GREATEST(n_chars, 100) AS at_least_100,
+       LEAST(n_chars, 500) AS at_most_500,
+       (source IS NOT NULL AND n_chars > 200) AS is_long_sourced
+FROM documents
+""",
+    doc="NULL-handling suite: coalesce/nullif/case/greatest/least and "
+    "three-valued boolean logic.",
+)
+def null_handling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.coalesce(F.nullif(F.col("source"), F.lit("src7")), F.lit("suppressed")).alias(
+            "source_or_flag"
+        ),
+        F.when(F.col("n_chars").isNull(), -1).otherwise(F.col("n_chars")).alias(
+            "chars_or_neg"
+        ),
+        F.greatest(F.col("n_chars"), F.lit(100)).alias("at_least_100"),
+        F.least(F.col("n_chars"), F.lit(500)).alias("at_most_500"),
+        (F.col("source").isNotNull() & (F.col("n_chars") > 200)).alias(
+            "is_long_sourced"
+        ),
+    )
