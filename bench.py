@@ -43,6 +43,27 @@ def main() -> None:
         total += dt
         print(f"  {name}: {dt:.2f}s", file=sys.stderr, flush=True)
 
+    # Direct comparable for BASELINE.md's sync throughput (697-1,323
+    # rows/s in the reference): a 2M-row bidirectional LWW merge,
+    # in-memory generated so it measures the engine, not parquet I/O.
+    from pyspark.sql import functions as F
+
+    from pycasselastic_spark.core.merge import lww_merge
+
+    n_rows = 2_000_000
+    inc = spark.range(n_rows).select(
+        (F.col("id") % 200_000).alias("key"),
+        F.col("id").alias("version"),
+        (F.col("id") % 2).alias("side"),
+    )
+    t0 = time.perf_counter()
+    lww_merge(
+        [inc.filter(F.col("side") == 0), inc.filter(F.col("side") == 1)],
+        "key",
+        "version",
+    ).write.format("noop").mode("overwrite").save()
+    sync_dt = time.perf_counter() - t0
+
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     print(
         json.dumps(
@@ -52,6 +73,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sync_merge_rows_per_sec": int(n_rows / sync_dt),
             }
         )
     )

@@ -143,12 +143,26 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All-pairs exact n-gram Jaccard near-dup detection (the brute
     -force baseline; use ``minhash_lsh_pairs`` at scale). Output:
-    (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    Applies the exact size-bound prune from the set-similarity-join
+    literature (PPJoin et al.): J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
+    so J >= t implies max <= min/t — pairs with incompatible shingle
+    counts skip the (expensive) intersection entirely. Lossless: the
+    output is identical to the unpruned scan."""
     sh = df.select(F.col(id_col).alias("_id"), shingles(text_col, n).alias("_sh"))
-    a = sh.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("_sha"))
-    b = sh.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("_shb"))
+    a = sh.select(
+        F.col("_id").alias("doc_a"), F.col("_sh").alias("_sha"), F.size("_sh").alias("_na")
+    )
+    b = sh.select(
+        F.col("_id").alias("doc_b"), F.col("_sh").alias("_shb"), F.size("_sh").alias("_nb")
+    )
+    size_compatible = (
+        F.least(F.col("_na"), F.col("_nb"))
+        >= F.greatest(F.col("_na"), F.col("_nb")) * F.lit(threshold)
+    )
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        a.join(b, (F.col("doc_a") < F.col("doc_b")) & size_compatible)
         .withColumn("jaccard", jaccard(F.col("_sha"), F.col("_shb")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
