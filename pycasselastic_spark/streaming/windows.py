@@ -83,3 +83,27 @@ def session_window_counts(
             "n_events",
         )
     )
+
+
+def stream_stream_join_within(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: rows of the two streams with the same
+    key whose event times fall within ``within`` of each other. Both
+    sides carry watermarks plus the time-range join condition, so the
+    engine can bound the join state it buffers (without them the state
+    grows forever)."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key_col] == r[key_col])
+        & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {within}"))
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner")

@@ -171,3 +171,54 @@ def test_stateful_first_event_across_batches(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream join with watermarks + time-range condition must
+    produce the same pairs as the equivalent batch join."""
+    from pycasselastic_spark.streaming.windows import stream_stream_join_within
+    import uuid as _uuid
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    buys = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user_id"),
+        F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"),
+    )
+    cdir, bdir = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    clicks.write.parquet(cdir)
+    buys.write.parquet(bdir)
+
+    cs = spark.readStream.schema(clicks.schema).parquet(cdir)
+    bs = spark.readStream.schema(buys.schema).parquet(bdir).withColumnRenamed(
+        "b_user_id", "user_id"
+    )
+    stream_joined = stream_stream_join_within(
+        cs, bs, key_col="user_id", left_ts="click_ts", right_ts="buy_ts",
+        within="10 minutes",
+    ).select("click_id", "buy_id")
+    name = f"ssj_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream_joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ssj-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {(r["click_id"], r["buy_id"]) for r in spark.table(name).collect()}
+
+    batch_cond = (
+        (clicks["user_id"] == buys["b_user_id"])
+        & (buys["buy_ts"] >= clicks["click_ts"] - F.expr("INTERVAL 10 minutes"))
+        & (buys["buy_ts"] <= clicks["click_ts"] + F.expr("INTERVAL 10 minutes"))
+    )
+    batch = {
+        (r["click_id"], r["buy_id"])
+        for r in clicks.join(buys, batch_cond).select("click_id", "buy_id").collect()
+    }
+    assert streamed == batch and len(batch) > 0
