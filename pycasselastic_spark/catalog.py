@@ -1663,3 +1663,18 @@ def null_handling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_long_sourced"
         ),
     )
+
+
+@register(
+    "cosine_topk_ivf",
+    None,  # approximate (k-means cell probing) — recall asserted in tests
+    doc="Approximate cosine top-5 via IVF: k-means cells (MLlib, fixed "
+    "seed) + n_probe nearest-cell search — the density-adaptive ANN "
+    "scale path next to the LSH variant (operators/similarity.py:ivf_topk).",
+)
+def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings"), spark)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_topk(
+        emb, queries, "vec_id", "embedding", k=5, n_cells=16, n_probe=8
+    )

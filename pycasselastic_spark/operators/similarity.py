@@ -175,3 +175,91 @@ def lsh_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    query_id_col: str | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted-file) partitioning:
+    k-means cells over the corpus, each vector assigned to its nearest
+    centroid; a query only scores the ``n_probe`` cells nearest to it.
+
+    Compared to hyperplane LSH this adapts the partitioning to the data
+    distribution (cells follow density). Centroids come from MLlib
+    KMeans with a fixed seed (deterministic per dataset+partitioning).
+
+    Scale shape: the corpus is scored cell-by-cell via an equi-join on
+    cell id — work per query is corpus/n_cells * n_probe instead of the
+    full corpus; centroids (tiny) broadcast everywhere. Recall vs brute
+    force is asserted in tests; raise n_probe for more recall. The
+    driver corpus embeddings are nearly isotropic (max pairwise cosine
+    ~0.5), the hardest case for cell pruning — n_probe=8/16 reaches
+    ~0.7 recall there; clustered real-world embeddings prune far
+    better.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    query_id_col = query_id_col or id_col
+    uc = with_unit_vector(corpus, vec_col, "_u")
+    uq = with_unit_vector(queries, vec_col, "_u")
+
+    train = uc.select(array_to_vector(F.col("_u")).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+
+    def nearest_cells(df: DataFrame, n: int, out: str) -> DataFrame:
+        """Attach the n nearest centroid ids (by dot with the unit
+        vector — equivalent to cosine order for unit inputs)."""
+        scored = F.array(
+            *[
+                F.struct(
+                    dot(
+                        F.col("_u"),
+                        F.array(*[F.lit(x) for x in c]),
+                    ).alias("s"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in centroids
+            ]
+        )
+        top = F.slice(F.sort_array(scored, asc=False), 1, n)
+        return df.withColumn(out, F.transform(top, lambda t: t["cell"]))
+
+    cell_corpus = nearest_cells(uc, 1, "_cells").select(
+        F.col(id_col).alias("match_id"),
+        F.col("_u").alias("_cu"),
+        F.element_at("_cells", 1).alias("_cell"),
+    )
+    cell_queries = (
+        nearest_cells(uq, n_probe, "_cells")
+        .select(
+            F.col(query_id_col).alias("query_id"),
+            F.col("_u").alias("_qu"),
+            F.explode("_cells").alias("_cell"),
+        )
+    )
+    scored = (
+        cell_corpus.join(F.broadcast(cell_queries), "_cell")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .withColumn("cosine", dot(F.col("_qu"), F.col("_cu")))
+        .select("query_id", "match_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

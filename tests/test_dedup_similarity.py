@@ -110,3 +110,14 @@ class TestSimilarity:
         got = {(r["query_id"], r["match_id"]) for r in approx.collect()}
         recall = len(truth & got) / len(truth)
         assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    brute = S.brute_force_topk(emb, q, "vec_id", "embedding", k=5)
+    approx = S.ivf_topk(emb, q, "vec_id", "embedding", k=5, n_cells=16, n_probe=8)
+    truth = {(r["query_id"], r["match_id"]) for r in brute.collect()}
+    got = {(r["query_id"], r["match_id"]) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
