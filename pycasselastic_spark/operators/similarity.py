@@ -212,8 +212,17 @@ def ivf_topk(
     uc = with_unit_vector(corpus, vec_col, "_u")
     uq = with_unit_vector(queries, vec_col, "_u")
 
-    train = uc.select(array_to_vector(F.col("_u")).alias("features"))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+    # centroid training touches each vector a handful of times — keep it
+    # on few partitions (per-task overhead dominates tiny training sets;
+    # at real scale MLlib samples for k-means|| init anyway) and cache
+    # across the iterations
+    train = (
+        uc.select(array_to_vector(F.col("_u")).alias("features"))
+        .coalesce(4)
+        .cache()
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=8, featuresCol="features").fit(train)
+    train.unpersist()
     centroids = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]

@@ -29,6 +29,9 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # timestamps collect in the session timezone; the DuckDB oracle is
+    # UTC-naive — pin UTC even when the caller's session didn't
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # set at runtime too: callers (e.g. the driver harness) may hand
         # us a session built without this config
