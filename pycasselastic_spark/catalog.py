@@ -1678,3 +1678,53 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(
         emb, queries, "vec_id", "embedding", k=5, n_cells=16, n_probe=8
     )
+
+
+@register(
+    "explode_shingles_sample",
+    """
+SELECT doc_id, unnest(CASE WHEN len(string_split(text, ' ')) >= 3
+         THEN list_distinct(list_transform(
+                range(1, len(string_split(text, ' ')) - 1),
+                i -> string_split(text, ' ')[i] || ' ' ||
+                     string_split(text, ' ')[i+1] || ' ' ||
+                     string_split(text, ' ')[i+2]))
+         ELSE [] END) AS shingle
+FROM documents WHERE doc_id < 20
+""",
+    doc="Generator / UDTF shape: explode (UNNEST) of the per-document "
+    "shingle array into one row per shingle.",
+)
+def explode_shingles_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return docs.select(
+        "doc_id", F.explode(D.shingles("text", 3)).alias("shingle")
+    )
+
+
+@register(
+    "grouping_sets_orders",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) AS g_status,
+       GROUPING(o_orderpriority) AS g_priority,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    doc="Explicit GROUPING SETS with grouping() indicator columns "
+    "(disambiguates real NULLs from subtotal rows).",
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+               COUNT(*) AS n_orders
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
