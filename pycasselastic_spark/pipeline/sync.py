@@ -60,13 +60,14 @@ def sync_once(
         scan_increment(right, spec.version_col, lo, hi) if spec.filter_date else right
     )
     if spec.ignore_same_source:
-        # Rows flowing right->left must not have originated at left, and
-        # vice versa (reference pyCassElastic.py:386-399). Provenance is
-        # a tag column named 'source' in the reference fixtures.
-        if spec.right.source_id:
-            right_inc = anti_echo(right_inc, "source", spec.left.source_id or "")
+        # Rows read from the right store must not have originated at the
+        # left store (they would round-trip back to their own source),
+        # and vice versa (reference pyCassElastic.py:386-399). Each
+        # filter is gated on the source_id it actually filters by.
         if spec.left.source_id:
-            left_inc = anti_echo(left_inc, "source", spec.right.source_id or "")
+            right_inc = anti_echo(right_inc, "source", spec.left.source_id)
+        if spec.right.source_id:
+            left_inc = anti_echo(left_inc, "source", spec.right.source_id)
     if spec.fields_list:
         left_inc = left_inc.select(*spec.fields_list)
         right_inc = right_inc.select(*spec.fields_list)

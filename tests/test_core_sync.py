@@ -273,3 +273,37 @@ class TestFieldsListProjection:
         )
         res = sync_once(spec, df, df.limit(0), lo=None, hi=None)
         assert res.winners.columns == ["id", "version", "text"]
+
+
+class TestEchoSuppression:
+    def _spec(self, left_sid, right_sid):
+        return SyncSpec(
+            name="echo",
+            id_col="id",
+            version_col="version",
+            filter_date=False,
+            ignore_same_source=True,
+            left=StoreSpec(table="l", source_id=left_sid),
+            right=StoreSpec(table="r", source_id=right_sid),
+        )
+
+    def test_one_sided_source_id_still_suppresses(self, spark):
+        """Regression: with only left.source_id configured, rows that
+        originated at left must STILL be excluded from the right-side
+        increment (they'd echo back to their own store), and no rows
+        may be dropped by matching an empty-string source."""
+        left = spark.createDataFrame([("a", 1, "mine", "CASS")], COLS)
+        right = spark.createDataFrame(
+            [
+                ("a", 2, "echoed", "CASS"),   # originated at left -> drop
+                ("b", 1, "foreign", "ES"),    # genuine right row -> keep
+                ("c", 1, "empty", ""),        # empty provenance -> keep
+            ],
+            COLS,
+        )
+        res = sync_once(self._spec("CASS", None), left, right, lo=None, hi=None)
+        got = winners_by_id(res.winners)
+        # the echoed row lost its chance to overwrite id 'a'
+        assert got["a"]["text"] == "mine"
+        assert got["b"]["text"] == "foreign"
+        assert got["c"]["text"] == "empty"
