@@ -147,8 +147,8 @@ def anti_echo_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH {_STORES_SQL},
 winners AS (
-  SELECT id, version FROM (
-    SELECT id, version, ROW_NUMBER() OVER (
+  SELECT id, version, event_id FROM (
+    SELECT id, version, event_id, ROW_NUMBER() OVER (
       PARTITION BY id ORDER BY version DESC, event_id DESC) AS rn
     FROM base) WHERE rn = 1
 )
@@ -156,7 +156,8 @@ SELECT b.id, b.version, b.text, b.event_id, b.source
 FROM base b
 WHERE b.source = 'CASSANDRA'
   AND NOT EXISTS (SELECT 1 FROM winners w
-                  WHERE w.id = b.id AND w.version = b.version)
+                  WHERE w.id = b.id AND w.version = b.version
+                    AND w.event_id = b.event_id)
 """,
     doc="Conflict-loser retraction set (reference O7, pyCassElastic.py:508-582) "
     "as a left-anti join against the merge winners.",
@@ -164,7 +165,7 @@ WHERE b.source = 'CASSANDRA'
 def conflict_losers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     cass, es = _event_stores(spark, sf_dir)
     winners = lww_merge([cass, es], "id", "version", tiebreak_cols=["event_id"])
-    return conflict_losers(cass, winners, "id", "version")
+    return conflict_losers(cass, winners, "id", "version", tiebreak_cols=["event_id"])
 
 
 @register(

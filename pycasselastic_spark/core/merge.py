@@ -69,6 +69,21 @@ def lww_merge(
     """
     if not dfs:
         raise ValueError("lww_merge needs at least one input DataFrame")
+    # Ordering columns must agree in type across inputs: unionByName
+    # would otherwise coerce silently (e.g. long vs string -> string),
+    # turning the version argmax into a lexicographic comparison where
+    # version '9' beats '100'. Payload columns may drift; ordering
+    # columns may not.
+    for col in (version_col, *tiebreak_cols):
+        seen = {}
+        for df in dfs:
+            if col in df.columns:
+                seen[str(df.schema[col].dataType)] = True
+        if len(seen) > 1:
+            raise ValueError(
+                f"ordering column {col!r} has conflicting types across "
+                f"inputs: {sorted(seen)} — cast explicitly before merging"
+            )
     unioned = dfs[0]
     for other in dfs[1:]:
         unioned = unioned.unionByName(other, allowMissingColumns=True)
@@ -104,14 +119,21 @@ def conflict_losers(
     winners: DataFrame,
     id_col: str,
     version_col: str,
+    tiebreak_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Rows of ``increment`` that lost the LWW merge — i.e. their
-    ``(id, version)`` pair is not among the winners.
+    ``(id, version, *tiebreaks)`` key is not the winning key.
+
+    Pass the same ``tiebreak_cols`` given to ``lww_merge``: without
+    them, a row that loses only on the tiebreak (same id AND version,
+    different payload — the reference's equal-version 409 case) would
+    be invisible here and the losing store would never retract it.
 
     This is the relational form of the reference's 409-parsing delete
     pass (``pyCassElastic.py:508-582``): stores that need physical
     deletes feed this to their delete API; snapshot sinks don't need it
     at all because ``lww_merge`` output already excludes losers.
     """
-    winner_keys = winners.select(id_col, version_col)
-    return increment.join(winner_keys, on=[id_col, version_col], how="left_anti")
+    keys = [id_col, version_col, *tiebreak_cols]
+    winner_keys = winners.select(*keys)
+    return increment.join(winner_keys, on=keys, how="left_anti")

@@ -32,6 +32,10 @@ class SyncSpec:
     version_col: str
     left: StoreSpec
     right: StoreSpec
+    #: the human timestamp column (ISO-parsed/formatted by core/convert);
+    #: NOT the incremental filter — windows filter on ``version_col``,
+    #: exactly like the reference (pyCassElastic.py:205-212 filters on
+    #: the version even though the flag is named ``filter_date``)
     date_col: str | None = None
     filter_date: bool = True
     ignore_same_source: bool = False

@@ -68,6 +68,9 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    # labels is checkpointed (lineage truncated), so the edge cache can
+    # be dropped instead of living for the rest of the session
+    edges.unpersist()
     return labels
 
 

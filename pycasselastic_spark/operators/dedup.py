@@ -125,7 +125,10 @@ def exact_dedup(df: DataFrame, content_cols: list[str], order_col: str) -> DataF
     """Keep exactly one row per identical content (the one with the
     smallest ``order_col``). Hash-shuffle on the content digest with
     map-side partial aggregation — the canonical exact dedup at scale."""
-    digest = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]))
+    # digest via to_json(struct(...)) — unlike concat_ws it distinguishes
+    # NULL from empty string and never lets values from adjacent columns
+    # collide after a NULL is skipped
+    digest = F.md5(F.to_json(F.struct(*[F.col(c) for c in content_cols])))
     return (
         df.withColumn("_digest", digest)
         .groupBy("_digest")

@@ -83,8 +83,12 @@ def sync_once(
         name=spec.name,
         ok=True,
         winners=winners,
-        losers_left=conflict_losers(left_inc, winners, spec.id_col, spec.version_col),
-        losers_right=conflict_losers(right_inc, winners, spec.id_col, spec.version_col),
+        losers_left=conflict_losers(
+            left_inc, winners, spec.id_col, spec.version_col, spec.tiebreak_cols
+        ),
+        losers_right=conflict_losers(
+            right_inc, winners, spec.id_col, spec.version_col, spec.tiebreak_cols
+        ),
     )
 
 

@@ -157,12 +157,14 @@ class TestScanIncrement:
 class TestConflictLosers:
     def test_losers_are_non_winners(self, spark):
         cass, es = make_stores(spark)
-        merged = lww_merge([cass, es], "id", "version")
-        losers = conflict_losers(cass, merged, "id", "version")
+        cass, es = with_priority(cass), with_priority(es)
+        merged = lww_merge([cass, es], "id", "version", tiebreak_cols=["prio"])
+        losers = conflict_losers(cass, merged, "id", "version", tiebreak_cols=["prio"])
         ids = {(r["id"], r["version"]) for r in losers.collect()}
-        # C* loses ids 5..9 (older versions) — id10 and the 0..4 it won are absent
-        assert ids == {(f"id{i}", 500 + i) for i in range(5, 10)} | {("id12", 800)} or \
-               ids == {(f"id{i}", 500 + i) for i in range(5, 10)}
+        # C* loses ids 5..9 (older versions) AND id12 (version tie lost
+        # on the source-priority tiebreak — the reference's equal-version
+        # 409-delete case); id10 and the 0..4 it won are absent
+        assert ids == {(f"id{i}", 500 + i) for i in range(5, 10)} | {("id12", 800)}
 
 
 class TestSchema:
@@ -307,3 +309,13 @@ class TestEchoSuppression:
         assert got["a"]["text"] == "mine"
         assert got["b"]["text"] == "foreign"
         assert got["c"]["text"] == "empty"
+
+
+class TestOrderingTypeGuard:
+    def test_mixed_version_types_rejected(self, spark):
+        """A string-typed version column on one side must not silently
+        coerce the argmax into lexicographic order ('9' > '100')."""
+        a = spark.createDataFrame([("x", 100, "new")], ["id", "version", "text"])
+        b = spark.createDataFrame([("x", "9", "old")], ["id", "version", "text"])
+        with pytest.raises(ValueError, match="conflicting types"):
+            lww_merge([a, b], "id", "version")

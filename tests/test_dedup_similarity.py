@@ -121,3 +121,17 @@ def test_ivf_topk_recall(spark, sf_dir):
     got = {(r["query_id"], r["match_id"]) for r in approx.collect()}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_exact_dedup_null_vs_empty_not_collided(spark):
+    """NULL and adjacent-column shifts must not collide in the content
+    digest (concat_ws would have skipped NULLs)."""
+    rows = [
+        (1, "a", None),
+        (2, None, "a"),
+        (3, "", "b"),
+        (4, None, "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, t1 string, t2 string")
+    got = {r["doc_id"] for r in D.exact_dedup(df, ["t1", "t2"], "doc_id").collect()}
+    assert got == {1, 2, 3, 4}  # all distinct contents survive

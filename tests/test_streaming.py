@@ -153,13 +153,20 @@ def test_stateful_first_event_across_batches(spark, sf_dir, tmp_path):
     assert (q.lastProgress or {}).get("batchId", 0) >= 3  # really multi-batch
 
     got = {
-        r["user_id"]: (r["first_us"], r["first_event_id"])
+        r["user_id"]: (r["m"]["first_us"], r["m"]["first_event_id"])
         for r in spark.table(name)
         .groupBy("user_id")
-        .agg(F.min("first_us").alias("first_us"),
-             F.min("first_event_id").alias("first_event_id"))
+        .agg(
+            # paired min — independent min() per column could combine a
+            # (us, event_id) pair that was never emitted together
+            F.min_by(
+                F.struct("first_us", "first_event_id"),
+                F.struct("first_us", "first_event_id"),
+            ).alias("m")
+        )
         .collect()
     }
+    got = {k: (v[0], v[1]) for k, v in got.items()}
     want = {
         r["user_id"]: (r["us"], r["event_id"])
         for r in events.select(
