@@ -742,10 +742,48 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cosine_topk_lsh",
-    None,  # approximate — rows-only check; recall vs brute force is tested
+    f"""
+WITH {_UNIT_SQL},
+planes AS (
+  SELECT p, list_transform(range(0, 64), d ->
+    CASE WHEN ('0x' || substring(md5('plane' || p || ':dim' || d), 1, 2))::INT % 2 = 1
+         THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS vec
+  FROM range(0, 12) t(p)
+),
+sigs AS (
+  SELECT e.vec_id,
+         string_agg(CASE WHEN list_sum(list_transform(range(1, 65),
+                           k -> e.u[k] * pl.vec[k])) >= 0
+                         THEN '1' ELSE '0' END, '' ORDER BY pl.p) AS sig
+  FROM eu e CROSS JOIN planes pl GROUP BY e.vec_id
+),
+banded AS (
+  SELECT vec_id, b AS band_idx, substring(sig, b * 2 + 1, 2) AS band_key
+  FROM sigs, range(0, 6) t(b)
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS match_id
+  FROM banded q JOIN banded c
+    ON q.band_idx = c.band_idx AND q.band_key = c.band_key
+  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.match_id,
+         {_DOT_SQL.format(a='a.u', b='b.u')} AS cosine
+  FROM cand
+  JOIN eu a ON a.vec_id = cand.query_id
+  JOIN eu b ON b.vec_id = cand.match_id
+)
+SELECT query_id, match_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, match_id) AS rn
+  FROM scored) WHERE rn <= 5
+""",
     doc="Approximate cosine top-5 via random-hyperplane LSH banding "
     "(scale path: equi-join on sign-band keys instead of a cross join). "
-    "Recall vs brute force asserted in tests/test_dedup_similarity.py.",
+    "Fully oracle-checked: the md5-derived hyperplanes, sign signatures, "
+    "band candidates, and final top-k are replayed bit-for-bit in SQL. "
+    "Recall vs brute force additionally asserted in tests.",
 )
 def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ensure_parallelism(_t(spark, sf_dir, "embeddings"), spark)
@@ -920,10 +958,32 @@ def multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_image_features",
-    None,  # decode runs in mapInPandas — not SQL-expressible
+    """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         (doc_id % 16 + 4) AS width,
+         (doc_id % 8 + 2) AS height,
+         (doc_id % 5 + 1) AS n_frames,
+         repeat(substring(md5(text), 1, 8), 8) AS payload
+  FROM documents)
+SELECT doc_id AS media_id, kind,
+       CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height,
+       CAST(n_frames AS INT) AS n_frames,
+       CAST(length(payload) AS INT) AS payload_bytes,
+       CAST(list_sum(list_transform(range(1, length(payload) + 1),
+                     i -> ord(substring(payload, i, 1)))) AS DOUBLE)
+         / length(payload) AS mean_byte
+FROM m
+""",
     doc="Arrow-batched decode + feature extraction over binary media "
-    "columns (operators/multimodal.py:extract_features); rows-only "
-    "check, determinism asserted in tests.",
+    "columns (operators/multimodal.py:extract_features). The decode runs "
+    "in Python mapInPandas, but the fake wire format lets the oracle "
+    "replay header parsing and payload byte statistics in SQL — the "
+    "whole Python path is value-checked, not just row-counted.",
 )
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = ensure_parallelism(M.synthesize_media(spark, sf_dir), spark)
