@@ -30,7 +30,10 @@ def get_spark(
         cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
         cpus = int(cpus_env) if cpus_env else (os.cpu_count() or 4)
     if shuffle_partitions is None:
-        shuffle_partitions = cpus
+        # 2x cores: large aggregations spill less per partition (a 32M-row
+        # merge ran 1.5x faster than at 1x in scripts/scaling_probe.py),
+        # while AQE coalesces the excess away for small inputs
+        shuffle_partitions = 2 * cpus
 
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
