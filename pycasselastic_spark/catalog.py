@@ -438,7 +438,7 @@ def except_customers_minus_buyers(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("o_totalprice") > 300000)
         .select(F.col("o_custkey").alias("custkey"))
     )
-    return cust.exceptAll(buyers).distinct()
+    return cust.subtract(buyers)
 
 
 @register(
@@ -522,8 +522,9 @@ g AS (
 ),
 s AS (
   SELECT user_id, us,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
   FROM g
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -625,14 +626,31 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cap_rows(df: DataFrame, key: str, cap: int) -> DataFrame:
+    """Deterministically subsample ``df`` to ~``cap`` rows (stable hash
+    filter on ``key``) when it is larger; identity otherwise. Used by the
+    brute-force O(n^2) catalog baselines so bench scale factors above the
+    oracle scale (sf0.01, under the cap, exact) don't pay a quadratic
+    join the LSH twins already cover."""
+    n = df.count()
+    if n <= cap:
+        return df
+    buckets = 1 << 16
+    return df.filter(
+        F.pmod(F.xxhash64(F.col(key)), F.lit(buckets)) < int(buckets * cap / n)
+    )
+
+
 @register(
     "ngram_jaccard_neardup",
     _JACCARD_PAIRS_SQL,
     doc="Brute-force exact 3-gram Jaccard near-dup pairs (threshold 0.6) "
-    "— the verification baseline for the LSH path.",
+    "— the verification baseline for the LSH path. Deterministically "
+    "capped at ~2048 docs above the oracle scale (exact at sf<=0.01).",
 )
 def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
+    docs = _cap_rows(docs, "doc_id", 2048)
     return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
 
 
@@ -714,6 +732,7 @@ WHERE {_DOT_SQL.format(a='a.u', b='b.u')} >= 0.4
 )
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ensure_parallelism(_t(spark, sf_dir, "embeddings"), spark)
+    emb = _cap_rows(emb, "vec_id", 2048)
     return D.embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
 
 

@@ -137,22 +137,40 @@ def exact_dedup(df: DataFrame, content_cols: list[str], order_col: str) -> DataF
     )
 
 
+def _guard_bruteforce(df: DataFrame, op: str, scale_twin: str, max_rows: int) -> None:
+    """Refuse to run an O(n^2) verification baseline on an input too big
+    for it. The count is one column-pruned pass — trivial next to the
+    quadratic join it prevents; callers that really want the cross
+    product can raise ``max_rows`` explicitly."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{op} is an all-pairs O(n^2) verification baseline; input has "
+            f"{n} rows (> max_rows={max_rows}). Use {scale_twin} at scale, "
+            f"or pass max_rows explicitly to force the brute-force path."
+        )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold: float = 0.6,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """All-pairs exact n-gram Jaccard near-dup detection (the brute
     -force baseline; use ``minhash_lsh_pairs`` at scale). Output:
-    (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    (doc_a, doc_b, jaccard) with doc_a < doc_b. Inputs larger than
+    ``max_rows`` are refused (quadratic candidate space) — the LSH twin
+    is the scale path.
 
     Applies the exact size-bound prune from the set-similarity-join
     literature (PPJoin et al.): J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
     so J >= t implies max <= min/t — pairs with incompatible shingle
     counts skip the (expensive) intersection entirely. Lossless: the
     output is identical to the unpruned scan."""
+    _guard_bruteforce(df, "ngram_jaccard_pairs", "minhash_lsh_pairs", max_rows)
     sh = df.select(F.col(id_col).alias("_id"), shingles(text_col, n).alias("_sh"))
     a = sh.select(
         F.col("_id").alias("doc_a"), F.col("_sh").alias("_sha"), F.size("_sh").alias("_na")
@@ -238,13 +256,17 @@ def simhash_pairs(
     difference between a skew-free equi-join and a quadratic bucket
     blow-up on clustered fingerprints).
 
-    Fingerprints are computed once and cached before the self-join —
-    without it Spark recomputes the (expensive) simhash subtree for
-    both join sides. Output: (doc_a, doc_b, hamming)."""
+    Fingerprints are computed once and materialized (eager
+    localCheckpoint — 3 narrow columns) before the self-join: without
+    it Spark recomputes the (expensive) simhash subtree for both join
+    sides, and unlike ``.persist()`` the checkpoint blocks are released
+    by the ContextCleaner when this DataFrame is garbage-collected
+    instead of leaking executor cache for the session's life.
+    Output: (doc_a, doc_b, hamming)."""
     if max_hamming > 3:
         raise ValueError("pigeonhole blocking with 4 chunks requires max_hamming <= 3")
     chunk_bits = 16
-    fp = simhash_fingerprints(df, id_col, text_col).persist()
+    fp = simhash_fingerprints(df, id_col, text_col).localCheckpoint(eager=True)
     chunk_of = lambda col, c: F.pmod(  # noqa: E731
         F.floor(F.col(col) / F.pow(F.lit(2.0), c * chunk_bits)).cast("long"),
         F.lit(2**chunk_bits),
@@ -288,12 +310,15 @@ def embedding_cosine_pairs(
     id_col: str,
     vec_col: str,
     threshold: float,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Embedding near-dup pairs by cosine similarity (brute force —
     the verification baseline; the LSH-bucketed scale path lives in
-    operators/similarity.py). Vectors are unit-normalized once per row
-    (linear), so each pair pays exactly one sequential-double dot
-    product — bit-identical to the SQL oracle."""
+    operators/similarity.py). Inputs larger than ``max_rows`` are
+    refused (quadratic pair space). Vectors are unit-normalized once
+    per row (linear), so each pair pays exactly one sequential-double
+    dot product — bit-identical to the SQL oracle."""
+    _guard_bruteforce(df, "embedding_cosine_pairs", "lsh_topk", max_rows)
     from pycasselastic_spark.operators.similarity import dot, with_unit_vector
 
     unit = with_unit_vector(df, vec_col, "_u")

@@ -212,13 +212,20 @@ def ivf_topk(
     uc = with_unit_vector(corpus, vec_col, "_u")
     uq = with_unit_vector(queries, vec_col, "_u")
 
-    # centroid training touches each vector a handful of times — keep it
-    # on few partitions (per-task overhead dominates tiny training sets;
-    # at real scale MLlib samples for k-means|| init anyway) and cache
-    # across the iterations
+    # Centroid quality at n_cells centroids needs thousands of vectors,
+    # not the corpus: train on a seeded, size-capped sample so the
+    # training stage stays bounded no matter the corpus size (the
+    # round-1 coalesce(4)-the-whole-corpus version serialized everything
+    # through 4 tasks before KMeans even started). One count() sizes the
+    # sampling fraction — column-pruned, metadata-only on parquet.
+    train_cap = max(4096, 512 * n_cells)
+    n_corpus = corpus.count()
+    frac = min(1.0, (1.2 * train_cap) / max(n_corpus, 1))
     train = (
         uc.select(array_to_vector(F.col("_u")).alias("features"))
-        .coalesce(4)
+        .sample(withReplacement=False, fraction=frac, seed=seed)
+        .limit(train_cap)
+        .coalesce(8)
         .cache()
     )
     model = KMeans(k=n_cells, seed=seed, maxIter=8, featuresCol="features").fit(train)
