@@ -1011,13 +1011,39 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frame_sample",
-    None,  # 1:N frame explosion via mapInPandas — not SQL-expressible
+    """
+WITH v AS (
+  SELECT doc_id AS media_id,
+         (doc_id % 5 + 1) AS n_frames,
+         repeat(substring(md5(text), 1, 8), 8) AS payload
+  FROM documents WHERE doc_id % 3 = 2),
+f AS (
+  SELECT media_id, payload,
+         greatest(1, length(payload) // n_frames) AS fsize,
+         unnest(range(0, n_frames, 2)) AS frame_idx
+  FROM v)
+SELECT media_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(fsize AS INT) AS frame_bytes,
+       md5(substring(payload, frame_idx * fsize + 1, fsize)) AS frame_md5
+FROM f
+""",
     doc="Frame sampling for video media (every 2nd frame): 1:N "
-    "mapInPandas with per-frame binary slices.",
+    "mapInPandas emitting per-frame binary slices "
+    "(operators/multimodal.py:sample_frames). The fake wire format makes "
+    "the explosion SQL-replayable: the oracle re-derives each kept "
+    "frame's slice with unnest(range(...)) and value-checks per-frame "
+    "length and md5 (frames are ASCII hex, so VARCHAR md5 == binary md5).",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = ensure_parallelism(M.synthesize_media(spark, sf_dir), spark)
-    return M.sample_frames(media, every_k=2)
+    frames = M.sample_frames(media, every_k=2)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.length("frame").cast("int").alias("frame_bytes"),
+        F.md5("frame").alias("frame_md5"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1086,6 +1112,62 @@ def streaming_lww_sync_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = start_streaming_sync(increments, store, f"{workdir}/checkpoint")
     q.awaitTermination()
     return store.current()
+
+
+@register(
+    "streaming_stream_stream_join",
+    """
+WITH e AS (SELECT user_id, event_id, event_type,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
+           FROM events),
+c AS (SELECT user_id, event_id AS click_id, us AS cus
+      FROM e WHERE event_type = 'click'),
+b AS (SELECT user_id, event_id AS buy_id, us AS bus
+      FROM e WHERE event_type = 'purchase')
+SELECT c.user_id, c.click_id, b.buy_id
+FROM c JOIN b ON c.user_id = b.user_id
+              AND b.bus BETWEEN c.cus - 600000000 AND c.cus + 600000000
+""",
+    doc="Stream-stream inner join (clicks x purchases within 10 min, "
+    "same user): both sides watermarked + time-range bound so the engine "
+    "can expire join state (streaming/windows.py:stream_stream_join_within). "
+    "Oracle replays the time-bounded equi-join in batch SQL with exact "
+    "integer-microsecond bounds — stream/batch parity is the claim.",
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pycasselastic_spark.streaming.windows import stream_stream_join_within
+
+    path = f"{sf_dir}/events.parquet"
+    clicks = (
+        read_event_stream(spark, path)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"),
+                F.col("event_id").alias("click_id"))
+    )
+    buys = (
+        read_event_stream(spark, path)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("b_user_id"),
+                F.col("ts").alias("buy_ts"),
+                F.col("event_id").alias("buy_id"))
+        .withColumnRenamed("b_user_id", "user_id")
+    )
+    joined = stream_stream_join_within(
+        clicks, buys, key_col="user_id", left_ts="click_ts",
+        right_ts="buy_ts", within="10 minutes",
+    ).select(clicks["user_id"].alias("user_id"), "click_id", "buy_id")
+    name = f"ssj_{_uuid.uuid4().hex[:8]}"
+    workdir = tempfile.mkdtemp(prefix="ssj-")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{workdir}/checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
 
 
 # ---------------------------------------------------------------------------

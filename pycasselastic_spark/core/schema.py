@@ -58,6 +58,49 @@ def schema_diff(a: T.StructType, b: T.StructType) -> dict[str, T.DataType]:
     return {f.name: f.dataType for f in b.fields if f.name not in have}
 
 
+def evolve_table_schema(
+    spark, table: str, incoming: T.StructType
+) -> dict[str, T.DataType]:
+    """At-rest DDL evolution: ``ALTER TABLE <table> ADD COLUMNS`` for
+    every incoming column the stored table lacks — the reference's
+    physical schema reconciliation (``pyCassElastic.py:438-444``), with
+    Spark SQL DDL standing in for CQL. Widening only: existing columns
+    are never dropped or retyped, and the reference's ES→C* type map
+    becomes ``DataType.simpleString()`` (no translation table needed —
+    both sides already speak Spark types). Returns the added columns."""
+    existing = spark.table(table).schema
+    missing = schema_diff(existing, incoming)
+    if missing:
+        cols = ", ".join(
+            f"`{name}` {dtype.simpleString()}" for name, dtype in missing.items()
+        )
+        spark.sql(f"ALTER TABLE {table} ADD COLUMNS ({cols})")
+    return missing
+
+
+def append_with_evolution(df: DataFrame, table: str) -> dict[str, T.DataType]:
+    """Append ``df`` to a warehouse table, first evolving the table's
+    at-rest schema to cover any new columns (rows already stored read
+    the added columns as NULL, exactly like Cassandra after ALTER ADD).
+    Creates the table on first write. Returns the columns added."""
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table):
+        df.write.saveAsTable(table)
+        return {}
+    added = evolve_table_schema(spark, table, df.schema)
+    target = spark.table(table).schema
+    have = set(df.columns)
+    aligned = df.select(
+        [
+            F.col(f.name) if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in target.fields
+        ]
+    )
+    aligned.write.mode("append").insertInto(table)
+    return added
+
+
 def align_schemas(dfs: Sequence[DataFrame]) -> list[DataFrame]:
     """Project every input onto the union of all columns (NULL-filled,
     consistently ordered) so they can be unioned/compared positionally.

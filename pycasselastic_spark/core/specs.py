@@ -80,11 +80,15 @@ def parse_spec(payload: dict[str, Any]) -> SyncSpec:
 
 
 def load_config(path: str) -> list[SyncSpec]:
-    """Load and validate a JSON config file holding ``{"sync": [...]}``
-    (the reference's shape) or a bare list of specs."""
+    """Load and validate a JSON config file holding ``{"syncs": [...]}``
+    (the reference's shape, config_ex.json:10) or a bare list of specs
+    (``"sync"`` is accepted as a legacy alias)."""
     with open(path, encoding="utf-8") as fh:
         payload = json.load(fh)
-    specs = payload.get("sync", payload) if isinstance(payload, dict) else payload
+    if isinstance(payload, dict):
+        specs = payload.get("syncs", payload.get("sync", payload))
+    else:
+        specs = payload
     if not isinstance(specs, list):
         raise ValueError(f"config must hold a list of sync specs, got {type(specs)}")
     return [parse_spec(s) for s in specs]

@@ -30,6 +30,7 @@ from pycasselastic_spark.core.incremental import (
 from pycasselastic_spark.core.merge import anti_echo, conflict_losers, lww_merge
 from pycasselastic_spark.core.schema import align_schemas
 from pycasselastic_spark.core.specs import SyncSpec
+from pycasselastic_spark.core.timing import timed
 
 log = logging.getLogger(__name__)
 
@@ -110,8 +111,11 @@ def run_cycle(
     results: list[SyncResult] = []
     for spec in specs:
         try:
-            result = sync_once(spec, *load(spec), lo=lo, hi=hi)
-            sink(spec, result)
+            # per-leg duration logging, the reference's @timeit
+            # observability (utils.py:38-55)
+            with timed(f"sync leg {spec.name}"):
+                result = sync_once(spec, *load(spec), lo=lo, hi=hi)
+                sink(spec, result)
         except Exception as exc:  # per-spec isolation, like the reference
             log.exception("sync %s failed", spec.name)
             result = SyncResult(name=spec.name, ok=False, error=str(exc))

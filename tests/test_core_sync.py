@@ -183,6 +183,35 @@ class TestSchema:
         row = {r["id"]: r for r in aa.unionByName(bb).collect()}
         assert row[1]["score"] is None and row[2]["text"] is None
 
+    def test_append_with_evolution_alters_at_rest(self, spark):
+        """At-rest DDL evolution (reference pyCassElastic.py:438-444):
+        a drifted batch physically widens the stored table; old rows
+        read NULL for the added column; columns missing from the new
+        batch are NULL-filled, never dropped."""
+        import uuid
+
+        from pycasselastic_spark.core.schema import append_with_evolution
+
+        table = f"evo_{uuid.uuid4().hex[:8]}"
+        try:
+            first = spark.createDataFrame([(1, "x")], ["id", "text"])
+            assert append_with_evolution(first, table) == {}
+
+            drifted = spark.createDataFrame([(2, "y", 3.5)], ["id", "text", "score"])
+            added = append_with_evolution(drifted, table)
+            assert list(added) == ["score"]
+
+            narrow = spark.createDataFrame([(3,)], ["id"])
+            assert append_with_evolution(narrow, table) == {}
+
+            rows = {r["id"]: r for r in spark.table(table).collect()}
+            assert set(spark.table(table).columns) == {"id", "text", "score"}
+            assert rows[1]["score"] is None
+            assert rows[2]["score"] == 3.5
+            assert rows[3]["text"] is None and rows[3]["score"] is None
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+
 
 class TestWatermark:
     def test_roundtrip_and_bootstrap(self, tmp_path):
