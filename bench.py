@@ -16,6 +16,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pycasselastic_spark.catalog import QUERIES  # noqa: E402
@@ -31,6 +33,22 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+    # Python-worker warmup: the first Arrow-batched UDF stage pays the
+    # worker spawn + numpy/pandas import across all cores (~10s on 32
+    # local workers; amortized to zero on a long-lived cluster). Warm it
+    # here so per-query timings reflect steady-state, same as the JVM
+    # warmup above.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _warm(s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return s + float(np.float64(0.0))
+
+    spark.range(10_000).repartition(64).selectExpr("cast(id as double) as d").select(
+        _warm("d")
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     total = 0.0

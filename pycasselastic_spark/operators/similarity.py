@@ -12,6 +12,8 @@ expressions — sequential-double dot products, no Python in the loop.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -177,6 +179,30 @@ def lsh_topk(
     )
 
 
+def _spherical_kmeans(
+    vectors: list[list[float]], n_cells: int, seed: int, iters: int
+) -> list[tuple[int, list[float]]]:
+    """Seeded Lloyd iterations on unit vectors with cosine assignment
+    (argmax dot == argmin Euclidean on the unit sphere); centroids are
+    re-normalized each round so dot-product ranking against them stays
+    scale-free. Runs on a driver-side bounded sample only — never the
+    corpus."""
+    x = np.asarray(vectors, dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    k = min(n_cells, len(x))
+    cents = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):  # empty cell keeps its previous centroid
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[j] = m / n
+    return [(i, [float(v) for v in c]) for i, c in enumerate(cents)]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -193,8 +219,10 @@ def ivf_topk(
     centroid; a query only scores the ``n_probe`` cells nearest to it.
 
     Compared to hyperplane LSH this adapts the partitioning to the data
-    distribution (cells follow density). Centroids come from MLlib
-    KMeans with a fixed seed (deterministic per dataset+partitioning).
+    distribution (cells follow density). Centroids come from a seeded
+    spherical k-means run driver-side over a bounded sample
+    (deterministic per dataset: the sample is sorted by id before
+    training).
 
     Scale shape: the corpus is scored cell-by-cell via an equi-join on
     cell id — work per query is corpus/n_cells * n_probe instead of the
@@ -205,9 +233,6 @@ def ivf_topk(
     ~0.7 recall there; clustered real-world embeddings prune far
     better.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     query_id_col = query_id_col or id_col
     uc = with_unit_vector(corpus, vec_col, "_u")
     uq = with_unit_vector(queries, vec_col, "_u")
@@ -216,46 +241,72 @@ def ivf_topk(
     # not the corpus: train on a seeded, size-capped sample so the
     # training stage stays bounded no matter the corpus size (the
     # round-1 coalesce(4)-the-whole-corpus version serialized everything
-    # through 4 tasks before KMeans even started). One count() sizes the
-    # sampling fraction — column-pruned, metadata-only on parquet.
+    # through 4 tasks before KMeans even started). The bounded sample
+    # fits on the driver by construction, so training runs as a local
+    # numpy spherical k-means — milliseconds, vs whole MLlib-job
+    # iterations — and only the tiny centroid table is shipped back out
+    # (as literal expressions, the broadcast degenerate). One count()
+    # sizes the sampling fraction — column-pruned, metadata-only on
+    # parquet.
     train_cap = max(4096, 512 * n_cells)
     n_corpus = corpus.count()
     frac = min(1.0, (1.2 * train_cap) / max(n_corpus, 1))
-    train = (
-        uc.select(array_to_vector(F.col("_u")).alias("features"))
+    sample_rows = (
+        uc.select(F.col(id_col).alias("_id"), "_u")
         .sample(withReplacement=False, fraction=frac, seed=seed)
         .limit(train_cap)
-        .coalesce(8)
-        .cache()
+        .collect()
     )
-    model = KMeans(k=n_cells, seed=seed, maxIter=8, featuresCol="features").fit(train)
-    train.unpersist()
-    centroids = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
+    # Sort by id so training is deterministic regardless of partition
+    # scheduling order.
+    sample_rows.sort(key=lambda r: r["_id"])
+    centroids = _spherical_kmeans(
+        [r["_u"] for r in sample_rows], n_cells, seed=seed, iters=8
+    )
+
+    # Cell assignment is dense linear algebra over the WHOLE corpus —
+    # the one hot loop where interpreted per-element lambdas (or a
+    # 16-cells x 64-dims literal expression tree) lose badly. A
+    # vectorized Arrow-batched pandas_udf does one (batch x dim) @
+    # (dim x cells) matmul per batch: narrow (no shuffle), centroids
+    # closed over (tiny), and the documented Pandas-UDF edge for
+    # numeric kernels. argsort is stable so ties break to the lowest
+    # cell id deterministically.
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.asarray([c for _, c in centroids], dtype=np.float64)
+
+    def make_assign(n: int):
+        @pandas_udf("array<int>")
+        def assign(vecs: pd.Series) -> pd.Series:
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+            if len(x) == 0:
+                return pd.Series([], dtype=object)
+            order = np.argsort(-(x @ cmat.T), axis=1, kind="stable")[:, :n]
+            return pd.Series([[int(c) for c in row] for row in order])
+
+        return assign
 
     def nearest_cells(df: DataFrame, n: int, out: str) -> DataFrame:
         """Attach the n nearest centroid ids (by dot with the unit
         vector — equivalent to cosine order for unit inputs)."""
-        scored = F.array(
-            *[
-                F.struct(
-                    dot(
-                        F.col("_u"),
-                        F.array(*[F.lit(x) for x in c]),
-                    ).alias("s"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, c in centroids
-            ]
-        )
-        top = F.slice(F.sort_array(scored, asc=False), 1, n)
-        return df.withColumn(out, F.transform(top, lambda t: t["cell"]))
+        return df.withColumn(out, make_assign(n)(F.col("_u")))
 
-    cell_corpus = nearest_cells(uc, 1, "_cells").select(
-        F.col(id_col).alias("match_id"),
-        F.col("_u").alias("_cu"),
-        F.element_at("_cells", 1).alias("_cell"),
+    # IVF is build-then-probe: materialize the cell-assigned corpus (the
+    # inverted file) ONCE before probing. Without this, Catalyst inlines
+    # the assignment UDF + normalization into both the join-key
+    # null-filter and the projection — two full Arrow passes over the
+    # corpus per probe. At cluster scale this step is the index build
+    # you would persist to storage partitioned by cell; localCheckpoint
+    # is its single-session analog.
+    cell_corpus = (
+        nearest_cells(uc, 1, "_cells")
+        .select(
+            F.col(id_col).alias("match_id"),
+            F.col("_u").alias("_cu"),
+            F.element_at("_cells", 1).alias("_cell"),
+        )
+        .localCheckpoint(eager=True)
     )
     cell_queries = (
         nearest_cells(uq, n_probe, "_cells")
@@ -264,6 +315,7 @@ def ivf_topk(
             F.col("_u").alias("_qu"),
             F.explode("_cells").alias("_cell"),
         )
+        .localCheckpoint(eager=True)
     )
     scored = (
         cell_corpus.join(F.broadcast(cell_queries), "_cell")
