@@ -94,3 +94,32 @@ def test_text_ops_stay_jvm_side(spark, sf_dir):
     for name in ("text_quality_documents", "lang_id_documents", "fingerprint_documents"):
         plan = tuning.physical_plan(QUERIES[name].fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_q6_pushes_all_three_predicates(spark, sf_dir):
+    """Q6 is the purest pushdown probe: shipdate range, discount range
+    and quantity bound must all reach the parquet scan, and the scan
+    must read only the four referenced columns."""
+    df = QUERIES["q6_forecast_revenue"].fn(spark, sf_dir)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert tuning.has_pushed_filter(df, col), col
+    schemas = tuning.scan_read_schema(df)
+    assert schemas and all("l_orderkey" not in s for s in schemas)
+
+
+@pytest.mark.parametrize("name,min_broadcasts", [
+    ("q7_volume_shipping", 4),
+    ("q10_returned_items", 2),
+    ("q14_promo_revenue", 1),
+    ("q19_disjunctive_revenue", 1),
+])
+def test_new_tpch_dim_joins_are_broadcast(spark, sf_dir, name, min_broadcasts):
+    df = QUERIES[name].fn(spark, sf_dir)
+    assert tuning.broadcast_join_count(df) >= min_broadcasts
+
+
+def test_q19_join_stays_equi_hash(spark, sf_dir):
+    """The disjunctive OR predicate must not degrade the partkey
+    equi-join into a nested-loop cross product."""
+    plan = tuning.physical_plan(QUERIES["q19_disjunctive_revenue"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
