@@ -2205,3 +2205,240 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum("c_acctbal", "totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline batch 2: deterministic sampling/mixing/sharding,
+# vocabulary building, benchmark-contamination detection, an end-to-end
+# curation pipeline, and the LSH scale twin for embedding near-dup.
+# ---------------------------------------------------------------------------
+
+from pycasselastic_spark.operators import sampling as SP  # noqa: E402
+
+
+@register(
+    "stratified_sample_documents",
+    """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '4000' ELSE '2000' END
+""",
+    doc="Deterministic per-language stratified sampling (the "
+    "reproducible twin of sampleBy): keep-decision = md5(doc_id) hex "
+    "prefix under a per-stratum threshold — stable across re-runs, "
+    "partitionings and engines; narrow filter, no shuffle "
+    "(operators/sampling.py).",
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = SP.stratified_sample(
+        docs,
+        key_col="doc_id",
+        strata_col="lang",
+        rates={"en": 0.5, "de": 0.25},
+        default_rate=0.125,
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "shard_assignment_documents",
+    """
+SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY shard
+""",
+    doc="Stable 16-way corpus sharding by md5 key prefix with per-shard "
+    "balance stats; at scale the shard column feeds "
+    "write.partitionBy(shard) so any engine can locate a document from "
+    "its key alone (operators/sampling.py:hash_shard).",
+)
+def shard_assignment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("shard", SP.hash_shard("doc_id"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+@register(
+    "vocab_top_terms",
+    """
+SELECT token, COUNT(*) AS term_freq, COUNT(DISTINCT doc_id) AS doc_freq
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY term_freq DESC, token
+LIMIT 50
+""",
+    doc="Vocabulary building: explode tokens -> global term/document "
+    "frequencies -> top-50 (token tiebreak). The classic wide-shuffle "
+    "op; partial aggregation combines counts map-side before the "
+    "token-keyed exchange.",
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(TX.words("text")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("term_freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("term_freq").desc(), F.col("token"))
+        .limit(50)
+    )
+
+
+@register(
+    "contamination_overlap",
+    """
+WITH sh AS (
+  SELECT doc_id, unnest(CASE WHEN len(string_split(text, ' ')) >= 3
+           THEN list_distinct(list_transform(
+                  range(1, len(string_split(text, ' ')) - 1),
+                  i -> string_split(text, ' ')[i] || ' ' ||
+                       string_split(text, ' ')[i+1] || ' ' ||
+                       string_split(text, ' ')[i+2]))
+           ELSE [] END) AS shingle
+  FROM documents)
+SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
+FROM sh c JOIN sh b ON c.shingle = b.shingle
+WHERE b.doc_id < 10 AND c.doc_id >= 10
+GROUP BY c.doc_id, b.doc_id
+HAVING COUNT(*) >= 2
+""",
+    doc="Benchmark-contamination check: corpus documents sharing >= 2 "
+    "distinct 3-gram shingles with any benchmark document (ids < 10). "
+    "Equi-join on the shingle value — shuffle keyed by shingle, no "
+    "cross product; the benchmark side is tiny and broadcast.",
+)
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(D.shingles("text", 3)).alias("shingle")
+    )
+    bench = sh.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    corpus = sh.filter(F.col("doc_id") >= 10)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
+@register(
+    "curation_pipeline_documents",
+    f"""
+WITH q AS (
+  SELECT doc_id, lang, n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             w -> list_contains({_STOPS_SQL}, w))) / len(string_split(text, ' ')) AS stop_ratio,
+         length(replace(text, ' ', '')) / len(string_split(text, ' ')) AS mean_word_len,
+         md5(lower(text)) AS fp
+  FROM documents),
+scored AS (
+  SELECT *, least(n_tokens, 100) / 100 * 0.4 + stop_ratio * 0.3
+            + least(mean_word_len, 10.0) / 10 * 0.3 AS quality
+  FROM q
+  WHERE lang = 'en' AND n_chars BETWEEN 100 AND 450 AND n_tokens >= 20),
+kept AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM scored WHERE quality >= 0.35)
+SELECT doc_id, lang, n_chars, n_tokens, quality FROM kept WHERE rn = 1
+""",
+    doc="End-to-end corpus curation: language filter -> length/token "
+    "bounds -> heuristic quality threshold -> exact dedup by content "
+    "fingerprint (lowest doc_id wins). One narrow pass for scoring, "
+    "one fingerprint-keyed shuffle for the dedup — the canonical "
+    "pretraining-data filter chain as a single declarative plan.",
+)
+def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = TX.words("text")
+    scored = (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.size(ws).alias("n_tokens"),
+            TX.quality_score("text").alias("quality"),
+            TX.content_fingerprint("text").alias("fp"),
+        )
+        .filter(
+            (F.col("lang") == "en")
+            & F.col("n_chars").between(100, 450)
+            & (F.col("n_tokens") >= 20)
+            & (F.col("quality") >= 0.35)
+        )
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars", "n_tokens", "quality")
+    )
+
+
+@register(
+    "embedding_lsh_neardup",
+    f"""
+WITH {_UNIT_SQL},
+planes AS (
+  SELECT p, list_transform(range(0, 64), d ->
+    CASE WHEN ('0x' || substring(md5('plane' || p || ':dim' || d), 1, 2))::INT % 2 = 1
+         THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS vec
+  FROM range(0, 12) t(p)
+),
+sigs AS (
+  SELECT e.vec_id,
+         string_agg(CASE WHEN list_sum(list_transform(range(1, 65),
+                           k -> e.u[k] * pl.vec[k])) >= 0
+                         THEN '1' ELSE '0' END, '' ORDER BY pl.p) AS sig
+  FROM eu e CROSS JOIN planes pl GROUP BY e.vec_id
+),
+banded AS (
+  SELECT vec_id, b AS band_idx, substring(sig, b * 2 + 1, 2) AS band_key
+  FROM sigs, range(0, 6) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS doc_a, c.vec_id AS doc_b
+  FROM banded a JOIN banded c
+    ON a.band_idx = c.band_idx AND a.band_key = c.band_key
+  WHERE a.vec_id < c.vec_id
+)
+SELECT doc_a, doc_b, cosine FROM (
+  SELECT cand.doc_a, cand.doc_b,
+         {_DOT_SQL.format(a='x.u', b='y.u')} AS cosine
+  FROM cand
+  JOIN eu x ON x.vec_id = cand.doc_a
+  JOIN eu y ON y.vec_id = cand.doc_b)
+WHERE cosine >= 0.4
+""",
+    doc="Embedding near-dup pairs via hyperplane-LSH banding — the "
+    "scale twin of embedding_cosine_neardup (equi-join on sign-band "
+    "keys instead of the O(n^2) all-pairs join). Fully oracle-checked: "
+    "planes, signatures, band candidates and the exact-cosine verify "
+    "are replayed bit-for-bit in SQL (operators/dedup.py:"
+    "embedding_lsh_pairs). Recall vs brute force asserted in tests.",
+)
+def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings"), spark)
+    return D.embedding_lsh_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, dim=64,
+        num_planes=12, num_bands=6,
+    )

@@ -330,3 +330,63 @@ def embedding_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
     )
+
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int,
+    num_planes: int = 12,
+    num_bands: int = 6,
+) -> DataFrame:
+    """LSH-bucketed scale twin of ``embedding_cosine_pairs``: candidate
+    pairs come from an equi-join on hyperplane sign-signature bands
+    (same md5-derived planes as ``similarity.lsh_topk``), and only
+    candidates pay the exact cosine verification against ``threshold``.
+
+    Same output contract (doc_a < doc_b, cosine) but no all-pairs join:
+    at 100 TB the band join shuffles by band key instead of building an
+    O(n^2) candidate space. A pair at cosine ``c`` shares a sign bit
+    with probability 1 - acos(c)/pi; with 12 planes in 6 bands of 2, a
+    cosine-0.8 pair is missed with probability ~(1-0.73)^6 ~= 4e-4.
+    Recall vs the brute-force baseline is asserted in tests.
+    """
+    from pycasselastic_spark.operators.similarity import (
+        _hyperplane,
+        dot,
+        signature_bits,
+        with_unit_vector,
+    )
+
+    planes = [_hyperplane(dim, p) for p in range(num_planes)]
+    band_width = num_planes // num_bands
+    unit = with_unit_vector(df, vec_col, "_u")
+    sig = signature_bits(F.col("_u"), planes)
+    bands = F.array(
+        *[
+            F.substring(sig, b * band_width + 1, band_width)
+            for b in range(num_bands)
+        ]
+    )
+    banded = unit.select(
+        F.col(id_col).alias("_id"), F.posexplode(bands).alias("_band_idx", "_band_key")
+    )
+    left = banded.select(F.col("_id").alias("doc_a"), "_band_idx", "_band_key")
+    right = banded.select(F.col("_id").alias("doc_b"), "_band_idx", "_band_key")
+    candidates = (
+        left.join(right, ["_band_idx", "_band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ua = unit.select(F.col(id_col).alias("doc_a"), F.col("_u").alias("_ua"))
+    ub = unit.select(F.col(id_col).alias("doc_b"), F.col("_u").alias("_ub"))
+    return (
+        candidates.join(ua, "doc_a")
+        .join(ub, "doc_b")
+        .withColumn("cosine", dot(F.col("_ua"), F.col("_ub")))
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+    )

@@ -1,0 +1,75 @@
+"""Deterministic corpus sampling and sharding for training-data
+pipelines.
+
+Random `.sample()` is non-reproducible across engines and re-runs; a
+training pipeline needs sampling decisions that are (a) stable under
+re-execution, (b) independent of partitioning, and (c) replayable by
+any engine that has md5. These operators key every decision off an md5
+prefix of the row key: lexicographic comparison on fixed-length
+lowercase hex is monotone in the hash value, so a rate ``r`` maps to
+the hex threshold ``int(r * 16**n_hex)`` with no hex->int parsing in
+the hot path.
+
+Scale shape: everything here is a narrow per-row projection + filter —
+no shuffle, no driver participation; Catalyst pushes the residual
+filters to the scan where possible. ``hash_shard`` is the groupBy-side
+view of what a real corpus writer would do with
+``df.write.partitionBy("shard")``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def hash_key(col: Column | str, n_hex: int = 4) -> Column:
+    """Lowercase hex md5 prefix of the (stringified) key — the
+    deterministic 'random' number driving sample/shard decisions."""
+    return F.substring(F.md5(_c(col).cast("string")), 1, n_hex)
+
+
+def rate_threshold(rate: float, n_hex: int = 4) -> str:
+    """Hex string such that P[hash_key < threshold] ~= rate (exact up
+    to 16**-n_hex granularity)."""
+    space = 16**n_hex
+    t = min(space, max(0, int(round(rate * space))))
+    return format(t, f"0{n_hex + 1}x")[-n_hex:] if t < space else "g" * n_hex
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, rate: float, n_hex: int = 4
+) -> DataFrame:
+    """Uniform deterministic sample: keep rows whose hash prefix falls
+    below the rate threshold."""
+    return df.filter(hash_key(key_col, n_hex) < F.lit(rate_threshold(rate, n_hex)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    n_hex: int = 4,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the reproducible twin of
+    ``df.sampleBy``): each stratum value gets its own keep-rate. The
+    training-data mixing primitive — weights per source/language."""
+    thr = F.lit(rate_threshold(default_rate, n_hex))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(
+            _c(strata_col) == value, F.lit(rate_threshold(rate, n_hex))
+        ).otherwise(thr)
+    return df.filter(hash_key(key_col, n_hex) < thr)
+
+
+def hash_shard(col: Column | str, n_hex: int = 1) -> Column:
+    """Stable shard label (16**n_hex shards) for corpus bucketing; at
+    scale this is the column you ``partitionBy`` on write so any engine
+    can locate a document's shard from its key alone."""
+    return hash_key(col, n_hex)

@@ -135,3 +135,33 @@ def test_exact_dedup_null_vs_empty_not_collided(spark):
     df = spark.createDataFrame(rows, "doc_id long, t1 string, t2 string")
     got = {r["doc_id"] for r in D.exact_dedup(df, ["t1", "t2"], "doc_id").collect()}
     assert got == {1, 2, 3, 4}  # all distinct contents survive
+
+
+class TestEmbeddingLshNearDup:
+    def test_recall_vs_bruteforce(self, spark, sf_dir):
+        """The banded-LSH candidate path must recover nearly all pairs
+        the all-pairs baseline finds at cosine >= 0.4, and every pair
+        it emits must be a true positive with the identical cosine."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        brute = D.embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
+        lsh = D.embedding_lsh_pairs(
+            emb, "vec_id", "embedding", threshold=0.4, dim=64,
+            num_planes=12, num_bands=6,
+        )
+        truth = pairs_set(brute)
+        got = pairs_set(lsh)
+        assert got <= truth  # no false positives (exact verify stage)
+        assert len(got) >= 0.85 * len(truth)
+
+    def test_cosines_match_bruteforce(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        brute = {
+            (r["doc_a"], r["doc_b"]): r["cosine"]
+            for r in D.embedding_cosine_pairs(
+                emb, "vec_id", "embedding", threshold=0.4
+            ).collect()
+        }
+        for r in D.embedding_lsh_pairs(
+            emb, "vec_id", "embedding", threshold=0.4, dim=64
+        ).collect():
+            assert brute[(r["doc_a"], r["doc_b"])] == r["cosine"]

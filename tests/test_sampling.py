@@ -1,0 +1,57 @@
+"""Deterministic sampling/sharding operator tests: reproducibility,
+stratum rate targeting, and shard stability."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pycasselastic_spark.operators import sampling as SP
+
+
+def test_rate_threshold_mapping():
+    assert SP.rate_threshold(0.5, 4) == "8000"
+    assert SP.rate_threshold(0.25, 4) == "4000"
+    assert SP.rate_threshold(0.0, 4) == "0000"
+    # rate 1.0 keeps everything: 'gggg' sorts above every hex digit
+    assert SP.rate_threshold(1.0, 4) == "gggg"
+
+
+def test_uniform_sample_is_deterministic_and_near_rate(spark):
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    a = SP.deterministic_sample(df, "k", 0.25)
+    b = SP.deterministic_sample(df, "k", 0.25)
+    got_a = {r["k"] for r in a.collect()}
+    got_b = {r["k"] for r in b.collect()}
+    assert got_a == got_b  # same decisions on re-run
+    assert abs(len(got_a) / 10_000 - 0.25) < 0.02  # md5 is uniform
+
+
+def test_sample_nests_monotonically(spark):
+    """A 10% sample must be a subset of the 50% sample — hash-threshold
+    sampling gives nested samples for free (rerun-friendly ramps)."""
+    df = spark.range(5_000).withColumnRenamed("id", "k")
+    small = {r["k"] for r in SP.deterministic_sample(df, "k", 0.1).collect()}
+    big = {r["k"] for r in SP.deterministic_sample(df, "k", 0.5).collect()}
+    assert small <= big
+
+
+def test_stratified_rates(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(8_000)]
+    df = spark.createDataFrame(rows, ["k", "lang"])
+    out = SP.stratified_sample(
+        df, "k", "lang", {"en": 0.5, "de": 0.125}, default_rate=0.0
+    ).groupBy("lang").count().collect()
+    by = {r["lang"]: r["count"] for r in out}
+    assert abs(by["en"] / 4_000 - 0.5) < 0.04
+    assert abs(by["de"] / 4_000 - 0.125) < 0.04
+
+
+def test_shard_assignment_is_complete_and_stable(spark):
+    df = spark.range(2_000).withColumnRenamed("id", "k")
+    out = df.withColumn("shard", SP.hash_shard("k"))
+    shards = out.groupBy("shard").count().collect()
+    assert len(shards) == 16
+    assert sum(r["count"] for r in shards) == 2_000
+    # repartitioning must not change any assignment
+    re = df.repartition(7).withColumn("shard", SP.hash_shard("k"))
+    assert out.exceptAll(re).count() == 0
