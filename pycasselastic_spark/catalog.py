@@ -1052,6 +1052,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # parity is the correctness claim).
 # ---------------------------------------------------------------------------
 
+import os  # noqa: E402
 import tempfile  # noqa: E402
 import uuid as _uuid  # noqa: E402
 
@@ -1060,7 +1061,10 @@ from pycasselastic_spark.streaming.sync import (  # noqa: E402
     read_event_stream,
     start_streaming_sync,
 )
-from pycasselastic_spark.streaming.windows import tumbling_event_counts  # noqa: E402
+from pycasselastic_spark.streaming.windows import (  # noqa: E402
+    sliding_event_counts,
+    tumbling_event_counts,
+)
 
 
 @register(
@@ -2442,3 +2446,76 @@ def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", threshold=0.4, dim=64,
         num_planes=12, num_bands=6,
     )
+
+
+@register(
+    "streaming_sliding_window_events",
+    """
+SELECT ws AS window_start,
+       ws + INTERVAL 10 MINUTES AS window_end,
+       event_type,
+       COUNT(*) AS n_events
+FROM (
+  SELECT event_type,
+         time_bucket(INTERVAL 5 MINUTES, CAST(ts AS TIMESTAMP))
+           - to_minutes(5 * k) AS ws
+  FROM events, (SELECT unnest([0, 1]) AS k) dup)
+GROUP BY 1, 2, 3
+""",
+    doc="Sliding (overlapping) event-time windows as a real Structured "
+    "Streaming query (10-minute windows sliding by 5: every event lands "
+    "in exactly two windows). Watermark bounds window state; the oracle "
+    "re-derives the two epoch-aligned windows per event in SQL "
+    "(streaming/windows.py:sliding_event_counts).",
+)
+def streaming_sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    agg = sliding_event_counts(stream)
+    name = f"stream_slide_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "streaming_dedup_events",
+    """
+SELECT event_id, user_id, event_type, value FROM events
+""",
+    doc="Exactly-once dedup of a re-delivered stream: the events file "
+    "is delivered TWICE through the file source and "
+    "dropDuplicatesWithinWatermark(event_id) must collapse the replay "
+    "back to the original rows. WithinWatermark (not plain "
+    "dropDuplicates) is the scale posture: key state is dropped once "
+    "the watermark passes instead of growing forever.",
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    src = f"{sf_dir}/events.parquet"
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    shutil.copy(src, os.path.join(tmp, "delivery1.parquet"))
+    shutil.copy(src, os.path.join(tmp, "delivery2.parquet"))
+    stream = read_event_stream(spark, tmp)
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    name = f"stream_dedup_{_uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(tmp, ignore_errors=True)  # memory sink holds the rows
+    return spark.table(name)
