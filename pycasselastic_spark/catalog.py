@@ -2251,7 +2251,7 @@ def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        COUNT(DISTINCT lang) AS n_langs
 FROM documents
 GROUP BY shard
