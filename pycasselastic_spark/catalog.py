@@ -2519,3 +2519,85 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     shutil.rmtree(tmp, ignore_errors=True)  # memory sink holds the rows
     return spark.table(name)
+
+
+@register(
+    "tfidf_top_terms_per_doc",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1)
+SELECT doc_id, token, tf, df, score FROM (
+  SELECT tf.doc_id, tf.token, tf.tf, dfq.df, tf.tf / dfq.df AS score,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf / dfq.df DESC, tf.token) AS rn
+  FROM tf JOIN dfq USING (token))
+WHERE rn <= 3
+""",
+    doc="Per-document top-3 distinguishing terms by tf/df weighting "
+    "(the log-free tf-idf variant: int/int division is exactly rounded "
+    "in both engines, ln() is not). Two partial-aggregated shuffles "
+    "(doc-term counts, term document frequencies) + a term-keyed join "
+    "+ windowed top-k — the vocabulary-scoring pattern at corpus scale.",
+)
+def tfidf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(TX.words("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf") / F.col("df")).desc(), F.col("token")
+    )
+    return (
+        tf.join(dfq, "token")
+        .withColumn("score", F.col("tf") / F.col("df"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tf", "df", "score")
+    )
+
+
+@register(
+    "label_centroid_embeddings",
+    """
+WITH dims AS (SELECT k AS dim FROM range(1, 65) t(k)),
+e AS (
+  SELECT label, dim,
+         CAST(FLOOR(CAST(embedding[dim] AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+  FROM embeddings, dims)
+SELECT label, dim,
+       CAST(SUM(q) AS DOUBLE) / (1048576.0 * COUNT(*)) AS centroid
+FROM e GROUP BY label, dim
+""",
+    doc="Per-label mean embedding (the distributed centroid step of "
+    "clustering / class-prototype computation): posexplode to "
+    "(label, dim, value), one partial-aggregated shuffle keyed by "
+    "(label, dim). Values are accumulated in Q20 fixed point "
+    "(floor(v * 2^20) — scaling by a power of two is exact in binary "
+    "floating point, and the integer sum is order-independent), the "
+    "deterministic-distributed-float-aggregation trick; a raw double "
+    "sum would differ between engines and shuffle orders. DECIMAL "
+    "rounding was rejected: double->decimal cast ties round "
+    "differently across engines.",
+)
+def label_centroid_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            "label",
+            (F.col("pos") + 1).cast("bigint").alias("dim"),
+            F.floor(F.col("val").cast("double") * F.lit(1048576.0))
+            .cast("bigint")
+            .alias("q"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.sum("q").cast("double") / (F.lit(1048576.0) * F.count(F.lit(1)))
+            ).alias("centroid")
+        )
+    )
