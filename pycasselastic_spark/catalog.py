@@ -2601,3 +2601,49 @@ def label_centroid_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid")
         )
     )
+
+
+@register(
+    "multimodal_audio_resample",
+    """
+WITH m AS (
+  SELECT doc_id, repeat(substring(md5(text), 1, 8), 8) AS payload
+  FROM documents WHERE doc_id % 3 = 1)
+SELECT doc_id AS media_id,
+       CAST(8000 AS INT) AS out_rate,
+       CAST(length(payload) AS INT) AS orig_bytes,
+       CAST((length(payload) + 1) // 2 AS INT) AS n_bytes,
+       md5(array_to_string(list_transform(
+             range(0, (length(payload) + 1) // 2),
+             i -> substring(payload, 2 * i + 1, 1)), '')) AS resampled_md5
+FROM m
+""",
+    doc="Audio 'resample' by payload decimation over Arrow batches "
+    "(operators/multimodal.py:resample_audio — a real resampler swaps "
+    "the per-batch kernel only). Fully value-checked: the oracle "
+    "re-derives the decimated byte stream and its md5 from the fake "
+    "wire format in SQL.",
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = ensure_parallelism(M.synthesize_media(spark, sf_dir), spark)
+    return M.resample_audio(media, factor=2)
+
+
+@register(
+    "multimodal_image_resize",
+    """
+SELECT doc_id AS media_id,
+       'FIMG|8|4|1;' || substring(repeat(substring(md5(text), 1, 8), 8), 1, 4)
+         AS content_str
+FROM documents WHERE doc_id % 3 = 0
+""",
+    doc="Image 'resize' (binary in -> binary out with rewritten header "
+    "dims and truncated payload; operators/multimodal.py:resize_images). "
+    "The resized binary is decoded back to UTF-8 so the oracle can "
+    "value-check the exact output bytes.",
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = ensure_parallelism(M.synthesize_media(spark, sf_dir), spark)
+    return M.resize_images(media, 8, 4).select(
+        "media_id", F.decode(F.col("content"), "UTF-8").alias("content_str")
+    )

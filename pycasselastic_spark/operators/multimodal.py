@@ -197,4 +197,46 @@ def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
     )
 
 
+AUDIO_RESAMPLE_SCHEMA = (
+    "media_id long, out_rate int, orig_bytes int, n_bytes int, "
+    "resampled_md5 string"
+)
+
+
+def resample_audio(
+    media: DataFrame, factor: int = 2, base_rate: int = 16000
+) -> DataFrame:
+    """Decimation 'resample' for audio media: keep every ``factor``-th
+    payload byte and report the new rate + a digest of the kept bytes.
+    Same Arrow-batch shape as a real resampler (scipy/librosa would
+    replace the per-batch kernel, nothing else changes); 1:1
+    mapInPandas, binary consumed inside the batch, only small feature
+    rows leave the stage."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, orig, kept_n, digests = [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                p = _parse_fake(content)
+                kept = p["payload"][::factor]
+                ids.append(mid)
+                orig.append(len(p["payload"]))
+                kept_n.append(len(kept))
+                digests.append(hashlib.md5(kept).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "out_rate": [base_rate // factor] * len(ids),
+                    "orig_bytes": orig,
+                    "n_bytes": kept_n,
+                    "resampled_md5": digests,
+                }
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        batches, schema=AUDIO_RESAMPLE_SCHEMA
+    )
+
+
 _ = struct  # (struct available for real-codec implementations)

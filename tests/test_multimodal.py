@@ -66,3 +66,19 @@ def test_binary_column_pruned_for_meta_queries(spark, media, tmp_path):
     meta_only = spark.read.parquet(path).select("media_id", "meta.width")
     plan = meta_only._jdf.queryExecution().executedPlan().toString()
     assert "content" not in plan
+
+
+def test_resample_audio_decimates_payload(spark):
+    media = M.synthesize_media(spark, "/root/testdata/sf0.001")
+    out = {r["media_id"]: r for r in M.resample_audio(media, factor=2).collect()}
+    assert out  # audio rows exist
+    import hashlib
+
+    for r in media.filter("kind = 'audio'").limit(5).collect():
+        p = M._parse_fake(r["content"])
+        expect = p["payload"][::2]
+        got = out[r["media_id"]]
+        assert got["orig_bytes"] == len(p["payload"])
+        assert got["n_bytes"] == len(expect)
+        assert got["resampled_md5"] == hashlib.md5(expect).hexdigest()
+        assert got["out_rate"] == 8000
