@@ -646,11 +646,11 @@ def _cap_rows(df: DataFrame, key: str, cap: int) -> DataFrame:
     _JACCARD_PAIRS_SQL,
     doc="Brute-force exact 3-gram Jaccard near-dup pairs (threshold 0.6) "
     "— the verification baseline for the LSH path. Deterministically "
-    "capped at ~2048 docs above the oracle scale (exact at sf<=0.01).",
+    "capped at ~1024 docs above the oracle scale (exact at sf<=0.01).",
 )
 def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
-    docs = _cap_rows(docs, "doc_id", 2048)
+    docs = _cap_rows(docs, "doc_id", 1024)
     return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
 
 
@@ -2646,4 +2646,60 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = ensure_parallelism(M.synthesize_media(spark, sf_dir), spark)
     return M.resize_images(media, 8, 4).select(
         "media_id", F.decode(F.col("content"), "UTF-8").alias("content_str")
+    )
+
+
+@register(
+    "embedding_ivf_neardup",
+    None,  # iterative k-means is not SQL-expressible -> rows-only;
+    # recall + exactness vs the brute-force baseline pinned in tests
+    doc="Cell-blocked embedding near-dup (cluster-then-compare, the "
+    "semantic-dedup scale path): spherical-k-means cells bound the "
+    "candidate space by sum(cell_size^2) — grow n_cells with the corpus "
+    "for linear per-vector work, unlike sign-band LSH whose pruning "
+    "factor is constant on unstructured data "
+    "(operators/dedup.py:embedding_ivf_pairs).",
+)
+def embedding_ivf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings"), spark)
+    return D.embedding_ivf_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, n_cells=8, n_assign=3
+    )
+
+
+@register(
+    "udtf_chunk_documents",
+    """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 50)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_idx,
+       array_to_string(ws[i * 20 + 1 : i * 20 + 20], ' ') AS chunk,
+       CAST(least(20, len(ws) - i * 20) AS INT) AS n_tokens
+FROM t, LATERAL (SELECT unnest(range(0, (len(ws) + 19) // 20)) AS i)
+""",
+    doc="Python UDTF (Spark 4 table function): split each document into "
+    "20-token chunks, one output row per chunk — the context-window "
+    "packing shape. Completes the UDF/UDAF/UDTF API trio next to the "
+    "Pandas-UDF and applyInPandas edges; UDTFs are the row-based slow "
+    "path, so the catalog keeps the input bounded and the oracle "
+    "replays the chunking with list slicing in SQL.",
+)
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, chunk string, n_tokens int")
+    class ChunkDoc:
+        def eval(self, doc_id: int, text: str, size: int):
+            ws = text.split(" ")
+            for i in range(0, (len(ws) + size - 1) // size):
+                piece = ws[i * size : (i + 1) * size]
+                yield doc_id, i, " ".join(piece), len(piece)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("_udtf_docs")
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    return spark.sql(
+        "SELECT c.* FROM _udtf_docs, "
+        "LATERAL chunk_doc(doc_id, text, 20) AS c"
     )

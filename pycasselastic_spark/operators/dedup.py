@@ -352,6 +352,13 @@ def embedding_lsh_pairs(
     with probability 1 - acos(c)/pi; with 12 planes in 6 bands of 2, a
     cosine-0.8 pair is missed with probability ~(1-0.73)^6 ~= 4e-4.
     Recall vs the brute-force baseline is asserted in tests.
+
+    Caveat (measured in scripts/scaling_probe.py): sign-hyperplane
+    bucketing is uninformative on positive-orthant vectors — every
+    signature collides and the candidate space degrades toward O(n^2).
+    Mean-center the embedding column first if its components are
+    all-positive (cosine ORDER is not preserved by centering, but
+    near-dup detection on centered vectors is the standard practice).
     """
     from pycasselastic_spark.operators.similarity import (
         _hyperplane,
@@ -385,6 +392,67 @@ def embedding_lsh_pairs(
     ub = unit.select(F.col(id_col).alias("doc_b"), F.col("_u").alias("_ub"))
     return (
         candidates.join(ua, "doc_a")
+        .join(ub, "doc_b")
+        .withColumn("cosine", dot(F.col("_ua"), F.col("_ub")))
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+    )
+
+
+def embedding_ivf_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_cells: int = 16,
+    n_assign: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Cell-blocked embedding near-dup (the clustering-then-compare
+    pattern of semantic-dedup systems): assign every vector to its
+    ``n_assign`` nearest spherical-k-means cells (multi-assignment — the
+    IVF answer to pairs straddling a cell boundary), compare pairs only
+    where they share a cell, verify with the exact cosine.
+
+    This is the asymptotically scalable path for embedding dedup:
+    sign-band LSH (``embedding_lsh_pairs``) prunes random pairs by a
+    roughly constant factor, but cell blocking bounds candidates by
+    sum(cell_size^2) ~= (n_assign * n)^2 / n_cells — grow ``n_cells``
+    with the corpus (cells ~ sqrt(n) gives linear total pair work per
+    vector budget). Recall vs the brute-force baseline is asserted in
+    tests. Not SQL-expressible (iterative k-means) -> rows-only driver
+    check.
+    """
+    from pycasselastic_spark.operators.similarity import (
+        _assign_cells,
+        _train_centroids,
+        dot,
+        with_unit_vector,
+    )
+
+    unit = with_unit_vector(df, vec_col, "_u")
+    centroids = _train_centroids(unit, id_col, n_cells, seed)
+    assigned = (
+        _assign_cells(unit, centroids, n_assign, "_cells")
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col("_u"),
+            F.explode("_cells").alias("_cell"),
+        )
+        .localCheckpoint(eager=True)  # the materialized inverted file
+    )
+    a = assigned.select(F.col("_id").alias("doc_a"), "_cell")
+    b = assigned.select(F.col("_id").alias("doc_b"), "_cell")
+    cand = (
+        a.join(b, "_cell")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()  # multi-assignment can surface a pair in 2 cells
+    )
+    ua = unit.select(F.col(id_col).alias("doc_a"), F.col("_u").alias("_ua"))
+    ub = unit.select(F.col(id_col).alias("doc_b"), F.col("_u").alias("_ub"))
+    return (
+        cand.join(ua, "doc_a")
         .join(ub, "doc_b")
         .withColumn("cosine", dot(F.col("_ua"), F.col("_ub")))
         .filter(F.col("cosine") >= threshold)

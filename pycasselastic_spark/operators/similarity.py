@@ -203,6 +203,64 @@ def _spherical_kmeans(
     return [(i, [float(v) for v in c]) for i, c in enumerate(cents)]
 
 
+def _train_centroids(
+    unit: DataFrame, id_col: str, n_cells: int, seed: int
+) -> list[tuple[int, list[float]]]:
+    """Train IVF cell centroids on a seeded, size-capped sample of a
+    unit-vector DataFrame (column ``_u``). Centroid quality at n_cells
+    centroids needs thousands of vectors, not the corpus, so the
+    training stage stays bounded no matter the corpus size; the bounded
+    sample fits on the driver by construction, so training runs as a
+    local numpy spherical k-means — milliseconds — and only the tiny
+    centroid table ships back out. One count() sizes the sampling
+    fraction. The sample is sorted by id so training is deterministic
+    regardless of partition scheduling order."""
+    train_cap = max(4096, 512 * n_cells)
+    n_corpus = unit.count()
+    frac = min(1.0, (1.2 * train_cap) / max(n_corpus, 1))
+    sample_rows = (
+        unit.select(F.col(id_col).alias("_id"), "_u")
+        .sample(withReplacement=False, fraction=frac, seed=seed)
+        .limit(train_cap)
+        .collect()
+    )
+    sample_rows.sort(key=lambda r: r["_id"])
+    return _spherical_kmeans(
+        [r["_u"] for r in sample_rows], n_cells, seed=seed, iters=8
+    )
+
+
+def _assign_cells(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    n: int,
+    out: str,
+) -> DataFrame:
+    """Attach the ``n`` nearest centroid ids (by dot with the unit
+    vector column ``_u`` — equivalent to cosine order for unit inputs).
+
+    Cell assignment is dense linear algebra over the WHOLE corpus — the
+    one hot loop where interpreted per-element lambdas (or a cells x
+    dims literal expression tree) lose badly. A vectorized Arrow-batched
+    pandas_udf does one (batch x dim) @ (dim x cells) matmul per batch:
+    narrow (no shuffle), centroids closed over (tiny), the documented
+    Pandas-UDF edge for numeric kernels. argsort is stable so ties break
+    to the lowest cell id deterministically."""
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.asarray([c for _, c in centroids], dtype=np.float64)
+
+    @pandas_udf("array<int>")
+    def assign(vecs: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(x) == 0:
+            return pd.Series([], dtype=object)
+        order = np.argsort(-(x @ cmat.T), axis=1, kind="stable")[:, :n]
+        return pd.Series([[int(c) for c in row] for row in order])
+
+    return df.withColumn(out, assign(F.col("_u")))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -236,61 +294,7 @@ def ivf_topk(
     query_id_col = query_id_col or id_col
     uc = with_unit_vector(corpus, vec_col, "_u")
     uq = with_unit_vector(queries, vec_col, "_u")
-
-    # Centroid quality at n_cells centroids needs thousands of vectors,
-    # not the corpus: train on a seeded, size-capped sample so the
-    # training stage stays bounded no matter the corpus size (the
-    # round-1 coalesce(4)-the-whole-corpus version serialized everything
-    # through 4 tasks before KMeans even started). The bounded sample
-    # fits on the driver by construction, so training runs as a local
-    # numpy spherical k-means — milliseconds, vs whole MLlib-job
-    # iterations — and only the tiny centroid table is shipped back out
-    # (as literal expressions, the broadcast degenerate). One count()
-    # sizes the sampling fraction — column-pruned, metadata-only on
-    # parquet.
-    train_cap = max(4096, 512 * n_cells)
-    n_corpus = corpus.count()
-    frac = min(1.0, (1.2 * train_cap) / max(n_corpus, 1))
-    sample_rows = (
-        uc.select(F.col(id_col).alias("_id"), "_u")
-        .sample(withReplacement=False, fraction=frac, seed=seed)
-        .limit(train_cap)
-        .collect()
-    )
-    # Sort by id so training is deterministic regardless of partition
-    # scheduling order.
-    sample_rows.sort(key=lambda r: r["_id"])
-    centroids = _spherical_kmeans(
-        [r["_u"] for r in sample_rows], n_cells, seed=seed, iters=8
-    )
-
-    # Cell assignment is dense linear algebra over the WHOLE corpus —
-    # the one hot loop where interpreted per-element lambdas (or a
-    # 16-cells x 64-dims literal expression tree) lose badly. A
-    # vectorized Arrow-batched pandas_udf does one (batch x dim) @
-    # (dim x cells) matmul per batch: narrow (no shuffle), centroids
-    # closed over (tiny), and the documented Pandas-UDF edge for
-    # numeric kernels. argsort is stable so ties break to the lowest
-    # cell id deterministically.
-    from pyspark.sql.functions import pandas_udf
-
-    cmat = np.asarray([c for _, c in centroids], dtype=np.float64)
-
-    def make_assign(n: int):
-        @pandas_udf("array<int>")
-        def assign(vecs: pd.Series) -> pd.Series:
-            x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
-            if len(x) == 0:
-                return pd.Series([], dtype=object)
-            order = np.argsort(-(x @ cmat.T), axis=1, kind="stable")[:, :n]
-            return pd.Series([[int(c) for c in row] for row in order])
-
-        return assign
-
-    def nearest_cells(df: DataFrame, n: int, out: str) -> DataFrame:
-        """Attach the n nearest centroid ids (by dot with the unit
-        vector — equivalent to cosine order for unit inputs)."""
-        return df.withColumn(out, make_assign(n)(F.col("_u")))
+    centroids = _train_centroids(uc, id_col, n_cells, seed)
 
     # IVF is build-then-probe: materialize the cell-assigned corpus (the
     # inverted file) ONCE before probing. Without this, Catalyst inlines
@@ -300,7 +304,7 @@ def ivf_topk(
     # you would persist to storage partitioned by cell; localCheckpoint
     # is its single-session analog.
     cell_corpus = (
-        nearest_cells(uc, 1, "_cells")
+        _assign_cells(uc, centroids, 1, "_cells")
         .select(
             F.col(id_col).alias("match_id"),
             F.col("_u").alias("_cu"),
@@ -309,7 +313,7 @@ def ivf_topk(
         .localCheckpoint(eager=True)
     )
     cell_queries = (
-        nearest_cells(uq, n_probe, "_cells")
+        _assign_cells(uq, centroids, n_probe, "_cells")
         .select(
             F.col(query_id_col).alias("query_id"),
             F.col("_u").alias("_qu"),

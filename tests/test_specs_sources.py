@@ -84,3 +84,34 @@ class TestFileFormats:
         assert back.count() == 100
         got = {int(r["id"]) for r in back.collect()}
         assert got == set(range(100))
+
+
+class TestBinaryFileIngestion:
+    def test_media_files_flow_through_binary_source(self, spark, tmp_path):
+        """Real files on disk -> binaryFile source -> mapInPandas decode:
+        the ingestion path a production multimodal pipeline uses (the
+        synthesize_media fixture only bypasses the filesystem)."""
+        from pycasselastic_spark.operators import multimodal as M
+        from pycasselastic_spark.sources.registry import TableRef, read_table
+
+        media_dir = tmp_path / "media"
+        media_dir.mkdir()
+        for i in range(6):
+            (media_dir / f"m{i}.fimg").write_bytes(
+                f"FIMG|{4 + i}|{2 + i}|1;".encode() + b"ab" * 8
+            )
+        ref = TableRef(fmt="binaryFile", path_or_table=str(media_dir))
+        raw = read_table(spark, ref)
+        assert {"path", "content", "length"} <= set(raw.columns)
+        media = raw.select(
+            F.regexp_extract(F.col("path"), r"m(\d+)\.fimg", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.col("content"),
+        )
+        feats = {r["media_id"]: r for r in M.extract_features(media).collect()}
+        assert len(feats) == 6
+        for i in range(6):
+            assert feats[i]["width"] == 4 + i
+            assert feats[i]["payload_bytes"] == 16
