@@ -54,3 +54,66 @@ def first_event_per_key(increments: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+RUNNING_TOTALS_SCHEMA = "user_id long, n_events long, total_value double"
+
+try:  # Spark 4 typed-state API; keep module importable without it
+    from pyspark.sql.streaming import StatefulProcessor as _StatefulProcessor
+except ImportError:  # pragma: no cover
+    _StatefulProcessor = object
+
+
+class RunningTotalsProcessor(_StatefulProcessor):
+    """``transformWithStateInPandas`` processor (the Spark 4 successor
+    to applyInPandasWithState, with typed state handles): per user, a
+    running event count + exact money total held in a ValueState.
+
+    NOTE: the transformWithState state server speaks protobuf; this
+    container ships no usable ``google.protobuf``, so the operator is
+    exercised by a skip-if-unavailable test rather than a catalog/driver
+    query (the applyInPandasWithState twin covers the driver gate).
+
+    Money is accumulated as integer CENTS — the corpus stores
+    2-decimal doubles, so value*100 rounds to an exact integer and the
+    running sum is order-independent (the same determinism rule as the
+    catalog's decimal sums, applied to streaming state). Each batch
+    emits the key's cumulative totals; with one batch the emission
+    equals the batch GROUP BY, which is what the oracle checks."""
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState("totals", "n BIGINT, cents BIGINT")
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, cents = 0, 0
+        if self._totals.exists():
+            prev = self._totals.get()
+            n, cents = int(prev[0]), int(prev[1])
+        for pdf in rows:
+            n += len(pdf)
+            # round each element BEFORE summing: 0.07*100 is
+            # 7.000000000000001 in binary, so a float sum then one
+            # round would drift; per-element rounds are exact
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        self._totals.update((n, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_totals_per_key(increments: DataFrame) -> DataFrame:
+    """Streaming running totals via transformWithStateInPandas. Input
+    columns: user_id, value."""
+    return increments.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotalsProcessor(),
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

@@ -6,6 +6,7 @@ from __future__ import annotations
 import datetime as dt
 import uuid
 
+import pytest
 from pyspark.sql import functions as F
 
 from pycasselastic_spark.core.merge import lww_merge
@@ -229,3 +230,50 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
         for r in clicks.join(buys, batch_cond).select("click_id", "buy_id").collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithState state server requires google.protobuf, "
+    "absent from this container",
+)
+def test_transform_with_state_running_totals(spark, sf_dir):
+    """transformWithStateInPandas running totals must equal the batch
+    GROUP BY after one availableNow pass."""
+    from pycasselastic_spark.streaming.stateful import running_totals_per_key
+    from pycasselastic_spark.streaming.sync import read_event_stream
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    q = (
+        running_totals_per_key(stream.select("user_id", "value"))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tws_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.table("tws_test").collect()
+    }
+    expect = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("tv"),
+        )
+        .collect()
+    }
+    assert got == expect
