@@ -2703,3 +2703,82 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT c.* FROM _udtf_docs, "
         "LATERAL chunk_doc(doc_id, text, 20) AS c"
     )
+
+
+@register(
+    "window_function_suite_orders",
+    """
+SELECT o_orderkey, o_custkey,
+       LAG(o_totalprice) OVER w AS prev_price,
+       LEAD(o_totalprice) OVER w AS next_price,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume,
+       FIRST_VALUE(o_orderkey) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key,
+       LAST_VALUE(o_orderkey) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_key
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    doc="Window-function breadth: lag/lead/ntile/percent_rank/cume_dist "
+    "+ framed first/last_value per customer, unique (orderdate, "
+    "orderkey) tiebreak everywhere. percent_rank and cume_dist are "
+    "int/int divisions — exactly rounded in both engines.",
+)
+def window_function_suite_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_orderkey").over(wf).alias("first_key"),
+        F.last("o_orderkey").over(wf).alias("last_key"),
+    )
+
+
+@register(
+    "date_arithmetic_suite_orders",
+    """
+SELECT o_orderkey,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS o_month,
+       CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS o_day,
+       CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS o_quarter,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+            AS BIGINT) AS days_since_1995
+FROM orders
+""",
+    doc="Scalar date/time arithmetic breadth: extract fields, month "
+    "truncation, last_day, day offsets and day differences — all "
+    "calendar-exact (no timezone arithmetic; session pinned UTC).",
+)
+def date_arithmetic_suite_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).cast("bigint").alias("o_year"),
+        F.month(d).cast("bigint").alias("o_month"),
+        F.dayofmonth(d).cast("bigint").alias("o_day"),
+        F.quarter(d).cast("bigint").alias("o_quarter"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.date_add(d.cast("date"), 30).alias("plus_30d"),
+        F.datediff(d, F.lit("1995-01-01").cast("timestamp"))
+        .cast("bigint")
+        .alias("days_since_1995"),
+    )
