@@ -3011,3 +3011,94 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "funnel_conversion_events",
+    """
+WITH stage AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_buy
+  FROM events GROUP BY user_id)
+SELECT
+  COUNT(*) AS n_users,
+  CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+  CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+  CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                 AND t_buy > t_click THEN 1 ELSE 0 END) AS BIGINT)
+    AS purchased_after_click
+FROM stage
+""",
+    doc="Funnel conversion (view -> click -> purchase in strict time "
+    "order, by first occurrence per stage): one conditional-MIN "
+    "aggregation per user, then counting stage survivors — the "
+    "product-analytics sequence query as two partial-aggregated "
+    "shuffles, no self-joins.",
+)
+def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def first_ts(kind: str):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    stage = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_buy"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    bought = clicked & (F.col("t_buy") > F.col("t_click"))
+    as_int = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return stage.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        as_int(viewed).alias("viewed"),
+        as_int(clicked).alias("clicked_after_view"),
+        as_int(bought).alias("purchased_after_click"),
+    )
+
+
+@register(
+    "retention_cohorts_events",
+    """
+WITH firsts AS (
+  SELECT user_id,
+         CAST(date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS DATE) AS cohort
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+  FROM events)
+SELECT f.cohort,
+       CAST(date_diff('day', f.cohort, a.week) // 7 AS BIGINT) AS week_offset,
+       COUNT(*) AS active_users
+FROM firsts f JOIN activity a ON f.user_id = a.user_id
+GROUP BY f.cohort, week_offset
+""",
+    doc="Retention cohorts: users bucketed by first-activity week, "
+    "counted per subsequent active week offset — first-touch "
+    "aggregation joined back to distinct weekly activity; all shuffles "
+    "keyed by user or (cohort, offset), calendar-exact week truncation "
+    "(both engines start weeks on Monday).",
+)
+def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("week"), F.col("cohort")) / 7)
+            .cast("bigint"),
+        )
+        .groupBy("cohort", "week_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
