@@ -3102,3 +3102,71 @@ def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", "week_offset")
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
+
+
+@register(
+    "session_stats_events",
+    """
+WITH e AS (SELECT user_id, event_type, value,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+g AS (
+  SELECT user_id, us, event_type, value,
+         CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+s AS (
+  SELECT user_id, us, event_type, value,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM g
+),
+per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events,
+         max(us) - min(us) AS duration_us,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purchases,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+  FROM s GROUP BY user_id, session_id)
+SELECT
+  COUNT(*) AS n_sessions,
+  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces,
+  CAST(SUM(n_events) AS BIGINT) AS total_events,
+  CAST(CAST(SUM(duration_us) AS DOUBLE) / 1000000 AS BIGINT)
+    AS total_duration_s,
+  CAST(SUM(n_purchases) AS BIGINT) AS total_purchases,
+  CAST(SUM(CAST(session_value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM per_session
+""",
+    doc="Session-level rollup composed on the sessionize operator: "
+    "per-session duration/bounce/purchase/value stats, then a global "
+    "summary — integer-microsecond durations and decimal-exact money "
+    "keep the two-level rollup hashable cross-engine.",
+)
+def session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", F.unix_micros("ts").alias("us")
+    )
+    sess = sessionize(ev, ["user_id"], "us", gap_seconds=1_800_000_000)
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchases"),
+        money_sum("value", "session_value"),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("bounces"),
+        F.sum("n_events").cast("bigint").alias("total_events"),
+        (F.sum("duration_us").cast("double") / F.lit(1_000_000))
+        .cast("bigint")
+        .alias("total_duration_s"),
+        F.sum("n_purchases").cast("bigint").alias("total_purchases"),
+        money_sum("session_value", "total_value"),
+    )
