@@ -3170,3 +3170,98 @@ def session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_purchases").cast("bigint").alias("total_purchases"),
         money_sum("session_value", "total_value"),
     )
+
+
+@register(
+    "q21_sole_supplier_orders",
+    """
+SELECT s_suppkey, s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_suppkey, s_name
+""",
+    doc="TPC-H Q21 shape: correlated EXISTS + NOT EXISTS against the "
+    "same fact table (multi-supplier orders where this supplier shipped "
+    "strictly last), planned as a semi join + anti join on the order "
+    "key. The classic late-supplier blame query.",
+)
+def q21_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supplier = _t(spark, sf_dir, "supplier")
+    l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+    others = li.select(
+        F.col("l_orderkey").alias("_ok"),
+        F.col("l_suppkey").alias("_sk"),
+        F.col("l_shipdate").alias("_sd"),
+    )
+    with_other = l1.join(
+        others,
+        (F.col("l_orderkey") == F.col("_ok")) & (F.col("l_suppkey") != F.col("_sk")),
+        "left_semi",
+    )
+    not_latest = with_other.join(
+        others,
+        (F.col("l_orderkey") == F.col("_ok"))
+        & (F.col("l_suppkey") != F.col("_sk"))
+        & (F.col("_sd") > F.col("l_shipdate")),
+        "left_anti",
+    )
+    return (
+        not_latest.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "array_function_suite_embeddings",
+    """
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       list_sum(list_transform(embedding, x -> x::DOUBLE)) AS vec_sum,
+       list_sum(list_transform(
+         list_filter(embedding, x -> x > 0), x -> x::DOUBLE)) AS pos_sum,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+       CAST(embedding[1] AS DOUBLE) AS first_comp,
+       CAST(list_sort(embedding)[len(embedding)] AS DOUBLE) AS max_comp,
+       list_sum(list_transform(embedding[1:8],
+                x -> x::DOUBLE * x::DOUBLE)) AS head_sq_sum
+FROM embeddings
+""",
+    doc="Array higher-order-function breadth over the embedding column: "
+    "transform / filter / slice / sort / element access / sequential "
+    "fold — the JVM-side array toolkit ANN and dedup are built from, "
+    "exercised directly. Sequential-double folds keep sums bit-exact "
+    "cross-engine.",
+)
+def array_function_suite_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    pos = F.filter(e, lambda x: x > 0)
+    return emb.select(
+        "vec_id",
+        F.size(e).cast("int").alias("dim"),
+        fold(e).alias("vec_sum"),
+        fold(pos).alias("pos_sum"),
+        F.size(pos).cast("int").alias("n_pos"),
+        F.element_at(e, 1).cast("double").alias("first_comp"),
+        F.element_at(F.array_sort(e), F.size(e)).cast("double").alias("max_comp"),
+        F.aggregate(
+            F.slice(e, 1, 8),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        ).alias("head_sq_sum"),
+    )
