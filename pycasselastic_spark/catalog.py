@@ -3265,3 +3265,75 @@ def array_function_suite_embeddings(spark: SparkSession, sf_dir: str) -> DataFra
             lambda acc, x: acc + x.cast("double") * x.cast("double"),
         ).alias("head_sq_sum"),
     )
+
+
+@register(
+    "q20_part_supplier_chain",
+    """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50)
+""",
+    doc="TPC-H Q20 shape: two-level nested IN chain (parts by LIKE -> "
+    "suppliers by shipped-quantity HAVING -> supplier projection), "
+    "planned as stacked semi joins with the aggregate in the middle.",
+)
+def q20_part_supplier_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    big_suppliers = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(money("l_quantity")).alias("_q"))
+        .filter(F.col("_q") > 50)
+        .select("l_suppkey")
+    )
+    return supplier.join(
+        F.broadcast(big_suppliers),
+        F.col("s_suppkey") == F.col("l_suppkey"),
+        "left_semi",
+    ).select("s_suppkey", "s_name")
+
+
+@register(
+    "regex_suite_events",
+    """
+SELECT event_id,
+       regexp_extract(props, '[0-9]+', 0) AS first_number,
+       regexp_replace(props, '[0-9]+', '#') AS masked,
+       CAST(regexp_matches(props, '"k": [0-9]{2}') AS INT) AS has_2digit,
+       CAST(len(regexp_extract_all(props, '[0-9]')) AS INT) AS n_digits
+FROM events WHERE event_id < 500
+""",
+    doc="Regex breadth over the props JSON strings: extract, replace, "
+    "boolean match, match counting — simple character-class patterns "
+    "whose semantics are identical across the Java and RE2-style "
+    "engines.",
+)
+def regex_suite_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    p = F.col("props")
+    return ev.select(
+        "event_id",
+        F.regexp_extract(p, "[0-9]+", 0).alias("first_number"),
+        F.regexp_replace(p, "[0-9]+", "#").alias("masked"),
+        p.rlike('"k": [0-9]{2}').cast("int").alias("has_2digit"),
+        F.size(F.regexp_extract_all(p, F.lit("[0-9]"), F.lit(0)))
+        .cast("int")
+        .alias("n_digits"),
+    )
