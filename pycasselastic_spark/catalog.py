@@ -3337,3 +3337,88 @@ def regex_suite_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_digits"),
     )
+
+
+@register(
+    "q2_min_price_supplier",
+    """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, l_extendedprice
+  FROM lineitem),
+best AS (
+  SELECT l_partkey AS bp, MIN(l_extendedprice) AS min_price
+  FROM offers GROUP BY l_partkey)
+SELECT p_partkey, p_name, s_suppkey, s_name, o.l_extendedprice AS price
+FROM offers o, best, part, supplier
+WHERE o.l_partkey = bp AND o.l_extendedprice = min_price
+  AND p_partkey = o.l_partkey AND s_suppkey = o.l_suppkey
+  AND p_size <= 5
+  AND o.l_suppkey = (SELECT MIN(o2.l_suppkey) FROM offers o2
+                     WHERE o2.l_partkey = o.l_partkey
+                       AND o2.l_extendedprice = best.min_price)
+""",
+    doc="TPC-H Q2 shape: argmin-per-group with join-back (cheapest "
+    "offer per part, supplier-key tiebreak making the argmin unique) — "
+    "the relational dual of the LWW argmax merge, expressed with "
+    "min_by(struct) so the shuffle carries one candidate per key.",
+)
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    supplier = _t(spark, sf_dir, "supplier")
+    best = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("l_extendedprice").alias("price"),
+                    F.col("l_suppkey").alias("supp"),
+                ),
+                F.struct("l_extendedprice", "l_suppkey"),
+            ).alias("_b")
+        )
+        .select(
+            "l_partkey",
+            F.col("_b.price").alias("price"),
+            F.col("_b.supp").alias("l_suppkey"),
+        )
+    )
+    return (
+        best.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "price")
+    )
+
+
+@register(
+    "q16_supplier_variety",
+    """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_size IN (1, 5, 9, 13)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+    doc="TPC-H Q16 shape: NOT IN subquery + COUNT(DISTINCT) per part "
+    "attribute triple — supplier variety excluding negative-balance "
+    "suppliers. NOT IN is null-aware in general; the subquery key is "
+    "non-nullable here, so the plain (broadcast) anti join is exactly "
+    "equivalent and is the plan used.",
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 5, 9, 13))
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
