@@ -123,3 +123,18 @@ def test_q19_join_stays_equi_hash(spark, sf_dir):
     equi-join into a nested-loop cross product."""
     plan = tuning.physical_plan(QUERIES["q19_disjunctive_revenue"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_subquery_joins_stay_hash_based(spark, sf_dir):
+    """The EXISTS/NOT EXISTS and nested-IN shapes must plan as hash
+    semi/anti joins on the equi key — the extra non-equi conjuncts ride
+    along as join conditions, never degrading to nested-loop scans."""
+    for name in (
+        "q21_sole_supplier_orders",
+        "q20_part_supplier_chain",
+        "q16_supplier_variety",
+        "q18_large_volume_customer",
+    ):
+        plan = tuning.physical_plan(QUERIES[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "LeftSemi" in plan or "LeftAnti" in plan, name
