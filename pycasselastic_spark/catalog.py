@@ -717,6 +717,21 @@ eu AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE / nrm) AS u FROM 
 """
 _DOT_SQL = "list_sum(list_transform(range(1, 65), k -> {a}[k] * {b}[k]))"
 
+# Deterministic per-dimension corpus mean of the unit vectors, replayed
+# exactly as similarity.dim_mean_vector computes it: Q20 fixed-point
+# accumulation (floor(u*2^20) bigint — exact power-of-two scaling,
+# order-independent integer sum) so both engines produce bit-identical
+# doubles regardless of aggregation order. Used to mean-center LSH
+# signatures (sign banding is degenerate on positive-orthant vectors).
+_MEAN_SQL = """
+qm AS (
+  SELECT k AS dim,
+         CAST(SUM(CAST(FLOOR(u[k] * 1048576.0) AS BIGINT)) AS DOUBLE)
+           / (1048576.0 * COUNT(*)) AS m
+  FROM eu, range(1, 65) t(k) GROUP BY k),
+marr AS (SELECT list(m ORDER BY dim) AS mv FROM qm)
+"""
+
 
 @register(
     "embedding_cosine_neardup",
@@ -763,6 +778,7 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cosine_topk_lsh",
     f"""
 WITH {_UNIT_SQL},
+{_MEAN_SQL},
 planes AS (
   SELECT p, list_transform(range(0, 64), d ->
     CASE WHEN ('0x' || substring(md5('plane' || p || ':dim' || d), 1, 2))::INT % 2 = 1
@@ -772,9 +788,9 @@ planes AS (
 sigs AS (
   SELECT e.vec_id,
          string_agg(CASE WHEN list_sum(list_transform(range(1, 65),
-                           k -> e.u[k] * pl.vec[k])) >= 0
+                           k -> (e.u[k] - ma.mv[k]) * pl.vec[k])) >= 0
                          THEN '1' ELSE '0' END, '' ORDER BY pl.p) AS sig
-  FROM eu e CROSS JOIN planes pl GROUP BY e.vec_id
+  FROM eu e CROSS JOIN planes pl CROSS JOIN marr ma GROUP BY e.vec_id
 ),
 banded AS (
   SELECT vec_id, b AS band_idx, substring(sig, b * 2 + 1, 2) AS band_key
@@ -2402,6 +2418,7 @@ def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_lsh_neardup",
     f"""
 WITH {_UNIT_SQL},
+{_MEAN_SQL},
 planes AS (
   SELECT p, list_transform(range(0, 64), d ->
     CASE WHEN ('0x' || substring(md5('plane' || p || ':dim' || d), 1, 2))::INT % 2 = 1
@@ -2411,9 +2428,9 @@ planes AS (
 sigs AS (
   SELECT e.vec_id,
          string_agg(CASE WHEN list_sum(list_transform(range(1, 65),
-                           k -> e.u[k] * pl.vec[k])) >= 0
+                           k -> (e.u[k] - ma.mv[k]) * pl.vec[k])) >= 0
                          THEN '1' ELSE '0' END, '' ORDER BY pl.p) AS sig
-  FROM eu e CROSS JOIN planes pl GROUP BY e.vec_id
+  FROM eu e CROSS JOIN planes pl CROSS JOIN marr ma GROUP BY e.vec_id
 ),
 banded AS (
   SELECT vec_id, b AS band_idx, substring(sig, b * 2 + 1, 2) AS band_key

@@ -332,6 +332,63 @@ def embedding_cosine_pairs(
     )
 
 
+def _lsh_banded(
+    unit: DataFrame,
+    id_col: str,
+    dim: int,
+    num_planes: int,
+    num_bands: int,
+) -> DataFrame:
+    """(_id, _band_idx, _band_key) rows for hyperplane-LSH banding of a
+    unit-vector DataFrame (column ``_u``). Signatures are computed on
+    mean-centered vectors (deterministic Q20 mean — see
+    ``similarity.with_centered_vector``) so banding keeps its entropy
+    on positive-orthant inputs."""
+    from pycasselastic_spark.operators.similarity import (
+        _hyperplane,
+        signature_bits,
+        with_centered_vector,
+    )
+
+    planes = [_hyperplane(dim, p) for p in range(num_planes)]
+    band_width = num_planes // num_bands
+    centered = with_centered_vector(unit, "_u", "_c")
+    sig = signature_bits(F.col("_c"), planes)
+    bands = F.array(
+        *[
+            F.substring(sig, b * band_width + 1, band_width)
+            for b in range(num_bands)
+        ]
+    )
+    return centered.select(
+        F.col(id_col).alias("_id"), F.posexplode(bands).alias("_band_idx", "_band_key")
+    )
+
+
+def embedding_lsh_band_stats(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    num_planes: int = 12,
+    num_bands: int = 6,
+) -> DataFrame:
+    """Bucket-occupancy diagnostics for ``embedding_lsh_pairs``:
+    (_band_idx, _band_key, bucket_size) per LSH bucket. The candidate
+    join's cost is sum(bucket_size^2) — run this (one cheap aggregation,
+    no pair join) before committing to an LSH pass over a huge corpus
+    to see whether the banding actually prunes on your distribution;
+    degenerate inputs show a few giant buckets."""
+    from pycasselastic_spark.operators.similarity import with_unit_vector
+
+    unit = with_unit_vector(df, vec_col, "_u")
+    return (
+        _lsh_banded(unit, id_col, dim, num_planes, num_bands)
+        .groupBy("_band_idx", "_band_key")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+    )
+
+
 def embedding_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -353,33 +410,20 @@ def embedding_lsh_pairs(
     cosine-0.8 pair is missed with probability ~(1-0.73)^6 ~= 4e-4.
     Recall vs the brute-force baseline is asserted in tests.
 
-    Caveat (measured in scripts/scaling_probe.py): sign-hyperplane
-    bucketing is uninformative on positive-orthant vectors — every
-    signature collides and the candidate space degrades toward O(n^2).
-    Mean-center the embedding column first if its components are
-    all-positive (cosine ORDER is not preserved by centering, but
-    near-dup detection on centered vectors is the standard practice).
+    Signatures are computed on mean-centered unit vectors: raw
+    sign-hyperplane bucketing is uninformative on positive-orthant
+    embeddings (every vector lies on the same side of every plane, so
+    every signature collides and candidates degrade toward O(n^2) —
+    measured in scripts/scaling_probe.py). The operator centers
+    internally with a deterministic Q20 fixed-point mean
+    (similarity.dim_mean_vector), so bucket entropy is restored on ANY
+    input distribution; the verification cosine still uses the
+    original unit vectors, so emitted scores are unchanged.
     """
-    from pycasselastic_spark.operators.similarity import (
-        _hyperplane,
-        dot,
-        signature_bits,
-        with_unit_vector,
-    )
+    from pycasselastic_spark.operators.similarity import dot, with_unit_vector
 
-    planes = [_hyperplane(dim, p) for p in range(num_planes)]
-    band_width = num_planes // num_bands
     unit = with_unit_vector(df, vec_col, "_u")
-    sig = signature_bits(F.col("_u"), planes)
-    bands = F.array(
-        *[
-            F.substring(sig, b * band_width + 1, band_width)
-            for b in range(num_bands)
-        ]
-    )
-    banded = unit.select(
-        F.col(id_col).alias("_id"), F.posexplode(bands).alias("_band_idx", "_band_key")
-    )
+    banded = _lsh_banded(unit, id_col, dim, num_planes, num_bands)
     left = banded.select(F.col("_id").alias("doc_a"), "_band_idx", "_band_key")
     right = banded.select(F.col("_id").alias("doc_b"), "_band_idx", "_band_key")
     candidates = (
@@ -396,6 +440,32 @@ def embedding_lsh_pairs(
         .withColumn("cosine", dot(F.col("_ua"), F.col("_ub")))
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
+    )
+
+
+def embedding_lsh_pairs_auto(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int,
+    target_recall: float = 0.9,
+) -> DataFrame:
+    """``embedding_lsh_pairs`` with corpus-scaled LSH parameters
+    (similarity.lsh_params_for): band width grows with log2(n) so the
+    cross-pair collision rate per band is ~1/n and total candidates
+    stay ~bands * n (subquadratic), while the band count restores
+    ``target_recall`` for pairs at cosine >= ``threshold``. One
+    column-pruned count() sizes the parameters — trivial next to the
+    quadratic join the wider bands prevent. Prefer this over raw
+    ``embedding_lsh_pairs`` for corpora too large to eyeball; the fixed
+    -parameter form remains for oracle replay and tuned pipelines."""
+    from pycasselastic_spark.operators.similarity import lsh_params_for
+
+    num_planes, num_bands = lsh_params_for(df.count(), threshold, target_recall)
+    return embedding_lsh_pairs(
+        df, id_col, vec_col, threshold, dim,
+        num_planes=num_planes, num_bands=num_bands,
     )
 
 

@@ -52,6 +52,58 @@ def with_unit_vector(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
     ).drop("_norm")
 
 
+def dim_mean_vector(df: DataFrame, vec_col: str) -> DataFrame:
+    """One-row DataFrame holding the per-dimension mean of ``vec_col``
+    as ``_mean`` (array<double>).
+
+    The mean is accumulated in Q20 fixed point — ``floor(v * 2^20)`` as
+    bigint; scaling by a power of two is exact in binary floating point
+    and the integer sum is order-independent — so the result is
+    bit-identical across engines, partitionings and shuffle orders. A
+    raw double sum would vary with reduce order and flip downstream
+    sign decisions nondeterministically. Cost: one posexplode + one
+    partial-aggregated shuffle of ``dim`` keys; at cluster scale this
+    is computed once per corpus and persisted with the index."""
+    q = F.floor(F.col("val").cast("double") * F.lit(1048576.0)).cast("bigint")
+    return (
+        df.select(F.posexplode(vec_col).alias("pos", "val"))
+        .select("pos", q.alias("q"))
+        .groupBy("pos")
+        .agg(
+            (F.sum("q").cast("double") / (F.lit(1048576.0) * F.count(F.lit(1)))).alias(
+                "m"
+            )
+        )
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(F.transform("pm", lambda s: s["m"]).alias("_mean"))
+    )
+
+
+def with_centered_vector(
+    df: DataFrame, vec_col: str, out_col: str, means: DataFrame | None = None
+) -> DataFrame:
+    """Attach ``out_col`` = ``vec_col`` minus the per-dimension corpus
+    mean (broadcast of the one-row ``dim_mean_vector`` result).
+
+    Why: sign-hyperplane LSH signatures are uninformative on
+    positive-orthant embeddings — every vector lies on the same side of
+    every md5-derived plane, every signature collides, and the
+    candidate space degrades to O(n^2). Centering restores bucket
+    entropy; it does not change which pairs are near-duplicates because
+    verification scoring still uses the original vectors. Pass
+    ``means`` to center one side by another's distribution (queries by
+    the corpus mean, so both sides land in consistent buckets)."""
+    if means is None:
+        means = dim_mean_vector(df, vec_col)
+    return (
+        df.crossJoin(F.broadcast(means))
+        .withColumn(
+            out_col, F.zip_with(F.col(vec_col), F.col("_mean"), lambda x, m: x - m)
+        )
+        .drop("_mean")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -101,12 +153,67 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
 
 
 def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
-    """LSH sign signature: bit p = (dot(vec, plane_p) >= 0)."""
-    bits = []
-    for plane in planes:
-        p = F.array(*[F.lit(x) for x in plane])
-        bits.append(F.when(dot(vec, p) >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    """LSH sign signature: bit p = (dot(vec, plane_p) >= 0).
+
+    Two implementations with identical output: up to 32 planes, a pure
+    expression tree (whole-stage codegen, oracle-replayable term by
+    term); beyond that the per-plane expression tree explodes codegen
+    (hundreds of 64-term dot products per row), so a vectorized
+    Arrow-batched pandas_udf does one (batch x dim) @ (dim x planes)
+    matmul instead — the documented Pandas-UDF edge for dense numeric
+    kernels. Large plane counts come from ``lsh_params_for`` scaling
+    with corpus size."""
+    if len(planes) <= 32:
+        bits = []
+        for plane in planes:
+            p = F.array(*[F.lit(x) for x in plane])
+            bits.append(F.when(dot(vec, p) >= 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+
+    from pyspark.sql.functions import pandas_udf
+
+    pmat = np.asarray(planes, dtype=np.float64).T  # (dim, planes)
+
+    @pandas_udf("string")
+    def sig(vecs: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(x) == 0:
+            return pd.Series([], dtype=str)
+        bits = (x @ pmat) >= 0
+        return pd.Series(
+            ["".join("1" if b else "0" for b in row) for row in bits]
+        )
+
+    return sig(vec)
+
+
+def lsh_params_for(
+    n_rows: int, threshold: float, target_recall: float = 0.9
+) -> tuple[int, int]:
+    """(num_planes, num_bands) for sign-hyperplane LSH, scaled to the
+    corpus so candidate volume stays subquadratic (Indyk-Motwani).
+
+    Fixed parameters give LSH a constant candidate FRACTION — on a
+    diverse corpus two unrelated vectors sit near 90 degrees, agree on
+    each sign bit with p2 ~= 1/2, and collide on a w-bit band with
+    probability 2^-w; unless w grows with the corpus, candidates are
+    Theta(n^2 / 2^w). So: band width w = ceil(log2 n) drives expected
+    cross-pair collisions per band to B * n^2 * 2^-w ~= B * n (linear),
+    and the band count B = ceil(ln(1-R) / ln(1 - p1^w)) restores recall
+    R for pairs at cosine >= ``threshold`` (per-bit agreement
+    p1 = 1 - acos(t)/pi). Total work: n * B * w signature bits (linear,
+    one Arrow matmul per batch) + ~B * n candidate verifications —
+    n^(1+rho) in the classic analysis, instead of n^2."""
+    import math
+
+    w = max(2, math.ceil(math.log2(max(n_rows, 4))))
+    p1 = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    hit = p1**w
+    if hit >= 1.0:
+        return w, 1
+    bands = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - hit))
+    bands = max(2, min(bands, 64))
+    return w * bands, bands
 
 
 def lsh_topk(
@@ -129,13 +236,19 @@ def lsh_topk(
     vectors at small angle share sign bits with high probability
     (P[bit equal] = 1 - theta/pi). Recall vs brute force is asserted in
     tests; raise ``num_planes``/lower ``num_bands`` for more recall.
+
+    Signatures are computed on mean-centered unit vectors (both sides
+    centered by the CORPUS mean, deterministically — see
+    ``with_centered_vector``): on positive-orthant embeddings raw sign
+    signatures all collide and banding stops pruning. Scoring still
+    uses the uncentered unit vectors, so returned cosines are exact.
     """
     query_id_col = query_id_col or id_col
     planes = [_hyperplane(dim, p) for p in range(num_planes)]
     band_width = num_planes // num_bands
 
-    def with_bands(df: DataFrame, idc: str, out_id: str, out_vec: str) -> DataFrame:
-        sig = signature_bits(F.col(vec_col), planes)
+    def with_bands(df: DataFrame, idc: str, out_id: str) -> DataFrame:
+        sig = signature_bits(F.col("_cvec"), planes)
         bands = F.array(
             *[
                 F.substring(sig, b * band_width + 1, band_width)
@@ -144,14 +257,18 @@ def lsh_topk(
         )
         return df.select(
             F.col(idc).alias(out_id),
-            F.col(vec_col).alias(out_vec),
             F.posexplode(bands).alias("_band_idx", "_band_key"),
         )
 
     uq = with_unit_vector(queries, vec_col, vec_col)
     uc = with_unit_vector(corpus, vec_col, vec_col)
-    qb = with_bands(uq, query_id_col, "query_id", "_qv")
-    cb = with_bands(uc, id_col, "match_id", "_cv")
+    corpus_mean = dim_mean_vector(uc, vec_col)
+    qb = with_bands(
+        with_centered_vector(uq, vec_col, "_cvec", corpus_mean), query_id_col, "query_id"
+    )
+    cb = with_bands(
+        with_centered_vector(uc, vec_col, "_cvec", corpus_mean), id_col, "match_id"
+    )
     # dedup candidate PAIRS on ids only (distinct over 64-dim arrays is
     # a needless wide-row shuffle), then re-attach the unit vectors
     candidates = (

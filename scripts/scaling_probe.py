@@ -48,7 +48,7 @@ def noop(df):
 def main() -> None:
     # argv selects probe families (default: all) so a noisy-host run can
     # re-measure one family without paying for the rest.
-    families = set(sys.argv[1:]) or {"merge", "text", "vecs"}
+    families = set(sys.argv[1:]) or {"merge", "text", "vecs", "posorthant"}
     spark = get_spark(app_name="scaling-probe")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
     out = []
@@ -170,6 +170,100 @@ def main() -> None:
             )
         )
         emit(out, {"op": "embedding_ivf_pairs", "n": n, "sec": dt})
+        v.unpersist()
+
+    # positive-orthant vectors (components in [0, 1)) — the historical
+    # degenerate case for sign-hyperplane banding: every raw vector lies
+    # on the same side of every plane, every signature collides, and the
+    # candidate space is ALL pairs (pre-round-3 behavior, fraction 6.0
+    # with one giant bucket per band). The operator now (a) mean-centers
+    # signatures internally — restoring uniform bucket occupancy — and
+    # (b) offers corpus-scaled parameters (lsh_params_for: band width
+    # ~log2 n) that drive the cross-pair collision rate per band to
+    # ~1/n, making total candidates ~bands*n (subquadratic). Every 50th
+    # vector is a planted near-dup of its predecessor so recall at the
+    # 0.9 threshold is measured alongside the candidate volume.
+    def pos_vecs(n):
+        base = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: (
+                    ((F.xxhash64(F.col("id") * 100 + i) % 1000) + 1000) % 1000
+                ).cast("float")
+                / 1000.0,
+            ).alias("embedding"),
+        )
+        # planted near-dup: copy the previous vector, nudge one component
+        prev = F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: (
+                ((F.xxhash64((F.col("vec_id") - 1) * 100 + i) % 1000) + 1000) % 1000
+            ).cast("float")
+            / 1000.0
+            + F.when(i == 1, F.lit(0.01)).otherwise(F.lit(0.0)),
+        )
+        return base.withColumn(
+            "embedding",
+            F.when(
+                (F.col("vec_id") % 50 == 0) & (F.col("vec_id") > 0), prev
+            ).otherwise(F.col("embedding")),
+        ).repartition(32)
+
+    for n in (2_000, 8_000, 32_000) if "posorthant" in families else ():
+        from pycasselastic_spark.operators.similarity import lsh_params_for
+
+        v = pos_vecs(n).cache()
+        v.count()
+        for label, (planes, bands) in (
+            ("fixed_12_6", (12, 6)),
+            ("auto", lsh_params_for(n, 0.9, target_recall=0.9)),
+        ):
+            cand = (
+                D.embedding_lsh_band_stats(
+                    v, "vec_id", "embedding", dim=64,
+                    num_planes=planes, num_bands=bands,
+                )
+                .agg(
+                    F.sum(
+                        F.col("bucket_size") * (F.col("bucket_size") - 1) / 2
+                    ).alias("c")
+                )
+                .collect()[0]["c"]
+            )
+            emit(
+                out,
+                {
+                    "op": f"lsh_posorthant_candidates_{label}",
+                    "n": n,
+                    "planes": planes,
+                    "bands": bands,
+                    "candidates": int(cand),
+                    "all_pairs": n * (n - 1) // 2,
+                    "fraction": round(cand / (n * (n - 1) / 2), 5),
+                },
+            )
+        t0 = time.perf_counter()
+        found = (
+            D.embedding_lsh_pairs_auto(
+                v, "vec_id", "embedding", threshold=0.9, dim=64, target_recall=0.9
+            )
+            .filter(
+                (F.col("doc_b") == F.col("doc_a") + 1)
+                & (F.col("doc_b") % 50 == 0)
+            )
+            .count()
+        )
+        planted = (n - 1) // 50
+        emit(
+            out,
+            {
+                "op": "embedding_lsh_pairs_auto_posorthant",
+                "n": n,
+                "sec": round(time.perf_counter() - t0, 2),
+                "planted_recall": round(found / planted, 3),
+            },
+        )
         v.unpersist()
 
     spark.stop()
