@@ -48,6 +48,10 @@ def get_spark(
         # Spark has no native type for; read as long-nanos and convert
         # (see sources.corpus.load_table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # newer corpus generations write events.ts as timestamp[us] with
+        # no timezone; keep it TimestampType, not TIMESTAMP_NTZ (see
+        # sources.corpus.load_table)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )

@@ -1,11 +1,21 @@
 """Loader for the driver-generated parquet corpus (TESTDATA.md).
 
-One quirk: ``events.ts`` is written as parquet TIMESTAMP(NANOS), a type
-Spark SQL does not have. With ``spark.sql.legacy.parquet.nanosAsLong``
-(set in ``session.get_spark``) it scans as a long of nanoseconds; this
-loader converts it to a proper microsecond TimestampType so downstream
-operators and the DuckDB oracle (``CAST(ts AS TIMESTAMP)`` truncates
-ns -> us identically) agree.
+``events.ts`` has been written two different ways across corpus
+generations, and this loader absorbs both so every downstream operator
+sees a plain UTC ``TimestampType``:
+
+- parquet TIMESTAMP(NANOS): Spark SQL has no nanosecond type. With
+  ``spark.sql.legacy.parquet.nanosAsLong`` (set in ``session.get_spark``)
+  it scans as a long of nanoseconds; we convert via exact integer
+  division to microsecond TimestampType.
+- parquet ``timestamp[us]`` with no timezone: Spark 4 infers
+  TIMESTAMP_NTZ by default, which ``unix_millis``/``withWatermark``
+  reject. We disable ``spark.sql.parquet.inferTimestampNTZ.enabled``
+  before the read (runtime-settable, covers sessions built elsewhere)
+  and also cast defensively when a prior read already cached NTZ.
+
+Either way the DuckDB oracle (``CAST(ts AS TIMESTAMP)``, UTC-naive)
+agrees bit-for-bit because the session timezone is pinned UTC.
 """
 
 from __future__ import annotations
@@ -34,13 +44,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # set at runtime too: callers (e.g. the driver harness) may hand
-        # us a session built without this config
+        # us a session built without these configs
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp[us] with no tz would otherwise scan as TIMESTAMP_NTZ,
+        # which unix_millis/withWatermark reject at analysis time
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # exact integer division — float division of ~1.7e18 ns values
-        # rounds in the last microseconds
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # exact integer division — float division of ~1.7e18 ns values
+            # rounds in the last microseconds
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # belt-and-braces: a cached FileIndex/schema from before the
+            # conf flip can still surface NTZ; session tz is pinned UTC
+            # above so the cast is value-preserving
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -104,13 +104,15 @@ def read_event_stream(
     path: str,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """File-source stream over the events parquet layout (handles the
-    corpus's TIMESTAMP(NANOS) via the same long-nanos conversion as the
-    batch loader)."""
+    """File-source stream over the events parquet layout (handles both
+    corpus generations of ``ts`` — TIMESTAMP(NANOS)-as-long and
+    no-timezone timestamp[us] — via the same conversions as the batch
+    loader in ``sources.corpus.load_table``)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger:
@@ -122,6 +124,11 @@ def read_event_stream(
         stream = reader.load(os.path.dirname(path))
     else:
         stream = reader.load(path)
-    if isinstance(schema["ts"].dataType, T.LongType):
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        # schema cached before the conf flip; session tz is UTC so the
+        # cast preserves values (see sources.corpus)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
