@@ -112,14 +112,23 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in BENCH_QUERIES:
-        dt = run_once(name)
-        first_run[name] = round(dt, 3)
-        if dt > RERUN_THRESHOLD:
-            # steady state: the retry reuses the now-compiled generated
-            # code, so it measures the plan rather than the JIT
-            dt = min(dt, run_once(name))
+        # per-query isolation: one broken query must not zero out the
+        # timings of the other ~95 (round 3 lost its whole bench to the
+        # first query's AnalysisException)
+        try:
+            dt = run_once(name)
+            first_run[name] = round(dt, 3)
+            if dt > RERUN_THRESHOLD:
+                # steady state: the retry reuses the now-compiled generated
+                # code, so it measures the plan rather than the JIT
+                dt = min(dt, run_once(name))
+        except Exception as exc:  # noqa: BLE001 — record and move on
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"  {name}: ERR {errors[name]}", file=sys.stderr, flush=True)
+            continue
         timings[name] = round(dt, 3)
         total += dt
         print(
@@ -140,7 +149,12 @@ def main() -> None:
     )
     with open(detail_path, "w") as f:
         json.dump(
-            {"sf": sf, "queries": timings, "queries_first_run": first_run},
+            {
+                "sf": sf,
+                "queries": timings,
+                "queries_first_run": first_run,
+                "errors": errors,
+            },
             f,
             indent=1,
             sort_keys=True,
@@ -155,6 +169,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": top,
                 "n_queries": len(timings),
+                "n_errors": len(errors),
                 "queries_detail_file": "BENCH_DETAIL.json",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "sync_merge_rows_per_sec": int(n_rows / sync_dt),
@@ -162,6 +177,10 @@ def main() -> None:
         )
     )
     spark.stop()
+    if errors:
+        # the summary above still carries every green timing; nonzero
+        # exit just flags that some queries erred
+        sys.exit(1)
 
 
 if __name__ == "__main__":
