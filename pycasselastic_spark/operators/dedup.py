@@ -296,12 +296,16 @@ def simhash_pairs(
     hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))) + F.bit_count(
         F.col("_la").bitwiseXOR(F.col("_lb"))
     )
+    # hamming is computed map-side from columns already in the joined
+    # row, so filtering BEFORE the distinct shrinks that shuffle from
+    # every blocked pair down to just the near-dup pairs (hamming is a
+    # pure function of the pair, so filter-then-distinct is equivalent)
     return (
         left.join(right, ["_chunk_idx", "_chunk_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming.alias("hamming"))
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -346,13 +350,18 @@ def _lsh_banded(
     on positive-orthant inputs."""
     from pycasselastic_spark.operators.similarity import (
         _hyperplane,
+        dim_mean_vector,
         signature_bits,
         with_centered_vector,
     )
 
     planes = [_hyperplane(dim, p) for p in range(num_planes)]
     band_width = num_planes // num_bands
-    centered = with_centered_vector(unit, "_u", "_c")
+    # materialize the one-row mean so callers that reference the banded
+    # result in several lineage branches (the pair self-join) don't
+    # re-run the full-corpus aggregation per branch
+    means = dim_mean_vector(unit, "_u").localCheckpoint(eager=True)
+    centered = with_centered_vector(unit, "_u", "_c", means=means)
     sig = signature_bits(F.col("_c"), planes)
     bands = F.array(
         *[
@@ -423,7 +432,12 @@ def embedding_lsh_pairs(
     from pycasselastic_spark.operators.similarity import dot, with_unit_vector
 
     unit = with_unit_vector(df, vec_col, "_u")
-    banded = _lsh_banded(unit, id_col, dim, num_planes, num_bands)
+    # banded rows feed both sides of the self-join; materialize them (3
+    # narrow columns) so signatures — and the centering mean behind them
+    # — are computed once, mirroring simhash's fingerprint checkpoint
+    banded = _lsh_banded(unit, id_col, dim, num_planes, num_bands).localCheckpoint(
+        eager=True
+    )
     left = banded.select(F.col("_id").alias("doc_a"), "_band_idx", "_band_key")
     right = banded.select(F.col("_id").alias("doc_b"), "_band_idx", "_band_key")
     candidates = (

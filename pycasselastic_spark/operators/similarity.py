@@ -155,14 +155,18 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
 def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
     """LSH sign signature: bit p = (dot(vec, plane_p) >= 0).
 
-    Two implementations with identical output: up to 32 planes, a pure
-    expression tree (whole-stage codegen, oracle-replayable term by
-    term); beyond that the per-plane expression tree explodes codegen
-    (hundreds of 64-term dot products per row), so a vectorized
-    Arrow-batched pandas_udf does one (batch x dim) @ (dim x planes)
-    matmul instead — the documented Pandas-UDF edge for dense numeric
-    kernels. Large plane counts come from ``lsh_params_for`` scaling
-    with corpus size."""
+    Two implementations, identical up to floating-point sign-boundary
+    ties: up to 32 planes, a pure expression tree (whole-stage codegen,
+    oracle-replayable term by term); beyond that the per-plane
+    expression tree explodes codegen (hundreds of 64-term dot products
+    per row), so a vectorized Arrow-batched pandas_udf does one
+    (batch x dim) @ (dim x planes) matmul instead — the documented
+    Pandas-UDF edge for dense numeric kernels. The matmul's BLAS
+    accumulation order differs from the sequential-double expression
+    dot, so a dot within rounding of zero can flip a bit — harmless for
+    recall, but the UDF path must never back an oracle-replayed query.
+    Large plane counts come from ``lsh_params_for`` scaling with corpus
+    size."""
     if len(planes) <= 32:
         bits = []
         for plane in planes:
@@ -203,16 +207,47 @@ def lsh_params_for(
     R for pairs at cosine >= ``threshold`` (per-bit agreement
     p1 = 1 - acos(t)/pi). Total work: n * B * w signature bits (linear,
     one Arrow matmul per batch) + ~B * n candidate verifications —
-    n^(1+rho) in the classic analysis, instead of n^2."""
-    import math
+    n^(1+rho) in the classic analysis, instead of n^2.
 
+    The band count is capped at 64 (signature cost is linear in
+    bands * w). When the cap binds, the band width is narrowed step by
+    step — each step halves the per-band miss rate at the cost of ~2x
+    the candidate volume — until ``target_recall`` is reachable within
+    the cap or w hits its floor of 8; if it still binds there, a
+    ``UserWarning`` reports the achievable recall instead of silently
+    under-delivering."""
+    import math
+    import warnings
+
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(
+            f"target_recall must be in (0, 1), got {target_recall!r} "
+            "(1.0 is unreachable for any finite band count)"
+        )
+    max_bands = 64
     w = max(2, math.ceil(math.log2(max(n_rows, 4))))
     p1 = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
-    hit = p1**w
-    if hit >= 1.0:
-        return w, 1
-    bands = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - hit))
-    bands = max(2, min(bands, 64))
+
+    def bands_needed(width: int) -> int:
+        hit = p1**width
+        if hit >= 1.0:
+            return 1
+        return math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - hit))
+
+    while w > 8 and bands_needed(w) > max_bands:
+        w -= 1
+    needed = bands_needed(w)
+    if needed > max_bands:
+        achievable = 1.0 - (1.0 - p1**w) ** max_bands
+        warnings.warn(
+            f"lsh_params_for: target_recall={target_recall} needs {needed} "
+            f"bands at width {w}, above the {max_bands}-band cap; achievable "
+            f"recall is ~{achievable:.3f}. Raise threshold or accept lower "
+            "recall.",
+            UserWarning,
+            stacklevel=2,
+        )
+    bands = max(2, min(needed, max_bands))
     return w * bands, bands
 
 
@@ -262,7 +297,10 @@ def lsh_topk(
 
     uq = with_unit_vector(queries, vec_col, vec_col)
     uc = with_unit_vector(corpus, vec_col, vec_col)
-    corpus_mean = dim_mean_vector(uc, vec_col)
+    # materialize the one-row mean: it feeds BOTH centering branches, and
+    # without a checkpoint each branch re-runs the full-corpus
+    # posexplode+groupBy that computes it
+    corpus_mean = dim_mean_vector(uc, vec_col).localCheckpoint(eager=True)
     qb = with_bands(
         with_centered_vector(uq, vec_col, "_cvec", corpus_mean), query_id_col, "query_id"
     )
