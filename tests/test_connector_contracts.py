@@ -1,16 +1,26 @@
-"""Connector contract tests: the Cassandra/Elasticsearch adapters in
-``sources/registry.py`` cannot run here (no connector jars in the
-container), but their entire value is the exact format + option sets
-they hand Spark — ES external versioning replacing the reference's
-per-document version loop (``pyCassElastic.py:332-344``) and Cassandra
-per-row write timestamps replacing ``USING TIMESTAMP``
-(``pyCassElastic.py:244-251``). These tests drive the adapters against
-recording fakes and pin those option sets."""
+"""Connector contract tests, two layers:
+
+1. Recording fakes pin the EXACT format + option sets the adapters in
+   ``sources/registry.py`` hand Spark — ES external versioning
+   replacing the reference's per-document version loop
+   (``pyCassElastic.py:332-344``) and Cassandra per-row write
+   timestamps replacing ``USING TIMESTAMP``
+   (``pyCassElastic.py:244-251``).
+2. End-to-end execution against in-process Python Data Sources
+   (``sources/fake_connectors.py``) registered under the REAL
+   connector format names: ``read_table``/``write_table`` run
+   unmodified, rows round-trip through executors, and the store-side
+   LWW/versioning semantics the options encode are enforced — not just
+   recorded."""
 
 from __future__ import annotations
 
 import pytest
 
+from pycasselastic_spark.sources.fake_connectors import (
+    read_store_meta,
+    register_fake_connectors,
+)
 from pycasselastic_spark.sources.registry import (
     CASSANDRA_FORMAT,
     ELASTICSEARCH_FORMAT,
@@ -158,3 +168,103 @@ def test_unknown_format_passes_through():
     assert rec["format"] == "delta"
     assert rec["load_path"] == "/tmp/t"
     assert rec["options"] == {"a": "b"}
+
+
+# --- end-to-end against the in-process fake data sources ---
+
+
+@pytest.fixture()
+def fake_root(spark, tmp_path):
+    register_fake_connectors(spark)
+    return str(tmp_path)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_cassandra_roundtrip_enforces_writetime_lww(spark, fake_root):
+    """write_table -> fake C* store -> read_table: a second append with
+    a STALE writetime must lose, a fresher one must win — the USING
+    TIMESTAMP upsert semantics actually executing, not just the option
+    being recorded."""
+    ref = TableRef("cassandra", "ks.events", {"fake.root": fake_root})
+    base = spark.createDataFrame(
+        [(1, 100, "a"), (2, 100, "b")], "id bigint, version bigint, text string"
+    )
+    write_table(base, ref, mode="overwrite", id_col="id", version_col="version")
+    upd = spark.createDataFrame(
+        [(2, 50, "stale"), (3, 200, "c")], "id bigint, version bigint, text string"
+    )
+    write_table(upd, ref, mode="append", id_col="id", version_col="version")
+
+    out = read_table(spark, ref)
+    assert _rows(out) == [(1, 100, "a"), (2, 100, "b"), (3, 200, "c")]
+
+    meta = read_store_meta(fake_root, "ks.events")
+    assert meta["meta"]["last_write_options"]["writetime"] == "version"
+    assert meta["meta"]["last_write_options"]["keyspace"] == "ks"
+    assert meta["meta"]["last_write_options"]["table"] == "events"
+
+
+def test_elasticsearch_roundtrip_enforces_external_versioning(spark, fake_root):
+    """write_table -> fake ES index -> read_table: with external
+    versioning a document at version <= stored is dropped (the bulk
+    409 the reference's sync ignores); a fresher version replaces."""
+    ref = TableRef("elasticsearch", "idx/doc", {"fake.root": fake_root})
+    base = spark.createDataFrame(
+        [(1, 100, "a"), (2, 100, "b")], "id bigint, version bigint, text string"
+    )
+    write_table(base, ref, mode="overwrite", id_col="id", version_col="version")
+    upd = spark.createDataFrame(
+        [(1, 100, "same-version-loses"), (2, 300, "newer")],
+        "id bigint, version bigint, text string",
+    )
+    write_table(upd, ref, mode="append", id_col="id", version_col="version")
+
+    out = read_table(spark, ref)
+    assert _rows(out) == [(1, 100, "a"), (2, 300, "newer")]
+
+    meta = read_store_meta(fake_root, "idx/doc")
+    opts = meta["meta"]["last_write_options"]
+    assert opts["es.mapping.id"] == "id"
+    assert opts["es.mapping.version"] == "version"
+    assert opts["es.mapping.version.type"] == "external"
+
+
+def test_fake_stores_back_the_lww_sync_pipeline(spark, fake_root):
+    """The reference's whole job — bidirectional C*<->ES LWW sync —
+    executed against both fake stores through the real read/write
+    adapters: after syncing, both stores converge to the per-id max
+    version (pyCassElastic.py:316-354 / :223-314, executor-parallel)."""
+    from pyspark.sql import functions as F
+
+    from pycasselastic_spark.core.merge import lww_merge
+
+    cass_ref = TableRef("cassandra", "ks.docs", {"fake.root": fake_root})
+    es_ref = TableRef("elasticsearch", "docs/doc", {"fake.root": fake_root})
+    cass0 = spark.createDataFrame(
+        [(1, 10, "c1"), (2, 30, "c2")], "id bigint, version bigint, text string"
+    )
+    es0 = spark.createDataFrame(
+        [(1, 20, "e1"), (3, 15, "e3")], "id bigint, version bigint, text string"
+    )
+    write_table(cass0, cass_ref, mode="overwrite", id_col="id", version_col="version")
+    write_table(es0, es_ref, mode="overwrite", id_col="id", version_col="version")
+
+    cass = read_table(spark, cass_ref)
+    es = read_table(spark, es_ref)
+    merged = lww_merge([cass, es], "id", "version").select("id", "version", "text")
+    write_table(merged, cass_ref, mode="append", id_col="id", version_col="version")
+    write_table(merged, es_ref, mode="append", id_col="id", version_col="version")
+
+    want = [(1, 20, "e1"), (2, 30, "c2"), (3, 15, "e3")]
+    assert _rows(read_table(spark, cass_ref)) == want
+    assert _rows(read_table(spark, es_ref)) == want
+
+
+def test_fake_read_missing_store_raises(spark, fake_root):
+    with pytest.raises(Exception, match="does not exist"):
+        read_table(
+            spark, TableRef("cassandra", "ks.nope", {"fake.root": fake_root})
+        ).collect()
