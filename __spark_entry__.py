@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pycasselastic_spark.catalog import QUERIES  # noqa: E402
+from pycasselastic_spark.catalog import QUERIES, render_oracle  # noqa: E402
+
+# The driver's correctness gate runs oracles at sf0.01; data-derived
+# oracles (IVF centroid replay) are rendered against this corpus.
+_DRIVER_SF_DIR = "/root/testdata/sf0.01"
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -32,6 +36,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (omitted for
     non-SQL-expressible operators -> rows-only check)."""
-    return {
-        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
-    }
+    rendered = {name: render_oracle(name, _DRIVER_SF_DIR) for name in QUERIES}
+    return {name: sql for name, sql in rendered.items() if sql is not None}

@@ -41,19 +41,33 @@ from pycasselastic_spark.sources.corpus import load_table
 @dataclass(frozen=True)
 class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None
+    # str: static ANSI SQL; callable: rendered per sf_dir at check time
+    # (for oracles that embed data-derived constants, e.g. trained IVF
+    # centroids); None: rows-only check
+    oracle: str | Callable[[str], str | None] | None
     doc: str = ""
 
 
 QUERIES: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None, doc: str = ""):
+def register(name: str, oracle, doc: str = ""):
     def deco(fn):
         QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
         return fn
 
     return deco
+
+
+def render_oracle(name: str, sf_dir: str) -> str | None:
+    """The DuckDB oracle SQL for ``name`` against the corpus at
+    ``sf_dir`` — static SQL as-is, callable oracles rendered (they may
+    return None to degrade to a rows-only check, e.g. when a
+    data-derived constant can't be replayed at this scale)."""
+    oracle = QUERIES[name].oracle
+    if callable(oracle):
+        return oracle(sf_dir)
+    return oracle
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1847,12 +1861,106 @@ def null_handling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_centroids_sql(sf_dir: str, n_cells: int, seed: int) -> str | None:
+    """A ``cents(cell, cvec)`` CTE holding the IVF centroids for the
+    embeddings table at ``sf_dir``, as double literals.
+
+    The centroid TRAINING is the one genuinely non-SQL-expressible step
+    of the IVF queries (iterative k-means), but it is deterministic:
+    similarity._train_centroids samples with a fixed seed, sorts by id,
+    and runs seeded numpy k-means. So the oracle materializes the
+    centroid table — replaying it here the way _MEAN_SQL replays the
+    Q20 mean — and everything downstream (cell assignment, candidate
+    join, exact cosine, top-k) is recomputed independently in SQL.
+
+    The unit-normalization feeding training replays Spark's
+    ``with_unit_vector`` exactly: float32 widened to double, squares
+    accumulated SEQUENTIALLY (matching ``F.aggregate``'s fold order —
+    a numpy pairwise sum would differ in the last ulps and shift
+    centroids). Returns None (rows-only fallback) when the corpus
+    exceeds the size at which the training sample is the whole sorted
+    table — Spark's Bernoulli sampler is not replayable outside Spark.
+    """
+    import math
+    import os
+
+    import duckdb
+
+    from pycasselastic_spark.operators.similarity import _spherical_kmeans
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{path}') ORDER BY vec_id"
+    ).fetchall()
+    train_cap = max(4096, 512 * n_cells)
+    if 1.2 * train_cap < len(rows):
+        return None  # sample fraction < 1.0: sampler not replayable
+    units = []
+    for _, emb in rows:
+        xs = [float(v) for v in emb]
+        acc = 0.0
+        for v in xs:
+            acc += v * v
+        nrm = math.sqrt(acc)
+        units.append([v / nrm for v in xs])
+    cents = _spherical_kmeans(units, n_cells, seed=seed, iters=8)
+    values = ", ".join(
+        "({}, [{}])".format(cell, ", ".join(repr(float(x)) for x in vec))
+        for cell, vec in cents
+    )
+    return f"cents(cell, cvec) AS (SELECT * FROM (VALUES {values}) v(cell, cvec))"
+
+
+# assignment dot of a unit vector against a centroid literal
+_CDOT_SQL = "list_sum(list_transform(range(1, 65), k -> {u}[k] * {c}[k]))"
+
+
+def _cosine_topk_ivf_oracle(sf_dir: str) -> str | None:
+    cents = _ivf_centroids_sql(sf_dir, n_cells=16, seed=42)
+    if cents is None:
+        return None
+    return f"""
+WITH {_UNIT_SQL},
+{cents},
+cdot AS (
+  SELECT e.vec_id, c.cell,
+         {_CDOT_SQL.format(u='e.u', c='c.cvec')} AS d
+  FROM eu e CROSS JOIN cents c),
+corpus_cell AS (
+  SELECT vec_id AS match_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
+    FROM cdot) WHERE rn = 1),
+query_cells AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
+    FROM cdot WHERE vec_id < 10) WHERE rn <= 8),
+scored AS (
+  SELECT q.query_id, c.match_id,
+         {_DOT_SQL.format(a='qu.u', b='cu.u')} AS cosine
+  FROM query_cells q
+  JOIN corpus_cell c USING (cell)
+  JOIN eu qu ON qu.vec_id = q.query_id
+  JOIN eu cu ON cu.vec_id = c.match_id
+  WHERE q.query_id <> c.match_id)
+SELECT query_id, match_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, match_id) AS rn
+  FROM scored) WHERE rn <= 5
+"""
+
+
 @register(
     "cosine_topk_ivf",
-    None,  # approximate (k-means cell probing) — recall asserted in tests
-    doc="Approximate cosine top-5 via IVF: k-means cells (MLlib, fixed "
-    "seed) + n_probe nearest-cell search — the density-adaptive ANN "
-    "scale path next to the LSH variant (operators/similarity.py:ivf_topk).",
+    _cosine_topk_ivf_oracle,  # deterministic centroids replayed as literals
+    doc="Approximate cosine top-5 via IVF: seeded spherical-k-means "
+    "cells + n_probe nearest-cell search — the density-adaptive ANN "
+    "scale path next to the LSH variant (operators/similarity.py:ivf_topk). "
+    "Value-oracled: the deterministic centroid table is materialized "
+    "into the SQL and assignment/scoring/top-k replayed independently.",
 )
 def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ensure_parallelism(_t(spark, sf_dir, "embeddings"), spark)
@@ -2666,16 +2774,45 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_ivf_neardup_oracle(sf_dir: str) -> str | None:
+    cents = _ivf_centroids_sql(sf_dir, n_cells=8, seed=42)
+    if cents is None:
+        return None
+    return f"""
+WITH {_UNIT_SQL},
+{cents},
+cdot AS (
+  SELECT e.vec_id, c.cell,
+         {_CDOT_SQL.format(u='e.u', c='c.cvec')} AS d
+  FROM eu e CROSS JOIN cents c),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
+    FROM cdot) WHERE rn <= 3),
+cand AS (
+  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM assigned a JOIN assigned b USING (cell)
+  WHERE a.vec_id < b.vec_id)
+SELECT doc_a, doc_b,
+       {_DOT_SQL.format(a='ua.u', b='ub.u')} AS cosine
+FROM cand
+JOIN eu ua ON ua.vec_id = doc_a
+JOIN eu ub ON ub.vec_id = doc_b
+WHERE {_DOT_SQL.format(a='ua.u', b='ub.u')} >= 0.4
+"""
+
+
 @register(
     "embedding_ivf_neardup",
-    None,  # iterative k-means is not SQL-expressible -> rows-only;
-    # recall + exactness vs the brute-force baseline pinned in tests
+    _embedding_ivf_neardup_oracle,  # deterministic centroids replayed
     doc="Cell-blocked embedding near-dup (cluster-then-compare, the "
     "semantic-dedup scale path): spherical-k-means cells bound the "
     "candidate space by sum(cell_size^2) — grow n_cells with the corpus "
     "for linear per-vector work, unlike sign-band LSH whose pruning "
     "factor is constant on unstructured data "
-    "(operators/dedup.py:embedding_ivf_pairs).",
+    "(operators/dedup.py:embedding_ivf_pairs). Value-oracled via the "
+    "materialized deterministic centroid table.",
 )
 def embedding_ivf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ensure_parallelism(_t(spark, sf_dir, "embeddings"), spark)

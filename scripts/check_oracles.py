@@ -55,11 +55,17 @@ def main() -> int:
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
+    from pycasselastic_spark.catalog import render_oracle
     from pycasselastic_spark.session import get_spark
 
     qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
     names = args.names or list(qs)
+    # render per sf: data-derived oracles (IVF centroids) depend on it
+    oracles = {
+        name: sql
+        for name in names
+        if (sql := render_oracle(name, args.sf)) is not None
+    }
 
     con = duckdb.connect()
     for t in TABLES:
