@@ -1084,7 +1084,6 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 import os  # noqa: E402
 import tempfile  # noqa: E402
-import uuid as _uuid  # noqa: E402
 
 from pycasselastic_spark.streaming.sync import (  # noqa: E402
     SnapshotStore,
@@ -1097,27 +1096,58 @@ from pycasselastic_spark.streaming.windows import (  # noqa: E402
 )
 
 
+def _run_stream_to_parquet(spark, df, mode: str) -> DataFrame:
+    """Run a finite (availableNow) streaming DataFrame to completion
+    through a FILE sink and read the result back.
+
+    Why not ``format("memory")``: the memory sink materializes every
+    result row in the DRIVER's heap — the one place that doesn't scale
+    out. A parquet sink keeps results executor-written and
+    distributed-readable, which is how a real pipeline would land them.
+    File sinks only accept append mode, so complete/update-mode
+    aggregations go through ``foreachBatch``: each micro-batch is
+    written executor-parallel (complete overwrites — the last batch IS
+    the final aggregate; update appends — callers fold the monotone
+    update stream after read-back, exactly as they would from a real
+    changelog sink)."""
+    workdir = tempfile.mkdtemp(prefix="stream_sink_")
+    out = os.path.join(workdir, "out")
+    checkpoint = os.path.join(workdir, "checkpoint")
+    if mode == "append":
+        writer = (
+            df.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", checkpoint)
+        )
+    else:
+        save_mode = "overwrite" if mode == "complete" else "append"
+
+        def sink(batch_df, _batch_id):
+            batch_df.write.mode(save_mode).parquet(out)
+
+        writer = (
+            df.writeStream.outputMode(mode)
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+        )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
 @register(
     "streaming_tumbling_window_events",
     QUERIES["tumbling_window_events"].oracle,
     doc="The tumbling-window aggregation run as a real Structured "
     "Streaming query (file source -> watermark -> windowed agg -> "
-    "memory sink, availableNow) — must produce byte-identical results "
+    "parquet sink, availableNow) — must produce byte-identical results "
     "to the batch twin and its DuckDB oracle.",
 )
 def streaming_tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
     agg = tumbling_event_counts(stream)
-    name = f"stream_tumble_{_uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_stream_to_parquet(spark, agg, "complete")
 
 
 @register(
@@ -1190,18 +1220,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, buys, key_col="user_id", left_ts="click_ts",
         right_ts="buy_ts", within="10 minutes",
     ).select(clicks["user_id"].alias("user_id"), "click_id", "buy_id")
-    name = f"ssj_{_uuid.uuid4().hex[:8]}"
-    workdir = tempfile.mkdtemp(prefix="ssj-")
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", f"{workdir}/checkpoint")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_stream_to_parquet(spark, joined, "append")
 
 
 # ---------------------------------------------------------------------------
@@ -1607,19 +1626,10 @@ def streaming_stateful_first_event(spark: SparkSession, sf_dir: str) -> DataFram
     increments = stream.select(
         "user_id", F.unix_micros("ts").alias("us"), "event_id"
     )
-    name = f"stateful_{_uuid.uuid4().hex[:8]}"
-    q = (
-        first_event_per_key(increments)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    updates = _run_stream_to_parquet(spark, first_event_per_key(increments), "update")
     # the sink holds a monotone update stream; final answer = min per key
     return (
-        spark.table(name)
+        updates
         .groupBy("user_id")
         .agg(
             F.min("first_us").alias("first_us"),
@@ -1656,17 +1666,10 @@ FROM s GROUP BY user_id, sid
 )
 def streaming_session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
-    name = f"sess_{_uuid.uuid4().hex[:8]}"
-    q = (
-        session_window_counts(stream, gap="30 minutes")
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    sessions = _run_stream_to_parquet(
+        spark, session_window_counts(stream, gap="30 minutes"), "complete"
     )
-    q.awaitTermination()
-    return spark.table(name).select(
+    return sessions.select(
         "user_id",
         F.unix_micros("session_start").alias("session_start_us"),
         "n_events",
@@ -2596,16 +2599,7 @@ GROUP BY 1, 2, 3
 def streaming_sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
     agg = sliding_event_counts(stream)
-    name = f"stream_slide_{_uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_stream_to_parquet(spark, agg, "complete")
 
 
 @register(
@@ -2633,17 +2627,9 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type", "value")
     )
-    name = f"stream_dedup_{_uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    shutil.rmtree(tmp, ignore_errors=True)  # memory sink holds the rows
-    return spark.table(name)
+    result = _run_stream_to_parquet(spark, deduped, "append")
+    shutil.rmtree(tmp, ignore_errors=True)  # parquet sink holds the rows
+    return result
 
 
 @register(
