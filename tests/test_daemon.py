@@ -128,3 +128,66 @@ def test_empty_snapshot_store_errors_cleanly(spark, tmp_path):
     _seed(spark, right_dir, [(1, 300, "b")])
     cfg = _config(tmp_path, left_dir, right_dir)
     assert main([cfg, "--once"], spark=spark) == 1
+
+
+def test_cli_converges_cassandra_and_elasticsearch_fakes(spark, tmp_path):
+    """The reference's actual deployment shape — the periodic daemon
+    syncing a Cassandra table with an Elasticsearch index — executed
+    end-to-end: config file -> CLI -> incremental scan -> LWW merge ->
+    connector writes, against the in-process fake stores registered
+    under the real connector format names (sources/fake_connectors.py).
+    Convergence AND the store-side upsert contracts (writetime /
+    external versioning) are both exercised."""
+    from pycasselastic_spark.sources.fake_connectors import (
+        read_store_meta,
+        register_fake_connectors,
+    )
+    from pycasselastic_spark.sources.registry import TableRef, write_table
+
+    register_fake_connectors(spark)
+    root = str(tmp_path / "stores")
+    cass_ref = TableRef("cassandra", "ks.docs", {"fake.root": root})
+    es_ref = TableRef("elasticsearch", "docs/doc", {"fake.root": root})
+    schema = "id long, version long, text string"
+    write_table(
+        spark.createDataFrame([(1, 100, "a"), (2, 500, "b-new")], schema),
+        cass_ref, mode="overwrite", id_col="id", version_col="version",
+    )
+    write_table(
+        spark.createDataFrame([(1, 300, "a-new"), (3, 200, "c")], schema),
+        es_ref, mode="overwrite", id_col="id", version_col="version",
+    )
+    cfg = str(tmp_path / "config.json")
+    with open(cfg, "w", encoding="utf-8") as fh:
+        json.dump(
+            {
+                "period": 1,
+                "syncs": [{
+                    "name": "t",
+                    "id_col": "id",
+                    "version_col": "version",
+                    "filter_date": True,
+                    "left": {"table": "ks.docs",
+                             "options": {"format": "cassandra",
+                                         "fake.root": root}},
+                    "right": {"table": "docs/doc",
+                              "options": {"format": "elasticsearch",
+                                          "fake.root": root}},
+                }],
+            },
+            fh,
+        )
+
+    assert main([cfg, "--once"], spark=spark) == 0
+
+    want = {(1, 300, "a-new"), (2, 500, "b-new"), (3, 200, "c")}
+    from pycasselastic_spark.sources.registry import read_table
+
+    for ref in (cass_ref, es_ref):
+        got = {tuple(r) for r in read_table(spark, ref).collect()}
+        assert got == want
+    # the daemon's sink leg delivered the upsert contracts to the stores
+    cass_opts = read_store_meta(root, "ks.docs")["meta"]["last_write_options"]
+    assert cass_opts["writetime"] == "version"
+    es_opts = read_store_meta(root, "docs_doc")["meta"]["last_write_options"]
+    assert es_opts["es.mapping.version.type"] == "external"
