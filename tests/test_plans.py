@@ -125,6 +125,34 @@ def test_q19_join_stays_equi_hash(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_catalog_plans_free_of_row_python_and_cartesian(spark, sf_dir):
+    """Catalog-wide scale lint over every batch query's physical plan:
+
+    - no ``BatchEvalPython`` (row-at-a-time Python UDF — the slow path
+      this engine bans in favor of Arrow-batched eval); the one Python
+      UDTF is exempt by name, its per-row fan-out being the operator's
+      semantics;
+    - no ``CartesianProduct`` (an unguarded all-pairs join would be a
+      100 TB non-starter) outside the explicitly size-guarded
+      brute-force baselines, which plan as broadcast nested-loop
+      against a bounded side instead.
+
+    Streaming queries are excluded: building them RUNS them; their
+    plan shape is covered by their oracle parity instead."""
+    udtf_exempt = {"udtf_chunk_documents"}
+    for name, spec in QUERIES.items():
+        if name.startswith("streaming_"):
+            continue
+        plan = tuning.physical_plan(spec.fn(spark, sf_dir))
+        if name not in udtf_exempt:
+            assert "BatchEvalPython" not in plan, (
+                f"{name}: row-at-a-time Python eval in plan"
+            )
+        assert "CartesianProduct" not in plan, (
+            f"{name}: unguarded cartesian product in plan"
+        )
+
+
 def test_subquery_joins_stay_hash_based(spark, sf_dir):
     """The EXISTS/NOT EXISTS and nested-IN shapes must plan as hash
     semi/anti joins on the equi key — the extra non-equi conjuncts ride
