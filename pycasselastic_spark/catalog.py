@@ -2776,6 +2776,76 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared CTE: the synthesized PPM rasters replayed from documents —
+# dims (w, h) and the raster hex string exactly as synthesize_ppm_media
+# builds them column-side (repeat(md5(text)) truncated to w*h*3 bytes).
+_PPM_SQL = """
+ppm AS (
+  SELECT doc_id, (doc_id % 16 + 4) AS w, (doc_id % 8 + 2) AS h,
+         substring(repeat(md5(text), 33), 1,
+                   CAST((doc_id % 16 + 4) * (doc_id % 8 + 2) * 6 AS INT)) AS hx
+  FROM documents)
+"""
+
+
+@register(
+    "multimodal_ppm_decode_stats",
+    f"""
+WITH {_PPM_SQL},
+b AS (
+  SELECT doc_id, w, h,
+         ('0x' || substring(hx, CAST(k * 2 + 1 AS INT), 2))::INT AS byte,
+         k % 3 AS chan
+  FROM ppm, LATERAL (SELECT unnest(range(0, w * h * 3)) AS k) t)
+SELECT doc_id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(SUM(CASE WHEN chan = 0 THEN byte END) AS DOUBLE) / (w * h) AS mean_r,
+       CAST(SUM(CASE WHEN chan = 1 THEN byte END) AS DOUBLE) / (w * h) AS mean_g,
+       CAST(SUM(CASE WHEN chan = 2 THEN byte END) AS DOUBLE) / (w * h) AS mean_b
+FROM b GROUP BY doc_id, w, h
+""",
+    doc="REAL codec decode: parse binary PPM (P6) files — a public "
+    "Netpbm format needing no codec library — and report per-channel "
+    "means (operators/multimodal.py:decode_ppm/ppm_channel_stats). The "
+    "oracle re-derives every raster byte from the md5 hex and matches "
+    "the means exactly: the decoder's byte-level parse is value-checked.",
+)
+def multimodal_ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = ensure_parallelism(M.synthesize_ppm_media(spark, sf_dir), spark)
+    return M.ppm_channel_stats(media.select("media_id", "content"))
+
+
+@register(
+    "multimodal_ppm_resize",
+    f"""
+WITH {_PPM_SQL},
+hdr AS (SELECT lower(hex(CAST('P6' || chr(10) || '8 4' || chr(10) || '255'
+                              || chr(10) AS BLOB))) AS hh),
+px AS (
+  SELECT doc_id,
+         substring(hx,
+           CAST((((((k // 24) * h) // 4) * w + ((((k % 24) // 3) * w) // 8))
+                 * 3 + k % 3) * 2 + 1 AS INT), 2) AS pair,
+         k
+  FROM ppm, LATERAL (SELECT unnest(range(0, 96)) AS k) t)
+SELECT doc_id AS media_id, CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
+       (SELECT hh FROM hdr) || string_agg(pair, '' ORDER BY k) AS content_hex
+FROM px GROUP BY doc_id
+""",
+    doc="REAL codec resize: decode P6 -> nearest-neighbor resize to 8x4 "
+    "(pure integer index map src=(dst*extent)//out) -> re-encode P6 "
+    "(operators/multimodal.py:ppm_resize). The oracle rebuilds the "
+    "entire output FILE hex — header plus every remapped raster byte — "
+    "so encoder, resampler and decoder are all value-checked "
+    "byte-for-byte.",
+)
+def multimodal_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = ensure_parallelism(M.synthesize_ppm_media(spark, sf_dir), spark)
+    return M.ppm_resize(media.select("media_id", "content"), 8, 4).select(
+        "media_id", "width", "height",
+        F.lower(F.hex("content")).alias("content_hex"),
+    )
+
+
 def _embedding_ivf_neardup_oracle(sf_dir: str) -> str | None:
     cents = _ivf_centroids_sql(sf_dir, n_cells=8, seed=42)
     if cents is None:

@@ -5,10 +5,14 @@ operators.
 The container has no real codec libraries (PIL/librosa/ffmpeg), so the
 *decode* step supports a deterministic fake wire format ("FIMG"/"FAUD"/
 "FVID" headers, see ``synthesize_media``) and raises
-``NotImplementedError`` for real formats — the Spark-side contract
-(schema, binary transport, Arrow batch iteration, partition-parallel
-execution, output schemas) is real and tested. Swapping in a real
-decoder is a per-batch function change, not a pipeline change.
+``NotImplementedError`` for compressed formats — the Spark-side
+contract (schema, binary transport, Arrow batch iteration,
+partition-parallel execution, output schemas) is real and tested.
+Swapping in a real decoder is a per-batch function change, not a
+pipeline change — demonstrated at the bottom of this module by a REAL
+pure-numpy codec for PPM (P6), a public uncompressed format whose spec
+needs no library: parse, channel statistics, nearest-neighbor resize,
+re-encode, all value-oracled byte-for-byte.
 
 Scale notes: mapInPandas streams Arrow batches — content bytes never
 materialize as Python lists row-by-row; partition-parallel with no
@@ -240,3 +244,165 @@ def resample_audio(
 
 
 _ = struct  # (struct available for real-codec implementations)
+
+
+# ---------------------------------------------------------------------------
+# Real public-format codec: PPM (P6, the Netpbm binary RGB format).
+#
+# PPM needs no codec library — the format is a whitespace-delimited
+# ASCII header followed by raw RGB bytes — so the decode step here is a
+# REAL decoder for a real public format, not the fake wire format: it
+# parses arbitrary conforming P6 files (comments, flexible whitespace)
+# per the published Netpbm spec. Compressed formats (JPEG/PNG/audio/
+# video) remain the documented environment stub in _parse_fake above.
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(width: int, height: int, rgb) -> bytes:
+    """Serialize an (height, width, 3) uint8 array as binary PPM (P6)."""
+    import numpy as np
+
+    arr = np.asarray(rgb, dtype=np.uint8)
+    if arr.shape != (height, width, 3):
+        raise ValueError(f"expected shape {(height, width, 3)}, got {arr.shape}")
+    return b"P6\n%d %d\n255\n" % (width, height) + arr.tobytes()
+
+
+def decode_ppm(content: bytes):
+    """Parse a binary PPM (P6): returns (width, height, ndarray[h,w,3]).
+
+    Implements the published header grammar: 'P6', then width, height,
+    maxval as ASCII decimals separated by whitespace, with '#' comments
+    allowed between tokens, then ONE whitespace byte, then
+    width*height*3 raw bytes (maxval <= 255)."""
+    import numpy as np
+
+    buf = bytes(content)
+    if not buf.startswith(b"P6"):
+        raise ValueError("not a P6 PPM (bad magic)")
+    pos = 2
+    tokens = []
+    while len(tokens) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(buf) and buf[pos : pos + 1] == b"#":  # comment to EOL
+            while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        tokens.append(int(buf[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    width, height, maxval = tokens
+    if not 0 < maxval <= 255:
+        raise ValueError(f"unsupported maxval {maxval} (only 8-bit supported)")
+    n = width * height * 3
+    data = buf[pos : pos + n]
+    if len(data) != n:
+        raise ValueError(f"PPM raster truncated: want {n} bytes, got {len(data)}")
+    return width, height, np.frombuffer(data, dtype=np.uint8).reshape(height, width, 3)
+
+
+def resize_nearest(rgb, out_w: int, out_h: int):
+    """Nearest-neighbor resize with pure integer index mapping
+    (src = (dst * src_extent) // dst_extent) — exactly replayable in
+    integer SQL, which is what lets the resize output be value-oracled
+    byte for byte."""
+    import numpy as np
+
+    arr = np.asarray(rgb, dtype=np.uint8)
+    h, w = arr.shape[0], arr.shape[1]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return arr[ys][:, xs]
+
+
+def synthesize_ppm_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic real PPM (P6) images derived from the documents
+    table, built with pure column expressions: per-doc dims (4..19 x
+    2..9) and a raster of width*height*3 bytes taken from the repeated
+    md5 hex of the text (unhex -> raw bytes). Output:
+    (media_id, width, height, content binary)."""
+    from pycasselastic_spark.sources.corpus import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (F.col("doc_id") % 16 + 4).cast("int")
+    h = (F.col("doc_id") % 8 + 2).cast("int")
+    # 19*9*3 = 513 raster bytes max = 1026 hex chars; repeat(md5,33) = 1056
+    raster = F.unhex(
+        F.expr("substring(repeat(md5(text), 33), 1, (doc_id % 16 + 4) "
+               "* (doc_id % 8 + 2) * 6)")
+    )
+    header = F.concat_ws(
+        "", F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+        F.lit("\n255\n"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        w.alias("width"),
+        h.alias("height"),
+        F.concat(F.encode(header, "utf-8"), raster).alias("content"),
+    )
+
+
+PPM_STATS_SCHEMA = (
+    "media_id long, width int, height int, mean_r double, mean_g double, "
+    "mean_b double"
+)
+
+
+def ppm_channel_stats(media: DataFrame) -> DataFrame:
+    """REAL decode + per-channel statistics over Arrow batches: parse
+    each P6 file with decode_ppm and report per-channel means (exact
+    integer sums divided in double — cross-engine reproducible)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ws, hs, mr, mg, mb = [], [], [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, arr = decode_ppm(content)
+                n = w * h
+                sums = arr.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                ids.append(mid)
+                ws.append(w)
+                hs.append(h)
+                mr.append(float(sums[0]) / n)
+                mg.append(float(sums[1]) / n)
+                mb.append(float(sums[2]) / n)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids, "width": ws, "height": hs,
+                    "mean_r": mr, "mean_g": mg, "mean_b": mb,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=PPM_STATS_SCHEMA)
+
+
+def ppm_resize(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL decode -> nearest-neighbor resize -> re-encode as P6.
+    Output: (media_id, width, height, content) with the resized file."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, outs = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _, _, arr = decode_ppm(content)
+                ids.append(mid)
+                outs.append(encode_ppm(out_w, out_h, resize_nearest(arr, out_w, out_h)))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": [out_w] * len(ids),
+                    "height": [out_h] * len(ids),
+                    "content": outs,
+                }
+            )
+
+    return media.mapInPandas(
+        batches, schema="media_id long, width int, height int, content binary"
+    )

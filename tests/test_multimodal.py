@@ -82,3 +82,62 @@ def test_resample_audio_decimates_payload(spark):
         assert got["n_bytes"] == len(expect)
         assert got["resampled_md5"] == hashlib.md5(expect).hexdigest()
         assert got["out_rate"] == 8000
+
+
+# --- real PPM (P6) codec ---
+
+
+def test_ppm_roundtrip_identity():
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    w, h, out = M.decode_ppm(M.encode_ppm(9, 5, arr))
+    assert (w, h) == (9, 5)
+    assert (out == arr).all()
+
+
+def test_ppm_header_grammar_comments_and_whitespace():
+    import numpy as np
+
+    raster = bytes(range(2 * 1 * 3))
+    buf = b"P6 # comment after magic\n# full line\n 2\t1 #dims done\n255\n" + raster
+    w, h, arr = M.decode_ppm(buf)
+    assert (w, h) == (2, 1)
+    assert arr.tobytes() == raster
+    _ = np
+
+
+def test_ppm_decode_rejects_bad_input():
+    with pytest.raises(ValueError, match="magic"):
+        M.decode_ppm(b"P5\n1 1\n255\nxxx")
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_ppm(b"P6\n4 4\n255\nshort")
+    with pytest.raises(ValueError, match="maxval"):
+        M.decode_ppm(b"P6\n1 1\n65535\n" + bytes(6))
+
+
+def test_ppm_resize_nearest_mapping():
+    import numpy as np
+
+    arr = np.arange(6 * 10 * 3, dtype=np.uint8).reshape(6, 10, 3)
+    out = M.resize_nearest(arr, 5, 3)
+    assert out.shape == (3, 5, 3)
+    for y in range(3):
+        for x in range(5):
+            assert (out[y, x] == arr[(y * 6) // 3, (x * 10) // 5]).all()
+
+
+def test_ppm_pipeline_decodes_synthesized_files(spark, sf_dir):
+    media = M.synthesize_ppm_media(spark, sf_dir)
+    stats = M.ppm_channel_stats(media.select("media_id", "content")).collect()
+    raw = {r["media_id"]: r for r in media.collect()}
+    assert len(stats) == len(raw) > 0
+    for r in stats:
+        assert r["width"] == raw[r["media_id"]]["width"]
+        assert r["height"] == raw[r["media_id"]]["height"]
+        assert 0.0 <= r["mean_r"] <= 255.0
+    resized = M.ppm_resize(media.select("media_id", "content"), 8, 4).collect()
+    for r in resized:
+        w, h, arr = M.decode_ppm(bytes(r["content"]))
+        assert (w, h) == (8, 4) and arr.shape == (4, 8, 3)
