@@ -2846,6 +2846,53 @@ def multimodal_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Z-order oracle: the same floor-quantization and bit-interleaving as
+# plans/layout.py, generated as inline shift/mask terms (16 bits per
+# column, column 0 in the even bit lanes).
+_Z_BITS = 16
+_ZQ_SQL = (
+    "CAST(FLOOR(LEAST(GREATEST(({x} - {lo}) / ({hi} - {lo}), 0.0), 1.0) "
+    f"* {float(2**_Z_BITS - 1)}) AS BIGINT)"
+)
+_Z_INTERLEAVE_SQL = " | ".join(
+    f"(((q{c} >> {i}) & 1) << {i * 2 + c})"
+    for i in range(_Z_BITS)
+    for c in (0, 1)
+)
+
+
+@register(
+    "zorder_key_events",
+    f"""
+WITH q AS (
+  SELECT event_id,
+         {_ZQ_SQL.format(x='CAST(user_id AS DOUBLE)', lo='0.0', hi='1024.0')} AS q0,
+         {_ZQ_SQL.format(x='value', lo='0.0', hi='1000.0')} AS q1
+  FROM events)
+SELECT event_id, {_Z_INTERLEAVE_SQL} AS zkey
+FROM q
+""",
+    doc="Z-order (Morton) clustering key over (user_id, value): floor "
+    "quantization onto a 2^16 grid + bit interleaving, pure bigint "
+    "expressions (plans/layout.py:zorder_key). Range-partitioning and "
+    "sorting by this key makes parquet min/max stats tight on BOTH "
+    "columns per file — multi-column data skipping at 100 TB; the "
+    "locality win is asserted quantitatively in tests/test_layout.py.",
+)
+def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pycasselastic_spark.plans.layout import quantize, zorder_key
+
+    ev = _t(spark, sf_dir, "events")
+    key = zorder_key(
+        [
+            quantize(F.col("user_id"), 0.0, 1024.0, bits=16),
+            quantize(F.col("value"), 0.0, 1000.0, bits=16),
+        ],
+        bits=16,
+    )
+    return ev.select("event_id", key.alias("zkey"))
+
+
 def _embedding_ivf_neardup_oracle(sf_dir: str) -> str | None:
     cents = _ivf_centroids_sql(sf_dir, n_cells=8, seed=42)
     if cents is None:
