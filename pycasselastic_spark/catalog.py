@@ -1508,6 +1508,77 @@ def skew_salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_join_events_customer",
+    """
+SELECT e.event_id, e.user_id, c.c_mktsegment
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+""",
+    doc="Skew-salted inner join (operators/skew.py:salted_join): the big "
+    "side salted 16 ways on a row-level column, the dimension replicated "
+    "per salt, joined on (key, salt) — a hot key's probe work spreads "
+    "over 16 tasks. The oracle is the PLAIN join: salting must change "
+    "partitioning only, never semantics.",
+)
+def salted_join_events_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pycasselastic_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return salted_join(ev, dim, ["user_id"], salt_col="event_id", salt_buckets=16)
+
+
+@register(
+    "gap_fill_hourly_events",
+    """
+WITH h AS (
+  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+spans AS (
+  SELECT user_id, min(hour) AS lo, max(hour) AS hi FROM h GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+  FROM spans)
+SELECT g.user_id, epoch_us(g.hour) AS hour_us,
+       COALESCE(h.n, 0) AS n_events
+FROM grid g LEFT JOIN h ON g.user_id = h.user_id AND g.hour = h.hour
+""",
+    doc="Time-series gap fill: per-user dense hourly grid from first to "
+    "last event (sequence + explode — generated distributed, per key, "
+    "never on the driver), left-joined against observed hourly counts "
+    "with zeros filled. The regularized-series input shape for "
+    "downstream window/forecast ops.",
+)
+def gap_fill_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.select("user_id", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .groupBy("user_id", "hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            F.unix_micros("hour").alias("hour_us"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+@register(
     "scd2_customer_history",
     """
 WITH cur AS (SELECT c_custkey AS id, c_mktsegment AS segment,

@@ -48,3 +48,36 @@ def salted_count_sum(
             for c in money_cols
         ],
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_cols: Sequence[str],
+    salt_col: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Inner equi-join with static key salting: the big side gets a
+    deterministic salt derived from ``salt_col`` (a row-level column —
+    NOT the join key, whose hash would put every hot-key row in the
+    same bucket again); the small side is replicated once per salt
+    value via ``explode(sequence(...))``. The join runs on
+    (key, salt), so a hot key's probe work spreads over
+    ``salt_buckets`` tasks instead of one straggler reducer.
+
+    Result is exactly the plain inner join (asserted by the oracle) —
+    salting changes the partitioning, never the semantics. Cost: the
+    small side shuffles ``salt_buckets`` x its size; keep it to true
+    dimension tables. AQE's skewJoin is the adaptive alternative; this
+    is the static form for engines/plans where AQE cannot see the skew
+    (e.g. a first-stage shuffle feeding a stateful op).
+
+    Output columns: big's columns then small's non-key columns."""
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.crc32(F.col(salt_col).cast("string")), F.lit(salt_buckets))
+    )
+    replicated_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("bigint"))
+    joined = salted_big.join(replicated_small, [*key_cols, "_salt"])
+    return joined.drop("_salt")

@@ -81,3 +81,36 @@ class TestSaltedAgg:
             .collect()
         }
         assert salted == plain
+
+
+class TestSaltedJoin:
+    def test_equals_plain_join_on_skewed_data(self, spark):
+        """90% of big-side rows share one hot key; the salted join must
+        return exactly the plain join's rows."""
+        from pycasselastic_spark.operators.skew import salted_join
+
+        big = spark.range(10_000).select(
+            F.col("id").alias("row_id"),
+            F.when(F.col("id") % 10 < 9, 1).otherwise(F.col("id") % 100).alias("k"),
+        )
+        small = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+        )
+        got = sorted(
+            tuple(r)
+            for r in salted_join(big, small, ["k"], salt_col="row_id").collect()
+        )
+        want = sorted(tuple(r) for r in big.join(small, "k").collect())
+        assert got == want and len(got) > 0
+
+    def test_salt_spreads_hot_key_across_buckets(self, spark):
+        """The hot key's rows must actually land in many salt buckets —
+        the whole point of the pattern."""
+        big = spark.range(10_000).select(
+            F.col("id").alias("row_id"), F.lit(1).alias("k")
+        )
+        salted = big.withColumn(
+            "_salt", F.pmod(F.crc32(F.col("row_id").cast("string")), F.lit(16))
+        )
+        n_buckets = salted.select("_salt").distinct().count()
+        assert n_buckets == 16
