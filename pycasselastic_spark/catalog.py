@@ -896,6 +896,112 @@ def token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pack_documents_greedy",
+    """
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT) AS pack_id
+FROM c
+""",
+    doc="Sequence packing for training batches: documents in doc_id "
+    "order are packed into ~512-token bins by cumulative token count "
+    "(pack = floor(tokens-before / budget)) — the deterministic "
+    "streaming-order packing used to fill context windows. One window "
+    "cumsum, no driver loop; at 100 TB the ORDER BY becomes a "
+    "range-partitioned sort and packs stay contiguous per partition.",
+)
+def pack_documents_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", TX.whitespace_token_count("text").cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512)
+        .cast("long")
+        .alias("pack_id"),
+    )
+
+
+@register(
+    "data_quality_report",
+    """
+SELECT 'lineitem_null_shipdate' AS check_name,
+       CAST((SELECT COUNT(*) FROM lineitem WHERE l_shipdate IS NULL) AS BIGINT)
+         AS n_violations
+UNION ALL
+SELECT 'lineitem_orphan_orderkey',
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+UNION ALL
+SELECT 'orders_orphan_custkey',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_negative_quantity',
+       CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_discount_out_of_range',
+       CAST((SELECT COUNT(*) FROM lineitem
+             WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+UNION ALL
+SELECT 'events_null_ts',
+       CAST((SELECT COUNT(*) FROM events WHERE ts IS NULL) AS BIGINT)
+""",
+    doc="Ingest data-quality audit: null checks, value-range checks, "
+    "and referential-integrity orphan counts (left-anti joins) across "
+    "three tables, unioned into one (check_name, n_violations) report "
+    "— the validation gate a training pipeline runs before shipping a "
+    "snapshot. Anti-joins are hash joins on the FK; each check is one "
+    "scan + agg, no driver-side looping.",
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    ev = _t(spark, sf_dir, "events")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    checks = [
+        one("lineitem_null_shipdate", li.filter(F.col("l_shipdate").isNull())),
+        one(
+            "lineitem_orphan_orderkey",
+            li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti"),
+        ),
+        one(
+            "orders_orphan_custkey",
+            orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti"),
+        ),
+        one("lineitem_negative_quantity", li.filter(F.col("l_quantity") <= 0)),
+        one(
+            "lineitem_discount_out_of_range",
+            li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+        ),
+        one("events_null_ts", ev.filter(F.col("ts").isNull())),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 _LANG_SCORE_SQL = (
     "len(list_filter(string_split(text, ' '), w -> list_contains({prof}, w)))"
 )
