@@ -913,24 +913,24 @@ FROM c
     doc="Sequence packing for training batches: documents in doc_id "
     "order are packed into ~512-token bins by cumulative token count "
     "(pack = floor(tokens-before / budget)) — the deterministic "
-    "streaming-order packing used to fill context windows. One window "
-    "cumsum, no driver loop; at 100 TB the ORDER BY becomes a "
-    "range-partitioned sort and packs stay contiguous per partition.",
+    "streaming-order packing used to fill context windows. The global "
+    "running total is the scalable two-pass prefix sum "
+    "(operators/relational.py:global_prefix_sum — range-partitioned "
+    "local cumsums + broadcast partition offsets), NOT a single-task "
+    "global window.",
 )
 def pack_documents_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from pycasselastic_spark.operators.relational import global_prefix_sum
 
     docs = _t(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id", TX.whitespace_token_count("text").cast("long").alias("n_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    return t.select(
+    summed = global_prefix_sum(t, "doc_id", "n_tokens", "cum")
+    return summed.select(
         "doc_id",
         "n_tokens",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512)
-        .cast("long")
-        .alias("pack_id"),
+        F.floor((F.col("cum") - F.col("n_tokens")) / 512).cast("long").alias("pack_id"),
     )
 
 

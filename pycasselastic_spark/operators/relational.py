@@ -113,3 +113,52 @@ def sessionize(
         "session_id",
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Scalable global running total of ``value_col`` in ``order_col``
+    order (``order_col`` must be unique for a total order).
+
+    A naive ``Window.orderBy`` with no partition key funnels the whole
+    table through ONE task — a 100 TB non-starter. This is the
+    classic two-pass prefix sum instead: range-partition by the order
+    column (sorted partitions, parallel), cumsum WITHIN each partition,
+    then add each partition's broadcast offset (the sum of all earlier
+    partitions — one tiny aggregate of num_partitions rows). The result
+    is independent of where the range boundaries land, so it is
+    deterministic and oracle-replayable even though the partitioner
+    samples.
+
+    Output: input columns + ``out_col`` (inclusive running total).
+    """
+    parts = df.repartitionByRange(num_partitions, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = parts.withColumn("_local", F.sum(value_col).over(w_local))
+    # partition totals: num_partitions rows — the only single-task
+    # window here runs over THAT, not the data
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.max("_local").alias("_tot"))
+        .withColumn("_off", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)))
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_local") + F.col("_off"))
+        .drop("_pid", "_local", "_off")
+    )

@@ -114,3 +114,24 @@ class TestSaltedJoin:
         )
         n_buckets = salted.select("_salt").distinct().count()
         assert n_buckets == 16
+
+
+class TestGlobalPrefixSum:
+    def test_matches_single_partition_window(self, spark):
+        from pyspark.sql import Window
+
+        from pycasselastic_spark.operators.relational import global_prefix_sum
+
+        df = spark.range(5_000).select(
+            F.col("id").alias("k"), (F.col("id") % 97 + 1).alias("v")
+        )
+        got = {
+            r["k"]: r["cum"]
+            for r in global_prefix_sum(df, "k", "v", "cum", num_partitions=8).collect()
+        }
+        w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+        want = {
+            r["k"]: r["cum"]
+            for r in df.select("k", F.sum("v").over(w).alias("cum")).collect()
+        }
+        assert got == want
