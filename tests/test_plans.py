@@ -125,6 +125,37 @@ def test_q19_join_stays_equi_hash(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_runtime_bloom_filter_injects_on_selective_dim_join(spark, sf_dir):
+    """Spark's runtime bloom-filter join pruning must engage for a
+    selective dim filter joined to a big fact: the fact scan gets a
+    might_contain() filter built from the dim side, skipping rows (and
+    with parquet, row groups) before the shuffle. The application-side
+    size threshold defaults to 10GB — correct at cluster scale, never
+    met by the test corpus — so the test lowers it to 0 to pin that the
+    optimizer wiring works; at 100 TB it engages on defaults."""
+    from pycasselastic_spark.sources.corpus import load_table
+
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        plan = tuning.physical_plan(
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+        )
+        assert "might_contain" in plan
+    finally:
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 def test_catalog_plans_free_of_row_python_and_cartesian(spark, sf_dir):
     """Catalog-wide scale lint over every batch query's physical plan:
 
