@@ -1002,6 +1002,99 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# PII patterns written in the RE2/Java-regex common subset so Spark and
+# DuckDB match identically (no lookbehind, no backrefs).
+_PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+
+
+@register(
+    "pii_redact_documents",
+    f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '{_PII_EMAIL}', '[EMAIL]', 'g'),
+         '{_PII_SSN}', '[SSN]', 'g'),
+         '{_PII_PHONE}', '[PHONE]', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_SSN}')) AS BIGINT) AS n_ssns
+FROM documents
+""",
+    doc="PII redaction: email/SSN/phone patterns replaced with typed "
+    "placeholders plus per-doc match counts — the scrubbing pass a "
+    "training pipeline runs before snapshots ship. Patterns live in the "
+    "RE2/Java common regex subset so both engines match identically; "
+    "pure regexp_replace column expressions, fully codegen'd.",
+)
+def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "[EMAIL]"),
+            _PII_SSN,
+            "[SSN]",
+        ),
+        _PII_PHONE,
+        "[PHONE]",
+    )
+    return docs.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_SSN), F.lit(0)))
+        .cast("long")
+        .alias("n_ssns"),
+    )
+
+
+@register(
+    "repetition_stats_documents",
+    """
+WITH bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(string_split(text, ' '))),
+                i -> string_split(text, ' ')[i] || ' ' ||
+                     string_split(text, ' ')[i+1])) AS bigram
+  FROM documents),
+per AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+       CAST(MAX(c) AS BIGINT) AS max_bigram_count,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS repetition_ratio
+FROM per GROUP BY doc_id
+""",
+    doc="Repetition quality signal: per-document bigram multiset -> "
+    "most-frequent-bigram share (the classic boilerplate/spam detector "
+    "in corpus filtering). explode + two hash aggregations, no windows.",
+)
+def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.expr(
+        "transform(sequence(0, size(split(text, ' ')) - 2), "
+        "i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1]))"
+    )
+    per = (
+        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    _ = toks
+    return per.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_bigrams"),
+        F.max("c").cast("long").alias("max_bigram_count"),
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+            "repetition_ratio"
+        ),
+    )
+
+
 _LANG_SCORE_SQL = (
     "len(list_filter(string_split(text, ' '), w -> list_contains({prof}, w)))"
 )

@@ -96,3 +96,31 @@ def test_scd2_refold_idempotent(spark, data):
     h1 = scd2_apply(history, updates, "id", "version", ["attr"], ["payload"])
     h2 = scd2_apply(h1, updates, "id", "version", ["attr"], ["payload"])
     assert sorted(map(tuple, h1.collect())) == sorted(map(tuple, h2.collect()))
+
+
+def test_pii_patterns_redact_and_count(spark):
+    """The PII regexes must actually fire: synthetic rows with emails,
+    SSNs, and phone numbers come back redacted with correct counts
+    (the corpus itself is PII-free, so the oracle check alone would
+    pass vacuously)."""
+    from pyspark.sql import functions as F
+
+    from pycasselastic_spark.catalog import _PII_EMAIL, _PII_PHONE, _PII_SSN
+
+    rows = [
+        (1, "reach me at jane.doe+spam@example.co.uk or 555-123-4567 ok"),
+        (2, "ssn 123-45-6789 appears once"),
+        (3, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "[EMAIL]"),
+            _PII_SSN, "[SSN]",
+        ),
+        _PII_PHONE, "[PHONE]",
+    )
+    got = {r["doc_id"]: r["r"] for r in df.select("doc_id", red.alias("r")).collect()}
+    assert got[1] == "reach me at [EMAIL] or [PHONE] ok"
+    assert got[2] == "ssn [SSN] appears once"
+    assert got[3] == "no pii here at all"
