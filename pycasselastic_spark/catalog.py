@@ -1394,6 +1394,34 @@ def streaming_lww_sync_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_static_enrich_events",
+    """
+SELECT c.c_mktsegment, COUNT(*) AS n_events
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+    doc="Stream-static join: the event stream enriched against the "
+    "static customer dimension (broadcast per micro-batch — no state "
+    "store, the dim is re-read each batch so late dim updates are "
+    "picked up) and aggregated by segment. The third join shape of the "
+    "streaming matrix next to stream-stream and foreachBatch-merge; "
+    "must equal the batch join oracle.",
+)
+def streaming_static_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        stream.select("user_id")
+        .join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return _run_stream_to_parquet(spark, agg, "complete")
+
+
+@register(
     "streaming_stream_stream_join",
     """
 WITH e AS (SELECT user_id, event_id, event_type,
