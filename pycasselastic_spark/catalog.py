@@ -2479,6 +2479,92 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q11_important_stock",
+    """
+WITH nat AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'),
+val AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+         * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS v
+  FROM lineitem JOIN nat ON l_suppkey = s_suppkey
+  GROUP BY l_partkey)
+SELECT l_partkey AS partkey, CAST(v AS DOUBLE) AS part_value
+FROM val
+WHERE CAST(v AS DOUBLE) >
+      (SELECT CAST(SUM(v) AS DOUBLE) FROM val) * 0.001
+""",
+    doc="TPC-H Q11 shape (adapted: no partsupp table in the corpus, so "
+    "value = lineitem revenue per part for one nation's suppliers): a "
+    "grouped aggregate filtered against a GLOBAL scalar-subquery "
+    "threshold over the same aggregate. Spark expresses the scalar as "
+    "a broadcast one-row cross join — no driver collect; decimal-exact "
+    "sums, one double comparison.",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    nat = sup.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_3")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    vol = money("l_extendedprice") * (1 - money("l_discount"))
+    val = (
+        li.join(F.broadcast(nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(vol).alias("v"))
+    )
+    total = val.agg(F.sum("v").alias("t"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("v").cast("double") > F.col("t").cast("double") * 0.001)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("v").cast("double").alias("part_value"),
+        )
+    )
+
+
+@register(
+    "q12_late_lines_by_priority",
+    """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_returnflag IN ('A', 'R')
+  AND l_shipdate > CAST(o_orderdate AS TIMESTAMP) + INTERVAL 30 DAY
+GROUP BY l_returnflag
+""",
+    doc="TPC-H Q12 shape (adapted: l_returnflag stands in for the "
+    "corpus's missing l_shipmode, ship-after-order+30d for the missing "
+    "receipt/commit dates): fact-fact equi-join with a cross-table "
+    "date predicate, then two CASE-inside-SUM conditional counts per "
+    "group.",
+)
+def q12_late_lines_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(F.col("l_returnflag").isin("A", "R"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate").cast("timestamp") + F.expr("INTERVAL 30 DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
     "q14_promo_revenue",
     """
 SELECT (100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
