@@ -88,3 +88,43 @@ def repartition_by_zorder(
         .repartitionByRange(num_partitions, F.col(key_col))
         .sortWithinPartitions(key_col)
     )
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Compact a parquet directory's small files into ~target-size
+    files; returns the output file count.
+
+    Small files are the operational tax of incremental pipelines —
+    every scan pays per-file open/footer costs and the driver pays
+    listing. Sizing uses the INPUT bytes on disk (cheap listing, no
+    data read), so the repartition count reflects compressed reality
+    rather than a row-count guess. Optional ``sort_cols`` re-clusters
+    while compacting (pair with :func:`repartition_by_zorder` for
+    multi-column skipping). Output goes to a new directory — at scale
+    the swap is a metastore/table-format pointer flip, not an in-place
+    rewrite, so readers never see a half-compacted state.
+    """
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    if sort_cols:
+        df = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        df = df.coalesce(n_files)
+    df.write.mode("overwrite").parquet(out_path)
+    return n_files

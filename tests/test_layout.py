@@ -105,3 +105,30 @@ def test_zorder_layout_tightens_both_columns(spark, sf_dir, tmp_path):
     u_avg = sum(u_value) / len(u_value)
     assert u_avg > 0.7 * glob_value
     assert u_avg > 2 * (sum(z_value) / len(z_value))
+
+
+def test_compact_small_files(spark, tmp_path):
+    from pycasselastic_spark.plans.layout import compact_small_files
+
+    src = str(tmp_path / "fragmented")
+    spark.range(50_000).selectExpr("id", "id % 100 AS k").repartition(
+        64
+    ).write.parquet(src)
+    n_in = len(glob.glob(os.path.join(src, "*.parquet")))
+    assert n_in >= 32  # genuinely fragmented input
+
+    out = str(tmp_path / "compacted")
+    n_target = compact_small_files(spark, src, out, target_file_bytes=10**9)
+    n_out = len(glob.glob(os.path.join(out, "*.parquet")))
+    assert n_target == 1 and n_out == 1
+    # no rows lost or duplicated
+    assert spark.read.parquet(out).count() == 50_000
+
+    # sorted compaction re-clusters while it compacts
+    out2 = str(tmp_path / "compacted_sorted")
+    compact_small_files(spark, src, out2, target_file_bytes=10**9,
+                        sort_cols=["k"])
+    got = spark.read.parquet(out2)
+    assert got.count() == 50_000
+    spans = _per_file_spans(out2, "k")
+    assert spans and max(spans) <= 99.0
