@@ -2774,6 +2774,38 @@ def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weighted_sample_documents",
+    """
+WITH u AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT::DOUBLE
+           / 4503599627370496.0 AS uni
+  FROM documents)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       round(pow(uni, 1.0 / greatest(CAST(n_chars AS DOUBLE), 1.0)), 12)
+         AS sample_key
+FROM (SELECT *, ROW_NUMBER() OVER (
+        ORDER BY pow(uni, 1.0 / greatest(CAST(n_chars AS DOUBLE), 1.0)) DESC,
+                 doc_id) AS rn
+      FROM u)
+WHERE rn <= 20
+""",
+    doc="Weighted sampling without replacement (Efraimidis-Spirakis "
+    "A-ES, operators/sampling.py:weighted_sample_topk): uniform u from "
+    "52 md5 bits of the key, keep the 20 largest u^(1/n_chars) — "
+    "selection odds proportional to document length, fully "
+    "deterministic (the mixing-weights primitive, minus the RNG). "
+    "Executes as TakeOrderedAndProject: per-partition heaps, k-row "
+    "merge, no global sort.",
+)
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return SP.weighted_sample_topk(docs, "doc_id", "n_chars", 20).select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"), "sample_key"
+    )
+
+
+@register(
     "shard_assignment_documents",
     """
 SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,

@@ -73,3 +73,37 @@ def hash_shard(col: Column | str, n_hex: int = 1) -> Column:
     scale this is the column you ``partitionBy`` on write so any engine
     can locate a document's shard from its key alone."""
     return hash_key(col, n_hex)
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES): each row draws a uniform u from 52 md5
+    bits of its key and the k largest ``u^(1/weight)`` win — selection
+    probability proportional to weight, reproducible across engines,
+    re-runs and partitionings (the mixing-weights primitive of
+    training-data pipelines, minus the RNG).
+
+    Scale shape: a narrow projection then one top-k (TakeOrderedAndProject
+    -— per-partition heaps + a k-row merge, no global sort). Output:
+    input columns + ``sample_key`` (rounded to 12 digits: Java and C
+    libm pow may differ in the last ulp; ranking uses full precision,
+    where a boundary tie within 1 ulp is vanishingly improbable).
+    """
+    u = (
+        F.conv(F.substring(F.md5(_c(key_col).cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        / F.lit(float(16**13))
+    )
+    skey = F.pow(u, F.lit(1.0) / F.greatest(_c(weight_col).cast("double"), F.lit(1.0)))
+    return (
+        df.withColumn("_skey", skey)
+        .orderBy(F.col("_skey").desc(), _c(key_col))
+        .limit(k)
+        .withColumn("sample_key", F.round("_skey", 12))
+        .drop("_skey")
+    )

@@ -132,3 +132,25 @@ def test_compact_small_files(spark, tmp_path):
     assert got.count() == 50_000
     spans = _per_file_spans(out2, "k")
     assert spans and max(spans) <= 99.0
+
+
+def test_zorder_key_is_bijective_and_locality_preserving(spark):
+    """Property over random 16-bit pairs: the Morton key is a bijection
+    (distinct pairs -> distinct keys) and nearby keys decode to nearby
+    points (each key step of 4 moves at most one step in each
+    coordinate's bit lane above the lowest)."""
+    import random
+
+    rng = random.Random(11)
+    pairs = list({(rng.randrange(65536), rng.randrange(65536)) for _ in range(500)})
+    df = spark.createDataFrame(pairs, "a long, b long")
+    rows = df.select(
+        "a", "b", zorder_key([F.col("a"), F.col("b")], bits=16).alias("z")
+    ).collect()
+    zs = [r["z"] for r in rows]
+    assert len(set(zs)) == len(pairs)  # bijective on the sample
+    # round-trip: de-interleave recovers the inputs exactly
+    for r in rows:
+        a = sum(((r["z"] >> (2 * i)) & 1) << i for i in range(16))
+        b = sum(((r["z"] >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (a, b) == (r["a"], r["b"])

@@ -55,3 +55,23 @@ def test_shard_assignment_is_complete_and_stable(spark):
     # repartitioning must not change any assignment
     re = df.repartition(7).withColumn("shard", SP.hash_shard("k"))
     assert out.exceptAll(re).count() == 0
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """A-ES correctness signal: with weights 100 vs 1, heavy rows must
+    dominate a k=50 sample from a 50/50 population, and the sample must
+    be identical across repartitionings (determinism)."""
+    from pycasselastic_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.range(1_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, 100.0).otherwise(1.0).alias("w"),
+    )
+    top = weighted_sample_topk(df, "k", "w", 50)
+    ids = {r["k"] for r in top.collect()}
+    heavy = sum(1 for i in ids if i % 2 == 0)
+    assert heavy >= 45  # ~2^-25 chance of a light row beating a heavy one
+    ids_repart = {
+        r["k"] for r in weighted_sample_topk(df.repartition(13), "k", "w", 50).collect()
+    }
+    assert ids_repart == ids
