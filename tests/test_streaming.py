@@ -277,3 +277,59 @@ def test_transform_with_state_running_totals(spark, sf_dir):
         .collect()
     }
     assert got == expect
+
+
+def test_streaming_sync_into_fake_connector_stores(spark, sf_dir, tmp_path):
+    """Streaming ingestion into an upsert store with server-side LWW —
+    the reference's deployment on Spark, all layers composed: file
+    stream -> foreachBatch -> write_table against the fake Cassandra
+    data source (writetime upserts applied at its commit). The
+    converged store must equal the batch LWW merge."""
+    from pyspark.sql import functions as F
+
+    from pycasselastic_spark.core.merge import lww_merge
+    from pycasselastic_spark.sources.corpus import load_table
+    from pycasselastic_spark.sources.fake_connectors import register_fake_connectors
+    from pycasselastic_spark.sources.registry import TableRef, read_table, write_table
+    from pycasselastic_spark.streaming.sync import read_event_stream
+
+    register_fake_connectors(spark)
+    ref = TableRef(
+        "cassandra", "ks.stream_events", {"fake.root": str(tmp_path / "store")}
+    )
+
+    def to_increments(df):
+        return df.select(
+            F.col("user_id").alias("id"),
+            F.unix_millis("ts").alias("version"),
+            F.col("event_type").alias("text"),
+        )
+
+    stream = read_event_stream(
+        spark, f"{sf_dir}/events.parquet", max_files_per_trigger=1
+    )
+    q = (
+        to_increments(stream)
+        .writeStream.foreachBatch(
+            lambda bdf, _bid: write_table(
+                bdf, ref, mode="append", id_col="id", version_col="version"
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        r["id"]: (r["version"], r["text"])
+        for r in read_table(spark, ref).collect()
+    }
+    batch = to_increments(load_table(spark, sf_dir, "events"))
+    want = {
+        r["id"]: (r["version"], r["text"])
+        for r in lww_merge([batch], "id", "version").collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
