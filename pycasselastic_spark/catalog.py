@@ -4111,3 +4111,106 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-gate registration order. The driver's correctness gate hashes
+# only the FIRST 50 registered queries per round (verified in round 4:
+# CORRECTNESS_r04 covers registration indices 0-49 exactly), so
+# registration order decides which queries get a hard driver-green row.
+# Rounds 1-4 gated the same first 50; the 60 later registrations were
+# verified only by the local sweep (scripts/check_oracles.py) and the
+# sf0.001 pytest pass. This list moves those 60 to the front for round
+# 5 — slots 0-49 are the 50 never-driver-checked queries with the most
+# semantic risk (TPC-H join/agg shapes, sampling, layout, skew, scd2,
+# streaming, multimodal, IVF/LSH embedding dedup); slots 50-59 are the
+# remaining 10 (pure scalar-function suites, the lowest-risk family),
+# picked up together with the original 50 in round 6. ``entry()`` and
+# every test look queries up BY NAME, so reordering is behavior-neutral
+# everywhere except the gate's slot assignment.
+_GATE_PRIORITY: list[str] = [
+    # sync-adjacent + approx (never driver-checked)
+    "approx_distinct_stats_events",
+    "scd2_customer_history",
+    "gap_fill_hourly_events",
+    "session_stats_events",
+    "funnel_conversion_events",
+    "retention_cohorts_events",
+    # TPC-H adaptations beyond Q1/Q3/Q5
+    "q2_min_price_supplier",
+    "q4_priority_with_big_lineitem",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_late_lines_by_priority",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_revenue",
+    "q20_part_supplier_chain",
+    "q21_sole_supplier_orders",
+    "q22_idle_rich_customers",
+    # decorrelated/HAVING shapes
+    "orders_above_customer_avg",
+    "having_frequent_buyers",
+    # sampling / sharding / layout / skew
+    "stratified_sample_documents",
+    "weighted_sample_documents",
+    "shard_assignment_documents",
+    "zorder_key_events",
+    "skew_salted_agg_events",
+    "salted_join_events_customer",
+    # dedup clustering + embedding near-dup scale paths
+    "neardup_cluster_dedup",
+    "embedding_lsh_neardup",
+    "embedding_ivf_neardup",
+    "cosine_topk_ivf",
+    "label_centroid_embeddings",
+    # text/curation analytics
+    "tfidf_top_terms_per_doc",
+    "contamination_overlap",
+    "curation_pipeline_documents",
+    # UDTF + multimodal plumbing
+    "udtf_chunk_documents",
+    "multimodal_ppm_decode_stats",
+    "multimodal_ppm_resize",
+    "multimodal_image_resize",
+    "multimodal_audio_resample",
+    # streaming (never driver-checked variants)
+    "streaming_stateful_first_event",
+    "streaming_session_window_events",
+    "streaming_sliding_window_events",
+    "streaming_dedup_events",
+    # --- slot 50+ from here: round-6 gate candidates -----------------
+    "string_suite_documents",
+    "regex_suite_events",
+    "null_handling_suite",
+    "date_arithmetic_suite_orders",
+    "window_function_suite_orders",
+    "array_function_suite_embeddings",
+    "explode_shingles_sample",
+    "grouping_sets_orders",
+    "range_frame_event_counts",
+    "vocab_top_terms",
+]
+
+
+def _prioritize(order: list[str]) -> None:
+    unknown = [n for n in order if n not in QUERIES]
+    if unknown:
+        raise ValueError(f"gate priority names not in catalog: {unknown}")
+    seen: set[str] = set()
+    front = [n for n in order if not (n in seen or seen.add(n))]
+    rest = [n for n in QUERIES if n not in seen]
+    reordered = {n: QUERIES[n] for n in [*front, *rest]}
+    QUERIES.clear()
+    QUERIES.update(reordered)
+
+
+_prioritize(_GATE_PRIORITY)
