@@ -18,9 +18,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pycasselastic_spark.catalog import QUERIES, render_oracle  # noqa: E402
 
-# The driver's correctness gate runs oracles at sf0.01; data-derived
-# oracles (IVF centroid replay) are rendered against this corpus.
-_DRIVER_SF_DIR = "/root/testdata/sf0.01"
+# The driver's correctness gate runs oracles at sf0.01 by default;
+# data-derived oracles (IVF centroid replay) are rendered against the
+# corpus the harness actually points at, so a gate run against a
+# different sf never sees stale embedded literals. Rendering is cached
+# inside the catalog (per sf_dir/n_cells/seed), so repeated
+# oracle_sql() calls do not re-read the embeddings table or re-run
+# k-means.
+_DRIVER_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01"
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1074,17 +1074,21 @@ FROM per GROUP BY doc_id
 )
 def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    # the >= 2 guard matters: for a one-token document sequence(0, -1)
+    # DESCENDS to [0, -1] and would emit NULL bigram rows, while the
+    # oracle's range(1, 1) is empty — guard to an empty array so both
+    # engines drop the document
     bigrams = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 2 THEN "
         "transform(sequence(0, size(split(text, ' ')) - 2), "
-        "i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1]))"
+        "i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1])) "
+        "ELSE array() END"
     )
     per = (
         docs.select("doc_id", F.explode(bigrams).alias("bigram"))
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    _ = toks
     return per.groupBy("doc_id").agg(
         F.sum("c").cast("long").alias("n_bigrams"),
         F.count(F.lit(1)).cast("long").alias("n_distinct_bigrams"),
@@ -1992,18 +1996,50 @@ def streaming_session_window_events(spark: SparkSession, sf_dir: str) -> DataFra
 
 @register(
     "approx_distinct_stats_events",
-    None,  # HLL/KLL sketches differ per engine — accuracy asserted in
-    # tests against the exact answers instead of a value-hash oracle
+    """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events,
+       true AS users_within_3rsd,
+       true AS events_within_3rsd,
+       true AS p50_within_rank_bounds
+FROM events GROUP BY event_type
+""",
     doc="Approximate aggregation sketches for 100 TB cardinalities: "
-    "approx_count_distinct (HyperLogLog++) and percentile_approx; "
-    "relative-error bounds vs exact asserted in tests/test_approx.py.",
+    "approx_count_distinct (HyperLogLog++, rsd=0.02) and "
+    "percentile_approx. Sketch bits differ per engine, so the value "
+    "oracle checks the TOLERANCE, not the estimate: the query emits "
+    "exact distinct counts plus booleans asserting |HLL - exact| <= "
+    "3*rsd*exact (three standard errors) and the approx median's rank "
+    "within [p45, p55]; the oracle recomputes the exact counts and "
+    "expects every tolerance flag true. A sketch outside its "
+    "documented error bound is a hash mismatch, not prose. Tighter "
+    "per-sketch error tracking stays in tests/test_approx.py.",
 )
 def approx_distinct_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.approx_count_distinct("event_id", rsd=0.02).alias("approx_events"),
-        F.percentile_approx("value", 0.5, 10000).alias("approx_p50_value"),
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_id").alias("n_events"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_au"),
+        F.approx_count_distinct("event_id", rsd=0.02).alias("_ae"),
+        F.percentile_approx("value", 0.5, 10000).alias("_ap50"),
+        F.expr("percentile(value, 0.45)").alias("_p45"),
+        F.expr("percentile(value, 0.55)").alias("_p55"),
+    )
+    return agg.select(
+        "event_type",
+        "n_users",
+        "n_events",
+        (F.abs(F.col("_au") - F.col("n_users")) <= 0.06 * F.col("n_users")).alias(
+            "users_within_3rsd"
+        ),
+        (F.abs(F.col("_ae") - F.col("n_events")) <= 0.06 * F.col("n_events")).alias(
+            "events_within_3rsd"
+        ),
+        F.col("_ap50").between(F.col("_p45"), F.col("_p55")).alias(
+            "p50_within_rank_bounds"
+        ),
     )
 
 
@@ -2178,6 +2214,10 @@ def null_handling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
 def _ivf_centroids_sql(sf_dir: str, n_cells: int, seed: int) -> str | None:
     """A ``cents(cell, cvec)`` CTE holding the IVF centroids for the
     embeddings table at ``sf_dir``, as double literals.
@@ -2197,6 +2237,16 @@ def _ivf_centroids_sql(sf_dir: str, n_cells: int, seed: int) -> str | None:
     centroids). Returns None (rows-only fallback) when the corpus
     exceeds the size at which the training sample is the whole sorted
     table — Spark's Bernoulli sampler is not replayable outside Spark.
+
+    The cutoff is ``len(rows) > train_cap`` exactly: _train_centroids
+    samples with fraction min(1.0, 1.2*cap/n) then ``.limit(cap)``, so
+    for n in (cap, 1.2*cap] the fraction is still 1.0 but limit()
+    truncates to an arbitrary subset — already non-replayable. Only
+    n <= cap guarantees the training set is the whole sorted table.
+
+    Cached per (sf_dir, n_cells, seed): rendering re-reads the
+    embeddings table and re-runs k-means, and both IVF oracles plus
+    repeated oracle_sql() calls would otherwise pay that repeatedly.
     """
     import math
     import os
@@ -2212,8 +2262,9 @@ def _ivf_centroids_sql(sf_dir: str, n_cells: int, seed: int) -> str | None:
         f"SELECT vec_id, embedding FROM read_parquet('{path}') ORDER BY vec_id"
     ).fetchall()
     train_cap = max(4096, 512 * n_cells)
-    if 1.2 * train_cap < len(rows):
-        return None  # sample fraction < 1.0: sampler not replayable
+    if len(rows) > train_cap:
+        return None  # limit()-truncated or sampled training set: not
+        # replayable outside Spark
     units = []
     for _, emb in rows:
         xs = [float(v) for v in emb]

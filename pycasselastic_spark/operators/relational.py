@@ -147,13 +147,16 @@ def global_prefix_sum(
     )
     local = parts.withColumn("_local", F.sum(value_col).over(w_local))
     # partition totals: num_partitions rows — the only single-task
-    # window here runs over THAT, not the data
+    # window here runs over THAT, not the data. Summed from the raw
+    # value column, NOT max(_local): the max of a running total equals
+    # the partition sum only for non-negative values, and negative
+    # values would silently corrupt every downstream offset.
     w_off = Window.orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = (
         local.groupBy("_pid")
-        .agg(F.max("_local").alias("_tot"))
+        .agg(F.sum(value_col).alias("_tot"))
         .withColumn("_off", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)))
         .select("_pid", "_off")
     )

@@ -392,15 +392,52 @@ def _assign_cells(
     out: str,
 ) -> DataFrame:
     """Attach the ``n`` nearest centroid ids (by dot with the unit
-    vector column ``_u`` — equivalent to cosine order for unit inputs).
+    vector column ``_u`` — equivalent to cosine order for unit inputs),
+    computed with the same sequential-fold ``dot`` the exact-cosine
+    verification uses.
 
-    Cell assignment is dense linear algebra over the WHOLE corpus — the
-    one hot loop where interpreted per-element lambdas (or a cells x
-    dims literal expression tree) lose badly. A vectorized Arrow-batched
-    pandas_udf does one (batch x dim) @ (dim x cells) matmul per batch:
-    narrow (no shuffle), centroids closed over (tiny), the documented
-    Pandas-UDF edge for numeric kernels. argsort is stable so ties break
-    to the lowest cell id deterministically."""
+    This is the assignment path behind every ORACLE-REPLAYED IVF query:
+    the oracle re-derives each assignment dot as a sequential SQL sum
+    (catalog ``_CDOT_SQL``), so the Spark side must fold in the same
+    order — a BLAS matmul sums pairwise and a dot within rounding of a
+    tie between two cells could flip assignment cross-engine. cells x
+    dims is small (16 x 64 here), so the literal expression tree stays
+    cheap and fully inside whole-stage codegen: no shuffle, no Python.
+    Ties break to the lowest cell id, matching both the SQL oracle's
+    ``ORDER BY d DESC, cell`` and the matmul twin's stable argsort."""
+    structs = [
+        F.struct(
+            dot(F.col("_u"), F.array(*[F.lit(float(v)) for v in vec])).alias("d"),
+            F.lit(int(cell)).alias("cell"),
+        )
+        for cell, vec in centroids
+    ]
+    ordered = F.array_sort(
+        F.array(*structs),
+        lambda left, right: F.when(left["d"] > right["d"], F.lit(-1))
+        .when(left["d"] < right["d"], F.lit(1))
+        .otherwise(left["cell"] - right["cell"]),
+    )
+    top = F.transform(F.slice(ordered, 1, n), lambda s: s["cell"])
+    return df.withColumn(out, top)
+
+
+def _assign_cells_matmul(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    n: int,
+    out: str,
+) -> DataFrame:
+    """Matmul twin of ``_assign_cells`` for rows-only / recall paths
+    (never behind an oracle-replayed query: pairwise BLAS summation can
+    flip a near-tie assignment vs the sequential SQL replay).
+
+    Cell assignment is dense linear algebra over the WHOLE corpus — at
+    large cells x dims an Arrow-batched pandas_udf doing one
+    (batch x dim) @ (dim x cells) matmul per batch beats any literal
+    expression tree: narrow (no shuffle), centroids closed over (tiny),
+    the documented Pandas-UDF edge for numeric kernels. argsort is
+    stable so ties break to the lowest cell id deterministically."""
     from pyspark.sql.functions import pandas_udf
 
     cmat = np.asarray([c for _, c in centroids], dtype=np.float64)

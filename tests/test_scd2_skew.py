@@ -135,3 +135,25 @@ class TestGlobalPrefixSum:
             for r in df.select("k", F.sum("v").over(w).alias("cum")).collect()
         }
         assert got == want
+
+    def test_negative_values(self, spark):
+        """Partition offsets must come from the partition SUM, not the
+        max of the running total — signed values are the case that
+        tells them apart."""
+        from pyspark.sql import Window
+
+        from pycasselastic_spark.operators.relational import global_prefix_sum
+
+        df = spark.range(3_000).select(
+            F.col("id").alias("k"), (F.col("id") % 101 - 50).alias("v")
+        )
+        got = {
+            r["k"]: r["cum"]
+            for r in global_prefix_sum(df, "k", "v", "cum", num_partitions=8).collect()
+        }
+        w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+        want = {
+            r["k"]: r["cum"]
+            for r in df.select("k", F.sum("v").over(w).alias("cum")).collect()
+        }
+        assert got == want
