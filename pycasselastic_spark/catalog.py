@@ -3008,16 +3008,49 @@ def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_lsh_neardup",
-    f"""
+# Recall target for the REGISTERED corpus-scaled LSH near-dup query.
+# The corpus's planted near-dups sit at cosine ~0.4-0.5 — the
+# near-orthogonal regime where sign-LSH per-bit agreement is ~0.63, so
+# high recall would force the band width below log2(n) (quadratic
+# candidates, the r4 SCALING.md caveat). 0.6 keeps width at its
+# log2(n)-feasible value so candidates stay pruned by a 2^width
+# factor; the high-recall low-threshold path is the value-oracled IVF
+# twin (embedding_ivf_neardup).
+_LSH_AUTO_THRESHOLD = 0.4
+_LSH_AUTO_RECALL = 0.6
+
+
+def _embedding_lsh_auto_oracle(sf_dir: str) -> str | None:
+    """Render the LSH near-dup oracle with the SAME corpus-scaled
+    parameters the Spark side derives: n comes from a DuckDB count of
+    the embeddings table, (planes, bands) from lsh_params_for — pure
+    arithmetic on n, so both engines agree by construction. Everything
+    downstream (md5 planes, mean-centering, sequential-fold signature
+    bits, band keys, exact-cosine verify) replays bit-for-bit."""
+    import os
+
+    import duckdb
+
+    from pycasselastic_spark.operators.similarity import lsh_params_for
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{path}')"
+    ).fetchone()[0]
+    num_planes, num_bands = lsh_params_for(
+        n, _LSH_AUTO_THRESHOLD, _LSH_AUTO_RECALL
+    )
+    width = num_planes // num_bands
+    return f"""
 WITH {_UNIT_SQL},
 {_MEAN_SQL},
 planes AS (
   SELECT p, list_transform(range(0, 64), d ->
     CASE WHEN ('0x' || substring(md5('plane' || p || ':dim' || d), 1, 2))::INT % 2 = 1
          THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS vec
-  FROM range(0, 12) t(p)
+  FROM range(0, {num_planes}) t(p)
 ),
 sigs AS (
   SELECT e.vec_id,
@@ -3027,8 +3060,8 @@ sigs AS (
   FROM eu e CROSS JOIN planes pl CROSS JOIN marr ma GROUP BY e.vec_id
 ),
 banded AS (
-  SELECT vec_id, b AS band_idx, substring(sig, b * 2 + 1, 2) AS band_key
-  FROM sigs, range(0, 6) t(b)
+  SELECT vec_id, b AS band_idx, substring(sig, b * {width} + 1, {width}) AS band_key
+  FROM sigs, range(0, {num_bands}) t(b)
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS doc_a, c.vec_id AS doc_b
@@ -3042,20 +3075,30 @@ SELECT doc_a, doc_b, cosine FROM (
   FROM cand
   JOIN eu x ON x.vec_id = cand.doc_a
   JOIN eu y ON y.vec_id = cand.doc_b)
-WHERE cosine >= 0.4
-""",
-    doc="Embedding near-dup pairs via hyperplane-LSH banding — the "
-    "scale twin of embedding_cosine_neardup (equi-join on sign-band "
-    "keys instead of the O(n^2) all-pairs join). Fully oracle-checked: "
-    "planes, signatures, band candidates and the exact-cosine verify "
-    "are replayed bit-for-bit in SQL (operators/dedup.py:"
-    "embedding_lsh_pairs). Recall vs brute force asserted in tests.",
+WHERE cosine >= {_LSH_AUTO_THRESHOLD}
+"""
+
+
+@register(
+    "embedding_lsh_neardup",
+    _embedding_lsh_auto_oracle,  # corpus-scaled parameters, replayed per sf
+    doc="Embedding near-dup pairs via hyperplane-LSH banding with "
+    "CORPUS-SCALED parameters (operators/dedup.py:"
+    "embedding_lsh_pairs_auto): band width tracks log2(n) so the "
+    "candidate join prunes by a 2^width factor instead of the fixed "
+    "small-band configuration that degraded toward O(n^2) at scale. "
+    "Fully oracle-checked: the oracle re-derives n, (planes, bands), "
+    "md5 planes, centered sequential-fold signatures, band candidates "
+    "and the exact-cosine verify bit-for-bit in SQL. Recall tradeoff "
+    "at this low threshold is explicit (_LSH_AUTO_RECALL); the "
+    "asymptotic low-threshold path is embedding_ivf_neardup.",
 )
 def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ensure_parallelism(_t(spark, sf_dir, "embeddings"), spark)
-    return D.embedding_lsh_pairs(
-        emb, "vec_id", "embedding", threshold=0.4, dim=64,
-        num_planes=12, num_bands=6,
+    return D.embedding_lsh_pairs_auto(
+        emb, "vec_id", "embedding",
+        threshold=_LSH_AUTO_THRESHOLD, dim=64,
+        target_recall=_LSH_AUTO_RECALL,
     )
 
 

@@ -362,15 +362,26 @@ def _lsh_banded(
     # re-run the full-corpus aggregation per branch
     means = dim_mean_vector(unit, "_u").localCheckpoint(eager=True)
     centered = with_centered_vector(unit, "_u", "_c", means=means)
-    sig = signature_bits(F.col("_c"), planes)
+    # evaluate the signature expression ONCE into a narrow (id, sig)
+    # table before banding: substring-ing the expression directly would
+    # inline one copy of the (possibly huge — corpus-scaled plane
+    # literal) signature tree per band, and the analyzer/codegen walk
+    # over num_bands duplicated trees dominates wall-clock long before
+    # execution does (measured: 65 s analysis vs 4 s execution at
+    # 522 planes x 58 bands). The checkpoint is the index-build
+    # materialization every LSH deployment pays anyway.
+    sigs = centered.select(
+        F.col(id_col).alias("_id"),
+        signature_bits(F.col("_c"), planes).alias("_sig"),
+    ).localCheckpoint(eager=True)
     bands = F.array(
         *[
-            F.substring(sig, b * band_width + 1, band_width)
+            F.substring(F.col("_sig"), b * band_width + 1, band_width)
             for b in range(num_bands)
         ]
     )
-    return centered.select(
-        F.col(id_col).alias("_id"), F.posexplode(bands).alias("_band_idx", "_band_key")
+    return sigs.select(
+        "_id", F.posexplode(bands).alias("_band_idx", "_band_key")
     )
 
 
@@ -473,7 +484,22 @@ def embedding_lsh_pairs_auto(
     column-pruned count() sizes the parameters — trivial next to the
     quadratic join the wider bands prevent. Prefer this over raw
     ``embedding_lsh_pairs`` for corpora too large to eyeball; the fixed
-    -parameter form remains for oracle replay and tuned pipelines."""
+    -parameter form remains for tuned pipelines.
+
+    Honest boundary: the log2(n) band width is only admissible while
+    ``target_recall`` is reachable within the 64-band signature cap.
+    At LOW thresholds (near-orthogonal pairs, per-bit agreement
+    p1 -> 1/2) the cap binds, lsh_params_for freezes the width at its
+    recall-feasible maximum, and candidate volume reverts to
+    bands * n^2 / 2^width — a large constant-factor prune (2^8-2^9),
+    not an asymptotic one. No sign-LSH parameterization escapes that
+    tradeoff; for low-threshold embedding dedup at corpus scale the
+    asymptotic path is cell-blocked IVF (``embedding_ivf_pairs``),
+    which bounds candidates by sum(cell_size^2) with cells ~ sqrt(n).
+    Since the fold-exact signature path (similarity.signature_bits)
+    now handles any plane count sequentially, this operator is fully
+    value-oracle-replayable: planes, band keys and the exact-cosine
+    verify re-derive bit-for-bit in SQL from the corpus count."""
     from pycasselastic_spark.operators.similarity import lsh_params_for
 
     num_planes, num_bands = lsh_params_for(df.count(), threshold, target_recall)

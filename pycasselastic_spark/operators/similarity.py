@@ -153,27 +153,52 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
 
 
 def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
-    """LSH sign signature: bit p = (dot(vec, plane_p) >= 0).
+    """LSH sign signature: bit p = (dot(vec, plane_p) >= 0), folded in
+    sequential double order — bit-exact against the SQL oracles' per-
+    plane ``list_sum`` replay at ANY plane count, so this path may back
+    oracle-replayed queries.
 
-    Two implementations, identical up to floating-point sign-boundary
-    ties: up to 32 planes, a pure expression tree (whole-stage codegen,
-    oracle-replayable term by term); beyond that the per-plane
-    expression tree explodes codegen (hundreds of 64-term dot products
-    per row), so a vectorized Arrow-batched pandas_udf does one
-    (batch x dim) @ (dim x planes) matmul instead — the documented
-    Pandas-UDF edge for dense numeric kernels. The matmul's BLAS
-    accumulation order differs from the sequential-double expression
-    dot, so a dot within rounding of zero can flip a bit — harmless for
-    recall, but the UDF path must never back an oracle-replayed query.
-    Large plane counts come from ``lsh_params_for`` scaling with corpus
-    size."""
+    Two shapes of the same sequential computation: up to 32 planes, an
+    unrolled per-plane expression (widest codegen); beyond that,
+    unrolling hundreds of 64-term dot products would explode codegen,
+    so the planes ship as ONE literal array<array<double>> and a
+    ``transform`` lambda loops over it — the literal is data, not code,
+    so the generated program stays small while the fold order stays
+    sequential. For bulk rows-only signatures at large plane counts the
+    BLAS matmul twin below is faster; its pairwise accumulation can
+    flip a bit on a dot within rounding of zero, so it must never back
+    an oracle-replayed query. Large plane counts come from
+    ``lsh_params_for`` scaling with corpus size."""
     if len(planes) <= 32:
         bits = []
         for plane in planes:
             p = F.array(*[F.lit(x) for x in plane])
             bits.append(F.when(dot(vec, p) >= 0, F.lit("1")).otherwise(F.lit("0")))
         return F.concat(*bits)
+    # one array<array<double>> literal, built as a SQL text and parsed
+    # JVM-side in a single call: per-element F.lit would cost one py4j
+    # round-trip per component (~70 s of driver time at 522 x 64),
+    # while the parser chews the same literal in milliseconds
+    planes_sql = ",".join(
+        "array(" + ",".join(f"{repr(float(x))}D" for x in plane) + ")"
+        for plane in planes
+    )
+    planes_lit = F.expr(f"array({planes_sql})")
+    return F.array_join(
+        F.transform(
+            planes_lit,
+            lambda p: F.when(dot(vec, p) >= 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+        "",
+    )
 
+
+def signature_bits_matmul(vec: Column, planes: list[list[float]]) -> Column:
+    """Arrow-batched matmul twin of ``signature_bits`` for rows-only /
+    recall paths: one (batch x dim) @ (dim x planes) BLAS product per
+    batch — the documented Pandas-UDF edge for dense numeric kernels —
+    at the cost of pairwise accumulation order (a sign-boundary dot can
+    differ from the sequential fold, so never behind a value oracle)."""
     from pyspark.sql.functions import pandas_udf
 
     pmat = np.asarray(planes, dtype=np.float64).T  # (dim, planes)
