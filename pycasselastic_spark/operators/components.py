@@ -2,16 +2,26 @@
 pairwise similarity hits into dedup *clusters* with one canonical
 survivor each (what a training-data pipeline actually deletes by).
 
-Algorithm: iterative min-label propagation (a DataFrame-native variant
-of large/small-star; see Kiveris et al., "Connected Components in
-MapReduce and Beyond", SoCC'14). Each round every node adopts the
-smallest id reachable in one hop; rounds double the propagation radius,
-so convergence takes O(log(diameter)) joins. Near-dup graphs have tiny
-diameters (clusters are near-cliques), so 2-4 rounds is typical.
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14). Each
+large-star round hangs every node's larger neighbors off the smallest
+node it can see; each small-star round re-hangs the smaller neighbors.
+The alternation contracts path length multiplicatively, so convergence
+takes a LOGARITHMIC number of rounds in practice (the paper proves
+O(log^2 n) worst case and O(log n) under its two-phase analysis) —
+unlike one-hop min-label propagation, whose radius grows by one per
+round and needs O(diameter) joins. Near-dup graphs have tiny diameters
+(clusters are near-cliques), so 2-4 rounds is typical either way; the
+star alternation is what keeps long-chain graphs (diameter >
+max_iterations) correct instead of silently mislabeled. If the edge
+set still hasn't reached its star fixed point after ``max_iterations``
+round pairs, the operator raises rather than returning wrong
+components.
 
-Scale notes: state per round is one (node, label) relation — a shuffle
-keyed by node; no driver-side structures grow with the data. Each round
-is checkpointed (localCheckpoint) to cut the exponentially growing
+Scale notes: per-round state is one edge relation, shrinking toward
+one (node, root) pair per non-root node — shuffles keyed by node id;
+no driver-side structures grow with the data. Each round is
+checkpointed (localCheckpoint) to cut the exponentially growing
 lineage — on a cluster you would checkpoint to reliable storage
 instead.
 """
@@ -20,6 +30,45 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round. Input: directed-canonical edge set
+    (u > v). For every node u (over the symmetric closure), connect
+    each STRICTLY LARGER neighbor v to m = min(N(u) + {u}). Output
+    pairs are (larger node, smaller label), self-loop-free by
+    construction (m <= u < v)."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round. Edges are directed large->small; for every
+    node u, re-hang its smaller neighbors (and u itself) off
+    m = min of those neighbors. Output stays directed large->small."""
+    d = (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        d.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(mins.select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
 
 
 def connected_components(
@@ -31,47 +80,48 @@ def connected_components(
     """Label every node of the undirected pair graph with the smallest
     node id in its component. Returns (node, component).
 
+    Raises ``RuntimeError`` if the star fixed point is not reached
+    within ``max_iterations`` large+small round pairs — loud failure
+    instead of silently wrong components on adversarial graphs
+    (max_iterations=20 covers diameters far beyond 2^20 in practice).
+
     Nodes appearing only as isolated ids are the caller's concern —
     feed the full id set through ``assign_components`` to also label
     singletons."""
     edges = (
-        pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
-        .union(pairs.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        pairs.select(
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.least(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
         .distinct()
-        .persist()  # every round joins edges; don't recompute the
-        # (possibly expensive) pair-generation subtree per iteration
+        .localCheckpoint(eager=True)  # don't re-run the (possibly
+        # expensive) pair-generation subtree inside the loop
     )
-    labels = (
-        edges.select(F.col("s").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-    )
+    converged = edges.limit(1).count() == 0  # no edges: nothing to do
     for _ in range(max_iterations):
-        # candidate labels: own label plus every neighbor's label
-        neighbor_labels = (
-            edges.join(labels, edges.d == labels.node)
-            .select(F.col("s").alias("node"), "component")
-        )
-        new_labels = (
-            labels.unionByName(neighbor_labels)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        if converged:
             break
-    # labels is checkpointed (lineage truncated), so the edge cache can
-    # be dropped instead of living for the rest of the session
-    edges.unpersist()
-    return labels
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # fixed point = identical edge set. Both sides are distinct and
+        # directed-canonical, so set equality is count equality plus an
+        # empty difference.
+        converged = (
+            new_edges.count() == edges.count()
+            and new_edges.exceptAll(edges).limit(1).count() == 0
+        )
+        edges = new_edges
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not reach its star fixed point in "
+            f"{max_iterations} large/small-star rounds — raising instead of "
+            "returning possibly-wrong components"
+        )
+    # at the fixed point the edge set is a star forest: one (node, root)
+    # edge per non-root node; roots label themselves
+    return edges.select(F.col("u").alias("node"), F.col("v").alias("component")).unionByName(
+        edges.select(F.col("v").alias("node"), F.col("v").alias("component"))
+    ).distinct()
 
 
 def assign_components(

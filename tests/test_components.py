@@ -64,3 +64,29 @@ def test_matches_union_find_on_real_pairs(spark, sf_dir):
     }
     assert survivors == golden_survivors
     assert len(survivors) < len(ids)  # the corpus has planted near-dups
+
+
+def test_long_path_converges_in_log_rounds(spark):
+    """A path graph with diameter 200 — far beyond any per-round
+    propagation budget. Large-star/small-star must still converge
+    within the default 20 round pairs (the alternation contracts path
+    length multiplicatively; one-hop min-label propagation would need
+    200 rounds and previously returned WRONG components silently)."""
+    n = 201
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_nonconvergence_raises_loudly(spark):
+    """With max_iterations too small for the graph, the operator must
+    raise instead of returning mislabeled components."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000 - 1)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="star fixed point"):
+        connected_components(pairs, max_iterations=1)
