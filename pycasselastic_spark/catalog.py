@@ -4207,6 +4207,58 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _transform_with_state_available() -> bool:
+    """transformWithStateInPandas runs a protobuf-speaking state server
+    worker-side; without ``google.protobuf`` the query crashes at
+    runtime, so registration is gated on the import. This container
+    ships no protobuf — the explicit environment pin lives here (and in
+    COVERAGE.md); on a protobuf-equipped deployment the query registers
+    and the driver gate picks it up with no code change. The
+    applyInPandasWithState twin (streaming_stateful_first_event) covers
+    the custom-stateful-streaming surface in the gate everywhere."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+if _transform_with_state_available():
+
+    @register(
+        "streaming_running_totals_events",
+        """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+""",
+        doc="Spark 4 typed-state streaming operator "
+        "(transformWithStateInPandas): per-user running count + exact "
+        "cents total in a ValueState; each batch emits the cumulative "
+        "totals, so the converged answer per user is the emission with "
+        "the highest count (streaming/stateful.py:"
+        "RunningTotalsProcessor). Registered only where "
+        "google.protobuf exists (the state server requires it).",
+    )
+    def streaming_running_totals_events(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from pycasselastic_spark.streaming.stateful import running_totals_per_key
+
+        stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+        updates = _run_stream_to_parquet(
+            spark, running_totals_per_key(stream.select("user_id", "value")), "append"
+        )
+        # cumulative emissions are monotone in n_events; the converged
+        # answer is the latest (highest-count) emission per user
+        return updates.groupBy("user_id").agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate registration order. The driver's correctness gate hashes
 # only the FIRST 50 registered queries per round (verified in round 4:

@@ -51,6 +51,11 @@ def ensure_parallelism(df: DataFrame, spark: SparkSession) -> DataFrame:
     real multi-row-group / multi-file data the scan already yields
     many splits and this is a no-op."""
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # partition count read from the JVM plan's RDD handle: the Python
+    # df.rdd property would additionally build a javaToPython
+    # conversion RDD (serializer setup per call) just to ask for a
+    # number; this stays a metadata probe on the JVM side
+    n_parts = df._jdf.rdd().getNumPartitions()
+    if n_parts < target:
         return df.repartition(target)
     return df

@@ -151,14 +151,75 @@ def run_daemon(
         time.sleep(period_s - ((time.time() - start) % period_s))
 
 
+def read_pid(pid_file: str) -> int | None:
+    """The pid recorded in ``pid_file``, or None if absent/unparsable."""
+    try:
+        with open(pid_file, encoding="utf-8") as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def daemon_running(pid: int) -> bool:
+    """True if a process with ``pid`` exists (signal 0 probe — the same
+    check the reference's status.sh does with kill -0)."""
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:  # exists, owned by someone else
+        return True
+    return True
+
+
+def daemon_status(pid_file: str) -> int:
+    """Operational parity with the reference's ``status.sh``: report
+    whether the daemon whose pid is recorded in ``pid_file`` is
+    running. Exit code 0 = running, 1 = not."""
+    pid = read_pid(pid_file)
+    if pid is None:
+        print(f"not running (no pid file at {pid_file})")
+        return 1
+    if daemon_running(pid):
+        print(f"running (pid {pid})")
+        return 0
+    print(f"not running (stale pid file {pid_file}, pid {pid})")
+    return 1
+
+
+def daemon_stop(pid_file: str) -> int:
+    """Operational parity with the reference's ``kill.sh``: SIGTERM the
+    daemon recorded in ``pid_file`` and remove the pid file. Exit code
+    0 = signalled (or already gone, pid file cleaned), 1 = no pid
+    file."""
+    import signal
+
+    pid = read_pid(pid_file)
+    if pid is None:
+        print(f"nothing to stop (no pid file at {pid_file})")
+        return 1
+    try:
+        os.kill(pid, signal.SIGTERM)
+        print(f"sent SIGTERM to pid {pid}")
+    except ProcessLookupError:
+        print(f"pid {pid} already gone; removing stale pid file")
+    try:
+        os.remove(pid_file)
+    except OSError:
+        pass
+    return 0
+
+
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
     parser = argparse.ArgumentParser(
         prog="python -m pycasselastic_spark.sync",
         description="Periodic bidirectional LWW sync between two stores "
         "(the reference SyncCassElastic daemon on Spark).",
     )
-    parser.add_argument("config", help="JSON config: {period, syncs:[...]} "
-                        "(see the reference config_ex.json)")
+    parser.add_argument("config", nargs="?", default=None,
+                        help="JSON config: {period, syncs:[...]} "
+                        "(see the reference config_ex.json); not needed "
+                        "with --status/--stop")
     parser.add_argument("--once", action="store_true",
                         help="run a single cycle and exit")
     parser.add_argument("--max-cycles", type=int, default=None,
@@ -167,7 +228,24 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                         help="watermark path (default: <config dir>/watermark.json)")
     parser.add_argument("--pid-file", default=None,
                         help="write the process id here on startup")
+    parser.add_argument("--status", action="store_true",
+                        help="report whether the daemon recorded in "
+                        "--pid-file is running, then exit (reference "
+                        "status.sh)")
+    parser.add_argument("--stop", action="store_true",
+                        help="SIGTERM the daemon recorded in --pid-file "
+                        "and remove the pid file, then exit (reference "
+                        "kill.sh)")
     args = parser.parse_args(argv)
+
+    if args.status or args.stop:
+        if not args.pid_file:
+            parser.error("--status/--stop require --pid-file")
+        return daemon_status(args.pid_file) if args.status else daemon_stop(
+            args.pid_file
+        )
+    if args.config is None:
+        parser.error("config is required unless --status/--stop is given")
 
     logging.basicConfig(
         level=logging.INFO, format="%(asctime)s %(levelname)s %(name)s %(message)s"

@@ -191,3 +191,46 @@ def test_cli_converges_cassandra_and_elasticsearch_fakes(spark, tmp_path):
     assert cass_opts["writetime"] == "version"
     es_opts = read_store_meta(root, "docs_doc")["meta"]["last_write_options"]
     assert es_opts["es.mapping.version.type"] == "external"
+
+
+def test_status_and_stop_lifecycle(tmp_path):
+    """--status/--stop operational parity with the reference's
+    status.sh/kill.sh: status reads the pid file and probes the
+    process; stop signals it and removes the pid file. Driven against
+    a real child process (a sleeping python) so the signal path is
+    exercised end-to-end without paying a Spark startup."""
+    import signal
+    import time
+
+    pid_file = str(tmp_path / "sync.pid")
+
+    # no pid file yet
+    assert main(["--status", "--pid-file", pid_file]) == 1
+    assert main(["--stop", "--pid-file", pid_file]) == 1
+
+    child = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(300)"])
+    try:
+        with open(pid_file, "w", encoding="utf-8") as fh:
+            fh.write(str(child.pid))
+        assert main(["--status", "--pid-file", pid_file]) == 0
+
+        assert main(["--stop", "--pid-file", pid_file]) == 0
+        assert not os.path.exists(pid_file)
+        # the child actually received SIGTERM
+        assert child.wait(timeout=30) == -signal.SIGTERM
+    finally:
+        if child.poll() is None:
+            child.kill()
+
+    # stale pid file (process already gone)
+    with open(pid_file, "w", encoding="utf-8") as fh:
+        fh.write(str(child.pid))
+    time.sleep(0.1)
+    assert main(["--status", "--pid-file", pid_file]) == 1
+    assert main(["--stop", "--pid-file", pid_file]) == 0  # cleans up
+    assert not os.path.exists(pid_file)
+
+
+def test_status_requires_pid_file():
+    with pytest.raises(SystemExit):
+        main(["--status"])
