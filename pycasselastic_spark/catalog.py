@@ -4207,6 +4207,185 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-5 training-pipeline additions: corpus-level statistical quality
+# signals (bigram LM fluency, cross-doc n-gram novelty), source
+# rebalancing, and a deterministic global shuffle — the remaining mix /
+# curation primitives of an LLM data pipeline.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bigram_lm_score_documents",
+    """
+WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+         unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+  FROM sp WHERE len(t) >= 2),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT w) AS nv
+      FROM (SELECT unnest(t) AS w FROM sp)),
+q AS (
+  SELECT bg.doc_id,
+         FLOOR(CAST(c12.c12 + 1 AS DOUBLE) / CAST(c1.c1 + v.nv AS DOUBLE)
+               * 1073741824.0) AS qp
+  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(qp) AS BIGINT) AS sum_prob_q30,
+       (CAST(SUM(qp) AS BIGINT) / 1073741824.0) / COUNT(*) AS avg_prob
+FROM q GROUP BY doc_id
+""",
+    doc="Corpus-trained bigram language-model fluency score (the "
+    "CCNet-style statistical quality signal): add-one-smoothed "
+    "P(w2|w1) = (c12+1)/(c1+V) trained on the whole corpus, averaged "
+    "per document. Determinism: each probability is a correctly-"
+    "rounded IEEE division (bit-identical cross-engine — no "
+    "transcendentals), quantized to Q30 fixed point (floor(p * 2^30): "
+    "power-of-two scaling is exact) so the per-doc SUM is an order-"
+    "independent integer; avg_prob divides back out in two exact "
+    "steps. Scale shape: bigram/unigram count tables are map-side "
+    "partial aggregations bounded by vocabulary, the score join "
+    "shuffles on bigram keys, the one-row vocab count broadcasts.",
+)
+def bigram_lm_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bg_expr = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+        "transform(sequence(0, size(split(text, ' ')) - 2), "
+        "i -> struct(split(text, ' ')[i] AS w1, split(text, ' ')[i + 1] AS w2)) "
+        "ELSE array() END"
+    )
+    bi = docs.select("doc_id", F.explode(bg_expr).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .agg(F.countDistinct("w").alias("nv"))
+    )
+    prob = (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("nv")).cast(
+        "double"
+    )
+    q = bi.join(c12, ["w1", "w2"]).join(c1, ["w1"]).crossJoin(
+        F.broadcast(vocab)
+    ).select("doc_id", F.floor(prob * F.lit(1073741824.0)).alias("qp"))
+    return q.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("qp").alias("sum_prob_q30"),
+        (
+            (F.sum("qp").cast("double") / F.lit(1073741824.0))
+            / F.count(F.lit(1))
+        ).alias("avg_prob"),
+    )
+
+
+@register(
+    "ngram_novelty_documents",
+    """
+WITH sh AS (
+  SELECT doc_id, unnest(CASE WHEN len(string_split(text, ' ')) >= 3
+           THEN list_distinct(list_transform(
+                  range(1, len(string_split(text, ' ')) - 1),
+                  i -> string_split(text, ' ')[i] || ' ' ||
+                       string_split(text, ' ')[i+1] || ' ' ||
+                       string_split(text, ' ')[i+2]))
+           ELSE [] END) AS shingle
+  FROM documents),
+df AS (SELECT shingle, COUNT(DISTINCT doc_id) AS n_docs FROM sh GROUP BY 1)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(SUM(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty_ratio
+FROM sh JOIN df USING (shingle)
+GROUP BY sh.doc_id
+""",
+    doc="Cross-document n-gram novelty (the boilerplate detector "
+    "complementing repetition_stats' WITHIN-doc signal): fraction of a "
+    "document's distinct 3-gram shingles that appear in no other "
+    "document. Low novelty = template/boilerplate/near-dup content. "
+    "Exact integers + one correctly-rounded division — fully "
+    "deterministic. Scale shape: shingle document-frequency is one "
+    "partial-aggregated count keyed by shingle; the score join "
+    "shuffles on the same key; no pair space is ever materialized.",
+)
+def ngram_novelty_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(D.shingles("text", 3)).alias("shingle"))
+    dfreq = sh.groupBy("shingle").agg(F.countDistinct("doc_id").alias("n_docs"))
+    novel = F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0)).cast("long")
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.alias("n_novel"),
+            (novel / F.count(F.lit(1)).cast("double")).alias("novelty_ratio"),
+        )
+    )
+
+
+@register(
+    "source_balanced_sample_documents",
+    """
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source)
+SELECT d.doc_id, d.source
+FROM documents d JOIN c USING (source)
+WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 13))::BIGINT::DOUBLE
+        / 4503599627370496.0
+      < LEAST(1.0, 15.0 / CAST(c.n AS DOUBLE))
+""",
+    doc="Source/domain rebalancing (operators/sampling.py:"
+    "balanced_sample): every source keeps rate min(1, 15/|source|), so "
+    "over-represented sources downsample toward 15 docs while small "
+    "ones pass through — the training-mix balancing primitive, keyed "
+    "off 52 md5 bits of doc_id (reproducible across engines, re-runs "
+    "and partitionings; the uniform and the rate are both exact "
+    "doubles, so the keep decision is bit-deterministic). Per-source "
+    "counts broadcast; the corpus is never shuffled.",
+)
+def source_balanced_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return SP.balanced_sample(
+        docs, key_col="doc_id", strata_col="source", target_per_stratum=15
+    ).select("doc_id", "source")
+
+
+@register(
+    "deterministic_shuffle_documents",
+    """
+SELECT doc_id,
+       md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)))
+            AS BIGINT) AS shuffle_pos
+FROM documents
+""",
+    doc="Deterministic global training-order shuffle: permutation rank "
+    "by md5(doc_id) — reproducible across engines and re-runs (the "
+    "epoch-shuffle primitive, minus the RNG; vary the permutation by "
+    "salting the key). The global rank is NOT a single-task "
+    "ROW_NUMBER: it is the scalable two-pass prefix sum over a "
+    "constant 1 (operators/relational.py:global_prefix_sum — "
+    "range-partitioned local cumsums + broadcast partition offsets).",
+)
+def deterministic_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pycasselastic_spark.operators.relational import global_prefix_sum
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("shuffle_key")
+    ).withColumn("_one", F.lit(1))
+    return global_prefix_sum(
+        keyed, "shuffle_key", "_one", "shuffle_pos"
+    ).select("doc_id", "shuffle_key", F.col("shuffle_pos").cast("long").alias("shuffle_pos"))
+
+
 def _transform_with_state_available() -> bool:
     """transformWithStateInPandas runs a protobuf-speaking state server
     worker-side; without ``google.protobuf`` the query crashes at

@@ -75,6 +75,47 @@ def hash_shard(col: Column | str, n_hex: int = 1) -> Column:
     return hash_key(col, n_hex)
 
 
+def uniform_u(col: Column | str) -> Column:
+    """Deterministic uniform in [0, 1): 52 md5 bits of the key as a
+    double over 16^13 — exactly representable, so the value (and any
+    comparison against a rate) is bit-identical across engines."""
+    return (
+        F.conv(F.substring(F.md5(_c(col).cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        / F.lit(float(16**13))
+    )
+
+
+def balanced_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    target_per_stratum: int,
+) -> DataFrame:
+    """Rebalance a skewed stratum distribution by deterministic
+    downsampling: each stratum keeps rate min(1, target/|stratum|), so
+    over-represented strata shrink toward ``target_per_stratum`` rows
+    (in expectation) while small strata pass through — the
+    domain/source-balancing primitive of training-data mixes, with the
+    keep decision keyed off md5(key) so it is reproducible across
+    engines, re-runs and partitionings.
+
+    Scale shape: one partial-aggregated count per stratum (stratum
+    cardinality ~ sources/domains, tiny), broadcast back onto the
+    corpus — a map-side join + narrow filter; the corpus itself is
+    never shuffled."""
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(target_per_stratum)) / F.col("_n").cast("double"),
+    )
+    return (
+        df.join(F.broadcast(counts), strata_col)
+        .filter(uniform_u(key_col) < rate)
+        .drop("_n")
+    )
+
+
 def weighted_sample_topk(
     df: DataFrame,
     key_col: str,

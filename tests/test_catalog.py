@@ -9,8 +9,13 @@ import pytest
 import __spark_entry__ as entrymod
 from pycasselastic_spark.catalog import QUERIES
 
-# queries allowed to be empty at the tiny sf (selectivity-dependent)
-MAY_BE_EMPTY = set()
+# Every catalog query currently returns rows at sf0.001 — that is a
+# deliberate property (an accidentally-empty result would make the
+# oracle hash trivially green), so the smoke test asserts non-empty
+# for ALL queries. If a future query is legitimately empty at the tiny
+# sf (selectivity-dependent), list it here WITH a comment saying why,
+# and the smoke test will only check it runs.
+MAY_BE_EMPTY: set[str] = set()
 
 
 def test_entry_smoke(spark):

@@ -75,3 +75,36 @@ def test_weighted_sample_prefers_heavy_rows(spark):
         r["k"] for r in weighted_sample_topk(df.repartition(13), "k", "w", 50).collect()
     }
     assert ids_repart == ids
+
+
+class TestBalancedSample:
+    def test_downsamples_toward_target_and_is_deterministic(self, spark, sf_dir):
+        from pycasselastic_spark.operators.sampling import balanced_sample
+        from pycasselastic_spark.sources.corpus import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        kept = balanced_sample(docs, "doc_id", "source", target_per_stratum=10)
+        per_src = {
+            r["source"]: r["n"]
+            for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        total = {
+            r["source"]: r["n"]
+            for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        # binomial(n, 10/n) stays near 10 — generous 4-sigma bound
+        for src, n in per_src.items():
+            assert n <= 10 + 4 * (10 ** 0.5), (src, n)
+        # small strata pass through untouched
+        for src, n in total.items():
+            if n <= 10:
+                assert per_src.get(src, 0) == n
+        # decision is partitioning-independent
+        ids_a = {r["doc_id"] for r in kept.collect()}
+        ids_b = {
+            r["doc_id"]
+            for r in balanced_sample(
+                docs.repartition(7), "doc_id", "source", target_per_stratum=10
+            ).collect()
+        }
+        assert ids_a == ids_b
