@@ -2018,15 +2018,32 @@ FROM events GROUP BY event_type
 )
 def approx_distinct_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    agg = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users"),
-        F.countDistinct("event_id").alias("n_events"),
+    # exact distinct counts as TWO-LEVEL aggregations, joined to the
+    # sketch aggregation on the 5-row group key: packing countDistinct
+    # next to other aggregates makes Catalyst rewrite the whole agg
+    # through Expand (one row copy per distinct group — measured 8x
+    # slower at sf0.1), while each two-level agg is two partial
+    # hash aggregations and the sketch agg never expands
+    d_users = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    d_events = (
+        ev.groupBy("event_type", "event_id")
+        .agg(F.count(F.lit(1)))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    sketches = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("_au"),
         F.approx_count_distinct("event_id", rsd=0.02).alias("_ae"),
         F.percentile_approx("value", 0.5, 10000).alias("_ap50"),
         F.expr("percentile(value, 0.45)").alias("_p45"),
         F.expr("percentile(value, 0.55)").alias("_p55"),
     )
+    agg = d_users.join(d_events, "event_type").join(sketches, "event_type")
     return agg.select(
         "event_type",
         "n_users",
@@ -3403,8 +3420,30 @@ def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", key.alias("zkey"))
 
 
+def _ivf_cells_for(n: int) -> int:
+    """Corpus-scaled IVF cell count: cells ~ sqrt(n) keeps expected
+    per-cell membership ~ sqrt(n), so the blocked candidate volume
+    n_assign^2 * n^2 / (2 * cells) grows ~ n^1.5 instead of n^2 at
+    fixed cells. Pure arithmetic on the corpus count — the oracle
+    derives the same value from its own COUNT(*), so both engines
+    agree by construction."""
+    import math
+
+    return max(8, math.isqrt(n))
+
+
 def _embedding_ivf_neardup_oracle(sf_dir: str) -> str | None:
-    cents = _ivf_centroids_sql(sf_dir, n_cells=8, seed=42)
+    import os
+
+    import duckdb
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{path}')"
+    ).fetchone()[0]
+    cents = _ivf_centroids_sql(sf_dir, n_cells=_ivf_cells_for(n), seed=42)
     if cents is None:
         return None
     return f"""
@@ -3437,16 +3476,18 @@ WHERE {_DOT_SQL.format(a='ua.u', b='ub.u')} >= 0.4
     _embedding_ivf_neardup_oracle,  # deterministic centroids replayed
     doc="Cell-blocked embedding near-dup (cluster-then-compare, the "
     "semantic-dedup scale path): spherical-k-means cells bound the "
-    "candidate space by sum(cell_size^2) — grow n_cells with the corpus "
-    "for linear per-vector work, unlike sign-band LSH whose pruning "
-    "factor is constant on unstructured data "
+    "candidate space by sum(cell_size^2). n_cells now SCALES with the "
+    "corpus (cells ~ sqrt(n), catalog._ivf_cells_for) so per-vector "
+    "candidate work stays ~sqrt(n) instead of the fixed-cell n "
     "(operators/dedup.py:embedding_ivf_pairs). Value-oracled via the "
-    "materialized deterministic centroid table.",
+    "materialized deterministic centroid table rendered at the same "
+    "scaled cell count.",
 )
 def embedding_ivf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ensure_parallelism(_t(spark, sf_dir, "embeddings"), spark)
+    n_cells = _ivf_cells_for(emb.count())
     return D.embedding_ivf_pairs(
-        emb, "vec_id", "embedding", threshold=0.4, n_cells=8, n_assign=3
+        emb, "vec_id", "embedding", threshold=0.4, n_cells=n_cells, n_assign=3
     )
 
 

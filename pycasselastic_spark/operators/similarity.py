@@ -509,8 +509,19 @@ def ivf_topk(
     better.
     """
     query_id_col = query_id_col or id_col
-    uc = with_unit_vector(corpus, vec_col, "_u")
-    uq = with_unit_vector(queries, vec_col, "_u")
+    # narrow unit projections materialized once: each feeds training +
+    # assignment + scoring, and the collapse-inlined normalization
+    # would otherwise be recomputed inside every centroid dot
+    uc = (
+        with_unit_vector(corpus.select(id_col, vec_col), vec_col, "_u")
+        .select(id_col, "_u")
+        .localCheckpoint(eager=True)
+    )
+    uq = (
+        with_unit_vector(queries.select(query_id_col, vec_col), vec_col, "_u")
+        .select(query_id_col, "_u")
+        .localCheckpoint(eager=True)
+    )
     centroids = _train_centroids(uc, id_col, n_cells, seed)
 
     # IVF is build-then-probe: materialize the cell-assigned corpus (the
