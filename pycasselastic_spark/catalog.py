@@ -1073,16 +1073,25 @@ FROM per GROUP BY doc_id
     "in corpus filtering). explode + two hash aggregations, no windows.",
 )
 def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pycasselastic_spark.functions.expr import let
+
     docs = _t(spark, sf_dir, "documents")
-    # the >= 2 guard matters: for a one-token document sequence(0, -1)
-    # DESCENDS to [0, -1] and would emit NULL bigram rows, while the
-    # oracle's range(1, 1) is empty — guard to an empty array so both
-    # engines drop the document
-    bigrams = F.expr(
-        "CASE WHEN size(split(text, ' ')) >= 2 THEN "
-        "transform(sequence(0, size(split(text, ' ')) - 2), "
-        "i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1])) "
-        "ELSE array() END"
+    # the >= 2 guard matters: for a one-token document the descending
+    # index sequence would emit NULL bigram rows, while the oracle's
+    # range(1, 1) is empty — guard to an empty array so both engines
+    # drop the document. The token array binds once via `let`
+    # (re-splitting per position was 2x this query's cost).
+    bigrams = let(
+        F.split(F.col("text"), " "),
+        lambda ws: F.when(
+            F.size(ws) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )
     per = (
         docs.select("doc_id", F.explode(bigrams).alias("bigram"))
@@ -4293,12 +4302,23 @@ FROM q GROUP BY doc_id
     "shuffles on bigram keys, the one-row vocab count broadcasts.",
 )
 def bigram_lm_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pycasselastic_spark.functions.expr import let
+
     docs = _t(spark, sf_dir, "documents")
-    bg_expr = F.expr(
-        "CASE WHEN size(split(text, ' ')) >= 2 THEN "
-        "transform(sequence(0, size(split(text, ' ')) - 2), "
-        "i -> struct(split(text, ' ')[i] AS w1, split(text, ' ')[i + 1] AS w2)) "
-        "ELSE array() END"
+    # token array bound once (functions/expr.py:let) — inlining the
+    # split into the per-position lambda re-splits per bigram slot
+    bg_expr = let(
+        F.split(F.col("text"), " "),
+        lambda ws: F.when(
+            F.size(ws) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - 1),
+                lambda i: F.struct(
+                    F.element_at(ws, i).alias("w1"),
+                    F.element_at(ws, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>")),
     )
     bi = docs.select("doc_id", F.explode(bg_expr).alias("b")).select(
         "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
@@ -4359,7 +4379,11 @@ GROUP BY sh.doc_id
 def ngram_novelty_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sh = docs.select("doc_id", F.explode(D.shingles("text", 3)).alias("shingle"))
-    dfreq = sh.groupBy("shingle").agg(F.countDistinct("doc_id").alias("n_docs"))
+    # shingles() is distinct WITHIN each doc, so every (doc, shingle)
+    # row is unique and doc-frequency is a plain COUNT — a
+    # countDistinct here would drag the agg through Expand for the
+    # same answer (measured 3x slower at sf0.1)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
     novel = F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0)).cast("long")
     return (
         sh.join(dfreq, "shingle")

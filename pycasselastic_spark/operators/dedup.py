@@ -30,16 +30,27 @@ from pyspark.sql import functions as F
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a single-space-tokenized text
     column. Empty array when the document has fewer than ``n`` words
-    (Spark's ``sequence(1, 0)`` would count *down*, so guard it)."""
+    (Spark's ``sequence(1, 0)`` would count *down*, so guard it).
+
+    The tokenization is bound ONCE per row via ``let``: referencing
+    ``split(text)`` directly inside the per-position lambda would
+    re-split the document for every position x slot access in Spark's
+    interpreted higher-order evaluation (measured 8x slower at
+    sf0.1)."""
+    from pycasselastic_spark.functions.expr import let
+
     c = F.col(col) if isinstance(col, str) else col
-    ws = F.split(c, " ")
-    idx = F.sequence(F.lit(1), F.size(ws) - (n - 1))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(ws, i + j) for j in range(n)]
-    )
-    return F.when(
-        F.size(ws) >= n, F.array_distinct(F.transform(idx, gram))
-    ).otherwise(F.array().cast("array<string>"))
+
+    def build(ws: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(ws) - (n - 1))
+        gram = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(ws, i + j) for j in range(n)]
+        )
+        return F.when(
+            F.size(ws) >= n, F.array_distinct(F.transform(idx, gram))
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let(F.split(c, " "), build)
 
 
 def jaccard(a: Column, b: Column) -> Column:
