@@ -83,6 +83,8 @@ def _simhash32_of(hashes: Column) -> Column:
     distinct-token SimHash on small vocabularies. Bits are extracted
     with floor-divide/mod (not shifts) so the SQL oracle can mirror the
     arithmetic exactly."""
+    from pycasselastic_spark.functions.expr import let
+
     bit_vote = lambda h, j: F.when(  # noqa: E731
         F.pmod(F.floor(h / F.pow(F.lit(2.0), j)).cast("long"), 2) == 1, 1
     ).otherwise(-1)
@@ -95,17 +97,25 @@ def _simhash32_of(hashes: Column) -> Column:
             lambda x, y: x + y,
         ),
     )
-    return F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(31)),
-            lambda j: F.when(
-                F.element_at(counts, j + 1) >= 0,
-                F.pow(F.lit(2.0), j).cast("long"),
-            ).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+
+    # bind the vote-count array ONCE (functions/expr.py:let): the
+    # bit-packing transform references it for each of the 32 output
+    # bits, and an inlined reference would re-run the whole per-token
+    # vote fold 32x per row
+    def pack(cnt: Column) -> Column:
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(31)),
+                lambda j: F.when(
+                    F.element_at(cnt, j + 1) >= 0,
+                    F.pow(F.lit(2.0), j).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    return let(counts, pack)
 
 
 def simhash32(col: Column | str) -> Column:
@@ -182,7 +192,10 @@ def ngram_jaccard_pairs(
     counts skip the (expensive) intersection entirely. Lossless: the
     output is identical to the unpruned scan."""
     _guard_bruteforce(df, "ngram_jaccard_pairs", "minhash_lsh_pairs", max_rows)
-    sh = df.select(F.col(id_col).alias("_id"), shingles(text_col, n).alias("_sh"))
+    # shingles materialized once — both join sides reference them
+    sh = df.select(
+        F.col(id_col).alias("_id"), shingles(text_col, n).alias("_sh")
+    ).localCheckpoint(eager=True)
     a = sh.select(
         F.col("_id").alias("doc_a"), F.col("_sh").alias("_sha"), F.size("_sh").alias("_na")
     )
@@ -220,7 +233,13 @@ def minhash_lsh_pairs(
     tune bands/rows to the target threshold.
     """
     num_bands = num_hashes // band_rows
-    sh = df.select(F.col(id_col).alias("_id"), shingles(text_col, n).alias("_sh"))
+    # materialize the shingle sets once: they feed the banding
+    # projection AND both verify sides, and project-collapse would
+    # otherwise inline the shingle expression into every one of the
+    # num_hashes signature transforms (num_hashes x shingle work/row)
+    sh = df.select(
+        F.col(id_col).alias("_id"), shingles(text_col, n).alias("_sh")
+    ).localCheckpoint(eager=True)
     sig = minhash_signature(F.col("_sh"), num_hashes)
     bands = F.array(
         *[
