@@ -189,3 +189,48 @@ class TestEmbeddingIvfNearDup:
         # case for cell blocking; 3-way multi-assignment still recovers
         # nearly everything (98% measured)
         assert len(got) >= 0.8 * len(brute)
+
+
+def test_let_binds_value_once(spark):
+    """functions/expr.py:let — the bound body sees the evaluated value
+    (semantics check; the perf property is covered by the operators
+    that rely on it)."""
+    from pycasselastic_spark.functions.expr import let
+
+    df = spark.range(10).select(
+        let(
+            F.split(F.concat(F.lit("a b c "), F.col("id").cast("string")), " "),
+            lambda ws: F.size(ws) + F.element_at(ws, 1).isNotNull().cast("int"),
+        ).alias("v")
+    )
+    assert {r["v"] for r in df.collect()} == {5}
+
+
+def test_signature_bits_sequential_matches_unrolled(spark, sf_dir):
+    """The >32-plane signature path (transform over one literal array)
+    must produce bit-identical signatures to the <=32-plane unrolled
+    path — both are sequential folds, so running 40 planes as 32 + 8
+    must concatenate to the 40-plane result."""
+    from pycasselastic_spark.operators.similarity import (
+        _hyperplane,
+        signature_bits,
+        with_unit_vector,
+    )
+    from pycasselastic_spark.sources.corpus import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    unit = with_unit_vector(emb, "embedding", "_u").localCheckpoint(eager=True)
+    planes = [_hyperplane(64, p) for p in range(40)]
+    wide = unit.select(
+        "vec_id", signature_bits(F.col("_u"), planes).alias("sig")
+    )
+    narrow = unit.select(
+        "vec_id",
+        F.concat(
+            signature_bits(F.col("_u"), planes[:32]),
+            signature_bits(F.col("_u"), planes[32:]),
+        ).alias("sig"),
+    )
+    got = {r["vec_id"]: r["sig"] for r in wide.collect()}
+    want = {r["vec_id"]: r["sig"] for r in narrow.collect()}
+    assert got == want and len(got) == 50
