@@ -3967,7 +3967,7 @@ SELECT
   COUNT(*) AS n_sessions,
   CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces,
   CAST(SUM(n_events) AS BIGINT) AS total_events,
-  CAST(CAST(SUM(duration_us) AS DOUBLE) / 1000000 AS BIGINT)
+  CAST(SUM(duration_us) // 1000000 AS BIGINT)
     AS total_duration_s,
   CAST(SUM(n_purchases) AS BIGINT) AS total_purchases,
   CAST(SUM(CAST(session_value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
@@ -3997,8 +3997,11 @@ def session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bounces"),
         F.sum("n_events").cast("bigint").alias("total_events"),
-        (F.sum("duration_us").cast("double") / F.lit(1_000_000))
-        .cast("bigint")
+        # INTEGER division micros -> whole seconds: routing through a
+        # double + cast was a latent cross-engine trap (DuckDB's
+        # double->bigint CAST rounds, Spark's truncates — they diverged
+        # by 1 s at sf0.001 when the fraction crossed .5)
+        F.expr("CAST(sum(duration_us) DIV 1000000 AS BIGINT)")
         .alias("total_duration_s"),
         F.sum("n_purchases").cast("bigint").alias("total_purchases"),
         money_sum("session_value", "total_value"),
