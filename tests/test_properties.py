@@ -124,3 +124,74 @@ def test_pii_patterns_redact_and_count(spark):
     assert got[1] == "reach me at [EMAIL] or [PHONE] ok"
     assert got[2] == "ssn [SSN] appears once"
     assert got[3] == "no pii here at all"
+
+
+texts = st.lists(
+    st.lists(
+        st.sampled_from(["a", "bb", "ccc", "dog", "x1", "zz"]),
+        min_size=0, max_size=12,
+    ).map(lambda ws: " ".join(ws)),
+    min_size=1, max_size=12,
+)
+
+
+@given(docs=texts)
+@SETTINGS
+def test_shingles_match_python_reference(spark, docs):
+    """dedup.shingles == the plain-Python distinct n-gram builder for
+    ANY token sequence (incl. < n tokens and repeated shingles) — the
+    let-bound rewrite must not have changed semantics anywhere."""
+    from pycasselastic_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: sorted(r["sh"])
+        for r in df.select("doc_id", D.shingles("text", 3).alias("sh")).collect()
+    }
+
+    def ref(t):
+        ws = t.split(" ")
+        if len(ws) < 3:
+            return []
+        seen, out = set(), []
+        for i in range(len(ws) - 2):
+            g = " ".join(ws[i : i + 3])
+            if g not in seen:
+                seen.add(g)
+                out.append(g)
+        return sorted(out)
+
+    want = {i: ref(t) for i, t in enumerate(docs)}
+    assert got == want
+
+
+@given(docs=texts)
+@SETTINGS
+def test_simhash_matches_python_reference(spark, docs):
+    """The let-bound simhash fingerprint equals a plain-Python replay of
+    the same md5 arithmetic (tf-weighted votes, floor/mod bit ops)."""
+    import hashlib
+
+    from pycasselastic_spark.operators.dedup import simhash_fingerprints
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r["_id"]: (r["fp_hi"], r["fp_lo"])
+        for r in simhash_fingerprints(df, "doc_id", "text").collect()
+    }
+
+    def half(tokens, off):
+        counts = [0] * 32
+        for w in tokens:
+            h = int(hashlib.md5(w.encode()).hexdigest()[off - 1 : off + 7], 16)
+            for j in range(32):
+                counts[j] += 1 if (h // (2**j)) % 2 == 1 else -1
+        return sum(2**j for j in range(32) if counts[j] >= 0)
+
+    for i, t in enumerate(docs):
+        toks = t.split(" ")  # "" splits to [""] — matches Spark's split
+        assert got[i] == (half(toks, 1), half(toks, 9)), (i, t)
