@@ -308,20 +308,38 @@ def lsh_topk(
     band_width = num_planes // num_bands
 
     def with_bands(df: DataFrame, idc: str, out_id: str) -> DataFrame:
-        sig = signature_bits(F.col("_cvec"), planes)
+        # evaluate the signature once into a narrow (id, sig) row
+        # before fanning out num_bands substring branches — the same
+        # anti-inlining shape as dedup._lsh_banded (each substring
+        # would otherwise carry its own copy of the signature tree,
+        # which itself inlines the centering + normalization chain)
+        sigs = df.select(
+            F.col(idc).alias(out_id),
+            signature_bits(F.col("_cvec"), planes).alias("_sig"),
+        ).localCheckpoint(eager=True)
         bands = F.array(
             *[
-                F.substring(sig, b * band_width + 1, band_width)
+                F.substring(F.col("_sig"), b * band_width + 1, band_width)
                 for b in range(num_bands)
             ]
         )
-        return df.select(
-            F.col(idc).alias(out_id),
+        return sigs.select(
+            out_id,
             F.posexplode(bands).alias("_band_idx", "_band_key"),
         )
 
-    uq = with_unit_vector(queries, vec_col, vec_col)
-    uc = with_unit_vector(corpus, vec_col, vec_col)
+    # narrow unit projections materialized once: each feeds the mean,
+    # the centering/banding branch AND the exact-scoring branch
+    uq = (
+        with_unit_vector(queries.select(query_id_col, vec_col), vec_col, vec_col)
+        .select(query_id_col, vec_col)
+        .localCheckpoint(eager=True)
+    )
+    uc = (
+        with_unit_vector(corpus.select(id_col, vec_col), vec_col, vec_col)
+        .select(id_col, vec_col)
+        .localCheckpoint(eager=True)
+    )
     # materialize the one-row mean: it feeds BOTH centering branches, and
     # without a checkpoint each branch re-runs the full-corpus
     # posexplode+groupBy that computes it
