@@ -4454,6 +4454,148 @@ def deterministic_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFra
     ).select("doc_id", "shuffle_key", F.col("shuffle_pos").cast("long").alias("shuffle_pos"))
 
 
+@register(
+    "countmin_heavy_hitters_events",
+    """
+WITH pairs AS (
+  SELECT t.d,
+         ('0x' || substring(md5('cms' || t.d || ':' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+           % 256 AS bucket
+  FROM events, range(4) t(d)),
+counters AS (
+  SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM pairs GROUP BY d, bucket),
+exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM events GROUP BY user_id),
+est AS (
+  SELECT e.user_id, MIN(c.cnt) AS cms_cnt
+  FROM exact e, range(4) t(d)
+  JOIN counters c
+    ON c.d = t.d
+   AND c.bucket = ('0x' || substring(md5('cms' || t.d || ':' || CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT % 256
+  GROUP BY e.user_id)
+SELECT e.user_id, e.exact_cnt, s.cms_cnt
+FROM exact e JOIN est s USING (user_id)
+ORDER BY e.exact_cnt DESC, e.user_id
+LIMIT 20
+""",
+    doc="Heavy hitters via a count-min sketch (operators/sketches.py): "
+    "a fixed 4x256 md5-hashed counter grid built in ONE pass with "
+    "map-side partial aggregation (shuffle volume bounded by the grid, "
+    "not the key cardinality — the 100 TB answer to frequency "
+    "estimation over unbounded keys), probed by a broadcast join of "
+    "candidate keys. Output: top-20 users by exact count beside their "
+    "sketch estimate; the sketch is md5-deterministic so the DuckDB "
+    "oracle replays counters, minima and estimates bit-exactly (the "
+    "exact counts double as the overestimate-bound witness).",
+)
+def countmin_heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pycasselastic_spark.operators import sketches as SK
+
+    ev = _t(spark, sf_dir, "events")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = SK.countmin_estimates(ev, "user_id", exact, depth=4, width=256)
+    return (
+        exact.join(est, "user_id")
+        .orderBy(F.col("exact_cnt").desc(), F.col("user_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "embedding_quantize_stats",
+    """
+WITH ed AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+sc AS (
+  SELECT vec_id, v,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+              ELSE list_max(list_transform(v, x -> abs(x))) / 127.0 END AS scale
+  FROM ed),
+q AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> floor(x / scale + 0.5)) AS qc
+  FROM sc),
+r AS (
+  SELECT vec_id, v, scale, qc,
+         list_transform(qc, c -> c * scale) AS rv
+  FROM q)
+SELECT vec_id,
+       CAST(list_sum(list_transform(qc, c -> CAST(c AS BIGINT))) AS BIGINT) AS q_sum,
+       scale,
+       list_max(list_transform(range(1, 65), k -> abs(v[k] - rv[k]))) AS max_abs_err,
+       list_sum(list_transform(range(1, 65), k -> v[k] * rv[k]))
+         / (sqrt(list_sum(list_transform(v, x -> x * x)))
+            * sqrt(list_sum(list_transform(rv, x -> x * x)))) AS cos_recon
+FROM r
+""",
+    doc="Symmetric int8 scalar quantization of the embedding corpus "
+    "with per-vector reconstruction stats (operators/similarity.py:"
+    "quantize_int8_stats): scale = max|v|/127, codes "
+    "floor(v/scale+0.5), reconstruction q*scale. 4x storage/scan-byte "
+    "reduction is the embedding-store scale play; the emitted "
+    "max_abs_err and cos(v, reconstruction) quantify the ranking cost "
+    "per vector. Linear shuffle-free pass; every float op is "
+    "elementwise or a sequential fold, so the oracle replays all "
+    "columns bit-exactly.",
+)
+def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.quantize_int8_stats(emb, "vec_id", "embedding")
+
+
+@register(
+    "histogram_order_prices",
+    """
+WITH b AS (
+  SELECT LEAST(CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT), CAST(10 AS BIGINT)) AS bucket,
+         o_totalprice
+  FROM orders)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       FLOOR(1e6 * CAST(COUNT(*) AS DOUBLE)
+             / (SELECT CAST(COUNT(*) AS DOUBLE) FROM orders)) / 1e6 AS frac
+FROM b GROUP BY bucket
+""",
+    doc="Equi-width price histogram (50k-wide buckets, top bucket "
+    "open): the data-profiling primitive behind range partitioning and "
+    "skew detection. Single hash aggregation with map-side partials on "
+    "an 11-value key; the global total arrives via a broadcast scalar "
+    "subquery, never a second shuffle. Fraction is floor-scaled to 6 "
+    "decimals (floor is exact on IEEE doubles; round() ties differ "
+    "cross-engine).",
+)
+def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    total = orders.agg(F.count(F.lit(1)).cast("double").alias("_total"))
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(50000.0)), F.lit(10).cast("long")
+    )
+    return (
+        orders.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "n_orders",
+            "min_price",
+            "max_price",
+            (
+                F.floor(
+                    F.lit(1e6) * F.col("n_orders").cast("double") / F.col("_total")
+                )
+                / F.lit(1e6)
+            ).alias("frac"),
+        )
+    )
+
+
 def _transform_with_state_available() -> bool:
     """transformWithStateInPandas runs a protobuf-speaking state server
     worker-side; without ``google.protobuf`` the query crashes at

@@ -581,3 +581,49 @@ def ivf_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def quantize_int8_stats(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of an embedding column, with
+    per-vector reconstruction-quality stats — the storage/IO face of
+    similarity search: int8 codes cut an embedding store 4x and a 100 TB
+    scan's bytes with it, while cosine ranking degrades only marginally
+    (the stats this emits quantify exactly how much, per vector).
+
+    Per vector: ``scale = max(|v|)/127`` (1.0 for all-zero vectors),
+    ``q_i = floor(v_i/scale + 0.5)`` in [-127, 127], reconstruction
+    ``r_i = q_i * scale``. Emits the code sum (exact integer), the
+    scale, the max absolute reconstruction error, and
+    ``cos(v, r)`` — every float op is elementwise or a sequential-order
+    fold, so a DuckDB oracle replays all four bit-exactly.
+
+    Linear, shuffle-free, whole-corpus pass: one narrow projection per
+    row, no joins, no aggregation across rows — the shape that scales
+    to any corpus size.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    rows = df.select(F.col(id_col), v.alias("_v"))
+    mx = F.array_max(F.transform(F.col("_v"), F.abs))
+    rows = rows.withColumn(
+        "_scale", F.when(mx == 0, F.lit(1.0)).otherwise(mx / F.lit(127.0))
+    )
+    qc = F.transform(
+        F.col("_v"), lambda x: F.floor(x / F.col("_scale") + F.lit(0.5))
+    )
+    rows = rows.withColumn("_qc", qc)
+    rv = F.transform(F.col("_qc"), lambda c: c.cast("double") * F.col("_scale"))
+    rows = rows.withColumn("_rv", rv)
+    err = F.array_max(
+        F.zip_with(F.col("_v"), F.col("_rv"), lambda a, b: F.abs(a - b))
+    )
+    return rows.select(
+        F.col(id_col),
+        F.aggregate(
+            F.col("_qc"), F.lit(0).cast("long"), lambda acc, c: acc + c
+        ).alias("q_sum"),
+        F.col("_scale").alias("scale"),
+        err.alias("max_abs_err"),
+        (dot(F.col("_v"), F.col("_rv")) / (norm(F.col("_v")) * norm(F.col("_rv")))).alias(
+            "cos_recon"
+        ),
+    )
