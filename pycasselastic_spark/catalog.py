@@ -4523,9 +4523,11 @@ SELECT vec_id,
        CAST(list_sum(list_transform(qc, c -> CAST(c AS BIGINT))) AS BIGINT) AS q_sum,
        scale,
        list_max(list_transform(range(1, 65), k -> abs(v[k] - rv[k]))) AS max_abs_err,
-       list_sum(list_transform(range(1, 65), k -> v[k] * rv[k]))
-         / (sqrt(list_sum(list_transform(v, x -> x * x)))
-            * sqrt(list_sum(list_transform(rv, x -> x * x)))) AS cos_recon
+       CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x)))
+                 * sqrt(list_sum(list_transform(rv, x -> x * x))) = 0 THEN NULL
+            ELSE list_sum(list_transform(range(1, 65), k -> v[k] * rv[k]))
+                 / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                    * sqrt(list_sum(list_transform(rv, x -> x * x)))) END AS cos_recon
 FROM r
 """,
     doc="Symmetric int8 scalar quantization of the embedding corpus "

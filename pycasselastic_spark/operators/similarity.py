@@ -616,6 +616,7 @@ def quantize_int8_stats(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     err = F.array_max(
         F.zip_with(F.col("_v"), F.col("_rv"), lambda a, b: F.abs(a - b))
     )
+    nn = norm(F.col("_v")) * norm(F.col("_rv"))
     return rows.select(
         F.col(id_col),
         F.aggregate(
@@ -623,7 +624,8 @@ def quantize_int8_stats(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         ).alias("q_sum"),
         F.col("_scale").alias("scale"),
         err.alias("max_abs_err"),
-        (dot(F.col("_v"), F.col("_rv")) / (norm(F.col("_v")) * norm(F.col("_rv")))).alias(
-            "cos_recon"
-        ),
+        # NULL (not 0/0) for zero vectors — ANSI mode rejects the division
+        F.when(nn == 0, F.lit(None).cast("double"))
+        .otherwise(dot(F.col("_v"), F.col("_rv")) / nn)
+        .alias("cos_recon"),
     )
