@@ -4598,6 +4598,39 @@ def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fuzzy_match_customer_names",
+    """
+WITH v AS (
+  SELECT c_custkey AS id, c_name AS text,
+         unnest(list_prepend(c_name,
+            list_transform(range(1, length(c_name) + 1),
+                           i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1)))) AS variant
+  FROM customer WHERE length(c_name) >= 1)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.text AS text_a, b.text AS text_b,
+       CAST(levenshtein(a.text, b.text) AS INT) AS dist
+FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id
+WHERE levenshtein(a.text, b.text) <= 1
+""",
+    doc="Fuzzy entity matching: customer-name pairs within Levenshtein "
+    "distance 1 via FastSS 1-deletion-neighborhood blocking "
+    "(operators/dedup.py:edit_distance_pairs) — candidates from an "
+    "equi-join on deletion variants (recall-exact for distance 1, no "
+    "pair space materialized), levenshtein verify map-side before the "
+    "distinct so only true matches shuffle. Spark and DuckDB agree on "
+    "unit-cost Levenshtein, so the pairs value-oracle bit-exactly.",
+)
+def fuzzy_match_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = ensure_parallelism(_t(spark, sf_dir, "customer"), spark)
+    return D.edit_distance_pairs(cust, "c_custkey", "c_name", max_dist=1).select(
+        F.col("id_a"),
+        F.col("id_b"),
+        "text_a",
+        "text_b",
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
 def _transform_with_state_available() -> bool:
     """transformWithStateInPandas runs a protobuf-speaking state server
     worker-side; without ``google.protobuf`` the query crashes at

@@ -608,3 +608,60 @@ def embedding_ivf_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_dist: int = 1
+) -> DataFrame:
+    """Fuzzy-match pairs within Levenshtein distance ``max_dist``
+    (currently 1) via FastSS deletion-neighborhood blocking — the
+    entity-resolution primitive (typo'd ids, OCR'd names) at corpus
+    scale.
+
+    Candidates come from an equi-join on the 1-deletion neighborhood
+    U(s) = {s} + {s with char i deleted}: any two strings at edit
+    distance 1 share a variant (substitution: both delete position i;
+    insert/delete: the longer side's deletion equals the shorter
+    string), so recall is exact — no pair space is ever materialized,
+    and the shuffle key is the variant string. Each row fans out to
+    len+1 variant rows (bounded, linear); block sizes are bounded by
+    real near-duplication, not corpus size. The ``levenshtein``
+    verification runs map-side on the joined row BEFORE the distinct,
+    so the distinct's shuffle carries only true matches (the simhash
+    filter-before-distinct lesson).
+
+    Only ``max_dist=1`` ships: k-deletion neighborhoods grow as
+    len^k, and the cross-engine value oracle (DuckDB ``levenshtein``
+    agrees with Spark's on unit edit costs) is pinned at 1.
+    """
+    if max_dist != 1:
+        raise NotImplementedError("edit_distance_pairs ships max_dist=1")
+    name = F.col(text_col)
+    deletions = F.transform(
+        F.sequence(F.lit(1), F.length(name)),
+        lambda i: F.concat(
+            F.substring(name, F.lit(1), i - 1),
+            F.substring(name, i + 1, F.length(name)),
+        ),
+    )
+    variants = df.filter(F.length(name) >= 1).select(
+        F.col(id_col).alias("_id"),
+        name.alias("_text"),
+        F.explode(
+            F.concat(F.array(name), deletions)
+        ).alias("_variant"),
+    )
+    left = variants.select(
+        F.col("_id").alias("id_a"), F.col("_text").alias("text_a"), "_variant"
+    )
+    right = variants.select(
+        F.col("_id").alias("id_b"), F.col("_text").alias("text_b"), "_variant"
+    )
+    return (
+        left.join(right, "_variant")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.levenshtein("text_a", "text_b") <= max_dist)
+        .select("id_a", "id_b", "text_a", "text_b")
+        .distinct()
+        .withColumn("dist", F.levenshtein("text_a", "text_b"))
+    )

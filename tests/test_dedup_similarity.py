@@ -234,3 +234,52 @@ def test_signature_bits_sequential_matches_unrolled(spark, sf_dir):
     got = {r["vec_id"]: r["sig"] for r in wide.collect()}
     want = {r["vec_id"]: r["sig"] for r in narrow.collect()}
     assert got == want and len(got) == 50
+
+
+class TestEditDistancePairs:
+    def test_distance1_recall_is_exact(self, spark):
+        """Every substitution/insert/delete-1 pair must surface; the
+        distance-2 pair must not."""
+        rows = [
+            (1, "kitten"),
+            (2, "mitten"),   # substitution -> dist 1
+            (3, "kitte"),    # deletion -> dist 1 of kitten
+            (4, "kittens"),  # insertion -> dist 1 of kitten
+            (5, "mittes"),   # dist 2 from kitten, 1 from mitten
+            (6, "zebra"),
+        ]
+        df = spark.createDataFrame(rows, ["id", "name"])
+        from pycasselastic_spark.operators.dedup import edit_distance_pairs
+
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in edit_distance_pairs(df, "id", "name").collect()
+        }
+        import itertools
+
+        def lev(a, b):
+            d = {(i, 0): i for i in range(len(a) + 1)}
+            d.update({(0, j): j for j in range(len(b) + 1)})
+            for i, j in itertools.product(range(1, len(a) + 1), range(1, len(b) + 1)):
+                d[i, j] = min(
+                    d[i - 1, j] + 1,
+                    d[i, j - 1] + 1,
+                    d[i - 1, j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            return d[len(a), len(b)]
+
+        want = {
+            (x[0], y[0])
+            for x, y in itertools.combinations(rows, 2)
+            if lev(x[1], y[1]) <= 1
+        }
+        assert got == want
+        assert (1, 2) in got and (1, 3) in got and (1, 4) in got
+        assert all(6 not in p for p in got)
+
+    def test_no_cartesian_in_plan(self, spark):
+        from pycasselastic_spark.operators.dedup import edit_distance_pairs
+
+        df = spark.createDataFrame([(1, "ab"), (2, "ac")], ["id", "name"])
+        plan = edit_distance_pairs(df, "id", "name")._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
