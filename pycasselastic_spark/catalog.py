@@ -4631,6 +4631,204 @@ def fuzzy_match_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "passage_dedup_documents",
+    """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+occ AS (
+  SELECT doc_id,
+         md5(array_to_string(t[(i * 10 + 1):(i * 10 + 10)], ' ')) AS ph
+  FROM toks, UNNEST(range(CAST(ceil(len(t) / 10.0) AS BIGINT))) AS r(i)
+  WHERE len(t) > 0),
+cross_doc AS (
+  SELECT ph, MIN(doc_id) <> MAX(doc_id) AS is_dup FROM occ GROUP BY ph)
+SELECT o.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_passages,
+       CAST(SUM(CASE WHEN c.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages,
+       CAST(SUM(CASE WHEN c.is_dup THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS dup_share
+FROM occ o JOIN cross_doc c USING (ph)
+GROUP BY o.doc_id
+""",
+    doc="Passage-level exact dedup (operators/dedup.py:"
+    "passage_duplicate_stats): each document splits into consecutive "
+    "non-overlapping 10-token passages (pure JVM sequence+slice+"
+    "array_join — no Python), and a passage counts as duplicated when "
+    "its md5 also occurs in at least one OTHER document — the "
+    "exact-substring curation signal (boilerplate, license blocks, "
+    "templated spans) that doc-level exact dedup misses. One bounded "
+    "hash-shuffle on the passage digest (the >=2-distinct-docs test is "
+    "min!=max, cheaper than a distinct count), digest-keyed join back, "
+    "per-doc aggregate. Linear in token count; no pair space.",
+)
+def passage_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
+    return D.passage_duplicate_stats(docs, "doc_id", "text", passage_tokens=10)
+
+
+@register(
+    "bloom_prefilter_customers",
+    """
+WITH pos AS (
+  SELECT ('0x' || substring(md5('bf' || t.i || ':' || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT
+           % 4096 AS bit
+  FROM orders, range(5) t(i)),
+bits AS (SELECT DISTINCT bit FROM pos),
+probe AS (
+  SELECT c_custkey,
+         ('0x' || substring(md5('bf' || t.i || ':' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+           % 4096 AS bit
+  FROM customer, range(5) t(i)),
+hits AS (
+  SELECT c_custkey,
+         MIN(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) = 1 AS bloom_hit
+  FROM probe p LEFT JOIN bits b USING (bit) GROUP BY c_custkey),
+truth AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+       CAST(SUM(CASE WHEN h.bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pos,
+       CAST(SUM(CASE WHEN t.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_members,
+       CAST(SUM(CASE WHEN h.bloom_hit AND t.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos,
+       CAST(SUM(CASE WHEN t.c_custkey IS NOT NULL AND NOT h.bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_neg,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set
+FROM hits h LEFT JOIN truth t USING (c_custkey)
+""",
+    doc="Bloom-filter join pre-filtering (operators/sketches.py: "
+    "bloom_build/bloom_probe) — the third classic sketch beside HLL "
+    "and count-min: a 4096-bit / 5-hash filter over orders.o_custkey "
+    "built in one bounded shuffle (explode to bit positions, distinct "
+    "collapses map-side to <= m rows), broadcast-probed by every "
+    "customer key. At 100 TB this is the build-small/probe-big shape "
+    "that drops non-matching big-side rows BEFORE a join shuffle. "
+    "Output: probe count, bloom positives, true members, false "
+    "positives, false negatives (must be 0 — no-false-negative law in "
+    "band), set-bit count; md5-derived positions replay bit-exactly "
+    "in the oracle.",
+)
+def bloom_prefilter_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pycasselastic_spark.operators import sketches as SK
+
+    ords = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    bits = SK.bloom_build(ords, "o_custkey", m_bits=4096, k=5)
+    hits = SK.bloom_probe(
+        cust.select(F.col("c_custkey")), bits, "c_custkey", m_bits=4096, k=5
+    )
+    members = (
+        ords.select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("_m", F.lit(1))
+    )
+    joined = hits.join(F.broadcast(members), "c_custkey", "left")
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0)).alias("n_bloom_pos"),
+        F.sum(F.when(F.col("_m").isNotNull(), 1).otherwise(0)).alias("n_members"),
+        F.sum(
+            F.when(F.col("bloom_hit") & F.col("_m").isNull(), 1).otherwise(0)
+        ).alias("n_false_pos"),
+        F.sum(
+            F.when(F.col("_m").isNotNull() & ~F.col("bloom_hit"), 1).otherwise(0)
+        ).alias("n_false_neg"),
+    )
+    n_bits = bits.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    return agg.crossJoin(F.broadcast(n_bits))
+
+
+def _ivf_cell_quality_oracle(sf_dir: str) -> str | None:
+    cents = _ivf_centroids_sql(sf_dir, n_cells=16, seed=42)
+    if cents is None:
+        return None
+    return f"""
+WITH {_UNIT_SQL},
+{cents},
+cd AS (
+  SELECT e.vec_id, c.cell,
+         {_CDOT_SQL.format(u='e.u', c='c.cvec')} AS d
+  FROM eu e CROSS JOIN cents c),
+rk AS (
+  SELECT vec_id, cell, d,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
+  FROM cd),
+best AS (
+  SELECT a.vec_id, a.cell,
+         CAST(FLOOR(a.d * 1073741824.0) AS BIGINT) AS q1,
+         CAST(FLOOR(b.d * 1073741824.0) AS BIGINT) AS q2
+  FROM rk a JOIN rk b ON a.vec_id = b.vec_id AND b.rn = 2
+  WHERE a.rn = 1)
+SELECT cell,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(q1) AS DOUBLE) / (1073741824.0 * COUNT(*)) AS mean_cos,
+       CAST(MIN(q1) AS DOUBLE) / 1073741824.0 AS min_cos,
+       CAST(SUM(q1 - q2) AS DOUBLE) / (1073741824.0 * COUNT(*)) AS mean_margin
+FROM best GROUP BY cell
+"""
+
+
+@register(
+    "ivf_cell_quality_embeddings",
+    _ivf_cell_quality_oracle,
+    doc="IVF partition-quality audit: per cell, member count, mean/min "
+    "cosine to the owning centroid, and mean assignment margin (best "
+    "minus second-best dot) — the operational health check for the "
+    "IVF ANN index (skewed cells -> rebalance; thin margins -> "
+    "boundary vectors need multi-assignment). Assignment dots use the "
+    "same sequential fold as every oracle-replayed IVF query; "
+    "per-vector dots are quantized to Q30 fixed point BEFORE "
+    "aggregation so sums are order-independent integers and both "
+    "engines derive bit-identical doubles. One narrow codegen pass "
+    "over the corpus + a 16-group aggregate; no shuffle beyond it.",
+)
+def ivf_cell_quality_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pycasselastic_spark.functions.expr import let
+    from pycasselastic_spark.operators import similarity as S
+
+    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings"), spark)
+    unit = S.with_unit_vector(emb.select("vec_id", "embedding"), "embedding", "_u")
+    cents = S._train_centroids(unit, "vec_id", n_cells=16, seed=42)
+    structs = [
+        F.struct(
+            S.dot(F.col("_u"), F.array(*[F.lit(float(v)) for v in vec])).alias("d"),
+            F.lit(int(cell)).alias("cell"),
+        )
+        for cell, vec in cents
+    ]
+    ordered = F.array_sort(
+        F.array(*structs),
+        lambda left, right: F.when(left["d"] > right["d"], F.lit(-1))
+        .when(left["d"] < right["d"], F.lit(1))
+        .otherwise(left["cell"] - right["cell"]),
+    )
+    q30 = 1073741824.0
+    per_vec = unit.select(
+        "vec_id",
+        # bind the sorted (dot, cell) array once: three projections
+        # reference it, and inlining would re-run the 16x64 dot fold 3x
+        let(
+            ordered,
+            lambda o: F.struct(
+                F.element_at(o, 1)["cell"].alias("cell"),
+                F.floor(F.element_at(o, 1)["d"] * q30).cast("long").alias("q1"),
+                F.floor(F.element_at(o, 2)["d"] * q30).cast("long").alias("q2"),
+            ),
+        ).alias("a"),
+    ).select("vec_id", "a.cell", "a.q1", "a.q2")
+    return per_vec.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (F.sum("q1").cast("double") / (F.lit(q30) * F.count(F.lit(1)))).alias(
+            "mean_cos"
+        ),
+        (F.min("q1").cast("double") / F.lit(q30)).alias("min_cos"),
+        (
+            F.sum(F.col("q1") - F.col("q2")).cast("double")
+            / (F.lit(q30) * F.count(F.lit(1)))
+        ).alias("mean_margin"),
+    )
+
+
 def _transform_with_state_available() -> bool:
     """transformWithStateInPandas runs a protobuf-speaking state server
     worker-side; without ``google.protobuf`` the query crashes at

@@ -665,3 +665,62 @@ def edit_distance_pairs(
         .distinct()
         .withColumn("dist", F.levenshtein("text_a", "text_b"))
     )
+
+
+def passage_duplicate_stats(
+    df: DataFrame, id_col: str, text_col: str, passage_tokens: int = 10
+) -> DataFrame:
+    """Per-document duplicated-passage share: split each document into
+    consecutive non-overlapping ``passage_tokens``-token passages, hash
+    each, and report how many of a document's passages also occur in at
+    least one OTHER document — the passage-granularity exact-substring
+    dedup signal (boilerplate headers, license blocks, templated spans)
+    that doc-level exact dedup misses.
+
+    Returns ``(id_col, n_passages, n_dup_passages, dup_share)``.
+
+    Scale shape: the passage relation is linear in token count (each
+    token appears in exactly one passage); duplicate detection is one
+    hash-shuffle on the passage digest with map-side partial
+    aggregation (count + distinct-doc count via min/max compare), then
+    a digest-keyed join back and a per-doc aggregation. No pair space,
+    no windows. The passage split itself is a pure JVM transform
+    (sequence + slice + array_join) — no Python in the hot path.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_pass = F.ceil(F.size(toks) / F.lit(float(passage_tokens))).cast("int")
+    # guard the empty-text case: sequence(0, -1) DESCENDS in Spark
+    passages = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_pass - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * passage_tokens + 1, passage_tokens), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = df.select(
+        F.col(id_col).alias("_id"), F.explode(passages).alias("_p")
+    ).select("_id", F.md5("_p").alias("_ph"))
+    # one bounded aggregation per distinct passage: does it appear in
+    # >= 2 distinct documents? (min != max over doc ids is exact for
+    # the >=2 test and cheaper than a distinct count)
+    cross_doc = occ.groupBy("_ph").agg(
+        (F.min("_id") != F.max("_id")).alias("_is_dup")
+    )
+    return (
+        occ.join(cross_doc, "_ph")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(F.when(F.col("_is_dup"), 1).otherwise(0)).alias(
+                "n_dup_passages"
+            ),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_passages",
+            "n_dup_passages",
+            (F.col("n_dup_passages") / F.col("n_passages")).alias("dup_share"),
+        )
+    )

@@ -86,3 +86,79 @@ def countmin_estimates(
         .groupBy(key_col)
         .agg(F.min("cnt").alias("cms_cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: fixed-size, mergeable set membership — the third classic
+# sketch beside HLL (approx_count_distinct) and count-min above. The
+# canonical 100 TB use is join pre-filtering: build an m-bit filter over
+# the small side's keys (bounded state, map-side mergeable by bit-OR),
+# broadcast it, and drop big-side rows whose keys cannot match BEFORE
+# the shuffle. No false negatives; false positives only pass extra rows
+# to the real join, never corrupt it.
+# ---------------------------------------------------------------------------
+
+
+def bloom_positions(key: Column, k: int, m_bits: int) -> Column:
+    """The ``k`` bit positions of ``key``: first 8 md5 hex chars of the
+    salted key, base-16, mod ``m_bits`` — replayable in ANSI SQL (same
+    derivation as :func:`cms_bucket`; production swaps in xxhash64)."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"bf{i}:"), key.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 4096, k: int = 5
+) -> DataFrame:
+    """The SET bit positions of a Bloom filter over ``df[key_col]`` as
+    a one-column DataFrame ``(bit)`` with at most ``m_bits`` rows.
+
+    One pass, one bounded shuffle: every row explodes to its ``k``
+    positions and the ``distinct`` collapses each partition to at most
+    ``m_bits`` values map-side before the exchange — shuffle volume is
+    bounded by the filter size, not the data. (A dense bitmap in a
+    single binary value is the production packing; the position-set
+    relation keeps every downstream step SQL-replayable.)
+    """
+    return (
+        df.select(F.explode(bloom_positions(F.col(key_col), k, m_bits)).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bloom_bits: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k: int = 5,
+) -> DataFrame:
+    """``(key_col, bloom_hit)`` for every probe row: hit iff ALL ``k``
+    of the key's positions are set in ``bloom_bits``.
+
+    The filter is tiny by construction, so the probe is a broadcast
+    hash join — probe keys never shuffle for the membership test. The
+    hit test folds as ``min(matched)`` over the exploded positions, so
+    duplicate positions (two hashes landing on one bit) stay correct.
+    """
+    exploded = probes.select(
+        key_col,
+        F.explode(bloom_positions(F.col(key_col), k, m_bits)).alias("bit"),
+    )
+    marked = exploded.join(
+        F.broadcast(bloom_bits.withColumn("_set", F.lit(1))), "bit", "left"
+    )
+    return marked.groupBy(key_col).agg(
+        (F.min(F.coalesce(F.col("_set"), F.lit(0))) == 1).alias("bloom_hit")
+    )

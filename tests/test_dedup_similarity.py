@@ -283,3 +283,35 @@ class TestEditDistancePairs:
         df = spark.createDataFrame([(1, "ab"), (2, "ac")], ["id", "name"])
         plan = edit_distance_pairs(df, "id", "name")._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
+
+
+class TestPassageDedup:
+    def test_shared_passages_counted_cross_doc_only(self, spark):
+        # docs 1 and 2 share their first 10-token passage exactly; doc 3
+        # repeats its own passage twice (within-doc repeat is NOT a dup)
+        shared = " ".join(f"w{i}" for i in range(10))
+        df = spark.createDataFrame(
+            [
+                (1, shared + " tail1 a b c"),
+                (2, shared + " tail2 d e f"),
+                (3, " ".join(["x"] * 10) + " " + " ".join(["x"] * 10)),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in D.passage_duplicate_stats(df, "doc_id", "text").collect()
+        }
+        assert rows[1]["n_passages"] == 2 and rows[1]["n_dup_passages"] == 1
+        assert rows[2]["n_passages"] == 2 and rows[2]["n_dup_passages"] == 1
+        # doc 3's two identical passages come from ONE doc -> not dups
+        assert rows[3]["n_passages"] == 2 and rows[3]["n_dup_passages"] == 0
+        assert rows[1]["dup_share"] == 0.5
+
+    def test_short_doc_is_one_passage(self, spark):
+        df = spark.createDataFrame(
+            [(1, "only three tokens"), (2, "only three tokens")],
+            "doc_id long, text string",
+        )
+        rows = D.passage_duplicate_stats(df, "doc_id", "text").collect()
+        assert all(r["n_passages"] == 1 and r["n_dup_passages"] == 1 for r in rows)

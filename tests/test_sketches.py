@@ -90,3 +90,31 @@ def test_quantize_codes_cover_full_int8_range(spark):
     # codes: floor(63.5/1 + 0.5)=64, floor(-127/1 + 0.5)=-127 -> sum -63
     assert r["q_sum"] == -63
     assert abs(r["scale"] - 1.0) < 1e-12
+
+
+def test_bloom_no_false_negatives_and_bounded_fpr(spark):
+    members = spark.range(0, 1_000).select((F.col("id") * 3).alias("k"))
+    bits = SK.bloom_build(members, "k", m_bits=8192, k=6)
+    assert bits.count() <= 8192
+    # every member must hit (no false negatives — the Bloom law)
+    hits = SK.bloom_probe(members, bits, "k", m_bits=8192, k=6)
+    assert hits.filter(~F.col("bloom_hit")).count() == 0
+    # non-members: FPR should be near (1 - e^{-kn/m})^k ~= 2.2% here;
+    # assert at 3x slack so the test never flakes on the hash family
+    non = spark.range(0, 1_000).select((F.col("id") * 3 + 1).alias("k"))
+    fp = SK.bloom_probe(non, bits, "k", m_bits=8192, k=6)
+    assert fp.filter(F.col("bloom_hit")).count() <= 0.066 * 1_000
+
+
+def test_bloom_merges_by_bit_union(spark):
+    """Per-shard filters OR together into the global filter — the same
+    map-side mergeability law as the CMS grid."""
+    df = spark.range(0, 500).select(F.col("id").alias("k"))
+    left, right = df.filter("k < 250"), df.filter("k >= 250")
+    whole = SK.bloom_build(df, "k", m_bits=1024, k=4)
+    merged = (
+        SK.bloom_build(left, "k", m_bits=1024, k=4)
+        .unionAll(SK.bloom_build(right, "k", m_bits=1024, k=4))
+        .distinct()
+    )
+    assert {r["bit"] for r in whole.collect()} == {r["bit"] for r in merged.collect()}
