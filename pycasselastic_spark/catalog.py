@@ -4829,6 +4829,41 @@ def ivf_cell_quality_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_countmin_events",
+    """
+WITH pairs AS (
+  SELECT t.d,
+         ('0x' || substring(md5('cms' || t.d || ':' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+           % 256 AS bucket
+  FROM events, range(4) t(d))
+SELECT CAST(d AS BIGINT) AS d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM pairs GROUP BY d, bucket
+""",
+    doc="Count-min sketch maintained by Structured Streaming: the "
+    "event stream explodes to its (hash-row, bucket) pairs and a "
+    "complete-mode streaming aggregation keeps the counter grid — "
+    "state is bounded by the 4x256 grid REGARDLESS of stream length "
+    "or key cardinality, the canonical always-on frequency monitor "
+    "shape (no watermark needed: the state never grows). The "
+    "converged counters must equal the batch sketch bit-for-bit "
+    "(same md5 bucketing as countmin_heavy_hitters_events), so the "
+    "batch SQL oracle replays the final state exactly.",
+)
+def streaming_countmin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pycasselastic_spark.operators import sketches as SK
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    buckets = F.array(
+        *[SK.cms_bucket(F.col("user_id"), d, 256) for d in range(4)]
+    )
+    pairs = stream.select(F.posexplode(buckets).alias("d", "bucket"))
+    agg = pairs.groupBy(F.col("d").cast("long").alias("d"), "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return _run_stream_to_parquet(spark, agg, "complete")
+
+
 def _transform_with_state_available() -> bool:
     """transformWithStateInPandas runs a protobuf-speaking state server
     worker-side; without ``google.protobuf`` the query crashes at
