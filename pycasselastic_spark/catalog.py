@@ -4830,6 +4830,54 @@ def ivf_cell_quality_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "neardup_text_embedding_agreement",
+    f"""
+WITH {_SHINGLES_SQL},
+{_UNIT_SQL},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.s, b.s)) / len(list_distinct(a.s || b.s)) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) / len(list_distinct(a.s || b.s)) >= 0.6)
+SELECT p.doc_a, p.doc_b, p.jaccard,
+       {_DOT_SQL.format(a='ua.u', b='ub.u')} AS cosine
+FROM pairs p
+JOIN eu ua ON ua.vec_id = p.doc_a
+JOIN eu ub ON ub.vec_id = p.doc_b
+""",
+    doc="Cross-modal dedup agreement audit: every MinHash-LSH text "
+    "near-dup pair (Jaccard >= 0.6) joined to the pair's embedding "
+    "cosine — the curation check that the embedding space agrees with "
+    "lexical near-duplication (pairs lexically near but semantically "
+    "far flag a bad encoder or a boilerplate-dominated shingle set). "
+    "Composes two verified operators: banded LSH candidates (no pair "
+    "space) + two id-keyed shuffle joins to the unit vectors; the "
+    "sequential-fold dot keeps the cosine bit-replayable in SQL.",
+)
+def neardup_text_embedding_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pycasselastic_spark.operators import similarity as S
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=24, band_rows=2, threshold=0.6
+    )
+    unit = S.with_unit_vector(emb.select("vec_id", "embedding"), "embedding", "_u")
+    ua = unit.select(F.col("vec_id").alias("doc_a"), F.col("_u").alias("_ua"))
+    ub = unit.select(F.col("vec_id").alias("doc_b"), F.col("_u").alias("_ub"))
+    return (
+        pairs.join(ua, "doc_a")
+        .join(ub, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            S.dot(F.col("_ua"), F.col("_ub")).alias("cosine"),
+        )
+    )
+
+
+@register(
     "streaming_countmin_events",
     """
 WITH pairs AS (

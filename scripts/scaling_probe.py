@@ -48,7 +48,7 @@ def noop(df):
 def main() -> None:
     # argv selects probe families (default: all) so a noisy-host run can
     # re-measure one family without paying for the rest.
-    families = set(sys.argv[1:]) or {"merge", "text", "vecs", "posorthant"}
+    families = set(sys.argv[1:]) or {"merge", "text", "vecs", "posorthant", "sketch"}
     spark = get_spark(app_name="scaling-probe")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
     out = []
@@ -70,6 +70,20 @@ def main() -> None:
             )
         )
         emit(out, {"op": "lww_merge", "n": n, "sec": dt})
+
+    # sketches: rows double, sketch STATE stays fixed (the point) —
+    # bloom bit-set <= m rows, count-min grid <= depth*width rows, so
+    # wall time should track the scan, not the key cardinality
+    from pycasselastic_spark.operators import sketches as SK
+
+    for n in (2_000_000, 8_000_000, 32_000_000) if "sketch" in families else ():
+        keys = spark.range(n).select((F.col("id") % (n // 4)).alias("k"))
+        dt = bench(lambda: noop(SK.bloom_build(keys, "k", m_bits=1 << 20, k=5)))
+        emit(out, {"op": "bloom_build", "n": n, "sec": dt})
+        dt = bench(
+            lambda: noop(SK.countmin_counters(keys, "k", depth=4, width=4096))
+        )
+        emit(out, {"op": "countmin_counters", "n": n, "sec": dt})
 
     # synthetic documents: ~60-word texts from a small vocab, with
     # planted near-dups (every 50th doc repeats the previous text)
@@ -108,6 +122,8 @@ def main() -> None:
         emit(out, {"op": "minhash_lsh", "n": n, "sec": dt})
         dt = bench(lambda: noop(D.simhash_pairs(d, "doc_id", "text", max_hamming=3)))
         emit(out, {"op": "simhash", "n": n, "sec": dt})
+        dt = bench(lambda: noop(D.passage_duplicate_stats(d, "doc_id", "text")))
+        emit(out, {"op": "passage_dedup", "n": n, "sec": dt})
         d.unpersist()
 
     # similarity: corpus doubles, 10 queries, k=5. Components are
