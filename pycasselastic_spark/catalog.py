@@ -4830,6 +4830,79 @@ def ivf_cell_quality_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_neardup_delta",
+    f"""
+WITH {_SHINGLES_SQL}
+SELECT b.doc_id AS base_id, d.doc_id AS delta_id,
+       len(list_intersect(b.s, d.s)) / len(list_distinct(b.s || d.s)) AS jaccard
+FROM sh b JOIN sh d
+  ON b.doc_id % 10 <> 0 AND d.doc_id % 10 = 0
+WHERE len(list_intersect(b.s, d.s)) / len(list_distinct(b.s || d.s)) >= 0.6
+""",
+    doc="Incremental near-dup (operators/dedup.py:"
+    "minhash_lsh_pairs_between): a newly-ingested batch (doc_id % 10 "
+    "= 0 stands in for the delta) deduped against the accumulated "
+    "corpus — candidates are base-band x delta-band collisions ONLY, "
+    "so base x base never materializes and per-ingest work scales "
+    "with the batch, not the corpus. The md5 hash family is "
+    "data-independent, so at scale the base banding is computed once "
+    "and stored beside the corpus; only the delta is hashed per "
+    "ingest. Oracle is the brute-force cross-side answer: the "
+    "incremental banding must not lose a qualifying pair.",
+)
+def incremental_neardup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    return D.minhash_lsh_pairs_between(
+        base, delta, "doc_id", "text", n=3, num_hashes=24, band_rows=2,
+        threshold=0.6,
+    )
+
+
+@register(
+    "decontaminate_documents",
+    """
+WITH sh AS (
+  SELECT doc_id, unnest(CASE WHEN len(string_split(text, ' ')) >= 3
+           THEN list_distinct(list_transform(
+                  range(1, len(string_split(text, ' ')) - 1),
+                  i -> string_split(text, ' ')[i] || ' ' ||
+                       string_split(text, ' ')[i+1] || ' ' ||
+                       string_split(text, ' ')[i+2]))
+           ELSE [] END) AS shingle
+  FROM documents),
+contaminated AS (
+  SELECT DISTINCT c.doc_id
+  FROM sh c JOIN sh b ON c.shingle = b.shingle
+  WHERE b.doc_id < 10 AND c.doc_id >= 10
+  GROUP BY c.doc_id, b.doc_id
+  HAVING COUNT(*) >= 2)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id >= 10 AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+""",
+    doc="Decontamination APPLY step — the removal twin of "
+    "contamination_overlap: corpus documents sharing >= 2 distinct "
+    "3-gram shingles with any benchmark document (ids < 10) are "
+    "dropped via a left-anti join on the flagged id set. The flagged "
+    "set is small (contamination is rare), so the anti-join "
+    "broadcasts; the expensive shingle join is the same "
+    "benchmark-broadcast equi-join as the detection query.",
+)
+def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    flagged = (
+        contamination_overlap(spark, sf_dir).select("doc_id").distinct()
+    )
+    return (
+        docs.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(flagged), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+@register(
     "neardup_text_embedding_agreement",
     f"""
 WITH {_SHINGLES_SQL},

@@ -62,11 +62,24 @@ def jaccard(a: Column, b: Column) -> Column:
 def minhash_signature(sh: Column, num_hashes: int) -> list[Column]:
     """MinHash signature: per hash function h, the minimum md5 of
     shingle||'#h'. String-min over hex digests == numeric min over the
-    corresponding 128-bit values, and is identical in any engine."""
-    return [
-        F.array_min(F.transform(sh, lambda s, h=h: F.md5(F.concat(s, F.lit(f"#{h}")))))
-        for h in range(num_hashes)
-    ]
+    corresponding 128-bit values, and is identical in any engine.
+
+    The per-hash salt MUST be closed over outside the transform lambda:
+    a ``lambda s, h=h`` spelling gives the lambda two parameters, which
+    PySpark binds as (element, index) — ``h`` silently becomes the
+    array-index Column, ``f"#{h}"`` stringifies that Column's repr
+    (unique per plan!), and every "hash function" degenerates to the
+    same salt within a plan while never matching any OTHER plan's salt.
+    Found when cross-DataFrame band joins (minhash_lsh_pairs_between)
+    produced zero collisions."""
+
+    def _hash(h: int) -> Column:
+        salt = f"#{h}"
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(salt))))
+        )
+
+    return [_hash(h) for h in range(num_hashes)]
 
 
 def token_hash32(w: Column, hex_offset: int = 1) -> Column:
@@ -723,4 +736,79 @@ def passage_duplicate_stats(
             "n_dup_passages",
             (F.col("n_dup_passages") / F.col("n_passages")).alias("dup_share"),
         )
+    )
+
+
+def minhash_lsh_pairs_between(
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 24,
+    band_rows: int = 2,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Incremental MinHash-LSH near-dup: pairs between an existing
+    ``base`` corpus and a newly-arrived ``delta`` batch ONLY — the
+    production curation loop, where each ingest must be deduped
+    against the accumulated corpus without re-comparing the corpus to
+    itself.
+
+    Candidate generation is the band equi-join of base bands x delta
+    bands: base x base and delta x delta collisions never materialize,
+    so per-ingest work scales with |delta|, not |corpus|. The hash
+    family is data-independent (md5 of the shingle, fixed band
+    layout), so the base-side banding is a pure function of each
+    document — at scale it is computed once, stored beside the corpus
+    (partitioned by band key), and only the delta side is hashed per
+    ingest.
+
+    Returns ``(base_id, delta_id, jaccard)`` with exact-Jaccard
+    verification at ``threshold``.
+    """
+    num_bands = num_hashes // band_rows
+
+    def _banded(df: DataFrame):
+        sh = df.select(
+            F.col(id_col).alias("_id"), shingles(text_col, n).alias("_sh")
+        ).localCheckpoint(eager=True)
+        sig = minhash_signature(F.col("_sh"), num_hashes)
+        bands = F.array(
+            *[
+                F.md5(F.concat_ws("|", *sig[b * band_rows : (b + 1) * band_rows]))
+                for b in range(num_bands)
+            ]
+        )
+        return sh, sh.select(
+            "_id", F.posexplode(bands).alias("_band_idx", "_band_key")
+        )
+
+    sh_base, banded_base = _banded(base)
+    sh_delta, banded_delta = _banded(delta)
+    candidates = (
+        banded_base.select(F.col("_id").alias("base_id"), "_band_idx", "_band_key")
+        .join(
+            banded_delta.select(
+                F.col("_id").alias("delta_id"), "_band_idx", "_band_key"
+            ),
+            ["_band_idx", "_band_key"],
+        )
+        .select("base_id", "delta_id")
+        .distinct()
+    )
+    return (
+        candidates.join(
+            sh_base.select(F.col("_id").alias("base_id"), F.col("_sh").alias("_sha")),
+            "base_id",
+        )
+        .join(
+            sh_delta.select(
+                F.col("_id").alias("delta_id"), F.col("_sh").alias("_shb")
+            ),
+            "delta_id",
+        )
+        .withColumn("jaccard", jaccard(F.col("_sha"), F.col("_shb")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("base_id", "delta_id", "jaccard")
     )

@@ -315,3 +315,45 @@ class TestPassageDedup:
         )
         rows = D.passage_duplicate_stats(df, "doc_id", "text").collect()
         assert all(r["n_passages"] == 1 and r["n_dup_passages"] == 1 for r in rows)
+
+
+class TestIncrementalMinhash:
+    def test_cross_dataframe_banding_collides(self, spark):
+        """Regression: the minhash salt must be a plan-independent
+        literal. A (element, index)-bound lambda made every plan hash
+        with its own unresolved-Column repr as the salt, so two
+        separately-built DataFrames NEVER shared a band key and
+        minhash_lsh_pairs_between returned zero rows for identical
+        texts."""
+        text = " ".join(f"tok{i}" for i in range(30))
+        base = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        delta = spark.createDataFrame([(2, text)], "doc_id long, text string")
+        rows = D.minhash_lsh_pairs_between(
+            base, delta, "doc_id", "text"
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0]["jaccard"] == 1.0
+
+    def test_no_base_base_or_delta_delta_pairs(self, spark):
+        text = " ".join(f"w{i}" for i in range(30))
+        base = spark.createDataFrame(
+            [(1, text), (2, text)], "doc_id long, text string"
+        )
+        delta = spark.createDataFrame(
+            [(10, text), (11, text)], "doc_id long, text string"
+        )
+        rows = D.minhash_lsh_pairs_between(base, delta, "doc_id", "text").collect()
+        got = {(r["base_id"], r["delta_id"]) for r in rows}
+        # all four cross pairs, never (1,2) or (10,11)
+        assert got == {(1, 10), (1, 11), (2, 10), (2, 11)}
+
+    def test_signature_distinguishes_hash_functions(self, spark):
+        """The 24 salts must produce genuinely different hash functions
+        (the degenerate form collapsed them all to one)."""
+        df = spark.createDataFrame(
+            [(1, ["a b c", "b c d", "c d e"])], "id long, sh array<string>"
+        )
+        sig = df.select(
+            *[c.alias(f"h{i}") for i, c in enumerate(D.minhash_signature(F.col("sh"), 8))]
+        ).collect()[0]
+        assert len(set(sig)) > 1
