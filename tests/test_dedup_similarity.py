@@ -357,3 +357,30 @@ class TestIncrementalMinhash:
             *[c.alias(f"h{i}") for i, c in enumerate(D.minhash_signature(F.col("sh"), 8))]
         ).collect()[0]
         assert len(set(sig)) > 1
+
+
+class TestMinhashRecallAtThreshold:
+    def test_recall_on_pairs_just_above_design_threshold(self, spark):
+        """Recall stress at the 0.6 design threshold (the salt bug
+        hid behind a corpus whose qualifying pairs were all >= 0.95
+        Jaccard): 40 planted pairs at Jaccard ~= 0.613; with 24
+        hashes in 12 bands of 2 the per-pair miss probability is
+        (1 - 0.613^2)^12 ~= 0.4%, so demanding >= 36/40 found leaves
+        ~10x slack while a single-hash degenerate (expected recall
+        ~= J ~= 0.61) fails decisively."""
+        rows = []
+        for p in range(40):
+            a = [f"p{p}w{i}" for i in range(52)]
+            b = a[:40] + [f"p{p}v{i}" for i in range(12)]
+            rows.append((2 * p, " ".join(a)))
+            rows.append((2 * p + 1, " ".join(b)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = D.minhash_lsh_pairs(
+            df, "doc_id", "text", n=3, num_hashes=24, band_rows=2, threshold=0.6
+        ).collect()
+        found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+        planted = {(2 * p, 2 * p + 1) for p in range(40)}
+        assert found <= planted  # nothing spurious at this Jaccard
+        for r in pairs:
+            assert abs(r["jaccard"] - 38 / 62) < 1e-9
+        assert len(found & planted) >= 36
