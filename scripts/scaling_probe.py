@@ -124,6 +124,17 @@ def main() -> None:
         emit(out, {"op": "simhash", "n": n, "sec": dt})
         dt = bench(lambda: noop(D.passage_duplicate_stats(d, "doc_id", "text")))
         emit(out, {"op": "passage_dedup", "n": n, "sec": dt})
+        # incremental ingest: dedup a fixed 2.5k-doc delta against a
+        # growing base — cost must track the DELTA (flat-ish as the
+        # base doubles), the whole point of base x delta banding
+        base = d.filter(F.col("doc_id") % 8 != 0)
+        delta = d.filter(F.col("doc_id") % 8 == 0).limit(2_500)
+        dt = bench(
+            lambda: noop(
+                D.minhash_lsh_pairs_between(base, delta, "doc_id", "text")
+            )
+        )
+        emit(out, {"op": "incremental_neardup_2500delta", "n": n, "sec": dt})
         d.unpersist()
 
     # similarity: corpus doubles, 10 queries, k=5. Components are
