@@ -4985,6 +4985,50 @@ def streaming_countmin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream_to_parquet(spark, agg, "complete")
 
 
+@register(
+    "streaming_incremental_neardup",
+    QUERIES["incremental_neardup_delta"].oracle,
+    doc="The incremental-ingest dedup loop as Structured Streaming: "
+    "delta documents arrive as a file stream and each micro-batch is "
+    "deduped against the STATIC accumulated corpus inside foreachBatch "
+    "(stream-static composition around an expensive relational "
+    "operator, not just an enrich join). Because the base is static "
+    "and cross-side pairs are independent per delta doc, the union of "
+    "per-batch answers equals the one-shot batch answer REGARDLESS of "
+    "how the stream is batched — so the converged sink must hash-equal "
+    "incremental_neardup_delta's oracle exactly.",
+)
+def streaming_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", os.path.basename(path))
+    )
+    delta = reader.load(os.path.dirname(path)).filter(F.col("doc_id") % 10 == 0)
+    workdir = tempfile.mkdtemp(prefix="incr_dedup_")
+    out = os.path.join(workdir, "out")
+    checkpoint = os.path.join(workdir, "checkpoint")
+
+    def sink(batch_df, _batch_id):
+        D.minhash_lsh_pairs_between(
+            base, batch_df, "doc_id", "text", n=3, num_hashes=24, band_rows=2,
+            threshold=0.6,
+        ).write.mode("append").parquet(out)
+
+    q = (
+        delta.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
 def _transform_with_state_available() -> bool:
     """transformWithStateInPandas runs a protobuf-speaking state server
     worker-side; without ``google.protobuf`` the query crashes at
