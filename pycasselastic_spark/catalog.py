@@ -5029,6 +5029,50 @@ def streaming_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.read.parquet(out)
 
 
+@register(
+    "anti_entropy_diff_events",
+    """
+WITH a AS (SELECT event_id, user_id, event_type FROM events),
+b AS (SELECT event_id, user_id,
+             CASE WHEN event_id % 101 = 0 THEN event_type || '_x'
+                  ELSE event_type END AS event_type
+      FROM events WHERE event_id % 97 <> 0)
+SELECT COALESCE(a.event_id, b.event_id) AS event_id,
+       CASE WHEN b.event_id IS NULL THEN 'missing_in_b'
+            WHEN a.event_id IS NULL THEN 'missing_in_a'
+            ELSE 'payload_differs' END AS diff_status
+FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
+WHERE b.event_id IS NULL OR a.event_id IS NULL
+   OR a.user_id <> b.user_id OR a.event_type <> b.event_type
+""",
+    doc="Anti-entropy replica comparison (core/diff.py:table_diff) — "
+    "the scale rebuild of the reference's driver-side checkSync dict "
+    "probe (tests/testSyncClass.py:286-331): each store collapses to "
+    "<= 64 (bucket, bit_xor-digest, count) rows map-side, agreement is "
+    "proven by joining the digest tables alone, and the row-level "
+    "full-outer join runs only inside disagreeing buckets (broadcast "
+    "semi-join prune). Store B is store A with event_id%97 rows "
+    "dropped and event_id%101 payloads mutated; the oracle is the "
+    "GROUND-TRUTH direct diff, so a digest collision or an "
+    "over-pruned bucket would hash-mismatch — the check proves the "
+    "Merkle shortcut loses nothing.",
+)
+def anti_entropy_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pycasselastic_spark.core.diff import table_diff
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    mutated = ev.filter(F.col("event_id") % 97 != 0).withColumn(
+        "event_type",
+        F.when(
+            F.col("event_id") % 101 == 0,
+            F.concat(F.col("event_type"), F.lit("_x")),
+        ).otherwise(F.col("event_type")),
+    )
+    return table_diff(
+        ev, mutated, "event_id", ["user_id", "event_type"], n_buckets=64
+    )
+
+
 def _transform_with_state_available() -> bool:
     """transformWithStateInPandas runs a protobuf-speaking state server
     worker-side; without ``google.protobuf`` the query crashes at

@@ -1,0 +1,74 @@
+"""Anti-entropy diff invariants (core/diff.py): digest
+order-independence, agreement short-circuit, exact drift detection,
+and the bucket-prune plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pycasselastic_spark.core.diff import bucket_digests, table_diff
+
+
+def _store(spark, n=2_000):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("grp"),
+        F.concat(F.lit("v"), (F.col("id") % 13).cast("string")).alias("val"),
+    )
+
+
+def test_digests_are_partitioning_and_order_independent(spark):
+    a = _store(spark)
+    # same rows, different physical layout and order
+    b = _store(spark).repartition(17, "val").sortWithinPartitions(F.desc("k"))
+    da = {tuple(r) for r in bucket_digests(a, "k", ["grp", "val"]).collect()}
+    db = {tuple(r) for r in bucket_digests(b, "k", ["grp", "val"]).collect()}
+    assert da == db
+
+
+def test_identical_stores_diff_empty(spark):
+    a = _store(spark)
+    assert table_diff(a, _store(spark), "k", ["grp", "val"]).count() == 0
+
+
+def test_detects_exactly_the_planted_drift(spark):
+    a = _store(spark, 2_000)
+    b = (
+        _store(spark, 2_000)
+        .filter(F.col("k") % 19 != 0)  # deletions
+        .withColumn(
+            "val",
+            F.when(F.col("k") % 23 == 0, F.lit("corrupted")).otherwise(
+                F.col("val")
+            ),
+        )
+        .unionByName(  # one extra row only in b
+            spark.createDataFrame([(99_999, 0, "vx")], "k long, grp long, val string")
+        )
+    )
+    got = {
+        (r["k"], r["diff_status"])
+        for r in table_diff(a, b, "k", ["grp", "val"]).collect()
+    }
+    want = {(k, "missing_in_b") for k in range(0, 2_000, 19)}
+    want |= {
+        (k, "payload_differs")
+        for k in range(0, 2_000, 23)
+        if k % 19 != 0
+    }
+    want.add((99_999, "missing_in_a"))
+    assert got == want
+
+
+def test_row_join_reads_only_flagged_buckets(spark):
+    """The scale property: one corrupt row flags one bucket, and the
+    row-level join's inputs are semi-join pruned to that bucket."""
+    a = _store(spark, 2_000)
+    b = _store(spark, 2_000).withColumn(
+        "val", F.when(F.col("k") == 123, "oops").otherwise(F.col("val"))
+    )
+    diff = table_diff(a, b, "k", ["grp", "val"], n_buckets=64)
+    rows = diff.collect()
+    assert {(r["k"], r["diff_status"]) for r in rows} == {(123, "payload_differs")}
+    plan = diff._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan  # bucket prune reached the physical plan
