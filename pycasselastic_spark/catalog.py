@@ -5073,6 +5073,61 @@ def anti_entropy_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "anti_entropy_repair_events",
+    """
+WITH a AS (SELECT event_id, user_id, event_type FROM events),
+b AS (SELECT event_id, user_id,
+             CASE WHEN event_id % 101 = 0 THEN event_type || '_x'
+                  ELSE event_type END AS event_type
+      FROM events WHERE event_id % 97 <> 0),
+d AS (
+  SELECT COALESCE(a.event_id, b.event_id) AS event_id,
+         CASE WHEN b.event_id IS NULL THEN 'missing_in_b'
+              WHEN a.event_id IS NULL THEN 'missing_in_a'
+              ELSE 'payload_differs' END AS diff_status
+  FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
+  WHERE b.event_id IS NULL OR a.event_id IS NULL
+     OR a.user_id <> b.user_id OR a.event_type <> b.event_type)
+SELECT d.event_id,
+       CASE WHEN d.diff_status = 'missing_in_a' THEN 'delete'
+            ELSE 'upsert' END AS action,
+       a.user_id, a.event_type
+FROM d LEFT JOIN a ON a.event_id = d.event_id
+""",
+    doc="Anti-entropy REPAIR plan: the diff composed into the actions "
+    "that converge replica B to replica A — upsert A's row where B is "
+    "missing or stale, delete where B has a row A lacks (the "
+    "reference's delete-on-conflict made declarative). The action "
+    "stream is exactly what sources/registry.py's connector sinks "
+    "consume (per-row writetime upsert / id-keyed delete); at scale "
+    "it is diff-sized, not table-sized, because the digest prune "
+    "already proved the rest of the table converged.",
+)
+def anti_entropy_repair_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pycasselastic_spark.core.diff import table_diff
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    mutated = ev.filter(F.col("event_id") % 97 != 0).withColumn(
+        "event_type",
+        F.when(
+            F.col("event_id") % 101 == 0,
+            F.concat(F.col("event_type"), F.lit("_x")),
+        ).otherwise(F.col("event_type")),
+    )
+    diff = table_diff(
+        ev, mutated, "event_id", ["user_id", "event_type"], n_buckets=64
+    )
+    return diff.join(ev, "event_id", "left").select(
+        "event_id",
+        F.when(F.col("diff_status") == "missing_in_a", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("action"),
+        "user_id",
+        "event_type",
+    )
+
+
 def _transform_with_state_available() -> bool:
     """transformWithStateInPandas runs a protobuf-speaking state server
     worker-side; without ``google.protobuf`` the query crashes at
