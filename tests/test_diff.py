@@ -72,3 +72,32 @@ def test_row_join_reads_only_flagged_buckets(spark):
     assert {(r["k"], r["diff_status"]) for r in rows} == {(123, "payload_differs")}
     plan = diff._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan  # bucket prune reached the physical plan
+
+
+def test_repair_actions_converge_replicas(spark):
+    """Closing the anti-entropy loop: applying the diff-derived
+    upsert/delete actions to B must make it identical to A (the
+    reference's convergence law, checked end-to-end)."""
+    a = _store(spark, 1_000)
+    b = (
+        _store(spark, 1_000)
+        .filter(F.col("k") % 31 != 0)
+        .withColumn(
+            "val",
+            F.when(F.col("k") % 37 == 0, F.lit("stale")).otherwise(F.col("val")),
+        )
+        .unionByName(
+            spark.createDataFrame([(55_555, 1, "ghost")], "k long, grp long, val string")
+        )
+    )
+    diff = table_diff(a, b, "k", ["grp", "val"])
+    # upserts: A's row for every non-missing_in_a id; deletes: the rest
+    upsert_ids = diff.filter(F.col("diff_status") != "missing_in_a").select("k")
+    delete_ids = diff.filter(F.col("diff_status") == "missing_in_a").select("k")
+    touched = upsert_ids.unionByName(delete_ids)
+    repaired = (
+        b.join(touched, "k", "left_anti")
+        .unionByName(a.join(upsert_ids, "k", "left_semi"))
+    )
+    assert table_diff(a, repaired, "k", ["grp", "val"]).count() == 0
+    assert repaired.count() == a.count()
