@@ -5128,6 +5128,45 @@ def anti_entropy_repair_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "key_skew_report_events",
+    """
+WITH per_key AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY user_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+       quantile_cont(cnt, 0.5) AS p50_cnt,
+       quantile_cont(cnt, 0.99) AS p99_cnt,
+       CAST(MAX(cnt) AS DOUBLE) * COUNT(*) / SUM(cnt) AS skew_ratio,
+       CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top1_share
+FROM per_key
+""",
+    doc="Join-key skew pre-flight: per-key frequency distribution of "
+    "the prospective shuffle key (count of keys, hottest-key count, "
+    "exact p50/p99 of per-key counts, hottest/mean ratio, top-1 "
+    "share). At 100 TB this one cheap aggregation decides the plan — "
+    "skew_ratio near 1 means plain hash join; large means salt the "
+    "key (operators/skew.py) or lean on AQE skew-join splitting. One "
+    "map-side-combined groupBy + a singleton aggregate; nothing "
+    "shuffles twice.",
+)
+def key_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.expr("percentile(cnt, 0.5)").alias("p50_cnt"),
+        F.expr("percentile(cnt, 0.99)").alias("p99_cnt"),
+        (
+            F.max("cnt").cast("double") * F.count(F.lit(1)) / F.sum("cnt")
+        ).alias("skew_ratio"),
+        (F.max("cnt").cast("double") / F.sum("cnt")).alias("top1_share"),
+    )
+
+
 def _transform_with_state_available() -> bool:
     """transformWithStateInPandas runs a protobuf-speaking state server
     worker-side; without ``google.protobuf`` the query crashes at
