@@ -333,3 +333,51 @@ def test_streaming_sync_into_fake_connector_stores(spark, sf_dir, tmp_path):
     assert set(got) == set(want)
     for k in want:
         assert got[k][0] == want[k][0], k
+
+
+def test_incremental_neardup_batching_invariance(spark, sf_dir, tmp_path):
+    """The streaming incremental-dedup claim: because the base corpus
+    is static and cross-side pairs are independent per delta doc, the
+    union of per-micro-batch answers equals the one-shot batch answer
+    for ANY batching. Forced here: the delta lands as 4 files streamed
+    one per trigger (4 real micro-batches)."""
+    from pycasselastic_spark.operators.dedup import minhash_lsh_pairs_between
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    batch_answer = {
+        (r["base_id"], r["delta_id"])
+        for r in minhash_lsh_pairs_between(
+            base, delta, "doc_id", "text"
+        ).collect()
+    }
+
+    src = str(tmp_path / "delta_src")
+    delta.repartition(4).write.parquet(src)
+    out = str(tmp_path / "pairs_out")
+    batches = []
+
+    def sink(batch_df, batch_id):
+        batches.append((batch_id, batch_df.count()))
+        minhash_lsh_pairs_between(
+            base, batch_df, "doc_id", "text"
+        ).write.mode("append").parquet(out)
+
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(batches) >= 2  # genuinely multiple micro-batches
+    streamed = {
+        (r["base_id"], r["delta_id"]) for r in spark.read.parquet(out).collect()
+    }
+    assert streamed == batch_answer
