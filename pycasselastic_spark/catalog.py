@@ -5001,6 +5001,13 @@ def streaming_countmin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     base = docs.filter(F.col("doc_id") % 10 != 0)
+    # the stored-index shape: the corpus is shingled and banded ONCE
+    # (materialized) and every micro-batch only probes it — per-ingest
+    # work is the delta's banding plus the band join
+    base_index = D.minhash_band_index(
+        base, "doc_id", "text", n=3, num_hashes=24, band_rows=2,
+        materialize=True,
+    )
     path = f"{sf_dir}/documents.parquet"
     schema = spark.read.parquet(path).schema
     reader = (
@@ -5016,7 +5023,7 @@ def streaming_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     def sink(batch_df, _batch_id):
         D.minhash_lsh_pairs_between(
             base, batch_df, "doc_id", "text", n=3, num_hashes=24, band_rows=2,
-            threshold=0.6,
+            threshold=0.6, base_index=base_index,
         ).write.mode("append").parquet(out)
 
     q = (

@@ -739,6 +739,45 @@ def passage_duplicate_stats(
     )
 
 
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 24,
+    band_rows: int = 2,
+    materialize: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """The MinHash-LSH "index" of a corpus: the shingle-set relation
+    ``(_id, _sh)`` and the exploded band relation
+    ``(_id, _band_idx, _band_key)``.
+
+    The hash family is data-independent (md5 of the shingle, fixed
+    band layout), so this pair is a pure function of each document:
+    in production it is computed once, stored beside the corpus
+    (band relation partitioned by band key), and reused across every
+    ingest. ``materialize=True`` additionally localCheckpoints the
+    band relation — pass it when the index is probed repeatedly in
+    one session (e.g. per micro-batch in a stream) so the banding is
+    not recomputed per probe.
+    """
+    num_bands = num_hashes // band_rows
+    sh = df.select(
+        F.col(id_col).alias("_id"), shingles(text_col, n).alias("_sh")
+    ).localCheckpoint(eager=True)
+    sig = minhash_signature(F.col("_sh"), num_hashes)
+    bands = F.array(
+        *[
+            F.md5(F.concat_ws("|", *sig[b * band_rows : (b + 1) * band_rows]))
+            for b in range(num_bands)
+        ]
+    )
+    banded = sh.select("_id", F.posexplode(bands).alias("_band_idx", "_band_key"))
+    if materialize:
+        banded = banded.localCheckpoint(eager=True)
+    return sh, banded
+
+
 def minhash_lsh_pairs_between(
     base: DataFrame,
     delta: DataFrame,
@@ -748,6 +787,7 @@ def minhash_lsh_pairs_between(
     num_hashes: int = 24,
     band_rows: int = 2,
     threshold: float = 0.6,
+    base_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental MinHash-LSH near-dup: pairs between an existing
     ``base`` corpus and a newly-arrived ``delta`` batch ONLY — the
@@ -757,35 +797,20 @@ def minhash_lsh_pairs_between(
 
     Candidate generation is the band equi-join of base bands x delta
     bands: base x base and delta x delta collisions never materialize,
-    so per-ingest work scales with |delta|, not |corpus|. The hash
-    family is data-independent (md5 of the shingle, fixed band
-    layout), so the base-side banding is a pure function of each
-    document — at scale it is computed once, stored beside the corpus
-    (partitioned by band key), and only the delta side is hashed per
-    ingest.
+    so per-ingest work scales with |delta|, not |corpus|. Pass
+    ``base_index`` (from :func:`minhash_band_index`) to amortize the
+    base-side banding across repeated ingests — the stored-index shape;
+    otherwise it is derived from ``base`` here.
 
     Returns ``(base_id, delta_id, jaccard)`` with exact-Jaccard
     verification at ``threshold``.
     """
-    num_bands = num_hashes // band_rows
-
-    def _banded(df: DataFrame):
-        sh = df.select(
-            F.col(id_col).alias("_id"), shingles(text_col, n).alias("_sh")
-        ).localCheckpoint(eager=True)
-        sig = minhash_signature(F.col("_sh"), num_hashes)
-        bands = F.array(
-            *[
-                F.md5(F.concat_ws("|", *sig[b * band_rows : (b + 1) * band_rows]))
-                for b in range(num_bands)
-            ]
-        )
-        return sh, sh.select(
-            "_id", F.posexplode(bands).alias("_band_idx", "_band_key")
-        )
-
-    sh_base, banded_base = _banded(base)
-    sh_delta, banded_delta = _banded(delta)
+    sh_base, banded_base = base_index or minhash_band_index(
+        base, id_col, text_col, n=n, num_hashes=num_hashes, band_rows=band_rows
+    )
+    sh_delta, banded_delta = minhash_band_index(
+        delta, id_col, text_col, n=n, num_hashes=num_hashes, band_rows=band_rows
+    )
     candidates = (
         banded_base.select(F.col("_id").alias("base_id"), "_band_idx", "_band_key")
         .join(
