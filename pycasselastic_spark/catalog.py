@@ -5174,6 +5174,129 @@ def key_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "gopher_rules_documents",
+    f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_words,
+       length(replace(text, ' ', '')) / len(w) AS mean_word_len,
+       len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) / len(w)
+         AS alpha_word_share,
+       CAST(len(list_intersect(list_distinct(w), {_STOPS_SQL})) AS BIGINT)
+         AS n_stopwords,
+       (len(w) BETWEEN 50 AND 100000) AS wc_ok,
+       (length(replace(text, ' ', '')) / len(w) BETWEEN 3 AND 10) AS mwl_ok,
+       (len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) / len(w) >= 0.8)
+         AS alpha_ok,
+       (len(list_intersect(list_distinct(w), {_STOPS_SQL})) >= 2) AS stop_ok,
+       ((len(w) BETWEEN 50 AND 100000)
+        AND (length(replace(text, ' ', '')) / len(w) BETWEEN 3 AND 10)
+        AND (len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) / len(w) >= 0.8)
+        AND (len(list_intersect(list_distinct(w), {_STOPS_SQL})) >= 2)) AS keep
+FROM t
+""",
+    doc="Gopher-style quality rule filter (Rae et al. 2021, adapted to "
+    "the single-line corpus): word count in [50, 100k], mean word "
+    "length in [3, 10], >= 80% of words containing an alphabetic "
+    "character, >= 2 distinct stopwords present — per-doc rule flags "
+    "plus the conjunctive keep decision. All pure JVM expressions "
+    "(int/int divisions are IEEE-exact cross-engine), one narrow "
+    "scan, no shuffle: the shape of a 100 TB first-pass filter.",
+)
+def gopher_rules_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pycasselastic_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    w = TX.words("text")
+    stops = F.array(*[F.lit(s) for s in ("the", "is", "and", "of", "to", "a", "in")])
+    n_words = F.size(w)
+    mwl = F.length(F.regexp_replace(F.col("text"), " ", "")) / n_words
+    alpha_share = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))) / n_words
+    n_stop = F.size(F.array_intersect(F.array_distinct(w), stops))
+    wc_ok = n_words.between(50, 100000)
+    mwl_ok = (mwl >= 3) & (mwl <= 10)
+    alpha_ok = alpha_share >= 0.8
+    stop_ok = n_stop >= 2
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mwl.alias("mean_word_len"),
+        alpha_share.alias("alpha_word_share"),
+        n_stop.cast("long").alias("n_stopwords"),
+        wc_ok.alias("wc_ok"),
+        mwl_ok.alias("mwl_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stop_ok.alias("stop_ok"),
+        (wc_ok & mwl_ok & alpha_ok & stop_ok).alias("keep"),
+    )
+
+
+@register(
+    "canonical_exact_dedup_documents",
+    """
+SELECT doc_id, canon_fp FROM (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), ' +', ' '))) AS canon_fp,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(trim(regexp_replace(lower(text), ' +', ' ')))
+           ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1
+""",
+    doc="Canonicalized exact dedup: documents normalize (lowercase, "
+    "collapse runs of spaces, trim) BEFORE fingerprinting, so "
+    "case/whitespace variants of the same text collapse to one "
+    "representative — the standard canonicalization pass that "
+    "byte-exact dedup misses. Same single-shuffle min_by shape as "
+    "exact_dedup (operators/dedup.py:exact_dedup) keyed on the "
+    "canonical md5.",
+)
+def canonical_exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    canon = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
+    )
+    return (
+        docs.select("doc_id", canon.alias("canon_fp"))
+        .groupBy("canon_fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "canon_fp")
+    )
+
+
+@register(
+    "exact_k_per_source_sample",
+    """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents) WHERE rn <= 5
+""",
+    doc="Exact-k-per-group sampling: 5 documents per source, chosen by "
+    "rank over the md5 of the id — deterministic, reproducible, and "
+    "uniform-ish without any RNG state. Complements the rate-based "
+    "samplers (stratified/source-balanced): per-group windows "
+    "partition by the group key so no single-task sort; at 100 TB "
+    "prefer this shape over ORDER BY rand() LIMIT k per group, which "
+    "is neither deterministic nor partitionable.",
+)
+def exact_k_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "source")
+    )
+
+
 def _transform_with_state_available() -> bool:
     """transformWithStateInPandas runs a protobuf-speaking state server
     worker-side; without ``google.protobuf`` the query crashes at
