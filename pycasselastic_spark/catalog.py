@@ -5297,6 +5297,85 @@ def exact_k_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bloom_pruned_join_events",
+    """
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY c.c_mktsegment
+""",
+    doc="Bloom-PRUNED join (the apply side of bloom_prefilter_"
+    "customers): the fact stream filters through a row-level "
+    "bloom_contains predicate (operators/sketches.py — densified "
+    "4096-bit mask closed over in codegen, no join, no shuffle) "
+    "BEFORE joining the selective dim. Because a Bloom filter has no "
+    "false negatives, the pruned join's result is IDENTICAL to the "
+    "plain join — so the oracle is the plain join, and any dropped "
+    "true match would hash-mismatch. At 100 TB this is runtime row "
+    "filtering ahead of the exchange: only possibly-matching fact "
+    "rows shuffle.",
+)
+def bloom_pruned_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pycasselastic_spark.operators import sketches as SK
+
+    ev = _t(spark, sf_dir, "events")
+    dim = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    mask = SK.bloom_mask(SK.bloom_build(dim, "c_custkey", 4096, 5), 4096)
+    pruned = ev.filter(SK.bloom_contains(F.col("user_id"), mask, 5))
+    return (
+        pruned.join(
+            F.broadcast(dim), pruned["user_id"] == dim["c_custkey"]
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+@register(
+    "time_rollup_events",
+    """
+SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+       CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY ROLLUP(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP),
+                CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP))
+""",
+    doc="Time-hierarchy rollup: event counts and exact decimal value "
+    "totals at hour, day and grand-total grains in ONE pass "
+    "(ROLLUP(day, hour) — the partial aggregates compose, so Spark "
+    "computes the hierarchy without rescanning; at 100 TB this "
+    "replaces three separate aggregation jobs).",
+)
+def time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour")
+    return (
+        ev.select(day, hour, "value")
+        .rollup("day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
 def _transform_with_state_available() -> bool:
     """transformWithStateInPandas runs a protobuf-speaking state server
     worker-side; without ``google.protobuf`` the query crashes at

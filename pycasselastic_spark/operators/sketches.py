@@ -162,3 +162,31 @@ def bloom_probe(
     return marked.groupBy(key_col).agg(
         (F.min(F.coalesce(F.col("_set"), F.lit(0))) == 1).alias("bloom_hit")
     )
+
+
+def bloom_mask(bloom_bits: DataFrame, m_bits: int) -> str:
+    """Densify the bit-position relation into an ``m_bits``-char
+    '0'/'1' mask string for closing over in a row-level predicate.
+
+    The collect is bounded by ``m_bits`` BY CONSTRUCTION (like the IVF
+    training sample, it can never scale with the data) — this is the
+    broadcast-the-filter step of Bloom join pruning.
+    """
+    mask = bytearray(b"0" * m_bits)
+    for r in bloom_bits.collect():
+        mask[int(r["bit"])] = ord("1")
+    return mask.decode("ascii")
+
+
+def bloom_contains(key: Column, mask: str, k: int) -> Column:
+    """Row-level membership predicate against a densified mask: true
+    iff ALL ``k`` of the key's positions are set. No join, no shuffle —
+    a pure filter expression evaluated inside codegen, the shape that
+    drops non-matching rows BEFORE a join's exchange. No false
+    negatives, so ``filter(bloom_contains(...))`` before a join never
+    changes the join's result."""
+    m_bits = len(mask)
+    return F.forall(
+        bloom_positions(key, k, m_bits),
+        lambda p: F.substring(F.lit(mask), p + 1, F.lit(1)) == F.lit("1"),
+    )

@@ -118,3 +118,26 @@ def test_bloom_merges_by_bit_union(spark):
         .distinct()
     )
     assert {r["bit"] for r in whole.collect()} == {r["bit"] for r in merged.collect()}
+
+
+def test_bloom_contains_matches_probe(spark):
+    """The row-level mask predicate and the join-based probe are the
+    same membership function."""
+    members = spark.range(0, 400).select((F.col("id") * 7).alias("k"))
+    bits = SK.bloom_build(members, "k", m_bits=2048, k=4)
+    mask = SK.bloom_mask(bits, 2048)
+    assert len(mask) == 2048 and set(mask) <= {"0", "1"}
+    probes = spark.range(0, 2_800).select(F.col("id").alias("k"))
+    via_probe = {
+        r["k"]
+        for r in SK.bloom_probe(probes, bits, "k", 2048, 4)
+        .filter(F.col("bloom_hit"))
+        .collect()
+    }
+    via_mask = {
+        r["k"]
+        for r in probes.filter(SK.bloom_contains(F.col("k"), mask, 4)).collect()
+    }
+    assert via_mask == via_probe
+    # and pruning before a join never loses a true match
+    assert {r["k"] for r in members.collect()} <= via_mask
