@@ -5376,6 +5376,102 @@ def time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "user_value_outliers_events",
+    """
+WITH c AS (
+  SELECT user_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events),
+m AS (
+  SELECT user_id, quantile_cont(cents, 0.5) AS med_cents FROM c GROUP BY user_id)
+SELECT c.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       m.med_cents,
+       CAST(SUM(CASE WHEN abs(c.cents - m.med_cents) > 2000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM c JOIN m USING (user_id)
+GROUP BY c.user_id, m.med_cents
+""",
+    doc="Per-entity outlier flagging on an exact, integer-safe basis: "
+    "values quantize to cents (decimal, not a lossy double cast), the "
+    "per-user median comes from the exact interpolated percentile "
+    "(int inputs -> at worst .5 halves, bit-identical cross-engine), "
+    "and an event is an outlier when it sits more than $20 from its "
+    "user's median. Median + flags in two shuffles on the same key "
+    "(AQE reuses the partitioning); no variance/stddev — those are "
+    "order-dependent float sums and cannot back a value oracle.",
+)
+def user_value_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    c = ev.select("user_id", cents.alias("cents"))
+    med = c.groupBy("user_id").agg(
+        F.expr("percentile(cents, 0.5)").alias("med_cents")
+    )
+    return (
+        c.join(med, "user_id")
+        .groupBy("user_id", "med_cents")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") - F.col("med_cents")) > 2000, 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select("user_id", "n_events", "med_cents", "n_outliers")
+    )
+
+
+@register(
+    "streaming_approx_distinct_windows",
+    """
+SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       true AS users_within_3rsd
+FROM events GROUP BY 1
+""",
+    doc="Streaming sketch aggregation: per-tumbling-hour HLL++ distinct "
+    "users maintained by Structured Streaming (distinct aggregates are "
+    "unsupported in streaming — the SKETCH is precisely what makes "
+    "windowed cardinality feasible there, with bounded per-window "
+    "state). The converged estimates join the batch exact counts and "
+    "the value oracle checks the tolerance flag (|HLL - exact| <= "
+    "3*rsd*exact), the approx_distinct_stats_events pattern applied "
+    "to the stream.",
+)
+def streaming_approx_distinct_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    agg = stream.groupBy(F.window("ts", "1 hour")).agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_hll"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    streamed = _run_stream_to_parquet(spark, agg, "complete").select(
+        F.col("window.start").alias("window_start"), "_hll", "n_events"
+    )
+    ev = _t(spark, sf_dir, "events")
+    exact = (
+        ev.groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(F.count(F.lit(1)))
+        .groupBy(F.col("window.start").alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    return streamed.join(exact, "window_start").select(
+        "window_start",
+        "n_events",
+        "n_users",
+        # 3*rsd relative band with an absolute floor of 3: hourly
+        # windows hold 10-20 users, where 6% is under one count and
+        # HLL's +/-1 discretization would trip a purely relative band
+        (
+            F.abs(F.col("_hll") - F.col("n_users"))
+            <= F.greatest(F.lit(3.0), 0.06 * F.col("n_users"))
+        ).alias("users_within_3rsd"),
+    )
+
+
 def _transform_with_state_available() -> bool:
     """transformWithStateInPandas runs a protobuf-speaking state server
     worker-side; without ``google.protobuf`` the query crashes at
