@@ -5472,6 +5472,75 @@ def streaming_approx_distinct_windows(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+@register(
+    "null_safe_join_events",
+    """
+WITH a AS (
+  SELECT NULLIF(event_type, 'click') AS k, CAST(COUNT(*) AS BIGINT) AS n_a
+  FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+b AS (
+  SELECT NULLIF(event_type, 'click') AS k, CAST(COUNT(*) AS BIGINT) AS n_b
+  FROM events WHERE event_id % 2 = 1 GROUP BY 1)
+SELECT a.k, a.n_a, b.n_b
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+""",
+    doc="Null-safe equi-join (<=> / IS NOT DISTINCT FROM): the NULL "
+    "group joins the NULL group instead of silently dropping — the "
+    "semantics a sync engine needs when the merge key can be absent "
+    "on both sides. Null-safe equality is still a hashable equi-key, "
+    "so the plan stays a hash join, not a nested loop.",
+)
+def null_safe_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.nullif(F.col("event_type"), F.lit("click")).alias("k")
+    a = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy(k)
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    b = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .groupBy(k)
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(a["k"], "n_a", "n_b")
+
+
+@register(
+    "map_function_suite_documents",
+    """
+SELECT doc_id,
+       lang AS lang_v,
+       CAST(2 AS INT) AS n_keys,
+       true AS has_source,
+       upper(source) AS src_upper,
+       'lang,source' AS keys_sorted
+FROM documents
+""",
+    doc="Map-typed column surface: create_map / element_at / size / "
+    "map_contains_key / transform_values / map_keys + array_sort — "
+    "the semi-structured shape for per-row attribute bags. The oracle "
+    "verifies the VALUES through map-free projections (the map here "
+    "is constructed from known columns, so every map op has a scalar "
+    "ground truth), keeping the check engine-portable while the Spark "
+    "side exercises the real map operators.",
+)
+def map_function_suite_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    upper_m = F.transform_values(m, lambda _k, v: F.upper(v))
+    return docs.select(
+        "doc_id",
+        F.element_at(m, F.lit("lang")).alias("lang_v"),
+        F.size(m).alias("n_keys"),
+        F.map_contains_key(m, F.lit("source")).alias("has_source"),
+        F.element_at(upper_m, F.lit("source")).alias("src_upper"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+    )
+
+
 def _transform_with_state_available() -> bool:
     """transformWithStateInPandas runs a protobuf-speaking state server
     worker-side; without ``google.protobuf`` the query crashes at
