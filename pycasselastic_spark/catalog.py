@@ -5328,18 +5328,27 @@ def bloom_pruned_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mask = SK.bloom_mask(SK.bloom_build(dim, "c_custkey", 4096, 5), 4096)
     pruned = ev.filter(SK.bloom_contains(F.col("user_id"), mask, 5))
-    return (
-        pruned.join(
-            F.broadcast(dim), pruned["user_id"] == dim["c_custkey"]
-        )
+    joined = pruned.join(
+        F.broadcast(dim), pruned["user_id"] == dim["c_custkey"]
+    )
+    # distinct users as a two-level aggregation joined back on the
+    # 1-row group key: countDistinct beside other aggregates makes
+    # Catalyst rewrite the whole agg through Expand (see
+    # approx_distinct_stats_events)
+    d_users = (
+        joined.groupBy("c_mktsegment", "user_id")
+        .agg(F.count(F.lit(1)))
         .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.countDistinct("user_id").alias("n_users"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("total_value"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    totals = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    return totals.join(d_users, "c_mktsegment").select(
+        "c_mktsegment", "n_events", "n_users", "total_value"
     )
 
 
