@@ -5550,6 +5550,55 @@ def map_function_suite_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_graph_stats",
+    f"""
+WITH {_SHINGLES_SQL},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) / len(list_distinct(a.s || b.s)) >= 0.6),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+comp AS (
+  WITH RECURSIVE reach(node, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.s, r.label FROM edges e JOIN reach r ON e.d = r.node
+  )
+  SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node),
+sizes AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS comp_size
+  FROM comp GROUP BY component)
+SELECT comp_size, CAST(COUNT(*) AS BIGINT) AS n_components
+FROM sizes GROUP BY comp_size
+""",
+    doc="Dedup-graph observability: the component-SIZE histogram of "
+    "the near-dup pair graph (size 1 = unique docs, 2+ = dup "
+    "clusters) — the one-look answer to 'how aggressive is this "
+    "dedup pass', and the skew check for the clustering itself (a "
+    "giant component means boilerplate shingles are bridging "
+    "unrelated docs). Composes the banded-LSH pair generation with "
+    "large-star/small-star components (operators/components.py) and "
+    "two bounded aggregations; the oracle recomputes the closure "
+    "with recursive SQL.",
+)
+def dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pycasselastic_spark.operators.components import assign_components
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+    labeled = assign_components(
+        docs.select("doc_id"), pairs, "doc_id", "doc_a", "doc_b"
+    )
+    sizes = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).alias("comp_size")
+    )
+    return sizes.groupBy("comp_size").agg(
+        F.count(F.lit(1)).alias("n_components")
+    )
+
+
 def _transform_with_state_available() -> bool:
     """transformWithStateInPandas runs a protobuf-speaking state server
     worker-side; without ``google.protobuf`` the query crashes at
