@@ -5008,14 +5008,13 @@ def streaming_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
         base, "doc_id", "text", n=3, num_hashes=24, band_rows=2,
         materialize=True,
     )
+    from pycasselastic_spark.streaming.sync import read_table_stream
+
+    # read_table_stream handles both single-file and directory parquet
+    # layouts; hardcoding pathGlobFilter here would yield an empty
+    # stream on a directory corpus
     path = f"{sf_dir}/documents.parquet"
-    schema = spark.read.parquet(path).schema
-    reader = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", os.path.basename(path))
-    )
-    delta = reader.load(os.path.dirname(path)).filter(F.col("doc_id") % 10 == 0)
+    delta = read_table_stream(spark, path).filter(F.col("doc_id") % 10 == 0)
     workdir = tempfile.mkdtemp(prefix="incr_dedup_")
     out = os.path.join(workdir, "out")
     checkpoint = os.path.join(workdir, "checkpoint")

@@ -34,11 +34,20 @@ from pyspark.sql import functions as F
 
 def row_digest(id_col: Column, payload_cols: list[Column]) -> Column:
     """60-bit digest of (id, payload): first 15 md5 hex chars of the
-    '|'-joined values, base-16. NULLs are encoded by concat_ws's
-    skip-NULL rule uniformly in both engines; callers that need
-    NULL-vs-empty distinction should pre-coalesce with a sentinel."""
-    joined = F.concat_ws("|", id_col.cast("string"), *[c.cast("string") for c in payload_cols])
-    return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
+    joined PER-COLUMN hashes, base-16.
+
+    Each column is md5-hashed independently before the '|' join, so a
+    payload value containing the separator cannot forge a field
+    boundary — ('a|b','c') and ('a','b|c') digest differently because
+    md5 hex never contains '|'. A NULL column hashes to the sentinel
+    'n' (not a possible md5 output), so NULL position is significant:
+    ('x', NULL, 'y') and ('x', 'y', NULL) digest differently too.
+    """
+    parts = [
+        F.coalesce(F.md5(c.cast("string")), F.lit("n"))
+        for c in (id_col, *payload_cols)
+    ]
+    return F.conv(F.substring(F.md5(F.concat_ws("|", *parts)), 1, 15), 16, 10).cast("long")
 
 
 def bucket_digests(
@@ -53,6 +62,14 @@ def bucket_digests(
     aggregation runs map-side and the result is independent of row
     order and partitioning — the property that makes digests of two
     independently-partitioned replicas comparable.
+
+    ``sum_digest`` is a second, independent combinator over the same
+    row digests: XOR cancels PAIRS of identical rows (A={r,r,s} vs
+    B={s,t,t} has equal xor_digest AND equal n_rows), but their sums
+    differ unless r == t — so duplicate-id replicas can't silently
+    cancel. Summed as decimal(38,0) (exact, overflow-free up to
+    ~10^38/2^60 ≈ 8.6e19 rows per bucket) then folded mod 2^60 back
+    to a long; both engines compute it identically.
     """
     digest = row_digest(F.col(id_col), [F.col(c) for c in payload_cols])
     return (
@@ -63,6 +80,12 @@ def bucket_digests(
         .groupBy("bucket")
         .agg(
             F.bit_xor("_d").alias("xor_digest"),
+            F.pmod(
+                F.sum(F.col("_d").cast("decimal(38,0)")),
+                F.lit(1 << 60).cast("decimal(38,0)"),
+            )
+            .cast("long")
+            .alias("sum_digest"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
@@ -86,6 +109,14 @@ def table_diff(
     full-outer row join only reads the disagreeing slice — for typical
     drift (a few bad buckets) that is a small fraction of either table,
     and the bucket predicate pushes down to the scan.
+
+    Precondition: ``id_col`` is unique per replica (the keyed-replica
+    use case — the reference stores are id-keyed Cassandra/ES tables,
+    so a replica can't hold two rows for one id). Bucket-level masking
+    by duplicates is already ruled out without the precondition (the
+    xor/sum digest pair can't both cancel), but the ROW-level phase
+    classifies per id: duplicate ids would make the full-outer join
+    many-to-many and the per-id status ambiguous.
     """
     da = bucket_digests(a, id_col, payload_cols, n_buckets)
     db = bucket_digests(b, id_col, payload_cols, n_buckets)
@@ -94,6 +125,7 @@ def table_diff(
         .filter(
             ~(
                 da["xor_digest"].eqNullSafe(db["xor_digest"])
+                & da["sum_digest"].eqNullSafe(db["sum_digest"])
                 & da["n_rows"].eqNullSafe(db["n_rows"])
             )
         )

@@ -18,6 +18,8 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -739,6 +741,20 @@ def passage_duplicate_stats(
     )
 
 
+class MinHashBandIndex(NamedTuple):
+    """A prebuilt MinHash-LSH corpus index plus the hash-family
+    parameters it was built with. The parameters travel WITH the index
+    so a probe built with a different family can't silently produce
+    zero band collisions (band keys are md5 over parameter-dependent
+    signatures — a mismatch looks exactly like "no duplicates")."""
+
+    shingle_rel: DataFrame  # (_id, _sh)
+    band_rel: DataFrame  # (_id, _band_idx, _band_key)
+    n: int
+    num_hashes: int
+    band_rows: int
+
+
 def minhash_band_index(
     df: DataFrame,
     id_col: str,
@@ -747,10 +763,11 @@ def minhash_band_index(
     num_hashes: int = 24,
     band_rows: int = 2,
     materialize: bool = False,
-) -> tuple[DataFrame, DataFrame]:
+) -> MinHashBandIndex:
     """The MinHash-LSH "index" of a corpus: the shingle-set relation
     ``(_id, _sh)`` and the exploded band relation
-    ``(_id, _band_idx, _band_key)``.
+    ``(_id, _band_idx, _band_key)``, tagged with the hash-family
+    parameters (:class:`MinHashBandIndex`).
 
     The hash family is data-independent (md5 of the shingle, fixed
     band layout), so this pair is a pure function of each document:
@@ -775,7 +792,7 @@ def minhash_band_index(
     banded = sh.select("_id", F.posexplode(bands).alias("_band_idx", "_band_key"))
     if materialize:
         banded = banded.localCheckpoint(eager=True)
-    return sh, banded
+    return MinHashBandIndex(sh, banded, n, num_hashes, band_rows)
 
 
 def minhash_lsh_pairs_between(
@@ -787,7 +804,7 @@ def minhash_lsh_pairs_between(
     num_hashes: int = 24,
     band_rows: int = 2,
     threshold: float = 0.6,
-    base_index: tuple[DataFrame, DataFrame] | None = None,
+    base_index: MinHashBandIndex | None = None,
 ) -> DataFrame:
     """Incremental MinHash-LSH near-dup: pairs between an existing
     ``base`` corpus and a newly-arrived ``delta`` batch ONLY — the
@@ -805,12 +822,26 @@ def minhash_lsh_pairs_between(
     Returns ``(base_id, delta_id, jaccard)`` with exact-Jaccard
     verification at ``threshold``.
     """
-    sh_base, banded_base = base_index or minhash_band_index(
-        base, id_col, text_col, n=n, num_hashes=num_hashes, band_rows=band_rows
-    )
-    sh_delta, banded_delta = minhash_band_index(
+    if base_index is not None:
+        got = (base_index.n, base_index.num_hashes, base_index.band_rows)
+        want = (n, num_hashes, band_rows)
+        if got != want:
+            raise ValueError(
+                "base_index hash-family mismatch: index built with "
+                f"(n, num_hashes, band_rows)={got} but probe uses {want}; "
+                "a mismatched family silently yields zero band collisions, "
+                "so it is rejected instead"
+            )
+        sh_base, banded_base = base_index.shingle_rel, base_index.band_rel
+    else:
+        idx = minhash_band_index(
+            base, id_col, text_col, n=n, num_hashes=num_hashes, band_rows=band_rows
+        )
+        sh_base, banded_base = idx.shingle_rel, idx.band_rel
+    delta_idx = minhash_band_index(
         delta, id_col, text_col, n=n, num_hashes=num_hashes, band_rows=band_rows
     )
+    sh_delta, banded_delta = delta_idx.shingle_rel, delta_idx.band_rel
     candidates = (
         banded_base.select(F.col("_id").alias("base_id"), "_band_idx", "_band_key")
         .join(

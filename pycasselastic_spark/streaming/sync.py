@@ -99,6 +99,27 @@ def start_streaming_sync(
     return writer.start()
 
 
+def read_table_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a parquet table at ``path``, which may be
+    either a single .parquet file (point the source at the parent dir
+    and glob-filter to that file — the streaming file source only
+    accepts directories) or a parquet directory (load it as-is). The
+    isfile branch is load-bearing: hardcoding the single-file layout
+    would silently yield an EMPTY stream on a directory corpus."""
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        return reader.load(os.path.dirname(path))
+    return reader.load(path)
+
+
 def read_event_stream(
     spark: SparkSession,
     path: str,
@@ -113,18 +134,8 @@ def read_event_stream(
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    schema = spark.read.parquet(path).schema
-    reader = spark.readStream.schema(schema).format("parquet")
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    if os.path.isfile(path):
-        # the streaming file source only accepts directories: point it at
-        # the parent and glob-filter to this file
-        reader = reader.option("pathGlobFilter", os.path.basename(path))
-        stream = reader.load(os.path.dirname(path))
-    else:
-        stream = reader.load(path)
-    ts_type = schema["ts"].dataType
+    stream = read_table_stream(spark, path, max_files_per_trigger)
+    ts_type = stream.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     elif isinstance(ts_type, T.TimestampNTZType):

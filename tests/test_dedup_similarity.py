@@ -281,7 +281,9 @@ class TestEditDistancePairs:
         from pycasselastic_spark.operators.dedup import edit_distance_pairs
 
         df = spark.createDataFrame([(1, "ab"), (2, "ac")], ["id", "name"])
-        plan = edit_distance_pairs(df, "id", "name")._jdf.queryExecution().executedPlan().toString()
+        from pycasselastic_spark.plans import tuning
+
+        plan = tuning.physical_plan(edit_distance_pairs(df, "id", "name"))
         assert "CartesianProduct" not in plan
 
 
@@ -346,6 +348,28 @@ class TestIncrementalMinhash:
         got = {(r["base_id"], r["delta_id"]) for r in rows}
         # all four cross pairs, never (1,2) or (10,11)
         assert got == {(1, 10), (1, 11), (2, 10), (2, 11)}
+
+    def test_mismatched_base_index_is_rejected(self, spark):
+        """A prebuilt index carries its (n, num_hashes, band_rows);
+        probing with a different family would silently yield zero band
+        collisions (the salt-bug failure mode), so it must raise."""
+        import pytest
+
+        text = " ".join(f"tok{i}" for i in range(30))
+        base = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        delta = spark.createDataFrame([(2, text)], "doc_id long, text string")
+        idx = D.minhash_band_index(base, "doc_id", "text", n=3, num_hashes=24)
+        with pytest.raises(ValueError, match="hash-family mismatch"):
+            D.minhash_lsh_pairs_between(
+                base, delta, "doc_id", "text", n=3, num_hashes=16,
+                base_index=idx,
+            )
+        # and the matching family still works through the index path
+        rows = D.minhash_lsh_pairs_between(
+            base, delta, "doc_id", "text", n=3, num_hashes=24,
+            base_index=idx,
+        ).collect()
+        assert len(rows) == 1
 
     def test_signature_distinguishes_hash_functions(self, spark):
         """The 24 salts must produce genuinely different hash functions

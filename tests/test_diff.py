@@ -70,8 +70,50 @@ def test_row_join_reads_only_flagged_buckets(spark):
     diff = table_diff(a, b, "k", ["grp", "val"], n_buckets=64)
     rows = diff.collect()
     assert {(r["k"], r["diff_status"]) for r in rows} == {(123, "payload_differs")}
-    plan = diff._jdf.queryExecution().executedPlan().toString()
+    from pycasselastic_spark.plans import tuning
+
+    plan = tuning.physical_plan(diff)
     assert "LeftSemi" in plan  # bucket prune reached the physical plan
+
+
+def test_digest_resists_separator_injection_and_null_position(spark):
+    """Adversarial field-boundary cases: per-column hashing means a '|'
+    inside a value can't forge a boundary, and the NULL sentinel makes
+    NULL position significant (concat_ws would otherwise skip it)."""
+    schema = "k long, grp string, val string"
+    pairs = [
+        # ('a|b','c') vs ('a','b|c') — same concat_ws('|') image
+        (spark.createDataFrame([(1, "a|b", "c")], schema),
+         spark.createDataFrame([(1, "a", "b|c")], schema)),
+        # ('x',NULL,'y')-style NULL shift: concat_ws skips NULLs
+        (spark.createDataFrame([(1, None, "y")], schema),
+         spark.createDataFrame([(1, "y", None)], schema)),
+    ]
+    for a, b in pairs:
+        got = table_diff(a, b, "k", ["grp", "val"]).collect()
+        assert [(r["k"], r["diff_status"]) for r in got] == [(1, "payload_differs")]
+
+
+def test_duplicate_rows_cannot_xor_cancel(spark):
+    """A={r,r,s} vs B={s,t,t}: equal xor_digest and equal n_rows, but
+    sum_digest differs — the bucket must still be flagged. (table_diff's
+    row phase needs unique ids; this pins the DIGEST layer alone.)"""
+    schema = "k long, grp long, val string"
+    a = spark.createDataFrame(
+        [(1, 0, "r"), (1, 0, "r"), (2, 0, "s")], schema
+    )
+    b = spark.createDataFrame(
+        [(2, 0, "s"), (3, 0, "t"), (3, 0, "t")], schema
+    )
+    # force everything into one bucket so xor-cancellation is possible:
+    # ids 1,2,3 -> same bucket with n_buckets=1
+    da = bucket_digests(a, "k", ["grp", "val"], n_buckets=1).collect()[0]
+    db = bucket_digests(b, "k", ["grp", "val"], n_buckets=1).collect()[0]
+    assert da["n_rows"] == db["n_rows"]
+    # the pairs {r,r} and {t,t} XOR to zero, so the xor channel is blind:
+    assert da["xor_digest"] == db["xor_digest"]
+    # ...but 2*d(r)+d(s) != d(s)+2*d(t) unless d(r)==d(t): sum catches it
+    assert da["sum_digest"] != db["sum_digest"]
 
 
 def test_repair_actions_converge_replicas(spark):

@@ -64,7 +64,8 @@ def test_binary_column_pruned_for_meta_queries(spark, media, tmp_path):
     path = str(tmp_path / "media.parquet")
     media.write.parquet(path)
     meta_only = spark.read.parquet(path).select("media_id", "meta.width")
-    plan = meta_only._jdf.queryExecution().executedPlan().toString()
+    from pycasselastic_spark.plans import tuning
+    plan = tuning.physical_plan(meta_only)
     assert "content" not in plan
 
 
