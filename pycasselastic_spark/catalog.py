@@ -1308,8 +1308,20 @@ from pycasselastic_spark.streaming.windows import (  # noqa: E402
 )
 
 
+#: The scale-safe state store: RocksDB keeps streaming state on local
+#: disk with an in-memory cache instead of pinning every key in the
+#: executor heap (the default HDFS-backed provider is memory-bound at
+#: 100x key cardinality). Applied per-query in _run_stream_to_parquet
+#: so the choice holds under ANY caller session (the driver gate's
+#: included); tests/test_streaming.py pins provider-parity of results.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def _run_stream_to_parquet(
-    spark, df, mode: str, state_partitions: int = 16
+    spark, df, mode: str, state_partitions: int = 16,
+    state_provider: str | None = ROCKSDB_PROVIDER,
 ) -> DataFrame:
     """Run a finite (availableNow) streaming DataFrame to completion
     through a FILE sink and read the result back.
@@ -1354,13 +1366,22 @@ def _run_stream_to_parquet(
             .foreachBatch(sink)
             .option("checkpointLocation", checkpoint)
         )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_provider = spark.conf.get(provider_key, None)
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if state_provider:
+        spark.conf.set(provider_key, state_provider)
     try:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if state_provider:
+            if prev_provider:
+                spark.conf.set(provider_key, prev_provider)
+            else:
+                spark.conf.unset(provider_key)
     return spark.read.parquet(out)
 
 
@@ -5666,65 +5687,12 @@ FROM events GROUP BY user_id
 # every test look queries up BY NAME, so reordering is behavior-neutral
 # everywhere except the gate's slot assignment.
 _GATE_PRIORITY: list[str] = [
-    # sync-adjacent + approx (never driver-checked)
-    "approx_distinct_stats_events",
-    "scd2_customer_history",
-    "gap_fill_hourly_events",
-    "session_stats_events",
-    "funnel_conversion_events",
-    "retention_cohorts_events",
-    # TPC-H adaptations beyond Q1/Q3/Q5
-    "q2_min_price_supplier",
-    "q4_priority_with_big_lineitem",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_late_lines_by_priority",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_disjunctive_revenue",
-    "q20_part_supplier_chain",
-    "q21_sole_supplier_orders",
-    "q22_idle_rich_customers",
-    # decorrelated/HAVING shapes
-    "orders_above_customer_avg",
-    "having_frequent_buyers",
-    # sampling / sharding / layout / skew
-    "stratified_sample_documents",
-    "weighted_sample_documents",
-    "shard_assignment_documents",
-    "zorder_key_events",
-    "skew_salted_agg_events",
-    "salted_join_events_customer",
-    # dedup clustering + embedding near-dup scale paths
-    "neardup_cluster_dedup",
-    "embedding_lsh_neardup",
-    "embedding_ivf_neardup",
-    "cosine_topk_ivf",
-    "label_centroid_embeddings",
-    # text/curation analytics
-    "tfidf_top_terms_per_doc",
-    "contamination_overlap",
-    "curation_pipeline_documents",
-    # UDTF + multimodal plumbing
-    "udtf_chunk_documents",
-    "multimodal_ppm_decode_stats",
-    "multimodal_ppm_resize",
-    "multimodal_image_resize",
-    "multimodal_audio_resample",
-    # streaming (never driver-checked variants)
-    "streaming_stateful_first_event",
-    "streaming_session_window_events",
-    "streaming_sliding_window_events",
-    "streaming_dedup_events",
-    # --- slot 50+ from here: round-6 gate candidates -----------------
+    # ROUND 6 gate rotation (COVERAGE.md): slots 0-38 are the 39
+    # catalog queries that have never had a driver CORRECTNESS row in
+    # rounds 1-5; slots 39-49 re-cover the oldest r1-gated core set so
+    # the reference semantics get a fresh hard row too. After this
+    # round every one of the 139 catalog queries has had a driver row.
+    # --- slots 0-38: the 39 never-gated queries ----------------------
     "string_suite_documents",
     "regex_suite_events",
     "null_handling_suite",
@@ -5735,6 +5703,47 @@ _GATE_PRIORITY: list[str] = [
     "grouping_sets_orders",
     "range_frame_event_counts",
     "vocab_top_terms",
+    "bigram_lm_score_documents",
+    "ngram_novelty_documents",
+    "source_balanced_sample_documents",
+    "deterministic_shuffle_documents",
+    "countmin_heavy_hitters_events",
+    "embedding_quantize_stats",
+    "histogram_order_prices",
+    "fuzzy_match_customer_names",
+    "passage_dedup_documents",
+    "bloom_prefilter_customers",
+    "ivf_cell_quality_embeddings",
+    "incremental_neardup_delta",
+    "decontaminate_documents",
+    "neardup_text_embedding_agreement",
+    "streaming_countmin_events",
+    "streaming_incremental_neardup",
+    "anti_entropy_diff_events",
+    "anti_entropy_repair_events",
+    "key_skew_report_events",
+    "gopher_rules_documents",
+    "canonical_exact_dedup_documents",
+    "exact_k_per_source_sample",
+    "bloom_pruned_join_events",
+    "time_rollup_events",
+    "user_value_outliers_events",
+    "streaming_approx_distinct_windows",
+    "null_safe_join_events",
+    "map_function_suite_documents",
+    "dedup_graph_stats",
+    # --- slots 39-49: oldest-core re-covers --------------------------
+    "lww_merge_events",
+    "incremental_scan_events",
+    "anti_echo_documents",
+    "conflict_losers_events",
+    "convert_roundtrip_events",
+    "schema_drift_union",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "streaming_lww_sync_events",
+    "minhash_lsh_neardup",
 ]
 
 

@@ -52,6 +52,15 @@ def get_spark(
         # no timezone; keep it TimestampType, not TIMESTAMP_NTZ (see
         # sources.corpus.load_table)
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # streaming state on local disk (RocksDB) instead of executor
+        # heap: the HDFS-backed default pins every state key in memory,
+        # which stops fitting at 100x key cardinality; results are
+        # provider-independent (pinned by tests/test_streaming.py)
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )

@@ -381,3 +381,56 @@ def test_incremental_neardup_batching_invariance(spark, sf_dir, tmp_path):
         (r["base_id"], r["delta_id"]) for r in spark.read.parquet(out).collect()
     }
     assert streamed == batch_answer
+
+
+class TestStateStoreProviderParity:
+    """RocksDB is the package's state store (scale-safe: state lives on
+    local disk, not executor heap). Results must be byte-identical to
+    the HDFS-backed default provider — these pin that for both a custom
+    applyInPandasWithState operator and a built-in session-window agg."""
+
+    HDFS = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    )
+
+    def _first_event(self, spark, sf_dir, provider):
+        from pycasselastic_spark import catalog
+        from pycasselastic_spark.streaming.stateful import first_event_per_key
+
+        stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+        inc = stream.select("user_id", F.unix_micros("ts").alias("us"), "event_id")
+        out = catalog._run_stream_to_parquet(
+            spark, first_event_per_key(inc), "update", state_provider=provider
+        )
+        return {
+            tuple(r)
+            for r in out.groupBy("user_id")
+            .agg(F.min("first_us").alias("first_us"))
+            .collect()
+        }
+
+    def _session_windows(self, spark, sf_dir, provider):
+        from pycasselastic_spark import catalog
+        from pycasselastic_spark.streaming.windows import session_window_counts
+
+        stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+        out = catalog._run_stream_to_parquet(
+            spark, session_window_counts(stream), "complete",
+            state_provider=provider,
+        )
+        return {tuple(r) for r in out.collect()}
+
+    def test_stateful_operator_parity(self, spark, sf_dir):
+        from pycasselastic_spark import catalog
+
+        rocks = self._first_event(spark, sf_dir, catalog.ROCKSDB_PROVIDER)
+        hdfs = self._first_event(spark, sf_dir, self.HDFS)
+        assert rocks and rocks == hdfs
+
+    def test_session_window_parity(self, spark, sf_dir):
+        from pycasselastic_spark import catalog
+
+        rocks = self._session_windows(spark, sf_dir, catalog.ROCKSDB_PROVIDER)
+        hdfs = self._session_windows(spark, sf_dir, self.HDFS)
+        assert rocks and rocks == hdfs
