@@ -6,18 +6,109 @@ DataFrame -> DataFrame operators, and extends the surface with
 relational, streaming, and LLM-data-pipeline operators designed for
 cluster scale.
 
-Layout:
+Quickstart (the reference's ``PyCassElastic(config).run()`` story)::
+
+    from pycasselastic_spark import get_spark, load_table, lww_merge
+
+    spark = get_spark()
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    state = lww_merge([events], "event_id", "ts")   # argmax per id
+
+The stable operator surface is importable from the top level (lazily —
+``import pycasselastic_spark`` itself stays cheap); everything else
+lives in the documented submodules:
+
     core/       sync semantics: incremental scans, LWW merge, schema
-                alignment, scalar conversions, sync-spec config
+                alignment, scalar conversions, anti-entropy diff
     operators/  relational & pipeline operators: top-k, as-of join,
-                dedup (exact/minhash/simhash), similarity search,
+                dedup (exact/minhash/simhash/embedding), similarity
+                search, sampling, sketches, connected components,
                 multimodal column plumbing
-    functions/  scalar/column function suites (text analysis, conversions)
+    functions/  scalar/column function suites (text analysis, money)
     sources/    source/sink registry (parquet/csv/json/jdbc; Cassandra &
                 Elasticsearch adapters behind import-guards)
     plans/      plan-inspection helpers (pushdown/broadcast assertions)
-    streaming/  Structured Streaming pipelines (windowed aggs, foreachBatch)
+    streaming/  Structured Streaming pipelines (windowed aggs,
+                stateful operators, foreachBatch LWW sync)
     pipeline/   batch sync-cycle orchestration (the reference's run())
 """
 
-__version__ = "0.1.0"
+from __future__ import annotations
+
+__version__ = "0.2.0"
+
+# name -> (submodule, attr); resolved lazily on first access (PEP 562)
+# so `import pycasselastic_spark` does not pull pyspark until used.
+_EXPORTS: dict[str, str] = {
+    # session + corpus
+    "get_spark": "session",
+    "load_table": "sources.corpus",
+    "register_views": "sources.corpus",
+    # reference sync semantics (SURVEY.md §2.1)
+    "lww_merge": "core.merge",
+    "anti_echo": "core.merge",
+    "conflict_losers": "core.merge",
+    "scan_increment": "core.incremental",
+    "WatermarkStore": "core.incremental",
+    "schema_diff": "core.schema",
+    "align_schemas": "core.schema",
+    "append_with_evolution": "core.schema",
+    "sync_once": "pipeline.sync",
+    "run_cycle": "pipeline.sync",
+    # anti-entropy
+    "table_diff": "core.diff",
+    "bucket_digests": "core.diff",
+    # dedup family
+    "exact_dedup": "operators.dedup",
+    "ngram_jaccard_pairs": "operators.dedup",
+    "minhash_lsh_pairs": "operators.dedup",
+    "minhash_band_index": "operators.dedup",
+    "minhash_lsh_pairs_between": "operators.dedup",
+    "simhash_pairs": "operators.dedup",
+    "embedding_cosine_pairs": "operators.dedup",
+    "embedding_lsh_pairs": "operators.dedup",
+    "embedding_ivf_pairs": "operators.dedup",
+    "passage_duplicate_stats": "operators.dedup",
+    "connected_components": "operators.components",
+    "dedup_by_components": "operators.components",
+    # similarity search
+    "brute_force_topk": "operators.similarity",
+    "lsh_topk": "operators.similarity",
+    "ivf_topk": "operators.similarity",
+    # relational extras
+    "topk_per_group": "operators.relational",
+    "asof_join": "operators.relational",
+    "sessionize": "operators.relational",
+    # sampling / sketches
+    "deterministic_sample": "operators.sampling",
+    "stratified_sample": "operators.sampling",
+    "hash_shard": "operators.sampling",
+    "bloom_build": "operators.sketches",
+    "bloom_probe": "operators.sketches",
+    "countmin_counters": "operators.sketches",
+    "countmin_estimates": "operators.sketches",
+    # text analysis
+    "quality_score": "functions.text",
+    "lang_id": "functions.text",
+    "word_token_count": "functions.text",
+    "content_fingerprint": "functions.text",
+    # streaming
+    "start_streaming_sync": "streaming.sync",
+    "read_event_stream": "streaming.sync",
+    "read_table_stream": "streaming.sync",
+}
+
+__all__ = ["__version__", *sorted(_EXPORTS)]
+
+
+def __getattr__(name: str):
+    mod = _EXPORTS.get(name)
+    if mod is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(f"{__name__}.{mod}"), name)
+
+
+def __dir__() -> list[str]:
+    return sorted(set(globals()) | set(_EXPORTS))
