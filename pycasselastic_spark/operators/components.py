@@ -88,6 +88,23 @@ def connected_components(
     Nodes appearing only as isolated ids are the caller's concern —
     feed the full id set through ``assign_components`` to also label
     singletons."""
+    labels, _ = connected_components_with_rounds(
+        pairs, src_col, dst_col, max_iterations
+    )
+    return labels
+
+
+def connected_components_with_rounds(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> tuple[DataFrame, int]:
+    """:func:`connected_components` plus the number of large+small star
+    round pairs it took to converge — the observable for the O(log n)
+    round-growth claim (scripts/scaling_probe.py measures it against
+    doubling graph sizes)."""
+    rounds = 0
     edges = (
         pairs.select(
             F.greatest(F.col(src_col), F.col(dst_col)).alias("u"),
@@ -102,6 +119,7 @@ def connected_components(
     for _ in range(max_iterations):
         if converged:
             break
+        rounds += 1
         new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         # fixed point = identical edge set. Both sides are distinct and
         # directed-canonical, so set equality is count equality plus an
@@ -119,9 +137,10 @@ def connected_components(
         )
     # at the fixed point the edge set is a star forest: one (node, root)
     # edge per non-root node; roots label themselves
-    return edges.select(F.col("u").alias("node"), F.col("v").alias("component")).unionByName(
+    labels = edges.select(F.col("u").alias("node"), F.col("v").alias("component")).unionByName(
         edges.select(F.col("v").alias("node"), F.col("v").alias("component"))
     ).distinct()
+    return labels, rounds
 
 
 def assign_components(

@@ -1,0 +1,209 @@
+"""sf1 spot-bench: measure the 10 heaviest catalog queries at 10x the
+per-round bench scale and record sf0.1 -> sf1 growth ratios.
+
+The driver corpus stops at sf0.1, so the sf1 inputs are synthesized
+from it: each needed table is the union of 10 replicas with
+structure-preserving transforms chosen so the per-replica workload
+character is IDENTICAL to sf0.1 and replicas don't interact —
+i.e. the honest 10x-the-data point, not 10x-the-answers:
+
+- documents: doc_id offset per replica; for replica r>0 every word
+  gets a ``~r`` suffix — token/shingle structure (and thus LSH band
+  load, passage layout, quality stats) is unchanged per replica, but
+  shingles never collide across replicas, so near-dup pair counts
+  scale exactly linearly.
+- embeddings: vec_id offset; replica r's vectors are the original
+  vectors with coordinates circularly shifted by r — norms, pairwise
+  cosines, and cluster structure inside a replica are preserved
+  exactly, while cross-replica cosines decorrelate to random.
+- events / customer: ids offset per replica with the SAME user offset
+  on both sides so join fan-out per key is unchanged; timestamps kept
+  (event-time windows get 10x density — what a bigger cluster sees).
+
+Usage: python scripts/bench_sf1.py [--out BENCH_SF1.json]
+Writes one JSON object with per-query {sf01_sec, sf1_sec, ratio}.
+A ratio near 10 = linear in data; >> 10 = super-linear (flagged).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from pycasselastic_spark.session import get_spark
+from pycasselastic_spark.sources.corpus import load_table
+
+HEAVY_QUERIES = [
+    "streaming_incremental_neardup",
+    "embedding_lsh_neardup",
+    "embedding_ivf_neardup",
+    "bloom_pruned_join_events",
+    "dedup_graph_stats",
+    "streaming_stream_stream_join",
+    "neardup_cluster_dedup",
+    "cosine_topk_lsh",
+    "cosine_topk_ivf",
+    "approx_distinct_stats_events",
+]
+
+REPLICAS = 10
+
+
+def _offset(df, col, off):
+    return df.withColumn(col, F.col(col) + F.lit(off))
+
+
+def synthesize_sf1(spark, src_dir: str, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+
+    # documents -----------------------------------------------------
+    docs = spark.read.parquet(f"{src_dir}/documents.parquet")
+    max_doc = docs.agg(F.max("doc_id")).collect()[0][0]
+    doc_off = 10 ** len(str(max_doc))
+    parts = []
+    for r in range(REPLICAS):
+        d = _offset(docs, "doc_id", r * doc_off)
+        if r > 0:
+            suffixed = F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.concat(w, F.lit(f"~{r}")),
+                ),
+                " ",
+            )
+            d = d.withColumn("text", suffixed).withColumn(
+                "n_chars", F.length("text")
+            )
+        parts.append(d)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+    # embeddings ----------------------------------------------------
+    emb = spark.read.parquet(f"{src_dir}/embeddings.parquet")
+    max_vec = emb.agg(F.max("vec_id")).collect()[0][0]
+    vec_off = 10 ** len(str(max_vec))
+    dim = len(emb.select("embedding").first()[0])
+    parts = []
+    for r in range(REPLICAS):
+        e = _offset(emb, "vec_id", r * vec_off)
+        if r > 0:
+            shifted = F.concat(
+                F.slice(F.col("embedding"), r + 1, dim - r),
+                F.slice(F.col("embedding"), 1, r),
+            )
+            e = e.withColumn("embedding", shifted)
+        parts.append(e)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+
+    # events + customer (shared user-id offset) ---------------------
+    ev = load_table(spark, src_dir, "events")  # ts normalized to timestamp
+    cust = spark.read.parquet(f"{src_dir}/customer.parquet")
+    max_user = max(
+        ev.agg(F.max("user_id")).collect()[0][0],
+        cust.agg(F.max("c_custkey")).collect()[0][0],
+    )
+    user_off = 10 ** len(str(max_user))
+    max_event = ev.agg(F.max("event_id")).collect()[0][0]
+    event_off = 10 ** len(str(max_event))
+    parts_e, parts_c = [], []
+    for r in range(REPLICAS):
+        parts_e.append(
+            _offset(_offset(ev, "user_id", r * user_off), "event_id", r * event_off)
+        )
+        parts_c.append(_offset(cust, "c_custkey", r * user_off))
+    out = parts_e[0]
+    for p in parts_e[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+    out = parts_c[0]
+    for p in parts_c[1:]:
+        out = out.unionByName(p)
+    out.repartition(8).write.mode("overwrite").parquet(
+        f"{out_dir}/customer.parquet"
+    )
+
+    # small dims some queries touch incidentally: copy as-is
+    for t in ("region", "nation", "supplier", "part", "orders", "lineitem"):
+        src = f"{src_dir}/{t}.parquet"
+        if os.path.exists(src):
+            spark.read.parquet(src).write.mode("overwrite").parquet(
+                f"{out_dir}/{t}.parquet"
+            )
+
+
+def run_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+    from pycasselastic_spark.catalog import QUERIES
+
+    times = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = QUERIES[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 2)
+        print(f"  {name} @ {sf_dir}: {times[name]}s", flush=True)
+    return times
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="BENCH_SF1.json")
+    ap.add_argument("--sf01", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--queries", nargs="*", default=HEAVY_QUERIES)
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="bench-sf1")
+    sf1_dir = os.path.join(tempfile.gettempdir(), "pycasselastic_sf1")
+    t0 = time.perf_counter()
+    synthesize_sf1(spark, args.sf01, sf1_dir)
+    print(f"sf1 corpus synthesized in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    # warm run at sf0.1 first (JIT/codegen caches warm for both legs)
+    sf01 = run_queries(spark, args.sf01, args.queries)
+    sf1 = run_queries(spark, sf1_dir, args.queries)
+
+    result = {
+        "sf01_dir": args.sf01,
+        "sf1_replicas": REPLICAS,
+        "queries": {
+            n: {
+                "sf01_sec": sf01[n],
+                "sf1_sec": sf1[n],
+                "ratio": round(sf1[n] / sf01[n], 2) if sf01[n] else None,
+            }
+            for n in args.queries
+        },
+    }
+    # linear in data = ratio ~ REPLICAS (fixed per-query overhead pulls
+    # it BELOW); 1.2x slack for shuffle/spill noise before flagging
+    flagged = {
+        n: v for n, v in result["queries"].items()
+        if v["ratio"] is not None and v["ratio"] > 1.2 * REPLICAS
+    }
+    result["superlinear_flagged"] = sorted(flagged)
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result, indent=1))
+    shutil.rmtree(sf1_dir, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

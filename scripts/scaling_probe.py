@@ -48,7 +48,9 @@ def noop(df):
 def main() -> None:
     # argv selects probe families (default: all) so a noisy-host run can
     # re-measure one family without paying for the rest.
-    families = set(sys.argv[1:]) or {"merge", "text", "vecs", "posorthant", "sketch"}
+    families = set(sys.argv[1:]) or {
+        "merge", "text", "vecs", "posorthant", "sketch", "r5ops"
+    }
     spark = get_spark(app_name="scaling-probe")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
     out = []
@@ -104,12 +106,29 @@ def main() -> None:
                 ),
             ).alias("text"),
         )
+        # genuine planted near-dup: every 50th doc re-derives the
+        # PREVIOUS doc's words (same xxhash stream, id-1) plus one
+        # appended token -> jaccard ~= 58/61 well above 0.6. (An older
+        # version appended to the doc's OWN text, which plants nothing.)
+        prev_text = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(60)),
+                lambda i: F.element_at(
+                    words_arr,
+                    (
+                        (F.xxhash64((F.col("doc_id") - 1) * 1000 + i) % 28 + 28)
+                        % 28
+                        + 1
+                    ).cast("int"),
+                ),
+            ),
+        )
         return base.withColumn(
             "text",
             F.when(
                 (F.col("doc_id") % 50 == 0) & (F.col("doc_id") > 0),
-                # near-dup of the previous doc: same words, one appended
-                F.concat(F.col("text"), F.lit(" extra")),
+                F.concat(prev_text, F.lit(" extra")),
             ).otherwise(F.col("text")),
         ).repartition(32)
 
@@ -292,6 +311,115 @@ def main() -> None:
             },
         )
         v.unpersist()
+
+    # ---- round-5 operators: anti-entropy diff, bloom-pruned join, CC ----
+
+    # anti-entropy: table doubles, drift FIXED (100 mutations in bucket
+    # 0 + 100 deletions in bucket 1). Payloads are WIDE (~256 chars,
+    # replica-row realistic): the digest path scans twice but shuffles
+    # only 64 digest rows/side plus the 2-bucket slice, while the naive
+    # full-outer diff shuffles all 2n wide rows — the volume gap that
+    # decides the contest on a network-bound cluster, measured here as
+    # wall time with both paths on identical inputs.
+    from pycasselastic_spark.core.diff import table_diff
+
+    for n in (2_000_000, 8_000_000, 32_000_000) if "r5ops" in families else ():
+        a = spark.range(n).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 97).alias("grp"),
+            F.repeat(
+                F.concat(F.lit("v"), (F.col("id") % 1013).cast("string")), 50
+            ).alias("val"),
+        )
+        b = (
+            a.filter(~((F.col("k") >= 64) & (F.col("k") < 6464) & (F.col("k") % 64 == 1)))
+            .withColumn(
+                "val",
+                F.when(
+                    (F.col("k") < 6400) & (F.col("k") % 64 == 0),
+                    F.lit("drifted"),
+                ).otherwise(F.col("val")),
+            )
+        )
+        dt = bench(lambda: noop(table_diff(a, b, "k", ["grp", "val"], n_buckets=64)))
+        emit(out, {"op": "anti_entropy_diff", "n": n, "sec": dt})
+        naive = (
+            a.alias("a")
+            .join(b.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer")
+            .filter(
+                F.col("a.k").isNull()
+                | F.col("b.k").isNull()
+                | (F.col("a.grp") != F.col("b.grp"))
+                | (F.col("a.val") != F.col("b.val"))
+            )
+        )
+        dt = bench(lambda: noop(naive))
+        emit(out, {"op": "anti_entropy_diff_naive_fullouter", "n": n, "sec": dt})
+
+    # bloom-pruned join: facts double, dim fixed at 2k keys. The
+    # bloom_contains LUT is a codegen array lookup — constant per row —
+    # so wall time must track the fact scan linearly.
+    from pycasselastic_spark.operators import sketches as SK
+
+    for n in (4_000_000, 16_000_000, 64_000_000) if "r5ops" in families else ():
+        facts = spark.range(n).select(
+            (F.col("id") % 1_000_000).alias("user_id"),
+            (F.col("id") % 1000).cast("double").alias("value"),
+        )
+        dim = spark.range(2_000).select((F.col("id") * 499).alias("custkey"))
+        mask = SK.bloom_mask(SK.bloom_build(dim, "custkey", 4096, 5), 4096)
+        pruned = facts.filter(SK.bloom_contains(F.col("user_id"), mask, 5))
+        joined = pruned.join(F.broadcast(dim), pruned["user_id"] == dim["custkey"])
+        dt = bench(lambda: noop(joined.groupBy("custkey").agg(F.sum("value"))))
+        emit(out, {"op": "bloom_pruned_join", "n": n, "sec": dt})
+
+    # dedup-graph connected components: LSH pair graph of the synthetic
+    # near-dup corpus, doubling docs. Observables: wall time AND the
+    # number of large/small-star round pairs — the O(log n) claim.
+    from pycasselastic_spark.operators.components import (
+        connected_components_with_rounds,
+    )
+
+    for n in (10_000, 40_000, 160_000) if "r5ops" in families else ():
+        d = docs(n).cache()
+        d.count()
+        pairs = D.minhash_lsh_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+        t0 = time.perf_counter()
+        labels, rounds = connected_components_with_rounds(pairs)
+        n_nodes = labels.count()
+        emit(
+            out,
+            {
+                "op": "dedup_graph_cc",
+                "n": n,
+                "sec": round(time.perf_counter() - t0, 2),
+                "rounds": rounds,
+                "labeled_nodes": n_nodes,
+            },
+        )
+        d.unpersist()
+
+    # adversarial diameter: a PATH graph of n nodes (diameter n-1) is
+    # the worst case for label propagation (O(n) rounds); the star
+    # alternation must stay logarithmic — rounds should grow by ~+1
+    # per 4x nodes while wall time stays near-linear.
+    for n in (10_000, 40_000, 160_000, 640_000) if "r5ops" in families else ():
+        path_edges = spark.range(n - 1).select(
+            F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+        )
+        t0 = time.perf_counter()
+        labels, rounds = connected_components_with_rounds(path_edges)
+        one = labels.select("component").distinct().count()
+        emit(
+            out,
+            {
+                "op": "cc_path_graph",
+                "n": n,
+                "sec": round(time.perf_counter() - t0, 2),
+                "rounds": rounds,
+                "components": one,  # must be 1
+            },
+        )
 
     spark.stop()
 
