@@ -8,22 +8,30 @@ unusable beyond test sizes. The engine rebuilds it in two stages, the
 same shape Cassandra's repair trees / DynamoDB anti-entropy use:
 
 1. **Bucket digests** (Merkle-leaf equivalent): each row folds to a
-   60-bit md5-derived digest; per id-bucket, digests combine with the
-   order-independent, overflow-free ``bit_xor`` aggregate plus a row
-   count. Each store collapses to at most ``n_buckets`` rows map-side —
+   60-bit digest built from PER-COLUMN md5 hashes (so payload values
+   containing the field separator, or NULLs shifting position, cannot
+   forge another row's digest — see ``row_digest``). Per id-bucket the
+   digests combine through TWO independent order-free aggregates — a
+   ``bit_xor`` and an exact decimal sum folded mod 2^60 — plus a row
+   count. Each store collapses to at most ``n_buckets`` rows map-side;
    the shuffle carries the digest table, not the data. Two 100 TB
    replicas compare by equi-joining a few thousand digest rows.
-2. **Pruned row diff**: only buckets whose (digest, count) disagree are
-   re-read; the row-level full-outer join runs on that filtered subset
-   (predicate pushdown prunes the scan) and classifies each id as
-   ``missing_in_a`` / ``missing_in_b`` / ``payload_differs``.
+2. **Pruned row diff**: only buckets whose (xor, sum, count) triple
+   disagrees are re-read; the row-level full-outer join runs on that
+   filtered subset (predicate pushdown prunes the scan) and classifies
+   each id as ``missing_in_a`` / ``missing_in_b`` / ``payload_differs``.
 
-A digest collision inside a bucket could mask a diff only if two
-DIFFERENT payload multisets xor to the same 60-bit value — adversarially
-constructible, vanishingly unlikely for drift (and a different
-``n_buckets`` re-partition breaks any accidental pairing). All hashing
-is md5-derived so a DuckDB oracle replays digests, bucket pruning and
-the final diff bit-exactly.
+Collision analysis: XOR alone cancels PAIRS of identical digests
+(A={r,r,s} vs B={s,t,t} agrees on xor and count), which duplicate-id
+replicas can hit in practice — the sum channel breaks exactly that
+class, since the sums differ unless r == t. A diff can now be masked
+only if two different digest multisets agree on xor AND sum AND count
+simultaneously — adversarially constructible against md5, vanishingly
+unlikely for drift (and a different ``n_buckets`` re-partition breaks
+any accidental pairing). All hashing is md5-derived so a DuckDB oracle
+replays digests, bucket pruning and the final diff bit-exactly.
+Adversarial separator/NULL-shift/duplicate-pair cases are pinned in
+``tests/test_diff.py``.
 """
 
 from __future__ import annotations
@@ -56,7 +64,8 @@ def bucket_digests(
     payload_cols: list[str],
     n_buckets: int = 64,
 ) -> DataFrame:
-    """``(bucket, xor_digest, n_rows)`` — at most ``n_buckets`` rows.
+    """``(bucket, xor_digest, sum_digest, n_rows)`` — at most
+    ``n_buckets`` rows.
 
     bit_xor is commutative/associative with no overflow, so partial
     aggregation runs map-side and the result is independent of row

@@ -137,3 +137,63 @@ def conflict_losers(
     keys = [id_col, version_col, *tiebreak_cols]
     winner_keys = winners.select(*keys)
     return increment.join(winner_keys, on=keys, how="left_anti")
+
+
+def lww_snapshots(
+    dfs: Sequence[DataFrame],
+    id_col: str,
+    version_col: str,
+    snapshot_versions: Sequence[int],
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Time-travel: the LWW-merged state AS OF each of several
+    watermarks, in ONE pass. For every ``v`` in ``snapshot_versions``
+    and every id with at least one increment at ``version <= v``, emit
+    that id's winning row at that point — the reference's sync state
+    had it run to completion at watermark ``v`` (the multi-point form
+    of O5/O6; a rebuilt daemon uses it to audit "what did the stores
+    agree on yesterday / last week / at incident time").
+
+    Scale shape: the naive plan per snapshot is a filtered argmax —
+    k snapshots = k shuffles of the same table. This computes all k
+    snapshots in ONE ``groupBy(id)`` shuffle with map-side partials:
+    each snapshot is a conditional ``max(when(version <= v, ordered
+    struct))`` aggregate, and the k per-id results unpivot via an
+    inline explode (k is a handful of audit points — the explode is
+    on the REDUCED relation, one row per id, not on the raw data).
+
+    Output: ``snapshot_version`` + the input columns, winners only.
+    """
+    if not snapshot_versions:
+        raise ValueError("lww_snapshots needs at least one snapshot version")
+    unioned = dfs[0]
+    for other in dfs[1:]:
+        unioned = unioned.unionByName(other, allowMissingColumns=True)
+    cols = unioned.columns
+    ordering = _ordering_key(cols, version_col, tiebreak_cols)
+    payload = F.struct(ordering.alias("_ord"), *[F.col(c) for c in cols])
+    per_id = unioned.groupBy(id_col).agg(
+        *[
+            F.max(
+                F.when(F.col(version_col) <= F.lit(v), payload)
+            ).alias(f"_s{i}")
+            for i, v in enumerate(snapshot_versions)
+        ]
+    )
+    snap = per_id.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(v).alias("snapshot_version"),
+                        F.col(f"_s{i}").alias("_row"),
+                    )
+                    for i, v in enumerate(snapshot_versions)
+                ]
+            )
+        ).alias("_e")
+    ).filter(F.col("_e._row").isNotNull())
+    return snap.select(
+        F.col("_e.snapshot_version").alias("snapshot_version"),
+        *[F.col(f"_e._row.{c}").alias(c) for c in cols],
+    )

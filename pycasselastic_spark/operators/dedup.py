@@ -868,3 +868,65 @@ def minhash_lsh_pairs_between(
         .filter(F.col("jaccard") >= threshold)
         .select("base_id", "delta_id", "jaccard")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection by shingle containment:
+    pairs where C(A -> B) = |A ∩ B| / |A| >= ``threshold`` — "document
+    A is (mostly) contained in document B". Symmetric Jaccard misses
+    exactly this case when |B| >> |A| (a paragraph quoted inside a
+    much longer page scores low Jaccard but containment 1.0), which is
+    why dedup literature treats containment as its own primitive
+    (Broder's resemblance vs containment distinction).
+
+    Output: ``(doc_inner, doc_outer, shared, n_inner, containment)``
+    with ``doc_inner != doc_outer`` (both directions can appear — the
+    relation is not symmetric).
+
+    Scale shape: candidates come from an equi-join of exploded DISTINCT
+    shingles (posting-list self-join keyed by shingle — the same
+    single-key shuffle as the LSH band join, never an all-pairs scan),
+    then one hash aggregation counts shared shingles per surviving
+    pair. ``max_shingle_df`` drops shingles appearing in more than
+    that many docs BEFORE the join — boilerplate shingles are the
+    skew/fan-out hazard at corpus scale (a shingle shared by 10k docs
+    contributes 10^8 candidate rows); dropping them can only LOWER
+    measured containment, never invent a pair, so the filter is
+    precision-safe (recall on boilerplate-heavy pairs is the dial).
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(text_col, n)).alias("_s")
+    )
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("_s")
+        )
+        sh = sh.join(rare, "_s")
+    counts = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    a = sh.select(F.col("_id").alias("doc_inner"), "_s")
+    b = sh.select(F.col("_id").alias("doc_outer"), "_s")
+    shared = (
+        a.join(b, "_s")
+        .filter(F.col("doc_inner") != F.col("doc_outer"))
+        .groupBy("doc_inner", "doc_outer")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(
+            counts.select(F.col("_id").alias("doc_inner"), F.col("_n").alias("n_inner")),
+            "doc_inner",
+        )
+        .withColumn("containment", F.col("shared") / F.col("n_inner"))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_inner", "doc_outer", "shared", "n_inner", "containment")
+    )

@@ -148,3 +148,47 @@ def weighted_sample_topk(
         .withColumn("sample_key", F.round("_skey", 12))
         .drop("_skey")
     )
+
+
+def per_group_cap(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[Column],
+    cap: int,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, priority-ordered by
+    ``order_cols`` (ties must be broken by a unique column for
+    determinism). The per-domain document cap every web-corpus pipeline
+    applies (a single boilerplate-heavy domain must not dominate the
+    training mix).
+
+    One window over the group key — a single hash shuffle, rank
+    computed streaming per partition; no global sort, no collect.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def group_consistent_split(
+    group_col: Column | str,
+    train_pct: int = 80,
+    n_hex: int = 4,
+) -> Column:
+    """'train'/'heldout' split label that is CONSTANT within each group:
+    the md5 of the GROUP key (not the row key) decides, so every row of
+    a group lands in the same split. With ``group_col`` = near-dup
+    component this is the leakage-safe train/validation split — a
+    validation doc can never have a near-duplicate in train, which a
+    row-hash split silently permits (the classic eval-contamination
+    bug). Pure expression — no shuffle beyond whatever produced the
+    group labels."""
+    thr = rate_threshold(train_pct / 100.0, n_hex)
+    return F.when(
+        hash_key(group_col, n_hex) < F.lit(thr), F.lit("train")
+    ).otherwise(F.lit("heldout"))

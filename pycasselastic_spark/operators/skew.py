@@ -81,3 +81,43 @@ def salted_join(
     ).withColumn("_salt", F.col("_salt").cast("bigint"))
     joined = salted_big.join(replicated_small, [*key_cols, "_salt"])
     return joined.drop("_salt")
+
+
+def hybrid_skew_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_cols: Sequence[str],
+    hot_threshold: int,
+) -> DataFrame:
+    """Inner equi-join that routes HOT keys through a broadcast join
+    and the cold tail through the normal shuffle join — the classic
+    differentiated skew-join (salting's sibling: instead of spreading
+    a hot key over salted reducers, hot keys never shuffle at all).
+
+    A key is hot when the big side carries more than ``hot_threshold``
+    rows for it. The hot-key list is itself a DataFrame (one agg +
+    filter — by construction FEW rows, that's what 'hot' means), and so
+    is the hot slice of the small side; both ride broadcasts. Cold rows
+    are split off with a broadcast LEFT-ANTI join against the same hot
+    list — the big side is never collected, never shuffled on the skewed
+    key. Result is exactly the plain inner join (asserted by the
+    oracle): every big row joins the same small rows, only the route
+    differs.
+
+    Output columns: key_cols, then big's remaining columns, then
+    small's remaining columns (same order as Spark's ``join(...,
+    key_cols)``).
+    """
+    keys = list(key_cols)
+    hot_keys = (
+        big.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > hot_threshold)
+        .select(*keys)
+    )
+    big_hot = big.join(F.broadcast(hot_keys), keys, "left_semi")
+    big_cold = big.join(F.broadcast(hot_keys), keys, "left_anti")
+    small_hot = small.join(F.broadcast(hot_keys), keys, "left_semi")
+    hot = big_hot.join(F.broadcast(small_hot), keys)
+    cold = big_cold.join(small, keys)
+    return hot.unionByName(cold)

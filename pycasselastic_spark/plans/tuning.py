@@ -14,6 +14,7 @@ import contextlib
 import io
 import math
 import os
+import re
 from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
@@ -61,46 +62,87 @@ def scan_read_schema(df: DataFrame) -> list[str]:
     return out
 
 
+_BYTE_UNITS = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30,
+               "t": 1 << 40, "p": 1 << 50}
+_BYTE_RE = re.compile(r"^(\d+)\s*([kmgtp]?)b?$")
+
+
+def _parse_byte_string(raw: str, default: int) -> int:
+    """Parse a Spark byte-string config value ('134217728b', '64mb',
+    '128m', '2g', '1t', plain digits) the way the JVM side does.
+    Unparseable input falls back to ``default``."""
+    m = _BYTE_RE.match(str(raw).strip().lower())
+    if not m:
+        return default
+    return int(m.group(1)) * _BYTE_UNITS[m.group(2)]
+
+
 def _max_partition_bytes(spark: SparkSession) -> int:
-    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
-    raw = raw.strip().lower()
-    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
-    try:
-        if raw.endswith("b") and raw[:-1].isdigit():
-            return int(raw[:-1])
-        if raw and raw[-1] in units:
-            return int(raw[:-1]) * units[raw[-1]]
-        return int(raw)
-    except ValueError:
-        return 128 << 20
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    return _parse_byte_string(raw, 128 << 20)
+
+
+def _open_cost_bytes(spark: SparkSession) -> int:
+    raw = spark.conf.get("spark.sql.files.openCostInBytes", "4194304b")
+    return _parse_byte_string(raw, 4 << 20)
 
 
 def estimate_scan_partitions(df: DataFrame, spark: SparkSession) -> int | None:
     """Estimated split count of ``df``'s file scan, from public APIs.
 
-    Per file: ceil(size / maxPartitionBytes) when the file is local and
-    statable, else 1. The estimate can only OVERcount vs the real scan
-    (Spark additionally packs small files together via openCostInBytes),
-    so using it as a lower-bound gate never triggers a spurious
-    repartition on data that already has enough splits. Returns None
-    for non-file sources (no estimate possible).
+    Simulates Spark's ``FilePartition.getFilePartitions`` exactly:
+    ``maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    sum(size + openCost) / parallelism))``; files larger than that are
+    pre-split into chunks of at most ``maxSplitBytes``; chunks are
+    sorted by size descending and bin-packed — a bin closes when the
+    next chunk's RAW size would push the accumulated ``size +
+    openCost`` total past ``maxSplitBytes`` (Spark checks the raw size
+    but accumulates the padded one — that asymmetry is why a naive
+    padded-ceil overcounts ~2x on tiny files). This tracks BOTH
+    failure modes the old per-file floor had: one giant file still
+    estimates many splits, and a many-tiny-files layout no longer
+    estimates one split per file (Spark packs those — the overcount
+    that used to make ``ensure_parallelism`` skip exactly the case it
+    exists for). Unstatable/remote files count size 0 (pure
+    open-cost). Returns None for non-file sources.
     """
     files = df.inputFiles()
     if not files:
         return None
-    max_bytes = _max_partition_bytes(spark)
-    total = 0
+    open_cost = _open_cost_bytes(spark)
+    sizes = []
     for uri in files:
         parsed = urlparse(uri)
-        splits = 1
+        size = 0
         if parsed.scheme in ("file", ""):
             path = unquote(parsed.path)
             try:
-                splits = max(1, math.ceil(os.path.getsize(path) / max_bytes))
+                size = os.path.getsize(path)
             except OSError:
-                splits = 1
-        total += splits
-    return total
+                size = 0
+        sizes.append(size)
+    total_padded = sum(sizes) + open_cost * len(sizes)
+    max_split = min(
+        _max_partition_bytes(spark),
+        max(open_cost,
+            total_padded // max(1, spark.sparkContext.defaultParallelism)),
+    )
+    chunks = []
+    for size in sizes:
+        while size > max_split:
+            chunks.append(max_split)
+            size -= max_split
+        chunks.append(size)
+    chunks.sort(reverse=True)
+    n_parts, current = 0, 0
+    for c in chunks:
+        if current + c > max_split and current > 0:
+            n_parts += 1
+            current = 0
+        current += c + open_cost
+    if current > 0:
+        n_parts += 1
+    return max(1, n_parts)
 
 
 def ensure_parallelism(df: DataFrame, spark: SparkSession) -> DataFrame:
@@ -111,10 +153,13 @@ def ensure_parallelism(df: DataFrame, spark: SparkSession) -> DataFrame:
     single input split — which would serialize every narrow compute
     stage (minhash signatures, simhash, dot products) on one core. On
     real multi-row-group / multi-file data the scan already yields
-    many splits and this is a no-op (the estimate never undercounts
-    splits, so big inputs are never down-shuffled)."""
+    many splits and this is a no-op. Non-file sources (inputFiles()
+    empty) fall back to the actual RDD partition count, so an
+    in-memory or DSv2 DataFrame with one partition is still widened."""
     target = spark.sparkContext.defaultParallelism
     n_parts = estimate_scan_partitions(df, spark)
-    if n_parts is not None and n_parts < target:
+    if n_parts is None:
+        n_parts = df.rdd.getNumPartitions()
+    if n_parts < target:
         return df.repartition(target)
     return df

@@ -175,7 +175,13 @@ def main() -> None:
     synthesize_sf1(spark, args.sf01, sf1_dir)
     print(f"sf1 corpus synthesized in {time.perf_counter() - t0:.1f}s", flush=True)
 
-    # warm run at sf0.1 first (JIT/codegen caches warm for both legs)
+    # discarded warmup pass: JIT/codegen/scheduler caches warm BEFORE
+    # either measured leg, else the sf0.1 leg pays all the cold-start
+    # cost and the sf1/sf0.1 ratios come out flattered (the first run
+    # of this script measured cosine_topk_lsh at 25.6 s cold vs 4.7 s
+    # warm — a nonsense 0.18 "ratio")
+    print("warmup pass (discarded):", flush=True)
+    run_queries(spark, args.sf01, args.queries)
     sf01 = run_queries(spark, args.sf01, args.queries)
     sf1 = run_queries(spark, sf1_dir, args.queries)
 

@@ -197,3 +197,60 @@ def test_subquery_joins_stay_hash_based(spark, sf_dir):
         plan = tuning.physical_plan(QUERIES[name].fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         assert "LeftSemi" in plan or "LeftAnti" in plan, name
+
+
+def test_parse_byte_string_accepts_spark_suffixes():
+    """Spark-accepted byte strings ('64mb', '2gb', '1t', '134217728b',
+    plain digits) must all parse; before the fix '64mb' silently fell
+    back to 128MB and broke split estimation (ADVICE r6)."""
+    p = tuning._parse_byte_string
+    assert p("134217728b", 0) == 128 << 20
+    assert p("64mb", 0) == 64 << 20
+    assert p("64m", 0) == 64 << 20
+    assert p("2gb", 0) == 2 << 30
+    assert p("1t", 0) == 1 << 40
+    assert p("4096", 0) == 4096
+    assert p("512k", 0) == 512 << 10
+    assert p("not-a-size", 77) == 77
+
+
+def test_estimate_many_tiny_files_accounts_for_packing(spark, tmp_path):
+    """Many tiny files must NOT estimate one split per file: Spark packs
+    them via openCostInBytes, and the old per-file floor of 1 made the
+    estimate >= cores so ensure_parallelism skipped the repartition it
+    exists for (VERDICT r6 nit 1)."""
+    path = str(tmp_path / "tiny")
+    # 64 one-row files, each a few hundred bytes
+    spark.range(64).repartition(64).write.parquet(path)
+    df = spark.read.parquet(path)
+    est = tuning.estimate_scan_partitions(df, spark)
+    actual = df.rdd.getNumPartitions()
+    # the simulation mirrors FilePartition.getFilePartitions, so on
+    # same-sized local files it should land exactly on Spark's count
+    assert est == actual, f"estimate {est} != actual {actual}"
+    assert est < len(df.inputFiles()), "still counting one split per file"
+
+
+def test_ensure_parallelism_widens_non_file_dataframes(spark):
+    """Non-file sources (inputFiles() empty) must fall back to the real
+    RDD partition count instead of silently skipping (ADVICE r6)."""
+    one_part = spark.range(0, 1000, 1, 1)  # numPartitions=1, no files
+    assert one_part.inputFiles() == []
+    widened = tuning.ensure_parallelism(one_part, spark)
+    assert (
+        widened.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+
+def test_ensure_parallelism_still_widens_single_big_file(spark, tmp_path):
+    """The original purpose: a single-split scan on a many-core session
+    gets repartitioned up."""
+    path = str(tmp_path / "single")
+    spark.range(10000).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    widened = tuning.ensure_parallelism(df, spark)
+    assert (
+        widened.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )

@@ -434,3 +434,17 @@ class TestStateStoreProviderParity:
         rocks = self._session_windows(spark, sf_dir, catalog.ROCKSDB_PROVIDER)
         hdfs = self._session_windows(spark, sf_dir, self.HDFS)
         assert rocks and rocks == hdfs
+
+
+def test_state_provider_escape_hatch(monkeypatch):
+    """RocksDB is the session default, but an existing checkpoint
+    created under the HDFS provider cannot switch providerClass —
+    $SPARK_GRAFT_STATE_PROVIDER must select it back (ADVICE r6)."""
+    from pycasselastic_spark.session import _state_store_provider
+
+    monkeypatch.delenv("SPARK_GRAFT_STATE_PROVIDER", raising=False)
+    assert _state_store_provider().endswith("RocksDBStateStoreProvider")
+    monkeypatch.setenv("SPARK_GRAFT_STATE_PROVIDER", "hdfs")
+    assert _state_store_provider().endswith("HDFSBackedStateStoreProvider")
+    monkeypatch.setenv("SPARK_GRAFT_STATE_PROVIDER", "com.example.MyProvider")
+    assert _state_store_provider() == "com.example.MyProvider"
