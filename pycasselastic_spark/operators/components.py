@@ -75,15 +75,20 @@ def connected_components(
     pairs: DataFrame,
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
-    max_iterations: int = 20,
+    max_iterations: int = 64,
 ) -> DataFrame:
     """Label every node of the undirected pair graph with the smallest
     node id in its component. Returns (node, component).
 
     Raises ``RuntimeError`` if the star fixed point is not reached
     within ``max_iterations`` large+small round pairs — loud failure
-    instead of silently wrong components on adversarial graphs
-    (max_iterations=20 covers diameters far beyond 2^20 in practice).
+    instead of silently wrong components on adversarial graphs.
+    Measured (scripts/scaling_probe.py, path graphs — the worst-case
+    diameter): rounds ~= log2(diameter) + 2 (15/17/19 rounds at
+    10k/40k/160k nodes), so the default 64 covers diameters near
+    2^60; an earlier default of 20 capped out at a mere ~300k-node
+    path. Rounds past the fixed point never execute, so the generous
+    cap is free on normal graphs.
 
     Nodes appearing only as isolated ids are the caller's concern —
     feed the full id set through ``assign_components`` to also label
@@ -98,7 +103,7 @@ def connected_components_with_rounds(
     pairs: DataFrame,
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
-    max_iterations: int = 20,
+    max_iterations: int = 64,
 ) -> tuple[DataFrame, int]:
     """:func:`connected_components` plus the number of large+small star
     round pairs it took to converge — the observable for the O(log n)

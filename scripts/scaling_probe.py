@@ -341,8 +341,32 @@ def main() -> None:
                 ).otherwise(F.col("val")),
             )
         )
-        dt = bench(lambda: noop(table_diff(a, b, "k", ["grp", "val"], n_buckets=64)))
-        emit(out, {"op": "anti_entropy_diff", "n": n, "sec": dt})
+        # analytic shuffle volume (a property of the plan, not a
+        # measurement): the digest path shuffles 64 digest rows/side
+        # plus the 2 flagged buckets' slice (~n/32 narrow rows); the
+        # naive full-outer shuffles all 2n WIDE rows. Local wall time
+        # hides this (shuffle is a memory copy on local[32] while the
+        # md5 digest pass is CPU-bound) — which is exactly why both
+        # numbers are recorded: wall here, volume for the
+        # network-bound cluster case.
+        for hash_fn in ("md5", "xxhash64"):
+            dt = bench(
+                lambda: noop(
+                    table_diff(
+                        a, b, "k", ["grp", "val"], n_buckets=64, hash_fn=hash_fn
+                    )
+                )
+            )
+            emit(
+                out,
+                {
+                    "op": f"anti_entropy_diff_{hash_fn}",
+                    "n": n,
+                    "sec": dt,
+                    "digest_shuffle_rows": 2 * 64 + n // 32,
+                    "naive_shuffle_rows": 2 * n,
+                },
+            )
         naive = (
             a.alias("a")
             .join(b.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer")

@@ -143,3 +143,47 @@ def test_repair_actions_converge_replicas(spark):
     )
     assert table_diff(a, repaired, "k", ["grp", "val"]).count() == 0
     assert repaired.count() == a.count()
+
+
+def test_xxhash64_family_matches_md5_results(spark):
+    """The production xxhash64 digest family must find EXACTLY the same
+    row-level diffs as the md5 (oracle-replayable) family, including
+    the adversarial separator/NULL-shift cases."""
+    rows_a = [
+        (0, "a|b", "c"),
+        (64, "x", None),
+        (128, "same", "same"),
+        (192, "only-in-a", "p"),
+    ]
+    rows_b = [
+        (0, "a", "b|c"),          # separator forgery attempt
+        (64, None, "x"),          # NULL-shift forgery attempt
+        (128, "same", "same"),    # genuinely equal
+        (256, "only-in-b", "q"),
+    ]
+    a = spark.createDataFrame(rows_a, ["k", "c1", "c2"])
+    b = spark.createDataFrame(rows_b, ["k", "c1", "c2"])
+    md5_out = sorted(
+        map(tuple, table_diff(a, b, "k", ["c1", "c2"], hash_fn="md5").collect())
+    )
+    xx_out = sorted(
+        map(tuple, table_diff(a, b, "k", ["c1", "c2"], hash_fn="xxhash64").collect())
+    )
+    assert md5_out == xx_out
+    assert ("0", "payload_differs") not in md5_out  # keys are ints
+    statuses = dict(md5_out)
+    assert statuses[0] == "payload_differs"
+    assert statuses[64] == "payload_differs"
+    assert statuses[192] == "missing_in_b"
+    assert statuses[256] == "missing_in_a"
+    assert 128 not in statuses
+
+
+def test_unknown_hash_fn_rejected(spark):
+    import pytest as _pytest
+
+    from pycasselastic_spark.core.diff import row_digest
+    from pyspark.sql import functions as F
+
+    with _pytest.raises(ValueError, match="hash_fn"):
+        row_digest(F.col("k"), [], hash_fn="sha1")
