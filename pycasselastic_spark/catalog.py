@@ -6074,7 +6074,8 @@ def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT c.c_mktsegment,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(FLOOR(SUM(e.value) * 100) AS BIGINT) AS sum_value_cents
+       CAST(SUM(CAST(FLOOR(e.value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment
 """,
@@ -6092,9 +6093,13 @@ def hybrid_skew_join_events_customer(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
     joined = hybrid_skew_join(ev, cust, ["user_id"], hot_threshold=80)
+    # per-row cents BEFORE the sum: floor(v*100) is bit-identical
+    # cross-engine and the integer sum is order-independent, while
+    # floor(SUM(double)*100) flips at the boundary when aggregation
+    # order differs (measured: off-by-one at sf0.1)
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.floor(F.sum("value") * 100).cast("long").alias("sum_value_cents"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
     )
 
 

@@ -254,3 +254,27 @@ def test_ensure_parallelism_still_widens_single_big_file(spark, tmp_path):
         widened.rdd.getNumPartitions()
         == spark.sparkContext.defaultParallelism
     )
+
+
+def test_bm25_plan_broadcasts_and_takeordered(spark, sf_dir):
+    """BM25's df table and N/avgdl scalars must ride broadcasts, and
+    the top-k must be TakeOrderedAndProject (per-partition heaps) —
+    never a global sort."""
+    df = QUERIES["bm25_search_documents"].fn(spark, sf_dir)
+    plan = tuning.formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_multi_snapshot_is_single_aggregation(spark, sf_dir):
+    """lww_snapshots computes all k snapshots in ONE groupBy shuffle —
+    the plan must contain exactly one aggregate pair (partial+final,
+    one Exchange) and no join at all (the k-shuffle naive plan would
+    show k joins/exchanges)."""
+    df = QUERIES["multi_snapshot_lww_events"].fn(spark, sf_dir)
+    plan = tuning.formatted_plan(df)
+    assert "Join" not in plan
+    # one shuffle for the groupBy(id); AQE may add a read node, so pin
+    # the Exchange count at the logical level: exactly 1
+    assert plan.count("Exchange") <= 2  # exchange + (optional AQE read)
