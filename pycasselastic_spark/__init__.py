@@ -35,7 +35,7 @@ lives in the documented submodules:
 
 from __future__ import annotations
 
-__version__ = "0.2.0"
+__version__ = "0.7.0"
 
 # name -> (submodule, attr); resolved lazily on first access (PEP 562)
 # so `import pycasselastic_spark` does not pull pyspark until used.
@@ -96,6 +96,19 @@ _EXPORTS: dict[str, str] = {
     "start_streaming_sync": "streaming.sync",
     "read_event_stream": "streaming.sync",
     "read_table_stream": "streaming.sync",
+    # round-7 surface: search, containment, splits/caps, skew routing,
+    # time travel
+    "lww_snapshots": "core.merge",
+    "containment_pairs": "operators.dedup",
+    "inverted_index_stats": "operators.search",
+    "bm25_topk": "operators.search",
+    "tfidf_top_terms": "operators.search",
+    "phrase_search": "operators.search",
+    "per_group_cap": "operators.sampling",
+    "group_consistent_split": "operators.sampling",
+    "hybrid_skew_join": "operators.skew",
+    "salted_join": "operators.skew",
+    "register_lwwstore": "sources.pyds",
 }
 
 __all__ = ["__version__", *sorted(_EXPORTS)]

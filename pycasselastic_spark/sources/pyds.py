@@ -1,0 +1,305 @@
+"""``lwwstore`` — a REAL Spark data source (PySpark 4 Python Data
+Source API) implementing the reference stores' semantics end-to-end.
+
+The round-4..6 connector story stopped at emitting the correct
+public connector options (``sources/registry.py``) plus in-process
+fakes, because no live Cassandra/Elasticsearch exists in this
+environment. This module closes the remaining gap differently: it
+implements the stores' SEMANTICS as a genuine pluggable source/sink
+that Spark's own DSv2 machinery plans, schedules, and commits —
+``spark.read.format("lwwstore")`` / ``df.write.format("lwwstore")``
+after ``register_lwwstore(spark)``. What it mirrors, feature by
+feature (reference cites per SURVEY.md §2.1):
+
+- **Versioned LWW upsert** (O5 ES ``_version_type: external``
+  pyCassElastic.py:316-354; O6 C* ``USING TIMESTAMP`` :244-251): the
+  store is LOG-STRUCTURED — every write appends immutable segments,
+  and readers resolve each id to its highest-(version, tiebreak) row
+  across all committed segments, exactly how LSM stores (Cassandra
+  SSTables, Lucene segments) implement last-writer-wins. Losers
+  simply never surface (O7's delete collapses away, the same
+  argmax-absorbs-retraction insight as ``core.merge.lww_merge``).
+- **Bulk writes with atomic visibility** (O5 ``helpers.bulk``
+  chunking :348, O9's don't-duplicate guard :86-88): each write task
+  appends one segment per id-bucket and reports it in its commit
+  message; only the driver-side ``commit()`` publishes a manifest
+  (tmp + atomic rename), so a failed job leaves NOTHING visible —
+  the exactly-once batch commit the reference hand-waved with
+  "continue or data will be duplicated".
+- **Token-range parallel scan** (O1/O3 partitioned reads): rows are
+  bucketed by ``pmod(id-hash, n_buckets)`` at write time; the reader
+  exposes ONE InputPartition PER BUCKET, so the scan parallelizes
+  like a Cassandra token-range scan and the per-bucket LWW argmax is
+  co-located (every version of an id lives in one bucket's segment
+  chain — no shuffle needed to resolve winners).
+- **Incremental-scan pushdown** (O1's ``WHERE version > a AND
+  version <= b ALLOW FILTERING`` :199-212; O3's ES range DSL
+  :367-384; O4's ``not term source`` :386-399): ``pushFilters``
+  consumes version range predicates, source (in)equality, and id
+  equality; consumed filters skip rows inside the reader — Spark
+  re-applies anything the reader declines, so pushdown is always
+  sound.
+
+Scale notes: the Python reader/writer is NOT the 100 TB hot path —
+real deployments speak to real stores through the JVM connectors
+whose option sets ``sources/registry.py`` pins. This source is the
+*executable contract* of those semantics (the same role the
+reference's tests give its dict-probe fakes, but run through Spark's
+actual planner, task scheduler, and commit protocol). The layout
+itself scales the right way regardless: O(1) manifest read, one
+partition per bucket, append-only segments, per-bucket merge.
+
+Wire format: JSON-lines segments (human-auditable, schema-flexible)
+under ``<path>/seg/bucket=<i>/<uuid>.jsonl``; committed segment sets
+listed in ``<path>/manifest-<n>.json`` (monotonic generation numbers;
+readers take the max generation — a torn write of a new manifest is
+invisible until its rename lands).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+    Not,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+DEFAULT_SCHEMA = "id BIGINT, version BIGINT, text STRING, source STRING"
+FORMAT_NAME = "lwwstore"
+
+
+def _bucket_of(key, n_buckets: int) -> int:
+    """Deterministic id -> bucket (md5-based — Python's builtin hash of
+    strings is PYTHONHASHSEED-randomized PER WORKER, which would spray
+    one id's versions across buckets and break the co-located merge)."""
+    digest = hashlib.md5(str(key).encode()).hexdigest()[:8]
+    return int(digest, 16) % n_buckets
+
+
+def _manifest_paths(path: str) -> list[str]:
+    try:
+        names = [n for n in os.listdir(path) if n.startswith("manifest-")]
+    except FileNotFoundError:
+        return []
+    return sorted(names)
+
+
+def _read_committed_segments(path: str) -> list[str]:
+    """Segment files of the LATEST committed generation (cumulative:
+    each manifest lists every segment visible at that generation)."""
+    manifests = _manifest_paths(path)
+    if not manifests:
+        return []
+    with open(os.path.join(path, manifests[-1])) as f:
+        return json.load(f)["segments"]
+
+
+@dataclass
+class _BucketPartition(InputPartition):
+    bucket: int
+    segments: tuple  # segment paths for this bucket, commit order
+
+
+class LwwStoreReader(DataSourceReader):
+    def __init__(self, schema: StructType, options):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("lwwstore requires a 'path' option")
+        self.n_buckets = int(options.get("n_buckets", "16"))
+        self.version_col = options.get("version_col", "version")
+        self.id_col = options.get("id_col", "id")
+        self.tiebreak_col = options.get("tiebreak_col") or None
+        self._pushed: list[Filter] = []
+
+    # -- pushdown (O1/O3/O4) -------------------------------------------
+    def pushFilters(self, filters: list[Filter]):
+        """Consume version-range / equality / provenance predicates;
+        yield back anything else for Spark to re-apply."""
+        for f in filters:
+            if self._supports(f):
+                self._pushed.append(f)
+            else:
+                yield f
+
+    def _supports(self, f: Filter) -> bool:
+        simple = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
+                  LessThanOrEqual, IsNotNull)
+        if isinstance(f, Not):
+            return isinstance(f.child, EqualTo) and len(f.child.attribute) == 1
+        return isinstance(f, simple) and len(f.attribute) == 1
+
+    def _matches(self, row: dict) -> bool:
+        for f in self._pushed:
+            neg = isinstance(f, Not)
+            g = f.child if neg else f
+            v = row.get(g.attribute[0])
+            if isinstance(g, IsNotNull):
+                ok = v is not None
+            elif v is None:
+                ok = False  # comparisons with NULL never match
+            elif isinstance(g, EqualTo):
+                ok = v == g.value
+            elif isinstance(g, GreaterThan):
+                ok = v > g.value
+            elif isinstance(g, GreaterThanOrEqual):
+                ok = v >= g.value
+            elif isinstance(g, LessThan):
+                ok = v < g.value
+            else:
+                ok = v <= g.value
+            if neg:
+                # SQL semantics: NOT(NULL = x) is NULL, not TRUE
+                ok = (v is not None) and not ok
+            if not ok:
+                return False
+        return True
+
+    # -- partitioned scan (O1/O3) --------------------------------------
+    def partitions(self):
+        by_bucket: dict[int, list[str]] = {}
+        for seg in _read_committed_segments(self.path):
+            b = int(seg.split("bucket=")[1].split(os.sep)[0])
+            by_bucket.setdefault(b, []).append(seg)
+        if not by_bucket:
+            return [_BucketPartition(0, ())]
+        return [
+            _BucketPartition(b, tuple(segs))
+            for b, segs in sorted(by_bucket.items())
+        ]
+
+    def read(self, partition: _BucketPartition):
+        # per-bucket LWW argmax across the segment chain (O5/O6/O7):
+        # every version of an id lives in this bucket, so the merge is
+        # local — the distributed equivalent of an LSM read path
+        winners: dict = {}
+        fields = [f.name for f in self.schema.fields]
+        for seg in partition.segments:
+            with open(os.path.join(self.path, seg)) as f:
+                for line in f:
+                    row = json.loads(line)
+                    key = row.get(self.id_col)
+                    v = row.get(self.version_col)
+                    tb = row.get(self.tiebreak_col) if self.tiebreak_col else 0
+                    # NULL version sorts lowest (matches max_by over a
+                    # struct whose leading field is NULL-last ascending)
+                    rank = (v is not None, v if v is not None else 0, tb)
+                    prev = winners.get(key)
+                    if prev is None or rank >= prev[0]:
+                        winners[key] = (rank, row)
+        for _, row in winners.values():
+            if self._matches(row):
+                yield tuple(row.get(c) for c in fields)
+
+
+@dataclass
+class _SegmentsCommit(WriterCommitMessage):
+    segments: tuple
+
+
+class LwwStoreWriter(DataSourceWriter):
+    def __init__(self, schema: StructType, options, overwrite: bool):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("lwwstore requires a 'path' option")
+        self.n_buckets = int(options.get("n_buckets", "16"))
+        self.id_col = options.get("id_col", "id")
+        self.overwrite = overwrite
+
+    def write(self, rows):
+        """Executor-side: append one segment file per touched bucket
+        (the ES bulk chunk / C* BatchStatement analog, O5/O6). Files
+        are invisible until the driver's commit publishes a manifest."""
+        fields = [f.name for f in self.schema.fields]
+        handles: dict[int, tuple[str, object]] = {}
+        task_id = uuid.uuid4().hex
+        for row in rows:
+            d = dict(zip(fields, row))
+            b = _bucket_of(d.get(self.id_col), self.n_buckets)
+            if b not in handles:
+                rel = os.path.join("seg", f"bucket={b}", f"{task_id}-{b}.jsonl")
+                full = os.path.join(self.path, rel)
+                os.makedirs(os.path.dirname(full), exist_ok=True)
+                handles[b] = (rel, open(full, "w"))
+            handles[b][1].write(json.dumps(d) + "\n")
+        for rel, fh in handles.values():
+            fh.close()
+        return _SegmentsCommit(tuple(rel for rel, _ in handles.values()))
+
+    def commit(self, messages):
+        """Driver-side atomic publish (O9's exactly-once guard): the
+        new manifest = previous committed segments (upsert semantics —
+        append mode) or nothing (overwrite), plus every segment this
+        job's tasks reported. tmp + rename so a crash mid-commit
+        leaves the previous generation intact."""
+        prev = [] if self.overwrite else _read_committed_segments(self.path)
+        new = [s for m in messages if m is not None for s in m.segments]
+        manifests = _manifest_paths(self.path)
+        gen = (
+            int(manifests[-1].split("-")[1].split(".")[0]) + 1
+            if manifests
+            else 0
+        )
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".manifest-{gen:08d}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"generation": gen, "segments": prev + new}, f)
+        os.replace(tmp, os.path.join(self.path, f"manifest-{gen:08d}.json"))
+
+    def abort(self, messages):
+        """Uncommitted segments are garbage, never visible; best-effort
+        cleanup."""
+        for m in messages:
+            if m is None:
+                continue
+            for rel in m.segments:
+                try:
+                    os.remove(os.path.join(self.path, rel))
+                except OSError:
+                    pass
+
+
+class LwwStoreDataSource(DataSource):
+    """See module docstring. Options: ``path`` (required), ``schema``
+    (DDL, default ``DEFAULT_SCHEMA``), ``id_col``/``version_col``/
+    ``tiebreak_col``, ``n_buckets``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> str:
+        return self.options.get("schema", DEFAULT_SCHEMA)
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return LwwStoreReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return LwwStoreWriter(schema, self.options, overwrite)
+
+
+def register_lwwstore(spark) -> None:
+    """Idempotently register the source on ``spark`` (per-session, the
+    Python Data Source registration model) and enable Python-source
+    filter pushdown (off by default in Spark 4.1; without it a reader
+    implementing ``pushFilters`` is rejected outright)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(LwwStoreDataSource)

@@ -41,3 +41,18 @@ def test_query_runs(spark, sf_dir, name):
         assert n > 0, f"{name} returned no rows at {sf_dir}"
     # column names must be duplicate-free for the oracle hash compare
     assert len(df.columns) == len(set(df.columns))
+
+
+def test_round7_gate_slots():
+    """The driver hashes the FIRST 50 registered queries; the round-7
+    rotation puts the 11 new queries in slots 0-10 and the 39 stalest
+    (r1-r4-only) driver rows in slots 11-49. Pin the boundary slots so
+    an accidental registration reorder is caught before the driver
+    runs (COVERAGE.md enumerates the full list)."""
+    names = list(QUERIES)
+    assert names[0] == "inverted_index_documents"
+    assert names[10] == "multi_snapshot_lww_events"
+    assert names[11] == "lwwstore_roundtrip_events"
+    assert names[12] == "topk_orders_per_priority"
+    assert names[49] == "json_extract_events"
+    assert len(names) == 151

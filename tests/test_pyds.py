@@ -1,0 +1,149 @@
+"""Tests for the ``lwwstore`` Python Data Source — the executable
+contract of the reference stores' semantics (versioned LWW upsert,
+bulk-commit atomicity, token-range-style partitioned scans, pushdown)
+run through Spark's real DSv2 planner and commit protocol."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pycasselastic_spark.core.merge import lww_merge
+from pycasselastic_spark.sources.pyds import (
+    DEFAULT_SCHEMA,
+    _read_committed_segments,
+    register_lwwstore,
+)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    register_lwwstore(spark)
+    return str(tmp_path / "store")
+
+
+def _write(df, path, mode="append", **opts):
+    w = df.write.format("lwwstore").option("path", path)
+    for k, v in opts.items():
+        w = w.option(k, str(v))
+    w.mode(mode).save()
+
+
+def _read(spark, path, **opts):
+    r = spark.read.format("lwwstore").option("path", path)
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    return r.load()
+
+
+def test_versioned_upsert_across_bulk_writes(spark, store):
+    """Two bulk writes with conflicting versions: the read surfaces
+    per-id winners — higher version wins, stale writes are absorbed
+    (reference O5 external versioning + O7 loser retraction)."""
+    df1 = spark.createDataFrame(
+        [(1, 10, "v10", "CASS"), (2, 10, "w10", "CASS")], DEFAULT_SCHEMA
+    )
+    df2 = spark.createDataFrame(
+        [(1, 20, "v20", "ES"), (2, 3, "stale", "ES"), (3, 7, "y7", "CASS")],
+        DEFAULT_SCHEMA,
+    )
+    _write(df1, store)
+    _write(df2, store)
+    got = {r["id"]: (r["version"], r["text"]) for r in _read(spark, store).collect()}
+    assert got == {1: (20, "v20"), 2: (10, "w10"), 3: (7, "y7")}
+
+
+def test_matches_lww_merge_on_random_increments(spark, store):
+    """Store-resolved winners must equal the engine's lww_merge over
+    the same increments — the same equivalence law the reference's
+    checkSync asserts, now between a real sink/source pair and the
+    relational operator."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (rng.randrange(40), rng.randrange(1000), f"t{i}", "S")
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, DEFAULT_SCHEMA)
+    half_a = df.filter(F.col("version") % 2 == 0)
+    half_b = df.filter(F.col("version") % 2 == 1)
+    _write(half_a, store, tiebreak_col="text")
+    _write(half_b, store, tiebreak_col="text")
+    got = sorted(
+        map(tuple, _read(spark, store, tiebreak_col="text").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            lww_merge([half_a, half_b], "id", "version", tiebreak_cols=["text"])
+            .select("id", "version", "text", "source")
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_pushdown_version_window_and_provenance(spark, store):
+    """The incremental-scan predicates (version half-open window, O1;
+    source anti-filter, O4) push into the reader and return exactly
+    the SQL-semantics rows — including NULL provenance dropped by
+    ``!=`` (a NULL-keeping variant is anti_echo's contract, applied
+    engine-side)."""
+    df = spark.createDataFrame(
+        [
+            (1, 5, "a", "CASS"),
+            (2, 15, "b", "ES"),
+            (3, 25, "c", "CASS"),
+            (4, 18, "d", None),
+        ],
+        DEFAULT_SCHEMA,
+    )
+    _write(df, store)
+    out = _read(spark, store).filter(
+        (F.col("version") > 10)
+        & (F.col("version") <= 20)
+        & (F.col("source") != "CASS")
+    )
+    assert [r["id"] for r in out.collect()] == [2]
+
+
+def test_overwrite_truncates_previous_generations(spark, store):
+    df1 = spark.createDataFrame([(1, 10, "old", "S")], DEFAULT_SCHEMA)
+    df2 = spark.createDataFrame([(2, 1, "new", "S")], DEFAULT_SCHEMA)
+    _write(df1, store)
+    _write(df2, store, mode="overwrite")
+    got = [tuple(r) for r in _read(spark, store).collect()]
+    assert got == [(2, 1, "new", "S")]
+
+
+def test_scan_parallelism_is_bucket_count(spark, store):
+    """One InputPartition per touched bucket — the token-range-scan
+    shape; and every version of one id lands in ONE bucket (the
+    co-located merge invariant)."""
+    df = spark.createDataFrame(
+        [(i % 8, v, f"t{v}", "S") for i in range(64) for v in (1, 2)],
+        DEFAULT_SCHEMA,
+    )
+    _write(df, store, n_buckets=8)
+    out = _read(spark, store, n_buckets=8)
+    assert out.rdd.getNumPartitions() <= 8
+    # winners: one row per distinct id, each at version 2
+    rows = out.collect()
+    assert len(rows) == 8 and all(r["version"] == 2 for r in rows)
+
+
+def test_commit_is_atomic_manifest(spark, store):
+    """Segments exist only under a committed manifest: the manifest
+    lists every visible segment, and generations are cumulative in
+    append mode."""
+    df = spark.createDataFrame([(1, 1, "a", "S")], DEFAULT_SCHEMA)
+    _write(df, store)
+    segs1 = _read_committed_segments(store)
+    _write(df, store)
+    segs2 = _read_committed_segments(store)
+    assert set(segs1) <= set(segs2) and len(segs2) > len(segs1)
+    for seg in segs2:
+        assert os.path.exists(os.path.join(store, seg))
