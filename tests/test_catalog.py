@@ -53,6 +53,7 @@ def test_round7_gate_slots():
     assert names[0] == "inverted_index_documents"
     assert names[10] == "multi_snapshot_lww_events"
     assert names[11] == "lwwstore_roundtrip_events"
-    assert names[12] == "topk_orders_per_priority"
-    assert names[49] == "json_extract_events"
-    assert len(names) == 151
+    assert names[12] == "streaming_lwwstore_sync_events"
+    assert names[13] == "topk_orders_per_priority"
+    assert names[49] == "applyinpandas_rank_events"
+    assert len(names) == 152

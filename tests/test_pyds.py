@@ -147,3 +147,44 @@ def test_commit_is_atomic_manifest(spark, store):
     assert set(segs1) <= set(segs2) and len(segs2) > len(segs1)
     for seg in segs2:
         assert os.path.exists(os.path.join(store, seg))
+
+
+def test_stream_reader_emits_only_new_segments(spark, store, tmp_path):
+    """readStream over the store emits INCREMENTS: the first
+    availableNow run drains everything committed so far; after more
+    bulk writes, a resumed run (same checkpoint) emits ONLY the new
+    segments — the reference's watermark-windowed incremental scan
+    (O1/O3/O10) as a real streaming source with exactly-once offsets."""
+    out_dir = str(tmp_path / "out")
+    checkpoint = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("lwwstore")
+            .option("path", store)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+
+    df1 = spark.createDataFrame(
+        [(1, 10, "a", "CASS"), (2, 11, "b", "CASS")], DEFAULT_SCHEMA
+    )
+    _write(df1, store)
+    got1 = drain()
+    assert {(r[0], r[1]) for r in got1} == {(1, 10), (2, 11)}
+
+    df2 = spark.createDataFrame(
+        [(1, 20, "c", "ES"), (3, 12, "d", "ES")], DEFAULT_SCHEMA
+    )
+    _write(df2, store)
+    got2 = drain()
+    # cumulative sink now holds ALL increments exactly once — the
+    # second run did not re-emit bulk 1
+    assert len(got2) == 4
+    assert {(r[0], r[1]) for r in got2} == {(1, 10), (2, 11), (1, 20), (3, 12)}
