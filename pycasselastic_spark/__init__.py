@@ -109,6 +109,7 @@ _EXPORTS: dict[str, str] = {
     "hybrid_skew_join": "operators.skew",
     "salted_join": "operators.skew",
     "register_lwwstore": "sources.pyds",
+    "compact_lwwstore": "sources.pyds",
 }
 
 __all__ = ["__version__", *sorted(_EXPORTS)]

@@ -6243,6 +6243,78 @@ def streaming_lwwstore_sync_events(spark: SparkSession, sf_dir: str) -> DataFram
     return snapshot.current()
 
 
+@register(
+    "term_cooccurrence_pmi_documents",
+    f"""
+WITH {_TOKENS_SQL},
+dterm AS (SELECT DISTINCT term, doc_id FROM postings),
+c1 AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM dterm GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM dterm a JOIN dterm b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 5)
+SELECT term_a, term_b, c12,
+       CAST(FLOOR(ln(c12 * n.n_docs / (ca.df * cb.df)) * 1048576.0) AS BIGINT)
+         AS pmi_q20
+FROM pairs JOIN c1 ca ON ca.term = pairs.term_a
+           JOIN c1 cb ON cb.term = pairs.term_b
+           CROSS JOIN n
+ORDER BY pmi_q20 DESC, term_a, term_b
+LIMIT 20
+""",
+    doc="Term co-occurrence mining: top-20 within-document term pairs "
+    "by pointwise mutual information (PMI = ln(c12*N/(c1*c2)), Q20 "
+    "fixed point) with a minimum-support floor — the corpus-statistics "
+    "primitive behind collocation extraction and phrase induction. "
+    "Pairs come from a doc-keyed self-join of DISTINCT (term, doc) "
+    "postings — bounded per doc by distinct-terms², never corpus-"
+    "quadratic (at web scale the standard prune is per-doc top-k terms "
+    "first); support floor applied before the df join; top-k is "
+    "TakeOrderedAndProject.",
+)
+def term_cooccurrence_pmi_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
+    dterm = SRCH.term_postings(docs, "doc_id", "text").select("term", "doc_id")
+    c1 = dterm.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    a = dterm.select(F.col("term").alias("term_a"), "doc_id")
+    b = dterm.select(F.col("term").alias("term_b"), "doc_id")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= 5)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(c1.select(F.col("term").alias("term_a"), F.col("df").alias("_dfa"))),
+            "term_a",
+        )
+        .join(
+            F.broadcast(c1.select(F.col("term").alias("term_b"), F.col("df").alias("_dfb"))),
+            "term_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term_a",
+            "term_b",
+            "c12",
+            F.floor(
+                F.log(F.col("c12") * F.col("n_docs") / (F.col("_dfa") * F.col("_dfb")))
+                * float(1 << 20)
+            )
+            .cast("long")
+            .alias("pmi_q20"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_q20").desc(), F.col("term_a"), F.col("term_b")
+    ).limit(20)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate registration order. The driver's correctness gate hashes
 # only the FIRST 50 registered queries per round (verified in round 4:

@@ -366,3 +366,40 @@ class LwwStoreStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the query checkpoint; nothing to prune
+
+
+def compact_lwwstore(spark, path: str, gc: bool = True, **options) -> tuple[int, int]:
+    """LSM maintenance: fold the segment chain down to one winner-only
+    generation (read resolved winners, overwrite-write them back), and
+    optionally delete unreferenced segment files. Returns
+    ``(segments_before, segments_after)``.
+
+    Safety: segments are immutable and the manifest swap is atomic, so
+    reads racing the compaction keep seeing the old generation until
+    the new manifest lands. A STREAMING consumer mid-chain will re-see
+    the winners once (the compacted generation is a new segment set) —
+    harmless by construction here, because the downstream fold is the
+    idempotent LWW argmax: re-emitting a winner cannot change the
+    converged state (the same re-delivery argument that makes the
+    micro-batch sync effectively-once).
+    """
+    before = _read_committed_segments(path)
+    reader = spark.read.format(FORMAT_NAME).option("path", path)
+    writer_opts = dict(options)
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    df = reader.load()
+    w = df.write.format(FORMAT_NAME).option("path", path)
+    for k, v in writer_opts.items():
+        w = w.option(k, str(v))
+    w.mode("overwrite").save()
+    after = _read_committed_segments(path)
+    if gc:
+        live = set(after)
+        for seg in before:
+            if seg not in live:
+                try:
+                    os.remove(os.path.join(path, seg))
+                except OSError:
+                    pass
+    return len(before), len(after)

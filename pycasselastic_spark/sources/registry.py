@@ -18,7 +18,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-_FILE_FORMATS = {"parquet", "csv", "json", "orc"}
+_FILE_FORMATS = {"parquet", "csv", "json", "orc", "xml"}
 
 # Public Spark connector format names (not bundled in this environment).
 CASSANDRA_FORMAT = "org.apache.spark.sql.cassandra"

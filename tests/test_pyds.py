@@ -188,3 +188,34 @@ def test_stream_reader_emits_only_new_segments(spark, store, tmp_path):
     # second run did not re-emit bulk 1
     assert len(got2) == 4
     assert {(r[0], r[1]) for r in got2} == {(1, 10), (2, 11), (1, 20), (3, 12)}
+
+
+def test_compaction_preserves_winners_and_shrinks_segments(spark, store):
+    """compact_lwwstore folds many generations into one winner-only
+    segment set: resolved rows identical, chain shorter, orphaned
+    segment files GC'd."""
+    from pycasselastic_spark.sources.pyds import (
+        compact_lwwstore,
+        _read_committed_segments,
+    )
+
+    for gen in range(4):
+        df = spark.createDataFrame(
+            [(i, gen * 10 + (i % 3), f"g{gen}r{i}", "S") for i in range(20)],
+            DEFAULT_SCHEMA,
+        )
+        _write(df, store, n_buckets=4)
+    want = sorted(map(tuple, _read(spark, store, n_buckets=4).collect()))
+    n_before, n_after = compact_lwwstore(spark, store, n_buckets=4)
+    assert n_after < n_before
+    got = sorted(map(tuple, _read(spark, store, n_buckets=4).collect()))
+    assert got == want
+    # GC removed everything not in the live manifest
+    live = set(_read_committed_segments(store))
+    seg_root = os.path.join(store, "seg")
+    on_disk = {
+        os.path.relpath(os.path.join(dp, f), store)
+        for dp, _, fs in os.walk(seg_root)
+        for f in fs
+    }
+    assert on_disk == live

@@ -72,12 +72,14 @@ class TestSpecs:
 
 
 class TestFileFormats:
-    @pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
+    @pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc", "xml"])
     def test_round_trip(self, spark, tmp_path, fmt):
         df = spark.range(0, 100).select(
             F.col("id"), (F.col("id") % 7).alias("k"), F.lit("payload").alias("s")
         )
         opts = {"header": "true"} if fmt == "csv" else {}
+        if fmt == "xml":
+            opts = {"rowTag": "row"}  # Spark 4 native XML
         ref = TableRef(fmt=fmt, path_or_table=str(tmp_path / f"t.{fmt}"), options=opts)
         write_table(df, ref)
         back = read_table(spark, ref)
