@@ -195,3 +195,61 @@ def test_simhash_matches_python_reference(spark, docs):
     for i, t in enumerate(docs):
         toks = t.split(" ")  # "" splits to [""] — matches Spark's split
         assert got[i] == (half(toks, 1), half(toks, 9)), (i, t)
+
+
+@given(data=rows, cuts=st.lists(st.integers(min_value=0, max_value=20),
+                                min_size=1, max_size=4, unique=True))
+@SETTINGS
+def test_lww_snapshots_match_filtered_merges(spark, data, cuts):
+    """Multi-as-of law: for EVERY cutoff v, the snapshot at v equals
+    the LWW merge of increments with version <= v — the single-shuffle
+    conditional-aggregate plan must be indistinguishable from the
+    k-filtered-merges naive plan on any increment set."""
+    from pycasselastic_spark.core.merge import lww_snapshots
+
+    df = to_df(spark, data)
+    snaps = lww_snapshots([df], "id", "version", cuts, tiebreak_cols=["payload"])
+    got = {
+        (r["snapshot_version"], r["id"], r["version"], r["payload"])
+        for r in snaps.collect()
+    }
+    want = set()
+    for v in cuts:
+        sub = [t for t in data if t[1] <= v]
+        for (i, ver, p) in golden_argmax(sub):
+            want.add((v, i, ver, p))
+    assert got == want
+
+
+@given(docs=st.lists(
+    st.lists(st.sampled_from("abcdefg"), min_size=3, max_size=12),
+    min_size=2, max_size=8,
+))
+@SETTINGS
+def test_containment_matches_python_reference(spark, docs):
+    """containment_pairs == the brute-force per-pair definition
+    C(A->B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| for any
+    corpus (threshold 0 disables pruning, so every sharing pair must
+    surface with the exact ratio)."""
+    from pycasselastic_spark.operators.dedup import containment_pairs
+
+    texts = [" ".join(ws) for ws in docs]
+
+    def sh(t):
+        ws = t.split(" ")
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    want = {}
+    for i, a in enumerate(texts):
+        for j, b in enumerate(texts):
+            if i == j or not sh(a):
+                continue
+            shared = len(sh(a) & sh(b))
+            if shared > 0:
+                want[(i, j)] = (shared, len(sh(a)))
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r["doc_inner"], r["doc_outer"]): (r["shared"], r["n_inner"])
+        for r in containment_pairs(df, "doc_id", "text", threshold=0.0).collect()
+    }
+    assert got == want
