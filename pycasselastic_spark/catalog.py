@@ -6175,6 +6175,7 @@ def lwwstore_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("path", store)
             .option("schema", schema_ddl)
             .option("tiebreak_col", "event_id")
+            .option("n_buckets", "8")
             .mode("append")
             .save()
         )
@@ -6183,6 +6184,7 @@ def lwwstore_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("path", store)
         .option("schema", schema_ddl)
         .option("tiebreak_col", "event_id")
+        .option("n_buckets", "8")
         .load()
     )
     return out.filter(
@@ -6220,6 +6222,7 @@ def streaming_lwwstore_sync_events(spark: SparkSession, sf_dir: str) -> DataFram
             .write.format("lwwstore")
             .option("path", store_path)
             .option("schema", schema_ddl)
+            .option("n_buckets", "8")
             .mode("append")
             .save()
         )
