@@ -191,7 +191,6 @@ class LwwStoreReader(DataSourceReader):
         # every version of an id lives in this bucket, so the merge is
         # local — the distributed equivalent of an LSM read path
         winners: dict = {}
-        fields = [f.name for f in self.schema.fields]
         for seg in partition.segments:
             with open(os.path.join(self.path, seg)) as f:
                 for line in f:
@@ -205,9 +204,20 @@ class LwwStoreReader(DataSourceReader):
                     prev = winners.get(key)
                     if prev is None or rank >= prev[0]:
                         winners[key] = (rank, row)
-        for _, row in winners.values():
-            if self._matches(row):
-                yield tuple(row.get(c) for c in fields)
+        rows = [row for _, row in winners.values() if self._matches(row)]
+        if not rows:
+            return
+        # hand results back as ONE Arrow RecordBatch per bucket — the
+        # Python Data Source fast path (columnar transfer into the JVM
+        # instead of per-row pickling)
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(self.schema)
+        cols = {
+            f.name: [r.get(f.name) for r in rows] for f in self.schema.fields
+        }
+        yield pa.RecordBatch.from_pydict(cols, schema=arrow_schema)
 
 
 @dataclass
