@@ -57,10 +57,10 @@ def row_digest(
 
     ``hash_fn="xxhash64"``: full-width 64-bit digest via per-column
     ``xxhash64`` folded positionally by one outer ``xxhash64`` — the
-    PRODUCTION family. The md5 path pays 4 md5 calls per row (wide
-    256-char payloads: measured 5.6 s vs xxhash's 2.8 s at 2M rows,
-    3.9 vs 2.3 at 8M; at 32M both land 12-18 s within shared-host
-    noise — SCALING.md). Forgery safety holds structurally: each
+    PRODUCTION family. The md5 path pays 4 md5 calls per row; on wide
+    256-char payloads the quiet-host curve (SCALING.md) is md5
+    5.9/4.7/10.5 s vs xxhash64 3.0/2.5/3.4 s at 2M/8M/32M — a 3.1x
+    digest speedup at 32M. Forgery safety holds structurally: each
     column is its own
     fixed-width argument to the outer hash (no separator to inject),
     and a NULL column's inner hash is the xxhash seed constant, so

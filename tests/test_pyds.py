@@ -219,3 +219,22 @@ def test_compaction_preserves_winners_and_shrinks_segments(spark, store):
         for f in fs
     }
     assert on_disk == live
+
+
+def test_complex_types_round_trip(spark, store):
+    """Arrays and maps survive the JSON wire + Arrow read path and
+    LWW-resolve per id like any scalar payload (the reference's ES
+    documents are nested JSON — schema flexibility is part of the
+    store contract)."""
+    ddl = "id BIGINT, version BIGINT, tags ARRAY<STRING>, meta MAP<STRING,BIGINT>"
+    df = spark.createDataFrame(
+        [(1, 2, ["a", "b"], {"k": 7}), (1, 5, ["c"], {"j": 9}),
+         (2, 1, [], {})],
+        ddl,
+    )
+    _write(df, store, schema=ddl)
+    out = {
+        r["id"]: (r["version"], list(r["tags"]), dict(r["meta"]))
+        for r in _read(spark, store, schema=ddl).collect()
+    }
+    assert out == {1: (5, ["c"], {"j": 9}), 2: (1, [], {})}
