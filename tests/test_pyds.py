@@ -238,3 +238,32 @@ def test_complex_types_round_trip(spark, store):
         for r in _read(spark, store, schema=ddl).collect()
     }
     assert out == {1: (5, ["c"], {"j": 9}), 2: (1, [], {})}
+
+
+def test_abort_removes_uncommitted_segments(spark, store):
+    """The writer's abort contract: segments written by tasks of a
+    failed job are removed and never referenced by any manifest —
+    driven at the unit level (fabricating a task failure inside a
+    Spark job is nondeterministic; the abort hook itself is the
+    contract)."""
+    from pyspark.sql.types import StructType
+    from pycasselastic_spark.sources.pyds import (
+        LwwStoreWriter,
+        _read_committed_segments,
+    )
+
+    schema = StructType.fromDDL(DEFAULT_SCHEMA)
+    # a committed generation first
+    df = spark.createDataFrame([(1, 1, "keep", "S")], DEFAULT_SCHEMA)
+    _write(df, store)
+    committed = set(_read_committed_segments(store))
+
+    writer = LwwStoreWriter(schema, {"path": store}, overwrite=False)
+    msg = writer.write(iter([(2, 9, "doomed", "S"), (3, 9, "doomed", "S")]))
+    written = [os.path.join(store, rel) for rel in msg.segments]
+    assert all(os.path.exists(p) for p in written)
+    writer.abort([msg, None])  # None = a task that never reported
+    assert all(not os.path.exists(p) for p in written)
+    assert set(_read_committed_segments(store)) == committed
+    # the store still reads exactly the committed generation
+    assert [r["id"] for r in _read(spark, store).collect()] == [1]

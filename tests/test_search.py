@@ -167,3 +167,47 @@ def test_lww_snapshots_match_filtered_merges(spark):
     # id 2 has no increment at version <= 12 -> absent, not NULL
     assert (12, 2) not in got
     assert len(got) == 5
+
+
+def test_funnel_stages_are_strictly_nested(spark, sf_dir):
+    """The funnel counts must be monotone non-increasing by stage on
+    the real corpus (a later stage's population is a subset of the
+    earlier stage's, by construction of the stagewise joins)."""
+    from pycasselastic_spark.catalog import QUERIES
+
+    row = QUERIES["funnel_analysis_events"].fn(spark, sf_dir).collect()[0]
+    assert row["n_signup"] >= row["n_view_24h"] >= row["n_purchase_24h"] >= 0
+
+
+def test_funnel_requires_strict_order(spark):
+    """A user whose view precedes their signup (or purchase precedes
+    the view) must not convert — order, not mere presence."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # u1: proper order, inside the 24h windows
+        (1, base, 10, "signup", 1.0, "{}"),
+        (2, base + dt.timedelta(hours=1), 10, "view", 1.0, "{}"),
+        (3, base + dt.timedelta(hours=2), 10, "purchase", 1.0, "{}"),
+        # u2: view BEFORE signup -> stops at signup
+        (4, base + dt.timedelta(hours=5), 20, "view", 1.0, "{}"),
+        (5, base + dt.timedelta(hours=6), 20, "signup", 1.0, "{}"),
+        # u3: view ok, purchase 3 days later -> outside the 24h bound
+        (6, base, 30, "signup", 1.0, "{}"),
+        (7, base + dt.timedelta(hours=1), 30, "view", 1.0, "{}"),
+        (8, base + dt.timedelta(days=3), 30, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import tempfile, os
+
+    d = os.path.join(tempfile.mkdtemp(), "events.parquet")
+    df.write.parquet(d)
+    from pycasselastic_spark.catalog import QUERIES
+
+    out = QUERIES["funnel_analysis_events"].fn(
+        spark, os.path.dirname(d)
+    ).collect()[0]
+    assert (out["n_signup"], out["n_view_24h"], out["n_purchase_24h"]) == (3, 2, 1)
