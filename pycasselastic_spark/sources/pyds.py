@@ -67,6 +67,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     SimpleDataSourceStreamReader,
     EqualTo,
@@ -309,6 +310,9 @@ class LwwStoreDataSource(DataSource):
     def simpleStreamReader(self, schema: StructType):
         return LwwStoreStreamReader(schema, self.options)
 
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return LwwStoreStreamWriter(schema, self.options)
+
 
 def register_lwwstore(spark) -> None:
     """Idempotently register the source on ``spark`` (per-session, the
@@ -413,3 +417,81 @@ def compact_lwwstore(spark, path: str, gc: bool = True, **options) -> tuple[int,
                 except OSError:
                     pass
     return len(before), len(after)
+
+
+class LwwStoreStreamWriter(DataSourceStreamWriter):
+    """Streaming SINK: each micro-batch appends segments and commits
+    one manifest generation, making ``increments.writeStream
+    .format("lwwstore")`` the continuous-upsert leg of the daemon
+    (reference O5/O6 executed per micro-batch under O9's loop).
+
+    Exactly-once across retries: the manifest records the committing
+    ``batchId``; a replayed micro-batch (same id) is detected at
+    commit time and DROPPED — its segments are deleted instead of
+    published, so at-least-once delivery from the engine becomes
+    exactly-once visibility in the store. (Belt and braces: even a
+    hypothetical double-publish would be ABSORBED by the read-side
+    LWW argmax, the same idempotence that makes the reference's
+    re-sync safe.)
+    """
+
+    def __init__(self, schema: StructType, options):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("lwwstore requires a 'path' option")
+        self.n_buckets = int(options.get("n_buckets", "16"))
+        self.id_col = options.get("id_col", "id")
+
+    def write(self, rows):
+        return LwwStoreWriter(
+            self.schema,
+            {"path": self.path, "n_buckets": str(self.n_buckets),
+             "id_col": self.id_col},
+            overwrite=False,
+        ).write(rows)
+
+    def _committed_batch_ids(self) -> set:
+        ids = set()
+        for m in _manifest_paths(self.path):
+            with open(os.path.join(self.path, m)) as f:
+                b = json.load(f).get("batch_id")
+            if b is not None:
+                ids.add(b)
+        return ids
+
+    def commit(self, messages, batchId: int) -> None:
+        new = [s for m in messages if m is not None for s in m.segments]
+        if batchId in self._committed_batch_ids():
+            # replayed micro-batch: already visible — drop the rewrite
+            for rel in new:
+                try:
+                    os.remove(os.path.join(self.path, rel))
+                except OSError:
+                    pass
+            return
+        prev = _read_committed_segments(self.path)
+        manifests = _manifest_paths(self.path)
+        gen = (
+            int(manifests[-1].split("-")[1].split(".")[0]) + 1
+            if manifests
+            else 0
+        )
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".manifest-{gen:08d}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(
+                {"generation": gen, "segments": prev + new, "batch_id": batchId},
+                f,
+            )
+        os.replace(tmp, os.path.join(self.path, f"manifest-{gen:08d}.json"))
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for rel in m.segments:
+                try:
+                    os.remove(os.path.join(self.path, rel))
+                except OSError:
+                    pass

@@ -267,3 +267,69 @@ def test_abort_removes_uncommitted_segments(spark, store):
     assert set(_read_committed_segments(store)) == committed
     # the store still reads exactly the committed generation
     assert [r["id"] for r in _read(spark, store).collect()] == [1]
+
+
+def test_store_to_store_streaming_replication(spark, store, tmp_path):
+    """The reference's actual topology — continuous store-to-store
+    replication — through real pluggable machinery end to end:
+    bulk writes land in store A, a streaming read of A feeds a
+    streaming lwwstore WRITE into store B (per-micro-batch manifest
+    commits with batch-id idempotence), and B's resolved winners must
+    equal A's after each drain."""
+    dst = str(tmp_path / "dst")
+    checkpoint = str(tmp_path / "ckpt")
+
+    def replicate():
+        q = (
+            spark.readStream.format("lwwstore")
+            .option("path", store)
+            .load()
+            .writeStream.format("lwwstore")
+            .option("path", dst)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    df1 = spark.createDataFrame(
+        [(1, 10, "a", "CASS"), (2, 11, "b", "CASS")], DEFAULT_SCHEMA
+    )
+    _write(df1, store)
+    replicate()
+    winners = lambda p: sorted(map(tuple, _read(spark, p).collect()))  # noqa: E731
+    assert winners(dst) == winners(store)
+
+    # an upsert + a stale write in store A propagate correctly
+    df2 = spark.createDataFrame(
+        [(1, 20, "c", "ES"), (2, 3, "stale", "ES"), (3, 12, "d", "ES")],
+        DEFAULT_SCHEMA,
+    )
+    _write(df2, store)
+    replicate()
+    assert winners(dst) == winners(store)
+    assert dict((r[0], r[1]) for r in winners(dst)) == {1: 20, 2: 11, 3: 12}
+
+
+def test_stream_writer_commit_is_batch_idempotent(spark, store):
+    """Replaying a micro-batch (same batchId) must not double-publish:
+    the second commit's segments are dropped, the store stays at one
+    visible copy — at-least-once delivery becomes exactly-once
+    visibility."""
+    from pyspark.sql.types import StructType
+    from pycasselastic_spark.sources.pyds import (
+        LwwStoreStreamWriter,
+        _read_committed_segments,
+    )
+
+    schema = StructType.fromDDL(DEFAULT_SCHEMA)
+    w = LwwStoreStreamWriter(schema, {"path": store})
+    m1 = w.write(iter([(1, 5, "x", "S")]))
+    w.commit([m1], batchId=0)
+    visible_after_first = list(_read_committed_segments(store))
+    # engine retries batch 0 (e.g. driver failover mid-commit-ack)
+    m2 = w.write(iter([(1, 5, "x", "S")]))
+    w.commit([m2], batchId=0)
+    assert _read_committed_segments(store) == visible_after_first
+    rows = _read(spark, store).collect()
+    assert len(rows) == 1 and rows[0]["version"] == 5
