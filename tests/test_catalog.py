@@ -56,4 +56,4 @@ def test_round7_gate_slots():
     assert names[12] == "streaming_lwwstore_sync_events"
     assert names[13] == "topk_orders_per_priority"
     assert names[49] == "applyinpandas_rank_events"
-    assert len(names) == 153
+    assert len(names) == 154
