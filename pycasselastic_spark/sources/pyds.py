@@ -273,7 +273,17 @@ class LwwStoreWriter(DataSourceWriter):
         os.makedirs(self.path, exist_ok=True)
         tmp = os.path.join(self.path, f".manifest-{gen:08d}.tmp")
         with open(tmp, "w") as f:
-            json.dump({"generation": gen, "segments": prev + new}, f)
+            json.dump(
+                {
+                    "generation": gen,
+                    "segments": prev + new,
+                    # self-describing store (like parquet): readers
+                    # recover the schema from the manifest, no option
+                    # repetition needed
+                    "schema": self.schema.json(),
+                },
+                f,
+            )
         os.replace(tmp, os.path.join(self.path, f"manifest-{gen:08d}.json"))
 
     def abort(self, messages):
@@ -291,15 +301,31 @@ class LwwStoreWriter(DataSourceWriter):
 
 class LwwStoreDataSource(DataSource):
     """See module docstring. Options: ``path`` (required), ``schema``
-    (DDL, default ``DEFAULT_SCHEMA``), ``id_col``/``version_col``/
-    ``tiebreak_col``, ``n_buckets``."""
+    (DDL; reads default to the schema persisted in the store's
+    manifest — self-describing like parquet — then to
+    ``DEFAULT_SCHEMA``), ``id_col``/``version_col``/``tiebreak_col``,
+    ``n_buckets``."""
 
     @classmethod
     def name(cls) -> str:
         return FORMAT_NAME
 
-    def schema(self) -> str:
-        return self.options.get("schema", DEFAULT_SCHEMA)
+    def schema(self):
+        explicit = self.options.get("schema")
+        if explicit:
+            return explicit
+        # an existing store knows its own schema (manifest-persisted
+        # at every commit); a mismatched per-read 'schema' option used
+        # to silently project every unknown column to NULL
+        path = self.options.get("path")
+        if path:
+            manifests = _manifest_paths(path)
+            if manifests:
+                with open(os.path.join(path, manifests[-1])) as f:
+                    stored = json.load(f).get("schema")
+                if stored:
+                    return StructType.fromJson(json.loads(stored))
+        return DEFAULT_SCHEMA
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return LwwStoreReader(schema, self.options)

@@ -333,3 +333,17 @@ def test_stream_writer_commit_is_batch_idempotent(spark, store):
     assert _read_committed_segments(store) == visible_after_first
     rows = _read(spark, store).collect()
     assert len(rows) == 1 and rows[0]["version"] == 5
+
+
+def test_store_is_self_describing(spark, store):
+    """A store written with a custom schema reads back correctly with
+    NO schema option: the manifest persists the schema (parquet-style
+    self-description), closing the silent-NULL-projection trap of a
+    forgotten or mistyped per-read schema option."""
+    ddl = "id BIGINT, version BIGINT, score DOUBLE, tags ARRAY<STRING>"
+    df = spark.createDataFrame([(1, 3, 2.5, ["x", "y"])], ddl)
+    _write(df, store, schema=ddl)
+    out = spark.read.format("lwwstore").option("path", store).load()
+    assert [f.name for f in out.schema.fields] == ["id", "version", "score", "tags"]
+    r = out.collect()[0]
+    assert (r["id"], r["version"], r["score"], list(r["tags"])) == (1, 3, 2.5, ["x", "y"])
