@@ -113,6 +113,40 @@ def _read_committed_segments(path: str) -> list[str]:
         return json.load(f)["segments"]
 
 
+def _commit_manifest(path: str, build_payload) -> int:
+    """Atomically claim the next manifest generation and publish it.
+
+    ``build_payload(gen)`` must return the manifest dict for that
+    generation (it is re-invoked on retry so segment lists are re-read
+    against the LATEST committed state). The claim is an
+    ``os.link`` of a unique tmp file onto the final name — link fails
+    with FileExistsError if another writer already took that
+    generation, in which case we retry with the next one. This makes
+    concurrent jobs committing to the same store path serialize instead
+    of silently clobbering each other's committed manifest (the old
+    read-compute-``os.replace`` sequence lost one of two racing
+    commits)."""
+    os.makedirs(path, exist_ok=True)
+    while True:
+        manifests = _manifest_paths(path)
+        gen = (
+            int(manifests[-1].split("-")[1].split(".")[0]) + 1
+            if manifests
+            else 0
+        )
+        tmp = os.path.join(path, f".manifest-{gen:08d}-{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(build_payload(gen), f)
+        final = os.path.join(path, f"manifest-{gen:08d}.json")
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            os.remove(tmp)
+            continue  # generation taken by a concurrent commit — retry
+        os.remove(tmp)
+        return gen
+
+
 @dataclass
 class _BucketPartition(InputPartition):
     bucket: int
@@ -199,9 +233,15 @@ class LwwStoreReader(DataSourceReader):
                     key = row.get(self.id_col)
                     v = row.get(self.version_col)
                     tb = row.get(self.tiebreak_col) if self.tiebreak_col else 0
-                    # NULL version sorts lowest (matches max_by over a
-                    # struct whose leading field is NULL-last ascending)
-                    rank = (v is not None, v if v is not None else 0, tb)
+                    # NULL version/tiebreak sort lowest (matches max_by
+                    # over a struct: a NULL field compares smallest).
+                    # Both are normalized to (not-null, value-or-0) so a
+                    # NULL tiebreak never reaches a Python < between
+                    # None and a value (TypeError) when versions tie.
+                    rank = (
+                        v is not None, v if v is not None else 0,
+                        tb is not None, tb if tb is not None else 0,
+                    )
                     prev = winners.get(key)
                     if prev is None or rank >= prev[0]:
                         winners[key] = (rank, row)
@@ -260,31 +300,26 @@ class LwwStoreWriter(DataSourceWriter):
         """Driver-side atomic publish (O9's exactly-once guard): the
         new manifest = previous committed segments (upsert semantics —
         append mode) or nothing (overwrite), plus every segment this
-        job's tasks reported. tmp + rename so a crash mid-commit
-        leaves the previous generation intact."""
-        prev = [] if self.overwrite else _read_committed_segments(self.path)
+        job's tasks reported. The generation claim is an exclusive
+        link (``_commit_manifest``) so a crash mid-commit leaves the
+        previous generation intact AND two concurrent jobs on the same
+        path serialize instead of clobbering each other."""
         new = [s for m in messages if m is not None for s in m.segments]
-        manifests = _manifest_paths(self.path)
-        gen = (
-            int(manifests[-1].split("-")[1].split(".")[0]) + 1
-            if manifests
-            else 0
-        )
-        os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f".manifest-{gen:08d}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "generation": gen,
-                    "segments": prev + new,
-                    # self-describing store (like parquet): readers
-                    # recover the schema from the manifest, no option
-                    # repetition needed
-                    "schema": self.schema.json(),
-                },
-                f,
+
+        def payload(gen: int) -> dict:
+            prev = (
+                [] if self.overwrite else _read_committed_segments(self.path)
             )
-        os.replace(tmp, os.path.join(self.path, f"manifest-{gen:08d}.json"))
+            return {
+                "generation": gen,
+                "segments": prev + new,
+                # self-describing store (like parquet): readers
+                # recover the schema from the manifest, no option
+                # repetition needed
+                "schema": self.schema.json(),
+            }
+
+        _commit_manifest(self.path, payload)
 
     def abort(self, messages):
         """Uncommitted segments are garbage, never visible; best-effort
@@ -398,14 +433,43 @@ class LwwStoreStreamReader(SimpleDataSourceStreamReader):
         new = [s for s in self._segments_at(end["generation"]) if s not in prev]
         out = []
         for seg in new:
-            with open(os.path.join(self.path, seg)) as f:
-                for line in f:
+            try:
+                fh = open(os.path.join(self.path, seg))
+            except FileNotFoundError:
+                # A segment referenced by an old generation can be
+                # legitimately gone for exactly one reason: compaction
+                # GC'd it after folding its winners into a NEWER
+                # generation (marker below). Skipping it is sound for
+                # the replay contract because the compacted generation's
+                # segments re-deliver every surviving winner to this
+                # same stream later in offset order, and the downstream
+                # LWW fold is idempotent (only already-superseded losers
+                # are lost). Absent the marker, a missing file is real
+                # corruption — surface it.
+                if _compaction_watermark(self.path) is None:
+                    raise
+                continue
+            with fh:
+                for line in fh:
                     row = json.loads(line)
                     out.append(tuple(row.get(c) for c in fields))
         return out
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the query checkpoint; nothing to prune
+
+
+def _compaction_watermark(path: str) -> int | None:
+    """Generation of the newest compaction, or None if never compacted.
+    Written by ``compact_lwwstore`` BEFORE it GCs anything, so a reader
+    that finds a referenced segment missing can distinguish
+    compaction-GC (skippable, winners re-delivered by the compacted
+    generation) from genuine corruption (raise)."""
+    try:
+        with open(os.path.join(path, "COMPACTION")) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
 
 
 def compact_lwwstore(spark, path: str, gc: bool = True, **options) -> tuple[int, int]:
@@ -421,7 +485,11 @@ def compact_lwwstore(spark, path: str, gc: bool = True, **options) -> tuple[int,
     harmless by construction here, because the downstream fold is the
     idempotent LWW argmax: re-emitting a winner cannot change the
     converged state (the same re-delivery argument that makes the
-    micro-batch sync effectively-once).
+    micro-batch sync effectively-once). A consumer replaying a
+    PRE-compaction offset window (``readBetweenOffsets`` on a retried
+    micro-batch) would hit GC'd files; the COMPACTION watermark written
+    here lets it skip those segments instead of failing — sound by the
+    same re-delivery argument.
     """
     before = _read_committed_segments(path)
     reader = spark.read.format(FORMAT_NAME).option("path", path)
@@ -435,6 +503,15 @@ def compact_lwwstore(spark, path: str, gc: bool = True, **options) -> tuple[int,
     w.mode("overwrite").save()
     after = _read_committed_segments(path)
     if gc:
+        # publish the watermark BEFORE deleting anything: a replaying
+        # stream reader must never see a missing file without the
+        # marker that explains (and licenses skipping) it
+        manifests = _manifest_paths(path)
+        gen = int(manifests[-1].split("-")[1].split(".")[0])
+        tmp = os.path.join(path, ".COMPACTION.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(gen))
+        os.replace(tmp, os.path.join(path, "COMPACTION"))
         live = set(after)
         for seg in before:
             if seg not in live:
@@ -496,21 +573,19 @@ class LwwStoreStreamWriter(DataSourceStreamWriter):
                 except OSError:
                     pass
             return
-        prev = _read_committed_segments(self.path)
-        manifests = _manifest_paths(self.path)
-        gen = (
-            int(manifests[-1].split("-")[1].split(".")[0]) + 1
-            if manifests
-            else 0
-        )
-        os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f".manifest-{gen:08d}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(
-                {"generation": gen, "segments": prev + new, "batch_id": batchId},
-                f,
-            )
-        os.replace(tmp, os.path.join(self.path, f"manifest-{gen:08d}.json"))
+        def payload(gen: int) -> dict:
+            return {
+                "generation": gen,
+                "segments": _read_committed_segments(self.path) + new,
+                "batch_id": batchId,
+                # a store created ONLY via writeStream must be just as
+                # self-describing as a batch-written one (schema-less
+                # reads otherwise fall back to DEFAULT_SCHEMA and
+                # silently project mismatched columns to NULL)
+                "schema": self.schema.json(),
+            }
+
+        _commit_manifest(self.path, payload)
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:

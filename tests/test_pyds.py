@@ -335,6 +335,114 @@ def test_stream_writer_commit_is_batch_idempotent(spark, store):
     assert len(rows) == 1 and rows[0]["version"] == 5
 
 
+def test_streaming_written_store_is_self_describing(spark, store, tmp_path):
+    """A store created ONLY via writeStream must carry its schema in
+    the manifest like a batch-written one: a schema-less read returns
+    the real columns, not DEFAULT_SCHEMA NULL projections."""
+    ddl = "id BIGINT, version BIGINT, score DOUBLE, label STRING"
+    src = str(tmp_path / "src_parquet")
+    dst = str(tmp_path / "stream_only_store")
+    spark.createDataFrame([(1, 3, 2.5, "x"), (2, 7, 1.0, "y")], ddl).write.parquet(src)
+    q = (
+        spark.readStream.schema(ddl).parquet(src)
+        .writeStream.format("lwwstore")
+        .option("path", dst)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.format("lwwstore").option("path", dst).load()
+    assert [f.name for f in out.schema.fields] == ["id", "version", "score", "label"]
+    got = {r["id"]: (r["version"], r["score"], r["label"]) for r in out.collect()}
+    assert got == {1: (3, 2.5, "x"), 2: (7, 1.0, "y")}
+
+
+def test_null_tiebreak_does_not_break_reader(spark, store):
+    """Version ties where the tiebreak column holds NULLs must resolve
+    like max_by over a struct (non-NULL tiebreak beats NULL), not raise
+    a Python None-comparison TypeError in the reader."""
+    ddl = "id BIGINT, version BIGINT, text STRING, source STRING"
+    df = spark.createDataFrame(
+        [(1, 5, None, "A"), (1, 5, "kept", "B"), (2, 5, None, "C")], ddl
+    )
+    _write(df, store, tiebreak_col="text")
+    got = {r["id"]: (r["text"], r["source"])
+           for r in _read(spark, store, tiebreak_col="text").collect()}
+    assert got[1] == ("kept", "B")  # non-NULL tiebreak wins the tie
+    assert got[2] == (None, "C")    # all-NULL group still surfaces
+
+
+def test_concurrent_manifest_commit_never_loses_a_generation(spark, store):
+    """Two commits racing for the same generation number must
+    serialize: the exclusive-link claim makes the loser retry with the
+    next generation instead of clobbering the winner's manifest."""
+    from pycasselastic_spark.sources.pyds import _commit_manifest, _manifest_paths
+
+    df = spark.createDataFrame([(1, 1, "a", "S")], DEFAULT_SCHEMA)
+    _write(df, store)  # generation 0 exists
+    import json as _json
+    seen_gens = []
+
+    def payload(gen):
+        # simulate a concurrent writer claiming THIS generation in the
+        # window between the directory listing and our link attempt
+        seen_gens.append(gen)
+        if gen == 1:
+            with open(os.path.join(store, "manifest-00000001.json"), "w") as f:
+                _json.dump(
+                    {"generation": 1, "segments": ["seg/bucket=0/other.jsonl"]}, f
+                )
+        return {"generation": gen, "segments": []}
+
+    got = _commit_manifest(store, payload)
+    assert got == 2 and seen_gens == [1, 2]  # first attempt collided, retried
+    assert _manifest_paths(store) == [
+        "manifest-00000000.json", "manifest-00000001.json", "manifest-00000002.json"
+    ]
+    # the concurrent writer's manifest survived intact
+    with open(os.path.join(store, "manifest-00000001.json")) as f:
+        assert _json.load(f)["segments"] == ["seg/bucket=0/other.jsonl"]
+
+
+def test_stream_replay_across_compaction_gc(spark, store):
+    """readBetweenOffsets over a pre-compaction offset window (the
+    documented micro-batch retry path) must not fail on GC'd segments:
+    with the COMPACTION watermark present they are skipped — their
+    surviving winners are re-delivered by the compacted generation —
+    while a missing file WITHOUT a compaction is still an error."""
+    from pyspark.sql.types import StructType
+    from pycasselastic_spark.sources.pyds import (
+        LwwStoreStreamReader,
+        compact_lwwstore,
+    )
+
+    for v in (1, 2):
+        df = spark.createDataFrame(
+            [(i, v, f"t{v}", "S") for i in range(8)], DEFAULT_SCHEMA
+        )
+        _write(df, store, n_buckets=4)
+    reader = LwwStoreStreamReader(
+        StructType.fromDDL(DEFAULT_SCHEMA), {"path": store}
+    )
+    # a missing segment with NO compaction marker is corruption: raise
+    segs = _read_committed_segments(store)
+    victim = os.path.join(store, segs[0])
+    os.rename(victim, victim + ".hidden")
+    with pytest.raises(FileNotFoundError):
+        reader.readBetweenOffsets({"generation": -1}, {"generation": 1})
+    os.rename(victim + ".hidden", victim)
+
+    compact_lwwstore(spark, store, n_buckets=4)  # GCs gen-0/1 segments
+    # replaying the pre-compaction window now skips GC'd files cleanly
+    replay = reader.readBetweenOffsets({"generation": -1}, {"generation": 1})
+    assert replay == []  # every old segment was compacted away
+    # and the compacted generation re-delivers all winners to the stream
+    latest = reader._generation()
+    rows = reader.readBetweenOffsets({"generation": latest - 1}, {"generation": latest})
+    assert {(r[0], r[1]) for r in rows} == {(i, 2) for i in range(8)}
+
+
 def test_store_is_self_describing(spark, store):
     """A store written with a custom schema reads back correctly with
     NO schema option: the manifest persists the schema (parquet-style
