@@ -895,15 +895,23 @@ def containment_pairs(
     single-key shuffle as the LSH band join, never an all-pairs scan),
     then one hash aggregation counts shared shingles per surviving
     pair. ``max_shingle_df`` drops shingles appearing in more than
-    that many docs BEFORE the join — boilerplate shingles are the
-    skew/fan-out hazard at corpus scale (a shingle shared by 10k docs
-    contributes 10^8 candidate rows); dropping them can only LOWER
-    measured containment, never invent a pair, so the filter is
-    precision-safe (recall on boilerplate-heavy pairs is the dial).
+    that many docs from the JOIN SIDES ONLY — boilerplate shingles are
+    the skew/fan-out hazard at corpus scale (a shingle shared by 10k
+    docs contributes 10^8 candidate rows). The denominator ``n_inner``
+    is counted over the UNFILTERED shingle set: dropping a shingle can
+    then only shrink the numerator (``shared``), never the
+    denominator, so measured containment can only DECREASE — the
+    filter is precision-safe, and recall on boilerplate-heavy pairs is
+    the dial. (Counting ``n_inner`` after the filter would RAISE
+    containment for docs whose dropped shingles are absent from the
+    partner doc, letting below-threshold pairs through.)
     """
     sh = df.select(
         F.col(id_col).alias("_id"), F.explode(shingles(text_col, n)).alias("_s")
     )
+    # full per-doc shingle count BEFORE any df-based pruning: the
+    # containment denominator must be the doc's true shingle-set size
+    counts = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("_s")
@@ -912,7 +920,6 @@ def containment_pairs(
             .select("_s")
         )
         sh = sh.join(rare, "_s")
-    counts = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     a = sh.select(F.col("_id").alias("doc_inner"), "_s")
     b = sh.select(F.col("_id").alias("doc_outer"), "_s")
     shared = (

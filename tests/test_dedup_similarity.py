@@ -408,3 +408,36 @@ class TestMinhashRecallAtThreshold:
         for r in pairs:
             assert abs(r["jaccard"] - 38 / 62) < 1e-9
         assert len(found & planted) >= 36
+
+
+class TestContainmentDenominator:
+    def test_max_shingle_df_can_only_lower_containment(self, spark):
+        """The precision-safety law: pruning boilerplate shingles from
+        the join must never RAISE measured containment. Doc A shares
+        7 of its 10 words with B (true containment 0.7 < 0.8); its
+        other 3 words are boilerplate spread across filler docs. If
+        the denominator were counted AFTER the df filter, A would
+        score 7/7 = 1.0 and leak through the 0.8 threshold."""
+        w = " ".join(f"w{i}" for i in range(7))
+        boiler = "b1 b2 b3"
+        rows = [
+            (0, f"{w} {boiler}"),                                 # A
+            (1, f"{w} " + " ".join(f"x{i}" for i in range(20))),  # B
+            (2, w),                                               # C ⊂ A, B
+        ]
+        rows += [(10 + i, boiler) for i in range(5)]  # boilerplate fillers
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["doc_inner"], r["doc_outer"]): (r["containment"], r["n_inner"])
+            for r in D.containment_pairs(
+                df, "doc_id", "text", n=1, threshold=0.8, max_shingle_df=5
+            ).collect()
+        }
+        # A→B must NOT pass: denominator stays |A| = 10, containment 0.7
+        assert (0, 1) not in got
+        # the genuinely-contained doc still surfaces, with the full
+        # (unfiltered) denominator reported
+        assert got[(2, 0)] == (1.0, 7) and got[(2, 1)] == (1.0, 7)
+        # filler-filler pairs were pruned away entirely (boilerplate
+        # shingles never reach the join)
+        assert all(a < 10 and b < 10 for a, b in got)
