@@ -6383,6 +6383,127 @@ def streaming_lwwstore_replicate_events(spark: SparkSession, sf_dir: str) -> Dat
 
 
 # ---------------------------------------------------------------------------
+# ROUND 8: the persisted, incrementally-maintained postings index — the
+# reference's core value proposition (pyCassElastic.py:316-354 exists
+# so ES always holds a FRESH index and search never re-scans the
+# corpus). These queries build/maintain a stored index
+# (operators/search.py:PostingsIndex) and return PROBE plans: pruned
+# parquet scans over stored postings with zero Generate nodes — the
+# oracle replays the same scoring law from the raw corpus, proving the
+# index is a lossless acceleration structure.
+# ---------------------------------------------------------------------------
+
+_BM25_ORACLE_TEMPLATE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+postings AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY term, doc_id
+),
+qt AS (SELECT * FROM postings WHERE term IN ({terms})),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+              AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+       FROM documents)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+       CAST(FLOOR(SUM(
+         ln(1.0 + (sc.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (qt.tf * 2.2)
+         / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / sc.avgdl))
+       ) * 1048576.0) AS BIGINT) AS score_q20
+FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+GROUP BY doc_id, sc.n_docs
+ORDER BY score_q20 DESC, doc_id LIMIT 10
+"""
+
+
+@register(
+    "bm25_indexed_search_documents",
+    _BM25_ORACLE_TEMPLATE.format(terms="'scan', 'hash', 'join'"),
+    doc="BM25 top-10 served from the PERSISTED postings index "
+    "(operators/search.py:build_postings_index / bm25_topk_indexed): "
+    "the probe plan reads term-bucket-pruned parquet postings "
+    "(partition pruning + pushed term IN filter), takes N/avgdl from "
+    "the incrementally-maintained stats file as literals, and contains "
+    "ZERO Generate nodes — the corpus is never re-tokenized at query "
+    "time, which is the reference's entire reason for syncing into ES. "
+    "Doc lengths ride denormalized in the postings (Lucene norms), so "
+    "no doc-table join either. The oracle re-derives the identical "
+    "ranking from raw text.",
+)
+def bm25_indexed_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
+    path = os.path.join(tempfile.mkdtemp(prefix="postings_idx_"), "idx")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=16)
+    idx = SRCH.load_postings_index(spark, path)
+    return SRCH.bm25_topk_indexed(idx, ["scan", "hash", "join"], k=10)
+
+
+@register(
+    "bm25_delta_indexed_documents",
+    _BM25_ORACLE_TEMPLATE.format(terms="'fast', 'slow', 'merge'"),
+    doc="The INCREMENTAL-maintenance law through the driver gate: "
+    "build the postings index on ~80%% of the corpus, then "
+    "update_postings_index with the remaining docs PLUS a re-ingested "
+    "slice (the reference's periodic re-sync of already-indexed rows, "
+    "O9) — prior generations of re-ingested ids are superseded via "
+    "broadcast anti-join, corpus scalars adjust incrementally, and the "
+    "probe must rank EXACTLY like a fresh full build (oracle = raw "
+    "full corpus). Per-ingest work scales with the delta, never the "
+    "corpus — the search twin of minhash_lsh_pairs_between.",
+)
+def bm25_delta_indexed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
+    path = os.path.join(tempfile.mkdtemp(prefix="postings_idx_"), "idx")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    reingest = docs.filter(F.col("doc_id") % 7 == 0)  # unchanged re-sync
+    SRCH.build_postings_index(base, "doc_id", "text", path, n_buckets=16)
+    SRCH.update_postings_index(delta, "text", path)
+    SRCH.update_postings_index(reingest, "text", path)
+    idx = SRCH.load_postings_index(spark, path)
+    return SRCH.bm25_topk_indexed(idx, ["fast", "slow", "merge"], k=10)
+
+
+@register(
+    "phrase_slop_search_documents",
+    """
+WITH tok AS (
+  SELECT doc_id, i AS pos, toks[i+1] AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       LATERAL (SELECT unnest(range(len(toks))) AS i) t
+  WHERE toks[i+1] <> ''
+),
+a AS (SELECT doc_id, pos FROM tok WHERE term = 'fast'),
+b AS (SELECT doc_id, pos FROM tok WHERE term = 'table')
+SELECT a.doc_id,
+       CAST(COUNT(DISTINCT a.pos) AS BIGINT) AS n_hits
+FROM a JOIN b ON a.doc_id = b.doc_id
+   AND b.pos > a.pos AND b.pos - a.pos <= 3
+GROUP BY a.doc_id
+""",
+    doc="Positional proximity search ('fast' before 'table' within "
+    "slop 2) from STORED token positions — the ES match_phrase+slop "
+    "primitive, the last query shape that needed raw text "
+    "(operators/search.py:phrase_slop_search). Position lists come "
+    "from the same pruned postings probe as BM25; the proximity test "
+    "is a position-difference equi-join on the doc id, its inputs "
+    "bounded by the docs containing the query terms. n_hits counts "
+    "distinct chain start positions. The oracle rebuilds positions "
+    "from raw text with unnest(range(...)) and replays the window.",
+)
+def phrase_slop_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
+    path = os.path.join(tempfile.mkdtemp(prefix="postings_idx_"), "idx")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=16)
+    idx = SRCH.load_postings_index(spark, path)
+    return SRCH.phrase_slop_search(idx, ["fast", "table"], slop=2)
+
+
+# ---------------------------------------------------------------------------
 # Driver-gate registration order. The driver's correctness gate hashes
 # only the FIRST 50 registered queries per round (verified in round 4:
 # CORRECTNESS_r04 covers registration indices 0-49 exactly), so

@@ -30,7 +30,12 @@ Scale shape (100 TB corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import hashlib
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 Q20 = float(1 << 20)
@@ -205,3 +210,324 @@ def phrase_search(
         F.col(id_col),
         phrase_count(text_col, phrase).alias("n_hits"),
     ).filter(F.col("n_hits") > 0)
+
+
+# ---------------------------------------------------------------------------
+# Persisted, incrementally-maintained postings index
+# ---------------------------------------------------------------------------
+#
+# The reference's entire purpose is keeping an ALWAYS-FRESH search index
+# so queries are cheap at query time: every sync cycle bulk-upserts the
+# increment into Elasticsearch (``pyCassElastic.py:316-354``), and ES
+# maintains the inverted index incrementally. The corpus-scan operators
+# above (``bm25_topk``/``tfidf_top_terms``) recompute ``term_postings``
+# from the raw text on every call — correct and plan-clean, but their
+# cost is corpus-linear PER QUERY; at 100 TB that is the difference
+# between a search engine and a batch job. ``PostingsIndex`` closes the
+# gap the same way the MinHash band index does for near-dup
+# (``dedup.py:minhash_band_index`` / ``minhash_lsh_pairs_between``):
+# store the expensive per-doc structure once, maintain it per ingest,
+# and make the query-side plan probe the stored structure.
+#
+# Layout at ``path`` (all standard parquet — any engine can audit it):
+#
+# - ``postings/``  (term, id, tf, positions, dl, gen) partitioned by
+#   ``pbucket = md5(term) % n_buckets``: a query for a handful of terms
+#   prunes to a handful of partition directories (directory-level
+#   partition pruning) and pushes ``term IN (...)`` into the parquet
+#   scan. Token POSITIONS ride along per posting (sorted array) —
+#   Lucene's proximity data — enabling phrase/slop matching without
+#   touching raw text. ``dl`` (doc length) is denormalized into every
+#   posting, Lucene-norms-style, so BM25 needs NO join to a doc table.
+# - ``docstats/`` (id, dl, gen): one row per ingested doc version; the
+#   authoritative doc list (drives incremental scalar maintenance).
+# - ``superseded/`` (id, gen): (doc, generation) pairs REPLACED by a
+#   later ingest of the same id. Queries drop them with one broadcast
+#   anti-join — the LWW-loser retraction (reference O7) applied to
+#   index entries. Normally tiny: only re-ingested docs ever appear.
+# - ``stats.json`` {n_docs, total_dl, generation}: corpus scalars
+#   maintained INCREMENTALLY (no corpus scan to answer N/avgdl);
+#   single-writer per index, like the reference's lastruntime.log.
+#
+# Scale shape of a query probe: pruned parquet scan (few partitions,
+# pushed term filter) -> broadcast anti-join (superseded, usually
+# empty) -> per-term df aggregation over the pruned rows -> broadcast
+# join back -> groupBy(id) -> TakeOrderedAndProject. Zero Generate
+# nodes, zero corpus reads — work scales with the query's postings,
+# not the corpus (pinned by tests/test_plans.py).
+
+
+def _term_bucket_py(term: str, n_buckets: int) -> int:
+    """Python twin of ``_term_bucket_col`` — md5-based so both sides
+    agree regardless of PYTHONHASHSEED (same rationale as
+    ``sources.pyds._bucket_of``)."""
+    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+def _term_bucket_col(term: Column, n_buckets: int) -> Column:
+    return (
+        F.conv(F.substring(F.md5(term), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+
+
+@dataclass
+class PostingsIndex:
+    """Handle to a stored index: lazy relations + driver-side scalars."""
+
+    path: str
+    postings: DataFrame    # term, id, tf, positions, dl, gen, pbucket
+    superseded: DataFrame  # id, gen (may be empty)
+    n_docs: int
+    total_dl: int
+    generation: int
+    n_buckets: int
+    id_col: str
+
+    @property
+    def avgdl(self) -> float:
+        return self.total_dl / self.n_docs if self.n_docs else 0.0
+
+    def live_postings_for(self, query_terms: list[str]) -> DataFrame:
+        """Current-generation postings for ``query_terms`` only: the
+        pruned probe every indexed query starts from. Partition
+        pruning (pbucket IN ...) + pushed term filter reach the scan;
+        superseded doc versions drop via one broadcast anti-join."""
+        buckets = sorted({_term_bucket_py(t, self.n_buckets) for t in query_terms})
+        pruned = self.postings.filter(
+            F.col("pbucket").isin(buckets) & F.col("term").isin(query_terms)
+        )
+        if self.generation == 0:
+            return pruned  # nothing was ever re-ingested
+        return pruned.join(
+            F.broadcast(self.superseded), [self.id_col, "gen"], "left_anti"
+        )
+
+
+def _positional_postings(
+    docs: DataFrame, id_col: str, text_col: str, n_buckets: int, gen: int
+) -> DataFrame:
+    """(pbucket, term, id, tf, positions, dl, gen) for one ingest.
+
+    One posexplode + one hash aggregation — the same single-shuffle
+    shape as ``term_postings`` plus proximity data. Positions are
+    indices into the single-space split (empty tokens keep their slot,
+    matching the corpus-scan operators' tokenization)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.size(_tokens(text_col)).alias("dl"),
+        F.posexplode(_tokens(text_col)).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    return (
+        toks.groupBy("term", id_col)
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+            F.first("dl").alias("dl"),
+        )
+        .withColumn("gen", F.lit(gen).cast("long"))
+        .withColumn("pbucket", _term_bucket_col(F.col("term"), n_buckets))
+    )
+
+
+def _write_stats(path: str, stats: dict) -> None:
+    tmp = os.path.join(path, ".stats.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(stats, f)
+    os.replace(tmp, os.path.join(path, "stats.json"))
+
+
+def build_postings_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    n_buckets: int = 16,
+) -> None:
+    """Full build (generation 0): tokenize the corpus ONCE, store the
+    postings partitioned by term bucket. After this, queries never
+    touch raw text again."""
+    spark = docs.sparkSession
+    postings = _positional_postings(docs, id_col, text_col, n_buckets, gen=0)
+    (
+        postings.repartition("pbucket")
+        .write.partitionBy("pbucket")
+        .mode("overwrite")
+        .parquet(os.path.join(path, "postings"))
+    )
+    docstats = docs.select(
+        F.col(id_col), F.size(_tokens(text_col)).alias("dl"),
+        F.lit(0).cast("long").alias("gen"),
+    )
+    docstats.write.mode("overwrite").parquet(os.path.join(path, "docstats"))
+    spark.createDataFrame([], f"{id_col} LONG, gen LONG").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "superseded"))
+    agg = docstats.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]
+    _write_stats(path, {
+        "n_docs": agg["n"], "total_dl": int(agg["s"] or 0),
+        "generation": 0, "n_buckets": n_buckets, "id_col": id_col,
+    })
+
+
+def update_postings_index(
+    delta: DataFrame, text_col: str, path: str
+) -> None:
+    """Delta maintenance — the search twin of
+    ``minhash_lsh_pairs_between``: tokenize ONLY the new batch, append
+    its postings/docstats, mark any prior generation of a re-ingested
+    id superseded, and adjust the corpus scalars incrementally. Work
+    per ingest scales with the batch, never the corpus (the only
+    corpus-sized relation touched is docstats — two narrow columns —
+    to find replaced rows). Single-writer per index path, like every
+    store maintenance op here."""
+    spark = delta.sparkSession
+    with open(os.path.join(path, "stats.json")) as f:
+        stats = json.load(f)
+    gen = stats["generation"] + 1
+    id_col, n_buckets = stats["id_col"], stats["n_buckets"]
+
+    # rows being replaced: currently-live docstats rows whose id is in
+    # the incoming batch
+    docstats = spark.read.parquet(os.path.join(path, "docstats"))
+    superseded = spark.read.parquet(os.path.join(path, "superseded"))
+    live = docstats.join(superseded, [id_col, "gen"], "left_anti")
+    replaced = live.join(
+        F.broadcast(delta.select(id_col).distinct()), id_col, "semi"
+    )
+    r = replaced.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]
+
+    postings = _positional_postings(delta, id_col, text_col, n_buckets, gen)
+    (
+        postings.repartition("pbucket")
+        .write.partitionBy("pbucket")
+        .mode("append")
+        .parquet(os.path.join(path, "postings"))
+    )
+    new_stats = delta.select(
+        F.col(id_col), F.size(_tokens(text_col)).alias("dl"),
+        F.lit(gen).cast("long").alias("gen"),
+    )
+    new_stats.write.mode("append").parquet(os.path.join(path, "docstats"))
+    replaced.select(id_col, "gen").write.mode("append").parquet(
+        os.path.join(path, "superseded")
+    )
+    d = new_stats.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]
+    stats.update(
+        n_docs=stats["n_docs"] + d["n"] - r["n"],
+        total_dl=stats["total_dl"] + int(d["s"] or 0) - int(r["s"] or 0),
+        generation=gen,
+    )
+    _write_stats(path, stats)
+
+
+def load_postings_index(spark: SparkSession, path: str) -> PostingsIndex:
+    with open(os.path.join(path, "stats.json")) as f:
+        stats = json.load(f)
+    return PostingsIndex(
+        path=path,
+        postings=spark.read.parquet(os.path.join(path, "postings")),
+        superseded=spark.read.parquet(os.path.join(path, "superseded")),
+        n_docs=stats["n_docs"],
+        total_dl=stats["total_dl"],
+        generation=stats["generation"],
+        n_buckets=stats["n_buckets"],
+        id_col=stats["id_col"],
+    )
+
+
+def bm25_topk_indexed(
+    index: PostingsIndex,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """``bm25_topk`` against the STORED index: same scoring law, but
+    the plan reads pruned postings partitions instead of tokenizing the
+    corpus — no Generate/explode anywhere (pinned by test_plans).
+    N and avgdl come from the incrementally-maintained stats file as
+    literals; per-term df aggregates over the pruned postings (a few
+    terms' rows). Returns ``(id, n_hit_terms, score_q20)``."""
+    id_col = index.id_col
+    postings = index.live_postings_for(query_terms)
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(index.n_docs) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.lit(index.avgdl))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_terms"),
+            F.floor(F.sum("term_score") * Q20).cast("long").alias("score_q20"),
+        )
+    )
+    return scored.orderBy(
+        F.col("score_q20").desc(), F.col(id_col).asc()
+    ).limit(k)
+
+
+def phrase_slop_search(
+    index: PostingsIndex, phrase_terms: list[str], slop: int = 0
+) -> DataFrame:
+    """Ordered proximity match from STORED positions — the ES
+    match_phrase(+slop) primitive, the last query shape that needed
+    raw text. A document matches where the phrase terms appear in
+    order with each gap ≤ ``slop + 1`` token slots (slop=0 = exact
+    adjacency). Returns ``(id, n_hits)`` with n_hits = number of
+    distinct start positions opening at least one valid chain.
+
+    Plan shape: per-term position lists come from the SAME pruned
+    postings probe as BM25 (partition-pruned scan), then k-1
+    position-difference equi-joins on the doc id — each join's inputs
+    are only the docs containing the rarer prefix, shrinking
+    monotonically. The explodes here flatten a few query terms'
+    position arrays (query-sized), not the corpus."""
+    id_col = index.id_col
+    postings = index.live_postings_for(list(set(phrase_terms)))
+    per_term = {
+        t: postings.filter(F.col("term") == t).select(
+            F.col(id_col), F.explode("positions").alias("pos")
+        )
+        for t in set(phrase_terms)
+    }
+    chain = per_term[phrase_terms[0]].select(
+        id_col, F.col("pos").alias("p_start"), F.col("pos").alias("p_prev")
+    )
+    for t in phrase_terms[1:]:
+        nxt = per_term[t].select(id_col, F.col("pos").alias("p_next"))
+        chain = (
+            chain.join(nxt, id_col)
+            .filter(
+                (F.col("p_next") > F.col("p_prev"))
+                & (F.col("p_next") - F.col("p_prev") <= 1 + slop)
+            )
+            .select(id_col, "p_start", F.col("p_next").alias("p_prev"))
+        )
+    return (
+        chain.select(id_col, "p_start")
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )

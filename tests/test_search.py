@@ -211,3 +211,132 @@ def test_funnel_requires_strict_order(spark):
         spark, os.path.dirname(d)
     ).collect()[0]
     assert (out["n_signup"], out["n_view_24h"], out["n_purchase_24h"]) == (3, 2, 1)
+
+
+# --- persisted / incremental postings index --------------------------------
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_indexed_bm25_equals_corpus_scan(spark, tmp_path):
+    """Full build then probe: identical rows to the corpus-scan
+    ``bm25_topk`` (same scoring law, different physical plan)."""
+    docs = _corpus(spark, [
+        (1, "spark join shuffle join"),
+        (2, "spark filter scan"),
+        (3, "join join join broadcast"),
+        (4, "scan scan filter pushdown spark"),
+        (5, "unrelated words only here"),
+    ])
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4)
+    idx = SRCH.load_postings_index(spark, path)
+    q = ["join", "spark"]
+    want = sorted(map(tuple, SRCH.bm25_topk(docs, "doc_id", "text", q).collect()))
+    got = sorted(map(tuple, SRCH.bm25_topk_indexed(idx, q).collect()))
+    assert got == want and len(got) == 4
+
+
+def test_indexed_probe_plan_reads_postings_not_corpus(spark, tmp_path):
+    """The query-side plan must contain NO Generate (explode) node and
+    must scan only the pruned postings partitions — the entire point of
+    persisting the index."""
+    docs = _corpus(spark, [(i, f"w{i % 7} common t{i}") for i in range(50)])
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=8)
+    idx = SRCH.load_postings_index(spark, path)
+    plan = idx.live_postings_for(["common"])._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan
+    bucket = SRCH._term_bucket_py("common", 8)
+    assert f"pbucket#" in plan or "PartitionFilters" in plan
+    full_plan = (
+        SRCH.bm25_topk_indexed(idx, ["common", "w3"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Generate" not in full_plan
+    # partition pruning reached the scan: only the query terms' buckets
+    assert "PartitionFilters: [" in full_plan and str(bucket) in full_plan
+
+
+def test_incremental_update_parity_with_rebuild(spark, tmp_path):
+    """The maintenance law: build(base) + update(delta1) + update(delta2)
+    must answer every query exactly like a fresh build over the CURRENT
+    corpus — including re-ingested ids (text changed) and pure
+    duplicates (text identical)."""
+    base = [(i, f"alpha w{i % 5} beta") for i in range(20)]
+    docs0 = _corpus(spark, base)
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(docs0, "doc_id", "text", path, n_buckets=4)
+
+    # delta 1: 5 brand-new docs + 3 re-ingested UNCHANGED docs
+    delta1 = [(20 + i, f"gamma w{i} alpha") for i in range(5)] + base[:3]
+    SRCH.update_postings_index(_corpus(spark, delta1), "text", path)
+    # delta 2: 2 re-ingested docs with CHANGED text
+    delta2 = [(0, "delta epsilon zeta"), (21, "alpha alpha alpha")]
+    SRCH.update_postings_index(_corpus(spark, delta2), "text", path)
+
+    current = {i: t for i, t in base}
+    for i, t in delta1 + delta2:
+        current[i] = t
+    fresh_docs = _corpus(spark, sorted(current.items()))
+    fresh_path = str(tmp_path / "fresh")
+    SRCH.build_postings_index(fresh_docs, "doc_id", "text", fresh_path, n_buckets=4)
+
+    idx = SRCH.load_postings_index(spark, path)
+    fresh = SRCH.load_postings_index(spark, fresh_path)
+    assert (idx.n_docs, idx.total_dl) == (fresh.n_docs, fresh.total_dl)
+    for q in (["alpha"], ["alpha", "beta"], ["gamma", "w3"], ["zeta"]):
+        got = sorted(map(tuple, SRCH.bm25_topk_indexed(idx, q, k=30).collect()))
+        want = sorted(map(tuple, SRCH.bm25_topk_indexed(fresh, q, k=30).collect()))
+        assert got == want, q
+    # the superseded side stays delta-sized: 3 unchanged + 2 changed ids
+    assert idx.superseded.count() == 5
+
+
+def test_phrase_slop_search_semantics(spark, tmp_path):
+    """slop=0 is exact adjacency in order; slop widens the allowed gap;
+    order still required; n_hits counts distinct start positions."""
+    docs = _corpus(spark, [
+        (1, "big red fox"),          # exact "big red"
+        (2, "big ugly red fox"),     # gap 2: needs slop >= 1
+        (3, "red big fox"),          # wrong order: never matches
+        (4, "big red big red"),      # two exact starts
+        (5, "big very very red"),    # gap 3: needs slop >= 2
+    ])
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4)
+    idx = SRCH.load_postings_index(spark, path)
+
+    def hits(slop):
+        return {
+            r["doc_id"]: r["n_hits"]
+            for r in SRCH.phrase_slop_search(idx, ["big", "red"], slop).collect()
+        }
+
+    assert hits(0) == {1: 1, 4: 2}
+    assert hits(1) == {1: 1, 2: 1, 4: 2}
+    assert hits(2) == {1: 1, 2: 1, 4: 2, 5: 1}
+
+
+def test_phrase_slop_three_terms_and_updates(spark, tmp_path):
+    """A 3-term phrase chains two position joins; an index update
+    replacing a doc's text changes its matches (stale positions must
+    not survive)."""
+    docs = _corpus(spark, [
+        (1, "one two three"),
+        (2, "one two x three"),
+        (3, "three two one"),
+    ])
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4)
+    idx = SRCH.load_postings_index(spark, path)
+    terms = ["one", "two", "three"]
+    assert {r["doc_id"] for r in SRCH.phrase_slop_search(idx, terms, 0).collect()} == {1}
+    assert {r["doc_id"] for r in SRCH.phrase_slop_search(idx, terms, 1).collect()} == {1, 2}
+    SRCH.update_postings_index(
+        _corpus(spark, [(1, "nothing here"), (3, "one two three")]), "text", path
+    )
+    idx2 = SRCH.load_postings_index(spark, path)
+    assert {r["doc_id"] for r in SRCH.phrase_slop_search(idx2, terms, 0).collect()} == {3}
