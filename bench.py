@@ -43,9 +43,45 @@ BENCH_QUERIES = _only.split(",") if _only else list(QUERIES)
 
 RERUN_THRESHOLD = float(os.environ.get("SPARK_GRAFT_BENCH_RERUN_SEC", "4.0"))
 
+# Load1 above this at bench START means something else was already
+# running; the numbers are then flagged rather than trusted. (SCALING.md
+# documents up to 4x wall-clock swings on this shared host; round 7's
+# driver bench ran 8-90% above same-code quiet-window numbers with no
+# way to tell drift from regression after the fact.)
+LOAD1_CONTENDED = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD1_MAX", "8.0"))
+
+
+def _spark_jvms() -> int:
+    """Concurrent Spark JVMs on the host (java processes whose cmdline
+    mentions spark), via /proc — the playbook's ps-not-pgrep rule, sans
+    the shell."""
+    n = 0
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read().decode("utf-8", "replace")
+        except OSError:
+            continue
+        if "java" in cmd.split("\x00", 1)[0] and "spark" in cmd.lower():
+            n += 1
+    return n
+
+
+def _host_sample() -> dict:
+    return {
+        "load1": round(os.getloadavg()[0], 2),
+        "spark_jvms": _spark_jvms(),
+    }
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Sample host conditions BEFORE our own session exists: any Spark
+    # JVM counted here belongs to someone else, and load1 reflects what
+    # was running as we started.
+    host_pre = _host_sample()
     # Code-cache headroom for ~100 queries' worth of generated classes:
     # JDK17 defaults to 240 MB reserved code cache and refuses to JIT
     # methods over 8000 bytecode bytes (DontCompileHugeMethods) — both
@@ -139,6 +175,21 @@ def main() -> None:
         spark.catalog.clearCache()
         spark._jvm.System.gc()
 
+    # post-run sample: our own JVM is still up, so subtract it
+    host_post = _host_sample()
+    host_post["spark_jvms"] = max(0, host_post["spark_jvms"] - 1)
+    host = {
+        "pre": host_pre,
+        "post": host_post,
+        # flagged = the run started on a busy host or shared it with
+        # another Spark JVM at either sample; readers should treat the
+        # numbers as upper bounds, not steady state
+        "contended": bool(
+            host_pre["spark_jvms"] > 0
+            or host_post["spark_jvms"] > 0
+            or host_pre["load1"] > LOAD1_CONTENDED
+        ),
+    }
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     # The driver machine-reads the LAST stdout line through a bounded tail
     # buffer (round 1 recorded parsed:null on the 59-entry map), so the
@@ -154,6 +205,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_first_run": first_run,
                 "errors": errors,
+                "host": host,
             },
             f,
             indent=1,
@@ -173,6 +225,7 @@ def main() -> None:
                 "queries_detail_file": "BENCH_DETAIL.json",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "sync_merge_rows_per_sec": int(n_rows / sync_dt),
+                "host": host,
             }
         )
     )

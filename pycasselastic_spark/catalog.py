@@ -6519,67 +6519,70 @@ def phrase_slop_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every test look queries up BY NAME, so reordering is behavior-neutral
 # everywhere except the gate's slot assignment.
 _GATE_PRIORITY: list[str] = [
-    # ROUND 7 gate rotation (COVERAGE.md): slots 0-10 are the 11 NEW
-    # round-7 queries (search/BM25, containment, split, caps, funnel,
-    # cohort, hybrid skew join, multi-snapshot LWW) — never gated by
-    # definition; slots 11-49 are the 39 queries whose only driver
-    # rows date from rounds 1-4 (gated in the original first-50 set,
-    # not re-gated in r5/r6) — the stalest coverage in the catalog.
-    # Cumulative coverage stays 150/150 once CORRECTNESS_r07 lands.
-    # --- slots 0-10: the 11 new round-7 queries ----------------------
-    "inverted_index_documents",
-    "bm25_search_documents",
-    "tfidf_top_terms_documents",
-    "phrase_search_documents",
-    "containment_neardup_documents",
-    "cluster_aware_split_documents",
-    "per_source_cap_documents",
-    "funnel_analysis_events",
-    "cohort_retention_events",
-    "hybrid_skew_join_events_customer",
-    "multi_snapshot_lww_events",
-    "lwwstore_roundtrip_events",
-    "streaming_lwwstore_sync_events",
-    # --- slots 13-49: stalest driver rows (r1-r4 only; the last two,
-    # json_extract_events and full_outer_join_customer_orders, rotate
-    # to round 8) ----------------------------------------------------
-    "topk_orders_per_priority",
-    "semi_join_customers_with_orders",
-    "anti_join_customers_without_orders",
-    "rollup_lineitem_status",
-    "cube_orders_status_priority",
-    "distinct_counts_events",
-    "except_customers_minus_buyers",
-    "intersect_buyers_and_customers",
-    "top10_orders_by_price",
-    "tumbling_window_events",
-    "sessionize_events",
-    "asof_join_last_signup",
-    "exact_dedup_documents",
-    "ngram_jaccard_neardup",
-    "simhash_neardup",
-    "embedding_cosine_neardup",
-    "cosine_topk_bruteforce",
-    "cosine_topk_lsh",
-    "text_quality_documents",
-    "token_counts_documents",
-    "pack_documents_greedy",
-    "data_quality_report",
-    "pii_redact_documents",
-    "repetition_stats_documents",
-    "lang_id_documents",
-    "fingerprint_documents",
-    "multimodal_meta_stats",
-    "multimodal_image_features",
-    "multimodal_frame_sample",
-    "streaming_tumbling_window_events",
-    "streaming_static_enrich_events",
-    "streaming_stream_stream_join",
-    "range_join_value_buckets",
-    "running_totals_orders",
-    "pivot_orders_status",
-    "percentile_stats_lineitem",
-    "applyinpandas_rank_events",
+    # ROUND 8 gate rotation (COVERAGE.md): slots 0-3 are the four
+    # queries without a round-5+ driver row (two registered post-gate
+    # in r7, two r1-r4-only rows rotated out of the r7 set) — all four
+    # judge-replayed green in r7, so any failure here is a NEW
+    # regression; slots 4-6 are the three NEW round-8 queries (the
+    # persisted/incremental postings index family); slots 7-49 are 43
+    # of the 46 stale-r5 queries the round-7 plan enumerated
+    # (zorder_key_events, label_centroid_embeddings and
+    # tfidf_top_terms_per_doc — the three lowest-risk pure-expression
+    # members — defer to round 9 alongside gap_fill_hourly_events and
+    # the three md5-threshold sampling siblings).
+    # --- slots 0-3: no round-5+ driver row ---------------------------
+    "streaming_lwwstore_replicate_events",
+    "term_cooccurrence_pmi_documents",
+    "json_extract_events",
+    "full_outer_join_customer_orders",
+    # --- slots 4-6: NEW round-8 queries ------------------------------
+    "bm25_indexed_search_documents",
+    "bm25_delta_indexed_documents",
+    "phrase_slop_search_documents",
+    # --- slots 7-49: stale-r5 rows (newest driver row = r5) ----------
+    "approx_distinct_stats_events",
+    "scd2_customer_history",
+    "session_stats_events",
+    "funnel_conversion_events",
+    "retention_cohorts_events",
+    "q2_min_price_supplier",
+    "q4_priority_with_big_lineitem",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_late_lines_by_priority",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_revenue",
+    "q20_part_supplier_chain",
+    "q21_sole_supplier_orders",
+    "q22_idle_rich_customers",
+    "orders_above_customer_avg",
+    "having_frequent_buyers",
+    "skew_salted_agg_events",
+    "salted_join_events_customer",
+    "neardup_cluster_dedup",
+    "embedding_lsh_neardup",
+    "embedding_ivf_neardup",
+    "cosine_topk_ivf",
+    "contamination_overlap",
+    "curation_pipeline_documents",
+    "udtf_chunk_documents",
+    "multimodal_ppm_decode_stats",
+    "multimodal_ppm_resize",
+    "multimodal_image_resize",
+    "multimodal_audio_resample",
+    "streaming_stateful_first_event",
+    "streaming_session_window_events",
+    "streaming_sliding_window_events",
+    "streaming_dedup_events",
 ]
 
 

@@ -48,6 +48,20 @@ class SnapshotStore:
         return os.path.join(self.path, "CURRENT")
 
     def current(self) -> DataFrame | None:
+        """Read the current snapshot.
+
+        SINGLE-WRITER CONTRACT: the pointer read and the generation
+        open below are two separate steps, not one atomic action. They
+        are safe because exactly one writer (the streaming query's
+        foreachBatch, which Structured Streaming serializes per query)
+        ever calls ``merge`` on a store path: a ``merge`` crashing
+        between the generation write and the pointer flip leaves the
+        pointer — and therefore every reader — on the previous
+        consistent snapshot (see test_streaming's fault-injection
+        test), and the next ``merge`` simply overwrites the orphaned
+        generation directory. A multi-writer deployment would need a
+        transactional table format instead (as the class docstring
+        says)."""
         try:
             with open(self._pointer(), encoding="utf-8") as fh:
                 gen = fh.read().strip()

@@ -4,6 +4,7 @@ stream/batch parity, and watermark late-data semantics."""
 from __future__ import annotations
 
 import datetime as dt
+import os
 import uuid
 
 import pytest
@@ -448,3 +449,49 @@ def test_state_provider_escape_hatch(monkeypatch):
     assert _state_store_provider().endswith("HDFSBackedStateStoreProvider")
     monkeypatch.setenv("SPARK_GRAFT_STATE_PROVIDER", "com.example.MyProvider")
     assert _state_store_provider() == "com.example.MyProvider"
+
+
+def test_snapshot_store_crash_between_generation_write_and_pointer_flip(
+    spark, tmp_path, monkeypatch
+):
+    """Fault injection on the A/B commit: a merge that dies AFTER
+    writing the new generation directory but BEFORE flipping the
+    pointer must leave readers on the prior consistent snapshot, and
+    the next (healthy) merge must converge to the argmax over ALL
+    increments — the orphaned generation is simply overwritten."""
+    from pycasselastic_spark.core.merge import lww_merge
+    from pycasselastic_spark.streaming import sync as ssync
+
+    store = SnapshotStore(spark, str(tmp_path / "snap"), "id", "version")
+    inc1 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b")], "id LONG, version LONG, text STRING"
+    )
+    store.merge(inc1)
+    before = sorted(map(tuple, store.current().collect()))
+
+    # crash point: pointer flip (os.replace) raises — the generation
+    # parquet write has already happened by then
+    real_replace = os.replace
+
+    def exploding_replace(src, dst):
+        if os.path.basename(dst) == "CURRENT":
+            raise OSError("injected crash before pointer flip")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(ssync.os, "replace", exploding_replace)
+    inc2 = spark.createDataFrame(
+        [(1, 20, "c"), (3, 5, "d")], "id LONG, version LONG, text STRING"
+    )
+    with pytest.raises(OSError, match="injected crash"):
+        store.merge(inc2)
+    # recovery invariant: readers still see the prior snapshot intact
+    assert sorted(map(tuple, store.current().collect())) == before
+
+    # healthy retry (the streaming engine replays the micro-batch):
+    # converges to the argmax over everything ever merged
+    monkeypatch.setattr(ssync.os, "replace", real_replace)
+    store.merge(inc2)
+    want = sorted(
+        map(tuple, lww_merge([inc1, inc2], "id", "version").collect())
+    )
+    assert sorted(map(tuple, store.current().collect())) == want
