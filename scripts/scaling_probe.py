@@ -49,7 +49,7 @@ def main() -> None:
     # argv selects probe families (default: all) so a noisy-host run can
     # re-measure one family without paying for the rest.
     families = set(sys.argv[1:]) or {
-        "merge", "text", "vecs", "posorthant", "sketch", "r5ops"
+        "merge", "zipf", "text", "vecs", "posorthant", "sketch", "r5ops"
     }
     spark = get_spark(app_name="scaling-probe")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
@@ -72,6 +72,63 @@ def main() -> None:
             )
         )
         emit(out, {"op": "lww_merge", "n": n, "sec": dt})
+
+    # Zipf-skew merge probe: the SAME 32M-row LWW merge, ids drawn from
+    # a Zipf-like power law (inverse-CDF of u^-5, s≈1.2; md5-derived u
+    # so the draw is deterministic). The hottest id holds ~13% of ALL
+    # rows — the worst realistic shuffle-key skew. The merge's argmax
+    # is a hash aggregation with map-side partial combine, so hot keys
+    # collapse per input partition BEFORE the shuffle; the claim under
+    # test is skewed wall ≈ uniform wall (within ~1.5x), i.e. no
+    # salting needed for the merge path (AQE covers residual reducer
+    # skew). Hygiene: discarded warmup leg first, then min-of-2 per
+    # leg (playbook: first run pays JIT).
+    for n in (32_000_000,) if "zipf" in families else ():
+        u = (
+            F.conv(
+                F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10
+            ).cast("double")
+            + 1.0
+        ) / 4294967296.0
+        zipf_key = F.least(
+            F.floor(F.pow(u, F.lit(-5.0))), F.lit(n // 10)
+        ).cast("long")
+        legs = {"uniform": (F.col("id") % (n // 10)), "zipf": zipf_key}
+
+        def merge_of(key):
+            inc = spark.range(n).select(
+                key.alias("key"),
+                F.col("id").alias("version"),
+                (F.col("id") % 2).alias("side"),
+            )
+            return lww_merge(
+                [inc.filter(F.col("side") == 0), inc.filter(F.col("side") == 1)],
+                "key",
+                "version",
+            )
+
+        noop(merge_of(legs["uniform"]))  # discarded warmup
+        for label, key in legs.items():
+            dt = min(bench(lambda: noop(merge_of(key))) for _ in range(2))
+            emit(out, {"op": f"lww_merge_{label}_keys", "n": n, "sec": dt})
+        # document the skew actually exercised: hottest-key row share
+        hot = (
+            spark.range(n)
+            .select(zipf_key.alias("key"))
+            .groupBy("key")
+            .count()
+            .orderBy(F.col("count").desc())
+            .limit(1)
+            .collect()[0]
+        )
+        emit(
+            out,
+            {
+                "op": "zipf_hottest_key_share",
+                "n": n,
+                "share": round(hot["count"] / n, 4),
+            },
+        )
 
     # sketches: rows double, sketch STATE stays fixed (the point) —
     # bloom bit-set <= m rows, count-min grid <= depth*width rows, so
