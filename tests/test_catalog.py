@@ -43,17 +43,18 @@ def test_query_runs(spark, sf_dir, name):
     assert len(df.columns) == len(set(df.columns))
 
 
-def test_round7_gate_slots():
-    """The driver hashes the FIRST 50 registered queries; the round-7
-    rotation puts the 11 new queries in slots 0-10 and the 39 stalest
-    (r1-r4-only) driver rows in slots 11-49. Pin the boundary slots so
-    an accidental registration reorder is caught before the driver
-    runs (COVERAGE.md enumerates the full list)."""
+def test_round8_gate_slots():
+    """The driver hashes the FIRST 50 registered queries; the round-8
+    rotation puts the four no-round-5+-row queries in slots 0-3, the
+    three NEW postings-index queries in slots 4-6, and 43 stale-r5
+    rows in slots 7-49. Pin the boundary slots so an accidental
+    registration reorder is caught before the driver runs (COVERAGE.md
+    enumerates the full list)."""
     names = list(QUERIES)
-    assert names[0] == "inverted_index_documents"
-    assert names[10] == "multi_snapshot_lww_events"
-    assert names[11] == "lwwstore_roundtrip_events"
-    assert names[12] == "streaming_lwwstore_sync_events"
-    assert names[13] == "topk_orders_per_priority"
-    assert names[49] == "applyinpandas_rank_events"
-    assert len(names) == 154
+    assert names[0] == "streaming_lwwstore_replicate_events"
+    assert names[3] == "full_outer_join_customer_orders"
+    assert names[4] == "bm25_indexed_search_documents"
+    assert names[6] == "phrase_slop_search_documents"
+    assert names[7] == "approx_distinct_stats_events"
+    assert names[49] == "streaming_dedup_events"
+    assert len(names) == 157
