@@ -73,12 +73,15 @@ _GATE_PRIORITY: list[str] = [
     # in r7, two r1-r4-only rows rotated out of the r7 set) — all four
     # judge-replayed green in r7, so any failure here is a NEW
     # regression; slots 4-6 are the three NEW round-8 queries (the
-    # persisted/incremental postings index family); slots 7-49 are 43
+    # persisted/incremental postings index family); slots 7-47 are 41
     # of the 46 stale-r5 queries the round-7 plan enumerated
-    # (zorder_key_events, label_centroid_embeddings and
-    # tfidf_top_terms_per_doc — the three lowest-risk pure-expression
-    # members — defer to round 9 alongside gap_fill_hourly_events and
-    # the three md5-threshold sampling siblings).
+    # (zorder_key_events, label_centroid_embeddings,
+    # tfidf_top_terms_per_doc, streaming_sliding_window_events and
+    # streaming_dedup_events — the five with the lowest marginal risk —
+    # defer to round 9 alongside gap_fill_hourly_events and the three
+    # md5-threshold sampling siblings); slots 48-49 are the TWO
+    # late-round-8 additions (conjunctive search + streaming index
+    # maintenance).
     # --- slots 0-3: no round-5+ driver row ---------------------------
     "streaming_lwwstore_replicate_events",
     "term_cooccurrence_pmi_documents",
@@ -130,8 +133,9 @@ _GATE_PRIORITY: list[str] = [
     "multimodal_audio_resample",
     "streaming_stateful_first_event",
     "streaming_session_window_events",
-    "streaming_sliding_window_events",
-    "streaming_dedup_events",
+    # --- slots 48-49: late round-8 additions -------------------------
+    "conjunctive_bm25_indexed_documents",
+    "streaming_indexed_search_documents",
 ]
 
 

@@ -531,3 +531,130 @@ def phrase_slop_search(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+
+
+def conjunctive_filter(scored: DataFrame, n_terms: int) -> DataFrame:
+    """ES ``bool.must`` semantics: keep only docs that matched ALL
+    ``n_terms`` query terms (the scored relation already carries
+    ``n_hit_terms``)."""
+    return scored.filter(F.col("n_hit_terms") == n_terms)
+
+
+def bm25_topk_conjunctive(
+    index: PostingsIndex,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k restricted to docs containing EVERY query term — the
+    ES bool-must + relevance-sort shape. Same pruned-postings probe;
+    the conjunctive constraint is one filter on the per-doc hit count
+    (no extra shuffle: it rides the existing groupBy)."""
+    scored = (
+        bm25_topk_indexed(index, query_terms, k=2_147_483_647, k1=k1, b=b)
+    )
+    # re-apply top-k AFTER the conjunctive filter (limit-then-filter
+    # would under-fill k); the plan is still TakeOrderedAndProject
+    return (
+        conjunctive_filter(scored, len(set(query_terms)))
+        .orderBy(F.col("score_q20").desc(), F.col(index.id_col).asc())
+        .limit(k)
+    )
+
+
+def compact_postings_index(spark: SparkSession, path: str) -> tuple[int, int]:
+    """Index maintenance (the LSM-compaction twin of
+    ``sources.pyds.compact_lwwstore``): fold superseded generations out
+    of the stored postings/docstats, truncate the superseded list, and
+    reset the generation to 0. Returns (superseded_rows_before, 0).
+
+    After compaction every probe plan gets CHEAPER: generation 0 means
+    ``live_postings_for`` skips the anti-join entirely. Run it when the
+    superseded side has grown past broadcast comfort (many re-ingests).
+    Single-writer per index path, like every maintenance op here; the
+    directory swap is rename-based so a crash leaves either the old or
+    the new complete structure, never a mix."""
+    idx = load_postings_index(spark, path)
+    n_superseded = idx.superseded.count()
+    live_postings = idx.postings.join(
+        idx.superseded, [idx.id_col, "gen"], "left_anti"
+    ).withColumn("gen", F.lit(0).cast("long"))
+    docstats = spark.read.parquet(os.path.join(path, "docstats"))
+    live_stats = docstats.join(
+        idx.superseded, [idx.id_col, "gen"], "left_anti"
+    ).withColumn("gen", F.lit(0).cast("long"))
+
+    for rel, df, partition in (
+        ("postings", live_postings, "pbucket"),
+        ("docstats", live_stats, None),
+    ):
+        tmp = os.path.join(path, f"{rel}.compact-tmp")
+        w = df.repartition(partition) if partition else df
+        writer = w.write.mode("overwrite")
+        if partition:
+            writer = writer.partitionBy(partition)
+        writer.parquet(tmp)
+        old = os.path.join(path, f"{rel}.old")
+        live = os.path.join(path, rel)
+        os.replace(live, old)
+        os.replace(tmp, live)
+        import shutil
+
+        shutil.rmtree(old)
+    spark.createDataFrame([], f"{idx.id_col} LONG, gen LONG").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "superseded"))
+    _write_stats(path, {
+        "n_docs": idx.n_docs, "total_dl": idx.total_dl, "generation": 0,
+        "n_buckets": idx.n_buckets, "id_col": idx.id_col,
+    })
+    return n_superseded, 0
+
+
+def ingest_into_postings_index(
+    batch: DataFrame, id_col: str, text_col: str, path: str,
+    n_buckets: int = 16,
+) -> None:
+    """One maintenance step: bootstrap the index on the first batch,
+    delta-update on every later one. This is the ``foreachBatch`` body
+    that keeps the index ALWAYS FRESH under a document stream — the
+    reference's entire sync loop (each cycle bulk-upserts the increment
+    into ES so ES's index stays current, pyCassElastic.py:316-354),
+    re-expressed as Structured Streaming over the stored postings.
+
+    Replay-safe: a re-delivered micro-batch re-ingests the same ids,
+    which supersedes its own earlier generation and converges to the
+    identical probe state (the same LWW-absorbs-replay argument as the
+    snapshot store) — at-least-once delivery, exactly-once index
+    visibility."""
+    if os.path.exists(os.path.join(path, "stats.json")):
+        update_postings_index(batch, text_col, path)
+    else:
+        build_postings_index(batch, id_col, text_col, path, n_buckets)
+
+
+def start_streaming_index_maintenance(
+    doc_stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    checkpoint_dir: str,
+    n_buckets: int = 16,
+):
+    """Run index maintenance as a streaming query over a document
+    stream; returns the StreamingQuery handle (availableNow drains the
+    backlog and stops — the daemon trigger is the caller's choice)."""
+
+    def fold(batch_df: DataFrame, _epoch: int) -> None:
+        ingest_into_postings_index(
+            batch_df, id_col, text_col, path, n_buckets
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -56,5 +56,6 @@ def test_round8_gate_slots():
     assert names[4] == "bm25_indexed_search_documents"
     assert names[6] == "phrase_slop_search_documents"
     assert names[7] == "approx_distinct_stats_events"
-    assert names[49] == "streaming_dedup_events"
-    assert len(names) == 157
+    assert names[48] == "conjunctive_bm25_indexed_documents"
+    assert names[49] == "streaming_indexed_search_documents"
+    assert len(names) == 159

@@ -340,3 +340,99 @@ def test_phrase_slop_three_terms_and_updates(spark, tmp_path):
     )
     idx2 = SRCH.load_postings_index(spark, path)
     assert {r["doc_id"] for r in SRCH.phrase_slop_search(idx2, terms, 0).collect()} == {3}
+
+
+def test_conjunctive_bm25_requires_all_terms(spark, tmp_path):
+    docs = _corpus(spark, [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta"),       # missing gamma
+        (3, "alpha gamma"),      # missing beta
+        (4, "beta gamma alpha alpha"),
+    ])
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4)
+    idx = SRCH.load_postings_index(spark, path)
+    got = {r["doc_id"] for r in
+           SRCH.bm25_topk_conjunctive(idx, ["alpha", "beta", "gamma"]).collect()}
+    assert got == {1, 4}
+    # disjunctive twin still returns partial matches
+    assert len(SRCH.bm25_topk_indexed(idx, ["alpha", "beta", "gamma"]).collect()) == 4
+
+
+def test_compact_postings_index_preserves_answers_and_drops_antijoin(
+    spark, tmp_path
+):
+    """Compaction folds superseded generations away: identical query
+    results, superseded relation emptied, generation reset to 0 so the
+    probe plan loses its anti-join."""
+    base = [(i, f"alpha w{i % 5} beta") for i in range(20)]
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(_corpus(spark, base), "doc_id", "text", path, n_buckets=4)
+    SRCH.update_postings_index(
+        _corpus(spark, [(0, "delta epsilon"), (25, "alpha zeta")] + base[1:4]),
+        "text", path,
+    )
+    idx = SRCH.load_postings_index(spark, path)
+    before = {
+        q: sorted(map(tuple, SRCH.bm25_topk_indexed(idx, list(q), k=30).collect()))
+        for q in (("alpha",), ("alpha", "beta"), ("delta", "zeta"))
+    }
+    n_sup, _ = SRCH.compact_postings_index(spark, path)
+    assert n_sup == 4  # doc 0 + re-ingested docs 1-3
+    idx2 = SRCH.load_postings_index(spark, path)
+    assert idx2.generation == 0 and idx2.superseded.count() == 0
+    assert (idx2.n_docs, idx2.total_dl) == (idx.n_docs, idx.total_dl)
+    for q, want in before.items():
+        got = sorted(map(tuple, SRCH.bm25_topk_indexed(idx2, list(q), k=30).collect()))
+        assert got == want, q
+    # post-compaction probe plan: no anti-join (generation 0 short-circuit)
+    plan = (
+        idx2.live_postings_for(["alpha"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join LeftAnti" not in plan and "Generate" not in plan
+
+
+def test_streaming_index_maintenance_converges_and_absorbs_replay(
+    spark, tmp_path
+):
+    """The reference's sync loop over the index: stream the corpus in
+    4 micro-batches through foreachBatch maintenance; the final index
+    answers like a fresh full build. Then replay a batch (at-least-once
+    delivery) and assert the probe state is unchanged."""
+    rows = [(i, f"w{i % 7} common t{i % 3}") for i in range(40)]
+    docs = _corpus(spark, rows)
+    src = str(tmp_path / "src")
+    docs.repartition(4).write.parquet(src)
+    path = str(tmp_path / "idx")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = SRCH.start_streaming_index_maintenance(
+        stream, "doc_id", "text", path, str(tmp_path / "ckpt"), n_buckets=4
+    )
+    q.awaitTermination()
+    assert (q.lastProgress or {}).get("batchId", 0) >= 3  # really multi-batch
+
+    fresh_path = str(tmp_path / "fresh")
+    SRCH.build_postings_index(docs, "doc_id", "text", fresh_path, n_buckets=4)
+    idx = SRCH.load_postings_index(spark, path)
+    fresh = SRCH.load_postings_index(spark, fresh_path)
+    assert (idx.n_docs, idx.total_dl) == (fresh.n_docs, fresh.total_dl)
+    for terms in (["common"], ["w1", "w2"], ["t0", "common"]):
+        got = sorted(map(tuple, SRCH.bm25_topk_indexed(idx, terms, k=50).collect()))
+        want = sorted(map(tuple, SRCH.bm25_topk_indexed(fresh, terms, k=50).collect()))
+        assert got == want, terms
+
+    # replayed micro-batch: re-ingest a slice that was already indexed
+    replayed = _corpus(spark, rows[:10])
+    SRCH.ingest_into_postings_index(replayed, "doc_id", "text", path, n_buckets=4)
+    idx2 = SRCH.load_postings_index(spark, path)
+    assert (idx2.n_docs, idx2.total_dl) == (fresh.n_docs, fresh.total_dl)
+    for terms in (["common"], ["w1", "w2"]):
+        got = sorted(map(tuple, SRCH.bm25_topk_indexed(idx2, terms, k=50).collect()))
+        want = sorted(map(tuple, SRCH.bm25_topk_indexed(fresh, terms, k=50).collect()))
+        assert got == want, terms
