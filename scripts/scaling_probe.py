@@ -49,7 +49,8 @@ def main() -> None:
     # argv selects probe families (default: all) so a noisy-host run can
     # re-measure one family without paying for the rest.
     families = set(sys.argv[1:]) or {
-        "merge", "zipf", "text", "vecs", "posorthant", "sketch", "r5ops"
+        "merge", "zipf", "text", "vecs", "posorthant", "sketch", "r5ops",
+        "search",
     }
     spark = get_spark(app_name="scaling-probe")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
@@ -143,6 +144,67 @@ def main() -> None:
             lambda: noop(SK.countmin_counters(keys, "k", depth=4, width=4096))
         )
         emit(out, {"op": "countmin_counters", "n": n, "sec": dt})
+
+    # Persisted postings index vs corpus-scan BM25 (round 8): the
+    # point of storing the index is that a QUERY costs pruned-postings
+    # work instead of a full corpus re-tokenize. Measure, per corpus
+    # size: (a) corpus-scan bm25_topk, (b) indexed bm25_topk_indexed
+    # probe (build paid once, amortized), (c) a 1%-batch delta update.
+    # Discarded warmup per leg, min-of-2 (playbook hygiene).
+    if "search" in families:
+        import shutil
+        import tempfile as _tf
+
+        from pycasselastic_spark.operators import search as SRCH
+
+        words_arr = F.array(*[F.lit(w) for w in WORDS])
+
+        def sdocs(lo, n):
+            return spark.range(lo, lo + n).select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(60)),
+                        lambda i: F.element_at(
+                            words_arr,
+                            ((F.xxhash64(F.col("id") * 1000 + i) % 28 + 28) % 28
+                             + 1).cast("int"),
+                        ),
+                    ),
+                ).alias("text"),
+            )
+
+        q = ["merge", "window", "spark"]
+        for n in (20_000, 80_000, 320_000):
+            corpus = sdocs(0, n)
+            idx_path = os.path.join(_tf.mkdtemp(prefix="probe_idx_"), "idx")
+            t0 = time.perf_counter()
+            SRCH.build_postings_index(corpus, "doc_id", "text", idx_path, 16)
+            build_s = round(time.perf_counter() - t0, 2)
+            idx = SRCH.load_postings_index(spark, idx_path)
+
+            noop(SRCH.bm25_topk(corpus, "doc_id", "text", q))  # warmup
+            scan_s = min(
+                bench(lambda: noop(SRCH.bm25_topk(corpus, "doc_id", "text", q)))
+                for _ in range(2)
+            )
+            noop(SRCH.bm25_topk_indexed(idx, q))  # warmup
+            probe_s = min(
+                bench(lambda: noop(SRCH.bm25_topk_indexed(idx, q)))
+                for _ in range(2)
+            )
+            delta = sdocs(n, n // 100)
+            t0 = time.perf_counter()
+            SRCH.update_postings_index(delta, "text", idx_path)
+            delta_s = round(time.perf_counter() - t0, 2)
+            emit(out, {
+                "op": "bm25_index", "n": n, "build_sec": build_s,
+                "corpus_scan_query_sec": scan_s,
+                "indexed_query_sec": probe_s,
+                "delta_update_1pct_sec": delta_s,
+            })
+            shutil.rmtree(os.path.dirname(idx_path), ignore_errors=True)
 
     # synthetic documents: ~60-word texts from a small vocab, with
     # planted near-dups (every 50th doc repeats the previous text)
