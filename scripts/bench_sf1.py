@@ -167,6 +167,14 @@ def main() -> None:
     ap.add_argument("--out", default="BENCH_SF1.json")
     ap.add_argument("--sf01", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--queries", nargs="*", default=HEAVY_QUERIES)
+    ap.add_argument(
+        "--warmup-sf1", action="store_true",
+        help="also run a discarded warmup pass at sf1 — required for "
+        "queries that cache a per-sf acceleration structure (the "
+        "postings index): without it the sf1 leg's first run pays the "
+        "build while the sf0.1 leg probes a warm cache, and the ratio "
+        "compares build+probe against probe",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="bench-sf1")
@@ -182,6 +190,9 @@ def main() -> None:
     # warm — a nonsense 0.18 "ratio")
     print("warmup pass (discarded):", flush=True)
     run_queries(spark, args.sf01, args.queries)
+    if args.warmup_sf1:
+        print("sf1 warmup pass (discarded):", flush=True)
+        run_queries(spark, sf1_dir, args.queries)
     sf01 = run_queries(spark, args.sf01, args.queries)
     sf1 = run_queries(spark, sf1_dir, args.queries)
 
