@@ -658,3 +658,59 @@ def start_streaming_index_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def index_health(index: PostingsIndex) -> DataFrame:
+    """Operational stats of the STORED index, per term bucket:
+    ``(pbucket, n_postings, n_terms, max_df, total_tf)`` over LIVE
+    postings — the observability an operator needs before trusting an
+    index at scale (bucket balance = scan parallelism; max_df = the
+    boilerplate/stop-term hazard; superseded share comes from
+    ``PostingsIndex.superseded`` directly). Reads only the stored
+    postings — one aggregation, never the corpus."""
+    live = index.postings
+    if index.generation > 0:
+        live = live.join(
+            F.broadcast(index.superseded), [index.id_col, "gen"], "left_anti"
+        )
+    per_term = live.groupBy("pbucket", "term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("term_tf")
+    )
+    return per_term.groupBy("pbucket").agg(
+        F.sum("df").alias("n_postings"),
+        F.count(F.lit(1)).alias("n_terms"),
+        F.max("df").alias("max_df"),
+        F.sum("term_tf").alias("total_tf"),
+    )
+
+
+def highlight_snippets(
+    index: PostingsIndex,
+    docs: DataFrame,
+    text_col: str,
+    query_terms: list[str],
+    window: int = 5,
+) -> DataFrame:
+    """ES-style highlighting: for every doc matching any query term,
+    the FIRST match position and a ``window``-token snippet starting
+    there: ``(id, first_pos, n_hit_terms, snippet)``.
+
+    The candidate set and positions come from the pruned stored
+    postings (no corpus scan to FIND matches); only the candidates
+    join back to the raw text to cut the snippet — candidate-bounded
+    work, the same shape Lucene uses (stored-field fetch per hit)."""
+    id_col = index.id_col
+    postings = index.live_postings_for(query_terms)
+    firsts = postings.groupBy(id_col).agg(
+        F.min(F.array_min("positions")).alias("first_pos"),
+        F.count(F.lit(1)).alias("n_hit_terms"),
+    )
+    c = F.col(text_col)
+    return firsts.join(docs, id_col).select(
+        F.col(id_col),
+        "first_pos",
+        "n_hit_terms",
+        F.array_join(
+            F.slice(F.split(c, " "), F.col("first_pos") + 1, window), " "
+        ).alias("snippet"),
+    )

@@ -871,3 +871,76 @@ def streaming_indexed_search_documents(spark: SparkSession, sf_dir: str) -> Data
     return SRCH.bm25_topk_indexed(idx, ["table", "row", "key"], k=10)
 
 
+
+
+@register(
+    "postings_index_health_documents",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+postings AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY term, doc_id
+),
+per_term AS (
+  SELECT ('0x' || substring(md5(term), 1, 8))::BIGINT % 16 AS pbucket,
+         term,
+         CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(tf) AS BIGINT) AS term_tf
+  FROM postings GROUP BY 1, 2)
+SELECT pbucket,
+       CAST(SUM(df) AS BIGINT) AS n_postings,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(MAX(df) AS BIGINT) AS max_df,
+       CAST(SUM(term_tf) AS BIGINT) AS total_tf
+FROM per_term GROUP BY pbucket
+""",
+    doc="Index observability: per-term-bucket postings volume, "
+    "distinct terms, hottest df, and token mass over LIVE postings "
+    "(operators/search.py:index_health) — the balance/boilerplate "
+    "pre-flight an operator runs before trusting the index's scan "
+    "parallelism at scale. One aggregation over the stored postings, "
+    "never the corpus. The oracle recomputes the same stats from raw "
+    "text, bucketing terms with the identical md5-derived hash "
+    "(('0x'||substr(md5,1,8))::BIGINT % 16 == the Spark-side "
+    "conv(md5-prefix) bucket).",
+)
+def postings_index_health_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return SRCH.index_health(idx)
+
+
+@register(
+    "search_highlight_documents",
+    """
+WITH tok AS (
+  SELECT doc_id, i AS pos, toks[i+1] AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       LATERAL (SELECT unnest(range(len(toks))) AS i) t
+  WHERE toks[i+1] <> ''
+),
+hits AS (
+  SELECT doc_id,
+         CAST(MIN(pos) AS BIGINT) AS first_pos,
+         CAST(COUNT(DISTINCT term) AS BIGINT) AS n_hit_terms
+  FROM tok WHERE term IN ('spark', 'merge') GROUP BY doc_id)
+SELECT h.doc_id, h.first_pos, h.n_hit_terms,
+       array_to_string(
+         list_slice(string_split(d.text, ' '),
+                    h.first_pos + 1, h.first_pos + 5), ' ') AS snippet
+FROM hits h JOIN documents d USING (doc_id)
+""",
+    doc="ES-style highlighting: first match position + a 5-token "
+    "snippet for every doc containing 'spark' or 'merge' "
+    "(operators/search.py:highlight_snippets). Candidates and "
+    "positions come from the pruned STORED postings; only the "
+    "candidate docs join back to raw text for the snippet cut — "
+    "candidate-bounded stored-field fetch, the Lucene highlight "
+    "shape. Oracle rebuilds positions from raw text and slices the "
+    "same window.",
+)
+def search_highlight_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return SRCH.highlight_snippets(idx, docs, "text", ["spark", "merge"], window=5)

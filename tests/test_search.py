@@ -436,3 +436,39 @@ def test_streaming_index_maintenance_converges_and_absorbs_replay(
         got = sorted(map(tuple, SRCH.bm25_topk_indexed(idx2, terms, k=50).collect()))
         want = sorted(map(tuple, SRCH.bm25_topk_indexed(fresh, terms, k=50).collect()))
         assert got == want, terms
+
+
+def test_index_health_stats(spark, tmp_path):
+    """Per-bucket stats over LIVE postings only: a superseded doc's
+    postings must not count."""
+    docs = _corpus(spark, [(1, "a b"), (2, "a c c")])
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=2)
+    SRCH.update_postings_index(_corpus(spark, [(2, "a")]), "text", path)
+    idx = SRCH.load_postings_index(spark, path)
+    rows = SRCH.index_health(idx).collect()
+    # live postings: doc1 {a,b}, doc2(new) {a} -> 3 postings, df(a)=2
+    assert sum(r["n_postings"] for r in rows) == 3
+    assert max(r["max_df"] for r in rows) == 2
+    assert sum(r["total_tf"] for r in rows) == 3  # c:2 from old doc2 gone
+
+
+def test_highlight_snippets(spark, tmp_path):
+    docs = _corpus(spark, [
+        (1, "x y spark z w q"),
+        (2, "merge a b c d e f"),
+        (3, "nothing here"),
+    ])
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4)
+    idx = SRCH.load_postings_index(spark, path)
+    got = {
+        r["doc_id"]: (r["first_pos"], r["n_hit_terms"], r["snippet"])
+        for r in SRCH.highlight_snippets(
+            idx, docs, "text", ["spark", "merge"], window=3
+        ).collect()
+    }
+    assert got == {
+        1: (2, 1, "spark z w"),
+        2: (0, 1, "merge a b"),
+    }
