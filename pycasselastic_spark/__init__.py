@@ -110,6 +110,20 @@ _EXPORTS: dict[str, str] = {
     "salted_join": "operators.skew",
     "register_lwwstore": "sources.pyds",
     "compact_lwwstore": "sources.pyds",
+    # round-8 surface: the persisted, incrementally-maintained
+    # postings index (always-fresh search — the reference's reason
+    # for syncing into ES, natively)
+    "PostingsIndex": "operators.search",
+    "build_postings_index": "operators.search",
+    "update_postings_index": "operators.search",
+    "load_postings_index": "operators.search",
+    "compact_postings_index": "operators.search",
+    "bm25_topk_indexed": "operators.search",
+    "bm25_topk_conjunctive": "operators.search",
+    "phrase_slop_search": "operators.search",
+    "index_health": "operators.search",
+    "highlight_snippets": "operators.search",
+    "start_streaming_index_maintenance": "operators.search",
 }
 
 __all__ = ["__version__", *sorted(_EXPORTS)]
