@@ -360,7 +360,7 @@ def build_postings_index(
         F.lit(0).cast("long").alias("gen"),
     )
     docstats.write.mode("overwrite").parquet(os.path.join(path, "docstats"))
-    spark.createDataFrame([], f"{id_col} LONG, gen LONG").write.mode(
+    spark.createDataFrame([], f"{id_col} LONG, gen LONG, by_gen LONG").write.mode(
         "overwrite"
     ).parquet(os.path.join(path, "superseded"))
     agg = docstats.agg(
@@ -368,7 +368,8 @@ def build_postings_index(
     ).collect()[0]
     _write_stats(path, {
         "n_docs": agg["n"], "total_dl": int(agg["s"] or 0),
-        "generation": 0, "n_buckets": n_buckets, "id_col": id_col,
+        "generation": 0, "next_gen": 1, "committed_gens": [0],
+        "n_buckets": n_buckets, "id_col": id_col,
     })
 
 
@@ -382,17 +383,43 @@ def update_postings_index(
     per ingest scales with the batch, never the corpus (the only
     corpus-sized relation touched is docstats — two narrow columns —
     to find replaced rows). Single-writer per index path, like every
-    store maintenance op here."""
+    store maintenance op here.
+
+    CRASH ATOMICITY (the lwwstore manifest contract, applied to the
+    index): the stats file records the COMMITTED generation set.
+    An update (1) claims a fresh generation number (atomic stats
+    rewrite bumping ``next_gen`` — a crash after this wastes only a
+    number), (2) appends postings/docstats/superseded rows all tagged
+    with that generation, then (3) commits by atomically rewriting
+    stats with the generation added to ``committed_gens``. Readers
+    filter every relation to committed generations (superseded rows by
+    the generation that WROTE them), so a crash anywhere before step 3
+    leaves orphan rows that are simply invisible — no duplicates, no
+    half-applied supersede — and the retry claims a new number.
+    ``compact_postings_index`` folds the committed set back to {0} and
+    physically drops orphans."""
     spark = delta.sparkSession
     with open(os.path.join(path, "stats.json")) as f:
         stats = json.load(f)
-    gen = stats["generation"] + 1
     id_col, n_buckets = stats["id_col"], stats["n_buckets"]
+    committed = list(stats["committed_gens"])
 
-    # rows being replaced: currently-live docstats rows whose id is in
-    # the incoming batch
-    docstats = spark.read.parquet(os.path.join(path, "docstats"))
-    superseded = spark.read.parquet(os.path.join(path, "superseded"))
+    # step 1: claim a generation number nothing committed ever used
+    gen = stats["next_gen"]
+    _write_stats(path, {**stats, "next_gen": gen + 1})
+
+    # rows being replaced: COMMITTED-live docstats rows whose id is in
+    # the incoming batch (the committed filter makes re-evaluation of
+    # this lazy plan safe even after the appends below — uncommitted
+    # rows can never leak in)
+    docstats = spark.read.parquet(os.path.join(path, "docstats")).filter(
+        F.col("gen").isin(committed)
+    )
+    superseded = (
+        spark.read.parquet(os.path.join(path, "superseded"))
+        .filter(F.col("by_gen").isin(committed))
+        .select(id_col, "gen")
+    )
     live = docstats.join(superseded, [id_col, "gen"], "left_anti")
     replaced = live.join(
         F.broadcast(delta.select(id_col).distinct()), id_col, "semi"
@@ -401,6 +428,7 @@ def update_postings_index(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
     ).collect()[0]
 
+    # step 2: data appends, all tagged with the claimed generation
     postings = _positional_postings(delta, id_col, text_col, n_buckets, gen)
     (
         postings.repartition("pbucket")
@@ -413,16 +441,21 @@ def update_postings_index(
         F.lit(gen).cast("long").alias("gen"),
     )
     new_stats.write.mode("append").parquet(os.path.join(path, "docstats"))
-    replaced.select(id_col, "gen").write.mode("append").parquet(
-        os.path.join(path, "superseded")
-    )
+    replaced.select(
+        id_col, "gen", F.lit(gen).cast("long").alias("by_gen")
+    ).write.mode("append").parquet(os.path.join(path, "superseded"))
     d = new_stats.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
     ).collect()[0]
+
+    # step 3: atomic commit — the generation becomes visible everywhere
+    # at once or not at all
     stats.update(
         n_docs=stats["n_docs"] + d["n"] - r["n"],
         total_dl=stats["total_dl"] + int(d["s"] or 0) - int(r["s"] or 0),
         generation=gen,
+        next_gen=gen + 1,
+        committed_gens=committed + [gen],
     )
     _write_stats(path, stats)
 
@@ -430,10 +463,19 @@ def update_postings_index(
 def load_postings_index(spark: SparkSession, path: str) -> PostingsIndex:
     with open(os.path.join(path, "stats.json")) as f:
         stats = json.load(f)
+    committed = stats["committed_gens"]
+    postings = spark.read.parquet(os.path.join(path, "postings")).filter(
+        F.col("gen").isin(committed)
+    )
+    superseded = (
+        spark.read.parquet(os.path.join(path, "superseded"))
+        .filter(F.col("by_gen").isin(committed))
+        .select(stats["id_col"], "gen")
+    )
     return PostingsIndex(
         path=path,
-        postings=spark.read.parquet(os.path.join(path, "postings")),
-        superseded=spark.read.parquet(os.path.join(path, "superseded")),
+        postings=postings,
+        superseded=superseded,
         n_docs=stats["n_docs"],
         total_dl=stats["total_dl"],
         generation=stats["generation"],
@@ -577,10 +619,16 @@ def compact_postings_index(spark: SparkSession, path: str) -> tuple[int, int]:
     the new complete structure, never a mix."""
     idx = load_postings_index(spark, path)
     n_superseded = idx.superseded.count()
+    with open(os.path.join(path, "stats.json")) as f:
+        committed = json.load(f)["committed_gens"]
     live_postings = idx.postings.join(
         idx.superseded, [idx.id_col, "gen"], "left_anti"
     ).withColumn("gen", F.lit(0).cast("long"))
-    docstats = spark.read.parquet(os.path.join(path, "docstats"))
+    # committed filter first: orphan rows from crashed updates are
+    # physically dropped here, never resurrected
+    docstats = spark.read.parquet(os.path.join(path, "docstats")).filter(
+        F.col("gen").isin(committed)
+    )
     live_stats = docstats.join(
         idx.superseded, [idx.id_col, "gen"], "left_anti"
     ).withColumn("gen", F.lit(0).cast("long"))
@@ -602,11 +650,12 @@ def compact_postings_index(spark: SparkSession, path: str) -> tuple[int, int]:
         import shutil
 
         shutil.rmtree(old)
-    spark.createDataFrame([], f"{idx.id_col} LONG, gen LONG").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "superseded"))
+    spark.createDataFrame(
+        [], f"{idx.id_col} LONG, gen LONG, by_gen LONG"
+    ).write.mode("overwrite").parquet(os.path.join(path, "superseded"))
     _write_stats(path, {
         "n_docs": idx.n_docs, "total_dl": idx.total_dl, "generation": 0,
+        "next_gen": 1, "committed_gens": [0],
         "n_buckets": idx.n_buckets, "id_col": idx.id_col,
     })
     return n_superseded, 0

@@ -472,3 +472,71 @@ def test_highlight_snippets(spark, tmp_path):
         1: (2, 1, "spark z w"),
         2: (0, 1, "merge a b"),
     }
+
+
+def test_update_crash_before_commit_is_invisible_and_retryable(
+    spark, tmp_path, monkeypatch
+):
+    """The index's exactly-once contract: an update that dies AFTER
+    appending data files but BEFORE the stats commit must leave probe
+    answers unchanged (orphan generation invisible), and a retried
+    update must converge with no duplicates; compaction physically
+    drops the orphans."""
+    base = [(i, f"alpha w{i % 3}") for i in range(12)]
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(_corpus(spark, base), "doc_id", "text", path, n_buckets=4)
+    idx0 = SRCH.load_postings_index(spark, path)
+    before = sorted(map(tuple, SRCH.bm25_topk_indexed(idx0, ["alpha"], k=20).collect()))
+
+    # crash point: the COMMIT stats write (2nd _write_stats call of the
+    # update; the 1st is the generation claim)
+    real_write = SRCH._write_stats
+    calls = {"n": 0}
+
+    def exploding_write(p, stats):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("injected crash before index commit")
+        return real_write(p, stats)
+
+    monkeypatch.setattr(SRCH, "_write_stats", exploding_write)
+    delta = _corpus(spark, [(0, "beta gamma"), (20, "alpha beta")])
+    import pytest as _p
+    with _p.raises(OSError, match="injected crash"):
+        SRCH.update_postings_index(delta, "text", path)
+    monkeypatch.setattr(SRCH, "_write_stats", real_write)
+
+    # orphan generation: invisible to probes, scalars unchanged
+    idx1 = SRCH.load_postings_index(spark, path)
+    assert (idx1.n_docs, idx1.total_dl) == (idx0.n_docs, idx0.total_dl)
+    assert sorted(
+        map(tuple, SRCH.bm25_topk_indexed(idx1, ["alpha"], k=20).collect())
+    ) == before
+    assert SRCH.bm25_topk_indexed(idx1, ["beta"], k=5).count() == 0
+
+    # retry (the claimed-but-uncommitted number is skipped, not reused)
+    SRCH.update_postings_index(delta, "text", path)
+    fresh_path = str(tmp_path / "fresh")
+    current = dict(base)
+    current.update({0: "beta gamma", 20: "alpha beta"})
+    SRCH.build_postings_index(
+        _corpus(spark, sorted(current.items())), "doc_id", "text",
+        fresh_path, n_buckets=4,
+    )
+    idx2 = SRCH.load_postings_index(spark, path)
+    fresh = SRCH.load_postings_index(spark, fresh_path)
+    assert (idx2.n_docs, idx2.total_dl) == (fresh.n_docs, fresh.total_dl)
+    for terms in (["alpha"], ["beta"], ["gamma", "alpha"]):
+        got = sorted(map(tuple, SRCH.bm25_topk_indexed(idx2, terms, k=30).collect()))
+        want = sorted(map(tuple, SRCH.bm25_topk_indexed(fresh, terms, k=30).collect()))
+        assert got == want, terms
+
+    # compaction drops the orphan rows physically
+    SRCH.compact_postings_index(spark, path)
+    import pyspark.sql.functions as _F
+    raw = spark.read.parquet(path + "/postings")
+    assert raw.select(_F.collect_set("gen")).collect()[0][0] == [0]
+    idx3 = SRCH.load_postings_index(spark, path)
+    got = sorted(map(tuple, SRCH.bm25_topk_indexed(idx3, ["alpha"], k=30).collect()))
+    want = sorted(map(tuple, SRCH.bm25_topk_indexed(fresh, ["alpha"], k=30).collect()))
+    assert got == want
