@@ -124,6 +124,8 @@ _EXPORTS: dict[str, str] = {
     "index_health": "operators.search",
     "highlight_snippets": "operators.search",
     "start_streaming_index_maintenance": "operators.search",
+    "more_like_this": "operators.search",
+    "doc_top_terms": "operators.search",
 }
 
 __all__ = ["__version__", *sorted(_EXPORTS)]

@@ -278,6 +278,7 @@ class PostingsIndex:
     path: str
     postings: DataFrame    # term, id, tf, positions, dl, gen, pbucket
     superseded: DataFrame  # id, gen (may be empty)
+    forward: DataFrame     # ibucket, id, term, tf, gen (doc -> terms)
     n_docs: int
     total_dl: int
     generation: int
@@ -299,6 +300,21 @@ class PostingsIndex:
         )
         if self.generation == 0:
             return pruned  # nothing was ever re-ingested
+        return pruned.join(
+            F.broadcast(self.superseded), [self.id_col, "gen"], "left_anti"
+        )
+
+    def live_forward_for(self, doc_ids: list) -> DataFrame:
+        """Current-generation FORWARD rows (doc -> its terms) for the
+        given ids: the id-keyed twin of ``live_postings_for`` —
+        partition pruning on the id bucket + pushed id filter, then the
+        same superseded anti-join."""
+        buckets = sorted({_term_bucket_py(str(i), self.n_buckets) for i in doc_ids})
+        pruned = self.forward.filter(
+            F.col("ibucket").isin(buckets) & F.col(self.id_col).isin(doc_ids)
+        )
+        if self.generation == 0:
+            return pruned
         return pruned.join(
             F.broadcast(self.superseded), [self.id_col, "gen"], "left_anti"
         )
@@ -330,6 +346,36 @@ def _positional_postings(
     )
 
 
+def _write_index_relations(
+    postings: DataFrame, id_col: str, n_buckets: int, path: str, mode: str
+) -> None:
+    """Write the term-keyed postings AND the id-keyed forward relation
+    from one ingest's postings. The forward relation is the same rows
+    re-partitioned by the DOC id's bucket — the probe path for
+    id-keyed questions (more-like-this, doc term vectors) that would
+    otherwise full-scan a term-partitioned layout. Two writes from the
+    same lazy plan re-run the tokenize aggregation; at ingest scale
+    that is two passes over the BATCH, not the corpus."""
+    (
+        postings.repartition("pbucket")
+        .write.partitionBy("pbucket")
+        .mode(mode)
+        .parquet(os.path.join(path, "postings"))
+    )
+    (
+        postings.select(
+            _term_bucket_col(F.col(id_col).cast("string"), n_buckets).alias(
+                "ibucket"
+            ),
+            F.col(id_col), "term", "tf", "gen",
+        )
+        .repartition("ibucket")
+        .write.partitionBy("ibucket")
+        .mode(mode)
+        .parquet(os.path.join(path, "forward"))
+    )
+
+
 def _write_stats(path: str, stats: dict) -> None:
     tmp = os.path.join(path, ".stats.json.tmp")
     with open(tmp, "w") as f:
@@ -349,12 +395,7 @@ def build_postings_index(
     touch raw text again."""
     spark = docs.sparkSession
     postings = _positional_postings(docs, id_col, text_col, n_buckets, gen=0)
-    (
-        postings.repartition("pbucket")
-        .write.partitionBy("pbucket")
-        .mode("overwrite")
-        .parquet(os.path.join(path, "postings"))
-    )
+    _write_index_relations(postings, id_col, n_buckets, path, "overwrite")
     docstats = docs.select(
         F.col(id_col), F.size(_tokens(text_col)).alias("dl"),
         F.lit(0).cast("long").alias("gen"),
@@ -430,12 +471,7 @@ def update_postings_index(
 
     # step 2: data appends, all tagged with the claimed generation
     postings = _positional_postings(delta, id_col, text_col, n_buckets, gen)
-    (
-        postings.repartition("pbucket")
-        .write.partitionBy("pbucket")
-        .mode("append")
-        .parquet(os.path.join(path, "postings"))
-    )
+    _write_index_relations(postings, id_col, n_buckets, path, "append")
     new_stats = delta.select(
         F.col(id_col), F.size(_tokens(text_col)).alias("dl"),
         F.lit(gen).cast("long").alias("gen"),
@@ -472,10 +508,14 @@ def load_postings_index(spark: SparkSession, path: str) -> PostingsIndex:
         .filter(F.col("by_gen").isin(committed))
         .select(stats["id_col"], "gen")
     )
+    forward = spark.read.parquet(os.path.join(path, "forward")).filter(
+        F.col("gen").isin(committed)
+    )
     return PostingsIndex(
         path=path,
         postings=postings,
         superseded=superseded,
+        forward=forward,
         n_docs=stats["n_docs"],
         total_dl=stats["total_dl"],
         generation=stats["generation"],
@@ -497,10 +537,21 @@ def bm25_topk_indexed(
     N and avgdl come from the incrementally-maintained stats file as
     literals; per-term df aggregates over the pruned postings (a few
     terms' rows). Returns ``(id, n_hit_terms, score_q20)``."""
+    return _bm25_scored(index, query_terms, k1, b).orderBy(
+        F.col("score_q20").desc(), F.col(index.id_col).asc()
+    ).limit(k)
+
+
+def _bm25_scored(
+    index: PostingsIndex, query_terms: list[str], k1: float, b: float
+) -> DataFrame:
+    """Unranked BM25 scores ``(id, n_hit_terms, score_q20)`` for every
+    doc matching any query term — the shared scoring core of the
+    disjunctive / conjunctive / more-like-this probes."""
     id_col = index.id_col
     postings = index.live_postings_for(query_terms)
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
+    return (
         postings.join(F.broadcast(dfreq), "term")
         .withColumn(
             "idf",
@@ -525,9 +576,6 @@ def bm25_topk_indexed(
             F.floor(F.sum("term_score") * Q20).cast("long").alias("score_q20"),
         )
     )
-    return scored.orderBy(
-        F.col("score_q20").desc(), F.col(id_col).asc()
-    ).limit(k)
 
 
 def phrase_slop_search(
@@ -624,6 +672,9 @@ def compact_postings_index(spark: SparkSession, path: str) -> tuple[int, int]:
     live_postings = idx.postings.join(
         idx.superseded, [idx.id_col, "gen"], "left_anti"
     ).withColumn("gen", F.lit(0).cast("long"))
+    live_forward = idx.forward.join(
+        idx.superseded, [idx.id_col, "gen"], "left_anti"
+    ).withColumn("gen", F.lit(0).cast("long"))
     # committed filter first: orphan rows from crashed updates are
     # physically dropped here, never resurrected
     docstats = spark.read.parquet(os.path.join(path, "docstats")).filter(
@@ -635,6 +686,7 @@ def compact_postings_index(spark: SparkSession, path: str) -> tuple[int, int]:
 
     for rel, df, partition in (
         ("postings", live_postings, "pbucket"),
+        ("forward", live_forward, "ibucket"),
         ("docstats", live_stats, None),
     ):
         tmp = os.path.join(path, f"{rel}.compact-tmp")
@@ -762,4 +814,46 @@ def highlight_snippets(
         F.array_join(
             F.slice(F.split(c, " "), F.col("first_pos") + 1, window), " "
         ).alias("snippet"),
+    )
+
+
+def doc_top_terms(index: PostingsIndex, doc_id, m: int = 5) -> list[str]:
+    """The doc's ``m`` highest-tf terms (ties broken by term) from the
+    STORED forward relation — an id-bucket-pruned probe returning at
+    most ``m`` strings to the driver (the same bounded-collect shape as
+    the IVF centroid step; query terms must be literals for the
+    postings probe's partition pruning anyway)."""
+    rows = (
+        index.live_forward_for([doc_id])
+        .orderBy(F.col("tf").desc(), F.col("term").asc())
+        .limit(m)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def more_like_this(
+    index: PostingsIndex,
+    doc_id,
+    m: int = 5,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES's More-Like-This query from the stored index alone: take the
+    source doc's top-``m`` terms (forward-index probe), BM25-score the
+    corpus on them (postings probe), drop the source doc, return the
+    top ``k``: ``(id, n_hit_terms, score_q20)``. Two pruned probes,
+    zero corpus scans, zero raw-text access."""
+    terms = doc_top_terms(index, doc_id, m)
+    if not terms:
+        spark = index.postings.sparkSession
+        return spark.createDataFrame(
+            [], f"{index.id_col} LONG, n_hit_terms LONG, score_q20 LONG"
+        )
+    return (
+        _bm25_scored(index, terms, k1, b)
+        .filter(F.col(index.id_col) != doc_id)
+        .orderBy(F.col("score_q20").desc(), F.col(index.id_col).asc())
+        .limit(k)
     )

@@ -944,3 +944,50 @@ def search_highlight_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _postings_index_for(spark, sf_dir)
     docs = _t(spark, sf_dir, "documents")
     return SRCH.highlight_snippets(idx, docs, "text", ["spark", "merge"], window=5)
+
+
+@register(
+    "more_like_this_documents",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+postings AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY term, doc_id
+),
+src AS (SELECT term FROM postings WHERE doc_id = 42
+        ORDER BY tf DESC, term LIMIT 5),
+qt AS (SELECT * FROM postings WHERE term IN (SELECT term FROM src)),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+              AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+       FROM documents)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+       CAST(FLOOR(SUM(
+         ln(1.0 + (sc.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (qt.tf * 2.2)
+         / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / sc.avgdl))
+       ) * 1048576.0) AS BIGINT) AS score_q20
+FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+WHERE doc_id <> 42
+GROUP BY doc_id, sc.n_docs
+ORDER BY score_q20 DESC, doc_id LIMIT 10
+""",
+    doc="ES More-Like-This from the stored index ALONE "
+    "(operators/search.py:more_like_this): probe the id-bucket-pruned "
+    "FORWARD relation (doc -> terms, maintained alongside the postings "
+    "under the same committed-generation contract) for doc 42's top-5 "
+    "terms, BM25-score the corpus on them via the term-bucket-pruned "
+    "postings probe, drop the source doc, top-10. Two pruned probes, "
+    "zero corpus scans, zero raw-text access — the query shape that "
+    "motivates keeping a FORWARD index at 100 TB (an id-keyed question "
+    "against a term-partitioned layout would otherwise full-scan). "
+    "Oracle re-derives the top terms and replays the scoring from raw "
+    "text.",
+)
+def more_like_this_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return SRCH.more_like_this(idx, 42, m=5, k=10)

@@ -540,3 +540,29 @@ def test_update_crash_before_commit_is_invisible_and_retryable(
     got = sorted(map(tuple, SRCH.bm25_topk_indexed(idx3, ["alpha"], k=30).collect()))
     want = sorted(map(tuple, SRCH.bm25_topk_indexed(fresh, ["alpha"], k=30).collect()))
     assert got == want
+
+
+def test_more_like_this_from_forward_index(spark, tmp_path):
+    """MLT: doc 1's dominant terms find its thematic neighbors, the
+    source doc never appears, and an update changing the doc re-routes
+    the probe (stale forward rows superseded)."""
+    docs = _corpus(spark, [
+        (1, "cat cat cat dog"),
+        (2, "cat dog mouse"),
+        (3, "cat fish"),
+        (4, "zebra lion"),
+    ])
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4)
+    idx = SRCH.load_postings_index(spark, path)
+    assert SRCH.doc_top_terms(idx, 1, m=2) == ["cat", "dog"]
+    got = [r["doc_id"] for r in SRCH.more_like_this(idx, 1, m=2, k=10).collect()]
+    assert 1 not in got and set(got) == {2, 3}  # zebra/lion never match
+    # doc 2 matches both terms, doc 3 one -> 2 ranks first
+    assert got[0] == 2
+
+    SRCH.update_postings_index(_corpus(spark, [(1, "zebra zebra")]), "text", path)
+    idx2 = SRCH.load_postings_index(spark, path)
+    assert SRCH.doc_top_terms(idx2, 1, m=2) == ["zebra"]
+    got2 = [r["doc_id"] for r in SRCH.more_like_this(idx2, 1, m=2, k=10).collect()]
+    assert got2 == [4]  # only the zebra doc is similar now
