@@ -353,27 +353,32 @@ def _write_index_relations(
     from one ingest's postings. The forward relation is the same rows
     re-partitioned by the DOC id's bucket — the probe path for
     id-keyed questions (more-like-this, doc term vectors) that would
-    otherwise full-scan a term-partitioned layout. Two writes from the
-    same lazy plan re-run the tokenize aggregation; at ingest scale
-    that is two passes over the BATCH, not the corpus."""
-    (
-        postings.repartition("pbucket")
-        .write.partitionBy("pbucket")
-        .mode(mode)
-        .parquet(os.path.join(path, "postings"))
-    )
-    (
-        postings.select(
-            _term_bucket_col(F.col(id_col).cast("string"), n_buckets).alias(
-                "ibucket"
-            ),
-            F.col(id_col), "term", "tf", "gen",
+    otherwise full-scan a term-partitioned layout. The ingest's
+    postings are persisted across the two writes so the tokenize
+    aggregation runs ONCE (MEMORY_AND_DISK — an ingest batch, not the
+    corpus; spilled if large)."""
+    postings = postings.persist()
+    try:
+        (
+            postings.repartition("pbucket")
+            .write.partitionBy("pbucket")
+            .mode(mode)
+            .parquet(os.path.join(path, "postings"))
         )
-        .repartition("ibucket")
-        .write.partitionBy("ibucket")
-        .mode(mode)
-        .parquet(os.path.join(path, "forward"))
-    )
+        (
+            postings.select(
+                _term_bucket_col(
+                    F.col(id_col).cast("string"), n_buckets
+                ).alias("ibucket"),
+                F.col(id_col), "term", "tf", "gen",
+            )
+            .repartition("ibucket")
+            .write.partitionBy("ibucket")
+            .mode(mode)
+            .parquet(os.path.join(path, "forward"))
+        )
+    finally:
+        postings.unpersist()
 
 
 def _write_stats(path: str, stats: dict) -> None:
