@@ -126,6 +126,8 @@ _EXPORTS: dict[str, str] = {
     "start_streaming_index_maintenance": "operators.search",
     "more_like_this": "operators.search",
     "doc_top_terms": "operators.search",
+    "bm25_topk_fuzzy": "operators.search",
+    "expand_fuzzy_terms": "operators.search",
 }
 
 __all__ = ["__version__", *sorted(_EXPORTS)]

@@ -279,6 +279,7 @@ class PostingsIndex:
     postings: DataFrame    # term, id, tf, positions, dl, gen, pbucket
     superseded: DataFrame  # id, gen (may be empty)
     forward: DataFrame     # ibucket, id, term, tf, gen (doc -> terms)
+    variants: DataFrame    # vbucket, variant, term, gen (FastSS dict)
     n_docs: int
     total_dl: int
     generation: int
@@ -346,6 +347,27 @@ def _positional_postings(
     )
 
 
+# A term's FastSS 1-deletion neighborhood (the term itself + every
+# single-character deletion): two strings are within Levenshtein
+# distance 1 only if their neighborhoods intersect, so an equi-join on
+# variants generates every d<=1 candidate (verified with exact
+# levenshtein afterwards — the same recall-exact blocking as
+# operators/dedup.edit_distance_pairs).
+_DELETION_VARIANTS_EXPR = (
+    "array_distinct(concat(array(term), "
+    "transform(sequence(1, length(term)), i -> "
+    "concat(substring(term, 1, i-1), "
+    "substring(term, i+1, length(term))))))"
+)
+
+
+def _deletion_variants_py(term: str) -> list[str]:
+    """Python twin of ``_DELETION_VARIANTS_EXPR`` for query-side
+    expansion."""
+    out = [term] + [term[:i] + term[i + 1:] for i in range(len(term))]
+    return list(dict.fromkeys(out))
+
+
 def _write_index_relations(
     postings: DataFrame, id_col: str, n_buckets: int, path: str, mode: str
 ) -> None:
@@ -353,10 +375,13 @@ def _write_index_relations(
     from one ingest's postings. The forward relation is the same rows
     re-partitioned by the DOC id's bucket — the probe path for
     id-keyed questions (more-like-this, doc term vectors) that would
-    otherwise full-scan a term-partitioned layout. The ingest's
-    postings are persisted across the two writes so the tokenize
-    aggregation runs ONCE (MEMORY_AND_DISK — an ingest batch, not the
-    corpus; spilled if large)."""
+    otherwise full-scan a term-partitioned layout. The third relation
+    is the FastSS deletion-variant dictionary (``variants``): every
+    distinct term's 1-deletion neighborhood, bucketed by the VARIANT —
+    the candidate generator for fuzzy (edit-distance) term matching.
+    The ingest's postings are persisted across the writes so the
+    tokenize aggregation runs ONCE (MEMORY_AND_DISK — an ingest batch,
+    not the corpus; spilled if large)."""
     postings = postings.persist()
     try:
         (
@@ -376,6 +401,22 @@ def _write_index_relations(
             .write.partitionBy("ibucket")
             .mode(mode)
             .parquet(os.path.join(path, "forward"))
+        )
+        (
+            postings.select("term", "gen")
+            .distinct()
+            .select(
+                F.col("term"),
+                F.col("gen"),
+                F.explode(F.expr(_DELETION_VARIANTS_EXPR)).alias("variant"),
+            )
+            .withColumn(
+                "vbucket", _term_bucket_col(F.col("variant"), n_buckets)
+            )
+            .repartition("vbucket")
+            .write.partitionBy("vbucket")
+            .mode(mode)
+            .parquet(os.path.join(path, "variants"))
         )
     finally:
         postings.unpersist()
@@ -516,11 +557,15 @@ def load_postings_index(spark: SparkSession, path: str) -> PostingsIndex:
     forward = spark.read.parquet(os.path.join(path, "forward")).filter(
         F.col("gen").isin(committed)
     )
+    variants = spark.read.parquet(os.path.join(path, "variants")).filter(
+        F.col("gen").isin(committed)
+    )
     return PostingsIndex(
         path=path,
         postings=postings,
         superseded=superseded,
         forward=forward,
+        variants=variants,
         n_docs=stats["n_docs"],
         total_dl=stats["total_dl"],
         generation=stats["generation"],
@@ -689,23 +734,45 @@ def compact_postings_index(spark: SparkSession, path: str) -> tuple[int, int]:
         idx.superseded, [idx.id_col, "gen"], "left_anti"
     ).withColumn("gen", F.lit(0).cast("long"))
 
-    for rel, df, partition in (
+    live_variants = (
+        live_postings.select("term")
+        .distinct()
+        .select(
+            F.col("term"),
+            F.lit(0).cast("long").alias("gen"),
+            F.explode(F.expr(_DELETION_VARIANTS_EXPR)).alias("variant"),
+        )
+        .withColumn("vbucket", _term_bucket_col(F.col("variant"), idx.n_buckets))
+    )
+
+    relations = (
         ("postings", live_postings, "pbucket"),
         ("forward", live_forward, "ibucket"),
+        ("variants", live_variants, "vbucket"),
         ("docstats", live_stats, None),
-    ):
+    )
+    # phase 1: materialize EVERY compacted relation into a tmp dir
+    # while the source directories still exist (live_variants and
+    # live_forward derive from the postings relation — swapping
+    # postings first would pull the files out from under their plans)
+    for rel, df, partition in relations:
         tmp = os.path.join(path, f"{rel}.compact-tmp")
         w = df.repartition(partition) if partition else df
         writer = w.write.mode("overwrite")
         if partition:
             writer = writer.partitionBy(partition)
         writer.parquet(tmp)
+    # phase 2: swap them in (rename-based; a crash mid-phase leaves
+    # each relation either fully old or fully new — and the stats
+    # rewrite below is what commits the compaction)
+    import shutil
+
+    for rel, _, _ in relations:
+        tmp = os.path.join(path, f"{rel}.compact-tmp")
         old = os.path.join(path, f"{rel}.old")
         live = os.path.join(path, rel)
         os.replace(live, old)
         os.replace(tmp, live)
-        import shutil
-
         shutil.rmtree(old)
     spark.createDataFrame(
         [], f"{idx.id_col} LONG, gen LONG, by_gen LONG"
@@ -862,3 +929,64 @@ def more_like_this(
         .orderBy(F.col("score_q20").desc(), F.col(index.id_col).asc())
         .limit(k)
     )
+
+
+def expand_fuzzy_terms(
+    index: PostingsIndex, query_terms: list[str], max_dist: int = 1
+) -> list[str]:
+    """Dictionary terms within Levenshtein distance ``max_dist`` (only
+    1 supported — the FastSS 1-deletion guarantee) of ANY query term,
+    from the STORED variant dictionary: generate the query terms'
+    deletion neighborhoods in the driver (tiny), probe the
+    variant-bucket-pruned dictionary with one equi-filter, verify the
+    surviving candidate terms with exact ``levenshtein`` (the
+    neighborhood join can overmatch to distance 2), and collect the
+    matched terms — bounded by the dictionary neighborhood of a few
+    query words. Exact matches ride the same probe (a term is in its
+    own neighborhood)."""
+    if max_dist != 1:
+        raise ValueError("FastSS 1-deletion blocking supports max_dist=1 only")
+    probe = {v for t in query_terms for v in _deletion_variants_py(t)}
+    buckets = sorted({_term_bucket_py(v, index.n_buckets) for v in probe})
+    cand = (
+        index.variants.filter(
+            F.col("vbucket").isin(buckets)
+            & F.col("variant").isin(sorted(probe))
+        )
+        .select("term")
+        .distinct()
+    )
+    qdf = cand.sparkSession.createDataFrame(
+        [(t,) for t in sorted(set(query_terms))], "q STRING"
+    )
+    verified = (
+        cand.join(F.broadcast(qdf))
+        .filter(F.levenshtein(F.col("term"), F.col("q")) <= max_dist)
+        .select("term")
+        .distinct()
+        .collect()
+    )
+    return sorted(r["term"] for r in verified)
+
+
+def bm25_topk_fuzzy(
+    index: PostingsIndex,
+    query_terms: list[str],
+    k: int = 10,
+    max_dist: int = 1,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES fuzzy match + relevance sort: expand each query term to its
+    dictionary neighbors within ``max_dist`` edits (stored FastSS
+    variant probe), then BM25 over the expanded term set — each
+    matched term scored with its own df, the ES ``fuzziness``
+    semantics. A typo'd query still finds its documents without any
+    corpus scan."""
+    expanded = expand_fuzzy_terms(index, query_terms, max_dist)
+    if not expanded:
+        spark = index.postings.sparkSession
+        return spark.createDataFrame(
+            [], f"{index.id_col} LONG, n_hit_terms LONG, score_q20 LONG"
+        )
+    return bm25_topk_indexed(index, expanded, k=k, k1=k1, b=b)

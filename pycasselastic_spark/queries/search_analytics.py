@@ -991,3 +991,50 @@ ORDER BY score_q20 DESC, doc_id LIMIT 10
 def more_like_this_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _postings_index_for(spark, sf_dir)
     return SRCH.more_like_this(idx, 42, m=5, k=10)
+
+
+@register(
+    "fuzzy_bm25_search_documents",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+postings AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY term, doc_id
+),
+dict AS (SELECT DISTINCT term FROM postings),
+cand AS (SELECT term FROM dict
+         WHERE levenshtein(term, 'sparc') <= 1
+            OR levenshtein(term, 'mergee') <= 1),
+qt AS (SELECT * FROM postings WHERE term IN (SELECT term FROM cand)),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+              AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+       FROM documents)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+       CAST(FLOOR(SUM(
+         ln(1.0 + (sc.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (qt.tf * 2.2)
+         / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / sc.avgdl))
+       ) * 1048576.0) AS BIGINT) AS score_q20
+FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+GROUP BY doc_id, sc.n_docs
+ORDER BY score_q20 DESC, doc_id LIMIT 10
+""",
+    doc="ES fuzzy match + relevance sort for the typo'd query "
+    "'sparc mergee' (operators/search.py:bm25_topk_fuzzy): each query "
+    "term expands to its dictionary neighbors within 1 edit via the "
+    "STORED FastSS deletion-variant relation (variant-bucket-pruned "
+    "probe, exact-levenshtein verify — recall-exact for d<=1, the "
+    "edit_distance_pairs blocking applied to the index dictionary), "
+    "then BM25 over the expanded set with per-term df — no corpus "
+    "scan, no full-dictionary scan. The oracle derives the same "
+    "candidate set with levenshtein over the raw-corpus dictionary "
+    "and replays the scoring.",
+)
+def fuzzy_bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return SRCH.bm25_topk_fuzzy(idx, ["sparc", "mergee"], k=10)

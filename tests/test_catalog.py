@@ -58,4 +58,4 @@ def test_round8_gate_slots():
     assert names[7] == "approx_distinct_stats_events"
     assert names[48] == "conjunctive_bm25_indexed_documents"
     assert names[49] == "streaming_indexed_search_documents"
-    assert len(names) == 162
+    assert len(names) == 163

@@ -566,3 +566,34 @@ def test_more_like_this_from_forward_index(spark, tmp_path):
     assert SRCH.doc_top_terms(idx2, 1, m=2) == ["zebra"]
     got2 = [r["doc_id"] for r in SRCH.more_like_this(idx2, 1, m=2, k=10).collect()]
     assert got2 == [4]  # only the zebra doc is similar now
+
+
+def test_fuzzy_bm25_expands_typos_and_respects_updates(spark, tmp_path):
+    """ES fuzziness: a 1-edit typo finds the intended term's docs via
+    the stored variant dictionary; distance-2 strings do not match;
+    exact terms still work; newly ingested vocabulary becomes fuzzy-
+    matchable."""
+    docs = _corpus(spark, [
+        (1, "spark engine"),
+        (2, "spark spark core"),
+        (3, "shark tank"),     # 'shark' is 1 substitution from 'spark'
+        (4, "unrelated words"),
+    ])
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4)
+    idx = SRCH.load_postings_index(spark, path)
+
+    # 'sparkk' (1 insertion): matches 'spark' AND NOT 'shark' (d=2)
+    assert SRCH.expand_fuzzy_terms(idx, ["sparkk"]) == ["spark"]
+    got = {r["doc_id"] for r in SRCH.bm25_topk_fuzzy(idx, ["sparkk"]).collect()}
+    assert got == {1, 2}
+    # 'spark' itself expands to its d<=1 dictionary neighbors
+    assert SRCH.expand_fuzzy_terms(idx, ["spark"]) == ["shark", "spark"]
+    # no dictionary term within 1 edit -> empty result, no error
+    assert SRCH.bm25_topk_fuzzy(idx, ["zzzzzz"]).count() == 0
+
+    SRCH.update_postings_index(_corpus(spark, [(9, "sparky things")]), "text", path)
+    idx2 = SRCH.load_postings_index(spark, path)
+    assert SRCH.expand_fuzzy_terms(idx2, ["sparkk"]) == ["spark", "sparky"]
+    got2 = {r["doc_id"] for r in SRCH.bm25_topk_fuzzy(idx2, ["sparkk"]).collect()}
+    assert got2 == {1, 2, 9}
