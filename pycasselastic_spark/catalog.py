@@ -48,7 +48,7 @@ from pycasselastic_spark.queries.streaming_q import (  # noqa: F401
     ROCKSDB_PROVIDER,
     _run_stream_to_parquet,
 )
-from pycasselastic_spark.queries.corpus_quality import (  # noqa: F401
+from pycasselastic_spark.queries.events_ops import (  # noqa: F401
     _transform_with_state_available,
 )
 
@@ -68,74 +68,69 @@ from pycasselastic_spark.queries.corpus_quality import (  # noqa: F401
 # every test look queries up BY NAME, so reordering is behavior-neutral
 # everywhere except the gate's slot assignment.
 _GATE_PRIORITY: list[str] = [
-    # ROUND 8 gate rotation (COVERAGE.md): slots 0-3 are the four
-    # queries without a round-5+ driver row (two registered post-gate
-    # in r7, two r1-r4-only rows rotated out of the r7 set) — all four
-    # judge-replayed green in r7, so any failure here is a NEW
-    # regression; slots 4-6 are the three NEW round-8 queries (the
-    # persisted/incremental postings index family); slots 7-47 are 41
-    # of the 46 stale-r5 queries the round-7 plan enumerated
-    # (zorder_key_events, label_centroid_embeddings,
-    # tfidf_top_terms_per_doc, streaming_sliding_window_events and
-    # streaming_dedup_events — the five with the lowest marginal risk —
-    # defer to round 9 alongside gap_fill_hourly_events and the three
-    # md5-threshold sampling siblings); slots 48-49 are the TWO
-    # late-round-8 additions (conjunctive search + streaming index
-    # maintenance).
-    # --- slots 0-3: no round-5+ driver row ---------------------------
-    "streaming_lwwstore_replicate_events",
-    "term_cooccurrence_pmi_documents",
-    "json_extract_events",
-    "full_outer_join_customer_orders",
-    # --- slots 4-6: NEW round-8 queries ------------------------------
-    "bm25_indexed_search_documents",
-    "bm25_delta_indexed_documents",
-    "phrase_slop_search_documents",
-    # --- slots 7-49: stale-r5 rows (newest driver row = r5) ----------
-    "approx_distinct_stats_events",
-    "scd2_customer_history",
-    "session_stats_events",
-    "funnel_conversion_events",
-    "retention_cohorts_events",
-    "q2_min_price_supplier",
-    "q4_priority_with_big_lineitem",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_late_lines_by_priority",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_disjunctive_revenue",
-    "q20_part_supplier_chain",
-    "q21_sole_supplier_orders",
-    "q22_idle_rich_customers",
-    "orders_above_customer_avg",
-    "having_frequent_buyers",
-    "skew_salted_agg_events",
-    "salted_join_events_customer",
-    "neardup_cluster_dedup",
-    "embedding_lsh_neardup",
-    "embedding_ivf_neardup",
-    "cosine_topk_ivf",
-    "contamination_overlap",
-    "curation_pipeline_documents",
-    "udtf_chunk_documents",
-    "multimodal_ppm_decode_stats",
-    "multimodal_ppm_resize",
-    "multimodal_image_resize",
-    "multimodal_audio_resample",
-    "streaming_stateful_first_event",
-    "streaming_session_window_events",
-    # --- slots 48-49: late round-8 additions -------------------------
-    "conjunctive_bm25_indexed_documents",
-    "streaming_indexed_search_documents",
+    # ROUND 9 gate rotation (COVERAGE.md): slots 0-3 are the four
+    # post-gate round-8 registrations (judge-replayed green in r8, so
+    # any failure is a NEW regression); slots 4-12 the nine queries
+    # whose newest driver row is r5 (deferred from the r8 set);
+    # slots 13-14 the two NEW round-9 queries (ES fuzziness=2 via the
+    # depth-2 FastSS dictionary, and the daemon-cadence
+    # auto-compaction maintenance contract); slots 15-49 the first 35
+    # stale-r6 queries in their CORRECTNESS_r06 order (the remaining
+    # 15 rotate in round 10).
+    # --- slots 0-3: post-gate round-8 registrations ------------------
+    "postings_index_health_documents",
+    "search_highlight_documents",
+    "more_like_this_documents",
+    "fuzzy_bm25_search_documents",
+    # --- slots 4-12: stale-r5 rows (newest driver row = r5) ----------
+    "gap_fill_hourly_events",
+    "stratified_sample_documents",
+    "weighted_sample_documents",
+    "shard_assignment_documents",
+    "zorder_key_events",
+    "label_centroid_embeddings",
+    "tfidf_top_terms_per_doc",
+    "streaming_sliding_window_events",
+    "streaming_dedup_events",
+    # --- slots 13-14: NEW round-9 queries ----------------------------
+    "fuzzy2_bm25_search_documents",
+    "auto_compacted_bm25_documents",
+    # --- slots 15-49: stale-r6 rows, CORRECTNESS_r06 order -----------
+    "string_suite_documents",
+    "regex_suite_events",
+    "null_handling_suite",
+    "date_arithmetic_suite_orders",
+    "window_function_suite_orders",
+    "array_function_suite_embeddings",
+    "explode_shingles_sample",
+    "grouping_sets_orders",
+    "range_frame_event_counts",
+    "vocab_top_terms",
+    "bigram_lm_score_documents",
+    "ngram_novelty_documents",
+    "source_balanced_sample_documents",
+    "deterministic_shuffle_documents",
+    "countmin_heavy_hitters_events",
+    "embedding_quantize_stats",
+    "histogram_order_prices",
+    "fuzzy_match_customer_names",
+    "passage_dedup_documents",
+    "bloom_prefilter_customers",
+    "ivf_cell_quality_embeddings",
+    "incremental_neardup_delta",
+    "decontaminate_documents",
+    "neardup_text_embedding_agreement",
+    "streaming_countmin_events",
+    "streaming_incremental_neardup",
+    "anti_entropy_diff_events",
+    "anti_entropy_repair_events",
+    "key_skew_report_events",
+    "gopher_rules_documents",
+    "canonical_exact_dedup_documents",
+    "exact_k_per_source_sample",
+    "bloom_pruned_join_events",
+    "time_rollup_events",
+    "user_value_outliers_events",
 ]
 
 

@@ -15,5 +15,7 @@ from pycasselastic_spark.queries import multimodal_q  # noqa: F401
 from pycasselastic_spark.queries import streaming_q  # noqa: F401
 from pycasselastic_spark.queries import tpch  # noqa: F401
 from pycasselastic_spark.queries import pipeline2  # noqa: F401
+from pycasselastic_spark.queries import relational_suites  # noqa: F401
 from pycasselastic_spark.queries import corpus_quality  # noqa: F401
+from pycasselastic_spark.queries import events_ops  # noqa: F401
 from pycasselastic_spark.queries import search_analytics  # noqa: F401

@@ -736,7 +736,13 @@ def _postings_index_for(spark: SparkSession, sf_dir: str) -> "SRCH.PostingsIndex
     if path is None:
         docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
         path = os.path.join(tempfile.mkdtemp(prefix="postings_idx_"), "idx")
-        SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=16)
+        # variant_depth=2: the shared index serves BOTH fuzziness=1 and
+        # fuzziness=2 probes (a deeper dictionary than the query only
+        # widens candidates; the exact-levenshtein verify trims them —
+        # operators/search.py:expand_fuzzy_terms)
+        SRCH.build_postings_index(
+            docs, "doc_id", "text", path, n_buckets=16, variant_depth=2
+        )
         _INDEX_CACHE[sf_dir] = path
     return SRCH.load_postings_index(spark, path)
 
@@ -1038,3 +1044,85 @@ ORDER BY score_q20 DESC, doc_id LIMIT 10
 def fuzzy_bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _postings_index_for(spark, sf_dir)
     return SRCH.bm25_topk_fuzzy(idx, ["sparc", "mergee"], k=10)
+
+
+@register(
+    "fuzzy2_bm25_search_documents",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+postings AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY term, doc_id
+),
+dict AS (SELECT DISTINCT term FROM postings),
+cand AS (SELECT term FROM dict
+         WHERE levenshtein(term, 'spakr') <= 2
+            OR levenshtein(term, 'mrege') <= 2),
+qt AS (SELECT * FROM postings WHERE term IN (SELECT term FROM cand)),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+              AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+       FROM documents)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+       CAST(FLOOR(SUM(
+         ln(1.0 + (sc.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (qt.tf * 2.2)
+         / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / sc.avgdl))
+       ) * 1048576.0) AS BIGINT) AS score_q20
+FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+GROUP BY doc_id, sc.n_docs
+ORDER BY score_q20 DESC, doc_id LIMIT 10
+""",
+    doc="ES fuzziness=2 — the ES fuzziness ceiling (AUTO caps at 2) — "
+    "for the doubly-typo'd query 'spakr mrege' "
+    "(operators/search.py:bm25_topk_fuzzy with max_dist=2): the STORED "
+    "FastSS dictionary now carries depth-2 deletion neighborhoods "
+    "(~L^2/2 variants per term, a build/compaction-time choice "
+    "recorded as variant_depth in stats.json so depth-1 indexes keep "
+    "working), the query expands to ITS depth-2 neighborhood "
+    "driver-side, candidates come from the variant-bucket-pruned "
+    "equi-probe, and exact levenshtein <= 2 verifies — recall-exact "
+    "per the FastSS bound (ed(x,y) <= d iff depth-d neighborhoods "
+    "intersect). Transposition-shaped typos (spakr -> spark, mrege -> "
+    "merge, 2 plain-Levenshtein edits each) now match, closing the "
+    "round-8 verdict's ES-parity gap. Oracle: same scoring SQL with "
+    "the candidate set from DuckDB levenshtein over the raw-corpus "
+    "dictionary.",
+)
+def fuzzy2_bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return SRCH.bm25_topk_fuzzy(idx, ["spakr", "mrege"], k=10, max_dist=2)
+
+
+@register(
+    "auto_compacted_bm25_documents",
+    _BM25_ORACLE_TEMPLATE.format(terms="'batch', 'vector', 'sort'"),
+    doc="The index at DAEMON CADENCE, self-maintained: the corpus "
+    "arrives as four separate ingests through "
+    "ingest_into_postings_index under a CompactionPolicy "
+    "(max_committed_gens=2) with per-ingest variants writes DEFERRED "
+    "(operators/search.py:CompactionPolicy / ingest_into_postings_index"
+    " — round-8 verdict item 1: the reference daemon commits every "
+    "minute, SyncCassElastic.py:45-47, so generations accumulate and "
+    "the operator must not have to guess when to compact). The policy "
+    "fires mid-sequence, folding the committed set back to one "
+    "generation and rebuilding the fuzzy dictionary; the final probe "
+    "must rank EXACTLY like a fresh full build (oracle = raw full "
+    "corpus) — maintenance is invisible to answers, visible only to "
+    "file/generation counts (index_health include_lifecycle=True).",
+)
+def auto_compacted_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
+    path = os.path.join(tempfile.mkdtemp(prefix="autocompact_idx_"), "idx")
+    policy = SRCH.CompactionPolicy(max_committed_gens=2)
+    for r in range(4):
+        SRCH.ingest_into_postings_index(
+            docs.filter(F.col("doc_id") % 4 == r), "doc_id", "text", path,
+            n_buckets=16, policy=policy, defer_variants=True,
+        )
+    idx = SRCH.load_postings_index(spark, path)
+    return SRCH.bm25_topk_indexed(idx, ["batch", "vector", "sort"], k=10)

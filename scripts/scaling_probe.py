@@ -206,6 +206,125 @@ def main() -> None:
             })
             shutil.rmtree(os.path.dirname(idx_path), ignore_errors=True)
 
+    # Index lifecycle at DAEMON CADENCE (round-8 verdict item 1): the
+    # reference daemon commits every minute (SyncCassElastic.py:45-47),
+    # so the index's production shape is MANY small generations. This
+    # family measures what that does to the probe: wall latency and
+    # files-per-bucket vs committed-generation count, the recovery a
+    # single compaction buys, and that CompactionPolicy keeps both
+    # bounded without an operator guessing.
+    if "lifecycle" in families:
+        import shutil
+        import tempfile as _tf
+
+        from pycasselastic_spark.operators import search as SRCH
+
+        words_arr = F.array(*[F.lit(w) for w in WORDS])
+
+        def sdocs2(lo, n):
+            return spark.range(lo, lo + n).select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(60)),
+                        lambda i: F.element_at(
+                            words_arr,
+                            ((F.xxhash64(F.col("id") * 1000 + i) % 28 + 28) % 28
+                             + 1).cast("int"),
+                        ),
+                    ),
+                ).alias("text"),
+            )
+
+        q = ["merge", "window", "spark"]
+        n0, batch = 80_000, 200  # corpus + minute-sized ingest
+
+        def files_per_bucket(path, rel):
+            return SRCH._max_files_per_bucket(os.path.join(path, rel))
+
+        def probe_sec(path):
+            idx = SRCH.load_postings_index(spark, path)
+            noop(SRCH.bm25_topk_indexed(idx, q))  # warmup (plan/JIT)
+            return min(
+                bench(lambda: noop(SRCH.bm25_topk_indexed(idx, q)))
+                for _ in range(2)
+            )
+
+        # leg 1: unmanaged growth — eager variants (worst-case file
+        # pressure: 3 partitioned relations per ingest)
+        idx_path = os.path.join(_tf.mkdtemp(prefix="lifec_idx_"), "idx")
+        SRCH.build_postings_index(sdocs2(0, n0), "doc_id", "text", idx_path, 16)
+        checkpoints = {1, 4, 8, 16, 32, 64}
+        gens = 1
+        emit(out, {
+            "op": "index_lifecycle", "gens": gens,
+            "probe_sec": probe_sec(idx_path),
+            "postings_files_per_bucket": files_per_bucket(idx_path, "postings"),
+            "variants_files_per_bucket": files_per_bucket(idx_path, "variants"),
+        })
+        for i in range(63):
+            SRCH.update_postings_index(
+                sdocs2(n0 + i * batch, batch), "text", idx_path
+            )
+            gens += 1
+            if gens in checkpoints:
+                emit(out, {
+                    "op": "index_lifecycle", "gens": gens,
+                    "probe_sec": probe_sec(idx_path),
+                    "postings_files_per_bucket":
+                        files_per_bucket(idx_path, "postings"),
+                    "variants_files_per_bucket":
+                        files_per_bucket(idx_path, "variants"),
+                })
+        t0 = time.perf_counter()
+        SRCH.compact_postings_index(spark, idx_path)
+        compact_s = round(time.perf_counter() - t0, 2)
+        emit(out, {
+            "op": "index_lifecycle_post_compact", "gens": 1,
+            "compact_sec": compact_s,
+            "probe_sec": probe_sec(idx_path),
+            "postings_files_per_bucket": files_per_bucket(idx_path, "postings"),
+            "variants_files_per_bucket": files_per_bucket(idx_path, "variants"),
+        })
+        shutil.rmtree(os.path.dirname(idx_path), ignore_errors=True)
+
+        # leg 2: managed — CompactionPolicy + deferred variants (the
+        # recommended daemon deployment); generations and files stay
+        # bounded across the same ingest count with no manual compact
+        idx_path = os.path.join(_tf.mkdtemp(prefix="lifec_auto_"), "idx")
+        policy = SRCH.CompactionPolicy(max_committed_gens=16)
+        worst_gens = worst_files = 0
+        t0 = time.perf_counter()
+        SRCH.ingest_into_postings_index(
+            sdocs2(0, n0), "doc_id", "text", idx_path, 16,
+            policy=policy, defer_variants=True,
+        )
+        for i in range(63):
+            SRCH.ingest_into_postings_index(
+                sdocs2(n0 + i * batch, batch), "doc_id", "text", idx_path, 16,
+                policy=policy, defer_variants=True,
+            )
+            import json as _json
+
+            with open(os.path.join(idx_path, "stats.json")) as fh:
+                worst_gens = max(
+                    worst_gens, len(_json.load(fh)["committed_gens"])
+                )
+            worst_files = max(
+                worst_files, files_per_bucket(idx_path, "postings")
+            )
+        total_s = round(time.perf_counter() - t0, 2)
+        emit(out, {
+            "op": "index_lifecycle_autopolicy", "ingests": 64,
+            "total_sec": total_s,
+            "max_gens_observed": worst_gens,
+            "max_postings_files_per_bucket_observed": worst_files,
+            "probe_sec": probe_sec(idx_path),
+            "variants_files_per_bucket": files_per_bucket(idx_path, "variants"),
+        })
+        shutil.rmtree(os.path.dirname(idx_path), ignore_errors=True)
+
     # synthetic documents: ~60-word texts from a small vocab, with
     # planted near-dups (every 50th doc repeats the previous text)
     def docs(n):

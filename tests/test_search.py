@@ -488,14 +488,15 @@ def test_update_crash_before_commit_is_invisible_and_retryable(
     idx0 = SRCH.load_postings_index(spark, path)
     before = sorted(map(tuple, SRCH.bm25_topk_indexed(idx0, ["alpha"], k=20).collect()))
 
-    # crash point: the COMMIT stats write (2nd _write_stats call of the
-    # update; the 1st is the generation claim)
+    # crash point: the COMMIT stats write (the update's ONLY
+    # _write_stats call — the generation claim is an O_EXCL claim
+    # file since round 9, not a stats rewrite)
     real_write = SRCH._write_stats
     calls = {"n": 0}
 
     def exploding_write(p, stats):
         calls["n"] += 1
-        if calls["n"] == 2:
+        if calls["n"] == 1:
             raise OSError("injected crash before index commit")
         return real_write(p, stats)
 
