@@ -771,6 +771,106 @@ def conjunctive_filter(scored: DataFrame, n_terms: int) -> DataFrame:
     return scored.filter(F.col("n_hit_terms") == n_terms)
 
 
+def bm25_topk_min_should_match(
+    index: PostingsIndex,
+    query_terms: list[str],
+    min_match: int,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``minimum_should_match``: BM25 top-``k`` over docs matching
+    at least ``min_match`` of the query terms — the middle ground
+    between the disjunctive (1) and conjunctive (all) probes. Same
+    pruned-postings probe; the constraint is one filter on the per-doc
+    hit count riding the existing aggregation, no extra shuffle."""
+    scored = _bm25_scored(index, query_terms, k1, b)
+    return (
+        scored.filter(F.col("n_hit_terms") >= min_match)
+        .orderBy(F.col("score_q20").desc(), F.col(index.id_col).asc())
+        .limit(k)
+    )
+
+
+def bm25_search_after(
+    index: PostingsIndex,
+    query_terms: list[str],
+    after_score_q20: int,
+    after_id,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``search_after`` cursor pagination: the next ``k`` results
+    STRICTLY after the (score_q20, id) sort cursor in the total order
+    (score desc, id asc — the unique tiebreak makes the cursor
+    unambiguous, exactly why ES requires a tiebreak sort field).
+    Stateless deep paging: unlike from/size the probe re-ranks only
+    matching docs and the filter prunes everything at or before the
+    cursor — no scroll context server-side, same partition-pruned
+    probe as page one."""
+    scored = _bm25_scored(index, query_terms, k1, b)
+    after = scored.filter(
+        (F.col("score_q20") < F.lit(int(after_score_q20)))
+        | (
+            (F.col("score_q20") == F.lit(int(after_score_q20)))
+            & (F.col(index.id_col) > F.lit(after_id))
+        )
+    )
+    return after.orderBy(
+        F.col("score_q20").desc(), F.col(index.id_col).asc()
+    ).limit(k)
+
+
+def bm25_topk_multifield(
+    field_indexes: dict[str, PostingsIndex],
+    boosts: dict[str, float],
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``multi_match`` in ``most_fields`` mode: each field is its
+    own stored index (own df/dl/avgdl statistics — exactly how Lucene
+    scores per-field), the per-field BM25 scores combine as a
+    boost-weighted sum, and docs matching in ANY field rank. Returns
+    ``(id, n_hit_terms, score_q20)`` where score_q20 =
+    sum(boost_f * field_score_q20) in exact integer math (boosts are
+    small integers by convention, keeping the Q20 determinism law) and
+    n_hit_terms = max over fields.
+
+    Plan shape: one pruned probe per field (each against its own
+    term-bucket layout), combined by a full outer join on the doc id —
+    field probe outputs are query-bounded, so the join is small; no
+    corpus scan anywhere."""
+    combined = None
+    id_col = None
+    for field, index in field_indexes.items():
+        boost = int(boosts.get(field, 1))
+        id_col = index.id_col
+        scored = _bm25_scored(index, query_terms, k1, b).select(
+            F.col(index.id_col),
+            F.col("n_hit_terms").alias(f"hits_{field}"),
+            (F.col("score_q20") * F.lit(boost)).alias(f"score_{field}"),
+        )
+        combined = (
+            scored
+            if combined is None
+            else combined.join(scored, id_col, "full_outer")
+        )
+    fields = list(field_indexes)
+    return combined.select(
+        F.col(id_col),
+        F.greatest(
+            *[F.coalesce(F.col(f"hits_{f}"), F.lit(0)) for f in fields]
+        ).alias("n_hit_terms"),
+        sum(
+            (F.coalesce(F.col(f"score_{f}"), F.lit(0)) for f in fields),
+            F.lit(0),
+        ).cast("long").alias("score_q20"),
+    ).orderBy(F.col("score_q20").desc(), F.col(id_col).asc()).limit(k)
+
+
 def bm25_topk_conjunctive(
     index: PostingsIndex,
     query_terms: list[str],
@@ -794,7 +894,12 @@ def bm25_topk_conjunctive(
     )
 
 
-def compact_postings_index(spark: SparkSession, path: str) -> tuple[int, int]:
+def compact_postings_index(
+    spark: SparkSession,
+    path: str,
+    n_buckets: int | None = None,
+    variant_depth: int | None = None,
+) -> tuple[int, int]:
     """Index maintenance (the LSM-compaction twin of
     ``sources.pyds.compact_lwwstore``): fold superseded generations out
     of the stored postings/docstats, truncate the superseded list, and
@@ -805,19 +910,35 @@ def compact_postings_index(spark: SparkSession, path: str) -> tuple[int, int]:
     superseded side has grown past broadcast comfort (many re-ingests).
     Single-writer per index path, like every maintenance op here; the
     directory swap is rename-based so a crash leaves either the old or
-    the new complete structure, never a mix."""
+    the new complete structure, never a mix.
+
+    ``n_buckets`` / ``variant_depth`` overrides turn the compaction
+    into ES's zero-downtime REINDEX (settings change + alias swap):
+    the stored postings carry everything a rebuild needs (terms,
+    positions, doc lengths), so re-bucketing for more scan parallelism
+    or deepening the fuzzy dictionary to fuzziness=2 never touches raw
+    text, and readers see the old index until the one-rename swap."""
     idx = load_postings_index(spark, path)
     n_superseded = idx.superseded.count()
     with open(os.path.join(path, "stats.json")) as f:
         stats = json.load(f)
     committed = stats["committed_gens"]
-    variant_depth = stats.get("variant_depth", 1)
+    variant_depth = variant_depth or stats.get("variant_depth", 1)
+    new_buckets = n_buckets or idx.n_buckets
     live_postings = idx.postings.join(
         idx.superseded, [idx.id_col, "gen"], "left_anti"
     ).withColumn("gen", F.lit(0).cast("long"))
     live_forward = idx.forward.join(
         idx.superseded, [idx.id_col, "gen"], "left_anti"
     ).withColumn("gen", F.lit(0).cast("long"))
+    if new_buckets != idx.n_buckets:
+        live_postings = live_postings.withColumn(
+            "pbucket", _term_bucket_col(F.col("term"), new_buckets)
+        )
+        live_forward = live_forward.withColumn(
+            "ibucket",
+            _term_bucket_col(F.col(idx.id_col).cast("string"), new_buckets),
+        )
     # committed filter first: orphan rows from crashed updates are
     # physically dropped here, never resurrected
     docstats = spark.read.parquet(os.path.join(path, "docstats")).filter(
@@ -840,7 +961,7 @@ def compact_postings_index(spark: SparkSession, path: str) -> tuple[int, int]:
                 F.expr(_deletion_variants_expr(variant_depth))
             ).alias("variant"),
         )
-        .withColumn("vbucket", _term_bucket_col(F.col("variant"), idx.n_buckets))
+        .withColumn("vbucket", _term_bucket_col(F.col("variant"), new_buckets))
     )
 
     relations = (
@@ -883,7 +1004,7 @@ def compact_postings_index(spark: SparkSession, path: str) -> tuple[int, int]:
     _write_stats(path, {
         "n_docs": idx.n_docs, "total_dl": idx.total_dl, "generation": 0,
         "next_gen": 1, "committed_gens": [0],
-        "n_buckets": idx.n_buckets, "id_col": idx.id_col,
+        "n_buckets": new_buckets, "id_col": idx.id_col,
         "variant_depth": variant_depth,
     })
     return n_superseded, 0

@@ -1126,3 +1126,176 @@ def auto_compacted_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     idx = SRCH.load_postings_index(spark, path)
     return SRCH.bm25_topk_indexed(idx, ["batch", "vector", "sort"], k=10)
+
+
+@register(
+    "min_should_match_bm25_documents",
+    _BM25_ORACLE_TEMPLATE.format(terms="'scan', 'hash', 'join'").replace(
+        "GROUP BY doc_id, sc.n_docs",
+        "GROUP BY doc_id, sc.n_docs HAVING COUNT(*) >= 2",
+    ),
+    doc="ES minimum_should_match: BM25 top-10 over docs matching at "
+    "least 2 of the 3 query terms "
+    "(operators/search.py:bm25_topk_min_should_match) — the middle "
+    "ground between the disjunctive and conjunctive (bool-must) "
+    "probes, completing that ES match-control surface. Same pruned "
+    "stored-postings probe; the constraint is one filter on the "
+    "per-doc hit count riding the existing aggregation, no extra "
+    "shuffle. Oracle adds HAVING COUNT(*) >= 2 to the scoring SQL.",
+)
+def min_should_match_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return SRCH.bm25_topk_min_should_match(idx, ["scan", "hash", "join"], 2, k=10)
+
+
+@register(
+    "search_after_bm25_documents",
+    _BM25_ORACLE_TEMPLATE.format(terms="'table', 'row', 'key'").replace(
+        """SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hit_terms,""",
+        """SELECT doc_id, n_hit_terms, score_q20 FROM (
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hit_terms,""",
+    ).replace(
+        """ORDER BY score_q20 DESC, doc_id LIMIT 10""",
+        """) WHERE 1=1 QUALIFY ROW_NUMBER()
+     OVER (ORDER BY score_q20 DESC, doc_id) BETWEEN 11 AND 20
+ORDER BY score_q20 DESC, doc_id""",
+    ),
+    doc="ES search_after cursor pagination: page TWO of the BM25 "
+    "ranking for 'table row key' — the driver collects page one's "
+    "last (score_q20, doc_id) as the cursor, then "
+    "operators/search.py:bm25_search_after returns the next 10 "
+    "STRICTLY after it in the total order (score desc, id asc; the "
+    "unique tiebreak is what makes the cursor unambiguous — the "
+    "reason ES requires a tiebreak sort field). Stateless deep "
+    "paging: no scroll context, the same partition-pruned probe as "
+    "page one with everything at-or-before the cursor filtered out. "
+    "Oracle: rows ranked 11-20 of the identical total order via "
+    "QUALIFY ROW_NUMBER().",
+)
+def search_after_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    terms = ["table", "row", "key"]
+    page1 = SRCH.bm25_topk_indexed(idx, terms, k=10).collect()
+    cursor = page1[-1]
+    return SRCH.bm25_search_after(
+        idx, terms, cursor["score_q20"], cursor["doc_id"], k=10
+    )
+
+
+_MF_INDEX_CACHE: dict[str, tuple] = {}
+
+_MF_FIELD_SCORE_SQL = """
+{p}tok AS (SELECT doc_id, unnest(string_split({field}, ' ')) AS term FROM f),
+{p}post AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM {p}tok WHERE term <> '' GROUP BY term, doc_id),
+{p}qt AS (SELECT * FROM {p}post WHERE term IN ({terms})),
+{p}df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM {p}qt GROUP BY term),
+{p}dl AS (SELECT doc_id, len(string_split({field}, ' ')) AS dl FROM f),
+{p}sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 AVG(CAST(len(string_split({field}, ' ')) AS DOUBLE)) AS avgdl
+          FROM f),
+{p}score AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS hits,
+         CAST(FLOOR(SUM(
+           ln(1.0 + ({p}sc.n_docs - {p}df.df + 0.5) / ({p}df.df + 0.5))
+           * ({p}qt.tf * 2.2)
+           / ({p}qt.tf + 1.2 * (0.25 + 0.75 * {p}dl.dl / {p}sc.avgdl))
+         ) * 1048576.0) AS BIGINT) AS s
+  FROM {p}qt JOIN {p}df USING (term) JOIN {p}dl USING (doc_id)
+       CROSS JOIN {p}sc
+  GROUP BY doc_id, {p}sc.n_docs)
+"""
+
+
+@register(
+    "multifield_bm25_documents",
+    "WITH f AS (SELECT doc_id,\n"
+    "  array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')"
+    " AS title,\n"
+    "  array_to_string(list_slice(string_split(text, ' '), 9,"
+    " len(string_split(text, ' '))), ' ') AS body\n"
+    "  FROM documents),\n"
+    + _MF_FIELD_SCORE_SQL.format(p="t", field="title",
+                                 terms="'spark', 'merge'")
+    + ",\n"
+    + _MF_FIELD_SCORE_SQL.format(p="b", field="body",
+                                 terms="'spark', 'merge'")
+    + """
+SELECT COALESCE(tscore.doc_id, bscore.doc_id) AS doc_id,
+       CAST(GREATEST(COALESCE(tscore.hits, 0), COALESCE(bscore.hits, 0))
+            AS BIGINT) AS n_hit_terms,
+       CAST(2 * COALESCE(tscore.s, 0) + COALESCE(bscore.s, 0) AS BIGINT)
+         AS score_q20
+FROM tscore FULL OUTER JOIN bscore ON tscore.doc_id = bscore.doc_id
+ORDER BY score_q20 DESC, doc_id LIMIT 10
+""",
+    doc="ES multi_match in most_fields mode over a title field (first "
+    "8 tokens, boost 2) and a body field (the rest, boost 1), each "
+    "backed by its OWN stored postings index with its own df/dl/avgdl "
+    "statistics — exactly how Lucene scores per-field "
+    "(operators/search.py:bm25_topk_multifield). Per-field scores "
+    "combine as an exact-integer boost-weighted sum of the Q20 "
+    "scores (determinism preserved); docs matching in either field "
+    "rank. One pruned probe per field, combined by a full outer join "
+    "on query-bounded outputs — no corpus scan. Oracle replays both "
+    "field derivations and the weighted combine.",
+)
+def multifield_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cached = _MF_INDEX_CACHE.get(sf_dir)
+    if cached is None:
+        docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
+        toks = F.split(F.col("text"), " ")
+        fields = docs.select(
+            "doc_id",
+            F.array_join(F.slice(toks, 1, 8), " ").alias("title"),
+            F.array_join(
+                F.expr(
+                    "slice(split(text, ' '), 9,"
+                    " greatest(size(split(text, ' ')) - 8, 0))"
+                ),
+                " ",
+            ).alias("body"),
+        )
+        base = tempfile.mkdtemp(prefix="mf_idx_")
+        tpath, bpath = os.path.join(base, "title"), os.path.join(base, "body")
+        SRCH.build_postings_index(
+            fields.select("doc_id", "title"), "doc_id", "title", tpath, 16
+        )
+        SRCH.build_postings_index(
+            fields.select("doc_id", "body"), "doc_id", "body", bpath, 16
+        )
+        cached = (tpath, bpath)
+        _MF_INDEX_CACHE[sf_dir] = cached
+    tidx = SRCH.load_postings_index(spark, cached[0])
+    bidx = SRCH.load_postings_index(spark, cached[1])
+    return SRCH.bm25_topk_multifield(
+        {"title": tidx, "body": bidx}, {"title": 2, "body": 1},
+        ["spark", "merge"], k=10,
+    )
+
+
+@register(
+    "reindex_upgrade_fuzzy2_documents",
+    QUERIES["fuzzy2_bm25_search_documents"].oracle,
+    doc="ES zero-downtime REINDEX (settings change + alias swap) from "
+    "the stored postings alone: build the index at variant_depth=1 / "
+    "8 buckets, then compact_postings_index(n_buckets=16, "
+    "variant_depth=2) re-buckets the physical layout and deepens the "
+    "FastSS dictionary WITHOUT touching raw text (the postings carry "
+    "terms, positions and doc lengths — everything a rebuild needs), "
+    "with readers seeing the old structure until the one-rename swap. "
+    "The proof: a fuzziness=2 probe on the upgraded index must rank "
+    "exactly like the depth-2-from-birth oracle "
+    "(fuzzy2_bm25_search_documents's raw-text SQL, reused verbatim).",
+)
+def reindex_upgrade_fuzzy2_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
+    path = os.path.join(tempfile.mkdtemp(prefix="reindex_idx_"), "idx")
+    SRCH.build_postings_index(
+        docs, "doc_id", "text", path, n_buckets=8, variant_depth=1
+    )
+    SRCH.compact_postings_index(spark, path, n_buckets=16, variant_depth=2)
+    idx = SRCH.load_postings_index(spark, path)
+    return SRCH.bm25_topk_fuzzy(idx, ["spakr", "mrege"], k=10, max_dist=2)

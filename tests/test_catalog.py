@@ -43,19 +43,21 @@ def test_query_runs(spark, sf_dir, name):
     assert len(df.columns) == len(set(df.columns))
 
 
-def test_round8_gate_slots():
-    """The driver hashes the FIRST 50 registered queries; the round-8
-    rotation puts the four no-round-5+-row queries in slots 0-3, the
-    three NEW postings-index queries in slots 4-6, and 43 stale-r5
-    rows in slots 7-49. Pin the boundary slots so an accidental
-    registration reorder is caught before the driver runs (COVERAGE.md
-    enumerates the full list)."""
+def test_round9_gate_slots():
+    """The driver hashes the FIRST 50 registered queries; the round-9
+    rotation puts the four post-gate round-8 registrations in slots
+    0-3, the nine stale-r5 rows in slots 4-12, the two NEW round-9
+    queries in slots 13-14, and the first 35 stale-r6 rows in slots
+    15-49. Pin the boundary slots so an accidental registration
+    reorder is caught before the driver runs (COVERAGE.md enumerates
+    the full list)."""
     names = list(QUERIES)
-    assert names[0] == "streaming_lwwstore_replicate_events"
-    assert names[3] == "full_outer_join_customer_orders"
-    assert names[4] == "bm25_indexed_search_documents"
-    assert names[6] == "phrase_slop_search_documents"
-    assert names[7] == "approx_distinct_stats_events"
-    assert names[48] == "conjunctive_bm25_indexed_documents"
-    assert names[49] == "streaming_indexed_search_documents"
-    assert len(names) == 163
+    assert names[0] == "postings_index_health_documents"
+    assert names[3] == "fuzzy_bm25_search_documents"
+    assert names[4] == "gap_fill_hourly_events"
+    assert names[12] == "streaming_dedup_events"
+    assert names[13] == "fuzzy2_bm25_search_documents"
+    assert names[14] == "auto_compacted_bm25_documents"
+    assert names[15] == "string_suite_documents"
+    assert names[49] == "user_value_outliers_events"
+    assert len(names) == 169

@@ -319,6 +319,10 @@ def test_indexed_probe_plans_no_generate_no_smj(spark, probe_index):
         "conjunctive": SRCH.bm25_topk_conjunctive(idx, ["alpha", "beta"], k=10),
         "mlt": SRCH.more_like_this(idx, 7, m=3, k=10),
         "highlight": SRCH.highlight_snippets(idx, docs, "text", ["alpha", "w3"]),
+        "min_should_match": SRCH.bm25_topk_min_should_match(
+            idx, ["alpha", "beta", "w3"], 2, k=10
+        ),
+        "search_after": SRCH.bm25_search_after(idx, ["alpha"], 1 << 20, 3, k=10),
     }
     for name, df in probes.items():
         plan = _executed(df)

@@ -598,3 +598,118 @@ def test_fuzzy_bm25_expands_typos_and_respects_updates(spark, tmp_path):
     assert SRCH.expand_fuzzy_terms(idx2, ["sparkk"]) == ["spark", "sparky"]
     got2 = {r["doc_id"] for r in SRCH.bm25_topk_fuzzy(idx2, ["sparkk"]).collect()}
     assert got2 == {1, 2, 9}
+
+
+# --- round-9 ES-parity additions ------------------------------------------
+
+
+def test_min_should_match_between_disjunctive_and_conjunctive(spark, tmp_path):
+    """minimum_should_match=2 of 3 terms: supersets the conjunctive
+    (all-3) result, subsets the disjunctive (any) result, and every
+    returned doc matched >= 2 terms."""
+    docs = _corpus(spark, [
+        (1, "a b c"), (2, "a b x"), (3, "a y z"), (4, "q r s"),
+    ])
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4)
+    idx = SRCH.load_postings_index(spark, path)
+    terms = ["a", "b", "c"]
+    got = SRCH.bm25_topk_min_should_match(idx, terms, 2, k=10).collect()
+    ids = {r["doc_id"] for r in got}
+    assert ids == {1, 2}
+    assert all(r["n_hit_terms"] >= 2 for r in got)
+
+
+def test_search_after_paginates_the_exact_total_order(spark, tmp_path):
+    """Cursor pagination: walking 2-row pages with each page's last
+    (score_q20, id) as the next cursor reproduces the full ranking
+    exactly, with no overlaps or gaps."""
+    docs = _corpus(spark, [
+        (i, " ".join(["alpha"] * (i % 4 + 1) + [f"w{i}"])) for i in range(9)
+    ])
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4)
+    idx = SRCH.load_postings_index(spark, path)
+    full = SRCH.bm25_topk_indexed(idx, ["alpha"], k=100).collect()
+    assert len(full) == 9
+    pages, cursor = [], None
+    while True:
+        if cursor is None:
+            page = SRCH.bm25_topk_indexed(idx, ["alpha"], k=2).collect()
+        else:
+            page = SRCH.bm25_search_after(
+                idx, ["alpha"], cursor["score_q20"], cursor["doc_id"], k=2
+            ).collect()
+        if not page:
+            break
+        pages.extend(page)
+        cursor = page[-1]
+    assert [tuple(r) for r in pages] == [tuple(r) for r in full]
+
+
+def test_multifield_most_fields_combines_boosted_field_scores(spark, tmp_path):
+    """multi_match most_fields: per-field indexes keep their own
+    statistics, the combined score is the exact integer
+    boost-weighted sum of the per-field Q20 scores, and a doc matching
+    in only one field still ranks."""
+    rows = [
+        (1, "spark title", "body about other things"),
+        (2, "unrelated title", "spark spark in the body"),
+        (3, "spark here", "spark there"),
+        (4, "nothing", "nothing again"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "title", "body"])
+    tpath, bpath = str(tmp_path / "t"), str(tmp_path / "b")
+    SRCH.build_postings_index(docs.select("doc_id", "title"), "doc_id", "title", tpath, 4)
+    SRCH.build_postings_index(docs.select("doc_id", "body"), "doc_id", "body", bpath, 4)
+    tidx = SRCH.load_postings_index(spark, tpath)
+    bidx = SRCH.load_postings_index(spark, bpath)
+    got = SRCH.bm25_topk_multifield(
+        {"title": tidx, "body": bidx}, {"title": 2, "body": 1}, ["spark"], k=10
+    ).collect()
+    assert {r["doc_id"] for r in got} == {1, 2, 3}
+    t = {r["doc_id"]: r["score_q20"]
+         for r in SRCH._bm25_scored(tidx, ["spark"], 1.2, 0.75).collect()}
+    b = {r["doc_id"]: r["score_q20"]
+         for r in SRCH._bm25_scored(bidx, ["spark"], 1.2, 0.75).collect()}
+    for r in got:
+        want = 2 * t.get(r["doc_id"], 0) + b.get(r["doc_id"], 0)
+        assert r["score_q20"] == want, r
+
+
+def test_reindex_changes_buckets_and_depth_without_raw_text(spark, tmp_path):
+    """compact_postings_index with settings overrides = ES reindex:
+    re-bucket 4 -> 8 and deepen the fuzzy dictionary 1 -> 2 from the
+    stored postings alone; probes must answer exactly like a fresh
+    build at the new settings, and fuzziness=2 starts working on an
+    index originally built at depth 1."""
+    rows = [(i, f"spark merge w{i % 6} catalog") for i in range(24)]
+    docs = _corpus(spark, rows)
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4)
+    SRCH.update_postings_index(
+        _corpus(spark, [(0, "window shuffle spark"), (50, "scan merge")]),
+        "text", path,
+    )
+    SRCH.compact_postings_index(spark, path, n_buckets=8, variant_depth=2)
+
+    current = dict(rows)
+    current.update({0: "window shuffle spark", 50: "scan merge"})
+    fresh_path = str(tmp_path / "fresh")
+    SRCH.build_postings_index(
+        _corpus(spark, sorted(current.items())), "doc_id", "text",
+        fresh_path, n_buckets=8, variant_depth=2,
+    )
+    idx = SRCH.load_postings_index(spark, path)
+    fresh = SRCH.load_postings_index(spark, fresh_path)
+    assert (idx.n_buckets, idx.variant_depth) == (8, 2)
+    for terms in (["spark"], ["merge", "catalog"], ["shuffle"]):
+        got = sorted(map(tuple, SRCH.bm25_topk_indexed(idx, terms, k=40).collect()))
+        want = sorted(map(tuple, SRCH.bm25_topk_indexed(fresh, terms, k=40).collect()))
+        assert got == want, terms
+    # fuzziness=2 now works on the originally-depth-1 index
+    assert SRCH.expand_fuzzy_terms(idx, ["spakr"], max_dist=2) == ["spark"]
+    # the new bucket layout is physical (partition dirs re-hashed)
+    import os as _os
+    buckets = {d for d in _os.listdir(path + "/postings") if d.startswith("pbucket=")}
+    assert buckets == {f"pbucket={b}" for b in range(8)} & buckets and len(buckets) > 4
