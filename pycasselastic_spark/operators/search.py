@@ -894,6 +894,103 @@ def bm25_topk_conjunctive(
     )
 
 
+def bm25_bool_query(
+    index: PostingsIndex,
+    must: list[str],
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """The full ES ``bool`` query: docs must contain EVERY ``must``
+    term, ``should`` terms add relevance without being required, and
+    any ``must_not`` term excludes the doc outright. Returns
+    ``(id, n_hit_terms, score_q20)`` — score over the must+should
+    matches (must_not terms never contribute score, they only veto).
+
+    Plan shape: ONE pruned postings probe fetches all three clauses'
+    terms; scoring rows (must+should) flow through the same
+    broadcast-df + single-aggregation pipeline as every other probe,
+    with the must-hit count as one more conditional aggregate riding
+    that groupBy; the veto is a broadcast anti-join against the
+    (query-bounded) must_not doc list. No corpus access anywhere."""
+    should = should or []
+    must_not = must_not or []
+    id_col = index.id_col
+    all_terms = sorted(set(must) | set(should) | set(must_not))
+    postings = index.live_postings_for(all_terms)
+    scoring_terms = sorted(set(must) | set(should))
+    scoring = postings.filter(F.col("term").isin(scoring_terms))
+    dfreq = scoring.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        scoring.join(F.broadcast(dfreq), "term")
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(index.n_docs) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.lit(index.avgdl))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_terms"),
+            F.floor(F.sum("term_score") * Q20).cast("long").alias("score_q20"),
+            F.count(
+                F.when(F.col("term").isin(sorted(set(must))), F.lit(1))
+            ).alias("must_hits"),
+        )
+        .filter(F.col("must_hits") == len(set(must)))
+        .drop("must_hits")
+    )
+    if must_not:
+        vetoed = (
+            postings.filter(F.col("term").isin(sorted(set(must_not))))
+            .select(id_col)
+            .distinct()
+        )
+        scored = scored.join(F.broadcast(vetoed), id_col, "left_anti")
+    return scored.orderBy(
+        F.col("score_q20").desc(), F.col(id_col).asc()
+    ).limit(k)
+
+
+def search_facets(
+    index: PostingsIndex,
+    docs: DataFrame,
+    query_terms: list[str],
+    facet_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """ES search + aggregations (a terms facet over the hit set):
+    ``(facet value, n_docs)`` for every doc matching ANY query term,
+    sorted by count desc then value. The hit set comes from the
+    pruned stored postings (no corpus scan to FIND matches); only the
+    (query-bounded) candidate ids broadcast-join back to the docs
+    table for the facet column — the same candidate-bounded
+    stored-field fetch shape as highlighting."""
+    id_col = index.id_col
+    hits = index.live_postings_for(query_terms).select(id_col).distinct()
+    return (
+        F.broadcast(hits)
+        .join(docs.select(id_col, facet_col), id_col)
+        .groupBy(facet_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col(facet_col).asc())
+        .limit(k)
+    )
+
+
 def compact_postings_index(
     spark: SparkSession,
     path: str,

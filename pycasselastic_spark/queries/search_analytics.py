@@ -1299,3 +1299,81 @@ def reindex_upgrade_fuzzy2_documents(spark: SparkSession, sf_dir: str) -> DataFr
     SRCH.compact_postings_index(spark, path, n_buckets=16, variant_depth=2)
     idx = SRCH.load_postings_index(spark, path)
     return SRCH.bm25_topk_fuzzy(idx, ["spakr", "mrege"], k=10, max_dist=2)
+
+
+@register(
+    "bool_query_bm25_documents",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+postings AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY term, doc_id
+),
+qt AS (SELECT * FROM postings WHERE term IN ('scan', 'join', 'hash')),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+              AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+       FROM documents),
+scored AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+         CAST(FLOOR(SUM(
+           ln(1.0 + (sc.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (qt.tf * 2.2)
+           / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / sc.avgdl))
+         ) * 1048576.0) AS BIGINT) AS score_q20,
+         COUNT(CASE WHEN term IN ('scan', 'join') THEN 1 END) AS must_hits
+  FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+  GROUP BY doc_id, sc.n_docs)
+SELECT doc_id, n_hit_terms, score_q20
+FROM scored
+WHERE must_hits = 2
+  AND doc_id NOT IN (SELECT doc_id FROM postings WHERE term = 'window')
+ORDER BY score_q20 DESC, doc_id LIMIT 10
+""",
+    doc="The full ES bool query in one probe: must=['scan','join'] "
+    "(every one required), should=['hash'] (adds relevance, not "
+    "required), must_not=['window'] (vetoes the doc outright, never "
+    "scores) — operators/search.py:bm25_bool_query. ONE pruned "
+    "postings probe fetches all three clauses' terms; the must-hit "
+    "count rides the scoring aggregation as a conditional count and "
+    "the veto is a broadcast anti-join against the query-bounded "
+    "must_not doc list. Oracle replays the same clause algebra from "
+    "raw text.",
+)
+def bool_query_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return SRCH.bm25_bool_query(
+        idx, must=["scan", "join"], should=["hash"], must_not=["window"], k=10
+    )
+
+
+@register(
+    "search_facets_documents",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+hits AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'merge'))
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM hits JOIN documents USING (doc_id)
+GROUP BY source
+ORDER BY n_docs DESC, source LIMIT 10
+""",
+    doc="ES search + aggregations (a terms facet over the hit set): "
+    "per-source doc counts for every document matching 'spark' OR "
+    "'merge' (operators/search.py:search_facets). The hit set comes "
+    "from the pruned STORED postings — no corpus scan to find "
+    "matches — and only the query-bounded candidate ids "
+    "broadcast-join back to the docs table for the facet column, the "
+    "same candidate-bounded stored-field fetch shape as "
+    "highlighting. Oracle derives the identical hit set from raw "
+    "text.",
+)
+def search_facets_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return SRCH.search_facets(idx, docs, ["spark", "merge"], "source", k=10)

@@ -713,3 +713,45 @@ def test_reindex_changes_buckets_and_depth_without_raw_text(spark, tmp_path):
     import os as _os
     buckets = {d for d in _os.listdir(path + "/postings") if d.startswith("pbucket=")}
     assert buckets == {f"pbucket={b}" for b in range(8)} & buckets and len(buckets) > 4
+
+
+def test_bool_query_must_should_must_not(spark, tmp_path):
+    """ES bool semantics: all must terms required; should adds score
+    but is not required; a must_not hit vetoes even a perfect must
+    match; must_not terms never contribute score."""
+    docs = _corpus(spark, [
+        (1, "a b"),        # must only
+        (2, "a b c"),      # must + should -> outranks 1
+        (3, "a b c x"),    # must + should but vetoed by x
+        (4, "a c"),        # missing must 'b'
+        (5, "q r"),        # nothing
+    ])
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4)
+    idx = SRCH.load_postings_index(spark, path)
+    got = SRCH.bm25_bool_query(
+        idx, must=["a", "b"], should=["c"], must_not=["x"], k=10
+    ).collect()
+    by_id = {r["doc_id"]: r for r in got}
+    assert set(by_id) == {1, 2}
+    assert by_id[2]["n_hit_terms"] == 3 and by_id[1]["n_hit_terms"] == 2
+    assert by_id[2]["score_q20"] > by_id[1]["score_q20"]
+
+
+def test_search_facets_counts_hit_docs_per_value(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark x", "web"),
+            (2, "spark y", "web"),
+            (3, "merge z", "book"),
+            (4, "other", "web"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(
+        docs.select("doc_id", "text"), "doc_id", "text", path, n_buckets=4
+    )
+    idx = SRCH.load_postings_index(spark, path)
+    got = SRCH.search_facets(idx, docs, ["spark", "merge"], "source").collect()
+    assert [(r["source"], r["n_docs"]) for r in got] == [("web", 2), ("book", 1)]
