@@ -306,6 +306,27 @@ class PostingsIndex:
             F.broadcast(self.superseded), [self.id_col, "gen"], "left_anti"
         )
 
+    def live_postings(self) -> DataFrame:
+        """ALL current-generation postings (committed + superseded
+        dropped) — the corpus-statistics side of index analytics
+        (significant-terms background counts). A full stored-relation
+        scan by design: still postings-sized, never raw text."""
+        if self.generation == 0:
+            return self.postings
+        return self.postings.join(
+            F.broadcast(self.superseded), [self.id_col, "gen"], "left_anti"
+        )
+
+    def live_forward(self) -> DataFrame:
+        """ALL current-generation forward rows (doc -> terms); the
+        id-keyed twin of ``live_postings`` for hit-set joins whose id
+        list is a DataFrame, not a driver-side literal."""
+        if self.generation == 0:
+            return self.forward
+        return self.forward.join(
+            F.broadcast(self.superseded), [self.id_col, "gen"], "left_anti"
+        )
+
     def live_forward_for(self, doc_ids: list) -> DataFrame:
         """Current-generation FORWARD rows (doc -> its terms) for the
         given ids: the id-keyed twin of ``live_postings_for`` —
@@ -988,6 +1009,86 @@ def search_facets(
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy(F.col("n_docs").desc(), F.col(facet_col).asc())
         .limit(k)
+    )
+
+
+def suggest_terms(
+    index: PostingsIndex, term: str, k: int = 5, max_dist: int | None = None
+) -> DataFrame:
+    """ES term suggester (did-you-mean): dictionary terms within
+    ``max_dist`` edits of ``term`` ranked the way ES ranks suggestions
+    — closer first, then more frequent (document frequency from the
+    stored postings), then lexicographic. Returns
+    ``(term, dist, df)``. Candidates come from the same FastSS
+    variant probe as fuzzy search; their df from the
+    term-bucket-pruned postings probe — a few candidate terms' rows,
+    no corpus or full-dictionary scan. ``max_dist`` defaults to the
+    index's stored variant depth."""
+    max_dist = index.variant_depth if max_dist is None else max_dist
+    cands = expand_fuzzy_terms(index, [term], max_dist)
+    spark = index.postings.sparkSession
+    if not cands:
+        return spark.createDataFrame([], "term STRING, dist INT, df LONG")
+    dfreq = (
+        index.live_postings_for(cands)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn(
+            "dist", F.levenshtein(F.col("term"), F.lit(term)).cast("int")
+        )
+    )
+    return dfreq.select("term", "dist", "df").orderBy(
+        F.col("dist").asc(), F.col("df").desc(), F.col("term").asc()
+    ).limit(k)
+
+
+def significant_terms(
+    index: PostingsIndex,
+    query_terms: list[str],
+    m: int = 10,
+    min_fg_df: int = 2,
+) -> DataFrame:
+    """ES ``significant_terms`` aggregation: terms OVERREPRESENTED in
+    the hit set relative to the corpus, scored with ES's JLH
+    (``(fg% - bg%) * (fg% / bg%)``), query terms excluded, Q20
+    fixed point. Returns ``(term, fg_df, bg_df, jlh_q20)``.
+
+    Index-only analytics: the hit set comes from the pruned postings
+    probe; per-term foreground counts from the FORWARD relation
+    joined to the broadcast hit list (hit-set-bounded); background
+    counts are one aggregation over the stored postings — a full
+    stored-relation scan by design (ES pays the same global-ordinals
+    pass), but never a raw-text scan."""
+    id_col = index.id_col
+    hits = index.live_postings_for(query_terms).select(id_col).distinct()
+    n_fg = hits.count()
+    if n_fg == 0:
+        return index.postings.sparkSession.createDataFrame(
+            [], "term STRING, fg_df LONG, bg_df LONG, jlh_q20 LONG"
+        )
+    fg = (
+        index.live_forward()
+        .join(F.broadcast(hits), id_col)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fg_df"))
+        .filter(
+            (F.col("fg_df") >= min_fg_df)
+            & ~F.col("term").isin(sorted(set(query_terms)))
+        )
+    )
+    bg = index.live_postings().groupBy("term").agg(
+        F.count(F.lit(1)).alias("bg_df")
+    )
+    fgp = F.col("fg_df") / F.lit(float(n_fg))
+    bgp = F.col("bg_df") / F.lit(float(index.n_docs))
+    return (
+        fg.join(bg, "term")
+        .withColumn(
+            "jlh_q20",
+            F.floor((fgp - bgp) * (fgp / bgp) * Q20).cast("long"),
+        )
+        .orderBy(F.col("jlh_q20").desc(), F.col("term").asc())
+        .limit(m)
     )
 
 

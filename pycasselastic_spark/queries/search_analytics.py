@@ -1377,3 +1377,79 @@ def search_facets_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _postings_index_for(spark, sf_dir)
     docs = _t(spark, sf_dir, "documents")
     return SRCH.search_facets(idx, docs, ["spark", "merge"], "source", k=10)
+
+
+@register(
+    "suggest_terms_documents",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+postings AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY term, doc_id
+),
+dict AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+         FROM postings GROUP BY term)
+SELECT term,
+       CAST(levenshtein(term, 'spakr') AS INT) AS dist,
+       df
+FROM dict
+WHERE levenshtein(term, 'spakr') <= 2
+ORDER BY dist ASC, df DESC, term ASC LIMIT 5
+""",
+    doc="ES term suggester (did-you-mean) for the typo 'spakr': "
+    "dictionary terms within 2 edits ranked closer-first then "
+    "more-frequent then lexicographic — ES's suggestion order "
+    "(operators/search.py:suggest_terms). Candidates come from the "
+    "STORED depth-2 FastSS variant probe (no full-dictionary scan), "
+    "their document frequencies from the term-bucket-pruned postings "
+    "probe. Oracle replays the ranking with DuckDB levenshtein over "
+    "the raw-corpus dictionary.",
+)
+def suggest_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return SRCH.suggest_terms(idx, "spakr", k=5, max_dist=2)
+
+
+@register(
+    "significant_terms_documents",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+postings AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY term, doc_id
+),
+hits AS (SELECT DISTINCT doc_id FROM postings WHERE term = 'spark'),
+nfg AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM hits),
+ndocs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+fg AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS fg_df
+       FROM postings JOIN hits USING (doc_id)
+       WHERE term <> 'spark' GROUP BY term HAVING COUNT(*) >= 2),
+bg AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS bg_df
+       FROM postings GROUP BY term)
+SELECT term, fg_df, bg_df,
+       CAST(FLOOR(
+         ((fg_df / nfg.n) - (bg_df / ndocs.n))
+         * ((fg_df / nfg.n) / (bg_df / ndocs.n)) * 1048576.0
+       ) AS BIGINT) AS jlh_q20
+FROM fg JOIN bg USING (term) CROSS JOIN nfg CROSS JOIN ndocs
+ORDER BY jlh_q20 DESC, term ASC LIMIT 10
+""",
+    doc="ES significant_terms aggregation over the hits for 'spark': "
+    "terms overrepresented in the hit set vs the corpus under ES's "
+    "JLH score ((fg%% - bg%%) * (fg%% / bg%%), Q20), query term "
+    "excluded, support floor fg_df >= 2 "
+    "(operators/search.py:significant_terms). Index-only analytics: "
+    "hit set from the pruned postings probe, foreground counts from "
+    "the FORWARD relation joined to the broadcast hit list, "
+    "background counts one aggregation over stored postings (the "
+    "global-ordinals pass ES pays too) — raw text never read. "
+    "Oracle replays the clause algebra and the exact double "
+    "arithmetic from raw text.",
+)
+def significant_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return SRCH.significant_terms(idx, ["spark"], m=10, min_fg_df=2)

@@ -755,3 +755,40 @@ def test_search_facets_counts_hit_docs_per_value(spark, tmp_path):
     idx = SRCH.load_postings_index(spark, path)
     got = SRCH.search_facets(idx, docs, ["spark", "merge"], "source").collect()
     assert [(r["source"], r["n_docs"]) for r in got] == [("web", 2), ("book", 1)]
+
+
+def test_suggest_terms_ranks_by_distance_then_frequency(spark, tmp_path):
+    docs = _corpus(spark, [
+        (1, "spark spark"), (2, "spark stark"), (3, "sparks stark"),
+        (4, "spork"), (5, "unrelated"),
+    ])
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(
+        docs, "doc_id", "text", path, n_buckets=4, variant_depth=2
+    )
+    idx = SRCH.load_postings_index(spark, path)
+    got = [(r["term"], r["dist"], r["df"])
+           for r in SRCH.suggest_terms(idx, "spark", k=5, max_dist=2).collect()]
+    # exact match first (dist 0), then dist-1 candidates by df desc
+    assert got[0] == ("spark", 0, 2)
+    assert got[1][1] == 1 and got[1][0] in ("stark", "sparks", "spork")
+    dists = [d for _, d, _ in got]
+    assert dists == sorted(dists)
+
+
+def test_significant_terms_finds_cooccurring_term(spark, tmp_path):
+    """'b' appears in every 'a' doc but rarely elsewhere -> high JLH;
+    the uniform term 'c' scores lower; the query term is excluded."""
+    rows = [(i, "a b c") for i in range(5)]
+    rows += [(10 + i, "x c") for i in range(20)]
+    docs = _corpus(spark, rows)
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4)
+    idx = SRCH.load_postings_index(spark, path)
+    got = SRCH.significant_terms(idx, ["a"], m=5, min_fg_df=2).collect()
+    terms = [r["term"] for r in got]
+    assert "a" not in terms
+    assert terms[0] == "b"  # fg% 100, bg% 5/25 -> dominant JLH
+    by = {r["term"]: r for r in got}
+    assert by["b"]["fg_df"] == 5 and by["b"]["bg_df"] == 5
+    assert by["b"]["jlh_q20"] > by["c"]["jlh_q20"]
