@@ -1002,8 +1002,11 @@ def search_facets(
     stored-field fetch shape as highlighting."""
     id_col = index.id_col
     hits = index.live_postings_for(query_terms).select(id_col).distinct()
+    # same broadcast-or-shuffle escape hatch as significant_terms: a
+    # corpus-scale hit set must not be broadcast
+    hit_side = hits if hits.count() > 2_000_000 else F.broadcast(hits)
     return (
-        F.broadcast(hits)
+        hit_side
         .join(docs.select(id_col, facet_col), id_col)
         .groupBy(facet_col)
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -1066,9 +1069,14 @@ def significant_terms(
         return index.postings.sparkSession.createDataFrame(
             [], "term STRING, fg_df LONG, bg_df LONG, jlh_q20 LONG"
         )
+    # hit lists are usually query-bounded-small -> broadcast; a very
+    # common term can match a corpus-scale fraction, where a broadcast
+    # would overflow the driver — fall back to a shuffle join there
+    # (ES's sampler-aggregation escape hatch, chosen automatically)
+    hit_side = hits if n_fg > 2_000_000 else F.broadcast(hits)
     fg = (
         index.live_forward()
-        .join(F.broadcast(hits), id_col)
+        .join(hit_side, id_col)
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("fg_df"))
         .filter(
