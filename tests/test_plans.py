@@ -323,6 +323,9 @@ def test_indexed_probe_plans_no_generate_no_smj(spark, probe_index):
             idx, ["alpha", "beta", "w3"], 2, k=10
         ),
         "search_after": SRCH.bm25_search_after(idx, ["alpha"], 1 << 20, 3, k=10),
+        "bool": SRCH.bm25_bool_query(
+            idx, must=["alpha"], should=["w3"], must_not=["w5"], k=10
+        ),
     }
     for name, df in probes.items():
         plan = _executed(df)
