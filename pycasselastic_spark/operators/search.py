@@ -704,12 +704,12 @@ def bm25_topk_indexed(
     ).limit(k)
 
 
-def _bm25_scored(
+def _bm25_scored_raw(
     index: PostingsIndex, query_terms: list[str], k1: float, b: float
 ) -> DataFrame:
-    """Unranked BM25 scores ``(id, n_hit_terms, score_q20)`` for every
-    doc matching any query term — the shared scoring core of the
-    disjunctive / conjunctive / more-like-this probes."""
+    """Unquantized BM25 ``(id, n_hit_terms, score_raw)`` for every doc
+    matching any query term — kept raw so score-transforming layers
+    (function_score) can multiply BEFORE the single Q20 floor."""
     id_col = index.id_col
     postings = index.live_postings_for(query_terms)
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -735,8 +735,61 @@ def _bm25_scored(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_hit_terms"),
-            F.floor(F.sum("term_score") * Q20).cast("long").alias("score_q20"),
+            F.sum("term_score").alias("score_raw"),
         )
+    )
+
+
+def _bm25_scored(
+    index: PostingsIndex, query_terms: list[str], k1: float, b: float
+) -> DataFrame:
+    """Unranked BM25 scores ``(id, n_hit_terms, score_q20)`` for every
+    doc matching any query term — the shared scoring core of the
+    disjunctive / conjunctive / more-like-this probes."""
+    return _bm25_scored_raw(index, query_terms, k1, b).select(
+        F.col(index.id_col),
+        "n_hit_terms",
+        F.floor(F.col("score_raw") * Q20).cast("long").alias("score_q20"),
+    )
+
+
+def bm25_function_score(
+    index: PostingsIndex,
+    docs: DataFrame,
+    query_terms: list[str],
+    factor_col: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``function_score`` with a ``field_value_factor`` (modifier
+    ``log1p``): final score = BM25 * ln(1 + doc[factor_col]) — the
+    "relevance × document-quality signal" reranking every production
+    search deploys (recency, popularity, length priors). Returns
+    ``(id, n_hit_terms, score_q20)`` with ONE Q20 floor applied after
+    the multiply, so the factor reorders within the exact arithmetic
+    the oracle replays.
+
+    Plan shape: the usual pruned probe scores candidates raw; only the
+    (query-bounded) candidates broadcast-join back to the docs table
+    for the factor column — the highlight-style stored-field fetch,
+    never a corpus scan."""
+    id_col = index.id_col
+    raw = _bm25_scored_raw(index, query_terms, k1, b)
+    return (
+        F.broadcast(raw)
+        .join(docs.select(id_col, factor_col), id_col)
+        .select(
+            F.col(id_col),
+            "n_hit_terms",
+            F.floor(
+                F.col("score_raw")
+                * F.log(F.lit(1.0) + F.col(factor_col))
+                * Q20
+            ).cast("long").alias("score_q20"),
+        )
+        .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
+        .limit(k)
     )
 
 

@@ -1453,3 +1453,49 @@ ORDER BY jlh_q20 DESC, term ASC LIMIT 10
 def significant_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _postings_index_for(spark, sf_dir)
     return SRCH.significant_terms(idx, ["spark"], m=10, min_fg_df=2)
+
+
+@register(
+    "function_score_bm25_documents",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+postings AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY term, doc_id
+),
+qt AS (SELECT * FROM postings WHERE term IN ('spark', 'merge')),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+              AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+       FROM documents)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+       CAST(FLOOR(SUM(
+         ln(1.0 + (sc.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (qt.tf * 2.2)
+         / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / sc.avgdl))
+       ) * ln(1.0 + d.n_chars) * 1048576.0) AS BIGINT) AS score_q20
+FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+     JOIN documents d USING (doc_id)
+GROUP BY doc_id, sc.n_docs, d.n_chars
+ORDER BY score_q20 DESC, doc_id LIMIT 10
+""",
+    doc="ES function_score with field_value_factor(modifier=log1p) on "
+    "n_chars: final score = BM25 * ln(1 + n_chars) — the relevance × "
+    "document-signal reranking (recency/popularity/length priors) "
+    "every production search deploys "
+    "(operators/search.py:bm25_function_score). The probe scores "
+    "candidates RAW from stored postings, only the query-bounded "
+    "candidates broadcast-join back to the docs table for the factor "
+    "column, and a single Q20 floor lands after the multiply so the "
+    "oracle replays the exact arithmetic. No corpus scan.",
+)
+def function_score_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return SRCH.bm25_function_score(
+        idx, docs, ["spark", "merge"], "n_chars", k=10
+    )

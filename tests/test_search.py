@@ -792,3 +792,32 @@ def test_significant_terms_finds_cooccurring_term(spark, tmp_path):
     by = {r["term"]: r for r in got}
     assert by["b"]["fg_df"] == 5 and by["b"]["bg_df"] == 5
     assert by["b"]["jlh_q20"] > by["c"]["jlh_q20"]
+
+
+def test_function_score_multiplies_before_quantization(spark, tmp_path):
+    """function_score = BM25 * ln(1 + factor), floored ONCE: a
+    low-BM25 doc with a big factor outranks a high-BM25 doc with a
+    tiny factor, and the scores equal the hand formula against the
+    raw probe."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark", 2), (2, "spark x y", 1000), (3, "z", 5)],
+        ["doc_id", "text", "prio"],
+    )
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(
+        docs.select("doc_id", "text"), "doc_id", "text", path, n_buckets=4
+    )
+    idx = SRCH.load_postings_index(spark, path)
+    got = {r["doc_id"]: r for r in SRCH.bm25_function_score(
+        idx, docs, ["spark"], "prio", k=10
+    ).collect()}
+    assert set(got) == {1, 2}
+    raw = {r["doc_id"]: r["score_raw"]
+           for r in SRCH._bm25_scored_raw(idx, ["spark"], 1.2, 0.75).collect()}
+    for i, prio in ((1, 2), (2, 1000)):
+        assert got[i]["score_q20"] == math.floor(
+            raw[i] * math.log(1.0 + prio) * (1 << 20)
+        )
+    assert got[2]["score_q20"] > got[1]["score_q20"]  # factor dominates
