@@ -128,6 +128,18 @@ _EXPORTS: dict[str, str] = {
     "doc_top_terms": "operators.search",
     "bm25_topk_fuzzy": "operators.search",
     "expand_fuzzy_terms": "operators.search",
+    # round-9 surface: daemon-cadence self-maintenance and the rest of
+    # the ES query DSL, all served from the stored index
+    "CompactionPolicy": "operators.search",
+    "ingest_into_postings_index": "operators.search",
+    "bm25_topk_min_should_match": "operators.search",
+    "bm25_search_after": "operators.search",
+    "bm25_topk_multifield": "operators.search",
+    "bm25_bool_query": "operators.search",
+    "bm25_function_score": "operators.search",
+    "search_facets": "operators.search",
+    "suggest_terms": "operators.search",
+    "significant_terms": "operators.search",
 }
 
 __all__ = ["__version__", *sorted(_EXPORTS)]
