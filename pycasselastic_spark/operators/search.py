@@ -1068,6 +1068,93 @@ def search_facets(
     )
 
 
+def bm25_topk_boosted(
+    index: PostingsIndex,
+    term_boosts: dict[str, float],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES query-time per-term boosts (``match`` with ``boost``): each
+    query term's BM25 contribution is scaled by its boost before the
+    per-doc sum. Same pruned probe; the boosts ride the (broadcast,
+    |query|-row) df join as one more column, and the single Q20 floor
+    lands after the weighted sum — no extra shuffle, exact arithmetic
+    the oracle replays."""
+    id_col = index.id_col
+    terms = sorted(term_boosts)
+    postings = index.live_postings_for(terms)
+    spark = postings.sparkSession
+    boosts = spark.createDataFrame(
+        [(t, float(w)) for t, w in sorted(term_boosts.items())],
+        "term STRING, boost DOUBLE",
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        postings.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(boosts), "term")
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(index.n_docs) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("boost")
+            * F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.lit(index.avgdl))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_terms"),
+            F.floor(F.sum("term_score") * Q20).cast("long").alias("score_q20"),
+        )
+        .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def bm25_topk_prefix(
+    index: PostingsIndex,
+    prefix: str,
+    k: int = 10,
+    max_expansions: int = 50,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``prefix`` query + relevance: expand the prefix to matching
+    dictionary terms, then BM25 over the expansion (each term scored
+    with its own df). Like ES (``index_prefixes`` absent), prefix
+    expansion cannot use the term-partitioned layout — the md5 bucket
+    hash scatters a prefix across every bucket — so the expansion
+    scans the stored postings DICTIONARY (postings-sized, never raw
+    text) with the ``startswith`` predicate pushed to parquet, and
+    caps the expansion at ``max_expansions`` terms by (df desc, term)
+    exactly like ES's rewrite cap. The scoring probe afterwards is
+    the normal pruned-by-expanded-terms shape."""
+    dict_scan = (
+        index.live_postings()
+        .filter(F.col("term").startswith(prefix))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(max_expansions)
+    )
+    terms = [r["term"] for r in dict_scan.collect()]
+    if not terms:
+        return index.postings.sparkSession.createDataFrame(
+            [], f"{index.id_col} LONG, n_hit_terms LONG, score_q20 LONG"
+        )
+    return bm25_topk_indexed(index, terms, k=k, k1=k1, b=b)
+
+
 def suggest_terms(
     index: PostingsIndex, term: str, k: int = 5, max_dist: int | None = None
 ) -> DataFrame:

@@ -1499,3 +1499,91 @@ def function_score_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     return SRCH.bm25_function_score(
         idx, docs, ["spark", "merge"], "n_chars", k=10
     )
+
+
+@register(
+    "boosted_bm25_documents",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+postings AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY term, doc_id
+),
+qt AS (SELECT * FROM postings WHERE term IN ('scan', 'hash')),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+              AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+       FROM documents)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+       CAST(FLOOR(SUM(
+         (CASE qt.term WHEN 'scan' THEN 3.0 ELSE 1.0 END
+          * ln(1.0 + (sc.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)))
+         * (qt.tf * 2.2)
+         / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / sc.avgdl))
+       ) * 1048576.0) AS BIGINT) AS score_q20
+FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+GROUP BY doc_id, sc.n_docs
+ORDER BY score_q20 DESC, doc_id LIMIT 10
+""",
+    doc="ES query-time per-term boosts (match with boost): 'scan'^3 "
+    "vs 'hash'^1 (operators/search.py:bm25_topk_boosted) — each "
+    "term's BM25 contribution scales by its boost BEFORE the per-doc "
+    "sum, re-ranking toward boosted-term-heavy docs. The boosts ride "
+    "the broadcast |query|-row df join as one more column; single "
+    "Q20 floor after the weighted sum; no extra shuffle. Oracle "
+    "replays the weighting with a CASE in the identical operation "
+    "order.",
+)
+def boosted_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return SRCH.bm25_topk_boosted(idx, {"scan": 3.0, "hash": 1.0}, k=10)
+
+
+@register(
+    "prefix_bm25_documents",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+postings AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY term, doc_id
+),
+exp AS (SELECT term FROM (
+  SELECT term, COUNT(*) AS df FROM postings WHERE term LIKE 's%'
+  GROUP BY term ORDER BY df DESC, term LIMIT 50)),
+qt AS (SELECT * FROM postings WHERE term IN (SELECT term FROM exp)),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+              AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+       FROM documents)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+       CAST(FLOOR(SUM(
+         ln(1.0 + (sc.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (qt.tf * 2.2)
+         / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / sc.avgdl))
+       ) * 1048576.0) AS BIGINT) AS score_q20
+FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+GROUP BY doc_id, sc.n_docs
+ORDER BY score_q20 DESC, doc_id LIMIT 10
+""",
+    doc="ES prefix query + relevance for 's*' "
+    "(operators/search.py:bm25_topk_prefix): the prefix expands to "
+    "matching dictionary terms capped at 50 by (df desc, term) — "
+    "ES's rewrite cap — then BM25 over the expansion with per-term "
+    "df. The expansion honestly cannot use the md5 term-bucket "
+    "pruning (a prefix scatters across buckets), so it scans the "
+    "stored postings DICTIONARY with the startswith predicate pushed "
+    "to parquet — postings-sized, never raw text — and the scoring "
+    "probe afterwards is the normal pruned shape. Oracle replays the "
+    "capped expansion and scoring.",
+)
+def prefix_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return SRCH.bm25_topk_prefix(idx, "s", k=10, max_expansions=50)

@@ -821,3 +821,36 @@ def test_function_score_multiplies_before_quantization(spark, tmp_path):
             raw[i] * math.log(1.0 + prio) * (1 << 20)
         )
     assert got[2]["score_q20"] > got[1]["score_q20"]  # factor dominates
+
+
+def test_boosted_bm25_reranks_toward_boosted_term(spark, tmp_path):
+    """With equal df/tf structure, boosting 'b' must outrank the
+    b-heavy doc over the a-heavy doc (unboosted they tie by
+    symmetry), and boost=1 on every term equals the plain probe."""
+    docs = _corpus(spark, [(1, "a a c"), (2, "b b c"), (3, "c c c")])
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4)
+    idx = SRCH.load_postings_index(spark, path)
+    got = SRCH.bm25_topk_boosted(idx, {"a": 1.0, "b": 4.0}, k=10).collect()
+    assert got[0]["doc_id"] == 2
+    plain = sorted(map(tuple, SRCH.bm25_topk_indexed(idx, ["a", "b"], k=10).collect()))
+    unit = sorted(map(tuple, SRCH.bm25_topk_boosted(idx, {"a": 1.0, "b": 1.0}, k=10).collect()))
+    assert plain == unit
+
+
+def test_prefix_expansion_caps_and_scores(spark, tmp_path):
+    docs = _corpus(spark, [
+        (1, "spark sport"), (2, "spark spark"), (3, "spoon"), (4, "other"),
+    ])
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4)
+    idx = SRCH.load_postings_index(spark, path)
+    got = SRCH.bm25_topk_prefix(idx, "sp", k=10)
+    ids = {r["doc_id"] for r in got.collect()}
+    assert ids == {1, 2, 3}
+    # expansion cap: with max_expansions=1 only the highest-df term
+    # ('spark', df=2) survives
+    capped = SRCH.bm25_topk_prefix(idx, "sp", k=10, max_expansions=1)
+    assert {r["doc_id"] for r in capped.collect()} == {1, 2}
+    # no match -> empty frame with the probe schema
+    assert SRCH.bm25_topk_prefix(idx, "zz", k=10).count() == 0
