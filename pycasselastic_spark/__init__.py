@@ -140,6 +140,13 @@ _EXPORTS: dict[str, str] = {
     "search_facets": "operators.search",
     "suggest_terms": "operators.search",
     "significant_terms": "operators.search",
+    "bm25_topk_boosted": "operators.search",
+    "bm25_topk_prefix": "operators.search",
+    "bm25_topk_wildcard": "operators.search",
+    "match_phrase_prefix": "operators.search",
+    "bm25_rescore": "operators.search",
+    "top_hits_by_facet": "operators.search",
+    "search_facets_after": "operators.search",
 }
 
 __all__ = ["__version__", *sorted(_EXPORTS)]

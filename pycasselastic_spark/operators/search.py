@@ -1155,6 +1155,253 @@ def bm25_topk_prefix(
     return bm25_topk_indexed(index, terms, k=k, k1=k1, b=b)
 
 
+def _wildcard_to_like(pattern: str) -> str:
+    """Translate an ES wildcard pattern (``*`` = any run, ``?`` = one
+    char) to a SQL LIKE pattern, escaping LIKE's own metacharacters."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        elif ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def bm25_topk_wildcard(
+    index: PostingsIndex,
+    pattern: str,
+    k: int = 10,
+    max_expansions: int = 50,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``wildcard`` query + relevance (the scoring_boolean rewrite,
+    matching our prefix probe): the pattern expands to matching
+    dictionary terms capped at ``max_expansions`` by (df desc, term) —
+    then BM25 over the expansion with per-term df. Like ES, a leading
+    wildcard is the worst case: no prefix to seek on, so the expansion
+    is a full DICTIONARY scan (stored postings, never raw text) with
+    the LIKE predicate evaluated in the scan stage; the scoring probe
+    afterwards is the normal pruned-by-expanded-terms shape."""
+    like = _wildcard_to_like(pattern)
+    dict_scan = (
+        index.live_postings()
+        .filter(F.col("term").like(like))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(max_expansions)
+    )
+    terms = [r["term"] for r in dict_scan.collect()]
+    if not terms:
+        return index.postings.sparkSession.createDataFrame(
+            [], f"{index.id_col} LONG, n_hit_terms LONG, score_q20 LONG"
+        )
+    return bm25_topk_indexed(index, terms, k=k, k1=k1, b=b)
+
+
+def match_phrase_prefix(
+    index: PostingsIndex,
+    phrase_terms: list[str],
+    prefix: str,
+    max_expansions: int = 50,
+    slop: int = 0,
+) -> DataFrame:
+    """ES ``match_phrase_prefix``: the phrase's LAST position matches
+    any dictionary term starting with ``prefix`` (search-as-you-type).
+    Expansion follows ES exactly — the first ``max_expansions`` terms
+    in term-dictionary (lexicographic) order, NOT by df. Returns
+    ``(id, n_hits)`` like ``phrase_slop_search``.
+
+    Plan shape: the fixed terms probe pruned postings partitions as
+    usual; the prefix expansion scans the stored dictionary once
+    (postings-sized, never raw text); the chain joins shrink
+    monotonically exactly like the phrase probe, with the final step's
+    position list unioned over the expansion terms."""
+    if not phrase_terms:
+        raise ValueError("match_phrase_prefix needs >= 1 fixed term")
+    exp_scan = (
+        index.live_postings()
+        .filter(F.col("term").startswith(prefix))
+        .select("term")
+        .distinct()
+        .orderBy(F.col("term").asc())
+        .limit(max_expansions)
+    )
+    expansions = [r["term"] for r in exp_scan.collect()]
+    id_col = index.id_col
+    if not expansions:
+        return index.postings.sparkSession.createDataFrame(
+            [], f"{id_col} LONG, n_hits LONG"
+        )
+    all_terms = sorted(set(phrase_terms) | set(expansions))
+    postings = index.live_postings_for(all_terms)
+    chain = (
+        postings.filter(F.col("term") == phrase_terms[0])
+        .select(id_col, F.explode("positions").alias("pos"))
+        .select(
+            id_col, F.col("pos").alias("p_start"), F.col("pos").alias("p_prev")
+        )
+    )
+    steps = [
+        F.col("term") == t for t in phrase_terms[1:]
+    ] + [F.col("term").isin(expansions)]
+    for cond in steps:
+        nxt = postings.filter(cond).select(
+            id_col, F.explode("positions").alias("p_next")
+        )
+        chain = (
+            chain.join(nxt, id_col)
+            .filter(
+                (F.col("p_next") > F.col("p_prev"))
+                & (F.col("p_next") - F.col("p_prev") <= 1 + slop)
+            )
+            .select(id_col, "p_start", F.col("p_next").alias("p_prev"))
+        )
+    return (
+        chain.select(id_col, "p_start")
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def bm25_rescore(
+    index: PostingsIndex,
+    query_terms: list[str],
+    rescore_terms: list[str],
+    window_size: int = 50,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``rescore``: rerank only the top ``window_size`` hits of the
+    cheap base query with a second (costlier) query — final score =
+    query_weight * base + rescore_weight * secondary, docs outside the
+    window keep their base order below the window. Returns the top
+    ``k`` of the window as ``(id, n_hit_terms, score_q20)``.
+
+    Window selection happens in the QUANTIZED (score_q20, id) total
+    order — the same deterministic cursor order as search_after — so
+    the oracle replays the exact window membership; the weighted
+    combine then runs on raw doubles with ONE Q20 floor at the end
+    (function_score's one-floor rule). Plan shape: the secondary
+    probe's (query-bounded) output broadcasts to the ≤ window_size-row
+    window — the build side of a left-outer join must be the right
+    side — so neither input shuffles corpus-side."""
+    id_col = index.id_col
+    base = _bm25_scored_raw(index, query_terms, k1, b).withColumn(
+        "base_q20", F.floor(F.col("score_raw") * Q20).cast("long")
+    )
+    window = base.orderBy(
+        F.col("base_q20").desc(), F.col(id_col).asc()
+    ).limit(window_size)
+    secondary = _bm25_scored_raw(index, rescore_terms, k1, b).select(
+        F.col(id_col), F.col("score_raw").alias("rescore_raw")
+    )
+    return (
+        window
+        .join(F.broadcast(secondary), id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_hit_terms",
+            F.floor(
+                (
+                    F.col("score_raw") * F.lit(float(query_weight))
+                    + F.coalesce(F.col("rescore_raw"), F.lit(0.0))
+                    * F.lit(float(rescore_weight))
+                )
+                * Q20
+            ).cast("long").alias("score_q20"),
+        )
+        .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def top_hits_by_facet(
+    index: PostingsIndex,
+    docs: DataFrame,
+    query_terms: list[str],
+    facet_col: str,
+    hits_per_bucket: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``terms`` aggregation with a ``top_hits`` sub-aggregation:
+    for every facet value in the hit set, the ``hits_per_bucket`` best
+    docs by BM25. Returns ``(facet, rank, id, score_q20)``.
+
+    Plan shape: the (query-bounded) scored candidates broadcast-join
+    to the docs table for the facet column — the stored-field fetch
+    shape — then ONE window over the candidate set partitioned by
+    facet; the corpus is never shuffled, and the window input is
+    hit-set-sized."""
+    from pyspark.sql.window import Window
+
+    id_col = index.id_col
+    scored = _bm25_scored(index, query_terms, k1, b)
+    w = Window.partitionBy(facet_col).orderBy(
+        F.col("score_q20").desc(), F.col(id_col).asc()
+    )
+    return (
+        F.broadcast(scored)
+        .join(docs.select(id_col, facet_col), id_col)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= hits_per_bucket)
+        .select(
+            F.col(facet_col).alias("facet"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col(id_col),
+            "score_q20",
+        )
+    )
+
+
+def search_facets_after(
+    index: PostingsIndex,
+    docs: DataFrame,
+    query_terms: list[str],
+    facet_col: str,
+    size: int = 10,
+    after: str | None = None,
+) -> DataFrame:
+    """ES ``composite`` aggregation over the hit set: facet buckets in
+    the facet-key total order with ``after``-key cursor pagination —
+    the aggregation twin of search_after (stateless deep paging over
+    buckets, no scroll context). Returns ``(facet, n_docs)`` sorted by
+    facet, strictly after the cursor.
+
+    Unlike the ranked ``search_facets`` (count-desc, needs the full
+    facet table to rank), the composite order is the GROUP KEY itself,
+    so each page aggregates only buckets after the cursor and every
+    page is the same bounded probe — that is exactly why ES offers
+    composite for deep bucket pagination."""
+    id_col = index.id_col
+    hits = index.live_postings_for(query_terms).select(id_col).distinct()
+    hit_side = hits if hits.count() > 2_000_000 else F.broadcast(hits)
+    buckets = (
+        hit_side
+        .join(docs.select(id_col, facet_col), id_col)
+        .filter(
+            F.col(facet_col) > F.lit(after) if after is not None else F.lit(True)
+        )
+        .groupBy(facet_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        buckets.select(F.col(facet_col).alias("facet"), "n_docs")
+        .orderBy(F.col("facet").asc())
+        .limit(size)
+    )
+
+
 def suggest_terms(
     index: PostingsIndex, term: str, k: int = 5, max_dist: int | None = None
 ) -> DataFrame:

@@ -1587,3 +1587,239 @@ ORDER BY score_q20 DESC, doc_id LIMIT 10
 def prefix_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _postings_index_for(spark, sf_dir)
     return SRCH.bm25_topk_prefix(idx, "s", k=10, max_expansions=50)
+
+
+@register(
+    "wildcard_bm25_documents",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+postings AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY term, doc_id
+),
+exp AS (SELECT term FROM (
+  SELECT term, COUNT(*) AS df FROM postings WHERE term LIKE '_a__'
+  GROUP BY term ORDER BY df DESC, term LIMIT 50)),
+qt AS (SELECT * FROM postings WHERE term IN (SELECT term FROM exp)),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+              AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+       FROM documents)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+       CAST(FLOOR(SUM(
+         ln(1.0 + (sc.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (qt.tf * 2.2)
+         / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / sc.avgdl))
+       ) * 1048576.0) AS BIGINT) AS score_q20
+FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+GROUP BY doc_id, sc.n_docs
+ORDER BY score_q20 DESC, doc_id LIMIT 10
+""",
+    doc="ES wildcard query '?a??' + relevance "
+    "(operators/search.py:bm25_topk_wildcard): the pattern translates "
+    "to LIKE (* -> %, ? -> _, LIKE metachars escaped) and expands to "
+    "matching dictionary terms capped at 50 by (df desc, term) — the "
+    "scoring_boolean rewrite — then BM25 over the expansion. The "
+    "leading wildcard is ES's worst case too: no prefix to seek on, "
+    "so the expansion scans the stored postings DICTIONARY "
+    "(postings-sized, never raw text); the scoring probe afterwards "
+    "is the normal pruned shape. Oracle replays expansion + scoring.",
+)
+def wildcard_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return SRCH.bm25_topk_wildcard(idx, "?a??", k=10, max_expansions=50)
+
+
+@register(
+    "match_phrase_prefix_documents",
+    """
+WITH tok AS (
+  SELECT doc_id, i AS pos, toks[i+1] AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       LATERAL (SELECT unnest(range(len(toks))) AS i) t
+  WHERE toks[i+1] <> ''
+),
+exp AS (SELECT term FROM (
+  SELECT DISTINCT term FROM tok WHERE term LIKE 's%'
+  ORDER BY term LIMIT 50)),
+a AS (SELECT doc_id, pos FROM tok WHERE term = 'fast'),
+b AS (SELECT doc_id, pos FROM tok WHERE term IN (SELECT term FROM exp))
+SELECT a.doc_id,
+       CAST(COUNT(DISTINCT a.pos) AS BIGINT) AS n_hits
+FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+GROUP BY a.doc_id
+""",
+    doc="ES match_phrase_prefix 'fast s*' — search-as-you-type "
+    "(operators/search.py:match_phrase_prefix): the phrase's LAST "
+    "position matches any dictionary term starting with 's', "
+    "expansion capped at 50 in term-dictionary (lexicographic) order "
+    "exactly like ES. Fixed terms probe pruned postings partitions; "
+    "the expansion scans the stored dictionary once; the chain join "
+    "shape is phrase_slop_search's with the final step's positions "
+    "unioned over the expansion. Oracle rebuilds positions from raw "
+    "text and replays the capped expansion + adjacency join.",
+)
+def match_phrase_prefix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return SRCH.match_phrase_prefix(idx, ["fast"], "s", max_expansions=50)
+
+
+@register(
+    "rescore_bm25_documents",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+postings AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY term, doc_id
+),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+              AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+       FROM documents),
+bq AS (SELECT * FROM postings WHERE term IN ('spark', 'merge')),
+bdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM bq GROUP BY term),
+base AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+         SUM(
+           ln(1.0 + (sc.n_docs - bdf.df + 0.5) / (bdf.df + 0.5))
+           * (bq.tf * 2.2)
+           / (bq.tf + 1.2 * (0.25 + 0.75 * dl.dl / sc.avgdl))
+         ) AS score_raw
+  FROM bq JOIN bdf USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+  GROUP BY doc_id, sc.n_docs
+),
+win AS (
+  SELECT *, CAST(FLOOR(score_raw * 1048576.0) AS BIGINT) AS base_q20
+  FROM base
+  QUALIFY ROW_NUMBER() OVER (ORDER BY base_q20 DESC, doc_id ASC) <= 20
+),
+rq AS (SELECT * FROM postings WHERE term IN ('window')),
+rdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM rq GROUP BY term),
+sec AS (
+  SELECT doc_id,
+         SUM(
+           ln(1.0 + (sc.n_docs - rdf.df + 0.5) / (rdf.df + 0.5))
+           * (rq.tf * 2.2)
+           / (rq.tf + 1.2 * (0.25 + 0.75 * dl.dl / sc.avgdl))
+         ) AS rescore_raw
+  FROM rq JOIN rdf USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+  GROUP BY doc_id, sc.n_docs
+)
+SELECT win.doc_id,
+       win.n_hit_terms,
+       CAST(FLOOR(
+         (win.score_raw * 1.0 + COALESCE(sec.rescore_raw, 0.0) * 2.0)
+         * 1048576.0
+       ) AS BIGINT) AS score_q20
+FROM win LEFT JOIN sec ON win.doc_id = sec.doc_id
+ORDER BY score_q20 DESC, win.doc_id ASC LIMIT 10
+""",
+    doc="ES rescore: the cheap base query ('spark merge') selects a "
+    "top-20 window in the quantized (score_q20, id) cursor order, "
+    "then only that window is reranked by query_weight*base + "
+    "rescore_weight*secondary ('window', weight 2) with ONE Q20 floor "
+    "after the weighted combine "
+    "(operators/search.py:bm25_rescore). The window is <= window_size "
+    "rows and broadcasts to the secondary probe's query-bounded "
+    "output — docs outside the window can never enter the result, no "
+    "corpus-side shuffle. Oracle replays window membership via "
+    "QUALIFY and the combine in identical operation order.",
+)
+def rescore_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return SRCH.bm25_rescore(
+        idx, ["spark", "merge"], ["window"],
+        window_size=20, query_weight=1.0, rescore_weight=2.0, k=10,
+    )
+
+
+@register(
+    "top_hits_by_facet_documents",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+postings AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY term, doc_id
+),
+qt AS (SELECT * FROM postings WHERE term IN ('spark', 'merge')),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+              AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+       FROM documents),
+scored AS (
+  SELECT doc_id,
+         CAST(FLOOR(SUM(
+           ln(1.0 + (sc.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (qt.tf * 2.2)
+           / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / sc.avgdl))
+         ) * 1048576.0) AS BIGINT) AS score_q20
+  FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+  GROUP BY doc_id, sc.n_docs
+)
+SELECT d.source AS facet,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY d.source ORDER BY s.score_q20 DESC, s.doc_id ASC
+       ) AS BIGINT) AS rank,
+       s.doc_id,
+       s.score_q20
+FROM scored s JOIN documents d USING (doc_id)
+QUALIFY rank <= 2
+""",
+    doc="ES terms aggregation with a top_hits sub-aggregation: for "
+    "every source in the hit set of 'spark merge', the 2 best docs "
+    "by BM25 (operators/search.py:top_hits_by_facet). The "
+    "query-bounded scored candidates broadcast-join to the docs "
+    "table for the facet column — the stored-field fetch shape — "
+    "then ONE window partitioned by facet over the candidate set; "
+    "the corpus is never shuffled. Oracle replays scoring + the "
+    "QUALIFY window.",
+)
+def top_hits_by_facet_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return SRCH.top_hits_by_facet(
+        idx, docs, ["spark", "merge"], "source", hits_per_bucket=2
+    )
+
+
+@register(
+    "composite_facets_after_documents",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'dup')
+SELECT d.source AS facet,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM hits JOIN documents d USING (doc_id)
+WHERE d.source > 'src1'
+GROUP BY d.source
+ORDER BY facet ASC LIMIT 5
+""",
+    doc="ES composite aggregation over the hit set of rare term "
+    "'dup': facet buckets in facet-key total order with after-key "
+    "cursor pagination (after='src1', size=5) — the aggregation twin "
+    "of search_after "
+    "(operators/search.py:search_facets_after). Because the bucket "
+    "order IS the group key, each page filters to buckets after the "
+    "cursor BEFORE aggregating, so every page is the same bounded "
+    "probe — exactly why ES offers composite for deep bucket "
+    "pagination where ranked facets would need the full bucket "
+    "table. Oracle replays hit set, cursor filter, and key order.",
+)
+def composite_facets_after_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return SRCH.search_facets_after(
+        idx, docs, ["dup"], "source", size=5, after="src1"
+    )

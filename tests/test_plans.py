@@ -326,6 +326,26 @@ def test_indexed_probe_plans_no_generate_no_smj(spark, probe_index):
         "bool": SRCH.bm25_bool_query(
             idx, must=["alpha"], should=["w3"], must_not=["w5"], k=10
         ),
+        "boosted": SRCH.bm25_topk_boosted(idx, {"alpha": 2.0, "w3": 1.0}, k=10),
+        "wildcard": SRCH.bm25_topk_wildcard(idx, "w?", k=10),
+        "prefix": SRCH.bm25_topk_prefix(idx, "w", k=10),
+        "rescore": SRCH.bm25_rescore(
+            idx, ["alpha"], ["beta"], window_size=5, k=5
+        ),
+        "top_hits": SRCH.top_hits_by_facet(
+            idx,
+            docs.withColumn("src", F.col("doc_id") % 3),
+            ["alpha", "w3"],
+            "src",
+            hits_per_bucket=2,
+        ),
+        "facets_after": SRCH.search_facets_after(
+            idx,
+            docs.withColumn("src", F.col("doc_id") % 3),
+            ["alpha"],
+            "src",
+            size=2,
+        ),
     }
     for name, df in probes.items():
         plan = _executed(df)
@@ -349,4 +369,19 @@ def test_phrase_slop_plan_is_pruned_and_hash_joined(spark, probe_index):
     plan = _executed(df)
     assert "SortMergeJoin" not in plan
     assert plan.count("Generate") <= 2  # one per distinct query term
+    assert "PartitionFilters: [" in plan and "pbucket" in plan
+
+
+def test_match_phrase_prefix_plan_is_pruned_and_hash_joined(spark, probe_index):
+    """match_phrase_prefix shares phrase_slop_search's pin: explodes
+    only STORED position arrays (one Generate per chain step, the last
+    over the expansion's unioned positions), no SortMergeJoin, pbucket
+    partition pruning present."""
+    from pycasselastic_spark.operators import search as SRCH
+
+    idx, _ = probe_index
+    df = SRCH.match_phrase_prefix(idx, ["alpha"], "w", max_expansions=10)
+    plan = _executed(df)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Generate") <= 2  # fixed term + expansion step
     assert "PartitionFilters: [" in plan and "pbucket" in plan

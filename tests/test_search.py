@@ -854,3 +854,120 @@ def test_prefix_expansion_caps_and_scores(spark, tmp_path):
     assert {r["doc_id"] for r in capped.collect()} == {1, 2}
     # no match -> empty frame with the probe schema
     assert SRCH.bm25_topk_prefix(idx, "zz", k=10).count() == 0
+
+
+def test_wildcard_expansion_and_translation(spark, tmp_path):
+    docs = _corpus(spark, [
+        (1, "spark shark"), (2, "spork spork"), (3, "stack"), (4, "other"),
+    ])
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4)
+    idx = SRCH.load_postings_index(spark, path)
+    # *ark matches spark + shark (doc 1 only); s??rk matches spark/spork
+    assert {r["doc_id"] for r in SRCH.bm25_topk_wildcard(idx, "*ark").collect()} == {1}
+    assert {r["doc_id"] for r in SRCH.bm25_topk_wildcard(idx, "s???k").collect()} == {1, 2, 3}
+    assert SRCH.bm25_topk_wildcard(idx, "zz*").count() == 0
+    # LIKE metacharacters in the pattern are literals, not wildcards
+    assert SRCH._wildcard_to_like("a%b_c*d?") == "a\\%b\\_c%d_"
+
+
+def test_match_phrase_prefix_expands_last_position(spark, tmp_path):
+    docs = _corpus(spark, [
+        (1, "fast table scan"),
+        (2, "fast table scramble"),
+        (3, "fast table join"),
+        (4, "table scan fast"),
+    ])
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4)
+    idx = SRCH.load_postings_index(spark, path)
+    got = SRCH.match_phrase_prefix(idx, ["fast", "table"], "sc")
+    assert {r["doc_id"] for r in got.collect()} == {1, 2}
+    # lexicographic expansion cap: with max_expansions=1 only 'scan'
+    # (alphabetically first among sc*) survives
+    capped = SRCH.match_phrase_prefix(idx, ["fast", "table"], "sc", max_expansions=1)
+    assert {r["doc_id"] for r in capped.collect()} == {1}
+    assert SRCH.match_phrase_prefix(idx, ["fast", "table"], "zz").count() == 0
+
+
+def test_rescore_reranks_only_the_window(spark, tmp_path):
+    """Doc 3 wins the base query but has no rescore term; doc 1 is in
+    the window and gains the rescore boost, overtaking it. A doc
+    outside the window can never enter the result."""
+    docs = _corpus(spark, [
+        (1, "alpha beta"),
+        (2, "alpha gamma"),
+        (3, "alpha alpha alpha"),
+    ])
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4)
+    idx = SRCH.load_postings_index(spark, path)
+    got = SRCH.bm25_rescore(
+        idx, ["alpha"], ["beta"], window_size=3, rescore_weight=5.0
+    ).collect()
+    assert got[0]["doc_id"] == 1
+    # window_size=1 keeps only the base winner (doc 3): doc 1 excluded
+    top1 = SRCH.bm25_rescore(
+        idx, ["alpha"], ["beta"], window_size=1, rescore_weight=5.0
+    ).collect()
+    assert [r["doc_id"] for r in top1] == [3]
+    # zero rescore weight == base order truncated to the window
+    base = SRCH.bm25_topk_indexed(idx, ["alpha"], k=3).collect()
+    neutral = SRCH.bm25_rescore(
+        idx, ["alpha"], ["beta"], window_size=3, rescore_weight=0.0
+    ).collect()
+    assert [r["doc_id"] for r in neutral] == [r["doc_id"] for r in base]
+
+
+def test_top_hits_by_facet_ranks_within_buckets(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha", "news"),
+            (2, "alpha", "news"),
+            (3, "alpha alpha alpha", "blog"),
+            (4, "other", "blog"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        path = d + "/idx"
+        SRCH.build_postings_index(
+            docs.select("doc_id", "text"), "doc_id", "text", path, n_buckets=4
+        )
+        idx = SRCH.load_postings_index(spark, path)
+        got = SRCH.top_hits_by_facet(
+            idx, docs, ["alpha"], "source", hits_per_bucket=1
+        ).collect()
+        by_facet = {r["facet"]: r["doc_id"] for r in got}
+        assert by_facet == {"news": 1, "blog": 3}
+        assert all(r["rank"] == 1 for r in got)
+
+
+def test_search_facets_after_pages_in_key_order(spark):
+    docs = spark.createDataFrame(
+        [(i, "alpha", f"src{i % 4}") for i in range(8)] + [(99, "other", "srcZ")],
+        ["doc_id", "text", "source"],
+    )
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        path = d + "/idx"
+        SRCH.build_postings_index(
+            docs.select("doc_id", "text"), "doc_id", "text", path, n_buckets=4
+        )
+        idx = SRCH.load_postings_index(spark, path)
+        page1 = SRCH.search_facets_after(idx, docs, ["alpha"], "source", size=2)
+        assert [(r["facet"], r["n_docs"]) for r in page1.collect()] == [
+            ("src0", 2), ("src1", 2)
+        ]
+        page2 = SRCH.search_facets_after(
+            idx, docs, ["alpha"], "source", size=2, after="src1"
+        )
+        assert [(r["facet"], r["n_docs"]) for r in page2.collect()] == [
+            ("src2", 2), ("src3", 2)
+        ]
+        # srcZ doc doesn't match the query -> never a bucket
+        page3 = SRCH.search_facets_after(
+            idx, docs, ["alpha"], "source", size=2, after="src3"
+        )
+        assert page3.count() == 0
