@@ -143,6 +143,7 @@ _EXPORTS: dict[str, str] = {
     "bm25_topk_boosted": "operators.search",
     "bm25_topk_prefix": "operators.search",
     "bm25_topk_wildcard": "operators.search",
+    "bm25_topk_regexp": "operators.search",
     "match_phrase_prefix": "operators.search",
     "bm25_rescore": "operators.search",
     "top_hits_by_facet": "operators.search",

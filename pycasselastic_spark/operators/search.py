@@ -1204,6 +1204,40 @@ def bm25_topk_wildcard(
     return bm25_topk_indexed(index, terms, k=k, k1=k1, b=b)
 
 
+def bm25_topk_regexp(
+    index: PostingsIndex,
+    pattern: str,
+    k: int = 10,
+    max_expansions: int = 50,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``regexp`` query + relevance: like ES/Lucene the pattern is
+    ANCHORED — it must match the WHOLE term — so the Spark-side
+    ``rlike`` (unanchored by contract) is wrapped in ``^(?:...)$``.
+    Expansion and scoring follow the wildcard probe exactly: dictionary
+    terms matching the pattern, capped at ``max_expansions`` by
+    (df desc, term), then BM25 over the expansion with per-term df.
+    The expansion is honestly a full DICTIONARY scan (stored postings,
+    never raw text) — same as ES, whose regexp automaton walks the
+    whole term dictionary too."""
+    anchored = f"^(?:{pattern})$"
+    dict_scan = (
+        index.live_postings()
+        .filter(F.col("term").rlike(anchored))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(max_expansions)
+    )
+    terms = [r["term"] for r in dict_scan.collect()]
+    if not terms:
+        return index.postings.sparkSession.createDataFrame(
+            [], f"{index.id_col} LONG, n_hit_terms LONG, score_q20 LONG"
+        )
+    return bm25_topk_indexed(index, terms, k=k, k1=k1, b=b)
+
+
 def match_phrase_prefix(
     index: PostingsIndex,
     phrase_terms: list[str],

@@ -1823,3 +1823,50 @@ def composite_facets_after_documents(spark: SparkSession, sf_dir: str) -> DataFr
     return SRCH.search_facets_after(
         idx, docs, ["dup"], "source", size=5, after="src1"
     )
+
+
+@register(
+    "regexp_bm25_documents",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+postings AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY term, doc_id
+),
+exp AS (SELECT term FROM (
+  SELECT term, COUNT(*) AS df FROM postings
+  WHERE regexp_full_match(term, 's.*a.*')
+  GROUP BY term ORDER BY df DESC, term LIMIT 50)),
+qt AS (SELECT * FROM postings WHERE term IN (SELECT term FROM exp)),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+              AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+       FROM documents)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+       CAST(FLOOR(SUM(
+         ln(1.0 + (sc.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (qt.tf * 2.2)
+         / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / sc.avgdl))
+       ) * 1048576.0) AS BIGINT) AS score_q20
+FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+GROUP BY doc_id, sc.n_docs
+ORDER BY score_q20 DESC, doc_id LIMIT 10
+""",
+    doc="ES regexp query 's.*a.*' + relevance "
+    "(operators/search.py:bm25_topk_regexp): like ES/Lucene the "
+    "pattern matches the WHOLE term (Spark's unanchored rlike is "
+    "wrapped in ^(?:...)$ for parity with DuckDB's anchored "
+    "regexp_full_match), expansion capped at 50 by (df desc, term), "
+    "then BM25 over the expansion. Completes the term-level query "
+    "family: term/terms, prefix, wildcard, regexp, fuzzy. Like ES — "
+    "whose regexp automaton walks the whole term dictionary — the "
+    "expansion is a full dictionary scan, postings-sized, never raw "
+    "text.",
+)
+def regexp_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return SRCH.bm25_topk_regexp(idx, "s.*a.*", k=10, max_expansions=50)

@@ -328,6 +328,7 @@ def test_indexed_probe_plans_no_generate_no_smj(spark, probe_index):
         ),
         "boosted": SRCH.bm25_topk_boosted(idx, {"alpha": 2.0, "w3": 1.0}, k=10),
         "wildcard": SRCH.bm25_topk_wildcard(idx, "w?", k=10),
+        "regexp": SRCH.bm25_topk_regexp(idx, "w[0-9]", k=10),
         "prefix": SRCH.bm25_topk_prefix(idx, "w", k=10),
         "rescore": SRCH.bm25_rescore(
             idx, ["alpha"], ["beta"], window_size=5, k=5

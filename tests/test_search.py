@@ -971,3 +971,17 @@ def test_search_facets_after_pages_in_key_order(spark):
             idx, docs, ["alpha"], "source", size=2, after="src3"
         )
         assert page3.count() == 0
+
+
+def test_regexp_is_anchored_like_es(spark, tmp_path):
+    """'a.b' must match whole terms only — 'axb' yes, 'xaxbx' no
+    (an unanchored rlike would match both)."""
+    docs = _corpus(spark, [(1, "axb ayb"), (2, "xaxbx"), (3, "ab")])
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4)
+    idx = SRCH.load_postings_index(spark, path)
+    assert {r["doc_id"] for r in SRCH.bm25_topk_regexp(idx, "a.b").collect()} == {1}
+    # alternation + anchoring together
+    got = SRCH.bm25_topk_regexp(idx, "ab|xaxbx")
+    assert {r["doc_id"] for r in got.collect()} == {2, 3}
+    assert SRCH.bm25_topk_regexp(idx, "zz+").count() == 0
