@@ -148,6 +148,8 @@ _EXPORTS: dict[str, str] = {
     "bm25_rescore": "operators.search",
     "top_hits_by_facet": "operators.search",
     "search_facets_after": "operators.search",
+    "bm25_decay_score": "operators.search",
+    "bm25_collapse": "operators.search",
 }
 
 __all__ = ["__version__", *sorted(_EXPORTS)]

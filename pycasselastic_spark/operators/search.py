@@ -793,6 +793,98 @@ def bm25_function_score(
     )
 
 
+def bm25_decay_score(
+    index: PostingsIndex,
+    docs: DataFrame,
+    query_terms: list[str],
+    field_col: str,
+    origin: float,
+    scale: float,
+    offset: float = 0.0,
+    decay: float = 0.5,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``function_score`` with a ``gauss`` decay on a numeric field
+    — the recency/distance boost every production search deploys:
+    final score = BM25 * exp(-max(0, |x - origin| - offset)^2 /
+    (2 sigma^2)) with sigma^2 = -scale^2 / (2 ln decay), so a doc at
+    ``origin`` keeps its full score and one ``scale`` away is
+    multiplied by ``decay``. ONE Q20 floor after the multiply
+    (function_score's one-floor rule).
+
+    Plan shape: identical to ``bm25_function_score`` — the pruned
+    probe scores candidates raw, and only the (query-bounded)
+    candidates broadcast-join back to the docs table for the decay
+    field; never a corpus scan. sigma^2 is computed driver-side and
+    inlined as a literal so the oracle replays the identical double."""
+    import math
+
+    sigma2 = -(float(scale) ** 2) / (2.0 * math.log(float(decay)))
+    id_col = index.id_col
+    raw = _bm25_scored_raw(index, query_terms, k1, b)
+    dist = F.greatest(
+        F.lit(0.0), F.abs(F.col(field_col) - F.lit(float(origin))) - F.lit(float(offset))
+    )
+    return (
+        F.broadcast(raw)
+        .join(docs.select(id_col, field_col), id_col)
+        .select(
+            F.col(id_col),
+            "n_hit_terms",
+            F.floor(
+                F.col("score_raw")
+                * F.exp(-(dist * dist) / F.lit(2.0 * sigma2))
+                * Q20
+            ).cast("long").alias("score_q20"),
+        )
+        .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def bm25_collapse(
+    index: PostingsIndex,
+    docs: DataFrame,
+    query_terms: list[str],
+    collapse_col: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES field ``collapse``: the ranked result list keeps only the
+    single best hit per ``collapse_col`` value (dedup-by-field in the
+    ranking, e.g. one result per domain). Returns the global top-``k``
+    of the collapsed list as ``(id, collapsed, score_q20)``.
+
+    Plan shape: top_hits_by_facet's — query-bounded scored candidates
+    broadcast-join the docs table for the collapse field, ONE window
+    partitioned by it picks each group's best (score desc, id), then
+    the global top-k is a TakeOrderedAndProject over the collapsed
+    (≤ distinct-field-values) rows."""
+    from pyspark.sql.window import Window
+
+    id_col = index.id_col
+    scored = _bm25_scored(index, query_terms, k1, b)
+    w = Window.partitionBy(collapse_col).orderBy(
+        F.col("score_q20").desc(), F.col(id_col).asc()
+    )
+    return (
+        F.broadcast(scored)
+        .join(docs.select(id_col, collapse_col), id_col)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col(collapse_col).alias("collapsed"),
+            "score_q20",
+        )
+        .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def phrase_slop_search(
     index: PostingsIndex, phrase_terms: list[str], slop: int = 0
 ) -> DataFrame:

@@ -19,3 +19,4 @@ from pycasselastic_spark.queries import relational_suites  # noqa: F401
 from pycasselastic_spark.queries import corpus_quality  # noqa: F401
 from pycasselastic_spark.queries import events_ops  # noqa: F401
 from pycasselastic_spark.queries import search_analytics  # noqa: F401
+from pycasselastic_spark.queries import search_dsl  # noqa: F401

@@ -340,6 +340,20 @@ def test_indexed_probe_plans_no_generate_no_smj(spark, probe_index):
             "src",
             hits_per_bucket=2,
         ),
+        "decay": SRCH.bm25_decay_score(
+            idx,
+            docs.withColumn("n_val", F.col("doc_id") * 10),
+            ["alpha"],
+            "n_val",
+            origin=100.0,
+            scale=50.0,
+        ),
+        "collapse": SRCH.bm25_collapse(
+            idx,
+            docs.withColumn("src", F.col("doc_id") % 3),
+            ["alpha", "w3"],
+            "src",
+        ),
         "facets_after": SRCH.search_facets_after(
             idx,
             docs.withColumn("src", F.col("doc_id") % 3),

@@ -985,3 +985,59 @@ def test_regexp_is_anchored_like_es(spark, tmp_path):
     got = SRCH.bm25_topk_regexp(idx, "ab|xaxbx")
     assert {r["doc_id"] for r in got.collect()} == {2, 3}
     assert SRCH.bm25_topk_regexp(idx, "zz+").count() == 0
+
+
+def test_decay_score_at_origin_and_scale(spark):
+    """A doc AT the origin keeps its BM25 score exactly; a doc one
+    scale away scores ~decay x BM25 (same tf/dl so base scores are
+    equal); monotone in distance."""
+    import math
+    docs = spark.createDataFrame(
+        [(1, "alpha x", 100), (2, "alpha y", 300), (3, "alpha z", 500)],
+        ["doc_id", "text", "n_val"],
+    )
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        path = d + "/idx"
+        SRCH.build_postings_index(
+            docs.select("doc_id", "text"), "doc_id", "text", path, n_buckets=4
+        )
+        idx = SRCH.load_postings_index(spark, path)
+        got = {
+            r["doc_id"]: r["score_q20"]
+            for r in SRCH.bm25_decay_score(
+                idx, docs, ["alpha"], "n_val",
+                origin=100.0, scale=200.0, decay=0.5,
+            ).collect()
+        }
+        base = {
+            r["doc_id"]: r["score_q20"]
+            for r in SRCH.bm25_topk_indexed(idx, ["alpha"], k=10).collect()
+        }
+        assert got[1] == base[1]  # at origin: decay factor exactly 1
+        # one scale away: factor == decay (0.5) within quantization
+        assert abs(got[2] - base[2] * 0.5) <= 1
+        assert got[1] > got[2] > got[3]
+
+
+def test_collapse_keeps_one_hit_per_field_value(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha alpha", "a"),
+            (2, "alpha alpha", "a"),
+            (3, "alpha", "b"),
+            (4, "other", "b"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        path = d + "/idx"
+        SRCH.build_postings_index(
+            docs.select("doc_id", "text"), "doc_id", "text", path, n_buckets=4
+        )
+        idx = SRCH.load_postings_index(spark, path)
+        got = SRCH.bm25_collapse(idx, docs, ["alpha"], "source", k=10).collect()
+        assert [(r["doc_id"], r["collapsed"]) for r in got] == [
+            (1, "a"), (3, "b")
+        ]
