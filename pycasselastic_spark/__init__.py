@@ -150,6 +150,7 @@ _EXPORTS: dict[str, str] = {
     "search_facets_after": "operators.search",
     "bm25_decay_score": "operators.search",
     "bm25_collapse": "operators.search",
+    "snapshot_postings_index": "operators.search",
 }
 
 __all__ = ["__version__", *sorted(_EXPORTS)]

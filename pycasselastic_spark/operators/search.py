@@ -1613,6 +1613,49 @@ def significant_terms(
     )
 
 
+_INDEX_RELATIONS = ("postings", "forward", "variants", "docstats", "superseded")
+
+
+def snapshot_postings_index(src: str, dst: str) -> dict:
+    """ES snapshot: a crash-consistent, point-in-time copy of a stored
+    index that a concurrent UPDATER cannot corrupt. Returns the
+    snapshot's stats dict; "restore" is simply
+    ``load_postings_index(spark, dst)`` — a snapshot IS a full index.
+
+    Why this is safe without pausing writes: stats.json is captured
+    FIRST, freezing the committed-generation set that defines the
+    snapshot's truth. Data files are then copied; an update committing
+    mid-copy may leave its rows partially present in the copied files,
+    but those rows are tagged with a generation OUTSIDE the captured
+    committed set, so every reader of the snapshot filters them out —
+    the same orphan-invisibility contract that makes crashes safe
+    (``update_postings_index`` step 3). The captured stats file is
+    written LAST into a temp directory that becomes ``dst`` via one
+    atomic rename, so a crashed snapshot never leaves a half-snapshot
+    at the destination. Writer-state claim files are NOT copied (the
+    snapshot is read-only history; restoring and then updating it
+    re-claims from ``next_gen``). Like every maintenance op here,
+    concurrent COMPACTION of the source is the one excluded writer
+    (compaction deletes files mid-copy; same single-writer caveat).
+    """
+    import shutil
+
+    with open(os.path.join(src, "stats.json")) as f:
+        stats = json.load(f)
+    tmp = dst + ".snapshot-tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    for rel in _INDEX_RELATIONS:
+        rel_src = os.path.join(src, rel)
+        if os.path.isdir(rel_src):
+            shutil.copytree(rel_src, os.path.join(tmp, rel))
+    with open(os.path.join(tmp, "stats.json"), "w") as f:
+        json.dump(stats, f)
+    os.rename(tmp, dst)
+    return stats
+
+
 def compact_postings_index(
     spark: SparkSession,
     path: str,

@@ -1329,3 +1329,28 @@ def collapse_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _postings_index_for(spark, sf_dir)
     docs = _t(spark, sf_dir, "documents")
     return SRCH.bm25_collapse(idx, docs, ["spark", "merge"], "source", k=10)
+
+
+@register(
+    "snapshot_probe_bm25_documents",
+    _BM25_ORACLE_TEMPLATE.format(terms="'group', 'sort'"),
+    doc="ES snapshot/restore: a crash-consistent point-in-time copy "
+    "of the stored index (capture stats.json FIRST — freezing the "
+    "committed-generation set — copy relation dirs, write the "
+    "captured stats LAST into a temp dir that becomes the snapshot "
+    "via one atomic rename; operators/search.py:"
+    "snapshot_postings_index), then a normal pruned BM25 probe of the "
+    "RESTORED index ('restore' is just load_postings_index — a "
+    "snapshot IS a full index). An update committing mid-copy stays "
+    "invisible because its generation is outside the captured set — "
+    "the crash-orphan contract extended to backups. The oracle "
+    "replaying full-corpus BM25 against the probe proves the copy is "
+    "lossless. The snapshot is taken fresh in-window (heavy-by-design "
+    "like the delta/reindex maintenance queries).",
+)
+def snapshot_probe_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _INDEX_CACHE.get(sf_dir) or (_postings_index_for(spark, sf_dir) and _INDEX_CACHE[sf_dir])
+    dst = os.path.join(tempfile.mkdtemp(prefix="idx_snapshot_"), "snap")
+    SRCH.snapshot_postings_index(src, dst)
+    snap = SRCH.load_postings_index(spark, dst)
+    return SRCH.bm25_topk_indexed(snap, ["group", "sort"], k=10)

@@ -1041,3 +1041,67 @@ def test_collapse_keeps_one_hit_per_field_value(spark):
         assert [(r["doc_id"], r["collapsed"]) for r in got] == [
             (1, "a"), (3, "b")
         ]
+
+
+def test_snapshot_is_point_in_time_and_restorable(spark, tmp_path):
+    """ES snapshot/restore: the copy is frozen at the captured
+    committed set — later source updates don't leak in — and the
+    restored index accepts its own updates independently."""
+    base = [(i, f"alpha w{i % 3}") for i in range(12)]
+    src = str(tmp_path / "idx")
+    snap = str(tmp_path / "snap")
+    SRCH.build_postings_index(_corpus(spark, base), "doc_id", "text", src, n_buckets=4)
+    SRCH.update_postings_index(_corpus(spark, [(20, "alpha beta")]), "text", src)
+    before = sorted(map(tuple, SRCH.bm25_topk_indexed(
+        SRCH.load_postings_index(spark, src), ["alpha", "beta"], k=30
+    ).collect()))
+
+    stats = SRCH.snapshot_postings_index(src, snap)
+    assert stats["committed_gens"] == [0, 1]
+    import os as _os
+    assert not any(f.endswith(".claim") for f in _os.listdir(snap))
+
+    # mutate the SOURCE after the snapshot: the snapshot must not move
+    SRCH.update_postings_index(_corpus(spark, [(21, "alpha gamma")]), "text", src)
+    got = sorted(map(tuple, SRCH.bm25_topk_indexed(
+        SRCH.load_postings_index(spark, snap), ["alpha", "beta"], k=30
+    ).collect()))
+    assert got == before
+    assert SRCH.bm25_topk_indexed(
+        SRCH.load_postings_index(spark, snap), ["gamma"], k=5
+    ).count() == 0
+
+    # restore-then-update: the snapshot is a full index in its own right
+    SRCH.update_postings_index(_corpus(spark, [(22, "alpha delta")]), "text", snap)
+    assert SRCH.bm25_topk_indexed(
+        SRCH.load_postings_index(spark, snap), ["delta"], k=5
+    ).count() == 1
+
+
+def test_snapshot_excludes_uncommitted_orphans(spark, tmp_path, monkeypatch):
+    """A snapshot taken while an update crashed mid-flight carries the
+    orphan's data files but NOT its generation in the captured
+    committed set — probes of the snapshot never see it (the
+    crash-contract extended to snapshots)."""
+    src = str(tmp_path / "idx")
+    snap = str(tmp_path / "snap")
+    SRCH.build_postings_index(
+        _corpus(spark, [(1, "alpha"), (2, "alpha beta")]),
+        "doc_id", "text", src, n_buckets=4,
+    )
+    real_write = SRCH._write_stats
+
+    def exploding_write(p, stats):
+        raise OSError("injected crash before index commit")
+
+    monkeypatch.setattr(SRCH, "_write_stats", exploding_write)
+    import pytest as _p
+    with _p.raises(OSError, match="injected crash"):
+        SRCH.update_postings_index(_corpus(spark, [(3, "zeta")]), "text", src)
+    monkeypatch.setattr(SRCH, "_write_stats", real_write)
+
+    stats = SRCH.snapshot_postings_index(src, snap)
+    assert stats["committed_gens"] == [0]
+    sidx = SRCH.load_postings_index(spark, snap)
+    assert SRCH.bm25_topk_indexed(sidx, ["zeta"], k=5).count() == 0
+    assert SRCH.bm25_topk_indexed(sidx, ["alpha"], k=5).count() == 2
