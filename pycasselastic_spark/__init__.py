@@ -151,6 +151,8 @@ _EXPORTS: dict[str, str] = {
     "bm25_decay_score": "operators.search",
     "bm25_collapse": "operators.search",
     "snapshot_postings_index": "operators.search",
+    "percolate": "operators.search",
+    "term_vectors": "operators.search",
 }
 
 __all__ = ["__version__", *sorted(_EXPORTS)]

@@ -1613,6 +1613,76 @@ def significant_terms(
     )
 
 
+def percolate(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: DataFrame,
+    broadcast_threshold: int = 2_000_000,
+) -> DataFrame:
+    """ES percolator — search REVERSED: the queries are stored, and
+    each incoming document is matched against all of them (alerting,
+    saved searches, routing rules). ``queries`` is
+    ``(query_id, terms array<string>, min_match int)`` — min_match =
+    size(terms) is a conjunctive (bool-must) percolation, 1 is
+    disjunctive, anything between is minimum_should_match. Returns
+    ``(id, query_id, n_matched)`` for every (document, query) pair
+    where at least ``min_match`` of the query's terms occur in the
+    document.
+
+    Plan shape: the query table explodes to (query_id, term) —
+    query-table-sized, never corpus-sized — and broadcasts to the
+    documents' DISTINCT (id, term) pairs, so the corpus is tokenized
+    once and never shuffled on anything but the final (id, query_id)
+    aggregation, whose cardinality is match-bounded. A query table too
+    large to broadcast falls back to a shuffle join on the term (the
+    search_facets escape hatch)."""
+    qterms = queries.select(
+        "query_id",
+        "min_match",
+        F.explode(F.array_distinct("terms")).alias("term"),
+    )
+    dterms = docs.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "").distinct()
+    q_side = (
+        F.broadcast(qterms)
+        if queries.count() <= broadcast_threshold
+        else qterms
+    )
+    return (
+        dterms.join(q_side, "term")
+        .groupBy(id_col, "query_id", "min_match")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .filter(F.col("n_matched") >= F.col("min_match"))
+        .select(id_col, "query_id", F.col("n_matched").cast("long"))
+    )
+
+
+def term_vectors(index: PostingsIndex, doc_id) -> DataFrame:
+    """ES ``_termvectors`` with ``term_statistics=true``: one
+    document's terms with their in-doc tf and corpus-wide df, entirely
+    from stored state. Two pruned probes — the FORWARD relation
+    (ibucket partition pruning + pushed id filter) yields the doc's
+    terms and tfs; those few terms then probe the postings for df the
+    same way every BM25 query does. Raw text is never read."""
+    id_col = index.id_col
+    fwd = index.live_forward_for([doc_id]).select("term", "tf")
+    terms = [r["term"] for r in fwd.select("term").distinct().collect()]
+    if not terms:
+        return index.postings.sparkSession.createDataFrame(
+            [], "term STRING, tf LONG, df LONG"
+        )
+    dfreq = (
+        index.live_postings_for(terms)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return fwd.join(F.broadcast(dfreq), "term").select(
+        "term", F.col("tf").cast("long"), F.col("df").cast("long")
+    )
+
+
 _INDEX_RELATIONS = ("postings", "forward", "variants", "docstats", "superseded")
 
 

@@ -1354,3 +1354,80 @@ def snapshot_probe_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     SRCH.snapshot_postings_index(src, dst)
     snap = SRCH.load_postings_index(spark, dst)
     return SRCH.bm25_topk_indexed(snap, ["group", "sort"], k=10)
+
+
+@register(
+    "percolate_documents",
+    """
+WITH tok AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  ) WHERE term <> ''
+),
+q AS (
+  SELECT * FROM (VALUES
+    ('both_spark_merge', 'spark', 2),
+    ('both_spark_merge', 'merge', 2),
+    ('rare_dup', 'dup', 1),
+    ('two_of_three', 'fast', 2),
+    ('two_of_three', 'table', 2),
+    ('two_of_three', 'vector', 2)
+  ) t(query_id, term, min_match)
+)
+SELECT doc_id, query_id, CAST(COUNT(*) AS BIGINT) AS n_matched
+FROM tok JOIN q USING (term)
+GROUP BY doc_id, query_id, min_match
+HAVING COUNT(*) >= min_match
+""",
+    doc="ES percolator — search REVERSED (operators/search.py:"
+    "percolate): three stored queries (a bool-must pair, a "
+    "single-term alert on rare 'dup', a 2-of-3 minimum_should_match) "
+    "matched against every incoming document. The query table "
+    "explodes to (query_id, term) — query-table-sized — and "
+    "broadcasts to the corpus's distinct (doc, term) pairs, so the "
+    "corpus is tokenized once and shuffles only on the match-bounded "
+    "(doc, query) aggregation; a huge saved-search table falls back "
+    "to a term shuffle join. Oracle replays the match-count algebra "
+    "over a VALUES literal of the same stored queries.",
+)
+def percolate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [
+            ("both_spark_merge", ["spark", "merge"], 2),
+            ("rare_dup", ["dup"], 1),
+            ("two_of_three", ["fast", "table", "vector"], 2),
+        ],
+        "query_id STRING, terms ARRAY<STRING>, min_match INT",
+    )
+    return SRCH.percolate(docs, "doc_id", "text", queries)
+
+
+@register(
+    "term_vectors_documents",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+p AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY term, doc_id
+),
+mine AS (SELECT term, tf FROM p WHERE doc_id = 42),
+d AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM p
+  WHERE term IN (SELECT term FROM mine) GROUP BY term
+)
+SELECT term, tf, df FROM mine JOIN d USING (term)
+""",
+    doc="ES _termvectors with term_statistics=true for doc 42 "
+    "(operators/search.py:term_vectors): the doc's terms with in-doc "
+    "tf and corpus-wide df, entirely from stored state — the FORWARD "
+    "relation (ibucket partition pruning + pushed id filter) gives "
+    "the terms/tfs, and those few terms probe the postings for df "
+    "exactly like a BM25 query. Raw text never read. Oracle rebuilds "
+    "both statistics from the corpus.",
+)
+def term_vectors_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return SRCH.term_vectors(idx, 42)

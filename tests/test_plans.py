@@ -354,6 +354,7 @@ def test_indexed_probe_plans_no_generate_no_smj(spark, probe_index):
             ["alpha", "w3"],
             "src",
         ),
+        "term_vectors": SRCH.term_vectors(idx, 7),
         "facets_after": SRCH.search_facets_after(
             idx,
             docs.withColumn("src", F.col("doc_id") % 3),

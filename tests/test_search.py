@@ -1105,3 +1105,39 @@ def test_snapshot_excludes_uncommitted_orphans(spark, tmp_path, monkeypatch):
     sidx = SRCH.load_postings_index(spark, snap)
     assert SRCH.bm25_topk_indexed(sidx, ["zeta"], k=5).count() == 0
     assert SRCH.bm25_topk_indexed(sidx, ["alpha"], k=5).count() == 2
+
+
+def test_percolate_min_match_semantics(spark):
+    docs = _corpus(spark, [
+        (1, "spark merge fast"), (2, "spark only"), (3, "other words"),
+    ])
+    queries = spark.createDataFrame(
+        [
+            ("both", ["spark", "merge"], 2),     # conjunctive
+            ("any", ["spark", "merge"], 1),      # disjunctive
+            ("two_of", ["spark", "merge", "fast"], 2),
+        ],
+        "query_id STRING, terms ARRAY<STRING>, min_match INT",
+    )
+    got = {
+        (r["doc_id"], r["query_id"]): r["n_matched"]
+        for r in SRCH.percolate(docs, "doc_id", "text", queries).collect()
+    }
+    assert set(got) == {(1, "both"), (1, "any"), (1, "two_of"), (2, "any")}
+    assert got[(1, "both")] == 2 and got[(2, "any")] == 1
+    # duplicate terms in a doc count once (distinct matching)
+    dup_doc = _corpus(spark, [(9, "spark spark spark")])
+    got2 = SRCH.percolate(dup_doc, "doc_id", "text", queries).collect()
+    assert {(r["doc_id"], r["query_id"]) for r in got2} == {(9, "any")}
+
+
+def test_term_vectors_tf_and_df_from_stored_state(spark, tmp_path):
+    docs = _corpus(spark, [
+        (1, "alpha alpha beta"), (2, "alpha gamma"), (3, "beta beta"),
+    ])
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4)
+    idx = SRCH.load_postings_index(spark, path)
+    got = {r["term"]: (r["tf"], r["df"]) for r in SRCH.term_vectors(idx, 1).collect()}
+    assert got == {"alpha": (2, 2), "beta": (1, 2)}
+    assert SRCH.term_vectors(idx, 99).count() == 0
