@@ -153,6 +153,9 @@ _EXPORTS: dict[str, str] = {
     "snapshot_postings_index": "operators.search",
     "percolate": "operators.search",
     "term_vectors": "operators.search",
+    "set_index_alias": "operators.search",
+    "resolve_index_alias": "operators.search",
+    "load_postings_index_by_alias": "operators.search",
 }
 
 __all__ = ["__version__", *sorted(_EXPORTS)]

@@ -1683,6 +1683,35 @@ def term_vectors(index: PostingsIndex, doc_id) -> DataFrame:
     )
 
 
+def set_index_alias(alias_path: str, index_path: str) -> None:
+    """ES index alias: a named pointer to a physical index, swapped
+    atomically — readers resolving the alias see the old index until
+    the single rename, then the new one, never a mix (the alias-swap
+    cutover ES's reindex workflow ends with). The alias is a JSON file
+    holding the target path; the write goes to a temp file first so a
+    crash mid-write can't leave a torn alias."""
+    tmp = alias_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"path": index_path}, f)
+    os.rename(tmp, alias_path)
+
+
+def resolve_index_alias(alias_path: str) -> str:
+    """Resolve an alias file to its current physical index path."""
+    with open(alias_path) as f:
+        return json.load(f)["path"]
+
+
+def load_postings_index_by_alias(
+    spark: SparkSession, alias_path: str
+) -> PostingsIndex:
+    """``load_postings_index`` through an alias — the reader side of
+    the zero-downtime cutover: rebuild/reindex into a fresh directory,
+    ``set_index_alias`` once, and every subsequent load serves the new
+    index while in-flight probes keep their already-resolved one."""
+    return load_postings_index(spark, resolve_index_alias(alias_path))
+
+
 _INDEX_RELATIONS = ("postings", "forward", "variants", "docstats", "superseded")
 
 

@@ -1141,3 +1141,28 @@ def test_term_vectors_tf_and_df_from_stored_state(spark, tmp_path):
     got = {r["term"]: (r["tf"], r["df"]) for r in SRCH.term_vectors(idx, 1).collect()}
     assert got == {"alpha": (2, 2), "beta": (1, 2)}
     assert SRCH.term_vectors(idx, 99).count() == 0
+
+
+def test_index_alias_swaps_atomically(spark, tmp_path):
+    """ES alias cutover: probes through the alias see index A, then
+    after one set_index_alias call index B — resolution is a file
+    read, the swap one rename."""
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    alias = str(tmp_path / "docs.alias")
+    SRCH.build_postings_index(
+        _corpus(spark, [(1, "alpha")]), "doc_id", "text", a, n_buckets=2
+    )
+    SRCH.build_postings_index(
+        _corpus(spark, [(2, "beta")]), "doc_id", "text", b, n_buckets=2
+    )
+    SRCH.set_index_alias(alias, a)
+    assert SRCH.resolve_index_alias(alias) == a
+    idx = SRCH.load_postings_index_by_alias(spark, alias)
+    assert SRCH.bm25_topk_indexed(idx, ["alpha"], k=5).count() == 1
+    SRCH.set_index_alias(alias, b)  # the cutover
+    idx2 = SRCH.load_postings_index_by_alias(spark, alias)
+    assert SRCH.bm25_topk_indexed(idx2, ["beta"], k=5).count() == 1
+    assert SRCH.bm25_topk_indexed(idx2, ["alpha"], k=5).count() == 0
+    # the already-resolved handle keeps serving the OLD index
+    assert SRCH.bm25_topk_indexed(idx, ["alpha"], k=5).count() == 1
