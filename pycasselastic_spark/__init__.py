@@ -156,6 +156,7 @@ _EXPORTS: dict[str, str] = {
     "set_index_alias": "operators.search",
     "resolve_index_alias": "operators.search",
     "load_postings_index_by_alias": "operators.search",
+    "suggest_phrase": "operators.search",
 }
 
 __all__ = ["__version__", *sorted(_EXPORTS)]

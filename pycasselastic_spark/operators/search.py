@@ -2165,6 +2165,84 @@ def expand_fuzzy_terms(
     return sorted(r["term"] for r in verified)
 
 
+def suggest_phrase(
+    index: PostingsIndex,
+    phrase_terms: list[str],
+    k: int = 3,
+    max_dist: int = 1,
+) -> DataFrame:
+    """ES phrase suggester (did-you-mean for whole phrases): each
+    input term expands to its dictionary neighborhood (the stored
+    FastSS probe + exact-levenshtein verify, like the term suggester),
+    and candidate phrases are ranked by how often they actually occur
+    IN ORDER in the corpus — a misspelled "fsat tabel" suggests
+    "fast table" because that bigram is frequent, not because each
+    word is individually close. Returns
+    ``(suggestion, n_occurrences, dist_sum)`` ordered by
+    (occurrences desc, total edit distance asc, suggestion asc),
+    top ``k``.
+
+    Plan shape: per-slot candidate sets are dictionary-neighborhood
+    probes (query-bounded); occurrence counting is the phrase probe's
+    position-adjacency chain join over ONLY the candidate terms'
+    postings, counting every chain instance corpus-wide. No corpus
+    tokenization, no raw text."""
+    id_col = index.id_col
+    cands = [
+        expand_fuzzy_terms(index, [t], max_dist) for t in phrase_terms
+    ]
+    spark = index.postings.sparkSession
+    if any(not c for c in cands):
+        return spark.createDataFrame(
+            [], "suggestion STRING, n_occurrences LONG, dist_sum LONG"
+        )
+    all_terms = sorted({t for c in cands for t in c})
+    postings = index.live_postings_for(all_terms)
+    slots = [
+        postings.filter(F.col("term").isin(c)).select(
+            F.col(id_col),
+            F.col("term"),
+            F.explode("positions").alias("pos"),
+        )
+        for c in cands
+    ]
+    chain = slots[0].select(
+        id_col,
+        F.col("pos").alias("p_prev"),
+        F.col("term").alias("suggestion"),
+        F.levenshtein(F.col("term"), F.lit(phrase_terms[0])).alias("dist_sum"),
+    )
+    for q, nxt in zip(phrase_terms[1:], slots[1:]):
+        chain = (
+            chain.join(nxt, id_col)
+            .filter(F.col("pos") == F.col("p_prev") + 1)
+            .select(
+                id_col,
+                F.col("pos").alias("p_prev"),
+                F.concat_ws(" ", "suggestion", "term").alias("suggestion"),
+                (
+                    F.col("dist_sum")
+                    + F.levenshtein(F.col("term"), F.lit(q))
+                ).alias("dist_sum"),
+            )
+        )
+    return (
+        chain.groupBy("suggestion", "dist_sum")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .select(
+            "suggestion",
+            F.col("n_occurrences").cast("long"),
+            F.col("dist_sum").cast("long"),
+        )
+        .orderBy(
+            F.col("n_occurrences").desc(),
+            F.col("dist_sum").asc(),
+            F.col("suggestion").asc(),
+        )
+        .limit(k)
+    )
+
+
 def bm25_topk_fuzzy(
     index: PostingsIndex,
     query_terms: list[str],

@@ -1431,3 +1431,40 @@ SELECT term, tf, df FROM mine JOIN d USING (term)
 def term_vectors_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _postings_index_for(spark, sf_dir)
     return SRCH.term_vectors(idx, 42)
+
+
+@register(
+    "phrase_suggest_documents",
+    """
+WITH tok AS (
+  SELECT doc_id, i AS pos, toks[i+1] AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       LATERAL (SELECT unnest(range(len(toks))) AS i) t
+  WHERE toks[i+1] <> ''
+),
+dict AS (SELECT DISTINCT term FROM tok),
+c1 AS (SELECT term FROM dict WHERE levenshtein(term, 'fsat') <= 2),
+c2 AS (SELECT term FROM dict WHERE levenshtein(term, 'tabel') <= 2),
+a AS (SELECT doc_id, pos, term FROM tok WHERE term IN (SELECT term FROM c1)),
+b AS (SELECT doc_id, pos, term FROM tok WHERE term IN (SELECT term FROM c2))
+SELECT a.term || ' ' || b.term AS suggestion,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(levenshtein(a.term, 'fsat') + levenshtein(b.term, 'tabel')
+            AS BIGINT) AS dist_sum
+FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+GROUP BY a.term, b.term
+ORDER BY n_occurrences DESC, dist_sum ASC, suggestion ASC LIMIT 3
+""",
+    doc="ES phrase suggester for misspelled 'fsat tabel' "
+    "(operators/search.py:suggest_phrase): each slot expands to its "
+    "dictionary neighborhood via the stored FastSS probe + exact "
+    "levenshtein verify, then candidate phrases rank by how often "
+    "they occur IN ORDER corpus-wide — the position-adjacency chain "
+    "join over only the candidate terms' postings, counting every "
+    "chain instance. Did-you-mean quality comes from bigram "
+    "frequency, not per-word closeness. Oracle rebuilds positions "
+    "from raw text and replays neighborhood + adjacency + ranking.",
+)
+def phrase_suggest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return SRCH.suggest_phrase(idx, ["fsat", "tabel"], k=3, max_dist=2)

@@ -1166,3 +1166,26 @@ def test_index_alias_swaps_atomically(spark, tmp_path):
     assert SRCH.bm25_topk_indexed(idx2, ["alpha"], k=5).count() == 0
     # the already-resolved handle keeps serving the OLD index
     assert SRCH.bm25_topk_indexed(idx, ["alpha"], k=5).count() == 1
+
+
+def test_phrase_suggester_ranks_by_bigram_frequency(spark, tmp_path):
+    """'fsat tabel' must suggest 'fast table' (frequent bigram) above
+    'fast cable' (rarer) even though both are within distance; a slot
+    with no dictionary neighbor yields no suggestions."""
+    docs = _corpus(spark, [
+        (1, "fast table fast table fast table"),
+        (2, "fact table"),
+        (3, "table fast"),
+    ])
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4,
+                              variant_depth=2)
+    idx = SRCH.load_postings_index(spark, path)
+    got = SRCH.suggest_phrase(idx, ["fsat", "tabel"], k=5, max_dist=2).collect()
+    # lev(fsat,fast)=2 and lev(fsat,fact)=2; bigram frequency decides
+    assert [(r["suggestion"], r["n_occurrences"]) for r in got] == [
+        ("fast table", 3), ("fact table", 1)
+    ]
+    assert got[0]["dist_sum"] == 2 + 2
+    # doc 3's reversed order contributes no chain
+    assert SRCH.suggest_phrase(idx, ["zzzzzz", "tabel"], k=5, max_dist=2).count() == 0
