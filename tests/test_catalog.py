@@ -60,4 +60,7 @@ def test_round9_gate_slots():
     assert names[14] == "auto_compacted_bm25_documents"
     assert names[15] == "string_suite_documents"
     assert names[49] == "user_value_outliers_events"
-    assert len(names) == 169
+    # the gate is the FIRST 50; post-gate registrations grow the tail
+    # every round (COVERAGE.md enumerates them), so pin a floor, not
+    # an exact count — an accidental DEregistration still fails here
+    assert len(names) >= 169
