@@ -157,6 +157,7 @@ _EXPORTS: dict[str, str] = {
     "resolve_index_alias": "operators.search",
     "load_postings_index_by_alias": "operators.search",
     "suggest_phrase": "operators.search",
+    "explain_score": "operators.search",
 }
 
 __all__ = ["__version__", *sorted(_EXPORTS)]

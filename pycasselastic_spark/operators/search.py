@@ -1659,6 +1659,47 @@ def percolate(
     )
 
 
+def explain_score(
+    index: PostingsIndex,
+    doc_id,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``_explain``: the per-term BM25 score breakdown for ONE
+    (document, query) pair — ``(term, tf, df, dl, idf_q20,
+    term_score_q20)`` — so an operator can see WHY a document ranked
+    where it did (which term contributed, its idf, its saturation).
+    The quantized per-term contributions are each floored
+    independently (this is a diagnostic view; the ranking probes floor
+    once after the sum, so the explain rows bound but need not sum to
+    the probe's score_q20 — same relationship as Lucene's explain vs
+    its scorer).
+
+    Plan shape: one pruned postings probe (pbucket IN + term filter)
+    supplies df over the query's rows AND the target doc's tf/dl —
+    query-bounded, no corpus scan, no raw text."""
+    id_col = index.id_col
+    postings = index.live_postings_for(query_terms)
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    mine = postings.filter(F.col(id_col) == doc_id).select("term", "tf", "dl")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(index.n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = idf * (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(index.avgdl))
+    )
+    return mine.join(F.broadcast(dfreq), "term").select(
+        "term",
+        F.col("tf").cast("long"),
+        F.col("df").cast("long"),
+        F.col("dl").cast("long"),
+        F.floor(idf * Q20).cast("long").alias("idf_q20"),
+        F.floor(term_score * Q20).cast("long").alias("term_score_q20"),
+    )
+
+
 def term_vectors(index: PostingsIndex, doc_id) -> DataFrame:
     """ES ``_termvectors`` with ``term_statistics=true``: one
     document's terms with their in-doc tf and corpus-wide df, entirely

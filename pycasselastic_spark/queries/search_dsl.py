@@ -1468,3 +1468,47 @@ ORDER BY n_occurrences DESC, dist_sum ASC, suggestion ASC LIMIT 3
 def phrase_suggest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _postings_index_for(spark, sf_dir)
     return SRCH.suggest_phrase(idx, ["fsat", "tabel"], k=3, max_dist=2)
+
+
+@register(
+    "explain_score_documents",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+postings AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY term, doc_id
+),
+qt AS (SELECT * FROM postings WHERE term IN ('spark', 'merge', 'window')),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+              AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+       FROM documents)
+SELECT qt.term,
+       qt.tf,
+       dfreq.df,
+       CAST(dl.dl AS BIGINT) AS dl,
+       CAST(FLOOR(
+         ln(1.0 + (sc.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * 1048576.0) AS BIGINT) AS idf_q20,
+       CAST(FLOOR(
+         ln(1.0 + (sc.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (qt.tf * 2.2)
+         / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / sc.avgdl))
+         * 1048576.0) AS BIGINT) AS term_score_q20
+FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+WHERE qt.doc_id = 42
+""",
+    doc="ES _explain for doc 42 against 'spark merge window' "
+    "(operators/search.py:explain_score): the per-term BM25 breakdown "
+    "— tf, df, dl, quantized idf and term contribution — so an "
+    "operator sees WHY a doc ranked where it did. One pruned postings "
+    "probe supplies the query's df rows AND the target doc's tf/dl; "
+    "query-bounded, no corpus scan, no raw text. Oracle replays the "
+    "identical per-term arithmetic from the corpus.",
+)
+def explain_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return SRCH.explain_score(idx, 42, ["spark", "merge", "window"])

@@ -355,6 +355,7 @@ def test_indexed_probe_plans_no_generate_no_smj(spark, probe_index):
             "src",
         ),
         "term_vectors": SRCH.term_vectors(idx, 7),
+        "explain": SRCH.explain_score(idx, 7, ["alpha", "w3"]),
         "facets_after": SRCH.search_facets_after(
             idx,
             docs.withColumn("src", F.col("doc_id") % 3),

@@ -1189,3 +1189,23 @@ def test_phrase_suggester_ranks_by_bigram_frequency(spark, tmp_path):
     assert got[0]["dist_sum"] == 2 + 2
     # doc 3's reversed order contributes no chain
     assert SRCH.suggest_phrase(idx, ["zzzzzz", "tabel"], k=5, max_dist=2).count() == 0
+
+
+def test_explain_score_breakdown_matches_probe(spark, tmp_path):
+    """The explain rows' raw sum reproduces the ranking probe's score
+    (within per-term quantization), and tf/df/dl are exact."""
+    docs = _corpus(spark, [
+        (1, "alpha alpha beta"), (2, "alpha gamma"), (3, "beta beta"),
+    ])
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4)
+    idx = SRCH.load_postings_index(spark, path)
+    rows = {r["term"]: r for r in SRCH.explain_score(idx, 1, ["alpha", "beta"]).collect()}
+    assert rows["alpha"]["tf"] == 2 and rows["alpha"]["df"] == 2
+    assert rows["beta"]["tf"] == 1 and rows["beta"]["dl"] == 3
+    probe = {r["doc_id"]: r["score_q20"] for r in
+             SRCH.bm25_topk_indexed(idx, ["alpha", "beta"], k=10).collect()}
+    total = sum(r["term_score_q20"] for r in rows.values())
+    # each term floored independently -> within n_terms of the probe
+    assert 0 <= probe[1] - total <= len(rows)
+    assert SRCH.explain_score(idx, 99, ["alpha"]).count() == 0
