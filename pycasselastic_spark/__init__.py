@@ -158,6 +158,7 @@ _EXPORTS: dict[str, str] = {
     "load_postings_index_by_alias": "operators.search",
     "suggest_phrase": "operators.search",
     "explain_score": "operators.search",
+    "hybrid_rrf_search": "operators.search",
 }
 
 __all__ = ["__version__", *sorted(_EXPORTS)]

@@ -2206,6 +2206,89 @@ def expand_fuzzy_terms(
     return sorted(r["term"] for r in verified)
 
 
+def hybrid_rrf_search(
+    index: PostingsIndex,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id,
+    k: int = 10,
+    k_rrf: int = 60,
+    n_text: int = 50,
+    n_knn: int = 50,
+    emb_id_col: str = "vec_id",
+    emb_vec_col: str = "embedding",
+) -> DataFrame:
+    """ES hybrid search with reciprocal rank fusion (the 8.8+ ``rrf``
+    retriever, the standard RAG retrieval pattern): fuse a lexical
+    BM25 top-``n_text`` with a vector kNN top-``n_knn`` by
+    score = Σ 1/(k_rrf + rank) over the legs a doc appears in.
+    Ranks, not scores, are fused — RRF's whole point is that the two
+    legs' score scales never need calibrating. Returns
+    ``(id, rrf_q20, text_rank, knn_rank)`` top-``k``
+    (absent-leg ranks are NULL, contributing 0).
+
+    Determinism: each leg's rank comes from a total order with the id
+    tiebreak — the text leg on quantized (score_q20 desc, id), the
+    kNN leg on (cosine desc, id) where the cosine arithmetic is the
+    bit-replayable unit-normalize + sequential dot the similarity
+    operators pin — and the fused double is two exact small-integer
+    reciprocals added in fixed order, floored once to Q20.
+
+    Plan shape: both legs are bounded — the text leg is the pruned
+    postings probe, the kNN leg broadcasts ONE query vector over the
+    embeddings scan — and the fusion is a full outer join of two
+    ≤ n-row relations."""
+    from pyspark.sql.window import Window
+
+    from pycasselastic_spark.operators.similarity import brute_force_topk
+
+    id_col = index.id_col
+    text = (
+        _bm25_scored(index, query_terms, 1.2, 0.75)
+        .withColumn(
+            "text_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
+            ),
+        )
+        .filter(F.col("text_rank") <= n_text)
+        .select(F.col(id_col), "text_rank")
+    )
+    knn = (
+        brute_force_topk(
+            embeddings,
+            embeddings.filter(F.col(emb_id_col) == query_vec_id),
+            emb_id_col,
+            emb_vec_col,
+            k=n_knn,
+        )
+        .withColumn(
+            "knn_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cosine").desc(), F.col("match_id").asc())
+            ),
+        )
+        .select(F.col("match_id").alias(id_col), "knn_rank")
+    )
+    leg = lambda c: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(float(k_rrf)) + F.col(c).cast("double")),
+        F.lit(0.0),
+    )
+    return (
+        text.join(knn, id_col, "full_outer")
+        .select(
+            F.col(id_col),
+            F.floor((leg("text_rank") + leg("knn_rank")) * Q20)
+            .cast("long")
+            .alias("rrf_q20"),
+            F.col("text_rank").cast("long"),
+            F.col("knn_rank").cast("long"),
+        )
+        .orderBy(F.col("rrf_q20").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def suggest_phrase(
     index: PostingsIndex,
     phrase_terms: list[str],

@@ -1512,3 +1512,84 @@ WHERE qt.doc_id = 42
 def explain_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _postings_index_for(spark, sf_dir)
     return SRCH.explain_score(idx, 42, ["spark", "merge", "window"])
+
+
+from pycasselastic_spark.queries.pipeline_text import (  # noqa: E402
+    _DOT_SQL,
+    _UNIT_SQL,
+)
+
+
+@register(
+    "hybrid_rrf_documents",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+postings AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY term, doc_id
+),
+qt AS (SELECT * FROM postings WHERE term IN ('spark', 'merge')),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+              AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+       FROM documents),
+scored AS (
+  SELECT doc_id,
+         CAST(FLOOR(SUM(
+           ln(1.0 + (sc.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (qt.tf * 2.2)
+           / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / sc.avgdl))
+         ) * 1048576.0) AS BIGINT) AS score_q20
+  FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+  GROUP BY doc_id, sc.n_docs
+),
+text_leg AS (
+  SELECT doc_id, CAST(rn AS BIGINT) AS text_rank FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY score_q20 DESC, doc_id ASC) AS rn
+    FROM scored) WHERE rn <= 50
+),
+{_UNIT_SQL.strip().rstrip()},
+knn AS (
+  SELECT c.vec_id AS doc_id,
+         {_DOT_SQL.format(a='q.u', b='c.u')} AS cosine
+  FROM eu c CROSS JOIN (SELECT u FROM eu WHERE vec_id = 7) q
+  WHERE c.vec_id <> 7
+),
+knn_leg AS (
+  SELECT doc_id, CAST(rn AS BIGINT) AS knn_rank FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC) AS rn
+    FROM knn) WHERE rn <= 50
+)
+SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+       CAST(FLOOR(
+         (COALESCE(1.0 / (60.0 + CAST(t.text_rank AS DOUBLE)), 0.0)
+          + COALESCE(1.0 / (60.0 + CAST(v.knn_rank AS DOUBLE)), 0.0))
+         * 1048576.0) AS BIGINT) AS rrf_q20,
+       t.text_rank,
+       v.knn_rank
+FROM text_leg t FULL OUTER JOIN knn_leg v USING (doc_id)
+ORDER BY rrf_q20 DESC, doc_id ASC LIMIT 10
+""",
+    doc="ES hybrid search with reciprocal rank fusion (the 8.8+ rrf "
+    "retriever, the standard RAG retrieval pattern): lexical BM25 "
+    "top-50 for 'spark merge' fused with exact-cosine kNN top-50 "
+    "around vector 7 by sum(1/(60+rank)) over the legs a doc appears "
+    "in — ranks, not scores, so the legs' scales never need "
+    "calibrating (operators/search.py:hybrid_rrf_search). Both legs "
+    "bounded (pruned postings probe; one broadcast query vector over "
+    "the embeddings scan), fusion a full outer join of two <=50-row "
+    "relations. Oracle replays BM25 ranks, the bit-replayable "
+    "unit-normalize + sequential-dot cosine ranks, and the fused "
+    "reciprocals in identical operation order.",
+)
+def hybrid_rrf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    return SRCH.hybrid_rrf_search(
+        idx, emb, ["spark", "merge"], 7, k=10, n_text=50, n_knn=50
+    )

@@ -1209,3 +1209,27 @@ def test_explain_score_breakdown_matches_probe(spark, tmp_path):
     # each term floored independently -> within n_terms of the probe
     assert 0 <= probe[1] - total <= len(rows)
     assert SRCH.explain_score(idx, 99, ["alpha"]).count() == 0
+
+
+def test_hybrid_rrf_fuses_ranks_symmetrically(spark, tmp_path):
+    """Text leg ranks doc2 first, kNN leg ranks doc1 first: RRF ties
+    them (1/61+1/62 each) and the id tiebreak puts doc1 on top;
+    a doc present in only one leg ranks below both."""
+    docs = _corpus(spark, [
+        (1, "alpha beta"), (2, "alpha alpha alpha"), (3, "other"),
+    ])
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]),
+            (9, [1.0, 0.0]),
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4)
+    idx = SRCH.load_postings_index(spark, path)
+    got = SRCH.hybrid_rrf_search(idx, emb, ["alpha"], 9, k=10).collect()
+    assert [r["doc_id"] for r in got] == [1, 2, 3]
+    assert got[0]["rrf_q20"] == got[1]["rrf_q20"]  # symmetric fusion tie
+    assert (got[0]["text_rank"], got[0]["knn_rank"]) == (2, 1)
+    assert got[2]["text_rank"] is None and got[2]["knn_rank"] == 3
