@@ -2243,15 +2243,20 @@ def hybrid_rrf_search(
     from pycasselastic_spark.operators.similarity import brute_force_topk
 
     id_col = index.id_col
+    # top-n FIRST via orderBy().limit() — TakeOrderedAndProject's
+    # per-partition heaps — so the rank window (single-partition by
+    # construction: a global rank) only ever sorts ≤ n_text rows, not
+    # the whole hit set
     text = (
         _bm25_scored(index, query_terms, 1.2, 0.75)
+        .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
+        .limit(n_text)
         .withColumn(
             "text_rank",
             F.row_number().over(
                 Window.orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
             ),
         )
-        .filter(F.col("text_rank") <= n_text)
         .select(F.col(id_col), "text_rank")
     )
     knn = (
