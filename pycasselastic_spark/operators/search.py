@@ -2240,7 +2240,7 @@ def hybrid_rrf_search(
     ≤ n-row relations."""
     from pyspark.sql.window import Window
 
-    from pycasselastic_spark.operators.similarity import brute_force_topk
+    from pycasselastic_spark.operators.similarity import dot, with_unit_vector
 
     id_col = index.id_col
     # top-n FIRST via orderBy().limit() — TakeOrderedAndProject's
@@ -2259,14 +2259,24 @@ def hybrid_rrf_search(
         )
         .select(F.col(id_col), "text_rank")
     )
+    # single-query kNN: score the whole corpus against ONE broadcast
+    # vector and take top-n via orderBy().limit() — the same
+    # TakeOrderedAndProject shape as the text leg. brute_force_topk's
+    # partition-by-query window distributes across MANY queries but
+    # would funnel a one-query corpus into a single window partition.
+    q = with_unit_vector(
+        embeddings.filter(F.col(emb_id_col) == query_vec_id),
+        emb_vec_col,
+        "_qu",
+    ).select("_qu")
+    c = with_unit_vector(embeddings, emb_vec_col, "_cu").select(
+        F.col(emb_id_col).alias("match_id"), "_cu"
+    )
     knn = (
-        brute_force_topk(
-            embeddings,
-            embeddings.filter(F.col(emb_id_col) == query_vec_id),
-            emb_id_col,
-            emb_vec_col,
-            k=n_knn,
-        )
+        c.join(F.broadcast(q), F.col("match_id") != F.lit(query_vec_id))
+        .withColumn("cosine", dot(F.col("_qu"), F.col("_cu")))
+        .orderBy(F.col("cosine").desc(), F.col("match_id").asc())
+        .limit(n_knn)
         .withColumn(
             "knn_rank",
             F.row_number().over(
