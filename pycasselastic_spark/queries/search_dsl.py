@@ -1593,3 +1593,53 @@ def hybrid_rrf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SRCH.hybrid_rrf_search(
         idx, emb, ["spark", "merge"], 7, k=10, n_text=50, n_knn=50
     )
+
+
+_PERCOLATE_ORACLE = QUERIES["percolate_documents"].oracle
+
+
+@register(
+    "streaming_percolate_documents",
+    _PERCOLATE_ORACLE,
+    doc="The percolator as the reference's daemon would run it: an "
+    "alerting loop over a DOCUMENT STREAM — each micro-batch matches "
+    "its new docs against the same stored queries and appends the "
+    "alerts (operators/search.py:percolate under foreachBatch). "
+    "Percolation is a per-document decision with NO cross-batch "
+    "state, so the streamed union is exactly the batch answer — the "
+    "oracle is the batch percolate SQL verbatim, making the "
+    "stream/batch equivalence a checked value identity, not a claim.",
+)
+def streaming_percolate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    workdir = tempfile.mkdtemp(prefix="stream_perc_")
+    src = os.path.join(workdir, "src")
+    docs.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    queries = spark.createDataFrame(
+        [
+            ("both_spark_merge", ["spark", "merge"], 2),
+            ("rare_dup", ["dup"], 1),
+            ("two_of_three", ["fast", "table", "vector"], 2),
+        ],
+        "query_id STRING, terms ARRAY<STRING>, min_match INT",
+    )
+    out = os.path.join(workdir, "matches")
+
+    def handle(batch, _bid):
+        SRCH.percolate(batch, "doc_id", "text", queries).write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
