@@ -159,6 +159,7 @@ _EXPORTS: dict[str, str] = {
     "suggest_phrase": "operators.search",
     "explain_score": "operators.search",
     "hybrid_rrf_search": "operators.search",
+    "bm25_msearch": "operators.search",
 }
 
 __all__ = ["__version__", *sorted(_EXPORTS)]

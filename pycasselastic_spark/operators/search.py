@@ -2206,6 +2206,78 @@ def expand_fuzzy_terms(
     return sorted(r["term"] for r in verified)
 
 
+def bm25_msearch(
+    index: PostingsIndex,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``_msearch``: a batch of named queries answered in ONE pass
+    over the index — the amortization story of batching: the postings
+    probe, the df aggregation, and the scoring shuffle are paid once
+    for the UNION of all query terms instead of once per query.
+    Returns ``(query_id, id, n_hit_terms, score_q20, rank)`` — each
+    query's BM25 top-``k`` in its own (score desc, id) order.
+
+    Plan shape: one pruned probe over the union term set; per-term df
+    is query-independent so it is computed once and shared; the
+    (query_id, term) membership map is a broadcast literal; ranking is
+    ONE window partitioned by query_id — the partitioning spreads the
+    batch across the cluster, each partition holding one query's
+    bounded candidate set."""
+    from pyspark.sql.window import Window
+
+    id_col = index.id_col
+    pairs = [
+        (qid, t)
+        for qid in sorted(queries)
+        for t in sorted(set(queries[qid]))
+    ]
+    all_terms = sorted({t for _, t in pairs})
+    postings = index.live_postings_for(all_terms)
+    spark = postings.sparkSession
+    qmap = spark.createDataFrame(pairs, "query_id STRING, term STRING")
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qmap), "term")
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(index.n_docs) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.lit(index.avgdl))
+            ),
+        )
+        .groupBy("query_id", id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_terms"),
+            F.floor(F.sum("term_score") * Q20).cast("long").alias("score_q20"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_q20").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", id_col, "n_hit_terms", "score_q20",
+            F.col("rank").cast("long"),
+        )
+    )
+
+
 def hybrid_rrf_search(
     index: PostingsIndex,
     embeddings: DataFrame,

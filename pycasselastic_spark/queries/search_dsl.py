@@ -1643,3 +1643,69 @@ def streaming_percolate_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination()
     return spark.read.parquet(out)
+
+
+@register(
+    "msearch_bm25_documents",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+postings AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY term, doc_id
+),
+qmap AS (
+  SELECT * FROM (VALUES
+    ('q_joins', 'spark'), ('q_joins', 'merge'),
+    ('q_scans', 'scan'), ('q_scans', 'hash'),
+    ('q_windows', 'fast'), ('q_windows', 'table'), ('q_windows', 'window')
+  ) t(query_id, term)
+),
+qt AS (SELECT * FROM postings
+       WHERE term IN (SELECT DISTINCT term FROM qmap)),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+              AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+       FROM documents),
+scored AS (
+  SELECT qmap.query_id, qt.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+         CAST(FLOOR(SUM(
+           ln(1.0 + (sc.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (qt.tf * 2.2)
+           / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / sc.avgdl))
+         ) * 1048576.0) AS BIGINT) AS score_q20
+  FROM qt JOIN dfreq USING (term) JOIN qmap USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN sc
+  GROUP BY qmap.query_id, qt.doc_id, sc.n_docs
+)
+SELECT query_id, doc_id, n_hit_terms, score_q20, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score_q20 DESC, doc_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 5
+""",
+    doc="ES _msearch: three named queries answered in ONE pass over "
+    "the stored index (operators/search.py:bm25_msearch) — the "
+    "postings probe, the query-independent per-term df, and the "
+    "scoring shuffle are paid once for the UNION of all query terms; "
+    "the (query_id, term) membership map rides as a broadcast "
+    "literal, and ranking is one window PARTITIONED by query_id so "
+    "the batch spreads across the cluster. Per-query slices are "
+    "pinned equal to standalone probes in tests. Oracle replays the "
+    "shared-probe algebra with the same VALUES map.",
+)
+def msearch_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return SRCH.bm25_msearch(
+        idx,
+        {
+            "q_joins": ["spark", "merge"],
+            "q_scans": ["scan", "hash"],
+            "q_windows": ["fast", "table", "window"],
+        },
+        k=5,
+    )

@@ -355,6 +355,9 @@ def test_indexed_probe_plans_no_generate_no_smj(spark, probe_index):
             "src",
         ),
         "term_vectors": SRCH.term_vectors(idx, 7),
+        "msearch": SRCH.bm25_msearch(
+            idx, {"a": ["alpha"], "b": ["beta", "w3"]}, k=5
+        ),
         "explain": SRCH.explain_score(idx, 7, ["alpha", "w3"]),
         "facets_after": SRCH.search_facets_after(
             idx,

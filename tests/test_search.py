@@ -1233,3 +1233,29 @@ def test_hybrid_rrf_fuses_ranks_symmetrically(spark, tmp_path):
     assert got[0]["rrf_q20"] == got[1]["rrf_q20"]  # symmetric fusion tie
     assert (got[0]["text_rank"], got[0]["knn_rank"]) == (2, 1)
     assert got[2]["text_rank"] is None and got[2]["knn_rank"] == 3
+
+
+def test_msearch_matches_individual_probes(spark, tmp_path):
+    """Each query's msearch slice equals its standalone bm25 top-k."""
+    docs = _corpus(spark, [
+        (1, "spark join shuffle join"),
+        (2, "spark filter scan"),
+        (3, "join join join broadcast"),
+        (4, "scan scan filter pushdown spark"),
+    ])
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4)
+    idx = SRCH.load_postings_index(spark, path)
+    batch = {"q_spark": ["spark", "join"], "q_scan": ["scan"]}
+    got = SRCH.bm25_msearch(idx, batch, k=3).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["n_hit_terms"], r["score_q20"])
+        )
+    for qid, terms in batch.items():
+        solo = [
+            (r["doc_id"], r["n_hit_terms"], r["score_q20"])
+            for r in SRCH.bm25_topk_indexed(idx, terms, k=3).collect()
+        ]
+        assert by_q[qid] == solo, qid
