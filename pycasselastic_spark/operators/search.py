@@ -38,12 +38,11 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-Q20 = float(1 << 20)
+from pycasselastic_spark.operators.search_index import (  # noqa: E402,F401
+    Q20,
+    _tokens,
+)
 
-
-def _tokens(text_col: Column | str) -> Column:
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.split(c, " ")
 
 
 def term_postings(
@@ -213,2267 +212,73 @@ def phrase_search(
 
 
 # ---------------------------------------------------------------------------
-# Persisted, incrementally-maintained postings index
+# Facade re-exports (round-10 module split). The stored-index lifecycle,
+# the probe family, and the DSL extensions live in sibling modules;
+# every name stays importable from here — `operators.search` remains the
+# single public entry point for the search surface.
 # ---------------------------------------------------------------------------
-#
-# The reference's entire purpose is keeping an ALWAYS-FRESH search index
-# so queries are cheap at query time: every sync cycle bulk-upserts the
-# increment into Elasticsearch (``pyCassElastic.py:316-354``), and ES
-# maintains the inverted index incrementally. The corpus-scan operators
-# above (``bm25_topk``/``tfidf_top_terms``) recompute ``term_postings``
-# from the raw text on every call — correct and plan-clean, but their
-# cost is corpus-linear PER QUERY; at 100 TB that is the difference
-# between a search engine and a batch job. ``PostingsIndex`` closes the
-# gap the same way the MinHash band index does for near-dup
-# (``dedup.py:minhash_band_index`` / ``minhash_lsh_pairs_between``):
-# store the expensive per-doc structure once, maintain it per ingest,
-# and make the query-side plan probe the stored structure.
-#
-# Layout at ``path`` (all standard parquet — any engine can audit it):
-#
-# - ``postings/``  (term, id, tf, positions, dl, gen) partitioned by
-#   ``pbucket = md5(term) % n_buckets``: a query for a handful of terms
-#   prunes to a handful of partition directories (directory-level
-#   partition pruning) and pushes ``term IN (...)`` into the parquet
-#   scan. Token POSITIONS ride along per posting (sorted array) —
-#   Lucene's proximity data — enabling phrase/slop matching without
-#   touching raw text. ``dl`` (doc length) is denormalized into every
-#   posting, Lucene-norms-style, so BM25 needs NO join to a doc table.
-# - ``docstats/`` (id, dl, gen): one row per ingested doc version; the
-#   authoritative doc list (drives incremental scalar maintenance).
-# - ``superseded/`` (id, gen): (doc, generation) pairs REPLACED by a
-#   later ingest of the same id. Queries drop them with one broadcast
-#   anti-join — the LWW-loser retraction (reference O7) applied to
-#   index entries. Normally tiny: only re-ingested docs ever appear.
-# - ``stats.json`` {n_docs, total_dl, generation}: corpus scalars
-#   maintained INCREMENTALLY (no corpus scan to answer N/avgdl);
-#   single-writer per index, like the reference's lastruntime.log.
-#
-# Scale shape of a query probe: pruned parquet scan (few partitions,
-# pushed term filter) -> broadcast anti-join (superseded, usually
-# empty) -> per-term df aggregation over the pruned rows -> broadcast
-# join back -> groupBy(id) -> TakeOrderedAndProject. Zero Generate
-# nodes, zero corpus reads — work scales with the query's postings,
-# not the corpus (pinned by tests/test_plans.py).
 
-
-def _term_bucket_py(term: str, n_buckets: int) -> int:
-    """Python twin of ``_term_bucket_col`` — md5-based so both sides
-    agree regardless of PYTHONHASHSEED (same rationale as
-    ``sources.pyds._bucket_of``)."""
-    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % n_buckets
-
-
-def _term_bucket_col(term: Column, n_buckets: int) -> Column:
-    return (
-        F.conv(F.substring(F.md5(term), 1, 8), 16, 10).cast("long")
-        % n_buckets
-    )
-
-
-@dataclass
-class PostingsIndex:
-    """Handle to a stored index: lazy relations + driver-side scalars."""
-
-    path: str
-    postings: DataFrame    # term, id, tf, positions, dl, gen, pbucket
-    superseded: DataFrame  # id, gen (may be empty)
-    forward: DataFrame     # ibucket, id, term, tf, gen (doc -> terms)
-    variants: DataFrame    # vbucket, variant, term, gen (FastSS dict)
-    n_docs: int
-    total_dl: int
-    generation: int
-    n_buckets: int
-    id_col: str
-    variant_depth: int = 1  # FastSS deletion depth of the stored dict
-
-    @property
-    def avgdl(self) -> float:
-        return self.total_dl / self.n_docs if self.n_docs else 0.0
-
-    def live_postings_for(self, query_terms: list[str]) -> DataFrame:
-        """Current-generation postings for ``query_terms`` only: the
-        pruned probe every indexed query starts from. Partition
-        pruning (pbucket IN ...) + pushed term filter reach the scan;
-        superseded doc versions drop via one broadcast anti-join."""
-        buckets = sorted({_term_bucket_py(t, self.n_buckets) for t in query_terms})
-        pruned = self.postings.filter(
-            F.col("pbucket").isin(buckets) & F.col("term").isin(query_terms)
-        )
-        if self.generation == 0:
-            return pruned  # nothing was ever re-ingested
-        return pruned.join(
-            F.broadcast(self.superseded), [self.id_col, "gen"], "left_anti"
-        )
-
-    def live_postings(self) -> DataFrame:
-        """ALL current-generation postings (committed + superseded
-        dropped) — the corpus-statistics side of index analytics
-        (significant-terms background counts). A full stored-relation
-        scan by design: still postings-sized, never raw text."""
-        if self.generation == 0:
-            return self.postings
-        return self.postings.join(
-            F.broadcast(self.superseded), [self.id_col, "gen"], "left_anti"
-        )
-
-    def live_forward(self) -> DataFrame:
-        """ALL current-generation forward rows (doc -> terms); the
-        id-keyed twin of ``live_postings`` for hit-set joins whose id
-        list is a DataFrame, not a driver-side literal."""
-        if self.generation == 0:
-            return self.forward
-        return self.forward.join(
-            F.broadcast(self.superseded), [self.id_col, "gen"], "left_anti"
-        )
-
-    def live_forward_for(self, doc_ids: list) -> DataFrame:
-        """Current-generation FORWARD rows (doc -> its terms) for the
-        given ids: the id-keyed twin of ``live_postings_for`` —
-        partition pruning on the id bucket + pushed id filter, then the
-        same superseded anti-join."""
-        buckets = sorted({_term_bucket_py(str(i), self.n_buckets) for i in doc_ids})
-        pruned = self.forward.filter(
-            F.col("ibucket").isin(buckets) & F.col(self.id_col).isin(doc_ids)
-        )
-        if self.generation == 0:
-            return pruned
-        return pruned.join(
-            F.broadcast(self.superseded), [self.id_col, "gen"], "left_anti"
-        )
-
-
-def _positional_postings(
-    docs: DataFrame, id_col: str, text_col: str, n_buckets: int, gen: int
-) -> DataFrame:
-    """(pbucket, term, id, tf, positions, dl, gen) for one ingest.
-
-    One posexplode + one hash aggregation — the same single-shuffle
-    shape as ``term_postings`` plus proximity data. Positions are
-    indices into the single-space split (empty tokens keep their slot,
-    matching the corpus-scan operators' tokenization)."""
-    toks = docs.select(
-        F.col(id_col),
-        F.size(_tokens(text_col)).alias("dl"),
-        F.posexplode(_tokens(text_col)).alias("pos", "term"),
-    ).filter(F.col("term") != "")
-    return (
-        toks.groupBy("term", id_col)
-        .agg(
-            F.count(F.lit(1)).alias("tf"),
-            F.sort_array(F.collect_list("pos")).alias("positions"),
-            F.first("dl").alias("dl"),
-        )
-        .withColumn("gen", F.lit(gen).cast("long"))
-        .withColumn("pbucket", _term_bucket_col(F.col("term"), n_buckets))
-    )
-
-
-# A term's FastSS deletion neighborhood at depth d (the term itself +
-# every way of deleting up to d characters): ed(x, y) <= d only if
-# their depth-d neighborhoods intersect (Bocek et al.'s FastSS bound),
-# so an equi-join on variants generates every d<=depth candidate
-# (verified with exact levenshtein afterwards — the same recall-exact
-# blocking as operators/dedup.edit_distance_pairs). Depth 1 matches ES
-# fuzziness=1; depth 2 reaches ES's fuzziness ceiling (AUTO caps at 2)
-# at ~L^2/2 variants per term instead of L — the depth is a build-time
-# choice stored in stats.json (``variant_depth``) so depth-1 indexes
-# keep working unchanged.
-_DEL1 = (
-    "transform(sequence(1, length({v})), i -> "
-    "concat(substring({v}, 1, i-1), "
-    "substring({v}, i+1, length({v}))))"
+from pycasselastic_spark.operators.search_index import (  # noqa: E402,F401
+    PostingsIndex,
+    CompactionPolicy,
+    _claim_generation,
+    _deletion_variants_expr,
+    _deletion_variants_py,
+    _max_files_per_bucket,
+    _positional_postings,
+    _term_bucket_col,
+    _term_bucket_py,
+    _write_index_relations,
+    _write_stats,
+    build_postings_index,
+    compact_postings_index,
+    index_health,
+    ingest_into_postings_index,
+    load_postings_index,
+    load_postings_index_by_alias,
+    resolve_index_alias,
+    set_index_alias,
+    snapshot_postings_index,
+    start_streaming_index_maintenance,
+    update_postings_index,
 )
-
-
-def _deletion_variants_expr(depth: int) -> str:
-    """SQL expression for the depth-``depth`` deletion neighborhood of
-    ``term`` (array of distinct strings, the term included). Depth 2
-    re-applies the single-deletion transform to every depth-1 variant,
-    guarding zero-length intermediates (sequence(1, 0) would run
-    backwards)."""
-    d1 = _DEL1.format(v="term")
-    if depth == 1:
-        return f"array_distinct(concat(array(term), {d1}))"
-    if depth == 2:
-        d2 = (
-            f"flatten(transform({d1}, v -> "
-            "case when length(v) >= 1 then "
-            + _DEL1.format(v="v")
-            + " else array() end))"
-        )
-        return f"array_distinct(concat(array(term), {d1}, {d2}))"
-    raise ValueError(f"variant_depth must be 1 or 2, got {depth}")
-
-
-def _deletion_variants_py(term: str, depth: int = 1) -> list[str]:
-    """Python twin of ``_deletion_variants_expr`` for query-side
-    expansion."""
-    frontier = {term}
-    out = dict.fromkeys([term])
-    for _ in range(depth):
-        nxt = set()
-        for v in frontier:
-            for i in range(len(v)):
-                nxt.add(v[:i] + v[i + 1:])
-        for v in sorted(nxt):
-            out.setdefault(v)
-        frontier = nxt
-    return list(out)
-
-
-def _write_index_relations(
-    postings: DataFrame, id_col: str, n_buckets: int, path: str, mode: str,
-    variant_depth: int = 1, write_variants: bool = True,
-) -> None:
-    """Write the term-keyed postings AND the id-keyed forward relation
-    from one ingest's postings. The forward relation is the same rows
-    re-partitioned by the DOC id's bucket — the probe path for
-    id-keyed questions (more-like-this, doc term vectors) that would
-    otherwise full-scan a term-partitioned layout. The third relation
-    is the FastSS deletion-variant dictionary (``variants``): every
-    distinct term's depth-``variant_depth`` deletion neighborhood,
-    bucketed by the VARIANT — the candidate generator for fuzzy
-    (edit-distance) term matching. ``write_variants=False`` defers the
-    dictionary to the next compaction (the daemon-cadence small-file
-    knob: fuzzy recall for terms FIRST SEEN in a deferred ingest lags
-    until compaction rebuilds the dictionary; exact matches never lag
-    because ``bm25_topk_fuzzy`` always keeps the raw query terms in
-    its probe set). The ingest's postings are persisted across the
-    writes so the tokenize aggregation runs ONCE (MEMORY_AND_DISK —
-    an ingest batch, not the corpus; spilled if large). Each relation's
-    shuffle hash-partitions on its bucket column, so an ingest lands
-    AT MOST ONE file per touched bucket per relation."""
-    postings = postings.persist()
-    try:
-        (
-            postings.repartition("pbucket")
-            .write.partitionBy("pbucket")
-            .mode(mode)
-            .parquet(os.path.join(path, "postings"))
-        )
-        (
-            postings.select(
-                _term_bucket_col(
-                    F.col(id_col).cast("string"), n_buckets
-                ).alias("ibucket"),
-                F.col(id_col), "term", "tf", "gen",
-            )
-            .repartition("ibucket")
-            .write.partitionBy("ibucket")
-            .mode(mode)
-            .parquet(os.path.join(path, "forward"))
-        )
-        if write_variants:
-            (
-                postings.select("term", "gen")
-                .distinct()
-                .select(
-                    F.col("term"),
-                    F.col("gen"),
-                    F.explode(
-                        F.expr(_deletion_variants_expr(variant_depth))
-                    ).alias("variant"),
-                )
-                .withColumn(
-                    "vbucket", _term_bucket_col(F.col("variant"), n_buckets)
-                )
-                .repartition("vbucket")
-                .write.partitionBy("vbucket")
-                .mode(mode)
-                .parquet(os.path.join(path, "variants"))
-            )
-    finally:
-        postings.unpersist()
-
-
-def _write_stats(path: str, stats: dict) -> None:
-    tmp = os.path.join(path, ".stats.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(stats, f)
-    os.replace(tmp, os.path.join(path, "stats.json"))
-
-
-def build_postings_index(
-    docs: DataFrame,
-    id_col: str,
-    text_col: str,
-    path: str,
-    n_buckets: int = 16,
-    variant_depth: int = 1,
-) -> None:
-    """Full build (generation 0): tokenize the corpus ONCE, store the
-    postings partitioned by term bucket. After this, queries never
-    touch raw text again. ``variant_depth`` fixes the FastSS deletion
-    depth of the fuzzy dictionary (1 = ES fuzziness 1, 2 = the ES
-    fuzziness ceiling) and is recorded in stats.json — probes check it
-    before expanding."""
-    spark = docs.sparkSession
-    postings = _positional_postings(docs, id_col, text_col, n_buckets, gen=0)
-    _write_index_relations(
-        postings, id_col, n_buckets, path, "overwrite", variant_depth
-    )
-    docstats = docs.select(
-        F.col(id_col), F.size(_tokens(text_col)).alias("dl"),
-        F.lit(0).cast("long").alias("gen"),
-    )
-    docstats.write.mode("overwrite").parquet(os.path.join(path, "docstats"))
-    spark.createDataFrame([], f"{id_col} LONG, gen LONG, by_gen LONG").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "superseded"))
-    agg = docstats.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
-    ).collect()[0]
-    _write_stats(path, {
-        "n_docs": agg["n"], "total_dl": int(agg["s"] or 0),
-        "generation": 0, "next_gen": 1, "committed_gens": [0],
-        "n_buckets": n_buckets, "id_col": id_col,
-        "variant_depth": variant_depth,
-    })
-
-
-def _claim_generation(path: str, start: int) -> int:
-    """Exclusively claim the next free generation number via an
-    O_EXCL-created ``gen-<n>.claim`` file — the lwwstore manifest
-    pattern (sources/pyds.py:_commit_manifest) applied to the index:
-    two concurrent updaters can NEVER claim the same generation, so
-    their data files can never collide. A crash after the claim wastes
-    only a number (the claim file survives and the retry skips past
-    it; compaction clears claims together with the generations)."""
-    gen = start
-    while True:
-        try:
-            fd = os.open(
-                os.path.join(path, f"gen-{gen:08d}.claim"),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
-            os.close(fd)
-            return gen
-        except FileExistsError:
-            gen += 1
-
-
-def update_postings_index(
-    delta: DataFrame, text_col: str, path: str,
-    defer_variants: bool = False,
-) -> None:
-    """Delta maintenance — the search twin of
-    ``minhash_lsh_pairs_between``: tokenize ONLY the new batch, append
-    its postings/docstats, mark any prior generation of a re-ingested
-    id superseded, and adjust the corpus scalars incrementally. Work
-    per ingest scales with the batch, never the corpus (the only
-    corpus-sized relation touched is docstats — two narrow columns —
-    to find replaced rows). Single-writer per index path, like every
-    store maintenance op here.
-
-    CRASH ATOMICITY (the lwwstore manifest contract, applied to the
-    index): the stats file records the COMMITTED generation set.
-    An update (1) claims a fresh generation number via an O_EXCL
-    ``gen-<n>.claim`` file (``_claim_generation`` — exclusive even
-    under concurrent updaters; a crash after this wastes only a
-    number), (2) appends postings/docstats/superseded rows all tagged
-    with that generation, then (3) commits by atomically rewriting
-    stats with the generation added to ``committed_gens``. Readers
-    filter every relation to committed generations (superseded rows by
-    the generation that WROTE them), so a crash anywhere before step 3
-    leaves orphan rows that are simply invisible — no duplicates, no
-    half-applied supersede — and the retry claims a new number.
-    ``compact_postings_index`` folds the committed set back to {0} and
-    physically drops orphans."""
-    spark = delta.sparkSession
-    with open(os.path.join(path, "stats.json")) as f:
-        stats = json.load(f)
-    id_col, n_buckets = stats["id_col"], stats["n_buckets"]
-    committed = list(stats["committed_gens"])
-
-    # step 1: claim a generation number nothing else can ever use —
-    # an O_EXCL claim file, not a read-modify-write of stats.json
-    gen = _claim_generation(path, stats["next_gen"])
-
-    # rows being replaced: COMMITTED-live docstats rows whose id is in
-    # the incoming batch (the committed filter makes re-evaluation of
-    # this lazy plan safe even after the appends below — uncommitted
-    # rows can never leak in)
-    docstats = spark.read.parquet(os.path.join(path, "docstats")).filter(
-        F.col("gen").isin(committed)
-    )
-    superseded = (
-        spark.read.parquet(os.path.join(path, "superseded"))
-        .filter(F.col("by_gen").isin(committed))
-        .select(id_col, "gen")
-    )
-    live = docstats.join(superseded, [id_col, "gen"], "left_anti")
-    replaced = live.join(
-        F.broadcast(delta.select(id_col).distinct()), id_col, "semi"
-    )
-    r = replaced.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
-    ).collect()[0]
-
-    # step 2: data appends, all tagged with the claimed generation
-    postings = _positional_postings(delta, id_col, text_col, n_buckets, gen)
-    _write_index_relations(
-        postings, id_col, n_buckets, path, "append",
-        stats.get("variant_depth", 1), write_variants=not defer_variants,
-    )
-    new_stats = delta.select(
-        F.col(id_col), F.size(_tokens(text_col)).alias("dl"),
-        F.lit(gen).cast("long").alias("gen"),
-    )
-    new_stats.write.mode("append").parquet(os.path.join(path, "docstats"))
-    replaced.select(
-        id_col, "gen", F.lit(gen).cast("long").alias("by_gen")
-    ).write.mode("append").parquet(os.path.join(path, "superseded"))
-    d = new_stats.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
-    ).collect()[0]
-
-    # step 3: atomic commit — the generation becomes visible everywhere
-    # at once or not at all. Re-read stats first: if another updater
-    # committed since our snapshot, our replaced/scalar math is stale —
-    # fail cleanly (this update's rows stay invisible orphans the next
-    # compaction drops) instead of silently clobbering the other
-    # writer's commit. Single-writer per index path remains the
-    # recommended deployment; this makes a violation loud, not lossy.
-    with open(os.path.join(path, "stats.json")) as f:
-        current = json.load(f)
-    if current["committed_gens"] != committed:
-        raise RuntimeError(
-            f"concurrent update committed {current['committed_gens']} "
-            f"while generation {gen} was being written; generation "
-            f"{gen} stays uncommitted (invisible) — re-run the update"
-        )
-    stats.update(
-        n_docs=stats["n_docs"] + d["n"] - r["n"],
-        total_dl=stats["total_dl"] + int(d["s"] or 0) - int(r["s"] or 0),
-        generation=gen,
-        next_gen=gen + 1,
-        committed_gens=committed + [gen],
-    )
-    _write_stats(path, stats)
-
-
-def load_postings_index(spark: SparkSession, path: str) -> PostingsIndex:
-    with open(os.path.join(path, "stats.json")) as f:
-        stats = json.load(f)
-    committed = stats["committed_gens"]
-    postings = spark.read.parquet(os.path.join(path, "postings")).filter(
-        F.col("gen").isin(committed)
-    )
-    superseded = (
-        spark.read.parquet(os.path.join(path, "superseded"))
-        .filter(F.col("by_gen").isin(committed))
-        .select(stats["id_col"], "gen")
-    )
-    forward = spark.read.parquet(os.path.join(path, "forward")).filter(
-        F.col("gen").isin(committed)
-    )
-    variants = spark.read.parquet(os.path.join(path, "variants")).filter(
-        F.col("gen").isin(committed)
-    )
-    return PostingsIndex(
-        path=path,
-        postings=postings,
-        superseded=superseded,
-        forward=forward,
-        variants=variants,
-        n_docs=stats["n_docs"],
-        total_dl=stats["total_dl"],
-        generation=stats["generation"],
-        n_buckets=stats["n_buckets"],
-        id_col=stats["id_col"],
-        variant_depth=stats.get("variant_depth", 1),
-    )
-
-
-def bm25_topk_indexed(
-    index: PostingsIndex,
-    query_terms: list[str],
-    k: int = 10,
-    k1: float = 1.2,
-    b: float = 0.75,
-) -> DataFrame:
-    """``bm25_topk`` against the STORED index: same scoring law, but
-    the plan reads pruned postings partitions instead of tokenizing the
-    corpus — no Generate/explode anywhere (pinned by test_plans).
-    N and avgdl come from the incrementally-maintained stats file as
-    literals; per-term df aggregates over the pruned postings (a few
-    terms' rows). Returns ``(id, n_hit_terms, score_q20)``."""
-    return _bm25_scored(index, query_terms, k1, b).orderBy(
-        F.col("score_q20").desc(), F.col(index.id_col).asc()
-    ).limit(k)
-
-
-def _bm25_scored_raw(
-    index: PostingsIndex, query_terms: list[str], k1: float, b: float
-) -> DataFrame:
-    """Unquantized BM25 ``(id, n_hit_terms, score_raw)`` for every doc
-    matching any query term — kept raw so score-transforming layers
-    (function_score) can multiply BEFORE the single Q20 floor."""
-    id_col = index.id_col
-    postings = index.live_postings_for(query_terms)
-    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    return (
-        postings.join(F.broadcast(dfreq), "term")
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.lit(index.n_docs) - F.col("df") + 0.5)
-                / (F.col("df") + 0.5)
-            ),
-        )
-        .withColumn(
-            "term_score",
-            F.col("idf")
-            * (F.col("tf") * (k1 + 1))
-            / (
-                F.col("tf")
-                + k1 * (1 - b + b * F.col("dl") / F.lit(index.avgdl))
-            ),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_hit_terms"),
-            F.sum("term_score").alias("score_raw"),
-        )
-    )
-
-
-def _bm25_scored(
-    index: PostingsIndex, query_terms: list[str], k1: float, b: float
-) -> DataFrame:
-    """Unranked BM25 scores ``(id, n_hit_terms, score_q20)`` for every
-    doc matching any query term — the shared scoring core of the
-    disjunctive / conjunctive / more-like-this probes."""
-    return _bm25_scored_raw(index, query_terms, k1, b).select(
-        F.col(index.id_col),
-        "n_hit_terms",
-        F.floor(F.col("score_raw") * Q20).cast("long").alias("score_q20"),
-    )
-
-
-def bm25_function_score(
-    index: PostingsIndex,
-    docs: DataFrame,
-    query_terms: list[str],
-    factor_col: str,
-    k: int = 10,
-    k1: float = 1.2,
-    b: float = 0.75,
-) -> DataFrame:
-    """ES ``function_score`` with a ``field_value_factor`` (modifier
-    ``log1p``): final score = BM25 * ln(1 + doc[factor_col]) — the
-    "relevance × document-quality signal" reranking every production
-    search deploys (recency, popularity, length priors). Returns
-    ``(id, n_hit_terms, score_q20)`` with ONE Q20 floor applied after
-    the multiply, so the factor reorders within the exact arithmetic
-    the oracle replays.
-
-    Plan shape: the usual pruned probe scores candidates raw; only the
-    (query-bounded) candidates broadcast-join back to the docs table
-    for the factor column — the highlight-style stored-field fetch,
-    never a corpus scan."""
-    id_col = index.id_col
-    raw = _bm25_scored_raw(index, query_terms, k1, b)
-    return (
-        F.broadcast(raw)
-        .join(docs.select(id_col, factor_col), id_col)
-        .select(
-            F.col(id_col),
-            "n_hit_terms",
-            F.floor(
-                F.col("score_raw")
-                * F.log(F.lit(1.0) + F.col(factor_col))
-                * Q20
-            ).cast("long").alias("score_q20"),
-        )
-        .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
-        .limit(k)
-    )
-
-
-def bm25_decay_score(
-    index: PostingsIndex,
-    docs: DataFrame,
-    query_terms: list[str],
-    field_col: str,
-    origin: float,
-    scale: float,
-    offset: float = 0.0,
-    decay: float = 0.5,
-    k: int = 10,
-    k1: float = 1.2,
-    b: float = 0.75,
-) -> DataFrame:
-    """ES ``function_score`` with a ``gauss`` decay on a numeric field
-    — the recency/distance boost every production search deploys:
-    final score = BM25 * exp(-max(0, |x - origin| - offset)^2 /
-    (2 sigma^2)) with sigma^2 = -scale^2 / (2 ln decay), so a doc at
-    ``origin`` keeps its full score and one ``scale`` away is
-    multiplied by ``decay``. ONE Q20 floor after the multiply
-    (function_score's one-floor rule).
-
-    Plan shape: identical to ``bm25_function_score`` — the pruned
-    probe scores candidates raw, and only the (query-bounded)
-    candidates broadcast-join back to the docs table for the decay
-    field; never a corpus scan. sigma^2 is computed driver-side and
-    inlined as a literal so the oracle replays the identical double."""
-    import math
-
-    sigma2 = -(float(scale) ** 2) / (2.0 * math.log(float(decay)))
-    id_col = index.id_col
-    raw = _bm25_scored_raw(index, query_terms, k1, b)
-    dist = F.greatest(
-        F.lit(0.0), F.abs(F.col(field_col) - F.lit(float(origin))) - F.lit(float(offset))
-    )
-    return (
-        F.broadcast(raw)
-        .join(docs.select(id_col, field_col), id_col)
-        .select(
-            F.col(id_col),
-            "n_hit_terms",
-            F.floor(
-                F.col("score_raw")
-                * F.exp(-(dist * dist) / F.lit(2.0 * sigma2))
-                * Q20
-            ).cast("long").alias("score_q20"),
-        )
-        .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
-        .limit(k)
-    )
-
-
-def bm25_collapse(
-    index: PostingsIndex,
-    docs: DataFrame,
-    query_terms: list[str],
-    collapse_col: str,
-    k: int = 10,
-    k1: float = 1.2,
-    b: float = 0.75,
-) -> DataFrame:
-    """ES field ``collapse``: the ranked result list keeps only the
-    single best hit per ``collapse_col`` value (dedup-by-field in the
-    ranking, e.g. one result per domain). Returns the global top-``k``
-    of the collapsed list as ``(id, collapsed, score_q20)``.
-
-    Plan shape: top_hits_by_facet's — query-bounded scored candidates
-    broadcast-join the docs table for the collapse field, ONE window
-    partitioned by it picks each group's best (score desc, id), then
-    the global top-k is a TakeOrderedAndProject over the collapsed
-    (≤ distinct-field-values) rows."""
-    from pyspark.sql.window import Window
-
-    id_col = index.id_col
-    scored = _bm25_scored(index, query_terms, k1, b)
-    w = Window.partitionBy(collapse_col).orderBy(
-        F.col("score_q20").desc(), F.col(id_col).asc()
-    )
-    return (
-        F.broadcast(scored)
-        .join(docs.select(id_col, collapse_col), id_col)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col(id_col),
-            F.col(collapse_col).alias("collapsed"),
-            "score_q20",
-        )
-        .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
-        .limit(k)
-    )
-
-
-def phrase_slop_search(
-    index: PostingsIndex, phrase_terms: list[str], slop: int = 0
-) -> DataFrame:
-    """Ordered proximity match from STORED positions — the ES
-    match_phrase(+slop) primitive, the last query shape that needed
-    raw text. A document matches where the phrase terms appear in
-    order with each gap ≤ ``slop + 1`` token slots (slop=0 = exact
-    adjacency). Returns ``(id, n_hits)`` with n_hits = number of
-    distinct start positions opening at least one valid chain.
-
-    Plan shape: per-term position lists come from the SAME pruned
-    postings probe as BM25 (partition-pruned scan), then k-1
-    position-difference equi-joins on the doc id — each join's inputs
-    are only the docs containing the rarer prefix, shrinking
-    monotonically. The explodes here flatten a few query terms'
-    position arrays (query-sized), not the corpus."""
-    id_col = index.id_col
-    postings = index.live_postings_for(list(set(phrase_terms)))
-    per_term = {
-        t: postings.filter(F.col("term") == t).select(
-            F.col(id_col), F.explode("positions").alias("pos")
-        )
-        for t in set(phrase_terms)
-    }
-    chain = per_term[phrase_terms[0]].select(
-        id_col, F.col("pos").alias("p_start"), F.col("pos").alias("p_prev")
-    )
-    for t in phrase_terms[1:]:
-        nxt = per_term[t].select(id_col, F.col("pos").alias("p_next"))
-        chain = (
-            chain.join(nxt, id_col)
-            .filter(
-                (F.col("p_next") > F.col("p_prev"))
-                & (F.col("p_next") - F.col("p_prev") <= 1 + slop)
-            )
-            .select(id_col, "p_start", F.col("p_next").alias("p_prev"))
-        )
-    return (
-        chain.select(id_col, "p_start")
-        .distinct()
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-
-
-def conjunctive_filter(scored: DataFrame, n_terms: int) -> DataFrame:
-    """ES ``bool.must`` semantics: keep only docs that matched ALL
-    ``n_terms`` query terms (the scored relation already carries
-    ``n_hit_terms``)."""
-    return scored.filter(F.col("n_hit_terms") == n_terms)
-
-
-def bm25_topk_min_should_match(
-    index: PostingsIndex,
-    query_terms: list[str],
-    min_match: int,
-    k: int = 10,
-    k1: float = 1.2,
-    b: float = 0.75,
-) -> DataFrame:
-    """ES ``minimum_should_match``: BM25 top-``k`` over docs matching
-    at least ``min_match`` of the query terms — the middle ground
-    between the disjunctive (1) and conjunctive (all) probes. Same
-    pruned-postings probe; the constraint is one filter on the per-doc
-    hit count riding the existing aggregation, no extra shuffle."""
-    scored = _bm25_scored(index, query_terms, k1, b)
-    return (
-        scored.filter(F.col("n_hit_terms") >= min_match)
-        .orderBy(F.col("score_q20").desc(), F.col(index.id_col).asc())
-        .limit(k)
-    )
-
-
-def bm25_search_after(
-    index: PostingsIndex,
-    query_terms: list[str],
-    after_score_q20: int,
-    after_id,
-    k: int = 10,
-    k1: float = 1.2,
-    b: float = 0.75,
-) -> DataFrame:
-    """ES ``search_after`` cursor pagination: the next ``k`` results
-    STRICTLY after the (score_q20, id) sort cursor in the total order
-    (score desc, id asc — the unique tiebreak makes the cursor
-    unambiguous, exactly why ES requires a tiebreak sort field).
-    Stateless deep paging: unlike from/size the probe re-ranks only
-    matching docs and the filter prunes everything at or before the
-    cursor — no scroll context server-side, same partition-pruned
-    probe as page one."""
-    scored = _bm25_scored(index, query_terms, k1, b)
-    after = scored.filter(
-        (F.col("score_q20") < F.lit(int(after_score_q20)))
-        | (
-            (F.col("score_q20") == F.lit(int(after_score_q20)))
-            & (F.col(index.id_col) > F.lit(after_id))
-        )
-    )
-    return after.orderBy(
-        F.col("score_q20").desc(), F.col(index.id_col).asc()
-    ).limit(k)
-
-
-def bm25_topk_multifield(
-    field_indexes: dict[str, PostingsIndex],
-    boosts: dict[str, float],
-    query_terms: list[str],
-    k: int = 10,
-    k1: float = 1.2,
-    b: float = 0.75,
-) -> DataFrame:
-    """ES ``multi_match`` in ``most_fields`` mode: each field is its
-    own stored index (own df/dl/avgdl statistics — exactly how Lucene
-    scores per-field), the per-field BM25 scores combine as a
-    boost-weighted sum, and docs matching in ANY field rank. Returns
-    ``(id, n_hit_terms, score_q20)`` where score_q20 =
-    sum(boost_f * field_score_q20) in exact integer math (boosts are
-    small integers by convention, keeping the Q20 determinism law) and
-    n_hit_terms = max over fields.
-
-    Plan shape: one pruned probe per field (each against its own
-    term-bucket layout), combined by a full outer join on the doc id —
-    field probe outputs are query-bounded, so the join is small; no
-    corpus scan anywhere."""
-    combined = None
-    id_col = None
-    for field, index in field_indexes.items():
-        boost = int(boosts.get(field, 1))
-        id_col = index.id_col
-        scored = _bm25_scored(index, query_terms, k1, b).select(
-            F.col(index.id_col),
-            F.col("n_hit_terms").alias(f"hits_{field}"),
-            (F.col("score_q20") * F.lit(boost)).alias(f"score_{field}"),
-        )
-        combined = (
-            scored
-            if combined is None
-            else combined.join(scored, id_col, "full_outer")
-        )
-    fields = list(field_indexes)
-    return combined.select(
-        F.col(id_col),
-        F.greatest(
-            *[F.coalesce(F.col(f"hits_{f}"), F.lit(0)) for f in fields]
-        ).alias("n_hit_terms"),
-        sum(
-            (F.coalesce(F.col(f"score_{f}"), F.lit(0)) for f in fields),
-            F.lit(0),
-        ).cast("long").alias("score_q20"),
-    ).orderBy(F.col("score_q20").desc(), F.col(id_col).asc()).limit(k)
-
-
-def bm25_topk_conjunctive(
-    index: PostingsIndex,
-    query_terms: list[str],
-    k: int = 10,
-    k1: float = 1.2,
-    b: float = 0.75,
-) -> DataFrame:
-    """BM25 top-k restricted to docs containing EVERY query term — the
-    ES bool-must + relevance-sort shape. Same pruned-postings probe;
-    the conjunctive constraint is one filter on the per-doc hit count
-    (no extra shuffle: it rides the existing groupBy)."""
-    scored = (
-        bm25_topk_indexed(index, query_terms, k=2_147_483_647, k1=k1, b=b)
-    )
-    # re-apply top-k AFTER the conjunctive filter (limit-then-filter
-    # would under-fill k); the plan is still TakeOrderedAndProject
-    return (
-        conjunctive_filter(scored, len(set(query_terms)))
-        .orderBy(F.col("score_q20").desc(), F.col(index.id_col).asc())
-        .limit(k)
-    )
-
-
-def bm25_bool_query(
-    index: PostingsIndex,
-    must: list[str],
-    should: list[str] | None = None,
-    must_not: list[str] | None = None,
-    k: int = 10,
-    k1: float = 1.2,
-    b: float = 0.75,
-) -> DataFrame:
-    """The full ES ``bool`` query: docs must contain EVERY ``must``
-    term, ``should`` terms add relevance without being required, and
-    any ``must_not`` term excludes the doc outright. Returns
-    ``(id, n_hit_terms, score_q20)`` — score over the must+should
-    matches (must_not terms never contribute score, they only veto).
-
-    Plan shape: ONE pruned postings probe fetches all three clauses'
-    terms; scoring rows (must+should) flow through the same
-    broadcast-df + single-aggregation pipeline as every other probe,
-    with the must-hit count as one more conditional aggregate riding
-    that groupBy; the veto is a broadcast anti-join against the
-    (query-bounded) must_not doc list. No corpus access anywhere."""
-    should = should or []
-    must_not = must_not or []
-    id_col = index.id_col
-    all_terms = sorted(set(must) | set(should) | set(must_not))
-    postings = index.live_postings_for(all_terms)
-    scoring_terms = sorted(set(must) | set(should))
-    scoring = postings.filter(F.col("term").isin(scoring_terms))
-    dfreq = scoring.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        scoring.join(F.broadcast(dfreq), "term")
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.lit(index.n_docs) - F.col("df") + 0.5)
-                / (F.col("df") + 0.5)
-            ),
-        )
-        .withColumn(
-            "term_score",
-            F.col("idf")
-            * (F.col("tf") * (k1 + 1))
-            / (
-                F.col("tf")
-                + k1 * (1 - b + b * F.col("dl") / F.lit(index.avgdl))
-            ),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_hit_terms"),
-            F.floor(F.sum("term_score") * Q20).cast("long").alias("score_q20"),
-            F.count(
-                F.when(F.col("term").isin(sorted(set(must))), F.lit(1))
-            ).alias("must_hits"),
-        )
-        .filter(F.col("must_hits") == len(set(must)))
-        .drop("must_hits")
-    )
-    if must_not:
-        vetoed = (
-            postings.filter(F.col("term").isin(sorted(set(must_not))))
-            .select(id_col)
-            .distinct()
-        )
-        scored = scored.join(F.broadcast(vetoed), id_col, "left_anti")
-    return scored.orderBy(
-        F.col("score_q20").desc(), F.col(id_col).asc()
-    ).limit(k)
-
-
-def search_facets(
-    index: PostingsIndex,
-    docs: DataFrame,
-    query_terms: list[str],
-    facet_col: str,
-    k: int = 10,
-) -> DataFrame:
-    """ES search + aggregations (a terms facet over the hit set):
-    ``(facet value, n_docs)`` for every doc matching ANY query term,
-    sorted by count desc then value. The hit set comes from the
-    pruned stored postings (no corpus scan to FIND matches); only the
-    (query-bounded) candidate ids broadcast-join back to the docs
-    table for the facet column — the same candidate-bounded
-    stored-field fetch shape as highlighting."""
-    id_col = index.id_col
-    hits = index.live_postings_for(query_terms).select(id_col).distinct()
-    # same broadcast-or-shuffle escape hatch as significant_terms: a
-    # corpus-scale hit set must not be broadcast
-    hit_side = hits if hits.count() > 2_000_000 else F.broadcast(hits)
-    return (
-        hit_side
-        .join(docs.select(id_col, facet_col), id_col)
-        .groupBy(facet_col)
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy(F.col("n_docs").desc(), F.col(facet_col).asc())
-        .limit(k)
-    )
-
-
-def bm25_topk_boosted(
-    index: PostingsIndex,
-    term_boosts: dict[str, float],
-    k: int = 10,
-    k1: float = 1.2,
-    b: float = 0.75,
-) -> DataFrame:
-    """ES query-time per-term boosts (``match`` with ``boost``): each
-    query term's BM25 contribution is scaled by its boost before the
-    per-doc sum. Same pruned probe; the boosts ride the (broadcast,
-    |query|-row) df join as one more column, and the single Q20 floor
-    lands after the weighted sum — no extra shuffle, exact arithmetic
-    the oracle replays."""
-    id_col = index.id_col
-    terms = sorted(term_boosts)
-    postings = index.live_postings_for(terms)
-    spark = postings.sparkSession
-    boosts = spark.createDataFrame(
-        [(t, float(w)) for t, w in sorted(term_boosts.items())],
-        "term STRING, boost DOUBLE",
-    )
-    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    return (
-        postings.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(boosts), "term")
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.lit(index.n_docs) - F.col("df") + 0.5)
-                / (F.col("df") + 0.5)
-            ),
-        )
-        .withColumn(
-            "term_score",
-            F.col("boost")
-            * F.col("idf")
-            * (F.col("tf") * (k1 + 1))
-            / (
-                F.col("tf")
-                + k1 * (1 - b + b * F.col("dl") / F.lit(index.avgdl))
-            ),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_hit_terms"),
-            F.floor(F.sum("term_score") * Q20).cast("long").alias("score_q20"),
-        )
-        .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
-        .limit(k)
-    )
-
-
-def bm25_topk_prefix(
-    index: PostingsIndex,
-    prefix: str,
-    k: int = 10,
-    max_expansions: int = 50,
-    k1: float = 1.2,
-    b: float = 0.75,
-) -> DataFrame:
-    """ES ``prefix`` query + relevance: expand the prefix to matching
-    dictionary terms, then BM25 over the expansion (each term scored
-    with its own df). Like ES (``index_prefixes`` absent), prefix
-    expansion cannot use the term-partitioned layout — the md5 bucket
-    hash scatters a prefix across every bucket — so the expansion
-    scans the stored postings DICTIONARY (postings-sized, never raw
-    text) with the ``startswith`` predicate pushed to parquet, and
-    caps the expansion at ``max_expansions`` terms by (df desc, term)
-    exactly like ES's rewrite cap. The scoring probe afterwards is
-    the normal pruned-by-expanded-terms shape."""
-    dict_scan = (
-        index.live_postings()
-        .filter(F.col("term").startswith(prefix))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .orderBy(F.col("df").desc(), F.col("term").asc())
-        .limit(max_expansions)
-    )
-    terms = [r["term"] for r in dict_scan.collect()]
-    if not terms:
-        return index.postings.sparkSession.createDataFrame(
-            [], f"{index.id_col} LONG, n_hit_terms LONG, score_q20 LONG"
-        )
-    return bm25_topk_indexed(index, terms, k=k, k1=k1, b=b)
-
-
-def _wildcard_to_like(pattern: str) -> str:
-    """Translate an ES wildcard pattern (``*`` = any run, ``?`` = one
-    char) to a SQL LIKE pattern, escaping LIKE's own metacharacters."""
-    out = []
-    for ch in pattern:
-        if ch == "*":
-            out.append("%")
-        elif ch == "?":
-            out.append("_")
-        elif ch in ("%", "_", "\\"):
-            out.append("\\" + ch)
-        else:
-            out.append(ch)
-    return "".join(out)
-
-
-def bm25_topk_wildcard(
-    index: PostingsIndex,
-    pattern: str,
-    k: int = 10,
-    max_expansions: int = 50,
-    k1: float = 1.2,
-    b: float = 0.75,
-) -> DataFrame:
-    """ES ``wildcard`` query + relevance (the scoring_boolean rewrite,
-    matching our prefix probe): the pattern expands to matching
-    dictionary terms capped at ``max_expansions`` by (df desc, term) —
-    then BM25 over the expansion with per-term df. Like ES, a leading
-    wildcard is the worst case: no prefix to seek on, so the expansion
-    is a full DICTIONARY scan (stored postings, never raw text) with
-    the LIKE predicate evaluated in the scan stage; the scoring probe
-    afterwards is the normal pruned-by-expanded-terms shape."""
-    like = _wildcard_to_like(pattern)
-    dict_scan = (
-        index.live_postings()
-        .filter(F.col("term").like(like))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .orderBy(F.col("df").desc(), F.col("term").asc())
-        .limit(max_expansions)
-    )
-    terms = [r["term"] for r in dict_scan.collect()]
-    if not terms:
-        return index.postings.sparkSession.createDataFrame(
-            [], f"{index.id_col} LONG, n_hit_terms LONG, score_q20 LONG"
-        )
-    return bm25_topk_indexed(index, terms, k=k, k1=k1, b=b)
-
-
-def bm25_topk_regexp(
-    index: PostingsIndex,
-    pattern: str,
-    k: int = 10,
-    max_expansions: int = 50,
-    k1: float = 1.2,
-    b: float = 0.75,
-) -> DataFrame:
-    """ES ``regexp`` query + relevance: like ES/Lucene the pattern is
-    ANCHORED — it must match the WHOLE term — so the Spark-side
-    ``rlike`` (unanchored by contract) is wrapped in ``^(?:...)$``.
-    Expansion and scoring follow the wildcard probe exactly: dictionary
-    terms matching the pattern, capped at ``max_expansions`` by
-    (df desc, term), then BM25 over the expansion with per-term df.
-    The expansion is honestly a full DICTIONARY scan (stored postings,
-    never raw text) — same as ES, whose regexp automaton walks the
-    whole term dictionary too."""
-    anchored = f"^(?:{pattern})$"
-    dict_scan = (
-        index.live_postings()
-        .filter(F.col("term").rlike(anchored))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .orderBy(F.col("df").desc(), F.col("term").asc())
-        .limit(max_expansions)
-    )
-    terms = [r["term"] for r in dict_scan.collect()]
-    if not terms:
-        return index.postings.sparkSession.createDataFrame(
-            [], f"{index.id_col} LONG, n_hit_terms LONG, score_q20 LONG"
-        )
-    return bm25_topk_indexed(index, terms, k=k, k1=k1, b=b)
-
-
-def match_phrase_prefix(
-    index: PostingsIndex,
-    phrase_terms: list[str],
-    prefix: str,
-    max_expansions: int = 50,
-    slop: int = 0,
-) -> DataFrame:
-    """ES ``match_phrase_prefix``: the phrase's LAST position matches
-    any dictionary term starting with ``prefix`` (search-as-you-type).
-    Expansion follows ES exactly — the first ``max_expansions`` terms
-    in term-dictionary (lexicographic) order, NOT by df. Returns
-    ``(id, n_hits)`` like ``phrase_slop_search``.
-
-    Plan shape: the fixed terms probe pruned postings partitions as
-    usual; the prefix expansion scans the stored dictionary once
-    (postings-sized, never raw text); the chain joins shrink
-    monotonically exactly like the phrase probe, with the final step's
-    position list unioned over the expansion terms."""
-    if not phrase_terms:
-        raise ValueError("match_phrase_prefix needs >= 1 fixed term")
-    exp_scan = (
-        index.live_postings()
-        .filter(F.col("term").startswith(prefix))
-        .select("term")
-        .distinct()
-        .orderBy(F.col("term").asc())
-        .limit(max_expansions)
-    )
-    expansions = [r["term"] for r in exp_scan.collect()]
-    id_col = index.id_col
-    if not expansions:
-        return index.postings.sparkSession.createDataFrame(
-            [], f"{id_col} LONG, n_hits LONG"
-        )
-    all_terms = sorted(set(phrase_terms) | set(expansions))
-    postings = index.live_postings_for(all_terms)
-    chain = (
-        postings.filter(F.col("term") == phrase_terms[0])
-        .select(id_col, F.explode("positions").alias("pos"))
-        .select(
-            id_col, F.col("pos").alias("p_start"), F.col("pos").alias("p_prev")
-        )
-    )
-    steps = [
-        F.col("term") == t for t in phrase_terms[1:]
-    ] + [F.col("term").isin(expansions)]
-    for cond in steps:
-        nxt = postings.filter(cond).select(
-            id_col, F.explode("positions").alias("p_next")
-        )
-        chain = (
-            chain.join(nxt, id_col)
-            .filter(
-                (F.col("p_next") > F.col("p_prev"))
-                & (F.col("p_next") - F.col("p_prev") <= 1 + slop)
-            )
-            .select(id_col, "p_start", F.col("p_next").alias("p_prev"))
-        )
-    return (
-        chain.select(id_col, "p_start")
-        .distinct()
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-
-
-def bm25_rescore(
-    index: PostingsIndex,
-    query_terms: list[str],
-    rescore_terms: list[str],
-    window_size: int = 50,
-    query_weight: float = 1.0,
-    rescore_weight: float = 1.0,
-    k: int = 10,
-    k1: float = 1.2,
-    b: float = 0.75,
-) -> DataFrame:
-    """ES ``rescore``: rerank only the top ``window_size`` hits of the
-    cheap base query with a second (costlier) query — final score =
-    query_weight * base + rescore_weight * secondary, docs outside the
-    window keep their base order below the window. Returns the top
-    ``k`` of the window as ``(id, n_hit_terms, score_q20)``.
-
-    Window selection happens in the QUANTIZED (score_q20, id) total
-    order — the same deterministic cursor order as search_after — so
-    the oracle replays the exact window membership; the weighted
-    combine then runs on raw doubles with ONE Q20 floor at the end
-    (function_score's one-floor rule). Plan shape: the secondary
-    probe's (query-bounded) output broadcasts to the ≤ window_size-row
-    window — the build side of a left-outer join must be the right
-    side — so neither input shuffles corpus-side."""
-    id_col = index.id_col
-    base = _bm25_scored_raw(index, query_terms, k1, b).withColumn(
-        "base_q20", F.floor(F.col("score_raw") * Q20).cast("long")
-    )
-    window = base.orderBy(
-        F.col("base_q20").desc(), F.col(id_col).asc()
-    ).limit(window_size)
-    secondary = _bm25_scored_raw(index, rescore_terms, k1, b).select(
-        F.col(id_col), F.col("score_raw").alias("rescore_raw")
-    )
-    return (
-        window
-        .join(F.broadcast(secondary), id_col, "left")
-        .select(
-            F.col(id_col),
-            "n_hit_terms",
-            F.floor(
-                (
-                    F.col("score_raw") * F.lit(float(query_weight))
-                    + F.coalesce(F.col("rescore_raw"), F.lit(0.0))
-                    * F.lit(float(rescore_weight))
-                )
-                * Q20
-            ).cast("long").alias("score_q20"),
-        )
-        .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
-        .limit(k)
-    )
-
-
-def top_hits_by_facet(
-    index: PostingsIndex,
-    docs: DataFrame,
-    query_terms: list[str],
-    facet_col: str,
-    hits_per_bucket: int = 3,
-    k1: float = 1.2,
-    b: float = 0.75,
-) -> DataFrame:
-    """ES ``terms`` aggregation with a ``top_hits`` sub-aggregation:
-    for every facet value in the hit set, the ``hits_per_bucket`` best
-    docs by BM25. Returns ``(facet, rank, id, score_q20)``.
-
-    Plan shape: the (query-bounded) scored candidates broadcast-join
-    to the docs table for the facet column — the stored-field fetch
-    shape — then ONE window over the candidate set partitioned by
-    facet; the corpus is never shuffled, and the window input is
-    hit-set-sized."""
-    from pyspark.sql.window import Window
-
-    id_col = index.id_col
-    scored = _bm25_scored(index, query_terms, k1, b)
-    w = Window.partitionBy(facet_col).orderBy(
-        F.col("score_q20").desc(), F.col(id_col).asc()
-    )
-    return (
-        F.broadcast(scored)
-        .join(docs.select(id_col, facet_col), id_col)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= hits_per_bucket)
-        .select(
-            F.col(facet_col).alias("facet"),
-            F.col("rank").cast("long").alias("rank"),
-            F.col(id_col),
-            "score_q20",
-        )
-    )
-
-
-def search_facets_after(
-    index: PostingsIndex,
-    docs: DataFrame,
-    query_terms: list[str],
-    facet_col: str,
-    size: int = 10,
-    after: str | None = None,
-) -> DataFrame:
-    """ES ``composite`` aggregation over the hit set: facet buckets in
-    the facet-key total order with ``after``-key cursor pagination —
-    the aggregation twin of search_after (stateless deep paging over
-    buckets, no scroll context). Returns ``(facet, n_docs)`` sorted by
-    facet, strictly after the cursor.
-
-    Unlike the ranked ``search_facets`` (count-desc, needs the full
-    facet table to rank), the composite order is the GROUP KEY itself,
-    so each page aggregates only buckets after the cursor and every
-    page is the same bounded probe — that is exactly why ES offers
-    composite for deep bucket pagination."""
-    id_col = index.id_col
-    hits = index.live_postings_for(query_terms).select(id_col).distinct()
-    hit_side = hits if hits.count() > 2_000_000 else F.broadcast(hits)
-    buckets = (
-        hit_side
-        .join(docs.select(id_col, facet_col), id_col)
-        .filter(
-            F.col(facet_col) > F.lit(after) if after is not None else F.lit(True)
-        )
-        .groupBy(facet_col)
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
-    return (
-        buckets.select(F.col(facet_col).alias("facet"), "n_docs")
-        .orderBy(F.col("facet").asc())
-        .limit(size)
-    )
-
-
-def suggest_terms(
-    index: PostingsIndex, term: str, k: int = 5, max_dist: int | None = None
-) -> DataFrame:
-    """ES term suggester (did-you-mean): dictionary terms within
-    ``max_dist`` edits of ``term`` ranked the way ES ranks suggestions
-    — closer first, then more frequent (document frequency from the
-    stored postings), then lexicographic. Returns
-    ``(term, dist, df)``. Candidates come from the same FastSS
-    variant probe as fuzzy search; their df from the
-    term-bucket-pruned postings probe — a few candidate terms' rows,
-    no corpus or full-dictionary scan. ``max_dist`` defaults to the
-    index's stored variant depth."""
-    max_dist = index.variant_depth if max_dist is None else max_dist
-    cands = expand_fuzzy_terms(index, [term], max_dist)
-    spark = index.postings.sparkSession
-    if not cands:
-        return spark.createDataFrame([], "term STRING, dist INT, df LONG")
-    dfreq = (
-        index.live_postings_for(cands)
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn(
-            "dist", F.levenshtein(F.col("term"), F.lit(term)).cast("int")
-        )
-    )
-    return dfreq.select("term", "dist", "df").orderBy(
-        F.col("dist").asc(), F.col("df").desc(), F.col("term").asc()
-    ).limit(k)
-
-
-def significant_terms(
-    index: PostingsIndex,
-    query_terms: list[str],
-    m: int = 10,
-    min_fg_df: int = 2,
-) -> DataFrame:
-    """ES ``significant_terms`` aggregation: terms OVERREPRESENTED in
-    the hit set relative to the corpus, scored with ES's JLH
-    (``(fg% - bg%) * (fg% / bg%)``), query terms excluded, Q20
-    fixed point. Returns ``(term, fg_df, bg_df, jlh_q20)``.
-
-    Index-only analytics: the hit set comes from the pruned postings
-    probe; per-term foreground counts from the FORWARD relation
-    joined to the broadcast hit list (hit-set-bounded); background
-    counts are one aggregation over the stored postings — a full
-    stored-relation scan by design (ES pays the same global-ordinals
-    pass), but never a raw-text scan."""
-    id_col = index.id_col
-    hits = index.live_postings_for(query_terms).select(id_col).distinct()
-    n_fg = hits.count()
-    if n_fg == 0:
-        return index.postings.sparkSession.createDataFrame(
-            [], "term STRING, fg_df LONG, bg_df LONG, jlh_q20 LONG"
-        )
-    # hit lists are usually query-bounded-small -> broadcast; a very
-    # common term can match a corpus-scale fraction, where a broadcast
-    # would overflow the driver — fall back to a shuffle join there
-    # (ES's sampler-aggregation escape hatch, chosen automatically)
-    hit_side = hits if n_fg > 2_000_000 else F.broadcast(hits)
-    fg = (
-        index.live_forward()
-        .join(hit_side, id_col)
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("fg_df"))
-        .filter(
-            (F.col("fg_df") >= min_fg_df)
-            & ~F.col("term").isin(sorted(set(query_terms)))
-        )
-    )
-    bg = index.live_postings().groupBy("term").agg(
-        F.count(F.lit(1)).alias("bg_df")
-    )
-    fgp = F.col("fg_df") / F.lit(float(n_fg))
-    bgp = F.col("bg_df") / F.lit(float(index.n_docs))
-    return (
-        fg.join(bg, "term")
-        .withColumn(
-            "jlh_q20",
-            F.floor((fgp - bgp) * (fgp / bgp) * Q20).cast("long"),
-        )
-        .orderBy(F.col("jlh_q20").desc(), F.col("term").asc())
-        .limit(m)
-    )
-
-
-def percolate(
-    docs: DataFrame,
-    id_col: str,
-    text_col: str,
-    queries: DataFrame,
-    broadcast_threshold: int = 2_000_000,
-) -> DataFrame:
-    """ES percolator — search REVERSED: the queries are stored, and
-    each incoming document is matched against all of them (alerting,
-    saved searches, routing rules). ``queries`` is
-    ``(query_id, terms array<string>, min_match int)`` — min_match =
-    size(terms) is a conjunctive (bool-must) percolation, 1 is
-    disjunctive, anything between is minimum_should_match. Returns
-    ``(id, query_id, n_matched)`` for every (document, query) pair
-    where at least ``min_match`` of the query's terms occur in the
-    document.
-
-    Plan shape: the query table explodes to (query_id, term) —
-    query-table-sized, never corpus-sized — and broadcasts to the
-    documents' DISTINCT (id, term) pairs, so the corpus is tokenized
-    once and never shuffled on anything but the final (id, query_id)
-    aggregation, whose cardinality is match-bounded. A query table too
-    large to broadcast falls back to a shuffle join on the term (the
-    search_facets escape hatch)."""
-    qterms = queries.select(
-        "query_id",
-        "min_match",
-        F.explode(F.array_distinct("terms")).alias("term"),
-    )
-    dterms = docs.select(
-        F.col(id_col), F.explode(_tokens(text_col)).alias("term")
-    ).filter(F.col("term") != "").distinct()
-    q_side = (
-        F.broadcast(qterms)
-        if queries.count() <= broadcast_threshold
-        else qterms
-    )
-    return (
-        dterms.join(q_side, "term")
-        .groupBy(id_col, "query_id", "min_match")
-        .agg(F.count(F.lit(1)).alias("n_matched"))
-        .filter(F.col("n_matched") >= F.col("min_match"))
-        .select(id_col, "query_id", F.col("n_matched").cast("long"))
-    )
-
-
-def explain_score(
-    index: PostingsIndex,
-    doc_id,
-    query_terms: list[str],
-    k1: float = 1.2,
-    b: float = 0.75,
-) -> DataFrame:
-    """ES ``_explain``: the per-term BM25 score breakdown for ONE
-    (document, query) pair — ``(term, tf, df, dl, idf_q20,
-    term_score_q20)`` — so an operator can see WHY a document ranked
-    where it did (which term contributed, its idf, its saturation).
-    The quantized per-term contributions are each floored
-    independently (this is a diagnostic view; the ranking probes floor
-    once after the sum, so the explain rows bound but need not sum to
-    the probe's score_q20 — same relationship as Lucene's explain vs
-    its scorer).
-
-    Plan shape: one pruned postings probe (pbucket IN + term filter)
-    supplies df over the query's rows AND the target doc's tf/dl —
-    query-bounded, no corpus scan, no raw text."""
-    id_col = index.id_col
-    postings = index.live_postings_for(query_terms)
-    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    mine = postings.filter(F.col(id_col) == doc_id).select("term", "tf", "dl")
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(index.n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    term_score = idf * (F.col("tf") * (k1 + 1)) / (
-        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(index.avgdl))
-    )
-    return mine.join(F.broadcast(dfreq), "term").select(
-        "term",
-        F.col("tf").cast("long"),
-        F.col("df").cast("long"),
-        F.col("dl").cast("long"),
-        F.floor(idf * Q20).cast("long").alias("idf_q20"),
-        F.floor(term_score * Q20).cast("long").alias("term_score_q20"),
-    )
-
-
-def term_vectors(index: PostingsIndex, doc_id) -> DataFrame:
-    """ES ``_termvectors`` with ``term_statistics=true``: one
-    document's terms with their in-doc tf and corpus-wide df, entirely
-    from stored state. Two pruned probes — the FORWARD relation
-    (ibucket partition pruning + pushed id filter) yields the doc's
-    terms and tfs; those few terms then probe the postings for df the
-    same way every BM25 query does. Raw text is never read."""
-    id_col = index.id_col
-    fwd = index.live_forward_for([doc_id]).select("term", "tf")
-    terms = [r["term"] for r in fwd.select("term").distinct().collect()]
-    if not terms:
-        return index.postings.sparkSession.createDataFrame(
-            [], "term STRING, tf LONG, df LONG"
-        )
-    dfreq = (
-        index.live_postings_for(terms)
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
-    return fwd.join(F.broadcast(dfreq), "term").select(
-        "term", F.col("tf").cast("long"), F.col("df").cast("long")
-    )
-
-
-def set_index_alias(alias_path: str, index_path: str) -> None:
-    """ES index alias: a named pointer to a physical index, swapped
-    atomically — readers resolving the alias see the old index until
-    the single rename, then the new one, never a mix (the alias-swap
-    cutover ES's reindex workflow ends with). The alias is a JSON file
-    holding the target path; the write goes to a temp file first so a
-    crash mid-write can't leave a torn alias."""
-    tmp = alias_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"path": index_path}, f)
-    os.rename(tmp, alias_path)
-
-
-def resolve_index_alias(alias_path: str) -> str:
-    """Resolve an alias file to its current physical index path."""
-    with open(alias_path) as f:
-        return json.load(f)["path"]
-
-
-def load_postings_index_by_alias(
-    spark: SparkSession, alias_path: str
-) -> PostingsIndex:
-    """``load_postings_index`` through an alias — the reader side of
-    the zero-downtime cutover: rebuild/reindex into a fresh directory,
-    ``set_index_alias`` once, and every subsequent load serves the new
-    index while in-flight probes keep their already-resolved one."""
-    return load_postings_index(spark, resolve_index_alias(alias_path))
-
-
-_INDEX_RELATIONS = ("postings", "forward", "variants", "docstats", "superseded")
-
-
-def snapshot_postings_index(src: str, dst: str) -> dict:
-    """ES snapshot: a crash-consistent, point-in-time copy of a stored
-    index that a concurrent UPDATER cannot corrupt. Returns the
-    snapshot's stats dict; "restore" is simply
-    ``load_postings_index(spark, dst)`` — a snapshot IS a full index.
-
-    Why this is safe without pausing writes: stats.json is captured
-    FIRST, freezing the committed-generation set that defines the
-    snapshot's truth. Data files are then copied; an update committing
-    mid-copy may leave its rows partially present in the copied files,
-    but those rows are tagged with a generation OUTSIDE the captured
-    committed set, so every reader of the snapshot filters them out —
-    the same orphan-invisibility contract that makes crashes safe
-    (``update_postings_index`` step 3). The captured stats file is
-    written LAST into a temp directory that becomes ``dst`` via one
-    atomic rename, so a crashed snapshot never leaves a half-snapshot
-    at the destination. Writer-state claim files are NOT copied (the
-    snapshot is read-only history; restoring and then updating it
-    re-claims from ``next_gen``). Like every maintenance op here,
-    concurrent COMPACTION of the source is the one excluded writer
-    (compaction deletes files mid-copy; same single-writer caveat).
-    """
-    import shutil
-
-    with open(os.path.join(src, "stats.json")) as f:
-        stats = json.load(f)
-    tmp = dst + ".snapshot-tmp"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    os.makedirs(tmp)
-    for rel in _INDEX_RELATIONS:
-        rel_src = os.path.join(src, rel)
-        if os.path.isdir(rel_src):
-            shutil.copytree(rel_src, os.path.join(tmp, rel))
-    with open(os.path.join(tmp, "stats.json"), "w") as f:
-        json.dump(stats, f)
-    os.rename(tmp, dst)
-    return stats
-
-
-def compact_postings_index(
-    spark: SparkSession,
-    path: str,
-    n_buckets: int | None = None,
-    variant_depth: int | None = None,
-) -> tuple[int, int]:
-    """Index maintenance (the LSM-compaction twin of
-    ``sources.pyds.compact_lwwstore``): fold superseded generations out
-    of the stored postings/docstats, truncate the superseded list, and
-    reset the generation to 0. Returns (superseded_rows_before, 0).
-
-    After compaction every probe plan gets CHEAPER: generation 0 means
-    ``live_postings_for`` skips the anti-join entirely. Run it when the
-    superseded side has grown past broadcast comfort (many re-ingests).
-    Single-writer per index path, like every maintenance op here; the
-    directory swap is rename-based so a crash leaves either the old or
-    the new complete structure, never a mix.
-
-    ``n_buckets`` / ``variant_depth`` overrides turn the compaction
-    into ES's zero-downtime REINDEX (settings change + alias swap):
-    the stored postings carry everything a rebuild needs (terms,
-    positions, doc lengths), so re-bucketing for more scan parallelism
-    or deepening the fuzzy dictionary to fuzziness=2 never touches raw
-    text, and readers see the old index until the one-rename swap."""
-    idx = load_postings_index(spark, path)
-    n_superseded = idx.superseded.count()
-    with open(os.path.join(path, "stats.json")) as f:
-        stats = json.load(f)
-    committed = stats["committed_gens"]
-    variant_depth = variant_depth or stats.get("variant_depth", 1)
-    new_buckets = n_buckets or idx.n_buckets
-    live_postings = idx.postings.join(
-        idx.superseded, [idx.id_col, "gen"], "left_anti"
-    ).withColumn("gen", F.lit(0).cast("long"))
-    live_forward = idx.forward.join(
-        idx.superseded, [idx.id_col, "gen"], "left_anti"
-    ).withColumn("gen", F.lit(0).cast("long"))
-    if new_buckets != idx.n_buckets:
-        live_postings = live_postings.withColumn(
-            "pbucket", _term_bucket_col(F.col("term"), new_buckets)
-        )
-        live_forward = live_forward.withColumn(
-            "ibucket",
-            _term_bucket_col(F.col(idx.id_col).cast("string"), new_buckets),
-        )
-    # committed filter first: orphan rows from crashed updates are
-    # physically dropped here, never resurrected
-    docstats = spark.read.parquet(os.path.join(path, "docstats")).filter(
-        F.col("gen").isin(committed)
-    )
-    live_stats = docstats.join(
-        idx.superseded, [idx.id_col, "gen"], "left_anti"
-    ).withColumn("gen", F.lit(0).cast("long"))
-
-    # the dictionary is REBUILT from live postings here (at the stored
-    # depth) — this is also what restores fuzzy recall for terms whose
-    # ingest deferred its variants write (``defer_variants=True``)
-    live_variants = (
-        live_postings.select("term")
-        .distinct()
-        .select(
-            F.col("term"),
-            F.lit(0).cast("long").alias("gen"),
-            F.explode(
-                F.expr(_deletion_variants_expr(variant_depth))
-            ).alias("variant"),
-        )
-        .withColumn("vbucket", _term_bucket_col(F.col("variant"), new_buckets))
-    )
-
-    relations = (
-        ("postings", live_postings, "pbucket"),
-        ("forward", live_forward, "ibucket"),
-        ("variants", live_variants, "vbucket"),
-        ("docstats", live_stats, None),
-    )
-    # phase 1: materialize EVERY compacted relation into a tmp dir
-    # while the source directories still exist (live_variants and
-    # live_forward derive from the postings relation — swapping
-    # postings first would pull the files out from under their plans)
-    for rel, df, partition in relations:
-        tmp = os.path.join(path, f"{rel}.compact-tmp")
-        w = df.repartition(partition) if partition else df
-        writer = w.write.mode("overwrite")
-        if partition:
-            writer = writer.partitionBy(partition)
-        writer.parquet(tmp)
-    # phase 2: swap them in (rename-based; a crash mid-phase leaves
-    # each relation either fully old or fully new — and the stats
-    # rewrite below is what commits the compaction)
-    import shutil
-
-    for rel, _, _ in relations:
-        tmp = os.path.join(path, f"{rel}.compact-tmp")
-        old = os.path.join(path, f"{rel}.old")
-        live = os.path.join(path, rel)
-        os.replace(live, old)
-        os.replace(tmp, live)
-        shutil.rmtree(old)
-    spark.createDataFrame(
-        [], f"{idx.id_col} LONG, gen LONG, by_gen LONG"
-    ).write.mode("overwrite").parquet(os.path.join(path, "superseded"))
-    # generation numbers restart at 1, so the claim files of the folded
-    # (and any orphaned) generations are cleared with them
-    for name in os.listdir(path):
-        if name.startswith("gen-") and name.endswith(".claim"):
-            os.remove(os.path.join(path, name))
-    _write_stats(path, {
-        "n_docs": idx.n_docs, "total_dl": idx.total_dl, "generation": 0,
-        "next_gen": 1, "committed_gens": [0],
-        "n_buckets": new_buckets, "id_col": idx.id_col,
-        "variant_depth": variant_depth,
-    })
-    return n_superseded, 0
-
-
-@dataclass
-class CompactionPolicy:
-    """When ``ingest_into_postings_index`` should fold the index back
-    to a single generation. The reference daemon commits every minute
-    (``SyncCassElastic.py:45-47``) — a day of that is ~1,440
-    generations, and probe cost grows with committed generations (more
-    files per bucket partition to open, a bigger superseded side for
-    the anti-join). The policy bounds both: compact when EITHER the
-    committed-generation count or the postings files-per-bucket
-    maximum crosses its threshold. Thresholds are deliberately coarse
-    — compaction rewrites the whole index (corpus-sized), so it should
-    amortize over many batch-sized ingests; the daemon-cadence curve
-    in SCALING.md §index-lifecycle picked the defaults."""
-
-    max_committed_gens: int = 32
-    max_files_per_bucket: int = 64
-
-    def due(self, path: str) -> bool:
-        with open(os.path.join(path, "stats.json")) as f:
-            stats = json.load(f)
-        if len(stats["committed_gens"]) > self.max_committed_gens:
-            return True
-        return (
-            _max_files_per_bucket(os.path.join(path, "postings"))
-            > self.max_files_per_bucket
-        )
-
-
-def _max_files_per_bucket(relation_dir: str) -> int:
-    """Largest parquet-file count across one relation's bucket
-    partition directories (driver-side listing: n_buckets dirs — the
-    same bounded filesystem peek the lwwstore manifest reader does)."""
-    worst = 0
-    if not os.path.isdir(relation_dir):
-        return 0
-    for bucket in os.listdir(relation_dir):
-        sub = os.path.join(relation_dir, bucket)
-        if not (bucket.count("=") == 1 and os.path.isdir(sub)):
-            continue
-        n = sum(1 for f in os.listdir(sub) if f.endswith(".parquet"))
-        worst = max(worst, n)
-    return worst
-
-
-def ingest_into_postings_index(
-    batch: DataFrame, id_col: str, text_col: str, path: str,
-    n_buckets: int = 16,
-    policy: CompactionPolicy | None = None,
-    defer_variants: bool = False,
-    variant_depth: int = 1,
-) -> None:
-    """One maintenance step: bootstrap the index on the first batch,
-    delta-update on every later one. This is the ``foreachBatch`` body
-    that keeps the index ALWAYS FRESH under a document stream — the
-    reference's entire sync loop (each cycle bulk-upserts the increment
-    into ES so ES's index stays current, pyCassElastic.py:316-354),
-    re-expressed as Structured Streaming over the stored postings.
-
-    Replay-safe: a re-delivered micro-batch re-ingests the same ids,
-    which supersedes its own earlier generation and converges to the
-    identical probe state (the same LWW-absorbs-replay argument as the
-    snapshot store) — at-least-once delivery, exactly-once index
-    visibility.
-
-    ``policy`` adds self-maintenance at daemon cadence: after the
-    ingest commits, compact when the policy says the generation/file
-    state has grown past its thresholds — the operator no longer has
-    to guess when (round-8 verdict item). ``defer_variants`` skips the
-    per-ingest fuzzy-dictionary write (1/3 of the ingest's file
-    creation); the policy-triggered compaction is then also what
-    restores fuzzy recall for first-seen terms."""
-    if os.path.exists(os.path.join(path, "stats.json")):
-        update_postings_index(
-            batch, text_col, path, defer_variants=defer_variants
-        )
-        if policy is not None and policy.due(path):
-            compact_postings_index(batch.sparkSession, path)
-    else:
-        build_postings_index(
-            batch, id_col, text_col, path, n_buckets, variant_depth
-        )
-
-
-def start_streaming_index_maintenance(
-    doc_stream: DataFrame,
-    id_col: str,
-    text_col: str,
-    path: str,
-    checkpoint_dir: str,
-    n_buckets: int = 16,
-    policy: CompactionPolicy | None = None,
-    defer_variants: bool = False,
-):
-    """Run index maintenance as a streaming query over a document
-    stream; returns the StreamingQuery handle (availableNow drains the
-    backlog and stops — the daemon trigger is the caller's choice).
-    ``policy``/``defer_variants`` flow through to each micro-batch's
-    ``ingest_into_postings_index`` — the long-running daemon shape
-    needs both (bounded generations/files, 1/3 fewer file creates)."""
-
-    def fold(batch_df: DataFrame, _epoch: int) -> None:
-        ingest_into_postings_index(
-            batch_df, id_col, text_col, path, n_buckets,
-            policy=policy, defer_variants=defer_variants,
-        )
-
-    return (
-        doc_stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-
-
-def index_health(
-    index: PostingsIndex, include_lifecycle: bool = False
-) -> DataFrame:
-    """Operational stats of the STORED index, per term bucket:
-    ``(pbucket, n_postings, n_terms, max_df, total_tf)`` over LIVE
-    postings — the observability an operator needs before trusting an
-    index at scale (bucket balance = scan parallelism; max_df = the
-    boilerplate/stop-term hazard; superseded share comes from
-    ``PostingsIndex.superseded`` directly). Reads only the stored
-    postings — one aggregation, never the corpus.
-
-    ``include_lifecycle=True`` adds the daemon-cadence columns the
-    round-8 verdict asked for: ``n_files`` (parquet files in that
-    bucket's postings partition — what every probe must open) and
-    ``n_gens`` (committed generation count, constant across rows).
-    Both come from a driver-side peek at stats.json + n_buckets
-    directory listings, not a Spark job; they are exactly the inputs
-    ``CompactionPolicy`` thresholds on, so an operator can read the
-    compaction pressure off the health report."""
-    live = index.postings
-    if index.generation > 0:
-        live = live.join(
-            F.broadcast(index.superseded), [index.id_col, "gen"], "left_anti"
-        )
-    per_term = live.groupBy("pbucket", "term").agg(
-        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("term_tf")
-    )
-    health = per_term.groupBy("pbucket").agg(
-        F.sum("df").alias("n_postings"),
-        F.count(F.lit(1)).alias("n_terms"),
-        F.max("df").alias("max_df"),
-        F.sum("term_tf").alias("total_tf"),
-    )
-    if not include_lifecycle:
-        return health
-    with open(os.path.join(index.path, "stats.json")) as f:
-        n_gens = len(json.load(f)["committed_gens"])
-    postings_dir = os.path.join(index.path, "postings")
-    counts = []
-    for bucket in range(index.n_buckets):
-        sub = os.path.join(postings_dir, f"pbucket={bucket}")
-        n = (
-            sum(1 for x in os.listdir(sub) if x.endswith(".parquet"))
-            if os.path.isdir(sub)
-            else 0
-        )
-        counts.append((bucket, n))
-    files = index.postings.sparkSession.createDataFrame(
-        counts, "pbucket INT, n_files INT"
-    )
-    return health.join(F.broadcast(files), "pbucket", "left").withColumn(
-        "n_gens", F.lit(n_gens)
-    )
-
-
-def highlight_snippets(
-    index: PostingsIndex,
-    docs: DataFrame,
-    text_col: str,
-    query_terms: list[str],
-    window: int = 5,
-) -> DataFrame:
-    """ES-style highlighting: for every doc matching any query term,
-    the FIRST match position and a ``window``-token snippet starting
-    there: ``(id, first_pos, n_hit_terms, snippet)``.
-
-    The candidate set and positions come from the pruned stored
-    postings (no corpus scan to FIND matches); only the candidates
-    join back to the raw text to cut the snippet — candidate-bounded
-    work, the same shape Lucene uses (stored-field fetch per hit)."""
-    id_col = index.id_col
-    postings = index.live_postings_for(query_terms)
-    firsts = postings.groupBy(id_col).agg(
-        F.min(F.array_min("positions")).alias("first_pos"),
-        F.count(F.lit(1)).alias("n_hit_terms"),
-    )
-    c = F.col(text_col)
-    # explicit broadcast: the candidate side's size estimate passes
-    # through an aggregation, so relying on the optimizer's auto
-    # threshold would make the corpus-side scan-without-shuffle plan
-    # scale-dependent (round-8 verdict nit)
-    return F.broadcast(firsts).join(docs, id_col).select(
-        F.col(id_col),
-        "first_pos",
-        "n_hit_terms",
-        F.array_join(
-            F.slice(F.split(c, " "), F.col("first_pos") + 1, window), " "
-        ).alias("snippet"),
-    )
-
-
-def doc_top_terms(index: PostingsIndex, doc_id, m: int = 5) -> list[str]:
-    """The doc's ``m`` highest-tf terms (ties broken by term) from the
-    STORED forward relation — an id-bucket-pruned probe returning at
-    most ``m`` strings to the driver (the same bounded-collect shape as
-    the IVF centroid step; query terms must be literals for the
-    postings probe's partition pruning anyway)."""
-    rows = (
-        index.live_forward_for([doc_id])
-        .orderBy(F.col("tf").desc(), F.col("term").asc())
-        .limit(m)
-        .collect()
-    )
-    return [r["term"] for r in rows]
-
-
-def more_like_this(
-    index: PostingsIndex,
-    doc_id,
-    m: int = 5,
-    k: int = 10,
-    k1: float = 1.2,
-    b: float = 0.75,
-) -> DataFrame:
-    """ES's More-Like-This query from the stored index alone: take the
-    source doc's top-``m`` terms (forward-index probe), BM25-score the
-    corpus on them (postings probe), drop the source doc, return the
-    top ``k``: ``(id, n_hit_terms, score_q20)``. Two pruned probes,
-    zero corpus scans, zero raw-text access."""
-    terms = doc_top_terms(index, doc_id, m)
-    if not terms:
-        spark = index.postings.sparkSession
-        return spark.createDataFrame(
-            [], f"{index.id_col} LONG, n_hit_terms LONG, score_q20 LONG"
-        )
-    return (
-        _bm25_scored(index, terms, k1, b)
-        .filter(F.col(index.id_col) != doc_id)
-        .orderBy(F.col("score_q20").desc(), F.col(index.id_col).asc())
-        .limit(k)
-    )
-
-
-def expand_fuzzy_terms(
-    index: PostingsIndex, query_terms: list[str], max_dist: int = 1
-) -> list[str]:
-    """Dictionary terms within Levenshtein distance ``max_dist`` of
-    ANY query term, from the STORED variant dictionary: generate the
-    query terms' depth-``max_dist`` deletion neighborhoods in the
-    driver (tiny), probe the variant-bucket-pruned dictionary with one
-    equi-filter, verify the surviving candidate terms with exact
-    ``levenshtein`` (the neighborhood join overmatches — up to
-    distance ``max_dist + variant_depth``), and collect the matched
-    terms — bounded by the dictionary neighborhood of a few query
-    words. Exact matches ride the same probe (a term is in its own
-    neighborhood). ``max_dist`` may not exceed the index's stored
-    ``variant_depth`` (the FastSS recall bound needs both sides'
-    neighborhoods at the target depth; a DEEPER dictionary than the
-    query is fine — it only widens candidates the verify step then
-    trims). ES fuzziness caps at 2, and so does the dictionary."""
-    if max_dist > index.variant_depth:
-        raise ValueError(
-            f"max_dist={max_dist} exceeds this index's stored FastSS "
-            f"variant_depth={index.variant_depth}; rebuild or compact "
-            f"with variant_depth={max_dist}"
-        )
-    probe = {v for t in query_terms for v in _deletion_variants_py(t, max_dist)}
-    buckets = sorted({_term_bucket_py(v, index.n_buckets) for v in probe})
-    cand = (
-        index.variants.filter(
-            F.col("vbucket").isin(buckets)
-            & F.col("variant").isin(sorted(probe))
-        )
-        .select("term")
-        .distinct()
-    )
-    qdf = cand.sparkSession.createDataFrame(
-        [(t,) for t in sorted(set(query_terms))], "q STRING"
-    )
-    verified = (
-        cand.join(F.broadcast(qdf))
-        .filter(F.levenshtein(F.col("term"), F.col("q")) <= max_dist)
-        .select("term")
-        .distinct()
-        .collect()
-    )
-    return sorted(r["term"] for r in verified)
-
-
-def bm25_msearch(
-    index: PostingsIndex,
-    queries: dict[str, list[str]],
-    k: int = 10,
-    k1: float = 1.2,
-    b: float = 0.75,
-) -> DataFrame:
-    """ES ``_msearch``: a batch of named queries answered in ONE pass
-    over the index — the amortization story of batching: the postings
-    probe, the df aggregation, and the scoring shuffle are paid once
-    for the UNION of all query terms instead of once per query.
-    Returns ``(query_id, id, n_hit_terms, score_q20, rank)`` — each
-    query's BM25 top-``k`` in its own (score desc, id) order.
-
-    Plan shape: one pruned probe over the union term set; per-term df
-    is query-independent so it is computed once and shared; the
-    (query_id, term) membership map is a broadcast literal; ranking is
-    ONE window partitioned by query_id — the partitioning spreads the
-    batch across the cluster, each partition holding one query's
-    bounded candidate set."""
-    from pyspark.sql.window import Window
-
-    id_col = index.id_col
-    pairs = [
-        (qid, t)
-        for qid in sorted(queries)
-        for t in sorted(set(queries[qid]))
-    ]
-    all_terms = sorted({t for _, t in pairs})
-    postings = index.live_postings_for(all_terms)
-    spark = postings.sparkSession
-    qmap = spark.createDataFrame(pairs, "query_id STRING, term STRING")
-    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        postings.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(qmap), "term")
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.lit(index.n_docs) - F.col("df") + 0.5)
-                / (F.col("df") + 0.5)
-            ),
-        )
-        .withColumn(
-            "term_score",
-            F.col("idf")
-            * (F.col("tf") * (k1 + 1))
-            / (
-                F.col("tf")
-                + k1 * (1 - b + b * F.col("dl") / F.lit(index.avgdl))
-            ),
-        )
-        .groupBy("query_id", id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_hit_terms"),
-            F.floor(F.sum("term_score") * Q20).cast("long").alias("score_q20"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score_q20").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", id_col, "n_hit_terms", "score_q20",
-            F.col("rank").cast("long"),
-        )
-    )
-
-
-def hybrid_rrf_search(
-    index: PostingsIndex,
-    embeddings: DataFrame,
-    query_terms: list[str],
-    query_vec_id,
-    k: int = 10,
-    k_rrf: int = 60,
-    n_text: int = 50,
-    n_knn: int = 50,
-    emb_id_col: str = "vec_id",
-    emb_vec_col: str = "embedding",
-) -> DataFrame:
-    """ES hybrid search with reciprocal rank fusion (the 8.8+ ``rrf``
-    retriever, the standard RAG retrieval pattern): fuse a lexical
-    BM25 top-``n_text`` with a vector kNN top-``n_knn`` by
-    score = Σ 1/(k_rrf + rank) over the legs a doc appears in.
-    Ranks, not scores, are fused — RRF's whole point is that the two
-    legs' score scales never need calibrating. Returns
-    ``(id, rrf_q20, text_rank, knn_rank)`` top-``k``
-    (absent-leg ranks are NULL, contributing 0).
-
-    Determinism: each leg's rank comes from a total order with the id
-    tiebreak — the text leg on quantized (score_q20 desc, id), the
-    kNN leg on (cosine desc, id) where the cosine arithmetic is the
-    bit-replayable unit-normalize + sequential dot the similarity
-    operators pin — and the fused double is two exact small-integer
-    reciprocals added in fixed order, floored once to Q20.
-
-    Plan shape: both legs are bounded — the text leg is the pruned
-    postings probe, the kNN leg broadcasts ONE query vector over the
-    embeddings scan — and the fusion is a full outer join of two
-    ≤ n-row relations."""
-    from pyspark.sql.window import Window
-
-    from pycasselastic_spark.operators.similarity import dot, with_unit_vector
-
-    id_col = index.id_col
-    # top-n FIRST via orderBy().limit() — TakeOrderedAndProject's
-    # per-partition heaps — so the rank window (single-partition by
-    # construction: a global rank) only ever sorts ≤ n_text rows, not
-    # the whole hit set
-    text = (
-        _bm25_scored(index, query_terms, 1.2, 0.75)
-        .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
-        .limit(n_text)
-        .withColumn(
-            "text_rank",
-            F.row_number().over(
-                Window.orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
-            ),
-        )
-        .select(F.col(id_col), "text_rank")
-    )
-    # single-query kNN: score the whole corpus against ONE broadcast
-    # vector and take top-n via orderBy().limit() — the same
-    # TakeOrderedAndProject shape as the text leg. brute_force_topk's
-    # partition-by-query window distributes across MANY queries but
-    # would funnel a one-query corpus into a single window partition.
-    q = with_unit_vector(
-        embeddings.filter(F.col(emb_id_col) == query_vec_id),
-        emb_vec_col,
-        "_qu",
-    ).select("_qu")
-    c = with_unit_vector(embeddings, emb_vec_col, "_cu").select(
-        F.col(emb_id_col).alias("match_id"), "_cu"
-    )
-    knn = (
-        c.join(F.broadcast(q), F.col("match_id") != F.lit(query_vec_id))
-        .withColumn("cosine", dot(F.col("_qu"), F.col("_cu")))
-        .orderBy(F.col("cosine").desc(), F.col("match_id").asc())
-        .limit(n_knn)
-        .withColumn(
-            "knn_rank",
-            F.row_number().over(
-                Window.orderBy(F.col("cosine").desc(), F.col("match_id").asc())
-            ),
-        )
-        .select(F.col("match_id").alias(id_col), "knn_rank")
-    )
-    leg = lambda c: F.coalesce(  # noqa: E731
-        F.lit(1.0) / (F.lit(float(k_rrf)) + F.col(c).cast("double")),
-        F.lit(0.0),
-    )
-    return (
-        text.join(knn, id_col, "full_outer")
-        .select(
-            F.col(id_col),
-            F.floor((leg("text_rank") + leg("knn_rank")) * Q20)
-            .cast("long")
-            .alias("rrf_q20"),
-            F.col("text_rank").cast("long"),
-            F.col("knn_rank").cast("long"),
-        )
-        .orderBy(F.col("rrf_q20").desc(), F.col(id_col).asc())
-        .limit(k)
-    )
-
-
-def suggest_phrase(
-    index: PostingsIndex,
-    phrase_terms: list[str],
-    k: int = 3,
-    max_dist: int = 1,
-) -> DataFrame:
-    """ES phrase suggester (did-you-mean for whole phrases): each
-    input term expands to its dictionary neighborhood (the stored
-    FastSS probe + exact-levenshtein verify, like the term suggester),
-    and candidate phrases are ranked by how often they actually occur
-    IN ORDER in the corpus — a misspelled "fsat tabel" suggests
-    "fast table" because that bigram is frequent, not because each
-    word is individually close. Returns
-    ``(suggestion, n_occurrences, dist_sum)`` ordered by
-    (occurrences desc, total edit distance asc, suggestion asc),
-    top ``k``.
-
-    Plan shape: per-slot candidate sets are dictionary-neighborhood
-    probes (query-bounded); occurrence counting is the phrase probe's
-    position-adjacency chain join over ONLY the candidate terms'
-    postings, counting every chain instance corpus-wide. No corpus
-    tokenization, no raw text."""
-    id_col = index.id_col
-    cands = [
-        expand_fuzzy_terms(index, [t], max_dist) for t in phrase_terms
-    ]
-    spark = index.postings.sparkSession
-    if any(not c for c in cands):
-        return spark.createDataFrame(
-            [], "suggestion STRING, n_occurrences LONG, dist_sum LONG"
-        )
-    all_terms = sorted({t for c in cands for t in c})
-    postings = index.live_postings_for(all_terms)
-    slots = [
-        postings.filter(F.col("term").isin(c)).select(
-            F.col(id_col),
-            F.col("term"),
-            F.explode("positions").alias("pos"),
-        )
-        for c in cands
-    ]
-    chain = slots[0].select(
-        id_col,
-        F.col("pos").alias("p_prev"),
-        F.col("term").alias("suggestion"),
-        F.levenshtein(F.col("term"), F.lit(phrase_terms[0])).alias("dist_sum"),
-    )
-    for q, nxt in zip(phrase_terms[1:], slots[1:]):
-        chain = (
-            chain.join(nxt, id_col)
-            .filter(F.col("pos") == F.col("p_prev") + 1)
-            .select(
-                id_col,
-                F.col("pos").alias("p_prev"),
-                F.concat_ws(" ", "suggestion", "term").alias("suggestion"),
-                (
-                    F.col("dist_sum")
-                    + F.levenshtein(F.col("term"), F.lit(q))
-                ).alias("dist_sum"),
-            )
-        )
-    return (
-        chain.groupBy("suggestion", "dist_sum")
-        .agg(F.count(F.lit(1)).alias("n_occurrences"))
-        .select(
-            "suggestion",
-            F.col("n_occurrences").cast("long"),
-            F.col("dist_sum").cast("long"),
-        )
-        .orderBy(
-            F.col("n_occurrences").desc(),
-            F.col("dist_sum").asc(),
-            F.col("suggestion").asc(),
-        )
-        .limit(k)
-    )
-
-
-def bm25_topk_fuzzy(
-    index: PostingsIndex,
-    query_terms: list[str],
-    k: int = 10,
-    max_dist: int = 1,
-    k1: float = 1.2,
-    b: float = 0.75,
-) -> DataFrame:
-    """ES fuzzy match + relevance sort: expand each query term to its
-    dictionary neighbors within ``max_dist`` edits (stored FastSS
-    variant probe), then BM25 over the expanded term set — each
-    matched term scored with its own df, the ES ``fuzziness``
-    semantics. A typo'd query still finds its documents without any
-    corpus scan.
-
-    The raw query terms always stay in the probe set (a term absent
-    from the postings simply matches nothing): exact matching can
-    therefore NEVER lag the dictionary, even when ingests deferred
-    their variants write (``defer_variants=True``) and a
-    first-seen-since-compaction term is not yet fuzzy-discoverable."""
-    expanded = expand_fuzzy_terms(index, query_terms, max_dist)
-    probe = sorted(set(expanded) | set(query_terms))
-    return bm25_topk_indexed(index, probe, k=k, k1=k1, b=b)
+from pycasselastic_spark.operators.search_probes import (  # noqa: E402,F401
+    _bm25_scored,
+    _bm25_scored_raw,
+    _wildcard_to_like,
+    bm25_bool_query,
+    bm25_msearch,
+    bm25_rescore,
+    bm25_search_after,
+    bm25_topk_boosted,
+    bm25_topk_conjunctive,
+    bm25_topk_fuzzy,
+    bm25_topk_indexed,
+    bm25_topk_min_should_match,
+    bm25_topk_multifield,
+    bm25_topk_prefix,
+    bm25_topk_regexp,
+    bm25_topk_wildcard,
+    conjunctive_filter,
+    doc_top_terms,
+    expand_fuzzy_terms,
+    explain_score,
+    match_phrase_prefix,
+    more_like_this,
+    phrase_slop_search,
+    term_vectors,
+)
+from pycasselastic_spark.operators.search_ext import (  # noqa: E402,F401
+    bm25_collapse,
+    bm25_decay_score,
+    bm25_function_score,
+    highlight_snippets,
+    hybrid_rrf_search,
+    percolate,
+    search_facets,
+    search_facets_after,
+    significant_terms,
+    suggest_phrase,
+    suggest_terms,
+    top_hits_by_facet,
+)

@@ -1,0 +1,599 @@
+"""ES query-DSL extensions over the stored index: aggregations
+(facets, composite paging, significant_terms, top_hits), score-shaping
+layers (function_score, decay, collapse), suggesters, percolation,
+highlighting, and hybrid BM25+kNN RRF retrieval.
+
+Split out of ``operators/search.py`` (round 10); the public surface is
+re-exported there. These compose the probe family's scored candidate
+sets with candidate-bounded stored-field fetches — the corpus is never
+shuffled (see each docstring's plan-shape note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pycasselastic_spark.operators.search_index import (
+    Q20,
+    PostingsIndex,
+    _tokens,
+)
+from pycasselastic_spark.operators.search_probes import (
+    _bm25_scored,
+    _bm25_scored_raw,
+    expand_fuzzy_terms,
+)
+
+def bm25_function_score(
+    index: PostingsIndex,
+    docs: DataFrame,
+    query_terms: list[str],
+    factor_col: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``function_score`` with a ``field_value_factor`` (modifier
+    ``log1p``): final score = BM25 * ln(1 + doc[factor_col]) — the
+    "relevance × document-quality signal" reranking every production
+    search deploys (recency, popularity, length priors). Returns
+    ``(id, n_hit_terms, score_q20)`` with ONE Q20 floor applied after
+    the multiply, so the factor reorders within the exact arithmetic
+    the oracle replays.
+
+    Plan shape: the usual pruned probe scores candidates raw; only the
+    (query-bounded) candidates broadcast-join back to the docs table
+    for the factor column — the highlight-style stored-field fetch,
+    never a corpus scan."""
+    id_col = index.id_col
+    raw = _bm25_scored_raw(index, query_terms, k1, b)
+    return (
+        F.broadcast(raw)
+        .join(docs.select(id_col, factor_col), id_col)
+        .select(
+            F.col(id_col),
+            "n_hit_terms",
+            F.floor(
+                F.col("score_raw")
+                * F.log(F.lit(1.0) + F.col(factor_col))
+                * Q20
+            ).cast("long").alias("score_q20"),
+        )
+        .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def bm25_decay_score(
+    index: PostingsIndex,
+    docs: DataFrame,
+    query_terms: list[str],
+    field_col: str,
+    origin: float,
+    scale: float,
+    offset: float = 0.0,
+    decay: float = 0.5,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``function_score`` with a ``gauss`` decay on a numeric field
+    — the recency/distance boost every production search deploys:
+    final score = BM25 * exp(-max(0, |x - origin| - offset)^2 /
+    (2 sigma^2)) with sigma^2 = -scale^2 / (2 ln decay), so a doc at
+    ``origin`` keeps its full score and one ``scale`` away is
+    multiplied by ``decay``. ONE Q20 floor after the multiply
+    (function_score's one-floor rule).
+
+    Plan shape: identical to ``bm25_function_score`` — the pruned
+    probe scores candidates raw, and only the (query-bounded)
+    candidates broadcast-join back to the docs table for the decay
+    field; never a corpus scan. sigma^2 is computed driver-side and
+    inlined as a literal so the oracle replays the identical double."""
+    import math
+
+    sigma2 = -(float(scale) ** 2) / (2.0 * math.log(float(decay)))
+    id_col = index.id_col
+    raw = _bm25_scored_raw(index, query_terms, k1, b)
+    dist = F.greatest(
+        F.lit(0.0), F.abs(F.col(field_col) - F.lit(float(origin))) - F.lit(float(offset))
+    )
+    return (
+        F.broadcast(raw)
+        .join(docs.select(id_col, field_col), id_col)
+        .select(
+            F.col(id_col),
+            "n_hit_terms",
+            F.floor(
+                F.col("score_raw")
+                * F.exp(-(dist * dist) / F.lit(2.0 * sigma2))
+                * Q20
+            ).cast("long").alias("score_q20"),
+        )
+        .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def bm25_collapse(
+    index: PostingsIndex,
+    docs: DataFrame,
+    query_terms: list[str],
+    collapse_col: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES field ``collapse``: the ranked result list keeps only the
+    single best hit per ``collapse_col`` value (dedup-by-field in the
+    ranking, e.g. one result per domain). Returns the global top-``k``
+    of the collapsed list as ``(id, collapsed, score_q20)``.
+
+    Plan shape: top_hits_by_facet's — query-bounded scored candidates
+    broadcast-join the docs table for the collapse field, ONE window
+    partitioned by it picks each group's best (score desc, id), then
+    the global top-k is a TakeOrderedAndProject over the collapsed
+    (≤ distinct-field-values) rows."""
+    from pyspark.sql.window import Window
+
+    id_col = index.id_col
+    scored = _bm25_scored(index, query_terms, k1, b)
+    w = Window.partitionBy(collapse_col).orderBy(
+        F.col("score_q20").desc(), F.col(id_col).asc()
+    )
+    return (
+        F.broadcast(scored)
+        .join(docs.select(id_col, collapse_col), id_col)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col(collapse_col).alias("collapsed"),
+            "score_q20",
+        )
+        .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+def search_facets(
+    index: PostingsIndex,
+    docs: DataFrame,
+    query_terms: list[str],
+    facet_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """ES search + aggregations (a terms facet over the hit set):
+    ``(facet value, n_docs)`` for every doc matching ANY query term,
+    sorted by count desc then value. The hit set comes from the
+    pruned stored postings (no corpus scan to FIND matches); only the
+    (query-bounded) candidate ids broadcast-join back to the docs
+    table for the facet column — the same candidate-bounded
+    stored-field fetch shape as highlighting."""
+    id_col = index.id_col
+    hits = index.live_postings_for(query_terms).select(id_col).distinct()
+    # same broadcast-or-shuffle escape hatch as significant_terms: a
+    # corpus-scale hit set must not be broadcast
+    hit_side = hits if hits.count() > 2_000_000 else F.broadcast(hits)
+    return (
+        hit_side
+        .join(docs.select(id_col, facet_col), id_col)
+        .groupBy(facet_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col(facet_col).asc())
+        .limit(k)
+    )
+
+def top_hits_by_facet(
+    index: PostingsIndex,
+    docs: DataFrame,
+    query_terms: list[str],
+    facet_col: str,
+    hits_per_bucket: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``terms`` aggregation with a ``top_hits`` sub-aggregation:
+    for every facet value in the hit set, the ``hits_per_bucket`` best
+    docs by BM25. Returns ``(facet, rank, id, score_q20)``.
+
+    Plan shape: the (query-bounded) scored candidates broadcast-join
+    to the docs table for the facet column — the stored-field fetch
+    shape — then ONE window over the candidate set partitioned by
+    facet; the corpus is never shuffled, and the window input is
+    hit-set-sized."""
+    from pyspark.sql.window import Window
+
+    id_col = index.id_col
+    scored = _bm25_scored(index, query_terms, k1, b)
+    w = Window.partitionBy(facet_col).orderBy(
+        F.col("score_q20").desc(), F.col(id_col).asc()
+    )
+    return (
+        F.broadcast(scored)
+        .join(docs.select(id_col, facet_col), id_col)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= hits_per_bucket)
+        .select(
+            F.col(facet_col).alias("facet"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col(id_col),
+            "score_q20",
+        )
+    )
+
+
+def search_facets_after(
+    index: PostingsIndex,
+    docs: DataFrame,
+    query_terms: list[str],
+    facet_col: str,
+    size: int = 10,
+    after: str | None = None,
+) -> DataFrame:
+    """ES ``composite`` aggregation over the hit set: facet buckets in
+    the facet-key total order with ``after``-key cursor pagination —
+    the aggregation twin of search_after (stateless deep paging over
+    buckets, no scroll context). Returns ``(facet, n_docs)`` sorted by
+    facet, strictly after the cursor.
+
+    Unlike the ranked ``search_facets`` (count-desc, needs the full
+    facet table to rank), the composite order is the GROUP KEY itself,
+    so each page aggregates only buckets after the cursor and every
+    page is the same bounded probe — that is exactly why ES offers
+    composite for deep bucket pagination."""
+    id_col = index.id_col
+    hits = index.live_postings_for(query_terms).select(id_col).distinct()
+    hit_side = hits if hits.count() > 2_000_000 else F.broadcast(hits)
+    buckets = (
+        hit_side
+        .join(docs.select(id_col, facet_col), id_col)
+        .filter(
+            F.col(facet_col) > F.lit(after) if after is not None else F.lit(True)
+        )
+        .groupBy(facet_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        buckets.select(F.col(facet_col).alias("facet"), "n_docs")
+        .orderBy(F.col("facet").asc())
+        .limit(size)
+    )
+
+def suggest_terms(
+    index: PostingsIndex, term: str, k: int = 5, max_dist: int | None = None
+) -> DataFrame:
+    """ES term suggester (did-you-mean): dictionary terms within
+    ``max_dist`` edits of ``term`` ranked the way ES ranks suggestions
+    — closer first, then more frequent (document frequency from the
+    stored postings), then lexicographic. Returns
+    ``(term, dist, df)``. Candidates come from the same FastSS
+    variant probe as fuzzy search; their df from the
+    term-bucket-pruned postings probe — a few candidate terms' rows,
+    no corpus or full-dictionary scan. ``max_dist`` defaults to the
+    index's stored variant depth."""
+    max_dist = index.variant_depth if max_dist is None else max_dist
+    cands = expand_fuzzy_terms(index, [term], max_dist)
+    spark = index.postings.sparkSession
+    if not cands:
+        return spark.createDataFrame([], "term STRING, dist INT, df LONG")
+    dfreq = (
+        index.live_postings_for(cands)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn(
+            "dist", F.levenshtein(F.col("term"), F.lit(term)).cast("int")
+        )
+    )
+    return dfreq.select("term", "dist", "df").orderBy(
+        F.col("dist").asc(), F.col("df").desc(), F.col("term").asc()
+    ).limit(k)
+
+
+def significant_terms(
+    index: PostingsIndex,
+    query_terms: list[str],
+    m: int = 10,
+    min_fg_df: int = 2,
+) -> DataFrame:
+    """ES ``significant_terms`` aggregation: terms OVERREPRESENTED in
+    the hit set relative to the corpus, scored with ES's JLH
+    (``(fg% - bg%) * (fg% / bg%)``), query terms excluded, Q20
+    fixed point. Returns ``(term, fg_df, bg_df, jlh_q20)``.
+
+    Index-only analytics: the hit set comes from the pruned postings
+    probe; per-term foreground counts from the FORWARD relation
+    joined to the broadcast hit list (hit-set-bounded); background
+    counts are one aggregation over the stored postings — a full
+    stored-relation scan by design (ES pays the same global-ordinals
+    pass), but never a raw-text scan."""
+    id_col = index.id_col
+    hits = index.live_postings_for(query_terms).select(id_col).distinct()
+    n_fg = hits.count()
+    if n_fg == 0:
+        return index.postings.sparkSession.createDataFrame(
+            [], "term STRING, fg_df LONG, bg_df LONG, jlh_q20 LONG"
+        )
+    # hit lists are usually query-bounded-small -> broadcast; a very
+    # common term can match a corpus-scale fraction, where a broadcast
+    # would overflow the driver — fall back to a shuffle join there
+    # (ES's sampler-aggregation escape hatch, chosen automatically)
+    hit_side = hits if n_fg > 2_000_000 else F.broadcast(hits)
+    fg = (
+        index.live_forward()
+        .join(hit_side, id_col)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fg_df"))
+        .filter(
+            (F.col("fg_df") >= min_fg_df)
+            & ~F.col("term").isin(sorted(set(query_terms)))
+        )
+    )
+    bg = index.live_postings().groupBy("term").agg(
+        F.count(F.lit(1)).alias("bg_df")
+    )
+    fgp = F.col("fg_df") / F.lit(float(n_fg))
+    bgp = F.col("bg_df") / F.lit(float(index.n_docs))
+    return (
+        fg.join(bg, "term")
+        .withColumn(
+            "jlh_q20",
+            F.floor((fgp - bgp) * (fgp / bgp) * Q20).cast("long"),
+        )
+        .orderBy(F.col("jlh_q20").desc(), F.col("term").asc())
+        .limit(m)
+    )
+
+def percolate(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: DataFrame,
+    broadcast_threshold: int = 2_000_000,
+) -> DataFrame:
+    """ES percolator — search REVERSED: the queries are stored, and
+    each incoming document is matched against all of them (alerting,
+    saved searches, routing rules). ``queries`` is
+    ``(query_id, terms array<string>, min_match int)`` — min_match =
+    size(terms) is a conjunctive (bool-must) percolation, 1 is
+    disjunctive, anything between is minimum_should_match. Returns
+    ``(id, query_id, n_matched)`` for every (document, query) pair
+    where at least ``min_match`` of the query's terms occur in the
+    document.
+
+    Plan shape: the query table explodes to (query_id, term) —
+    query-table-sized, never corpus-sized — and broadcasts to the
+    documents' DISTINCT (id, term) pairs, so the corpus is tokenized
+    once and never shuffled on anything but the final (id, query_id)
+    aggregation, whose cardinality is match-bounded. A query table too
+    large to broadcast falls back to a shuffle join on the term (the
+    search_facets escape hatch)."""
+    qterms = queries.select(
+        "query_id",
+        "min_match",
+        F.explode(F.array_distinct("terms")).alias("term"),
+    )
+    dterms = docs.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "").distinct()
+    q_side = (
+        F.broadcast(qterms)
+        if queries.count() <= broadcast_threshold
+        else qterms
+    )
+    return (
+        dterms.join(q_side, "term")
+        .groupBy(id_col, "query_id", "min_match")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .filter(F.col("n_matched") >= F.col("min_match"))
+        .select(id_col, "query_id", F.col("n_matched").cast("long"))
+    )
+
+def highlight_snippets(
+    index: PostingsIndex,
+    docs: DataFrame,
+    text_col: str,
+    query_terms: list[str],
+    window: int = 5,
+) -> DataFrame:
+    """ES-style highlighting: for every doc matching any query term,
+    the FIRST match position and a ``window``-token snippet starting
+    there: ``(id, first_pos, n_hit_terms, snippet)``.
+
+    The candidate set and positions come from the pruned stored
+    postings (no corpus scan to FIND matches); only the candidates
+    join back to the raw text to cut the snippet — candidate-bounded
+    work, the same shape Lucene uses (stored-field fetch per hit)."""
+    id_col = index.id_col
+    postings = index.live_postings_for(query_terms)
+    firsts = postings.groupBy(id_col).agg(
+        F.min(F.array_min("positions")).alias("first_pos"),
+        F.count(F.lit(1)).alias("n_hit_terms"),
+    )
+    c = F.col(text_col)
+    # explicit broadcast: the candidate side's size estimate passes
+    # through an aggregation, so relying on the optimizer's auto
+    # threshold would make the corpus-side scan-without-shuffle plan
+    # scale-dependent (round-8 verdict nit)
+    return F.broadcast(firsts).join(docs, id_col).select(
+        F.col(id_col),
+        "first_pos",
+        "n_hit_terms",
+        F.array_join(
+            F.slice(F.split(c, " "), F.col("first_pos") + 1, window), " "
+        ).alias("snippet"),
+    )
+
+def hybrid_rrf_search(
+    index: PostingsIndex,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id,
+    k: int = 10,
+    k_rrf: int = 60,
+    n_text: int = 50,
+    n_knn: int = 50,
+    emb_id_col: str = "vec_id",
+    emb_vec_col: str = "embedding",
+) -> DataFrame:
+    """ES hybrid search with reciprocal rank fusion (the 8.8+ ``rrf``
+    retriever, the standard RAG retrieval pattern): fuse a lexical
+    BM25 top-``n_text`` with a vector kNN top-``n_knn`` by
+    score = Σ 1/(k_rrf + rank) over the legs a doc appears in.
+    Ranks, not scores, are fused — RRF's whole point is that the two
+    legs' score scales never need calibrating. Returns
+    ``(id, rrf_q20, text_rank, knn_rank)`` top-``k``
+    (absent-leg ranks are NULL, contributing 0).
+
+    Determinism: each leg's rank comes from a total order with the id
+    tiebreak — the text leg on quantized (score_q20 desc, id), the
+    kNN leg on (cosine desc, id) where the cosine arithmetic is the
+    bit-replayable unit-normalize + sequential dot the similarity
+    operators pin — and the fused double is two exact small-integer
+    reciprocals added in fixed order, floored once to Q20.
+
+    Plan shape: both legs are bounded — the text leg is the pruned
+    postings probe, the kNN leg broadcasts ONE query vector over the
+    embeddings scan — and the fusion is a full outer join of two
+    ≤ n-row relations."""
+    from pyspark.sql.window import Window
+
+    from pycasselastic_spark.operators.similarity import dot, with_unit_vector
+
+    id_col = index.id_col
+    # top-n FIRST via orderBy().limit() — TakeOrderedAndProject's
+    # per-partition heaps — so the rank window (single-partition by
+    # construction: a global rank) only ever sorts ≤ n_text rows, not
+    # the whole hit set
+    text = (
+        _bm25_scored(index, query_terms, 1.2, 0.75)
+        .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
+        .limit(n_text)
+        .withColumn(
+            "text_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
+            ),
+        )
+        .select(F.col(id_col), "text_rank")
+    )
+    # single-query kNN: score the whole corpus against ONE broadcast
+    # vector and take top-n via orderBy().limit() — the same
+    # TakeOrderedAndProject shape as the text leg. brute_force_topk's
+    # partition-by-query window distributes across MANY queries but
+    # would funnel a one-query corpus into a single window partition.
+    q = with_unit_vector(
+        embeddings.filter(F.col(emb_id_col) == query_vec_id),
+        emb_vec_col,
+        "_qu",
+    ).select("_qu")
+    c = with_unit_vector(embeddings, emb_vec_col, "_cu").select(
+        F.col(emb_id_col).alias("match_id"), "_cu"
+    )
+    knn = (
+        c.join(F.broadcast(q), F.col("match_id") != F.lit(query_vec_id))
+        .withColumn("cosine", dot(F.col("_qu"), F.col("_cu")))
+        .orderBy(F.col("cosine").desc(), F.col("match_id").asc())
+        .limit(n_knn)
+        .withColumn(
+            "knn_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cosine").desc(), F.col("match_id").asc())
+            ),
+        )
+        .select(F.col("match_id").alias(id_col), "knn_rank")
+    )
+    leg = lambda c: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(float(k_rrf)) + F.col(c).cast("double")),
+        F.lit(0.0),
+    )
+    return (
+        text.join(knn, id_col, "full_outer")
+        .select(
+            F.col(id_col),
+            F.floor((leg("text_rank") + leg("knn_rank")) * Q20)
+            .cast("long")
+            .alias("rrf_q20"),
+            F.col("text_rank").cast("long"),
+            F.col("knn_rank").cast("long"),
+        )
+        .orderBy(F.col("rrf_q20").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+def suggest_phrase(
+    index: PostingsIndex,
+    phrase_terms: list[str],
+    k: int = 3,
+    max_dist: int = 1,
+) -> DataFrame:
+    """ES phrase suggester (did-you-mean for whole phrases): each
+    input term expands to its dictionary neighborhood (the stored
+    FastSS probe + exact-levenshtein verify, like the term suggester),
+    and candidate phrases are ranked by how often they actually occur
+    IN ORDER in the corpus — a misspelled "fsat tabel" suggests
+    "fast table" because that bigram is frequent, not because each
+    word is individually close. Returns
+    ``(suggestion, n_occurrences, dist_sum)`` ordered by
+    (occurrences desc, total edit distance asc, suggestion asc),
+    top ``k``.
+
+    Plan shape: per-slot candidate sets are dictionary-neighborhood
+    probes (query-bounded); occurrence counting is the phrase probe's
+    position-adjacency chain join over ONLY the candidate terms'
+    postings, counting every chain instance corpus-wide. No corpus
+    tokenization, no raw text."""
+    id_col = index.id_col
+    cands = [
+        expand_fuzzy_terms(index, [t], max_dist) for t in phrase_terms
+    ]
+    spark = index.postings.sparkSession
+    if any(not c for c in cands):
+        return spark.createDataFrame(
+            [], "suggestion STRING, n_occurrences LONG, dist_sum LONG"
+        )
+    all_terms = sorted({t for c in cands for t in c})
+    postings = index.live_postings_for(all_terms)
+    slots = [
+        postings.filter(F.col("term").isin(c)).select(
+            F.col(id_col),
+            F.col("term"),
+            F.explode("positions").alias("pos"),
+        )
+        for c in cands
+    ]
+    chain = slots[0].select(
+        id_col,
+        F.col("pos").alias("p_prev"),
+        F.col("term").alias("suggestion"),
+        F.levenshtein(F.col("term"), F.lit(phrase_terms[0])).alias("dist_sum"),
+    )
+    for q, nxt in zip(phrase_terms[1:], slots[1:]):
+        chain = (
+            chain.join(nxt, id_col)
+            .filter(F.col("pos") == F.col("p_prev") + 1)
+            .select(
+                id_col,
+                F.col("pos").alias("p_prev"),
+                F.concat_ws(" ", "suggestion", "term").alias("suggestion"),
+                (
+                    F.col("dist_sum")
+                    + F.levenshtein(F.col("term"), F.lit(q))
+                ).alias("dist_sum"),
+            )
+        )
+    return (
+        chain.groupBy("suggestion", "dist_sum")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .select(
+            "suggestion",
+            F.col("n_occurrences").cast("long"),
+            F.col("dist_sum").cast("long"),
+        )
+        .orderBy(
+            F.col("n_occurrences").desc(),
+            F.col("dist_sum").asc(),
+            F.col("suggestion").asc(),
+        )
+        .limit(k)
+    )

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from pycasselastic_spark.core.merge import lww_merge, lww_snapshots
 from pycasselastic_spark.operators import search as SRCH
+from pycasselastic_spark.operators import search_index as SRCH_INDEX
 from pycasselastic_spark.operators.dedup import containment_pairs
 from pycasselastic_spark.operators.sampling import (
     group_consistent_split,
@@ -500,12 +501,12 @@ def test_update_crash_before_commit_is_invisible_and_retryable(
             raise OSError("injected crash before index commit")
         return real_write(p, stats)
 
-    monkeypatch.setattr(SRCH, "_write_stats", exploding_write)
+    monkeypatch.setattr(SRCH_INDEX, "_write_stats", exploding_write)
     delta = _corpus(spark, [(0, "beta gamma"), (20, "alpha beta")])
     import pytest as _p
     with _p.raises(OSError, match="injected crash"):
         SRCH.update_postings_index(delta, "text", path)
-    monkeypatch.setattr(SRCH, "_write_stats", real_write)
+    monkeypatch.setattr(SRCH_INDEX, "_write_stats", real_write)
 
     # orphan generation: invisible to probes, scalars unchanged
     idx1 = SRCH.load_postings_index(spark, path)
@@ -1094,11 +1095,11 @@ def test_snapshot_excludes_uncommitted_orphans(spark, tmp_path, monkeypatch):
     def exploding_write(p, stats):
         raise OSError("injected crash before index commit")
 
-    monkeypatch.setattr(SRCH, "_write_stats", exploding_write)
+    monkeypatch.setattr(SRCH_INDEX, "_write_stats", exploding_write)
     import pytest as _p
     with _p.raises(OSError, match="injected crash"):
         SRCH.update_postings_index(_corpus(spark, [(3, "zeta")]), "text", src)
-    monkeypatch.setattr(SRCH, "_write_stats", real_write)
+    monkeypatch.setattr(SRCH_INDEX, "_write_stats", real_write)
 
     stats = SRCH.snapshot_postings_index(src, snap)
     assert stats["committed_gens"] == [0]
