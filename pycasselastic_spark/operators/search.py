@@ -236,6 +236,7 @@ from pycasselastic_spark.operators.search_index import (  # noqa: E402,F401
     ingest_into_postings_index,
     load_postings_index,
     load_postings_index_by_alias,
+    reindex_postings_index,
     resolve_index_alias,
     set_index_alias,
     snapshot_postings_index,

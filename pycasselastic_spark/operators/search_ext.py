@@ -25,6 +25,24 @@ from pycasselastic_spark.operators.search_probes import (
     expand_fuzzy_terms,
 )
 
+
+def _bounded_broadcast(
+    df: DataFrame, threshold: int = 2_000_000
+) -> DataFrame:
+    """Broadcast-or-shuffle escape hatch for candidate/hit relations
+    whose size is query-dependent: usually query-bounded-small (a few
+    terms' postings -> broadcast, keeping the corpus side
+    shuffle-free), but a stop-word-frequency query term can match a
+    corpus-scale fraction, where a forced broadcast would OOM the
+    driver/executors — fall back to a shuffle join there (ES's
+    sampler-aggregation escape hatch, chosen automatically). The
+    count() action re-runs the candidate aggregation once; probe
+    correctness at any scale is worth one bounded pass (round-9
+    advisor finding: every probe that broadcasts a scored candidate
+    set needs this, not just facets/significant_terms)."""
+    return df if df.count() > threshold else F.broadcast(df)
+
+
 def bm25_function_score(
     index: PostingsIndex,
     docs: DataFrame,
@@ -49,7 +67,7 @@ def bm25_function_score(
     id_col = index.id_col
     raw = _bm25_scored_raw(index, query_terms, k1, b)
     return (
-        F.broadcast(raw)
+        _bounded_broadcast(raw)
         .join(docs.select(id_col, factor_col), id_col)
         .select(
             F.col(id_col),
@@ -100,7 +118,7 @@ def bm25_decay_score(
         F.lit(0.0), F.abs(F.col(field_col) - F.lit(float(origin))) - F.lit(float(offset))
     )
     return (
-        F.broadcast(raw)
+        _bounded_broadcast(raw)
         .join(docs.select(id_col, field_col), id_col)
         .select(
             F.col(id_col),
@@ -143,7 +161,7 @@ def bm25_collapse(
         F.col("score_q20").desc(), F.col(id_col).asc()
     )
     return (
-        F.broadcast(scored)
+        _bounded_broadcast(scored)
         .join(docs.select(id_col, collapse_col), id_col)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -155,6 +173,7 @@ def bm25_collapse(
         .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
 
 def search_facets(
     index: PostingsIndex,
@@ -172,9 +191,7 @@ def search_facets(
     stored-field fetch shape as highlighting."""
     id_col = index.id_col
     hits = index.live_postings_for(query_terms).select(id_col).distinct()
-    # same broadcast-or-shuffle escape hatch as significant_terms: a
-    # corpus-scale hit set must not be broadcast
-    hit_side = hits if hits.count() > 2_000_000 else F.broadcast(hits)
+    hit_side = _bounded_broadcast(hits)
     return (
         hit_side
         .join(docs.select(id_col, facet_col), id_col)
@@ -183,6 +200,7 @@ def search_facets(
         .orderBy(F.col("n_docs").desc(), F.col(facet_col).asc())
         .limit(k)
     )
+
 
 def top_hits_by_facet(
     index: PostingsIndex,
@@ -210,7 +228,7 @@ def top_hits_by_facet(
         F.col("score_q20").desc(), F.col(id_col).asc()
     )
     return (
-        F.broadcast(scored)
+        _bounded_broadcast(scored)
         .join(docs.select(id_col, facet_col), id_col)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= hits_per_bucket)
@@ -244,7 +262,7 @@ def search_facets_after(
     composite for deep bucket pagination."""
     id_col = index.id_col
     hits = index.live_postings_for(query_terms).select(id_col).distinct()
-    hit_side = hits if hits.count() > 2_000_000 else F.broadcast(hits)
+    hit_side = _bounded_broadcast(hits)
     buckets = (
         hit_side
         .join(docs.select(id_col, facet_col), id_col)
@@ -259,6 +277,7 @@ def search_facets_after(
         .orderBy(F.col("facet").asc())
         .limit(size)
     )
+
 
 def suggest_terms(
     index: PostingsIndex, term: str, k: int = 5, max_dist: int | None = None
@@ -344,6 +363,7 @@ def significant_terms(
         .limit(m)
     )
 
+
 def percolate(
     docs: DataFrame,
     id_col: str,
@@ -376,9 +396,13 @@ def percolate(
     dterms = docs.select(
         F.col(id_col), F.explode(_tokens(text_col)).alias("term")
     ).filter(F.col("term") != "").distinct()
+    # threshold on the EXPLODED (query_id, term) row count — what is
+    # actually broadcast — not the query-table row count, which
+    # underestimates by the terms-per-query factor (round-9 advisor
+    # finding: 1.9M queries x 50 terms is a 95M-row broadcast)
     q_side = (
         F.broadcast(qterms)
-        if queries.count() <= broadcast_threshold
+        if qterms.count() <= broadcast_threshold
         else qterms
     )
     return (
@@ -388,6 +412,7 @@ def percolate(
         .filter(F.col("n_matched") >= F.col("min_match"))
         .select(id_col, "query_id", F.col("n_matched").cast("long"))
     )
+
 
 def highlight_snippets(
     index: PostingsIndex,
@@ -423,6 +448,7 @@ def highlight_snippets(
             F.slice(F.split(c, " "), F.col("first_pos") + 1, window), " "
         ).alias("snippet"),
     )
+
 
 def hybrid_rrf_search(
     index: PostingsIndex,
@@ -520,6 +546,7 @@ def hybrid_rrf_search(
         .orderBy(F.col("rrf_q20").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
 
 def suggest_phrase(
     index: PostingsIndex,

@@ -348,6 +348,41 @@ def build_postings_index(
     })
 
 
+_COMMIT_LOCK = "commit.lock"
+
+
+def _acquire_commit_lock(path: str, timeout_s: float = 10.0) -> str:
+    """O_EXCL commit lock serializing the stats.json commit section
+    (re-read + rewrite) of ``update_postings_index``. Without it two
+    updaters could BOTH pass the pre-commit re-read in a microsecond
+    window and the later ``os.replace`` would silently discard the
+    earlier commit (round-9 advisor finding). Commits are milliseconds,
+    so contention resolves within the bounded retry; a lock that stays
+    held past ``timeout_s`` means a committer crashed INSIDE the
+    commit section — loud failure with the recovery instruction
+    (compaction also clears the lock, since it requires exclusive
+    access anyway)."""
+    import time
+
+    lock = os.path.join(path, _COMMIT_LOCK)
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            return lock
+        except FileExistsError:
+            if time.monotonic() >= deadline:
+                raise RuntimeError(
+                    f"commit lock {lock} held for over {timeout_s}s — a "
+                    "concurrent committer crashed inside its commit "
+                    "section; verify no updater is live, then delete the "
+                    "lock file (or run compact_postings_index, which "
+                    "clears it)"
+                )
+            time.sleep(0.05)
+
+
 def _claim_generation(path: str, start: int) -> int:
     """Exclusively claim the next free generation number via an
     O_EXCL-created ``gen-<n>.claim`` file — the lwwstore manifest
@@ -445,28 +480,35 @@ def update_postings_index(
     ).collect()[0]
 
     # step 3: atomic commit — the generation becomes visible everywhere
-    # at once or not at all. Re-read stats first: if another updater
-    # committed since our snapshot, our replaced/scalar math is stale —
-    # fail cleanly (this update's rows stay invisible orphans the next
-    # compaction drops) instead of silently clobbering the other
-    # writer's commit. Single-writer per index path remains the
-    # recommended deployment; this makes a violation loud, not lossy.
-    with open(os.path.join(path, "stats.json")) as f:
-        current = json.load(f)
-    if current["committed_gens"] != committed:
-        raise RuntimeError(
-            f"concurrent update committed {current['committed_gens']} "
-            f"while generation {gen} was being written; generation "
-            f"{gen} stays uncommitted (invisible) — re-run the update"
+    # at once or not at all. The commit section (re-read + rewrite) is
+    # serialized by an O_EXCL commit lock so two updaters can never
+    # interleave between the re-read and the write; the re-read then
+    # detects a commit that landed since OUR snapshot, where the
+    # replaced/scalar math is stale — fail cleanly (this update's rows
+    # stay invisible orphans the next compaction drops) instead of
+    # silently clobbering the other writer's commit. Single-writer per
+    # index path remains the recommended deployment; this makes a
+    # violation loud, not lossy.
+    lock = _acquire_commit_lock(path)
+    try:
+        with open(os.path.join(path, "stats.json")) as f:
+            current = json.load(f)
+        if current["committed_gens"] != committed:
+            raise RuntimeError(
+                f"concurrent update committed {current['committed_gens']} "
+                f"while generation {gen} was being written; generation "
+                f"{gen} stays uncommitted (invisible) — re-run the update"
+            )
+        stats.update(
+            n_docs=stats["n_docs"] + d["n"] - r["n"],
+            total_dl=stats["total_dl"] + int(d["s"] or 0) - int(r["s"] or 0),
+            generation=gen,
+            next_gen=gen + 1,
+            committed_gens=committed + [gen],
         )
-    stats.update(
-        n_docs=stats["n_docs"] + d["n"] - r["n"],
-        total_dl=stats["total_dl"] + int(d["s"] or 0) - int(r["s"] or 0),
-        generation=gen,
-        next_gen=gen + 1,
-        committed_gens=committed + [gen],
-    )
-    _write_stats(path, stats)
+        _write_stats(path, stats)
+    finally:
+        os.remove(lock)
 
 
 def load_postings_index(spark: SparkSession, path: str) -> PostingsIndex:
@@ -573,37 +615,19 @@ def snapshot_postings_index(src: str, dst: str) -> dict:
     return stats
 
 
-def compact_postings_index(
+def _live_relations(
     spark: SparkSession,
     path: str,
-    n_buckets: int | None = None,
-    variant_depth: int | None = None,
-) -> tuple[int, int]:
-    """Index maintenance (the LSM-compaction twin of
-    ``sources.pyds.compact_lwwstore``): fold superseded generations out
-    of the stored postings/docstats, truncate the superseded list, and
-    reset the generation to 0. Returns (superseded_rows_before, 0).
-
-    After compaction every probe plan gets CHEAPER: generation 0 means
-    ``live_postings_for`` skips the anti-join entirely. Run it when the
-    superseded side has grown past broadcast comfort (many re-ingests).
-    Single-writer per index path, like every maintenance op here; the
-    directory swap is rename-based so a crash leaves either the old or
-    the new complete structure, never a mix.
-
-    ``n_buckets`` / ``variant_depth`` overrides turn the compaction
-    into ES's zero-downtime REINDEX (settings change + alias swap):
-    the stored postings carry everything a rebuild needs (terms,
-    positions, doc lengths), so re-bucketing for more scan parallelism
-    or deepening the fuzzy dictionary to fuzziness=2 never touches raw
-    text, and readers see the old index until the one-rename swap."""
-    idx = load_postings_index(spark, path)
-    n_superseded = idx.superseded.count()
-    with open(os.path.join(path, "stats.json")) as f:
-        stats = json.load(f)
-    committed = stats["committed_gens"]
-    variant_depth = variant_depth or stats.get("variant_depth", 1)
-    new_buckets = n_buckets or idx.n_buckets
+    idx: PostingsIndex,
+    committed: list[int],
+    new_buckets: int,
+    variant_depth: int,
+) -> tuple[tuple[str, DataFrame, str | None], ...]:
+    """The live (superseded-folded, generation-0) state of every stored
+    relation, re-bucketed/re-dictionaried at the TARGET settings —
+    derived from stored postings alone, never raw text. Shared by
+    in-place compaction (same settings) and ``reindex_postings_index``
+    (settings change into a fresh directory)."""
     live_postings = idx.postings.join(
         idx.superseded, [idx.id_col, "gen"], "left_anti"
     ).withColumn("gen", F.lit(0).cast("long"))
@@ -643,50 +667,171 @@ def compact_postings_index(
         .withColumn("vbucket", _term_bucket_col(F.col("variant"), new_buckets))
     )
 
-    relations = (
+    return (
         ("postings", live_postings, "pbucket"),
         ("forward", live_forward, "ibucket"),
         ("variants", live_variants, "vbucket"),
         ("docstats", live_stats, None),
     )
-    # phase 1: materialize EVERY compacted relation into a tmp dir
-    # while the source directories still exist (live_variants and
-    # live_forward derive from the postings relation — swapping
-    # postings first would pull the files out from under their plans)
+
+
+def _write_relations_to(
+    relations: tuple[tuple[str, DataFrame, str | None], ...], root: str
+) -> None:
     for rel, df, partition in relations:
-        tmp = os.path.join(path, f"{rel}.compact-tmp")
         w = df.repartition(partition) if partition else df
         writer = w.write.mode("overwrite")
         if partition:
             writer = writer.partitionBy(partition)
-        writer.parquet(tmp)
+        writer.parquet(os.path.join(root, rel))
+
+
+def compact_postings_index(
+    spark: SparkSession,
+    path: str,
+    n_buckets: int | None = None,
+    variant_depth: int | None = None,
+) -> tuple[int, int]:
+    """Index maintenance (the LSM-compaction twin of
+    ``sources.pyds.compact_lwwstore``): fold superseded generations out
+    of the stored postings/docstats, truncate the superseded list, and
+    reset the generation to 0. Returns (superseded_rows_before, 0).
+
+    After compaction every probe plan gets CHEAPER: generation 0 means
+    ``live_postings_for`` skips the anti-join entirely. Run it when the
+    superseded side has grown past broadcast comfort (many re-ingests).
+    Single-writer AND single-reader-excluded per index path while it
+    runs (the relation swap is multiple renames), like every
+    maintenance op here; a crash leaves each relation either fully old
+    or fully new, with the final stats rewrite as the commit.
+
+    SETTINGS ARE IMMUTABLE IN PLACE: passing ``n_buckets`` /
+    ``variant_depth`` different from the stored settings raises —
+    an in-place settings change would let a concurrent reader pair the
+    OLD stats.json (old modulus) with NEW bucket values mid-swap and
+    silently mis-prune (round-9 advisor finding). Settings changes go
+    through ``reindex_postings_index`` (fresh directory, one atomic
+    rename, alias cutover) — which is also how ES does it."""
+    with open(os.path.join(path, "stats.json")) as f:
+        stats = json.load(f)
+    stored_depth = stats.get("variant_depth", 1)
+    if n_buckets is not None and n_buckets != stats["n_buckets"]:
+        raise ValueError(
+            f"n_buckets={n_buckets} differs from stored "
+            f"{stats['n_buckets']}: settings changes are a reindex, not "
+            "a compaction — use reindex_postings_index into a fresh "
+            "path and cut over via set_index_alias"
+        )
+    if variant_depth is not None and variant_depth != stored_depth:
+        raise ValueError(
+            f"variant_depth={variant_depth} differs from stored "
+            f"{stored_depth}: settings changes are a reindex, not a "
+            "compaction — use reindex_postings_index into a fresh path "
+            "and cut over via set_index_alias"
+        )
+    idx = load_postings_index(spark, path)
+    n_superseded = idx.superseded.count()
+    relations = _live_relations(
+        spark, path, idx, stats["committed_gens"], idx.n_buckets,
+        stored_depth,
+    )
+    # phase 1: materialize EVERY compacted relation into a tmp dir
+    # while the source directories still exist (live_variants and
+    # live_forward derive from the postings relation — swapping
+    # postings first would pull the files out from under their plans)
+    staged = {
+        rel: os.path.join(path, f"{rel}.compact-tmp")
+        for rel, _, _ in relations
+    }
+    for rel, df, partition in relations:
+        w = df.repartition(partition) if partition else df
+        writer = w.write.mode("overwrite")
+        if partition:
+            writer = writer.partitionBy(partition)
+        writer.parquet(staged[rel])
     # phase 2: swap them in (rename-based; a crash mid-phase leaves
     # each relation either fully old or fully new — and the stats
     # rewrite below is what commits the compaction)
     import shutil
 
     for rel, _, _ in relations:
-        tmp = os.path.join(path, f"{rel}.compact-tmp")
         old = os.path.join(path, f"{rel}.old")
         live = os.path.join(path, rel)
         os.replace(live, old)
-        os.replace(tmp, live)
+        os.replace(staged[rel], live)
         shutil.rmtree(old)
     spark.createDataFrame(
         [], f"{idx.id_col} LONG, gen LONG, by_gen LONG"
     ).write.mode("overwrite").parquet(os.path.join(path, "superseded"))
     # generation numbers restart at 1, so the claim files of the folded
-    # (and any orphaned) generations are cleared with them
+    # (and any orphaned) generations are cleared with them — as is any
+    # stale commit lock (compaction requires exclusive access anyway)
     for name in os.listdir(path):
         if name.startswith("gen-") and name.endswith(".claim"):
             os.remove(os.path.join(path, name))
+    lock = os.path.join(path, _COMMIT_LOCK)
+    if os.path.exists(lock):
+        os.remove(lock)
     _write_stats(path, {
         "n_docs": idx.n_docs, "total_dl": idx.total_dl, "generation": 0,
         "next_gen": 1, "committed_gens": [0],
-        "n_buckets": new_buckets, "id_col": idx.id_col,
-        "variant_depth": variant_depth,
+        "n_buckets": idx.n_buckets, "id_col": idx.id_col,
+        "variant_depth": stored_depth,
     })
     return n_superseded, 0
+
+
+def reindex_postings_index(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    n_buckets: int | None = None,
+    variant_depth: int | None = None,
+) -> dict:
+    """ES zero-downtime REINDEX: build a COMPLETE new index at ``dst``
+    from the stored state of ``src`` under changed settings —
+    re-bucketing for more scan parallelism, or deepening the FastSS
+    fuzzy dictionary to fuzziness=2 — without ever touching raw text
+    (the stored postings carry terms, positions, and doc lengths).
+    Returns the new index's stats dict.
+
+    Crash/read atomicity is the snapshot contract: every relation AND
+    the new stats.json are staged in a temp directory that becomes
+    ``dst`` via ONE ``os.rename``, so ``dst`` either does not exist or
+    is a complete, internally-consistent index — a reader can never
+    pair old bucket moduli with new bucket values (the hazard the
+    in-place settings change had; round-9 advisor finding). ``src`` is
+    only read. Cut readers over with ``set_index_alias(alias, dst)``
+    (its own single-rename swap); in-flight probes keep their resolved
+    ``src``."""
+    import shutil
+
+    with open(os.path.join(src, "stats.json")) as f:
+        stats = json.load(f)
+    idx = load_postings_index(spark, src)
+    new_buckets = n_buckets or idx.n_buckets
+    new_depth = variant_depth or stats.get("variant_depth", 1)
+    relations = _live_relations(
+        spark, src, idx, stats["committed_gens"], new_buckets, new_depth
+    )
+    tmp = dst + ".reindex-tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    _write_relations_to(relations, tmp)
+    spark.createDataFrame(
+        [], f"{idx.id_col} LONG, gen LONG, by_gen LONG"
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "superseded"))
+    new_stats = {
+        "n_docs": idx.n_docs, "total_dl": idx.total_dl, "generation": 0,
+        "next_gen": 1, "committed_gens": [0],
+        "n_buckets": new_buckets, "id_col": idx.id_col,
+        "variant_depth": new_depth,
+    }
+    with open(os.path.join(tmp, "stats.json"), "w") as f:
+        json.dump(new_stats, f)
+    os.rename(tmp, dst)
+    return new_stats
 
 
 @dataclass

@@ -216,7 +216,17 @@ def bm25_topk_multifield(
     combined = None
     id_col = None
     for field, index in field_indexes.items():
-        boost = int(boosts.get(field, 1))
+        raw_boost = boosts.get(field, 1)
+        if float(raw_boost) != int(raw_boost):
+            # int() would silently truncate (2.5 -> 2; 0.5 -> 0 zeroes
+            # the field), diverging from ES float-boost semantics with
+            # no signal (round-9 advisor finding) — integer boosts are
+            # the exact-Q20-arithmetic contract, so enforce it loudly
+            raise ValueError(
+                f"boost for field {field!r} must be integral (exact "
+                f"Q20 integer arithmetic), got {raw_boost!r}"
+            )
+        boost = int(raw_boost)
         id_col = index.id_col
         scored = _bm25_scored(index, query_terms, k1, b).select(
             F.col(index.id_col),

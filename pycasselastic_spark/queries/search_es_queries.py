@@ -179,23 +179,29 @@ def multifield_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUERIES["fuzzy2_bm25_search_documents"].oracle,
     doc="ES zero-downtime REINDEX (settings change + alias swap) from "
     "the stored postings alone: build the index at variant_depth=1 / "
-    "8 buckets, then compact_postings_index(n_buckets=16, "
-    "variant_depth=2) re-buckets the physical layout and deepens the "
-    "FastSS dictionary WITHOUT touching raw text (the postings carry "
-    "terms, positions and doc lengths — everything a rebuild needs), "
-    "with readers seeing the old structure until the one-rename swap. "
-    "The proof: a fuzziness=2 probe on the upgraded index must rank "
-    "exactly like the depth-2-from-birth oracle "
+    "8 buckets, then reindex_postings_index(n_buckets=16, "
+    "variant_depth=2) stages a COMPLETE new index (relations + "
+    "stats.json) in a temp directory and commits it to a FRESH path "
+    "with one atomic os.rename — readers can never pair old bucket "
+    "moduli with new bucket values (round-9 advisor fix; the in-place "
+    "settings change is now rejected by compact_postings_index). The "
+    "alias then swaps atomically, exactly ES's reindex cutover. "
+    "The proof: a fuzziness=2 probe through the swapped alias must "
+    "rank exactly like the depth-2-from-birth oracle "
     "(fuzzy2_bm25_search_documents's raw-text SQL, reused verbatim).",
 )
 def reindex_upgrade_fuzzy2_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
-    path = os.path.join(tempfile.mkdtemp(prefix="reindex_idx_"), "idx")
+    base = tempfile.mkdtemp(prefix="reindex_idx_")
+    v1, v2 = os.path.join(base, "idx_v1"), os.path.join(base, "idx_v2")
+    alias = os.path.join(base, "docs.alias")
     SRCH.build_postings_index(
-        docs, "doc_id", "text", path, n_buckets=8, variant_depth=1
+        docs, "doc_id", "text", v1, n_buckets=8, variant_depth=1
     )
-    SRCH.compact_postings_index(spark, path, n_buckets=16, variant_depth=2)
-    idx = SRCH.load_postings_index(spark, path)
+    SRCH.set_index_alias(alias, v1)
+    SRCH.reindex_postings_index(spark, v1, v2, n_buckets=16, variant_depth=2)
+    SRCH.set_index_alias(alias, v2)
+    idx = SRCH.load_postings_index_by_alias(spark, alias)
     return SRCH.bm25_topk_fuzzy(idx, ["spakr", "mrege"], k=10, max_dist=2)
 
 

@@ -676,23 +676,45 @@ def test_multifield_most_fields_combines_boosted_field_scores(spark, tmp_path):
     for r in got:
         want = 2 * t.get(r["doc_id"], 0) + b.get(r["doc_id"], 0)
         assert r["score_q20"] == want, r
+    # non-integral boosts raise instead of silently truncating
+    # (int(0.5) -> 0 would zero the field; ES float semantics differ)
+    import pytest as _p
+    with _p.raises(ValueError, match="integral"):
+        SRCH.bm25_topk_multifield(
+            {"title": tidx, "body": bidx}, {"title": 2.5, "body": 1},
+            ["spark"], k=10,
+        )
 
 
 def test_reindex_changes_buckets_and_depth_without_raw_text(spark, tmp_path):
-    """compact_postings_index with settings overrides = ES reindex:
-    re-bucket 4 -> 8 and deepen the fuzzy dictionary 1 -> 2 from the
-    stored postings alone; probes must answer exactly like a fresh
-    build at the new settings, and fuzziness=2 starts working on an
-    index originally built at depth 1."""
+    """reindex_postings_index = ES reindex into a FRESH path: re-bucket
+    4 -> 8 and deepen the fuzzy dictionary 1 -> 2 from the stored
+    postings alone; probes must answer exactly like a fresh build at
+    the new settings, fuzziness=2 starts working on an index
+    originally built at depth 1, and the in-place settings change is
+    rejected (the atomicity hazard the advisor flagged)."""
     rows = [(i, f"spark merge w{i % 6} catalog") for i in range(24)]
     docs = _corpus(spark, rows)
-    path = str(tmp_path / "idx")
-    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4)
+    src = str(tmp_path / "idx_v1")
+    SRCH.build_postings_index(docs, "doc_id", "text", src, n_buckets=4)
     SRCH.update_postings_index(
         _corpus(spark, [(0, "window shuffle spark"), (50, "scan merge")]),
-        "text", path,
+        "text", src,
     )
-    SRCH.compact_postings_index(spark, path, n_buckets=8, variant_depth=2)
+    import pytest as _p
+    with _p.raises(ValueError, match="reindex_postings_index"):
+        SRCH.compact_postings_index(spark, src, n_buckets=8)
+    with _p.raises(ValueError, match="reindex_postings_index"):
+        SRCH.compact_postings_index(spark, src, variant_depth=2)
+    path = str(tmp_path / "idx_v2")
+    new_stats = SRCH.reindex_postings_index(
+        spark, src, path, n_buckets=8, variant_depth=2
+    )
+    assert (new_stats["n_buckets"], new_stats["variant_depth"]) == (8, 2)
+    assert new_stats["committed_gens"] == [0]
+    # the source index is untouched (readers keep working mid-reindex)
+    src_idx = SRCH.load_postings_index(spark, src)
+    assert (src_idx.n_buckets, src_idx.variant_depth) == (4, 1)
 
     current = dict(rows)
     current.update({0: "window shuffle spark", 50: "scan merge"})
