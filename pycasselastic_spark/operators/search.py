@@ -219,8 +219,12 @@ def phrase_search(
 # ---------------------------------------------------------------------------
 
 from pycasselastic_spark.operators.search_index import (  # noqa: E402,F401
+    Analyzer,
     PostingsIndex,
     CompactionPolicy,
+    analyze_terms_py,
+    analyze_tokens,
+    analyzed_dl,
     _claim_generation,
     _deletion_variants_expr,
     _deletion_variants_py,

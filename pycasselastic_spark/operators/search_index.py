@@ -29,6 +29,122 @@ def _tokens(text_col: Column | str) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Analyzer chain (round-10 verdict item 1). The reference delegated all
+# text analysis to Elasticsearch's analyzers ("trusting that es will
+# correctly get types", pyCassElastic.py:334); an ES-capability-parity
+# engine needs its own: a configurable lowercase -> punctuation-strip ->
+# stopword chain, persisted as an INDEX SETTING (stats.json, like
+# ``variant_depth``) and applied identically at ingest and query time.
+# Dropped tokens (stopwords, punctuation-only) keep their position SLOT
+# (Lucene's position-gap behavior), so phrase/slop semantics over the
+# surviving terms are unchanged; doc length counts only KEPT tokens
+# (Lucene's field norm). ``analyzer=None`` is the legacy exact-token
+# index — bare split-on-space — so existing indexes keep working and
+# upgrading one is a settings-change reindex
+# (``reindex_postings_index(analyzer=...)``).
+# ---------------------------------------------------------------------------
+
+_PUNCT_RE = "[^a-zA-Z0-9]"
+
+
+@dataclass(frozen=True)
+class Analyzer:
+    """An ES-style analysis chain: optional lowercase, optional
+    punctuation strip (every char outside [a-zA-Z0-9]), optional
+    stopword drop — applied per token of the single-space split, in
+    that fixed order (ES's standard tokenizer + lowercase filter +
+    stop filter shape). Frozen: an analyzer is an index SETTING;
+    changing it is a reindex, not a mutation."""
+
+    lowercase: bool = True
+    strip_punct: bool = True
+    stopwords: tuple[str, ...] = ()
+
+    def to_dict(self) -> dict:
+        return {
+            "lowercase": self.lowercase,
+            "strip_punct": self.strip_punct,
+            "stopwords": sorted(self.stopwords),
+        }
+
+    @staticmethod
+    def from_dict(d: dict | None) -> "Analyzer | None":
+        if d is None:
+            return None
+        return Analyzer(
+            lowercase=bool(d["lowercase"]),
+            strip_punct=bool(d["strip_punct"]),
+            stopwords=tuple(d["stopwords"]),
+        )
+
+    def _apply_col(self, tok: Column) -> Column:
+        """The chain on ONE token column; a dropped token becomes ''
+        (callers filter empties but keep slots)."""
+        out = tok
+        if self.lowercase:
+            out = F.lower(out)
+        if self.strip_punct:
+            out = F.regexp_replace(out, _PUNCT_RE, "")
+        if self.stopwords:
+            out = F.when(
+                out.isin(list(self.stopwords)), F.lit("")
+            ).otherwise(out)
+        return out
+
+    def apply_py(self, token: str) -> str:
+        """Python twin of ``_apply_col`` — query-side analysis must be
+        byte-identical to ingest-side (the one invariant every search
+        engine lives or dies by)."""
+        import re
+
+        out = token
+        if self.lowercase:
+            out = out.lower()
+        if self.strip_punct:
+            out = re.sub(_PUNCT_RE, "", out)
+        if self.stopwords and out in self.stopwords:
+            out = ""
+        return out
+
+
+def analyze_tokens(
+    text_col: Column | str, analyzer: Analyzer | None
+) -> Column:
+    """The analyzed token array of a text column: split on single
+    space, each slot passed through the chain, dropped tokens left as
+    '' IN PLACE (position slots survive — Lucene position gaps).
+    ``analyzer=None`` = the legacy bare split."""
+    toks = _tokens(text_col)
+    if analyzer is None:
+        return toks
+    return F.transform(toks, analyzer._apply_col)
+
+
+def analyzed_dl(text_col: Column | str, analyzer: Analyzer | None) -> Column:
+    """Document length under the analyzer: KEPT tokens only (the
+    Lucene field norm). Legacy (None) keeps the historical slot count
+    (``size(split(...))``) so existing indexes and oracles are
+    byte-stable."""
+    if analyzer is None:
+        return F.size(_tokens(text_col))
+    return F.size(
+        F.filter(analyze_tokens(text_col, analyzer), lambda x: x != "")
+    )
+
+
+def analyze_terms_py(
+    terms: list[str], analyzer: Analyzer | None
+) -> list[str]:
+    """Query-side analysis: each raw query term through the chain,
+    dropped terms removed, order preserved, duplicates kept (BM25
+    probes dedupe where their semantics require it)."""
+    if analyzer is None:
+        return list(terms)
+    out = [analyzer.apply_py(t) for t in terms]
+    return [t for t in out if t != ""]
+
+
+# ---------------------------------------------------------------------------
 # Persisted, incrementally-maintained postings index
 # ---------------------------------------------------------------------------
 #
@@ -102,10 +218,18 @@ class PostingsIndex:
     n_buckets: int
     id_col: str
     variant_depth: int = 1  # FastSS deletion depth of the stored dict
+    analyzer: "Analyzer | None" = None  # None = legacy exact-token index
 
     @property
     def avgdl(self) -> float:
         return self.total_dl / self.n_docs if self.n_docs else 0.0
+
+    def analyze_terms(self, terms: list[str]) -> list[str]:
+        """Raw query terms through THIS index's stored analyzer — the
+        query side of the ingest/query analysis invariant. Probes take
+        pre-analyzed terms (they must be driver literals for partition
+        pruning); callers route user input through here first."""
+        return analyze_terms_py(terms, self.analyzer)
 
     def live_postings_for(self, query_terms: list[str]) -> DataFrame:
         """Current-generation postings for ``query_terms`` only: the
@@ -160,18 +284,21 @@ class PostingsIndex:
 
 
 def _positional_postings(
-    docs: DataFrame, id_col: str, text_col: str, n_buckets: int, gen: int
+    docs: DataFrame, id_col: str, text_col: str, n_buckets: int, gen: int,
+    analyzer: Analyzer | None = None,
 ) -> DataFrame:
     """(pbucket, term, id, tf, positions, dl, gen) for one ingest.
 
     One posexplode + one hash aggregation — the same single-shuffle
     shape as ``term_postings`` plus proximity data. Positions are
-    indices into the single-space split (empty tokens keep their slot,
-    matching the corpus-scan operators' tokenization)."""
+    slot indices into the single-space split (dropped tokens — empty,
+    punctuation-only, stopwords — keep their slot: Lucene position
+    gaps); the analyzer chain runs INSIDE the same projection, so an
+    analyzed ingest is still one scan + one shuffle."""
     toks = docs.select(
         F.col(id_col),
-        F.size(_tokens(text_col)).alias("dl"),
-        F.posexplode(_tokens(text_col)).alias("pos", "term"),
+        analyzed_dl(text_col, analyzer).alias("dl"),
+        F.posexplode(analyze_tokens(text_col, analyzer)).alias("pos", "term"),
     ).filter(F.col("term") != "")
     return (
         toks.groupBy("term", id_col)
@@ -317,20 +444,26 @@ def build_postings_index(
     path: str,
     n_buckets: int = 16,
     variant_depth: int = 1,
+    analyzer: Analyzer | None = None,
 ) -> None:
     """Full build (generation 0): tokenize the corpus ONCE, store the
     postings partitioned by term bucket. After this, queries never
     touch raw text again. ``variant_depth`` fixes the FastSS deletion
     depth of the fuzzy dictionary (1 = ES fuzziness 1, 2 = the ES
-    fuzziness ceiling) and is recorded in stats.json — probes check it
-    before expanding."""
+    fuzziness ceiling); ``analyzer`` fixes the analysis chain. Both
+    are recorded in stats.json as index SETTINGS — probes check the
+    depth before expanding, and every later ingest re-reads and
+    applies the SAME analyzer (changing either is a
+    ``reindex_postings_index``)."""
     spark = docs.sparkSession
-    postings = _positional_postings(docs, id_col, text_col, n_buckets, gen=0)
+    postings = _positional_postings(
+        docs, id_col, text_col, n_buckets, gen=0, analyzer=analyzer
+    )
     _write_index_relations(
         postings, id_col, n_buckets, path, "overwrite", variant_depth
     )
     docstats = docs.select(
-        F.col(id_col), F.size(_tokens(text_col)).alias("dl"),
+        F.col(id_col), analyzed_dl(text_col, analyzer).alias("dl"),
         F.lit(0).cast("long").alias("gen"),
     )
     docstats.write.mode("overwrite").parquet(os.path.join(path, "docstats"))
@@ -345,6 +478,7 @@ def build_postings_index(
         "generation": 0, "next_gen": 1, "committed_gens": [0],
         "n_buckets": n_buckets, "id_col": id_col,
         "variant_depth": variant_depth,
+        "analyzer": analyzer.to_dict() if analyzer else None,
     })
 
 
@@ -436,6 +570,10 @@ def update_postings_index(
         stats = json.load(f)
     id_col, n_buckets = stats["id_col"], stats["n_buckets"]
     committed = list(stats["committed_gens"])
+    # the stored analyzer is an index setting: every ingest MUST
+    # analyze exactly like the build did, or probe-time analysis
+    # diverges from what the postings contain
+    analyzer = Analyzer.from_dict(stats.get("analyzer"))
 
     # step 1: claim a generation number nothing else can ever use —
     # an O_EXCL claim file, not a read-modify-write of stats.json
@@ -462,13 +600,15 @@ def update_postings_index(
     ).collect()[0]
 
     # step 2: data appends, all tagged with the claimed generation
-    postings = _positional_postings(delta, id_col, text_col, n_buckets, gen)
+    postings = _positional_postings(
+        delta, id_col, text_col, n_buckets, gen, analyzer=analyzer
+    )
     _write_index_relations(
         postings, id_col, n_buckets, path, "append",
         stats.get("variant_depth", 1), write_variants=not defer_variants,
     )
     new_stats = delta.select(
-        F.col(id_col), F.size(_tokens(text_col)).alias("dl"),
+        F.col(id_col), analyzed_dl(text_col, analyzer).alias("dl"),
         F.lit(gen).cast("long").alias("gen"),
     )
     new_stats.write.mode("append").parquet(os.path.join(path, "docstats"))
@@ -541,6 +681,7 @@ def load_postings_index(spark: SparkSession, path: str) -> PostingsIndex:
         n_buckets=stats["n_buckets"],
         id_col=stats["id_col"],
         variant_depth=stats.get("variant_depth", 1),
+        analyzer=Analyzer.from_dict(stats.get("analyzer")),
     )
 
 def set_index_alias(alias_path: str, index_path: str) -> None:
@@ -777,8 +918,88 @@ def compact_postings_index(
         "next_gen": 1, "committed_gens": [0],
         "n_buckets": idx.n_buckets, "id_col": idx.id_col,
         "variant_depth": stored_depth,
+        "analyzer": stats.get("analyzer"),
     })
     return n_superseded, 0
+
+
+def _reanalyzed_relations(
+    spark: SparkSession,
+    idx: PostingsIndex,
+    live_docstats: DataFrame,
+    analyzer: Analyzer,
+    new_buckets: int,
+    variant_depth: int,
+) -> tuple[tuple[tuple[str, DataFrame, str | None], ...], DataFrame]:
+    """Every relation of ``idx`` re-derived under a NEW analyzer, from
+    stored postings alone — the ES change-the-analyzer reindex, no raw
+    text. Each stored term maps through the chain; terms that merge
+    (e.g. 'The' and 'the' under lowercase) fold into one posting with
+    tf summed and position slots unioned; dropped terms (stopwords,
+    punctuation-only) leave position GAPS exactly as an analyzed
+    from-birth ingest would. Doc length becomes the kept-token count —
+    recomputed per doc as sum(tf) over its surviving terms (the Lucene
+    field norm; a doc whose every token drops keeps a docstats row
+    with dl=0). Returns (relations, per-doc dl frame for the scalar
+    rebuild). One corpus-postings-sized shuffle on (new_term, id),
+    then bucket-partitioned writes — the same cost shape as a plain
+    re-bucketing compaction."""
+    id_col = idx.id_col
+    mapped = (
+        idx.live_postings()
+        .withColumn("new_term", analyzer._apply_col(F.col("term")))
+        .filter(F.col("new_term") != "")
+    )
+    new_postings = (
+        mapped.groupBy("new_term", id_col)
+        .agg(
+            F.sum("tf").alias("tf"),
+            F.sort_array(F.flatten(F.collect_list("positions"))).alias(
+                "positions"
+            ),
+        )
+        .withColumnRenamed("new_term", "term")
+    )
+    new_dl = new_postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    # the authoritative doc list is DOCSTATS, not the postings — a doc
+    # whose every token dropped (or that never had tokens) keeps its
+    # row with dl = 0
+    all_docs = live_docstats.select(id_col).distinct()
+    doc_dl = all_docs.join(new_dl, id_col, "left").select(
+        F.col(id_col), F.coalesce(F.col("dl"), F.lit(0)).cast("long").alias("dl")
+    )
+    live_postings = (
+        new_postings.join(doc_dl, id_col)
+        .withColumn("gen", F.lit(0).cast("long"))
+        .withColumn("pbucket", _term_bucket_col(F.col("term"), new_buckets))
+        .select("pbucket", "term", id_col, "tf", "positions", "dl", "gen")
+    )
+    live_forward = live_postings.select(
+        _term_bucket_col(F.col(id_col).cast("string"), new_buckets).alias(
+            "ibucket"
+        ),
+        F.col(id_col), "term", "tf", "gen",
+    )
+    live_variants = (
+        live_postings.select("term")
+        .distinct()
+        .select(
+            F.col("term"),
+            F.lit(0).cast("long").alias("gen"),
+            F.explode(
+                F.expr(_deletion_variants_expr(variant_depth))
+            ).alias("variant"),
+        )
+        .withColumn("vbucket", _term_bucket_col(F.col("variant"), new_buckets))
+    )
+    live_stats = doc_dl.withColumn("gen", F.lit(0).cast("long"))
+    relations = (
+        ("postings", live_postings, "pbucket"),
+        ("forward", live_forward, "ibucket"),
+        ("variants", live_variants, "vbucket"),
+        ("docstats", live_stats, None),
+    )
+    return relations, doc_dl
 
 
 def reindex_postings_index(
@@ -787,6 +1008,7 @@ def reindex_postings_index(
     dst: str,
     n_buckets: int | None = None,
     variant_depth: int | None = None,
+    analyzer: Analyzer | None = None,
 ) -> dict:
     """ES zero-downtime REINDEX: build a COMPLETE new index at ``dst``
     from the stored state of ``src`` under changed settings —
@@ -803,7 +1025,19 @@ def reindex_postings_index(
     in-place settings change had; round-9 advisor finding). ``src`` is
     only read. Cut readers over with ``set_index_alias(alias, dst)``
     (its own single-rename swap); in-flight probes keep their resolved
-    ``src``."""
+    ``src``.
+
+    ``analyzer`` is the third reindexable setting — THE canonical ES
+    reindex trigger (you changed the analysis chain and every stored
+    term must be re-analyzed): stored terms map through the new chain,
+    merged terms fold (tf summed, position slots unioned), dropped
+    terms leave Lucene-style position gaps, and doc lengths become
+    kept-token counts — all from stored postings, never raw text. Only
+    upgrading FROM the legacy exact-token index (no stored analyzer)
+    is supported: an already-analyzed index has lost the original
+    token bytes (lowercased/stripped at ingest), so re-analyzing it
+    with a DIFFERENT chain would compound transforms — rebuild from
+    raw text for that."""
     import shutil
 
     with open(os.path.join(src, "stats.json")) as f:
@@ -811,9 +1045,37 @@ def reindex_postings_index(
     idx = load_postings_index(spark, src)
     new_buckets = n_buckets or idx.n_buckets
     new_depth = variant_depth or stats.get("variant_depth", 1)
-    relations = _live_relations(
-        spark, src, idx, stats["committed_gens"], new_buckets, new_depth
-    )
+    n_docs, total_dl = idx.n_docs, idx.total_dl
+    stored_analyzer = stats.get("analyzer")
+    if analyzer is not None and stored_analyzer is not None:
+        if analyzer.to_dict() != stored_analyzer:
+            raise ValueError(
+                "re-analyzing an already-analyzed index would compound "
+                "transforms (the original token bytes are gone) — "
+                "rebuild from raw text to change an analyzer"
+            )
+        analyzer = None  # same chain: a plain re-bucket/deepen reindex
+    if analyzer is not None:
+        committed = stats["committed_gens"]
+        docstats = spark.read.parquet(
+            os.path.join(src, "docstats")
+        ).filter(F.col("gen").isin(committed))
+        live_docstats = docstats.join(
+            idx.superseded, [idx.id_col, "gen"], "left_anti"
+        )
+        relations, doc_dl = _reanalyzed_relations(
+            spark, idx, live_docstats, analyzer, new_buckets, new_depth
+        )
+        agg = doc_dl.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+        ).collect()[0]
+        n_docs, total_dl = agg["n"], int(agg["s"] or 0)
+        new_analyzer_dict = analyzer.to_dict()
+    else:
+        relations = _live_relations(
+            spark, src, idx, stats["committed_gens"], new_buckets, new_depth
+        )
+        new_analyzer_dict = stored_analyzer
     tmp = dst + ".reindex-tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
@@ -823,10 +1085,11 @@ def reindex_postings_index(
         [], f"{idx.id_col} LONG, gen LONG, by_gen LONG"
     ).write.mode("overwrite").parquet(os.path.join(tmp, "superseded"))
     new_stats = {
-        "n_docs": idx.n_docs, "total_dl": idx.total_dl, "generation": 0,
+        "n_docs": n_docs, "total_dl": total_dl, "generation": 0,
         "next_gen": 1, "committed_gens": [0],
         "n_buckets": new_buckets, "id_col": idx.id_col,
         "variant_depth": new_depth,
+        "analyzer": new_analyzer_dict,
     }
     with open(os.path.join(tmp, "stats.json"), "w") as f:
         json.dump(new_stats, f)

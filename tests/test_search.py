@@ -1282,3 +1282,131 @@ def test_msearch_matches_individual_probes(spark, tmp_path):
             for r in SRCH.bm25_topk_indexed(idx, terms, k=3).collect()
         ]
         assert by_q[qid] == solo, qid
+
+
+# --- round-10: analyzer chain (lowercase / punct-strip / stopwords) --------
+
+
+_AN = None
+
+
+def _analyzer():
+    global _AN
+    if _AN is None:
+        _AN = SRCH.Analyzer(
+            lowercase=True, strip_punct=True, stopwords=("a", "the")
+        )
+    return _AN
+
+
+def test_analyzer_applied_identically_at_ingest_and_query(spark, tmp_path):
+    """The one invariant a search engine lives by: 'SPARK,' at ingest
+    and 'Spark!' at query time meet at the same stored term. Stopwords
+    leave position gaps (phrase slop over survivors unchanged), dl
+    counts kept tokens only, and the python query-side twin is
+    byte-identical to the ingest chain."""
+    docs = _corpus(spark, [
+        (1, "The SPARK, engine! runs"),
+        (2, "a spark engine"),
+        (3, "other words entirely"),
+    ])
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(
+        docs, "doc_id", "text", path, n_buckets=4, analyzer=_analyzer()
+    )
+    idx = SRCH.load_postings_index(spark, path)
+    assert idx.analyzer == _analyzer()
+    # query-side analysis: raw user input -> stored-term space
+    terms = idx.analyze_terms(["Spark!", "THE", "engine"])
+    assert terms == ["spark", "engine"]  # stopword dropped
+    got = {r["doc_id"]: r["n_hit_terms"]
+           for r in SRCH.bm25_topk_indexed(idx, terms, k=10).collect()}
+    assert got == {1: 2, 2: 2}
+    # dl = kept tokens (doc 1: the/a dropped -> 3 kept; doc 2 -> 2)
+    import pyspark.sql.functions as _F
+    dls = {r["doc_id"]: r["dl"] for r in
+           spark.read.parquet(path + "/docstats").collect()}
+    assert dls == {1: 3, 2: 2, 3: 3}
+    # positions keep their slots: doc 1 'spark' at slot 1, 'engine' 2
+    pos = {
+        (r["doc_id"], r["term"]): list(r["positions"])
+        for r in idx.live_postings_for(["spark", "engine"]).collect()
+    }
+    assert pos[(1, "spark")] == [1] and pos[(1, "engine")] == [2]
+    # phrase over survivors: 'spark engine' adjacent in BOTH docs
+    hits = SRCH.phrase_slop_search(idx, ["spark", "engine"], slop=0)
+    assert {r["doc_id"] for r in hits.collect()} == {1, 2}
+    # ingest through update applies the SAME stored chain
+    SRCH.update_postings_index(
+        _corpus(spark, [(9, "THE Spark? engine.")]), "text", path
+    )
+    idx2 = SRCH.load_postings_index(spark, path)
+    got2 = {r["doc_id"] for r in
+            SRCH.bm25_topk_indexed(idx2, ["spark"], k=10).collect()}
+    assert 9 in got2
+
+
+def test_analyzer_reindex_upgrade_matches_from_birth(spark, tmp_path):
+    """reindex_postings_index(analyzer=...) upgrades a legacy
+    exact-token index from stored postings alone; every probe answer
+    must equal an analyzed-from-birth build on the same raw text,
+    including merged terms (The/the), dl, scalars, and the fuzzy
+    dictionary."""
+    rows = [
+        (1, "The SPARK, engine! runs fast"),
+        (2, "a spark engine runs"),
+        (3, "THE the a a"),          # every token drops -> dl 0
+        (4, "merge, MERGE merge."),  # three instances fold into one term
+    ]
+    docs = _corpus(spark, rows)
+    legacy, upgraded, birth = (
+        str(tmp_path / "legacy"), str(tmp_path / "up"), str(tmp_path / "birth")
+    )
+    SRCH.build_postings_index(docs, "doc_id", "text", legacy, n_buckets=4)
+    SRCH.reindex_postings_index(
+        spark, legacy, upgraded, analyzer=_analyzer()
+    )
+    SRCH.build_postings_index(
+        docs, "doc_id", "text", birth, n_buckets=4, analyzer=_analyzer()
+    )
+    up = SRCH.load_postings_index(spark, upgraded)
+    fb = SRCH.load_postings_index(spark, birth)
+    assert (up.n_docs, up.total_dl) == (fb.n_docs, fb.total_dl)
+    assert up.analyzer == _analyzer()
+    for terms in (["spark"], ["merge"], ["engine", "runs"], ["fast"]):
+        got = sorted(map(tuple, SRCH.bm25_topk_indexed(up, terms, k=10).collect()))
+        want = sorted(map(tuple, SRCH.bm25_topk_indexed(fb, terms, k=10).collect()))
+        assert got == want, terms
+    # merged postings: doc 4's three 'merge' instances -> tf 3, slots 0..2
+    p = {(r["doc_id"], r["term"]): (r["tf"], list(r["positions"]), r["dl"])
+         for r in up.live_postings_for(["merge"]).collect()}
+    assert p[(4, "merge")] == (3, [0, 1, 2], 3)
+    # all-dropped doc kept with dl 0
+    dls = {r["doc_id"]: r["dl"] for r in
+           __import__("pyspark").sql.SparkSession.getActiveSession()
+           .read.parquet(upgraded + "/docstats").collect()}
+    assert dls[3] == 0
+    # fuzzy dictionary rebuilt over analyzed terms (depth-1 typo)
+    assert SRCH.expand_fuzzy_terms(up, ["spak"], max_dist=1) == ["spark"]
+    # changing the chain on an ALREADY-analyzed index is refused
+    import pytest as _p
+    with _p.raises(ValueError, match="compound"):
+        SRCH.reindex_postings_index(
+            spark, upgraded, str(tmp_path / "nope"),
+            analyzer=SRCH.Analyzer(lowercase=False, strip_punct=True),
+        )
+
+
+def test_legacy_index_unchanged_by_analyzer_machinery(spark, tmp_path):
+    """analyzer=None is byte-stable legacy behavior: stats carry
+    analyzer null, dl keeps the historical slot count, and
+    analyze_terms is the identity."""
+    docs = _corpus(spark, [(1, "Spark SPARK x")])
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4)
+    idx = SRCH.load_postings_index(spark, path)
+    assert idx.analyzer is None
+    assert idx.analyze_terms(["Spark!"]) == ["Spark!"]
+    # case-sensitive: 'Spark' and 'SPARK' are distinct terms
+    assert SRCH.bm25_topk_indexed(idx, ["Spark"], k=5).count() == 1
+    assert SRCH.bm25_topk_indexed(idx, ["spark"], k=5).count() == 0
