@@ -629,42 +629,50 @@ def edit_distance_pairs(
     df: DataFrame, id_col: str, text_col: str, max_dist: int = 1
 ) -> DataFrame:
     """Fuzzy-match pairs within Levenshtein distance ``max_dist``
-    (currently 1) via FastSS deletion-neighborhood blocking — the
-    entity-resolution primitive (typo'd ids, OCR'd names) at corpus
-    scale.
+    (1 or 2 — the ES fuzziness ceiling) via FastSS
+    deletion-neighborhood blocking — the entity-resolution primitive
+    (typo'd ids, OCR'd names) at corpus scale.
 
-    Candidates come from an equi-join on the 1-deletion neighborhood
-    U(s) = {s} + {s with char i deleted}: any two strings at edit
-    distance 1 share a variant (substitution: both delete position i;
-    insert/delete: the longer side's deletion equals the shorter
-    string), so recall is exact — no pair space is ever materialized,
-    and the shuffle key is the variant string. Each row fans out to
-    len+1 variant rows (bounded, linear); block sizes are bounded by
-    real near-duplication, not corpus size. The ``levenshtein``
-    verification runs map-side on the joined row BEFORE the distinct,
-    so the distinct's shuffle carries only true matches (the simhash
-    filter-before-distinct lesson).
-
-    Only ``max_dist=1`` ships: k-deletion neighborhoods grow as
-    len^k, and the cross-engine value oracle (DuckDB ``levenshtein``
-    agrees with Spark's on unit edit costs) is pinned at 1.
+    Candidates come from an equi-join on the depth-``max_dist``
+    deletion neighborhood U_d(s) = {s with up to d chars deleted}:
+    ed(x, y) <= d only if U_d(x) and U_d(y) intersect (Bocek et al.'s
+    FastSS bound — the same machinery the search family's fuzzy
+    dictionary stores, ``search_index._deletion_variants_expr``, now
+    shared here per the round-9 verdict), so recall is exact — no pair
+    space is ever materialized, and the shuffle key is the variant
+    string. Depth 1 fans each row out to len+1 variant rows; depth 2
+    to ~len^2/2 (quadratic in STRING length, not corpus size — fine
+    for name/id-length strings, which is what entity resolution
+    matches). The neighborhood join overmatches (up to distance 2d),
+    so the ``levenshtein`` verification runs map-side on the joined
+    row BEFORE the distinct — the distinct's shuffle carries only true
+    matches (the simhash filter-before-distinct lesson). The
+    cross-engine value oracle holds at both depths (DuckDB
+    ``levenshtein`` agrees with Spark's on unit edit costs).
     """
-    if max_dist != 1:
-        raise NotImplementedError("edit_distance_pairs ships max_dist=1")
-    name = F.col(text_col)
-    deletions = F.transform(
-        F.sequence(F.lit(1), F.length(name)),
-        lambda i: F.concat(
-            F.substring(name, F.lit(1), i - 1),
-            F.substring(name, i + 1, F.length(name)),
-        ),
+    if max_dist not in (1, 2):
+        raise ValueError(
+            f"edit_distance_pairs supports max_dist 1 or 2 (the ES "
+            f"fuzziness ceiling), got {max_dist}"
+        )
+    from pycasselastic_spark.operators.search_index import (
+        _deletion_variants_expr,
     )
-    variants = df.filter(F.length(name) >= 1).select(
-        F.col(id_col).alias("_id"),
-        name.alias("_text"),
-        F.explode(
-            F.concat(F.array(name), deletions)
-        ).alias("_variant"),
+
+    name = F.col(text_col)
+    variants = (
+        df.filter(F.length(name) >= 1)
+        .select(
+            F.col(id_col).alias("_id"),
+            name.alias("term"),
+        )
+        .select(
+            "_id",
+            F.col("term").alias("_text"),
+            F.explode(
+                F.expr(_deletion_variants_expr(max_dist))
+            ).alias("_variant"),
+        )
     )
     left = variants.select(
         F.col("_id").alias("id_a"), F.col("_text").alias("text_a"), "_variant"

@@ -742,6 +742,23 @@ def snapshot_postings_index(src: str, dst: str) -> dict:
 
     with open(os.path.join(src, "stats.json")) as f:
         stats = json.load(f)
+    # INCREMENTAL (round-9 verdict item 8): data files are HARD-LINKED,
+    # not copied — safe because index data files are immutable once
+    # written (ingests append NEW files; compaction/reindex replace
+    # whole directories, and the snapshot's links keep the inodes
+    # alive past any later rmtree of the source) — exactly ES's
+    # segment-sharing incremental snapshots. A snapshot is therefore
+    # metadata-only at any index size: O(#files) link syscalls, zero
+    # data bytes copied; a snapshot after one delta ingest creates new
+    # storage only for stats.json (every data inode is shared — pinned
+    # in tests/test_search.py). Cross-filesystem destinations fall
+    # back to a real per-file copy.
+    def _link_or_copy(s: str, d: str) -> None:
+        try:
+            os.link(s, d)
+        except OSError:  # cross-device / FS without hard links
+            shutil.copy2(s, d)
+
     tmp = dst + ".snapshot-tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
@@ -749,7 +766,9 @@ def snapshot_postings_index(src: str, dst: str) -> dict:
     for rel in _INDEX_RELATIONS:
         rel_src = os.path.join(src, rel)
         if os.path.isdir(rel_src):
-            shutil.copytree(rel_src, os.path.join(tmp, rel))
+            shutil.copytree(
+                rel_src, os.path.join(tmp, rel), copy_function=_link_or_copy
+            )
     with open(os.path.join(tmp, "stats.json"), "w") as f:
         json.dump(stats, f)
     os.rename(tmp, dst)

@@ -439,6 +439,61 @@ def fuzzy_match_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fuzzy2_match_customer_names",
+    """
+WITH base AS (
+  SELECT c_custkey AS id, c_name AS text FROM customer
+  WHERE c_custkey % 7 = 0 AND length(c_name) >= 1),
+d1 AS (
+  SELECT id, text,
+         list_transform(range(1, length(text) + 1),
+            i -> substr(text, 1, i - 1) || substr(text, i + 1)) AS dels
+  FROM base),
+v AS (
+  SELECT id, text,
+         unnest(list_distinct(list_prepend(text, flatten(list_prepend(dels,
+            list_transform(dels, s -> CASE WHEN length(s) >= 1 THEN
+               list_transform(range(1, length(s) + 1),
+                  i -> substr(s, 1, i - 1) || substr(s, i + 1))
+               ELSE [] END)))))) AS variant
+  FROM d1)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.text AS text_a, b.text AS text_b,
+       CAST(levenshtein(a.text, b.text) AS INT) AS dist
+FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id
+WHERE levenshtein(a.text, b.text) <= 2
+""",
+    doc="Fuzzy entity matching at the ES fuzziness CEILING: "
+    "customer-name pairs within Levenshtein distance 2 — double "
+    "substitutions and transpositions the distance-1 blocker cannot "
+    "see — via depth-2 FastSS deletion-neighborhood blocking "
+    "(operators/dedup.py:edit_distance_pairs, now sharing the search "
+    "family's _deletion_variants_expr machinery per the round-9 "
+    "verdict). Neighborhoods grow ~len^2/2 per string (string-length "
+    "quadratic, never corpus quadratic); the equi-join on variants "
+    "overmatches up to distance 4, so the exact levenshtein verify "
+    "runs map-side BEFORE the distinct — only true matches shuffle. "
+    "The input thins to every 7th customer (deterministic, replayed "
+    "in the oracle): the synthetic names are SEQUENTIAL serial "
+    "numbers, so the full table's distance-2 pair set is "
+    "quadratic-dense by construction (4M pairs at sf0.1) — a fixture "
+    "artifact, not an operator property; real entity-resolution "
+    "inputs are sparse. The DuckDB oracle replays the identical "
+    "depth-2 neighborhood and verify from the raw table.",
+)
+def fuzzy2_match_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = ensure_parallelism(_t(spark, sf_dir, "customer"), spark).filter(
+        F.col("c_custkey") % 7 == 0
+    )
+    return D.edit_distance_pairs(cust, "c_custkey", "c_name", max_dist=2).select(
+        F.col("id_a"),
+        F.col("id_b"),
+        "text_a",
+        "text_b",
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
+@register(
     "passage_dedup_documents",
     """
 WITH toks AS (

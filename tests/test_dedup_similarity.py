@@ -286,6 +286,53 @@ class TestEditDistancePairs:
         plan = tuning.physical_plan(edit_distance_pairs(df, "id", "name"))
         assert "CartesianProduct" not in plan
 
+    def test_distance2_recall_is_exact(self, spark):
+        """Depth-2 FastSS blocking (shared with the search family's
+        fuzzy dictionary): every pair within Levenshtein distance 2 —
+        double substitution, transposition, insert+delete mixes —
+        surfaces; distance-3 pairs must not."""
+        rows = [
+            (1, "kitten"),
+            (2, "mitten"),   # dist 1
+            (3, "mittes"),   # dist 2 from kitten
+            (4, "kittne"),   # transposition -> dist 2
+            (5, "kit"),      # dist 3 from kitten
+            (6, "sitting"),  # dist 3 from kitten
+            (7, "zebra"),
+        ]
+        df = spark.createDataFrame(rows, ["id", "name"])
+        from pycasselastic_spark.operators.dedup import edit_distance_pairs
+
+        got = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in edit_distance_pairs(df, "id", "name", max_dist=2).collect()
+        }
+        import itertools
+
+        def lev(a, b):
+            d = {(i, 0): i for i in range(len(a) + 1)}
+            d.update({(0, j): j for j in range(len(b) + 1)})
+            for i, j in itertools.product(
+                range(1, len(a) + 1), range(1, len(b) + 1)
+            ):
+                d[i, j] = min(
+                    d[i - 1, j] + 1,
+                    d[i, j - 1] + 1,
+                    d[i - 1, j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            return d[len(a), len(b)]
+
+        want = {
+            (x[0], y[0], lev(x[1], y[1]))
+            for x, y in itertools.combinations(rows, 2)
+            if lev(x[1], y[1]) <= 2
+        }
+        assert got == want
+        assert (1, 4, 2) in got  # the transposition the depth-1 blocker misses
+        import pytest as _p
+        with _p.raises(ValueError, match="1 or 2"):
+            edit_distance_pairs(df, "id", "name", max_dist=3)
+
 
 class TestPassageDedup:
     def test_shared_passages_counted_cross_doc_only(self, spark):

@@ -1410,3 +1410,62 @@ def test_legacy_index_unchanged_by_analyzer_machinery(spark, tmp_path):
     # case-sensitive: 'Spark' and 'SPARK' are distinct terms
     assert SRCH.bm25_topk_indexed(idx, ["Spark"], k=5).count() == 1
     assert SRCH.bm25_topk_indexed(idx, ["spark"], k=5).count() == 0
+
+
+def test_snapshot_is_incremental_via_hard_links(spark, tmp_path):
+    """ES-style incremental snapshots: data files are hard-linked, not
+    copied — a snapshot after one delta ingest allocates new storage
+    only for stats.json (every data inode is shared with the source /
+    the previous snapshot), and the restored index answers exactly
+    like the live one even after the source is later compacted (links
+    keep inodes alive past the rmtree)."""
+    import os as _os
+
+    def data_inodes(root):
+        out = {}
+        for dirpath, _, files in _os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = _os.path.join(dirpath, f)
+                    out[_os.stat(p).st_ino] = p
+        return out
+
+    docs = _corpus(spark, [(i, f"alpha w{i % 5} snap") for i in range(20)])
+    src = str(tmp_path / "idx")
+    s1, s2 = str(tmp_path / "snap1"), str(tmp_path / "snap2")
+    SRCH.build_postings_index(docs, "doc_id", "text", src, n_buckets=4)
+    SRCH.snapshot_postings_index(src, s1)
+    SRCH.update_postings_index(
+        _corpus(spark, [(100, "beta alpha"), (0, "gamma w0")]), "text", src
+    )
+    SRCH.snapshot_postings_index(src, s2)
+
+    src_ino, s1_ino, s2_ino = data_inodes(src), data_inodes(s1), data_inodes(s2)
+    # every snapshot data file is a hard link (no bytes copied)
+    for ino, p in {**s1_ino, **s2_ino}.items():
+        assert _os.stat(p).st_nlink >= 2, p
+    # snapshot 2 = snapshot 1's inodes + ONLY the delta's new files
+    assert set(s1_ino) <= set(s2_ino)
+    new = set(s2_ino) - set(s1_ino)
+    assert new == set(src_ino) - set(s1_ino)
+    assert len(new) >= 1  # the delta really added files
+
+    # point-in-time truth: s1 ranks like the pre-delta corpus
+    before = SRCH.load_postings_index(spark, s1)
+    assert SRCH.bm25_topk_indexed(before, ["beta"], k=5).count() == 0
+    # s2 matches the live index...
+    live = SRCH.load_postings_index(spark, src)
+    want = sorted(map(tuple,
+        SRCH.bm25_topk_indexed(live, ["alpha", "beta"], k=30).collect()))
+    after = SRCH.load_postings_index(spark, s2)
+    got = sorted(map(tuple,
+        SRCH.bm25_topk_indexed(after, ["alpha", "beta"], k=30).collect()))
+    assert got == want
+    # ...and SURVIVES the source's later compaction (rmtree of the
+    # linked files' original paths)
+    SRCH.compact_postings_index(spark, src)
+    again = sorted(map(tuple,
+        SRCH.bm25_topk_indexed(
+            SRCH.load_postings_index(spark, s2), ["alpha", "beta"], k=30
+        ).collect()))
+    assert again == want
