@@ -68,69 +68,70 @@ from pycasselastic_spark.queries.events_ops import (  # noqa: F401
 # every test look queries up BY NAME, so reordering is behavior-neutral
 # everywhere except the gate's slot assignment.
 _GATE_PRIORITY: list[str] = [
-    # ROUND 9 gate rotation (COVERAGE.md): slots 0-3 are the four
-    # post-gate round-8 registrations (judge-replayed green in r8, so
-    # any failure is a NEW regression); slots 4-12 the nine queries
-    # whose newest driver row is r5 (deferred from the r8 set);
-    # slots 13-14 the two NEW round-9 queries (ES fuzziness=2 via the
-    # depth-2 FastSS dictionary, and the daemon-cadence
-    # auto-compaction maintenance contract); slots 15-49 the first 35
-    # stale-r6 queries in their CORRECTNESS_r06 order (the remaining
-    # 15 rotate in round 10).
-    # --- slots 0-3: post-gate round-8 registrations ------------------
-    "postings_index_health_documents",
-    "search_highlight_documents",
-    "more_like_this_documents",
-    "fuzzy_bm25_search_documents",
-    # --- slots 4-12: stale-r5 rows (newest driver row = r5) ----------
-    "gap_fill_hourly_events",
-    "stratified_sample_documents",
-    "weighted_sample_documents",
-    "shard_assignment_documents",
-    "zorder_key_events",
-    "label_centroid_embeddings",
-    "tfidf_top_terms_per_doc",
-    "streaming_sliding_window_events",
-    "streaming_dedup_events",
-    # --- slots 13-14: NEW round-9 queries ----------------------------
-    "fuzzy2_bm25_search_documents",
-    "auto_compacted_bm25_documents",
-    # --- slots 15-49: stale-r6 rows, CORRECTNESS_r06 order -----------
-    "string_suite_documents",
-    "regex_suite_events",
-    "null_handling_suite",
-    "date_arithmetic_suite_orders",
-    "window_function_suite_orders",
-    "array_function_suite_embeddings",
-    "explode_shingles_sample",
-    "grouping_sets_orders",
-    "range_frame_event_counts",
-    "vocab_top_terms",
-    "bigram_lm_score_documents",
-    "ngram_novelty_documents",
-    "source_balanced_sample_documents",
-    "deterministic_shuffle_documents",
-    "countmin_heavy_hitters_events",
-    "embedding_quantize_stats",
-    "histogram_order_prices",
-    "fuzzy_match_customer_names",
-    "passage_dedup_documents",
-    "bloom_prefilter_customers",
-    "ivf_cell_quality_embeddings",
-    "incremental_neardup_delta",
-    "decontaminate_documents",
-    "neardup_text_embedding_agreement",
-    "streaming_countmin_events",
-    "streaming_incremental_neardup",
-    "anti_entropy_diff_events",
-    "anti_entropy_repair_events",
-    "key_skew_report_events",
-    "gopher_rules_documents",
-    "canonical_exact_dedup_documents",
-    "exact_k_per_source_sample",
-    "bloom_pruned_join_events",
-    "time_rollup_events",
-    "user_value_outliers_events",
+    # ROUND 10 gate rotation (COVERAGE.md round-10 plan, executed):
+    # slots 0-26 are the 27 post-gate round-9 registrations in their
+    # registration order (judge-replayed green in the r9 oracle
+    # replay, so any failure is a NEW regression); slots 27-41 the 15
+    # stale-r6 queries that did not fit in round 9, in their
+    # CORRECTNESS_r06 order; slots 42-44 the three NEW round-10
+    # queries (the analyzer chain + its reindex-upgrade twin, and
+    # depth-2 fuzzy entity matching); slots 45-49 the first 5
+    # stale-r7 queries in CORRECTNESS_r07 order (the remaining 45
+    # rotate in later rounds).
+    # --- slots 0-26: post-gate round-9 registrations -----------------
+    "min_should_match_bm25_documents",
+    "search_after_bm25_documents",
+    "multifield_bm25_documents",
+    "reindex_upgrade_fuzzy2_documents",
+    "bool_query_bm25_documents",
+    "search_facets_documents",
+    "suggest_terms_documents",
+    "significant_terms_documents",
+    "function_score_bm25_documents",
+    "boosted_bm25_documents",
+    "prefix_bm25_documents",
+    "wildcard_bm25_documents",
+    "match_phrase_prefix_documents",
+    "rescore_bm25_documents",
+    "top_hits_by_facet_documents",
+    "composite_facets_after_documents",
+    "regexp_bm25_documents",
+    "decay_bm25_documents",
+    "collapse_bm25_documents",
+    "snapshot_probe_bm25_documents",
+    "percolate_documents",
+    "term_vectors_documents",
+    "phrase_suggest_documents",
+    "explain_score_documents",
+    "hybrid_rrf_documents",
+    "streaming_percolate_documents",
+    "msearch_bm25_documents",
+    # --- slots 27-41: stale-r6 rows, CORRECTNESS_r06 order -----------
+    "streaming_approx_distinct_windows",
+    "null_safe_join_events",
+    "map_function_suite_documents",
+    "dedup_graph_stats",
+    "lww_merge_events",
+    "incremental_scan_events",
+    "anti_echo_documents",
+    "conflict_losers_events",
+    "convert_roundtrip_events",
+    "schema_drift_union",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "streaming_lww_sync_events",
+    "minhash_lsh_neardup",
+    # --- slots 42-44: NEW round-10 queries ---------------------------
+    "analyzed_bm25_documents",
+    "reindex_upgrade_analyzer_documents",
+    "fuzzy2_match_customer_names",
+    # --- slots 45-49: stale-r7 rows, CORRECTNESS_r07 order -----------
+    "inverted_index_documents",
+    "bm25_search_documents",
+    "tfidf_top_terms_documents",
+    "phrase_search_documents",
+    "containment_neardup_documents",
 ]
 
 

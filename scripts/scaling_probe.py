@@ -325,6 +325,90 @@ def main() -> None:
         })
         shutil.rmtree(os.path.dirname(idx_path), ignore_errors=True)
 
+    # Day-scale daemon run (round-9 verdict item 4): the 64-ingest
+    # curve above bounds the managed leg at 16 generations, but the
+    # reference daemon produces ~1,440 generations/day
+    # (SyncCassElastic.py:45-47) and the day-scale claim was only
+    # extrapolated. This family runs 256 minute-sized ingests under
+    # the recommended policy (max_committed_gens=16,
+    # defer_variants=True), checkpointing probe latency, files/bucket,
+    # and the amortized per-ingest cost — the bound must hold FLAT
+    # across 4x the measured horizon, and compaction cost must stay
+    # corpus-sized (not generations-sized).
+    if "lifecycle256" in families:
+        import json as _json
+        import shutil
+        import tempfile as _tf
+
+        from pycasselastic_spark.operators import search as SRCH
+
+        words_arr = F.array(*[F.lit(w) for w in WORDS])
+
+        def sdocs3(lo, n):
+            return spark.range(lo, lo + n).select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(60)),
+                        lambda i: F.element_at(
+                            words_arr,
+                            ((F.xxhash64(F.col("id") * 1000 + i) % 28 + 28) % 28
+                             + 1).cast("int"),
+                        ),
+                    ),
+                ).alias("text"),
+            )
+
+        q = ["merge", "window", "spark"]
+        n0, batch = 80_000, 200
+
+        def probe_sec3(path):
+            idx = SRCH.load_postings_index(spark, path)
+            noop(SRCH.bm25_topk_indexed(idx, q))  # warmup (plan/JIT)
+            return min(
+                bench(lambda: noop(SRCH.bm25_topk_indexed(idx, q)))
+                for _ in range(2)
+            )
+
+        idx_path = os.path.join(_tf.mkdtemp(prefix="lifec256_"), "idx")
+        policy = SRCH.CompactionPolicy(max_committed_gens=16)
+        worst_gens = worst_files = 0
+        checkpoints = {16, 32, 64, 128, 192, 256}
+        t0 = time.perf_counter()
+        SRCH.ingest_into_postings_index(
+            sdocs3(0, n0), "doc_id", "text", idx_path, 16,
+            policy=policy, defer_variants=True,
+        )
+        for i in range(255):
+            SRCH.ingest_into_postings_index(
+                sdocs3(n0 + i * batch, batch), "doc_id", "text", idx_path,
+                16, policy=policy, defer_variants=True,
+            )
+            with open(os.path.join(idx_path, "stats.json")) as fh:
+                worst_gens = max(
+                    worst_gens, len(_json.load(fh)["committed_gens"])
+                )
+            worst_files = max(
+                worst_files,
+                SRCH._max_files_per_bucket(
+                    os.path.join(idx_path, "postings")
+                ),
+            )
+            ing = i + 2
+            if ing in checkpoints:
+                emit(out, {
+                    "op": "index_lifecycle_256", "ingests": ing,
+                    "elapsed_sec": round(time.perf_counter() - t0, 2),
+                    "sec_per_ingest": round(
+                        (time.perf_counter() - t0) / ing, 2
+                    ),
+                    "max_gens_observed": worst_gens,
+                    "max_postings_files_per_bucket_observed": worst_files,
+                    "probe_sec": probe_sec3(idx_path),
+                })
+        shutil.rmtree(os.path.dirname(idx_path), ignore_errors=True)
+
     # synthetic documents: ~60-word texts from a small vocab, with
     # planted near-dups (every 50th doc repeats the previous text)
     def docs(n):
