@@ -287,3 +287,6 @@ from pycasselastic_spark.operators.search_ext import (  # noqa: E402,F401
     suggest_terms,
     top_hits_by_facet,
 )
+from pycasselastic_spark.operators.search_api import (  # noqa: E402,F401
+    es_search,
+)

@@ -1,0 +1,212 @@
+"""ES ``_search`` request-body dispatcher: the JSON-dict API surface a
+reference user actually speaks, mapped onto the stored-index operators.
+
+The reference's whole purpose is feeding Elasticsearch so users can
+POST ``_search`` bodies at it (SURVEY.md §1; ``pyCassElastic.py:316-354``
+writes the documents those queries serve). The operator modules
+re-express each query TYPE natively; this module closes the last API
+gap — a user ports their request body, not their query plan::
+
+    es_search(idx, {
+        "query": {"bool": {
+            "must": [{"match": {"text": "Scan, JOIN"}}],
+            "must_not": [{"term": {"text": "window"}}],
+        }},
+        "size": 10,
+    })
+
+Dispatch is STRICT: an unsupported key raises with the ES feature name
+(loud, never silently-wrong results). ``match`` runs the query string
+through the index's stored analyzer (``PostingsIndex.analyze_terms``)
+— the ingest/query analysis invariant — while ``term`` is the exact,
+unanalyzed lookup, both exactly ES semantics. Every path returns the
+same bounded probe plans the operator family pins in
+tests/test_plans.py; the dispatcher adds zero Spark work of its own.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from pycasselastic_spark.operators.search_index import PostingsIndex
+from pycasselastic_spark.operators.search_probes import (
+    bm25_bool_query,
+    bm25_search_after,
+    bm25_topk_fuzzy,
+    bm25_topk_indexed,
+    bm25_topk_min_should_match,
+    bm25_topk_prefix,
+    bm25_topk_regexp,
+    bm25_topk_wildcard,
+    match_phrase_prefix,
+    phrase_slop_search,
+)
+from pycasselastic_spark.operators.search_ext import (
+    bm25_collapse,
+    search_facets,
+    top_hits_by_facet,
+)
+
+
+def _err(what: str) -> ValueError:
+    return ValueError(f"es_search: unsupported {what}")
+
+
+def _single(d: dict, what: str) -> tuple[str, object]:
+    if not isinstance(d, dict) or len(d) != 1:
+        raise _err(f"{what} (expected a single-key object, got {d!r})")
+    return next(iter(d.items()))
+
+
+def _clause_terms(index: PostingsIndex, clause: dict) -> list[str]:
+    """Terms contributed by one leaf clause inside ``bool`` — ``match``
+    analyzes, ``term`` is exact (ES semantics)."""
+    kind, body = _single(clause, "bool clause")
+    if kind == "match":
+        _field, text = _single(body, "match")
+        return index.analyze_terms(str(text).split(" "))
+    if kind == "term":
+        _field, value = _single(body, "term")
+        return [str(value)]
+    raise _err(f"bool clause type {kind!r}")
+
+
+def es_search(
+    index: PostingsIndex,
+    body: dict,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Execute an ES ``_search`` request body against a stored index.
+
+    Supported surface (each key maps 1:1 onto an operator whose plan
+    shape and oracle the catalog already pins):
+
+    - ``query``: ``match`` (analyzed, OR semantics; optional
+      ``minimum_should_match`` / ``fuzziness``), ``term`` (exact),
+      ``match_phrase`` (+``slop``), ``match_phrase_prefix``,
+      ``prefix``, ``wildcard``, ``regexp``, and ``bool`` with
+      ``must`` / ``should`` / ``must_not`` lists of match/term leaves.
+    - ``size`` (default 10) and ``search_after`` ([score_q20, id] —
+      the (score desc, id asc) cursor, match-only).
+    - ``collapse`` {"field": ...} and ``aggs`` with ONE ``terms``
+      facet, optionally carrying a ``top_hits`` sub-aggregation —
+      these need the ``docs`` frame for the stored-field fetch.
+
+    Anything else raises naming the feature — a silently-dropped
+    clause is how search APIs corrupt downstream evaluations.
+    """
+    unknown = set(body) - {"query", "size", "search_after", "collapse", "aggs"}
+    if unknown:
+        raise _err(f"body keys {sorted(unknown)}")
+    size = int(body.get("size", 10))
+    qtype, q = _single(body.get("query", {}), "query")
+
+    if "aggs" in body:
+        if docs is None:
+            raise _err("aggs without a docs frame (stored-field fetch)")
+        agg_name, agg = _single(body["aggs"], "aggs")
+        if set(agg) - {"terms", "aggs"}:
+            raise _err(f"aggregation {sorted(set(agg) - {'terms'})}")
+        field = agg["terms"]["field"]
+        if qtype != "match":
+            raise _err(f"aggs under query type {qtype!r}")
+        _f, text = _single(q, "match")
+        terms = index.analyze_terms(str(text).split(" "))
+        sub = agg.get("aggs")
+        if sub:
+            _sn, s = _single(sub, "sub-aggregation")
+            if set(s) != {"top_hits"}:
+                raise _err(f"sub-aggregation {sorted(s)}")
+            return top_hits_by_facet(
+                index, docs, terms, field,
+                hits_per_bucket=int(s["top_hits"].get("size", 3)),
+            )
+        return search_facets(
+            index, docs, terms, field, k=int(agg["terms"].get("size", size))
+        )
+
+    if "collapse" in body:
+        if docs is None:
+            raise _err("collapse without a docs frame (stored-field fetch)")
+        if qtype != "match":
+            raise _err(f"collapse under query type {qtype!r}")
+        _f, text = _single(q, "match")
+        return bm25_collapse(
+            index, docs, index.analyze_terms(str(text).split(" ")),
+            body["collapse"]["field"], k=size,
+        )
+
+    if qtype == "match":
+        if isinstance(q, dict) and len(q) == 1:
+            field, spec = next(iter(q.items()))
+        else:
+            raise _err(f"match body {q!r}")
+        if isinstance(spec, dict):
+            text = spec["query"]
+            terms = index.analyze_terms(str(text).split(" "))
+            extra = set(spec) - {"query", "minimum_should_match", "fuzziness"}
+            if extra:
+                raise _err(f"match options {sorted(extra)}")
+            if "fuzziness" in spec:
+                return bm25_topk_fuzzy(
+                    index, terms, k=size, max_dist=int(spec["fuzziness"])
+                )
+            if "minimum_should_match" in spec:
+                return bm25_topk_min_should_match(
+                    index, terms, int(spec["minimum_should_match"]), k=size
+                )
+        else:
+            terms = index.analyze_terms(str(spec).split(" "))
+        if "search_after" in body:
+            after_score, after_id = body["search_after"]
+            return bm25_search_after(
+                index, terms, int(after_score), after_id, k=size
+            )
+        return bm25_topk_indexed(index, terms, k=size)
+
+    if "search_after" in body:
+        raise _err(f"search_after under query type {qtype!r}")
+
+    if qtype == "term":
+        _field, value = _single(q, "term")
+        return bm25_topk_indexed(index, [str(value)], k=size)
+    if qtype == "match_phrase":
+        _field, spec = _single(q, "match_phrase")
+        slop = 0
+        if isinstance(spec, dict):
+            slop = int(spec.get("slop", 0))
+            spec = spec["query"]
+        terms = index.analyze_terms(str(spec).split(" "))
+        return phrase_slop_search(index, terms, slop=slop)
+    if qtype == "match_phrase_prefix":
+        _field, spec = _single(q, "match_phrase_prefix")
+        text = spec["query"] if isinstance(spec, dict) else str(spec)
+        toks = index.analyze_terms(str(text).split(" "))
+        return match_phrase_prefix(index, toks[:-1], toks[-1])
+    if qtype == "prefix":
+        _field, value = _single(q, "prefix")
+        value = value["value"] if isinstance(value, dict) else value
+        return bm25_topk_prefix(index, str(value), k=size)
+    if qtype == "wildcard":
+        _field, value = _single(q, "wildcard")
+        value = value["value"] if isinstance(value, dict) else value
+        return bm25_topk_wildcard(index, str(value), k=size)
+    if qtype == "regexp":
+        _field, value = _single(q, "regexp")
+        value = value["value"] if isinstance(value, dict) else value
+        return bm25_topk_regexp(index, str(value), k=size)
+    if qtype == "bool":
+        extra = set(q) - {"must", "should", "must_not"}
+        if extra:
+            raise _err(f"bool options {sorted(extra)}")
+        must = [t for c in q.get("must", []) for t in _clause_terms(index, c)]
+        should = [
+            t for c in q.get("should", []) for t in _clause_terms(index, c)
+        ]
+        must_not = [
+            t for c in q.get("must_not", []) for t in _clause_terms(index, c)
+        ]
+        return bm25_bool_query(
+            index, must=must, should=should, must_not=must_not, k=size
+        )
+    raise _err(f"query type {qtype!r}")

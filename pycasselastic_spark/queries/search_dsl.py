@@ -623,3 +623,59 @@ def reindex_upgrade_analyzer_documents(
     terms = idx.analyze_terms(["Merge!", "THE", "Batch,"])
     assert terms == ["merge", "batch"]
     return SRCH.bm25_topk_indexed(idx, terms, k=10)
+
+
+@register(
+    "es_dsl_search_documents",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+postings AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY term, doc_id
+),
+qt AS (SELECT * FROM postings WHERE term IN ('scan', 'join')),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+              AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+       FROM documents),
+scored AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+         CAST(FLOOR(SUM(
+           ln(1.0 + (sc.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (qt.tf * 2.2)
+           / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / sc.avgdl))
+         ) * 1048576.0) AS BIGINT) AS score_q20,
+         COUNT(CASE WHEN term IN ('scan', 'join') THEN 1 END) AS must_hits
+  FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+  GROUP BY doc_id, sc.n_docs)
+SELECT doc_id, n_hit_terms, score_q20
+FROM scored
+WHERE must_hits = 2
+  AND doc_id NOT IN (SELECT doc_id FROM postings WHERE term = 'window')
+ORDER BY score_q20 DESC, doc_id LIMIT 10
+""",
+    doc="The ES ``_search`` request-body API surface "
+    "(operators/search_api.py:es_search, round 10): a user of the "
+    "reference ports their POSTed JSON body — here a bool query with "
+    "match musts and a term must_not — and the dispatcher maps it 1:1 "
+    "onto the stored-index operators (match analyzes through the "
+    "index's stored chain, term stays exact, unsupported features "
+    "raise naming the ES feature rather than silently dropping a "
+    "clause). The plan IS bm25_bool_query's pinned probe; the oracle "
+    "replays the same bool semantics from raw text.",
+)
+def es_dsl_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pycasselastic_spark.operators.search_api import es_search
+
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"bool": {
+            "must": [{"match": {"text": "scan join"}}],
+            "must_not": [{"term": {"text": "window"}}],
+        }},
+        "size": 10,
+    })

@@ -1469,3 +1469,97 @@ def test_snapshot_is_incremental_via_hard_links(spark, tmp_path):
             SRCH.load_postings_index(spark, s2), ["alpha", "beta"], k=30
         ).collect()))
     assert again == want
+
+
+
+# --- round-10: the ES _search request-body dispatcher ----------------------
+
+
+class TestEsSearchApi:
+    @staticmethod
+    def _idx(spark, tmp_path):
+        docs = _corpus(spark, [
+            (1, "The SPARK, engine runs fast"),
+            (2, "a spark engine runs"),
+            (3, "merge window scan"),
+            (4, "spark scan merge"),
+        ])
+        path = str(tmp_path / "api_idx")
+        SRCH.build_postings_index(
+            docs, "doc_id", "text", path, n_buckets=4,
+            analyzer=SRCH.Analyzer(
+                lowercase=True, strip_punct=True, stopwords=("a", "the")
+            ),
+        )
+        return SRCH.load_postings_index(spark, path), docs
+
+    def test_body_maps_to_operator_results(self, spark, tmp_path):
+        """Each supported body shape must return exactly what the
+        underlying operator returns — the dispatcher adds no Spark
+        work of its own."""
+        from pycasselastic_spark.operators.search_api import es_search
+
+        idx, docs = self._idx(spark, tmp_path)
+
+        def rows(df):
+            return sorted(map(tuple, df.collect()))
+
+        # match analyzes the query string through the stored chain
+        got = rows(es_search(idx, {"query": {"match": {"text": "Spark! THE engine"}}}))
+        want = rows(SRCH.bm25_topk_indexed(idx, ["spark", "engine"], k=10))
+        assert got == want and len(got) >= 2
+        # term is exact (no analysis): uppercase misses
+        assert es_search(idx, {"query": {"term": {"text": "SPARK"}}}).count() == 0
+        # bool with must/must_not
+        got = rows(es_search(idx, {"query": {"bool": {
+            "must": [{"match": {"text": "spark"}}],
+            "must_not": [{"term": {"text": "window"}}],
+        }}}))
+        want = rows(SRCH.bm25_bool_query(idx, must=["spark"], must_not=["window"], k=10))
+        assert got == want
+        # match_phrase with slop
+        got = rows(es_search(idx, {"query": {"match_phrase": {
+            "text": {"query": "spark engine", "slop": 0}}}}))
+        want = rows(SRCH.phrase_slop_search(idx, ["spark", "engine"], slop=0))
+        assert got == want and len(got) == 2
+        # fuzziness + minimum_should_match + size + search_after
+        got = rows(es_search(idx, {"query": {"match": {
+            "text": {"query": "spak", "fuzziness": 1}}}}))
+        want = rows(SRCH.bm25_topk_fuzzy(idx, ["spak"], max_dist=1, k=10))
+        assert got == want and len(got) >= 2
+        page1 = es_search(idx, {"query": {"match": {"text": "spark"}}, "size": 1}).collect()
+        page2 = es_search(idx, {
+            "query": {"match": {"text": "spark"}}, "size": 1,
+            "search_after": [page1[0]["score_q20"], page1[0]["doc_id"]],
+        }).collect()
+        assert page2 and (page2[0]["doc_id"] != page1[0]["doc_id"])
+        # aggs: terms facet (+ top_hits) against the docs frame
+        facet_docs = docs.withColumn("src", F.col("doc_id") % 2)
+        got = rows(es_search(idx, {
+            "query": {"match": {"text": "spark scan"}},
+            "aggs": {"by_src": {"terms": {"field": "src"}}},
+        }, docs=facet_docs))
+        want = rows(SRCH.search_facets(idx, facet_docs, ["spark", "scan"], "src", k=10))
+        assert got == want
+        got = rows(es_search(idx, {
+            "query": {"match": {"text": "spark scan"}},
+            "aggs": {"by_src": {"terms": {"field": "src"},
+                                 "aggs": {"best": {"top_hits": {"size": 2}}}}},
+        }, docs=facet_docs))
+        want = rows(SRCH.top_hits_by_facet(idx, facet_docs, ["spark", "scan"], "src", hits_per_bucket=2))
+        assert got == want
+
+    def test_unsupported_features_raise_loudly(self, spark, tmp_path):
+        from pycasselastic_spark.operators.search_api import es_search
+
+        idx, docs = self._idx(spark, tmp_path)
+        import pytest as _p
+        for body, frag in [
+            ({"query": {"match_all": {}}}, "match_all"),
+            ({"query": {"match": {"text": "x"}}, "highlight": {}}, "highlight"),
+            ({"query": {"bool": {"filter": []}}}, "filter"),
+            ({"query": {"match": {"text": {"query": "x", "operator": "and"}}}}, "operator"),
+            ({"query": {"term": {"text": "x"}}, "search_after": [0, 0]}, "search_after"),
+        ]:
+            with _p.raises(ValueError, match=frag):
+                es_search(idx, body, docs=docs)
