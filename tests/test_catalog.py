@@ -43,24 +43,25 @@ def test_query_runs(spark, sf_dir, name):
     assert len(df.columns) == len(set(df.columns))
 
 
-def test_round9_gate_slots():
-    """The driver hashes the FIRST 50 registered queries; the round-9
-    rotation puts the four post-gate round-8 registrations in slots
-    0-3, the nine stale-r5 rows in slots 4-12, the two NEW round-9
-    queries in slots 13-14, and the first 35 stale-r6 rows in slots
-    15-49. Pin the boundary slots so an accidental registration
-    reorder is caught before the driver runs (COVERAGE.md enumerates
-    the full list)."""
+def test_round10_gate_slots():
+    """The driver hashes the FIRST 50 registered queries; the round-10
+    rotation puts the 27 post-gate round-9 registrations in slots
+    0-26, the 15 remaining stale-r6 rows in slots 27-41, the three
+    NEW round-10 queries in slots 42-44, and the first five stale-r7
+    rows in slots 45-49. Pin the boundary slots so an accidental
+    registration reorder is caught before the driver runs
+    (COVERAGE.md enumerates the full list)."""
     names = list(QUERIES)
-    assert names[0] == "postings_index_health_documents"
-    assert names[3] == "fuzzy_bm25_search_documents"
-    assert names[4] == "gap_fill_hourly_events"
-    assert names[12] == "streaming_dedup_events"
-    assert names[13] == "fuzzy2_bm25_search_documents"
-    assert names[14] == "auto_compacted_bm25_documents"
-    assert names[15] == "string_suite_documents"
-    assert names[49] == "user_value_outliers_events"
+    assert names[0] == "min_should_match_bm25_documents"
+    assert names[26] == "msearch_bm25_documents"
+    assert names[27] == "streaming_approx_distinct_windows"
+    assert names[41] == "minhash_lsh_neardup"
+    assert names[42] == "analyzed_bm25_documents"
+    assert names[43] == "reindex_upgrade_analyzer_documents"
+    assert names[44] == "fuzzy2_match_customer_names"
+    assert names[45] == "inverted_index_documents"
+    assert names[49] == "containment_neardup_documents"
     # the gate is the FIRST 50; post-gate registrations grow the tail
     # every round (COVERAGE.md enumerates them), so pin a floor, not
     # an exact count — an accidental DEregistration still fails here
-    assert len(names) >= 169
+    assert len(names) >= 196
