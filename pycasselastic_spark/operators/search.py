@@ -290,3 +290,6 @@ from pycasselastic_spark.operators.search_ext import (  # noqa: E402,F401
 from pycasselastic_spark.operators.search_api import (  # noqa: E402,F401
     es_search,
 )
+from pycasselastic_spark.operators.search_ext import (  # noqa: E402,F401
+    bm25_topk_filtered,
+)

@@ -43,9 +43,36 @@ from pycasselastic_spark.operators.search_probes import (
 )
 from pycasselastic_spark.operators.search_ext import (
     bm25_collapse,
+    bm25_topk_filtered,
     search_facets,
     top_hits_by_facet,
 )
+
+_RANGE_OPS = {"gte": ">=", "lte": "<=", "gt": ">", "lt": "<"}
+
+
+def _filter_predicates(clauses: list) -> list:
+    """ES filter-context clauses -> (field, op, value) triples for
+    ``bm25_topk_filtered`` — ``range`` and exact ``term`` filters,
+    evaluated against the index's STORED doc values (never a docs
+    frame; non-scoring, exactly ES filter semantics)."""
+    preds = []
+    for clause in clauses:
+        kind, body = _single(clause, "filter clause")
+        if kind == "range":
+            field, spec = _single(body, "range")
+            extra = set(spec) - set(_RANGE_OPS)
+            if extra:
+                raise _err(f"range options {sorted(extra)}")
+            for es_op, op in _RANGE_OPS.items():
+                if es_op in spec:
+                    preds.append((field, op, spec[es_op]))
+        elif kind == "term":
+            field, value = _single(body, "term filter")
+            preds.append((field, "=", value))
+        else:
+            raise _err(f"filter clause type {kind!r}")
+    return preds
 
 
 def _err(what: str) -> ValueError:
@@ -196,9 +223,26 @@ def es_search(
         value = value["value"] if isinstance(value, dict) else value
         return bm25_topk_regexp(index, str(value), k=size)
     if qtype == "bool":
-        extra = set(q) - {"must", "should", "must_not"}
+        extra = set(q) - {"must", "should", "must_not", "filter"}
         if extra:
             raise _err(f"bool options {sorted(extra)}")
+        if "filter" in q:
+            # filter context (non-scoring): served from the stored
+            # doc-values relation; only the simple must+filter shape is
+            # dispatched (must_not/should alongside filter would need a
+            # composed probe — raise rather than silently approximate)
+            if set(q) - {"must", "filter"}:
+                raise _err(
+                    "bool filter combined with "
+                    f"{sorted(set(q) - {'must', 'filter'})}"
+                )
+            must = [
+                t for c in q.get("must", []) for t in _clause_terms(index, c)
+            ]
+            return bm25_topk_filtered(
+                index, must, _filter_predicates(q["filter"]), k=size,
+                min_match=len(set(must)),
+            )
         must = [t for c in q.get("must", []) for t in _clause_terms(index, c)]
         should = [
             t for c in q.get("should", []) for t in _clause_terms(index, c)

@@ -624,3 +624,60 @@ def suggest_phrase(
         )
         .limit(k)
     )
+
+
+def bm25_topk_filtered(
+    index: PostingsIndex,
+    query_terms: list[str],
+    filters: list,
+    k: int = 10,
+    min_match: int = 1,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES bool query with a FILTER context: BM25 relevance over the
+    ``query_terms`` hit set, restricted to docs whose stored
+    DOC-VALUES satisfy every predicate — range and term filters that
+    never affect the score, exactly ES's non-scoring filter clauses.
+    ``filters`` is a list of ``(field, op, value)`` with op in
+    ``>= <= > < = !=``; ``min_match`` sets the scoring-side hit
+    requirement (len(query_terms) = the bool-must conjunction, 1 =
+    disjunctive). Returns ``(id, n_hit_terms, score_q20)``.
+
+    Plan shape: the scored candidates come from the usual pruned
+    postings probe; the filter side is a scan of the stored doc-values
+    relation with every predicate PUSHED into the columnar parquet
+    scan (ES pays the same doc_values walk for an uncached filter) —
+    the two meet in a hash join whose build side is the
+    (query-bounded) scored set via the same count-guarded broadcast as
+    every candidate fetch. No raw docs frame is touched: the index
+    answers filtered search entirely from stored state."""
+    _OPS = {
+        ">=": lambda c, v: c >= v,
+        "<=": lambda c, v: c <= v,
+        ">": lambda c, v: c > v,
+        "<": lambda c, v: c < v,
+        "=": lambda c, v: c == v,
+        "!=": lambda c, v: c != v,
+    }
+    id_col = index.id_col
+    dv = index.live_docvalues()
+    for field, op, value in filters:
+        if field not in index.stored_fields:
+            raise ValueError(
+                f"field {field!r} is not stored in this index's "
+                f"doc values (stored_fields={index.stored_fields})"
+            )
+        if op not in _OPS:
+            raise ValueError(f"unsupported filter op {op!r}")
+        dv = dv.filter(_OPS[op](F.col(field), F.lit(value)))
+    scored = _bm25_scored(index, query_terms, k1, b).filter(
+        F.col("n_hit_terms") >= min_match
+    )
+    return (
+        dv.select(id_col)
+        .join(_bounded_broadcast(scored), id_col)
+        .select(id_col, "n_hit_terms", "score_q20")
+        .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

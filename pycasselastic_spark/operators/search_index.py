@@ -219,10 +219,29 @@ class PostingsIndex:
     id_col: str
     variant_depth: int = 1  # FastSS deletion depth of the stored dict
     analyzer: "Analyzer | None" = None  # None = legacy exact-token index
+    docvalues: "DataFrame | None" = None  # (ibucket, id, <fields>, gen)
+    stored_fields: tuple[str, ...] = ()
 
     @property
     def avgdl(self) -> float:
         return self.total_dl / self.n_docs if self.n_docs else 0.0
+
+    def live_docvalues(self) -> DataFrame:
+        """Current-generation DOC-VALUES rows — the columnar per-doc
+        field store (ES doc_values) that makes filter-context queries
+        (range/term filters) self-contained: no raw docs frame needed
+        at query time. Predicates on the stored fields push into this
+        parquet scan."""
+        if self.docvalues is None:
+            raise ValueError(
+                "this index stores no doc values — rebuild with "
+                "stored_fields=[...] to enable filter-context queries"
+            )
+        if self.generation == 0:
+            return self.docvalues
+        return self.docvalues.join(
+            F.broadcast(self.superseded), [self.id_col, "gen"], "left_anti"
+        )
 
     def analyze_terms(self, terms: list[str]) -> list[str]:
         """Raw query terms through THIS index's stored analyzer — the
@@ -445,16 +464,21 @@ def build_postings_index(
     n_buckets: int = 16,
     variant_depth: int = 1,
     analyzer: Analyzer | None = None,
+    stored_fields: list[str] | None = None,
 ) -> None:
     """Full build (generation 0): tokenize the corpus ONCE, store the
     postings partitioned by term bucket. After this, queries never
     touch raw text again. ``variant_depth`` fixes the FastSS deletion
     depth of the fuzzy dictionary (1 = ES fuzziness 1, 2 = the ES
-    fuzziness ceiling); ``analyzer`` fixes the analysis chain. Both
-    are recorded in stats.json as index SETTINGS — probes check the
-    depth before expanding, and every later ingest re-reads and
-    applies the SAME analyzer (changing either is a
-    ``reindex_postings_index``)."""
+    fuzziness ceiling); ``analyzer`` fixes the analysis chain;
+    ``stored_fields`` names non-text doc columns persisted as a
+    DOC-VALUES relation (ES doc_values) so filter-context queries —
+    range/term filters alongside relevance — are served from stored
+    state with the predicate pushed into a columnar scan, never from
+    the raw docs frame. All three are recorded in stats.json as index
+    SETTINGS — probes check the depth before expanding, and every
+    later ingest re-reads and applies the SAME analyzer and field
+    list (changing any is a ``reindex_postings_index`` / rebuild)."""
     spark = docs.sparkSession
     postings = _positional_postings(
         docs, id_col, text_col, n_buckets, gen=0, analyzer=analyzer
@@ -467,6 +491,9 @@ def build_postings_index(
         F.lit(0).cast("long").alias("gen"),
     )
     docstats.write.mode("overwrite").parquet(os.path.join(path, "docstats"))
+    if stored_fields:
+        _write_docvalues(docs, id_col, stored_fields, n_buckets, 0,
+                         path, "overwrite")
     spark.createDataFrame([], f"{id_col} LONG, gen LONG, by_gen LONG").write.mode(
         "overwrite"
     ).parquet(os.path.join(path, "superseded"))
@@ -479,7 +506,31 @@ def build_postings_index(
         "n_buckets": n_buckets, "id_col": id_col,
         "variant_depth": variant_depth,
         "analyzer": analyzer.to_dict() if analyzer else None,
+        "stored_fields": sorted(stored_fields) if stored_fields else None,
     })
+
+
+def _write_docvalues(
+    docs: DataFrame, id_col: str, stored_fields: list[str],
+    n_buckets: int, gen: int, path: str, mode: str,
+) -> None:
+    """One generation's doc-values rows: (ibucket, id, <fields>, gen),
+    bucketed by the DOC id like the forward relation. One projection
+    of the ingest frame — no tokenize, no shuffle beyond the bucket
+    repartition that keeps it to one file per touched bucket."""
+    (
+        docs.select(
+            _term_bucket_col(F.col(id_col).cast("string"), n_buckets)
+            .alias("ibucket"),
+            F.col(id_col),
+            *[F.col(f) for f in sorted(stored_fields)],
+            F.lit(gen).cast("long").alias("gen"),
+        )
+        .repartition("ibucket")
+        .write.partitionBy("ibucket")
+        .mode(mode)
+        .parquet(os.path.join(path, "docvalues"))
+    )
 
 
 _COMMIT_LOCK = "commit.lock"
@@ -612,6 +663,11 @@ def update_postings_index(
         F.lit(gen).cast("long").alias("gen"),
     )
     new_stats.write.mode("append").parquet(os.path.join(path, "docstats"))
+    if stats.get("stored_fields"):
+        _write_docvalues(
+            delta, id_col, stats["stored_fields"], n_buckets, gen,
+            path, "append",
+        )
     replaced.select(
         id_col, "gen", F.lit(gen).cast("long").alias("by_gen")
     ).write.mode("append").parquet(os.path.join(path, "superseded"))
@@ -669,6 +725,12 @@ def load_postings_index(spark: SparkSession, path: str) -> PostingsIndex:
     variants = spark.read.parquet(os.path.join(path, "variants")).filter(
         F.col("gen").isin(committed)
     )
+    stored_fields = tuple(stats.get("stored_fields") or ())
+    docvalues = None
+    if stored_fields:
+        docvalues = spark.read.parquet(
+            os.path.join(path, "docvalues")
+        ).filter(F.col("gen").isin(committed))
     return PostingsIndex(
         path=path,
         postings=postings,
@@ -682,6 +744,8 @@ def load_postings_index(spark: SparkSession, path: str) -> PostingsIndex:
         id_col=stats["id_col"],
         variant_depth=stats.get("variant_depth", 1),
         analyzer=Analyzer.from_dict(stats.get("analyzer")),
+        docvalues=docvalues,
+        stored_fields=stored_fields,
     )
 
 def set_index_alias(alias_path: str, index_path: str) -> None:
@@ -713,7 +777,9 @@ def load_postings_index_by_alias(
     return load_postings_index(spark, resolve_index_alias(alias_path))
 
 
-_INDEX_RELATIONS = ("postings", "forward", "variants", "docstats", "superseded")
+_INDEX_RELATIONS = (
+    "postings", "forward", "variants", "docstats", "superseded", "docvalues",
+)
 
 
 def snapshot_postings_index(src: str, dst: str) -> dict:
@@ -827,12 +893,25 @@ def _live_relations(
         .withColumn("vbucket", _term_bucket_col(F.col("variant"), new_buckets))
     )
 
-    return (
+    relations = [
         ("postings", live_postings, "pbucket"),
         ("forward", live_forward, "ibucket"),
         ("variants", live_variants, "vbucket"),
         ("docstats", live_stats, None),
-    )
+    ]
+    if idx.docvalues is not None:
+        live_dv = idx.docvalues.join(
+            idx.superseded, [idx.id_col, "gen"], "left_anti"
+        ).withColumn("gen", F.lit(0).cast("long"))
+        if new_buckets != idx.n_buckets:
+            live_dv = live_dv.withColumn(
+                "ibucket",
+                _term_bucket_col(
+                    F.col(idx.id_col).cast("string"), new_buckets
+                ),
+            )
+        relations.append(("docvalues", live_dv, "ibucket"))
+    return tuple(relations)
 
 
 def _write_relations_to(
@@ -938,6 +1017,7 @@ def compact_postings_index(
         "n_buckets": idx.n_buckets, "id_col": idx.id_col,
         "variant_depth": stored_depth,
         "analyzer": stats.get("analyzer"),
+        "stored_fields": stats.get("stored_fields"),
     })
     return n_superseded, 0
 
@@ -1012,13 +1092,25 @@ def _reanalyzed_relations(
         .withColumn("vbucket", _term_bucket_col(F.col("variant"), new_buckets))
     )
     live_stats = doc_dl.withColumn("gen", F.lit(0).cast("long"))
-    relations = (
+    relations = [
         ("postings", live_postings, "pbucket"),
         ("forward", live_forward, "ibucket"),
         ("variants", live_variants, "vbucket"),
         ("docstats", live_stats, None),
-    )
-    return relations, doc_dl
+    ]
+    if idx.docvalues is not None:
+        live_dv = idx.live_docvalues().withColumn(
+            "gen", F.lit(0).cast("long")
+        )
+        if new_buckets != idx.n_buckets:
+            live_dv = live_dv.withColumn(
+                "ibucket",
+                _term_bucket_col(
+                    F.col(idx.id_col).cast("string"), new_buckets
+                ),
+            )
+        relations.append(("docvalues", live_dv, "ibucket"))
+    return tuple(relations), doc_dl
 
 
 def reindex_postings_index(
@@ -1109,6 +1201,7 @@ def reindex_postings_index(
         "n_buckets": new_buckets, "id_col": idx.id_col,
         "variant_depth": new_depth,
         "analyzer": new_analyzer_dict,
+        "stored_fields": stats.get("stored_fields"),
     }
     with open(os.path.join(tmp, "stats.json"), "w") as f:
         json.dump(new_stats, f)

@@ -83,7 +83,11 @@ def _postings_index_for(spark: SparkSession, sf_dir: str) -> "SRCH.PostingsIndex
         # widens candidates; the exact-levenshtein verify trims them —
         # operators/search.py:expand_fuzzy_terms)
         SRCH.build_postings_index(
-            docs, "doc_id", "text", path, n_buckets=16, variant_depth=2
+            docs, "doc_id", "text", path, n_buckets=16, variant_depth=2,
+            # doc-values for the filter-context probes (n_chars range,
+            # source term filters) — one extra bucketed relation, no
+            # change to any other probe's plan
+            stored_fields=["n_chars", "source"],
         )
         _INDEX_CACHE[sf_dir] = path
     return SRCH.load_postings_index(spark, path)
@@ -679,3 +683,54 @@ def es_dsl_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         }},
         "size": 10,
     })
+
+
+@register(
+    "filtered_bm25_documents",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+postings AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY term, doc_id
+),
+qt AS (SELECT * FROM postings WHERE term IN ('merge', 'sort')),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+              AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+       FROM documents)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+       CAST(FLOOR(SUM(
+         ln(1.0 + (sc.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (qt.tf * 2.2)
+         / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / sc.avgdl))
+       ) * 1048576.0) AS BIGINT) AS score_q20
+FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+WHERE doc_id IN (
+  SELECT doc_id FROM documents WHERE n_chars >= 300 AND n_chars < 450
+)
+GROUP BY doc_id, sc.n_docs
+ORDER BY score_q20 DESC, doc_id LIMIT 10
+""",
+    doc="ES bool query with a FILTER context served from STORED "
+    "doc-values (operators/search_ext.py:bm25_topk_filtered, round "
+    "10): the index persists non-text columns (n_chars, source) as an "
+    "id-bucketed columnar relation at build/ingest time — ES "
+    "doc_values — so a range filter runs as a pushed parquet "
+    "predicate over stored state, no raw docs frame at query time, "
+    "and never changes scores (non-scoring filter context; the "
+    "top-10 scores must equal the unfiltered probe's for the "
+    "surviving docs, which the shared-SQL oracle enforces). Delta "
+    "ingests keep doc values LWW-current via the same superseded "
+    "anti-join as every relation; dispatched end-to-end from the ES "
+    "_search body via es_search bool.filter.",
+)
+def filtered_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return SRCH.bm25_topk_filtered(
+        idx, ["merge", "sort"],
+        [("n_chars", ">=", 300), ("n_chars", "<", 450)], k=10,
+    )

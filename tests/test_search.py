@@ -1557,9 +1557,93 @@ class TestEsSearchApi:
         for body, frag in [
             ({"query": {"match_all": {}}}, "match_all"),
             ({"query": {"match": {"text": "x"}}, "highlight": {}}, "highlight"),
-            ({"query": {"bool": {"filter": []}}}, "filter"),
+            # filter IS supported, but only in the simple must+filter
+            # shape — combining it with must_not/should raises rather
+            # than silently approximating ES's composed semantics
+            ({"query": {"bool": {
+                "filter": [{"term": {"source": "web"}}],
+                "must_not": [{"term": {"text": "x"}}],
+            }}}, "filter combined"),
+            ({"query": {"bool": {"filter": [
+                {"range": {"n_chars": {"gte": 1, "boost": 2}}},
+            ]}}}, "range options"),
+            ({"query": {"bool": {"filter": [
+                {"exists": {"field": "n_chars"}},
+            ]}}}, "filter clause type"),
             ({"query": {"match": {"text": {"query": "x", "operator": "and"}}}}, "operator"),
             ({"query": {"term": {"text": "x"}}, "search_after": [0, 0]}, "search_after"),
         ]:
             with _p.raises(ValueError, match=frag):
                 es_search(idx, body, docs=docs)
+
+
+def test_docvalues_filter_context(spark, tmp_path):
+    """Stored doc-values serve ES filter-context queries end-to-end:
+    range/term predicates push into the docvalues scan, filters never
+    change scores, delta ingests keep doc values LWW-current, and
+    compaction/snapshot/reindex carry the relation."""
+    rows = [
+        (i, f"spark merge w{i % 4}", i * 10, "web" if i % 2 else "pdf")
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "n_chars", "source"])
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(
+        docs, "doc_id", "text", path, n_buckets=4,
+        stored_fields=["n_chars", "source"],
+    )
+    idx = SRCH.load_postings_index(spark, path)
+    assert idx.stored_fields == ("n_chars", "source")
+    got = SRCH.bm25_topk_filtered(
+        idx, ["spark"], [("n_chars", ">=", 40), ("source", "=", "web")], k=20
+    ).collect()
+    assert sorted(r["doc_id"] for r in got) == [5, 7, 9, 11]
+    # scores match the unfiltered probe exactly (filters never score)
+    unf = {r["doc_id"]: r["score_q20"]
+           for r in SRCH.bm25_topk_indexed(idx, ["spark"], k=20).collect()}
+    assert all(r["score_q20"] == unf[r["doc_id"]] for r in got)
+    # the es_search bool+filter body dispatches to the same result
+    from pycasselastic_spark.operators.search_api import es_search
+    via_api = es_search(idx, {"query": {"bool": {
+        "must": [{"match": {"text": "spark"}}],
+        "filter": [{"range": {"n_chars": {"gte": 40}}},
+                    {"term": {"source": "web"}}],
+    }}, "size": 20}).collect()
+    assert sorted(map(tuple, via_api)) == sorted(map(tuple, got))
+    # delta re-ingest updates the doc's values (LWW supersede)
+    delta = spark.createDataFrame(
+        [(5, "spark merge w1", 5, "pdf")],
+        ["doc_id", "text", "n_chars", "source"],
+    )
+    SRCH.update_postings_index(delta, "text", path)
+    idx2 = SRCH.load_postings_index(spark, path)
+    got2 = {r["doc_id"] for r in SRCH.bm25_topk_filtered(
+        idx2, ["spark"], [("n_chars", ">=", 40), ("source", "=", "web")], k=20
+    ).collect()}
+    assert got2 == {7, 9, 11}  # doc 5 now n_chars=5/pdf -> filtered out
+    # compaction and snapshot carry the relation
+    SRCH.compact_postings_index(spark, path)
+    snap = str(tmp_path / "snap")
+    SRCH.snapshot_postings_index(path, snap)
+    for p in (path, snap):
+        idx3 = SRCH.load_postings_index(spark, p)
+        got3 = {r["doc_id"] for r in SRCH.bm25_topk_filtered(
+            idx3, ["spark"], [("n_chars", ">=", 40), ("source", "=", "web")],
+            k=20,
+        ).collect()}
+        assert got3 == {7, 9, 11}, p
+    # reindex (re-bucket) carries it too, re-hashed to the new modulus
+    v2 = str(tmp_path / "v2")
+    SRCH.reindex_postings_index(spark, path, v2, n_buckets=8)
+    idx4 = SRCH.load_postings_index(spark, v2)
+    got4 = {r["doc_id"] for r in SRCH.bm25_topk_filtered(
+        idx4, ["spark"], [("n_chars", ">=", 40)], k=20).collect()}
+    assert got4 == {4, 6, 7, 8, 9, 10, 11}
+    # unknown field / missing docvalues raise loudly
+    import pytest as _p
+    with _p.raises(ValueError, match="not stored"):
+        SRCH.bm25_topk_filtered(idx4, ["spark"], [("nope", ">=", 1)])
+    bare = str(tmp_path / "bare")
+    SRCH.build_postings_index(docs, "doc_id", "text", bare, n_buckets=4)
+    with _p.raises(ValueError, match="stored_fields"):
+        SRCH.load_postings_index(spark, bare).live_docvalues()
