@@ -91,7 +91,7 @@ def _clause_terms(index: PostingsIndex, clause: dict) -> list[str]:
     kind, body = _single(clause, "bool clause")
     if kind == "match":
         _field, text = _single(body, "match")
-        return index.analyze_terms(str(text).split(" "))
+        return index.analyze_text(str(text))
     if kind == "term":
         _field, value = _single(body, "term")
         return [str(value)]
@@ -138,7 +138,7 @@ def es_search(
         if qtype != "match":
             raise _err(f"aggs under query type {qtype!r}")
         _f, text = _single(q, "match")
-        terms = index.analyze_terms(str(text).split(" "))
+        terms = index.analyze_text(str(text))
         sub = agg.get("aggs")
         if sub:
             _sn, s = _single(sub, "sub-aggregation")
@@ -159,7 +159,7 @@ def es_search(
             raise _err(f"collapse under query type {qtype!r}")
         _f, text = _single(q, "match")
         return bm25_collapse(
-            index, docs, index.analyze_terms(str(text).split(" ")),
+            index, docs, index.analyze_text(str(text)),
             body["collapse"]["field"], k=size,
         )
 
@@ -170,7 +170,7 @@ def es_search(
             raise _err(f"match body {q!r}")
         if isinstance(spec, dict):
             text = spec["query"]
-            terms = index.analyze_terms(str(text).split(" "))
+            terms = index.analyze_text(str(text))
             extra = set(spec) - {"query", "minimum_should_match", "fuzziness"}
             if extra:
                 raise _err(f"match options {sorted(extra)}")
@@ -183,7 +183,7 @@ def es_search(
                     index, terms, int(spec["minimum_should_match"]), k=size
                 )
         else:
-            terms = index.analyze_terms(str(spec).split(" "))
+            terms = index.analyze_text(str(spec))
         if "search_after" in body:
             after_score, after_id = body["search_after"]
             return bm25_search_after(
@@ -203,12 +203,12 @@ def es_search(
         if isinstance(spec, dict):
             slop = int(spec.get("slop", 0))
             spec = spec["query"]
-        terms = index.analyze_terms(str(spec).split(" "))
+        terms = index.analyze_text(str(spec))
         return phrase_slop_search(index, terms, slop=slop)
     if qtype == "match_phrase_prefix":
         _field, spec = _single(q, "match_phrase_prefix")
         text = spec["query"] if isinstance(spec, dict) else str(spec)
-        toks = index.analyze_terms(str(text).split(" "))
+        toks = index.analyze_text(str(text))
         return match_phrase_prefix(index, toks[:-1], toks[-1])
     if qtype == "prefix":
         _field, value = _single(q, "prefix")

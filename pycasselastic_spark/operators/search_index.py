@@ -59,12 +59,19 @@ class Analyzer:
     lowercase: bool = True
     strip_punct: bool = True
     stopwords: tuple[str, ...] = ()
+    # The tokenizer pattern (a regex, as Spark's split and Python's
+    # re.split both treat it). The default single space matches the
+    # legacy corpus-scan operators; real corpora want r"\s+" — the
+    # choice is an index setting like everything else here, and the
+    # Python twin is pinned byte-identical to the Spark side in tests.
+    split_regex: str = " "
 
     def to_dict(self) -> dict:
         return {
             "lowercase": self.lowercase,
             "strip_punct": self.strip_punct,
             "stopwords": sorted(self.stopwords),
+            "split_regex": self.split_regex,
         }
 
     @staticmethod
@@ -75,7 +82,15 @@ class Analyzer:
             lowercase=bool(d["lowercase"]),
             strip_punct=bool(d["strip_punct"]),
             stopwords=tuple(d["stopwords"]),
+            split_regex=d.get("split_regex", " "),
         )
+
+    def split_py(self, text: str) -> list[str]:
+        """Python twin of the tokenizer split (query-side raw text ->
+        token slots; the chain then runs per slot)."""
+        import re
+
+        return re.split(self.split_regex, text)
 
     def _apply_col(self, tok: Column) -> Column:
         """The chain on ONE token column; a dropped token becomes ''
@@ -114,9 +129,10 @@ def analyze_tokens(
     space, each slot passed through the chain, dropped tokens left as
     '' IN PLACE (position slots survive — Lucene position gaps).
     ``analyzer=None`` = the legacy bare split."""
-    toks = _tokens(text_col)
     if analyzer is None:
-        return toks
+        return _tokens(text_col)
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(c, analyzer.split_regex)
     return F.transform(toks, analyzer._apply_col)
 
 
@@ -249,6 +265,16 @@ class PostingsIndex:
         pre-analyzed terms (they must be driver literals for partition
         pruning); callers route user input through here first."""
         return analyze_terms_py(terms, self.analyzer)
+
+    def analyze_text(self, text: str) -> list[str]:
+        """Raw query TEXT through the stored tokenizer + chain — what
+        an ES ``match`` query does to its input string. Falls back to
+        the legacy single-space split on exact-token indexes."""
+        if self.analyzer is None:
+            return [t for t in text.split(" ") if t != ""]
+        return analyze_terms_py(
+            self.analyzer.split_py(text), self.analyzer
+        )
 
     def live_postings_for(self, query_terms: list[str]) -> DataFrame:
         """Current-generation postings for ``query_terms`` only: the

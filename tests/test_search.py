@@ -1647,3 +1647,46 @@ def test_docvalues_filter_context(spark, tmp_path):
     SRCH.build_postings_index(docs, "doc_id", "text", bare, n_buckets=4)
     with _p.raises(ValueError, match="stored_fields"):
         SRCH.load_postings_index(spark, bare).live_docvalues()
+
+
+def test_analyzer_regex_tokenizer_parity(spark, tmp_path):
+    """Analyzer(split_regex=r'\\s+'): the tokenizer is an index setting
+    too. Multi-space/tab text must tokenize identically on the Spark
+    ingest side and the Python query-side twin (slots, dl, terms), and
+    match queries through analyze_text find the docs."""
+    an = SRCH.Analyzer(
+        lowercase=True, strip_punct=True, stopwords=("the",),
+        split_regex=r"\s+",
+    )
+    docs = spark.createDataFrame(
+        [(1, "The  SPARK,\tengine   runs"), (2, "spark\t\tengine")],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(
+        docs, "doc_id", "text", path, n_buckets=4, analyzer=an
+    )
+    idx = SRCH.load_postings_index(spark, path)
+    assert idx.analyzer.split_regex == r"\s+"
+    # query text with messy whitespace analyzes to the stored terms
+    assert idx.analyze_text("THE  Spark!\tengine") == ["spark", "engine"]
+    got = {r["doc_id"]: r["n_hit_terms"] for r in SRCH.bm25_topk_indexed(
+        idx, idx.analyze_text("THE  Spark!\tengine"), k=10).collect()}
+    assert got == {1: 2, 2: 2}
+    # dl = kept tokens under the regex split ('the' dropped in doc 1)
+    dls = {r["doc_id"]: r["dl"] for r in
+           spark.read.parquet(path + "/docstats").collect()}
+    assert dls == {1: 3, 2: 2}
+    # positions are regex-split slots: Spark side == Python twin
+    import re
+    for doc_id, text in [(1, "The  SPARK,\tengine   runs")]:
+        py_slots = [
+            i for i, t in enumerate(re.split(r"\s+", text))
+            if an.apply_py(t) == "spark"
+        ]
+        stored = idx.live_postings_for(["spark"]).filter(
+            F.col("doc_id") == doc_id).collect()[0]
+        assert list(stored["positions"]) == py_slots
+    # phrase adjacency works across the regex slots
+    assert {r["doc_id"] for r in SRCH.phrase_slop_search(
+        idx, ["spark", "engine"], slop=0).collect()} == {1, 2}
