@@ -293,3 +293,7 @@ from pycasselastic_spark.operators.search_api import (  # noqa: E402,F401
 from pycasselastic_spark.operators.search_ext import (  # noqa: E402,F401
     bm25_topk_filtered,
 )
+from pycasselastic_spark.operators.search_ext import (  # noqa: E402,F401
+    search_histogram_agg,
+    search_stats_agg,
+)

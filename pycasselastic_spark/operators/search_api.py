@@ -45,6 +45,8 @@ from pycasselastic_spark.operators.search_ext import (
     bm25_collapse,
     bm25_topk_filtered,
     search_facets,
+    search_histogram_agg,
+    search_stats_agg,
     top_hits_by_facet,
 )
 
@@ -129,16 +131,26 @@ def es_search(
     qtype, q = _single(body.get("query", {}), "query")
 
     if "aggs" in body:
-        if docs is None:
-            raise _err("aggs without a docs frame (stored-field fetch)")
         agg_name, agg = _single(body["aggs"], "aggs")
-        if set(agg) - {"terms", "aggs"}:
-            raise _err(f"aggregation {sorted(set(agg) - {'terms'})}")
-        field = agg["terms"]["field"]
         if qtype != "match":
             raise _err(f"aggs under query type {qtype!r}")
         _f, text = _single(q, "match")
         terms = index.analyze_text(str(text))
+        # metric/histogram aggregations run on STORED doc-values — no
+        # docs frame needed; the terms facet still fetches its field
+        # from the docs frame (any column, not just stored ones)
+        if set(agg) == {"stats"}:
+            return search_stats_agg(index, terms, agg["stats"]["field"])
+        if set(agg) == {"histogram"}:
+            return search_histogram_agg(
+                index, terms, agg["histogram"]["field"],
+                float(agg["histogram"]["interval"]),
+            )
+        if docs is None:
+            raise _err("terms aggs without a docs frame (stored-field fetch)")
+        if set(agg) - {"terms", "aggs"}:
+            raise _err(f"aggregation {sorted(set(agg) - {'terms'})}")
+        field = agg["terms"]["field"]
         sub = agg.get("aggs")
         if sub:
             _sn, s = _single(sub, "sub-aggregation")

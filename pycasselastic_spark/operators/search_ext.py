@@ -681,3 +681,73 @@ def bm25_topk_filtered(
         .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def search_stats_agg(
+    index: PostingsIndex,
+    query_terms: list[str],
+    field: str,
+) -> DataFrame:
+    """ES ``stats`` metric aggregation over the hit set, served from
+    STORED doc-values: one row ``(n_docs, min_val, max_val, sum_val,
+    avg_q20)`` for the given numeric field across every doc matching
+    ANY query term. The average is Q20-quantized (the cross-engine
+    float law); min/max/sum are exact.
+
+    Plan shape: hit ids from the pruned postings probe (query-bounded,
+    count-guarded broadcast) join the doc-values scan pruned to
+    (id, field) — column pruning reaches the parquet scan — then ONE
+    partial-aggregated reduction to a single row. No raw docs frame,
+    no corpus shuffle."""
+    if field not in index.stored_fields:
+        raise ValueError(
+            f"field {field!r} is not stored in this index's doc values "
+            f"(stored_fields={index.stored_fields})"
+        )
+    id_col = index.id_col
+    hits = index.live_postings_for(query_terms).select(id_col).distinct()
+    dv = index.live_docvalues().select(id_col, field)
+    return (
+        dv.join(_bounded_broadcast(hits), id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(field).alias("min_val"),
+            F.max(field).alias("max_val"),
+            F.sum(field).alias("sum_val"),
+            F.floor(F.avg(field) * Q20).cast("long").alias("avg_q20"),
+        )
+    )
+
+
+def search_histogram_agg(
+    index: PostingsIndex,
+    query_terms: list[str],
+    field: str,
+    interval: float,
+) -> DataFrame:
+    """ES ``histogram`` aggregation over the hit set from STORED
+    doc-values: fixed-``interval`` buckets keyed by
+    ``floor(value / interval) * interval`` (ES's exact bucket law),
+    returning ``(bucket, n_docs)`` sorted by bucket — empty buckets
+    omitted (ES min_doc_count=1 behavior). Same plan shape as
+    ``search_stats_agg`` with a two-column aggregation instead of a
+    scalar one; the bucket count is bounded by the field's range over
+    the hit set, never the corpus."""
+    if field not in index.stored_fields:
+        raise ValueError(
+            f"field {field!r} is not stored in this index's doc values "
+            f"(stored_fields={index.stored_fields})"
+        )
+    id_col = index.id_col
+    hits = index.live_postings_for(query_terms).select(id_col).distinct()
+    dv = index.live_docvalues().select(id_col, field)
+    bucket = (
+        F.floor(F.col(field) / F.lit(float(interval))) * F.lit(float(interval))
+    ).alias("bucket")
+    return (
+        dv.join(_bounded_broadcast(hits), id_col)
+        .select(bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("bucket").asc())
+    )

@@ -734,3 +734,73 @@ def filtered_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx, ["merge", "sort"],
         [("n_chars", ">=", 300), ("n_chars", "<", 450)], k=10,
     )
+
+
+@register(
+    "stats_agg_documents",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+hits AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term IN ('merge', 'sort')
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(n_chars) AS min_val,
+       MAX(n_chars) AS max_val,
+       SUM(n_chars) AS sum_val,
+       CAST(FLOOR(AVG(CAST(n_chars AS DOUBLE)) * 1048576.0) AS BIGINT)
+         AS avg_q20
+FROM documents JOIN hits USING (doc_id)
+""",
+    doc="ES ``stats`` metric aggregation from STORED doc-values "
+    "(operators/search_ext.py:search_stats_agg): count/min/max/sum/"
+    "Q20-avg of n_chars over every doc matching the query — hit ids "
+    "from the pruned postings probe, the metric column from the "
+    "columnar docvalues relation (column pruning reaches the scan), "
+    "one partial-aggregated reduction to a single row; no raw docs "
+    "frame at query time. Dispatched from the ES _search body "
+    "aggs.stats via es_search.",
+)
+def stats_agg_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pycasselastic_spark.operators.search_api import es_search
+
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"match": {"text": "merge sort"}},
+        "aggs": {"chars": {"stats": {"field": "n_chars"}}},
+    })
+
+
+@register(
+    "histogram_agg_documents",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+hits AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark',)
+)
+SELECT FLOOR(n_chars / 50.0) * 50.0 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents JOIN hits USING (doc_id)
+GROUP BY 1 ORDER BY bucket
+""",
+    doc="ES ``histogram`` aggregation from STORED doc-values "
+    "(operators/search_ext.py:search_histogram_agg): fixed-interval "
+    "buckets keyed floor(value/interval)*interval (ES's exact bucket "
+    "law, empty buckets omitted) over the hit set's n_chars — same "
+    "stored-state plan as the stats agg with a grouped reduction; "
+    "bucket count bounded by the field's range, never the corpus. "
+    "Dispatched from the ES _search body aggs.histogram via "
+    "es_search.",
+)
+def histogram_agg_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pycasselastic_spark.operators.search_api import es_search
+
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"match": {"text": "spark"}},
+        "aggs": {"chars": {"histogram": {"field": "n_chars",
+                                          "interval": 50}}},
+    })

@@ -1690,3 +1690,39 @@ def test_analyzer_regex_tokenizer_parity(spark, tmp_path):
     # phrase adjacency works across the regex slots
     assert {r["doc_id"] for r in SRCH.phrase_slop_search(
         idx, ["spark", "engine"], slop=0).collect()} == {1, 2}
+
+
+def test_stats_and_histogram_aggs_from_docvalues(spark, tmp_path):
+    """ES stats/histogram metric aggregations served from stored
+    doc-values: exact min/max/sum, Q20 avg, floor-bucket law, and the
+    es_search aggs dispatch — all without a docs frame."""
+    rows = [(i, "spark" if i % 2 else "other", i * 10) for i in range(10)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "n_chars"])
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(
+        docs, "doc_id", "text", path, n_buckets=4, stored_fields=["n_chars"]
+    )
+    idx = SRCH.load_postings_index(spark, path)
+    # hits: odd ids -> n_chars 10,30,50,70,90
+    s = SRCH.search_stats_agg(idx, ["spark"], "n_chars").collect()[0]
+    assert (s["n_docs"], s["min_val"], s["max_val"], s["sum_val"]) == (
+        5, 10, 90, 250)
+    assert s["avg_q20"] == int(50.0 * (1 << 20))
+    h = {r["bucket"]: r["n_docs"] for r in
+         SRCH.search_histogram_agg(idx, ["spark"], "n_chars", 40).collect()}
+    assert h == {0.0: 2, 40.0: 2, 80.0: 1}  # 10,30 | 50,70 | 90
+    # es_search dispatch, no docs frame needed
+    from pycasselastic_spark.operators.search_api import es_search
+    via = es_search(idx, {
+        "query": {"match": {"text": "spark"}},
+        "aggs": {"c": {"stats": {"field": "n_chars"}}},
+    }).collect()[0]
+    assert tuple(via) == tuple(s)
+    via_h = {r["bucket"]: r["n_docs"] for r in es_search(idx, {
+        "query": {"match": {"text": "spark"}},
+        "aggs": {"c": {"histogram": {"field": "n_chars", "interval": 40}}},
+    }).collect()}
+    assert via_h == h
+    import pytest as _p
+    with _p.raises(ValueError, match="not stored"):
+        SRCH.search_stats_agg(idx, ["spark"], "nope")
