@@ -297,3 +297,6 @@ from pycasselastic_spark.operators.search_ext import (  # noqa: E402,F401
     search_histogram_agg,
     search_stats_agg,
 )
+from pycasselastic_spark.operators.search_ext import (  # noqa: E402,F401
+    search_sort_by_field,
+)

@@ -46,6 +46,7 @@ from pycasselastic_spark.operators.search_ext import (
     bm25_topk_filtered,
     search_facets,
     search_histogram_agg,
+    search_sort_by_field,
     search_stats_agg,
     top_hits_by_facet,
 )
@@ -124,11 +125,27 @@ def es_search(
     Anything else raises naming the feature — a silently-dropped
     clause is how search APIs corrupt downstream evaluations.
     """
-    unknown = set(body) - {"query", "size", "search_after", "collapse", "aggs"}
+    unknown = set(body) - {
+        "query", "size", "search_after", "collapse", "aggs", "sort",
+    }
     if unknown:
         raise _err(f"body keys {sorted(unknown)}")
     size = int(body.get("size", 10))
     qtype, q = _single(body.get("query", {}), "query")
+
+    if "sort" in body:
+        # field sort (ES disables scoring under it): one doc-values
+        # field + the implicit id tiebreak; anything fancier raises
+        if qtype != "match" or len(body["sort"]) != 1:
+            raise _err("sort (supported: one field under a match query)")
+        field, direction = _single(body["sort"][0], "sort clause")
+        if direction not in ("asc", "desc"):
+            raise _err(f"sort direction {direction!r}")
+        _f, text = _single(q, "match")
+        return search_sort_by_field(
+            index, index.analyze_text(str(text)), field,
+            ascending=direction == "asc", k=size,
+        )
 
     if "aggs" in body:
         agg_name, agg = _single(body["aggs"], "aggs")

@@ -370,6 +370,7 @@ def percolate(
     text_col: str,
     queries: DataFrame,
     broadcast_threshold: int = 2_000_000,
+    analyzer=None,
 ) -> DataFrame:
     """ES percolator — search REVERSED: the queries are stored, and
     each incoming document is matched against all of them (alerting,
@@ -387,14 +388,20 @@ def percolate(
     once and never shuffled on anything but the final (id, query_id)
     aggregation, whose cardinality is match-bounded. A query table too
     large to broadcast falls back to a shuffle join on the term (the
-    search_facets escape hatch)."""
+    search_facets escape hatch). ``analyzer`` tokenizes the documents
+    through the same chain the stored queries were registered against
+    (percolation's ingest/query invariant runs in reverse: the DOC is
+    the query-time input); ``None`` keeps the legacy exact split."""
     qterms = queries.select(
         "query_id",
         "min_match",
         F.explode(F.array_distinct("terms")).alias("term"),
     )
+    from pycasselastic_spark.operators.search_index import analyze_tokens
+
     dterms = docs.select(
-        F.col(id_col), F.explode(_tokens(text_col)).alias("term")
+        F.col(id_col),
+        F.explode(analyze_tokens(text_col, analyzer)).alias("term"),
     ).filter(F.col("term") != "").distinct()
     # threshold on the EXPLODED (query_id, term) row count — what is
     # actually broadcast — not the query-table row count, which
@@ -750,4 +757,37 @@ def search_histogram_agg(
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy(F.col("bucket").asc())
+    )
+
+
+def search_sort_by_field(
+    index: PostingsIndex,
+    query_terms: list[str],
+    field: str,
+    ascending: bool = True,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``sort`` by a doc-values field: the top-``k`` hits ordered by
+    the STORED field instead of relevance (ES disables scoring under a
+    field sort unless track_scores — so does this). Returns
+    ``(id, <field>)`` in (field, id) total order — the id tiebreak
+    keeps pagination deterministic, exactly why ES requires one.
+
+    Plan shape: hit ids from the pruned postings probe (count-guarded
+    broadcast) join the column-pruned doc-values scan, then
+    TakeOrderedAndProject — per-partition heaps over the hit set,
+    no global sort, no docs frame."""
+    if field not in index.stored_fields:
+        raise ValueError(
+            f"field {field!r} is not stored in this index's doc values "
+            f"(stored_fields={index.stored_fields})"
+        )
+    id_col = index.id_col
+    hits = index.live_postings_for(query_terms).select(id_col).distinct()
+    dv = index.live_docvalues().select(id_col, field)
+    order = F.col(field).asc() if ascending else F.col(field).desc()
+    return (
+        dv.join(_bounded_broadcast(hits), id_col)
+        .orderBy(order, F.col(id_col).asc())
+        .limit(k)
     )

@@ -804,3 +804,36 @@ def histogram_agg_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggs": {"chars": {"histogram": {"field": "n_chars",
                                           "interval": 50}}},
     })
+
+
+@register(
+    "sorted_search_documents",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+hits AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark',)
+)
+SELECT doc_id, n_chars
+FROM documents JOIN hits USING (doc_id)
+ORDER BY n_chars DESC, doc_id LIMIT 10
+""",
+    doc="ES ``sort`` by a doc-values field "
+    "(operators/search_ext.py:search_sort_by_field): the longest 10 "
+    "docs matching 'spark', ordered by STORED n_chars instead of "
+    "relevance (scoring disabled under a field sort, exactly ES) — "
+    "hit ids from the pruned postings probe join the column-pruned "
+    "doc-values scan, then TakeOrderedAndProject per-partition heaps; "
+    "the id tiebreak keeps deep pagination deterministic. Dispatched "
+    "from the ES _search body sort clause via es_search.",
+)
+def sorted_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pycasselastic_spark.operators.search_api import es_search
+
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"match": {"text": "spark"}},
+        "sort": [{"n_chars": "desc"}],
+        "size": 10,
+    })

@@ -1726,3 +1726,44 @@ def test_stats_and_histogram_aggs_from_docvalues(spark, tmp_path):
     import pytest as _p
     with _p.raises(ValueError, match="not stored"):
         SRCH.search_stats_agg(idx, ["spark"], "nope")
+
+
+def test_sort_by_field_and_analyzed_percolate(spark, tmp_path):
+    """Field sort from stored doc-values (scores disabled, id
+    tiebreak), and the percolator under an analyzer (docs tokenize
+    through the same chain the stored queries speak)."""
+    rows = [(i, "spark engine" if i % 2 else "other", 100 - i) for i in range(8)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "n_chars"])
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(
+        docs, "doc_id", "text", path, n_buckets=4, stored_fields=["n_chars"]
+    )
+    idx = SRCH.load_postings_index(spark, path)
+    got = [(r["doc_id"], r["n_chars"]) for r in
+           SRCH.search_sort_by_field(idx, ["spark"], "n_chars", False, 3).collect()]
+    assert got == [(1, 99), (3, 97), (5, 95)]
+    from pycasselastic_spark.operators.search_api import es_search
+    via = [(r["doc_id"], r["n_chars"]) for r in es_search(idx, {
+        "query": {"match": {"text": "spark"}},
+        "sort": [{"n_chars": "desc"}], "size": 3,
+    }).collect()]
+    assert via == got
+    import pytest as _p
+    with _p.raises(ValueError, match="sort direction"):
+        es_search(idx, {"query": {"match": {"text": "x"}},
+                         "sort": [{"n_chars": "down"}]})
+    # analyzed percolation: 'SPARK,' in a doc matches the stored
+    # query term 'spark' once the doc side runs the chain
+    an = SRCH.Analyzer(lowercase=True, strip_punct=True)
+    messy = spark.createDataFrame(
+        [(1, "The SPARK, engine!"), (2, "nothing here")],
+        ["doc_id", "text"],
+    )
+    queries = spark.createDataFrame(
+        [("q1", ["spark", "engine"], 2)],
+        "query_id STRING, terms ARRAY<STRING>, min_match INT",
+    )
+    got = SRCH.percolate(messy, "doc_id", "text", queries, analyzer=an).collect()
+    assert [(r["doc_id"], r["query_id"]) for r in got] == [(1, "q1")]
+    # without the analyzer the messy doc does NOT match
+    assert SRCH.percolate(messy, "doc_id", "text", queries).count() == 0
