@@ -720,7 +720,7 @@ def search_stats_agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min(field).alias("min_val"),
             F.max(field).alias("max_val"),
-            F.sum(field).alias("sum_val"),
+            F.sum(field).cast("long").alias("sum_val"),
             F.floor(F.avg(field) * Q20).cast("long").alias("avg_q20"),
         )
     )

@@ -748,7 +748,7 @@ hits AS (
 SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        MIN(n_chars) AS min_val,
        MAX(n_chars) AS max_val,
-       SUM(n_chars) AS sum_val,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_val,
        CAST(FLOOR(AVG(CAST(n_chars AS DOUBLE)) * 1048576.0) AS BIGINT)
          AS avg_q20
 FROM documents JOIN hits USING (doc_id)
