@@ -203,6 +203,24 @@ def es_search(
             extra = set(spec) - {"query", "minimum_should_match", "fuzziness"}
             if extra:
                 raise _err(f"match options {sorted(extra)}")
+            if "fuzziness" in spec and "minimum_should_match" in spec:
+                # the fuzzy probe has no min-match dial — honoring one
+                # option while silently dropping the other is exactly
+                # the dispatcher's forbidden failure mode
+                raise _err(
+                    "match with BOTH fuzziness and minimum_should_match"
+                )
+            if "search_after" in body and (
+                "fuzziness" in spec or "minimum_should_match" in spec
+            ):
+                # neither option threads the (score, id) cursor through
+                # its probe yet — returning page one again would
+                # silently duplicate/skip results under pagination
+                # (round-10 advisor finding)
+                raise _err(
+                    "search_after combined with match options "
+                    f"{sorted(set(spec) - {'query'})}"
+                )
             if "fuzziness" in spec:
                 return bm25_topk_fuzzy(
                     index, terms, k=size, max_dist=int(spec["fuzziness"])
@@ -255,6 +273,15 @@ def es_search(
         extra = set(q) - {"must", "should", "must_not", "filter"}
         if extra:
             raise _err(f"bool options {sorted(extra)}")
+        must_clauses = [
+            _clause_terms(index, c) for c in q.get("must", [])
+        ]
+        for c, body_c in zip(must_clauses, q.get("must", [])):
+            if not c:
+                # a must clause whose text analyzes to nothing can
+                # never be satisfied; ES would match nothing — raise
+                # instead of silently returning an empty page
+                raise _err(f"must clause analyzing to no terms: {body_c!r}")
         if "filter" in q:
             # filter context (non-scoring): served from the stored
             # doc-values relation; only the simple must+filter shape is
@@ -265,14 +292,27 @@ def es_search(
                     "bool filter combined with "
                     f"{sorted(set(q) - {'must', 'filter'})}"
                 )
-            must = [
-                t for c in q.get("must", []) for t in _clause_terms(index, c)
-            ]
+            if any(len(set(c)) > 1 for c in must_clauses):
+                # bm25_topk_filtered's min_match dial is per-TERM; a
+                # multi-term match clause needs per-clause coverage,
+                # which only bm25_bool_query implements — raise rather
+                # than silently tighten OR-within-clause to AND
+                raise _err(
+                    "multi-term match clause inside bool.must alongside "
+                    "filter (per-clause semantics not composable with "
+                    "the filter-context probe)"
+                )
+            must = [t for c in must_clauses for t in c]
             return bm25_topk_filtered(
                 index, must, _filter_predicates(q["filter"]), k=size,
                 min_match=len(set(must)),
             )
-        must = [t for c in q.get("must", []) for t in _clause_terms(index, c)]
+        # must passes CLAUSE structure through: a multi-term match
+        # clause is satisfied when ANY of its analyzed terms occurs
+        # (ES default operator OR inside match) — bm25_bool_query's
+        # per-clause conditional aggregates implement exactly that
+        # (round-10 advisor finding: flattening silently returned a
+        # strict subset of ES's results)
         should = [
             t for c in q.get("should", []) for t in _clause_terms(index, c)
         ]
@@ -280,6 +320,7 @@ def es_search(
             t for c in q.get("must_not", []) for t in _clause_terms(index, c)
         ]
         return bm25_bool_query(
-            index, must=must, should=should, must_not=must_not, k=size
+            index, must=must_clauses, should=should, must_not=must_not,
+            k=size,
         )
     raise _err(f"query type {qtype!r}")

@@ -26,21 +26,13 @@ from pycasselastic_spark.operators.search_probes import (
 )
 
 
-def _bounded_broadcast(
-    df: DataFrame, threshold: int = 2_000_000
-) -> DataFrame:
-    """Broadcast-or-shuffle escape hatch for candidate/hit relations
-    whose size is query-dependent: usually query-bounded-small (a few
-    terms' postings -> broadcast, keeping the corpus side
-    shuffle-free), but a stop-word-frequency query term can match a
-    corpus-scale fraction, where a forced broadcast would OOM the
-    driver/executors — fall back to a shuffle join there (ES's
-    sampler-aggregation escape hatch, chosen automatically). The
-    count() action re-runs the candidate aggregation once; probe
-    correctness at any scale is worth one bounded pass (round-9
-    advisor finding: every probe that broadcasts a scored candidate
-    set needs this, not just facets/significant_terms)."""
-    return df if df.count() > threshold else F.broadcast(df)
+# moved to search_index (round 11) so search_probes can use it too
+# (bm25_rescore's secondary set was the last unguarded broadcast);
+# re-imported here to keep this module's call sites and the facade's
+# re-export unchanged
+from pycasselastic_spark.operators.search_index import (  # noqa: E402
+    _bounded_broadcast,
+)
 
 
 def bm25_function_score(
@@ -435,8 +427,17 @@ def highlight_snippets(
     The candidate set and positions come from the pruned stored
     postings (no corpus scan to FIND matches); only the candidates
     join back to the raw text to cut the snippet — candidate-bounded
-    work, the same shape Lucene uses (stored-field fetch per hit)."""
+    work, the same shape Lucene uses (stored-field fetch per hit).
+
+    The snippet cut is ANALYZER-AWARE (round-10 advisor finding): the
+    stored positions are slot indices into the index's tokenizer
+    split, so the raw text re-splits with the SAME ``split_regex``
+    (slot semantics — dropped tokens kept their slot at ingest) before
+    slicing; a legacy index keeps the historical single-space split.
+    The snippet shows the RAW tokens at those slots — highlighting
+    displays source text, only the offsets come from analysis."""
     id_col = index.id_col
+    split_pat = index.analyzer.split_regex if index.analyzer else " "
     postings = index.live_postings_for(query_terms)
     firsts = postings.groupBy(id_col).agg(
         F.min(F.array_min("positions")).alias("first_pos"),
@@ -452,7 +453,8 @@ def highlight_snippets(
         "first_pos",
         "n_hit_terms",
         F.array_join(
-            F.slice(F.split(c, " "), F.col("first_pos") + 1, window), " "
+            F.slice(F.split(c, split_pat), F.col("first_pos") + 1, window),
+            " ",
         ).alias("snippet"),
     )
 

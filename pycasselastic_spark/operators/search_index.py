@@ -205,6 +205,25 @@ def analyze_terms_py(
 # not the corpus (pinned by tests/test_plans.py).
 
 
+def _bounded_broadcast(
+    df: DataFrame, threshold: int = 2_000_000
+) -> DataFrame:
+    """Broadcast-or-shuffle escape hatch for candidate/hit relations
+    whose size is query-dependent: usually query-bounded-small (a few
+    terms' postings -> broadcast, keeping the corpus side
+    shuffle-free), but a stop-word-frequency query term can match a
+    corpus-scale fraction, where a forced broadcast would OOM the
+    driver/executors — fall back to a shuffle join there (ES's
+    sampler-aggregation escape hatch, chosen automatically). The
+    count() action re-runs the candidate aggregation once; probe
+    correctness at any scale is worth one bounded pass (round-9
+    advisor finding: every probe that broadcasts a scored candidate
+    set needs this, not just facets/significant_terms). Lives here so
+    BOTH probe modules (search_probes, search_ext) reach it without a
+    circular import."""
+    return df if df.count() > threshold else F.broadcast(df)
+
+
 def _term_bucket_py(term: str, n_buckets: int) -> int:
     """Python twin of ``_term_bucket_col`` — md5-based so both sides
     agree regardless of PYTHONHASHSEED (same rationale as
@@ -1285,6 +1304,8 @@ def ingest_into_postings_index(
     policy: CompactionPolicy | None = None,
     defer_variants: bool = False,
     variant_depth: int = 1,
+    analyzer: Analyzer | None = None,
+    stored_fields: list[str] | None = None,
 ) -> None:
     """One maintenance step: bootstrap the index on the first batch,
     delta-update on every later one. This is the ``foreachBatch`` body
@@ -1305,8 +1326,34 @@ def ingest_into_postings_index(
     to guess when (round-8 verdict item). ``defer_variants`` skips the
     per-ingest fuzzy-dictionary write (1/3 of the ingest's file
     creation); the policy-triggered compaction is then also what
-    restores fuzzy recall for first-seen terms."""
+    restores fuzzy recall for first-seen terms.
+
+    ``analyzer``/``stored_fields`` are BOOTSTRAP-ONLY settings,
+    applied when the first batch creates the index (round-10 advisor
+    finding: without them a streaming-maintained index could never be
+    analyzed or carry doc-values — the first micro-batch permanently
+    pinned both to None). Once the index exists, its stats.json is
+    authoritative — a conflicting value here raises rather than
+    silently diverging from the stored settings (changing either is a
+    ``reindex_postings_index``, same contract as everywhere else)."""
     if os.path.exists(os.path.join(path, "stats.json")):
+        with open(os.path.join(path, "stats.json")) as f:
+            stats = json.load(f)
+        stored_an = stats.get("analyzer")
+        want_an = analyzer.to_dict() if analyzer else None
+        if want_an is not None and want_an != stored_an:
+            raise ValueError(
+                "ingest_into_postings_index: analyzer differs from the "
+                f"index's stored setting ({stored_an!r}) — changing the "
+                "analyzer is a reindex_postings_index, not an ingest"
+            )
+        stored_sf = sorted(stats.get("stored_fields") or [])
+        if stored_fields is not None and sorted(stored_fields) != stored_sf:
+            raise ValueError(
+                "ingest_into_postings_index: stored_fields differ from "
+                f"the index's stored setting ({stored_sf!r}) — changing "
+                "doc-values fields is a rebuild/reindex, not an ingest"
+            )
         update_postings_index(
             batch, text_col, path, defer_variants=defer_variants
         )
@@ -1314,7 +1361,8 @@ def ingest_into_postings_index(
             compact_postings_index(batch.sparkSession, path)
     else:
         build_postings_index(
-            batch, id_col, text_col, path, n_buckets, variant_depth
+            batch, id_col, text_col, path, n_buckets, variant_depth,
+            analyzer=analyzer, stored_fields=stored_fields,
         )
 
 
@@ -1327,18 +1375,24 @@ def start_streaming_index_maintenance(
     n_buckets: int = 16,
     policy: CompactionPolicy | None = None,
     defer_variants: bool = False,
+    analyzer: Analyzer | None = None,
+    stored_fields: list[str] | None = None,
 ):
     """Run index maintenance as a streaming query over a document
     stream; returns the StreamingQuery handle (availableNow drains the
     backlog and stops — the daemon trigger is the caller's choice).
     ``policy``/``defer_variants`` flow through to each micro-batch's
     ``ingest_into_postings_index`` — the long-running daemon shape
-    needs both (bounded generations/files, 1/3 fewer file creates)."""
+    needs both (bounded generations/files, 1/3 fewer file creates) —
+    and ``analyzer``/``stored_fields`` reach the bootstrap build, so a
+    streaming-born index can be analyzed and carry doc-values from its
+    first micro-batch (round-10 advisor finding)."""
 
     def fold(batch_df: DataFrame, _epoch: int) -> None:
         ingest_into_postings_index(
             batch_df, id_col, text_col, path, n_buckets,
             policy=policy, defer_variants=defer_variants,
+            analyzer=analyzer, stored_fields=stored_fields,
         )
 
     return (

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pycasselastic_spark.operators.search_index import (
     Q20,
     PostingsIndex,
+    _bounded_broadcast,
     _deletion_variants_py,
     _term_bucket_py,
 )
@@ -274,35 +275,69 @@ def bm25_topk_conjunctive(
     )
 
 
+def _as_clauses(terms: list) -> list[list[str]]:
+    """Normalize a bool-context term list to CLAUSES: a bare string is
+    its own single-term clause (the historical flat-list form — each
+    term independently required, unchanged behavior); a nested list is
+    one multi-term clause (a ``match`` query's analyzed terms — ES
+    default ``operator: OR``, satisfied when ANY of its terms hits)."""
+    return [[c] if isinstance(c, str) else list(c) for c in terms]
+
+
 def bm25_bool_query(
     index: PostingsIndex,
-    must: list[str],
-    should: list[str] | None = None,
-    must_not: list[str] | None = None,
+    must: list,
+    should: list | None = None,
+    must_not: list | None = None,
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
-    """The full ES ``bool`` query: docs must contain EVERY ``must``
-    term, ``should`` terms add relevance without being required, and
-    any ``must_not`` term excludes the doc outright. Returns
+    """The full ES ``bool`` query: every ``must`` CLAUSE must be
+    satisfied, ``should`` terms add relevance without being required,
+    and any ``must_not`` term excludes the doc outright. Returns
     ``(id, n_hit_terms, score_q20)`` — score over the must+should
     matches (must_not terms never contribute score, they only veto).
 
-    Plan shape: ONE pruned postings probe fetches all three clauses'
+    Clause semantics (round-10 advisor finding): ``must`` elements are
+    clauses — a bare string is a single-term clause (so the historical
+    flat-term call is byte-identical: every term required), while a
+    list of terms is ONE ``match`` clause, satisfied when ANY of its
+    analyzed terms occurs (ES's default ``operator: OR`` inside a
+    match — flattening it into per-term conjunction silently returned
+    a strict subset of ES's results). Scoring is unchanged either way:
+    BM25 sums over every matched scoring term, exactly how Lucene
+    scores a bool query (per-clause sums of per-term scores).
+    ``must_not`` flattens safely — a doc is vetoed iff ANY term of ANY
+    must_not clause hits, which is term-set semantics.
+
+    Plan shape: ONE pruned postings probe fetches all three contexts'
     terms; scoring rows (must+should) flow through the same
     broadcast-df + single-aggregation pipeline as every other probe,
-    with the must-hit count as one more conditional aggregate riding
-    that groupBy; the veto is a broadcast anti-join against the
-    (query-bounded) must_not doc list. No corpus access anywhere."""
+    with one conditional max PER MUST CLAUSE riding that groupBy
+    (clause count is query-bounded); the veto is a broadcast anti-join
+    against the (query-bounded) must_not doc list. No corpus access
+    anywhere."""
     should = should or []
     must_not = must_not or []
     id_col = index.id_col
-    all_terms = sorted(set(must) | set(should) | set(must_not))
+    must_clauses = _as_clauses(must)
+    must_terms = {t for c in must_clauses for t in c}
+    should_terms = {t for c in _as_clauses(should) for t in c}
+    not_terms = {t for c in _as_clauses(must_not) for t in c}
+    all_terms = sorted(must_terms | should_terms | not_terms)
     postings = index.live_postings_for(all_terms)
-    scoring_terms = sorted(set(must) | set(should))
+    scoring_terms = sorted(must_terms | should_terms)
     scoring = postings.filter(F.col("term").isin(scoring_terms))
     dfreq = scoring.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    clause_hits = [
+        F.max(
+            F.when(F.col("term").isin(sorted(set(c))), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias(f"_clause_{i}")
+        for i, c in enumerate(must_clauses)
+    ]
     scored = (
         scoring.join(F.broadcast(dfreq), "term")
         .withColumn(
@@ -326,13 +361,12 @@ def bm25_bool_query(
         .agg(
             F.count(F.lit(1)).alias("n_hit_terms"),
             F.floor(F.sum("term_score") * Q20).cast("long").alias("score_q20"),
-            F.count(
-                F.when(F.col("term").isin(sorted(set(must))), F.lit(1))
-            ).alias("must_hits"),
+            *clause_hits,
         )
-        .filter(F.col("must_hits") == len(set(must)))
-        .drop("must_hits")
     )
+    for i in range(len(must_clauses)):
+        scored = scored.filter(F.col(f"_clause_{i}") == 1)
+    scored = scored.drop(*[f"_clause_{i}" for i in range(len(must_clauses))])
     if must_not:
         vetoed = (
             postings.filter(F.col("term").isin(sorted(set(must_not))))
@@ -602,9 +636,14 @@ def bm25_rescore(
     the oracle replays the exact window membership; the weighted
     combine then runs on raw doubles with ONE Q20 floor at the end
     (function_score's one-floor rule). Plan shape: the secondary
-    probe's (query-bounded) output broadcasts to the ≤ window_size-row
-    window — the build side of a left-outer join must be the right
-    side — so neither input shuffles corpus-side."""
+    probe's (usually query-bounded) output broadcasts to the
+    ≤ window_size-row window — the build side of a left-outer join
+    must be the right side — so neither input shuffles corpus-side.
+    The broadcast is count-guarded (``_bounded_broadcast``): a
+    stop-word-frequency rescore term can produce a corpus-scale
+    secondary set, where the probe degrades to a shuffle join instead
+    of OOMing the driver (round-10 advisor finding — the last scored
+    candidate set still broadcast unguarded)."""
     id_col = index.id_col
     base = _bm25_scored_raw(index, query_terms, k1, b).withColumn(
         "base_q20", F.floor(F.col("score_raw") * Q20).cast("long")
@@ -617,7 +656,7 @@ def bm25_rescore(
     )
     return (
         window
-        .join(F.broadcast(secondary), id_col, "left")
+        .join(_bounded_broadcast(secondary), id_col, "left")
         .select(
             F.col(id_col),
             "n_hit_terms",

@@ -658,19 +658,23 @@ scored AS (
   GROUP BY doc_id, sc.n_docs)
 SELECT doc_id, n_hit_terms, score_q20
 FROM scored
-WHERE must_hits = 2
+WHERE must_hits >= 1
   AND doc_id NOT IN (SELECT doc_id FROM postings WHERE term = 'window')
 ORDER BY score_q20 DESC, doc_id LIMIT 10
 """,
     doc="The ES ``_search`` request-body API surface "
     "(operators/search_api.py:es_search, round 10): a user of the "
     "reference ports their POSTed JSON body — here a bool query with "
-    "match musts and a term must_not — and the dispatcher maps it 1:1 "
-    "onto the stored-index operators (match analyzes through the "
-    "index's stored chain, term stays exact, unsupported features "
-    "raise naming the ES feature rather than silently dropping a "
-    "clause). The plan IS bm25_bool_query's pinned probe; the oracle "
-    "replays the same bool semantics from raw text.",
+    "a multi-term match must and a term must_not — and the dispatcher "
+    "maps it 1:1 onto the stored-index operators (match analyzes "
+    "through the index's stored chain, term stays exact, unsupported "
+    "features raise naming the ES feature rather than silently "
+    "dropping a clause). PER-CLAUSE must semantics (fixed round 11, "
+    "advisor finding): the match clause is satisfied when ANY of its "
+    "analyzed terms occurs — ES's default operator OR inside match — "
+    "so the oracle requires must_hits >= 1, not per-term conjunction; "
+    "scoring still sums BM25 over all matched terms (Lucene's bool "
+    "scorer). The plan IS bm25_bool_query's pinned probe.",
 )
 def es_dsl_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pycasselastic_spark.operators.search_api import es_search

@@ -1767,3 +1767,175 @@ def test_sort_by_field_and_analyzed_percolate(spark, tmp_path):
     assert [(r["doc_id"], r["query_id"]) for r in got] == [(1, "q1")]
     # without the analyzer the messy doc does NOT match
     assert SRCH.percolate(messy, "doc_id", "text", queries).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# ROUND 11: advisor-finding regression tests — per-clause bool.must
+# semantics, strict match-option combinations, guarded rescore
+# broadcast, analyzer-aware highlighting, streaming bootstrap settings.
+# ---------------------------------------------------------------------------
+
+
+def test_bool_query_multi_term_match_clause_is_or_within(spark, tmp_path):
+    """ES semantics: a multi-term match clause inside ``must`` is
+    satisfied when ANY of its analyzed terms occurs (default operator
+    OR) — flattening it into per-term conjunction silently returned a
+    strict subset (round-10 advisor finding). Flat string elements
+    keep the historical every-term-required behavior."""
+    docs = _corpus(spark, [
+        (1, "quick brown fox"),
+        (2, "quick dog"),
+        (3, "brown bear"),
+        (4, "slow snail"),
+        (5, "quick brown dog x"),
+    ])
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4)
+    idx = SRCH.load_postings_index(spark, path)
+
+    # one clause ['quick','brown'] -> any of the two suffices
+    got = SRCH.bm25_bool_query(idx, must=[["quick", "brown"]], k=10).collect()
+    assert {r["doc_id"] for r in got} == {1, 2, 3, 5}
+    # flat list -> per-term conjunction, unchanged historical behavior
+    got = SRCH.bm25_bool_query(idx, must=["quick", "brown"], k=10).collect()
+    assert {r["doc_id"] for r in got} == {1, 5}
+    # two multi-term clauses AND-compose; must_not still vetoes
+    got = SRCH.bm25_bool_query(
+        idx, must=[["quick", "slow"], ["brown", "dog"]], must_not=["x"], k=10
+    ).collect()
+    assert {r["doc_id"] for r in got} == {1, 2}
+    # scoring sums over ALL matched scoring terms (clause OR never
+    # drops a matched term's contribution): doc 1 matched both terms
+    one = {r["doc_id"]: r for r in
+           SRCH.bm25_bool_query(idx, must=[["quick", "brown"]], k=10).collect()}
+    assert one[1]["n_hit_terms"] == 2
+
+    # es_search passes the clause structure through
+    from pycasselastic_spark.operators.search_api import es_search
+    via = es_search(idx, {"query": {"bool": {
+        "must": [{"match": {"text": "quick brown"}}],
+    }}, "size": 10}).collect()
+    assert {r["doc_id"] for r in via} == {1, 2, 3, 5}
+
+
+def test_es_search_match_option_combinations_raise(spark, tmp_path):
+    """search_after combined with match options would silently re-serve
+    page one (the cursor never reached the fuzzy/min-match probes), and
+    fuzziness+minimum_should_match together would drop one option —
+    both now raise naming the feature (round-10 advisor finding)."""
+    import pytest as _p
+
+    from pycasselastic_spark.operators.search_api import es_search
+
+    docs = _corpus(spark, [(1, "spark engine"), (2, "spark runs")])
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4)
+    idx = SRCH.load_postings_index(spark, path)
+
+    with _p.raises(ValueError, match="search_after combined with match"):
+        es_search(idx, {
+            "query": {"match": {"text": {"query": "spak", "fuzziness": 1}}},
+            "search_after": [100, 1],
+        })
+    with _p.raises(ValueError, match="search_after combined with match"):
+        es_search(idx, {
+            "query": {"match": {"text": {
+                "query": "spark engine", "minimum_should_match": 1}}},
+            "search_after": [100, 1],
+        })
+    with _p.raises(ValueError, match="BOTH fuzziness and minimum"):
+        es_search(idx, {"query": {"match": {"text": {
+            "query": "spark", "fuzziness": 1, "minimum_should_match": 1}}}})
+    # a multi-term match clause alongside filter context raises (the
+    # filter probe's min_match dial is per-term, not per-clause)
+    path2 = str(tmp_path / "idx2")
+    dv = spark.createDataFrame(
+        [(1, "spark engine", 10)], ["doc_id", "text", "n_chars"]
+    )
+    SRCH.build_postings_index(
+        dv, "doc_id", "text", path2, n_buckets=4, stored_fields=["n_chars"]
+    )
+    idx2 = SRCH.load_postings_index(spark, path2)
+    with _p.raises(ValueError, match="multi-term match clause"):
+        es_search(idx2, {"query": {"bool": {
+            "must": [{"match": {"text": "spark engine"}}],
+            "filter": [{"range": {"n_chars": {"gte": 5}}}],
+        }}})
+    # an all-stopword must clause raises instead of returning empty
+    an_path = str(tmp_path / "idx3")
+    SRCH.build_postings_index(
+        docs, "doc_id", "text", an_path, n_buckets=4,
+        analyzer=SRCH.Analyzer(stopwords=("the",)),
+    )
+    idx3 = SRCH.load_postings_index(spark, an_path)
+    with _p.raises(ValueError, match="no terms"):
+        es_search(idx3, {"query": {"bool": {
+            "must": [{"match": {"text": "the"}}]}}})
+
+
+def test_highlight_snippets_analyzer_aware_offsets(spark, tmp_path):
+    """Stored positions are slots of the index's tokenizer split; an
+    index built with split_regex=r'\\s+' must slice the raw text in
+    the SAME slot space or snippets cut at wrong offsets on
+    multi-space/tab text (round-10 advisor finding)."""
+    docs = _corpus(spark, [(1, "alpha  beta\tgamma target delta end")])
+    path = str(tmp_path / "idx")
+    an = SRCH.Analyzer(
+        lowercase=True, strip_punct=True, split_regex=r"\s+"
+    )
+    SRCH.build_postings_index(
+        docs, "doc_id", "text", path, n_buckets=4, analyzer=an
+    )
+    idx = SRCH.load_postings_index(spark, path)
+    got = SRCH.highlight_snippets(idx, docs, "text", ["target"], window=2)
+    row = got.collect()[0]
+    # regex-split slots: alpha=0 beta=1 gamma=2 target=3 -> snippet
+    # starts AT the match in slot space, showing the raw tokens there
+    assert row["first_pos"] == 3
+    assert row["snippet"] == "target delta"
+
+
+def test_streaming_bootstrap_carries_analyzer_and_docvalues(spark, tmp_path):
+    """A streaming-born index (first micro-batch bootstraps) must be
+    able to carry an analyzer and stored_fields (round-10 advisor
+    finding: the bootstrap branch pinned both to None forever); a
+    later conflicting setting raises instead of silently diverging."""
+    import pytest as _p
+
+    an = SRCH.Analyzer(lowercase=True, strip_punct=True)
+    rows = [(i, f"The W{i % 5}, common", i * 10) for i in range(20)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "n_chars"])
+    src = str(tmp_path / "src")
+    docs.repartition(2).write.parquet(src)
+    path = str(tmp_path / "idx")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = SRCH.start_streaming_index_maintenance(
+        stream, "doc_id", "text", path, str(tmp_path / "ckpt"),
+        n_buckets=4, analyzer=an, stored_fields=["n_chars"],
+    )
+    q.awaitTermination()
+    idx = SRCH.load_postings_index(spark, path)
+    assert idx.analyzer == an and idx.stored_fields == ("n_chars",)
+    # the analyzed probe sees chain-normalized terms from every batch
+    got = SRCH.bm25_topk_indexed(idx, ["w3"], k=50).collect()
+    assert {r["doc_id"] for r in got} == {3, 8, 13, 18}
+    # filter context works on the streaming-born doc-values
+    f = SRCH.bm25_topk_filtered(
+        idx, ["common"], [("n_chars", ">=", 150)], k=50
+    ).collect()
+    assert {r["doc_id"] for r in f} == {15, 16, 17, 18, 19}
+    # conflicting settings on a LATER ingest raise loudly
+    with _p.raises(ValueError, match="analyzer differs"):
+        SRCH.ingest_into_postings_index(
+            docs.limit(1), "doc_id", "text", path, n_buckets=4,
+            analyzer=SRCH.Analyzer(lowercase=False),
+        )
+    with _p.raises(ValueError, match="stored_fields differ"):
+        SRCH.ingest_into_postings_index(
+            docs.limit(1), "doc_id", "text", path, n_buckets=4,
+            stored_fields=["doc_id"],
+        )
