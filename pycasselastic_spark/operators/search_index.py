@@ -51,10 +51,30 @@ _PUNCT_RE = "[^a-zA-Z0-9]"
 class Analyzer:
     """An ES-style analysis chain: optional lowercase, optional
     punctuation strip (every char outside [a-zA-Z0-9]), optional
-    stopword drop — applied per token of the single-space split, in
-    that fixed order (ES's standard tokenizer + lowercase filter +
-    stop filter shape). Frozen: an analyzer is an index SETTING;
-    changing it is a reindex, not a mutation."""
+    stopword drop, optional synonym fold, optional suffix-stripping
+    stem — applied per token of the tokenizer split, in that fixed
+    order (ES's standard tokenizer + lowercase + stop + synonym +
+    stemmer filter shape; the reference delegates all of this to ES's
+    index analyzers, ``pyCassElastic.py:329,334``). Frozen: an
+    analyzer is an index SETTING; changing it is a reindex, not a
+    mutation.
+
+    ``synonyms`` is an ordered sequence of single-token (src, dst)
+    rewrites applied at BOTH index and query time (ES synonym filter
+    in its index-time form): a token equal to ``src`` becomes ``dst``,
+    so variants fold into one stored term (tf sums, position slots
+    union — exactly what a multi-token ingest of the same term does).
+    Rules apply sequentially in the given order, so a later rule sees
+    earlier rewrites (a->b, b->c cascades a to c) — the order is part
+    of the setting and is persisted as given, never sorted.
+
+    ``stem=True`` appends the S-stemmer (Harman's suffix-stripper —
+    the shape of ES's ``minimal_english`` stemmer): for tokens of
+    length >= 4, ``-ies`` becomes ``-y`` (unless ``-eies``/``-aies``),
+    else a trailing ``-es`` drops its ``s`` (unless ``-aes``/``-ees``/
+    ``-oes``), else a trailing ``-s`` drops (unless ``-us``/``-ss``).
+    Deterministic string ops only — both engines and the Python twin
+    compute it byte-identically."""
 
     lowercase: bool = True
     strip_punct: bool = True
@@ -65,14 +85,33 @@ class Analyzer:
     # choice is an index setting like everything else here, and the
     # Python twin is pinned byte-identical to the Spark side in tests.
     split_regex: str = " "
+    synonyms: tuple[tuple[str, str], ...] = ()
+    stem: bool = False
+
+    def __post_init__(self) -> None:
+        for pair in self.synonyms:
+            src, dst = pair
+            if not src or not dst or " " in src or " " in dst:
+                raise ValueError(
+                    "synonym rules must map one non-empty token to "
+                    f"another (multi-word synonyms are a graph filter "
+                    f"this chain does not implement): {pair!r}"
+                )
 
     def to_dict(self) -> dict:
-        return {
+        d = {
             "lowercase": self.lowercase,
             "strip_punct": self.strip_punct,
             "stopwords": sorted(self.stopwords),
             "split_regex": self.split_regex,
         }
+        # only serialized when used, so round-10 stats.json files and
+        # their oracles remain byte-stable
+        if self.synonyms:
+            d["synonyms"] = [list(p) for p in self.synonyms]  # ordered
+        if self.stem:
+            d["stem"] = True
+        return d
 
     @staticmethod
     def from_dict(d: dict | None) -> "Analyzer | None":
@@ -83,6 +122,10 @@ class Analyzer:
             strip_punct=bool(d["strip_punct"]),
             stopwords=tuple(d["stopwords"]),
             split_regex=d.get("split_regex", " "),
+            synonyms=tuple(
+                (p[0], p[1]) for p in d.get("synonyms", [])
+            ),
+            stem=bool(d.get("stem", False)),
         )
 
     def split_py(self, text: str) -> list[str]:
@@ -104,6 +147,47 @@ class Analyzer:
             out = F.when(
                 out.isin(list(self.stopwords)), F.lit("")
             ).otherwise(out)
+        for src, dst in self.synonyms:
+            # sequential whens so a later rule sees earlier rewrites —
+            # exactly what apply_py's sequential reassignment does
+            out = F.when(out == F.lit(src), F.lit(dst)).otherwise(out)
+        if self.stem:
+            # an exception TERMINATES its suffix class ('goes' hits
+            # the -oes exception and stays 'goes' — it must not fall
+            # through to the bare -s rule), so each class guards its
+            # exceptions inside the branch
+            n = F.length(out)
+            out = (
+                F.when(
+                    out.endswith("ies"),
+                    F.when(
+                        (n >= 4)
+                        & ~out.endswith("eies")
+                        & ~out.endswith("aies"),
+                        F.concat(
+                            F.substring(out, F.lit(1), n - 3), F.lit("y")
+                        ),
+                    ).otherwise(out),
+                )
+                .when(
+                    out.endswith("es"),
+                    F.when(
+                        (n >= 4)
+                        & ~out.endswith("aes")
+                        & ~out.endswith("ees")
+                        & ~out.endswith("oes"),
+                        F.substring(out, F.lit(1), n - 1),
+                    ).otherwise(out),
+                )
+                .when(
+                    out.endswith("s"),
+                    F.when(
+                        (n >= 4) & ~out.endswith("us") & ~out.endswith("ss"),
+                        F.substring(out, F.lit(1), n - 1),
+                    ).otherwise(out),
+                )
+                .otherwise(out)
+            )
         return out
 
     def apply_py(self, token: str) -> str:
@@ -119,6 +203,21 @@ class Analyzer:
             out = re.sub(_PUNCT_RE, "", out)
         if self.stopwords and out in self.stopwords:
             out = ""
+        for src, dst in self.synonyms:
+            if out == src:
+                out = dst
+        if self.stem:
+            if out.endswith("ies"):
+                if len(out) >= 4 and not out.endswith(("eies", "aies")):
+                    out = out[:-3] + "y"
+            elif out.endswith("es"):
+                if len(out) >= 4 and not out.endswith(
+                    ("aes", "ees", "oes")
+                ):
+                    out = out[:-1]
+            elif out.endswith("s"):
+                if len(out) >= 4 and not out.endswith(("us", "ss")):
+                    out = out[:-1]
         return out
 
 

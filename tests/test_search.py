@@ -1939,3 +1939,107 @@ def test_streaming_bootstrap_carries_analyzer_and_docvalues(spark, tmp_path):
             docs.limit(1), "doc_id", "text", path, n_buckets=4,
             stored_fields=["doc_id"],
         )
+
+
+def test_analyzer_stem_and_synonym_stages(spark, tmp_path):
+    """Round-11 chain stages: the S-stemmer folds -ies/-es/-s suffixes
+    (with the us/ss/aes/ees/oes/eies/aies exclusions and the len>=4
+    guard), synonyms rewrite sequentially in rule order (a later rule
+    sees earlier rewrites), and the Spark column expression equals the
+    Python twin byte-for-byte."""
+    an = SRCH.Analyzer(
+        stem=True, stopwords=("the",),
+        synonyms=(("join", "merge"), ("merge", "fold")),
+    )
+    cases = {
+        "Ties,": "ty",        # ies -> y
+        "values": "value",    # es -> e (drop s)
+        "goes": "goes",       # oes excluded
+        "glass": "glass",     # ss excluded
+        "bus": "bus",         # us excluded
+        "its": "its",         # len < 4 guard
+        "scans": "scan",      # plain s drop
+        "join": "fold",       # synonym cascade join->merge->fold
+        "merge": "fold",      # second rule directly
+        "the": "",            # stopword drops before synonyms/stem
+    }
+    for raw, want in cases.items():
+        assert an.apply_py(raw) == want, (raw, an.apply_py(raw), want)
+    df = spark.createDataFrame([(" ".join(cases),)], ["text"])
+    got = df.select(
+        SRCH_INDEX.analyze_tokens("text", an).alias("a")
+    ).collect()[0]["a"]
+    assert got == [an.apply_py(t) for t in cases]
+    # settings round-trip through stats.json preserves RULE ORDER
+    rt = SRCH.Analyzer.from_dict(an.to_dict())
+    assert rt == an
+    # legacy round-10 serialization stays byte-stable (no new keys)
+    legacy = SRCH.Analyzer(stopwords=("a",))
+    assert set(legacy.to_dict()) == {
+        "lowercase", "strip_punct", "stopwords", "split_regex"
+    }
+    import pytest as _p
+    with _p.raises(ValueError, match="synonym rules"):
+        SRCH.Analyzer(synonyms=(("big data", "bigdata"),))
+
+
+def test_stemmed_index_folds_plurals_end_to_end(spark, tmp_path):
+    """An index built with stem=True must score singular+plural as ONE
+    term (tf folds), and a legacy index upgraded via
+    reindex_postings_index(stem analyzer) must rank identically to the
+    stemmed-from-birth build."""
+    docs = _corpus(spark, [
+        (1, "merge merges sorts"),
+        (2, "merge other words"),
+        (3, "sort sort nothing"),
+    ])
+    born = str(tmp_path / "born")
+    an = SRCH.Analyzer(lowercase=True, strip_punct=True, stem=True)
+    SRCH.build_postings_index(docs, "doc_id", "text", born, n_buckets=4,
+                              analyzer=an)
+    idx = SRCH.load_postings_index(spark, born)
+    assert idx.analyze_terms(["Merges,", "sorts"]) == ["merge", "sort"]
+    got = {r["doc_id"]: r for r in
+           SRCH.bm25_topk_indexed(idx, ["merge", "sort"], k=10).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_hit_terms"] == 2  # merges+sorts folded in
+    # tf folded: doc 1 has tf(merge)=2 -> outscores doc 2's tf=1
+    assert got[1]["score_q20"] > got[2]["score_q20"]
+    # legacy -> reindex upgrade ranks identically
+    legacy = str(tmp_path / "legacy")
+    upgraded = str(tmp_path / "upgraded")
+    SRCH.build_postings_index(docs, "doc_id", "text", legacy, n_buckets=4)
+    SRCH.reindex_postings_index(spark, legacy, upgraded, analyzer=an)
+    idx2 = SRCH.load_postings_index(spark, upgraded)
+    got2 = sorted(map(tuple,
+        SRCH.bm25_topk_indexed(idx2, ["merge", "sort"], k=10).collect()))
+    assert got2 == sorted(map(tuple, (r for r in (
+        SRCH.bm25_topk_indexed(idx, ["merge", "sort"], k=10).collect()))))
+
+
+def test_synonym_index_merges_statistics(spark, tmp_path):
+    """Index-time synonyms fold variants into one stored term: df/idf
+    count the merged posting set and a doc holding both variants sums
+    tf — never two separate terms."""
+    docs = _corpus(spark, [
+        (1, "join merge x"),   # both variants -> tf 2 after fold
+        (2, "join y z"),
+        (3, "merge w v"),
+        (4, "other stuff q"),
+    ])
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(
+        docs, "doc_id", "text", path, n_buckets=4,
+        analyzer=SRCH.Analyzer(synonyms=(("join", "merge"),)),
+    )
+    idx = SRCH.load_postings_index(spark, path)
+    assert idx.analyze_terms(["join"]) == ["merge"]
+    rows = {r["doc_id"]: r for r in
+            SRCH.bm25_topk_indexed(idx, ["merge"], k=10).collect()}
+    assert set(rows) == {1, 2, 3}
+    # doc 1's folded tf=2 must outscore the single-variant docs
+    assert rows[1]["score_q20"] > rows[2]["score_q20"]
+    assert rows[2]["score_q20"] == rows[3]["score_q20"]  # same dl, tf
+    # stored postings hold ONLY the canonical term
+    terms = {r["term"] for r in idx.live_postings().select("term").collect()}
+    assert "join" not in terms and "merge" in terms
