@@ -18,6 +18,7 @@ from pycasselastic_spark.operators.search_index import (
     Q20,
     PostingsIndex,
     _tokens,
+    dv_col,
 )
 from pycasselastic_spark.operators.search_probes import (
     _bm25_scored,
@@ -679,7 +680,7 @@ def bm25_topk_filtered(
             )
         if op not in _OPS:
             raise ValueError(f"unsupported filter op {op!r}")
-        dv = dv.filter(_OPS[op](F.col(field), F.lit(value)))
+        dv = dv.filter(_OPS[op](dv_col(field), F.lit(value)))
     scored = _bm25_scored(index, query_terms, k1, b).filter(
         F.col("n_hit_terms") >= min_match
     )
@@ -715,15 +716,15 @@ def search_stats_agg(
         )
     id_col = index.id_col
     hits = index.live_postings_for(query_terms).select(id_col).distinct()
-    dv = index.live_docvalues().select(id_col, field)
+    dv = index.live_docvalues().select(F.col(id_col), dv_col(field))
     return (
         dv.join(_bounded_broadcast(hits), id_col)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.min(field).alias("min_val"),
-            F.max(field).alias("max_val"),
-            F.sum(field).cast("long").alias("sum_val"),
-            F.floor(F.avg(field) * Q20).cast("long").alias("avg_q20"),
+            F.min(dv_col(field)).alias("min_val"),
+            F.max(dv_col(field)).alias("max_val"),
+            F.sum(dv_col(field)).cast("long").alias("sum_val"),
+            F.floor(F.avg(dv_col(field)) * Q20).cast("long").alias("avg_q20"),
         )
     )
 
@@ -749,9 +750,10 @@ def search_histogram_agg(
         )
     id_col = index.id_col
     hits = index.live_postings_for(query_terms).select(id_col).distinct()
-    dv = index.live_docvalues().select(id_col, field)
+    dv = index.live_docvalues().select(F.col(id_col), dv_col(field))
     bucket = (
-        F.floor(F.col(field) / F.lit(float(interval))) * F.lit(float(interval))
+        F.floor(dv_col(field) / F.lit(float(interval)))
+        * F.lit(float(interval))
     ).alias("bucket")
     return (
         dv.join(_bounded_broadcast(hits), id_col)
@@ -786,8 +788,8 @@ def search_sort_by_field(
         )
     id_col = index.id_col
     hits = index.live_postings_for(query_terms).select(id_col).distinct()
-    dv = index.live_docvalues().select(id_col, field)
-    order = F.col(field).asc() if ascending else F.col(field).desc()
+    dv = index.live_docvalues().select(F.col(id_col), dv_col(field))
+    order = dv_col(field).asc() if ascending else dv_col(field).desc()
     return (
         dv.join(_bounded_broadcast(hits), id_col)
         .orderBy(order, F.col(id_col).asc())

@@ -654,6 +654,15 @@ def build_postings_index(
     })
 
 
+def dv_col(field: str) -> Column:
+    """Reference a STORED doc-values column by its literal name.
+    Dotted ES field paths (``meta.lang``) are stored as literal
+    column names in the docvalues relation, so reads must
+    backtick-quote them — a bare ``F.col("meta.lang")`` would resolve
+    a struct path instead."""
+    return F.col("`" + field + "`")
+
+
 def _write_docvalues(
     docs: DataFrame, id_col: str, stored_fields: list[str],
     n_buckets: int, gen: int, path: str, mode: str,
@@ -661,15 +670,36 @@ def _write_docvalues(
     """One generation's doc-values rows: (ibucket, id, <fields>, gen),
     bucketed by the DOC id like the forward relation. One projection
     of the ingest frame — no tokenize, no shuffle beyond the bucket
-    repartition that keeps it to one file per touched bucket."""
+    repartition that keeps it to one file per touched bucket.
+
+    A stored field may be a DOTTED PATH into a struct column
+    (``meta.lang`` — the ES object-field idiom: the reference's
+    ``_source`` is nested JSON in principle, SURVEY §1.2, though it
+    only ever read flat fields, ``pyCassElastic.py:272-274``): the
+    path resolves through the struct at write time and is stored
+    FLATTENED under its literal dotted name, exactly how ES maps
+    ``{"meta": {"lang": "en"}}`` to the field ``meta.lang``. Nested
+    ARRAYS of objects (ES ``nested`` type, per-element match
+    semantics) are a different query model — refused by name."""
+    proj = docs.select(
+        _term_bucket_col(F.col(id_col).cast("string"), n_buckets)
+        .alias("ibucket"),
+        F.col(id_col),
+        *[F.col(f).alias(f) for f in sorted(stored_fields)],
+        F.lit(gen).cast("long").alias("gen"),
+    )
+    from pyspark.sql.types import ArrayType
+
+    for f in sorted(stored_fields):
+        if isinstance(proj.schema[f].dataType, ArrayType):
+            raise ValueError(
+                f"stored field {f!r} is an array — ES 'nested'-type "
+                "per-element match semantics are not implemented; "
+                "store a scalar path (e.g. an element or a derived "
+                "scalar column) instead"
+            )
     (
-        docs.select(
-            _term_bucket_col(F.col(id_col).cast("string"), n_buckets)
-            .alias("ibucket"),
-            F.col(id_col),
-            *[F.col(f) for f in sorted(stored_fields)],
-            F.lit(gen).cast("long").alias("gen"),
-        )
+        proj
         .repartition("ibucket")
         .write.partitionBy("ibucket")
         .mode(mode)

@@ -1096,3 +1096,112 @@ def reindex_upgrade_stemmer_documents(
     terms = idx.analyze_terms(["Scans,", "rows"])
     assert terms == ["scan", "row"]
     return SRCH.bm25_topk_indexed(idx, terms, k=10)
+
+
+# ---------------------------------------------------------------------------
+# ROUND 11: object/dotted-field search (round-10 verdict item 3). The
+# ES ``_source`` is nested JSON in principle (SURVEY §1.2); the
+# reference only ever read flat fields (pyCassElastic.py:272-274)
+# because its corpus was flat — a real migration corpus carries
+# object fields like {"meta": {"lang": "en"}}, which ES flattens to
+# the dotted path ``meta.lang``. The index now does the same: a
+# stored_fields entry may be a dotted path into a struct column,
+# resolved through the struct at ingest and stored FLATTENED under
+# its literal dotted name in the doc-values relation; every
+# doc-values probe quotes literal names (search_index.py:dv_col), so
+# filter/term/sort/aggs accept dotted paths end-to-end from the ES
+# request body. Nested ARRAYS of objects (ES ``nested`` type) raise
+# by name.
+# ---------------------------------------------------------------------------
+
+_OBJECT_INDEX_CACHE: dict[str, str] = {}
+
+
+def _object_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with an ES-style object column: meta = {lang, source}
+    (the flat fixture columns folded INTO a struct, so the dotted-path
+    resolution does real work)."""
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
+    return docs.select(
+        "doc_id", "text", "n_chars",
+        F.struct(F.col("lang"), F.col("source")).alias("meta"),
+    )
+
+
+def _object_index_for(
+    spark: SparkSession, sf_dir: str
+) -> "SRCH.PostingsIndex":
+    path = _OBJECT_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        path = os.path.join(tempfile.mkdtemp(prefix="object_idx_"), "idx")
+        SRCH.build_postings_index(
+            _object_documents(spark, sf_dir), "doc_id", "text", path,
+            n_buckets=16,
+            # one dotted path + one flat column: both forms coexist in
+            # the same doc-values relation
+            stored_fields=["meta.lang", "n_chars"],
+        )
+        _OBJECT_INDEX_CACHE[sf_dir] = path
+    return SRCH.load_postings_index(spark, path)
+
+
+@register(
+    "object_field_search_documents",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+postings AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY term, doc_id
+),
+qt AS (SELECT * FROM postings WHERE term IN ('merge',)),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+              AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+       FROM documents)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+       CAST(FLOOR(SUM(
+         ln(1.0 + (sc.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (qt.tf * 2.2)
+         / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / sc.avgdl))
+       ) * 1048576.0) AS BIGINT) AS score_q20
+FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+WHERE doc_id IN (
+  SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 300
+)
+GROUP BY doc_id, sc.n_docs
+ORDER BY score_q20 DESC, doc_id LIMIT 10
+""",
+    doc="ES object-field search over struct columns (round-11 verdict "
+    "item 3): the docs frame folds lang/source into a ``meta`` struct, "
+    "the index stores the DOTTED PATH ``meta.lang`` as a doc-values "
+    "field (resolved through the struct at ingest, flattened under its "
+    "literal dotted name — exactly ES's object-field mapping), and the "
+    "ES request body {'term': {'meta.lang': 'en'}} dispatches through "
+    "es_search's filter context against stored state: pushed parquet "
+    "predicates, non-scoring, no raw docs frame at query time. A flat "
+    "field (n_chars range) rides the same filter list, proving dotted "
+    "and flat doc-values coexist. Nested arrays (ES 'nested' type) "
+    "raise naming the feature. The oracle replays the filters from the "
+    "flat fixture columns — the struct fold must be semantically "
+    "invisible.",
+)
+def object_field_search_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pycasselastic_spark.operators.search_api import es_search
+
+    idx = _object_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"bool": {
+            "must": [{"match": {"text": "merge"}}],
+            "filter": [
+                {"term": {"meta.lang": "en"}},
+                {"range": {"n_chars": {"gte": 300}}},
+            ],
+        }},
+        "size": 10,
+    })

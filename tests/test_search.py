@@ -2043,3 +2043,66 @@ def test_synonym_index_merges_statistics(spark, tmp_path):
     # stored postings hold ONLY the canonical term
     terms = {r["term"] for r in idx.live_postings().select("term").collect()}
     assert "join" not in terms and "merge" in terms
+
+
+def test_docvalues_dotted_object_fields(spark, tmp_path):
+    """ES object-field mapping: a stored_fields entry may be a dotted
+    path into a struct column, flattened under its literal dotted name
+    at ingest; filters/sort/stats accept the dotted name end-to-end
+    (search_index.py:dv_col quoting), delta ingests re-resolve the
+    path, and nested ARRAY fields raise naming the ES feature."""
+    import pytest as _p
+
+    rows = [
+        (i, f"spark w{i % 3}", {"lang": "en" if i % 2 else "de",
+                                 "src": f"s{i % 2}"}, i * 10)
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id LONG, text STRING, "
+        "meta STRUCT<lang: STRING, src: STRING>, n_chars LONG",
+    )
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(
+        docs, "doc_id", "text", path, n_buckets=4,
+        stored_fields=["meta.lang", "n_chars"],
+    )
+    idx = SRCH.load_postings_index(spark, path)
+    assert idx.stored_fields == ("meta.lang", "n_chars")
+    got = SRCH.bm25_topk_filtered(
+        idx, ["spark"],
+        [("meta.lang", "=", "en"), ("n_chars", ">=", 30)], k=20,
+    ).collect()
+    assert sorted(r["doc_id"] for r in got) == [3, 5, 7, 9]
+    # es_search dispatches the dotted path in a term filter
+    from pycasselastic_spark.operators.search_api import es_search
+    via = es_search(idx, {"query": {"bool": {
+        "must": [{"match": {"text": "spark"}}],
+        "filter": [{"term": {"meta.lang": "en"}},
+                    {"range": {"n_chars": {"gte": 30}}}],
+    }}, "size": 20}).collect()
+    assert sorted(map(tuple, via)) == sorted(map(tuple, got))
+    # sort and stats aggs work on the dotted field too
+    s = SRCH.search_sort_by_field(idx, ["spark"], "meta.lang", True, 3)
+    assert [r["doc_id"] for r in s.collect()] == [0, 2, 4]  # 'de' first
+    st = SRCH.search_stats_agg(idx, ["spark"], "n_chars").collect()[0]
+    assert (st["n_docs"], st["min_val"], st["max_val"]) == (10, 0, 90)
+    # delta ingest re-resolves the struct path (LWW doc-values)
+    delta = spark.createDataFrame(
+        [(3, "spark w0", {"lang": "de", "src": "s1"}, 30)],
+        docs.schema,
+    )
+    SRCH.update_postings_index(delta, "text", path)
+    idx2 = SRCH.load_postings_index(spark, path)
+    got2 = SRCH.bm25_topk_filtered(
+        idx2, ["spark"], [("meta.lang", "=", "en")], k=20
+    ).collect()
+    assert 3 not in {r["doc_id"] for r in got2}
+    # nested ARRAY fields refuse by name (ES 'nested' type)
+    arr = docs.withColumn("tags", F.array(F.lit("a"), F.lit("b")))
+    with _p.raises(ValueError, match="array"):
+        SRCH.build_postings_index(
+            arr, "doc_id", "text", str(tmp_path / "arr"), n_buckets=4,
+            stored_fields=["tags"],
+        )
