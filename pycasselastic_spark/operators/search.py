@@ -300,3 +300,10 @@ from pycasselastic_spark.operators.search_ext import (  # noqa: E402,F401
 from pycasselastic_spark.operators.search_ext import (  # noqa: E402,F401
     search_sort_by_field,
 )
+from pycasselastic_spark.operators.search_rollover import (  # noqa: E402,F401
+    RolloverPolicy,
+    ingest_with_rollover,
+    load_family,
+    rollover_bm25_topk,
+    write_index_path,
+)

