@@ -221,31 +221,34 @@ def phrase_search(
 from pycasselastic_spark.operators.search_index import (  # noqa: E402,F401
     Analyzer,
     PostingsIndex,
-    CompactionPolicy,
     analyze_terms_py,
     analyze_tokens,
     analyzed_dl,
     _claim_generation,
     _deletion_variants_expr,
     _deletion_variants_py,
-    _max_files_per_bucket,
     _positional_postings,
     _term_bucket_col,
     _term_bucket_py,
     _write_index_relations,
     _write_stats,
     build_postings_index,
+    dv_col,
+    load_postings_index,
+    load_postings_index_by_alias,
+    resolve_index_alias,
+    set_index_alias,
+    update_postings_index,
+)
+from pycasselastic_spark.operators.search_lifecycle import (  # noqa: E402,F401
+    CompactionPolicy,
+    _max_files_per_bucket,
     compact_postings_index,
     index_health,
     ingest_into_postings_index,
-    load_postings_index,
-    load_postings_index_by_alias,
     reindex_postings_index,
-    resolve_index_alias,
-    set_index_alias,
     snapshot_postings_index,
     start_streaming_index_maintenance,
-    update_postings_index,
 )
 from pycasselastic_spark.operators.search_probes import (  # noqa: E402,F401
     _bm25_scored,

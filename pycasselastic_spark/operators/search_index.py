@@ -949,640 +949,3 @@ def load_postings_index_by_alias(
     ``set_index_alias`` once, and every subsequent load serves the new
     index while in-flight probes keep their already-resolved one."""
     return load_postings_index(spark, resolve_index_alias(alias_path))
-
-
-_INDEX_RELATIONS = (
-    "postings", "forward", "variants", "docstats", "superseded", "docvalues",
-)
-
-
-def snapshot_postings_index(src: str, dst: str) -> dict:
-    """ES snapshot: a crash-consistent, point-in-time copy of a stored
-    index that a concurrent UPDATER cannot corrupt. Returns the
-    snapshot's stats dict; "restore" is simply
-    ``load_postings_index(spark, dst)`` — a snapshot IS a full index.
-
-    Why this is safe without pausing writes: stats.json is captured
-    FIRST, freezing the committed-generation set that defines the
-    snapshot's truth. Data files are then copied; an update committing
-    mid-copy may leave its rows partially present in the copied files,
-    but those rows are tagged with a generation OUTSIDE the captured
-    committed set, so every reader of the snapshot filters them out —
-    the same orphan-invisibility contract that makes crashes safe
-    (``update_postings_index`` step 3). The captured stats file is
-    written LAST into a temp directory that becomes ``dst`` via one
-    atomic rename, so a crashed snapshot never leaves a half-snapshot
-    at the destination. Writer-state claim files are NOT copied (the
-    snapshot is read-only history; restoring and then updating it
-    re-claims from ``next_gen``). Like every maintenance op here,
-    concurrent COMPACTION of the source is the one excluded writer
-    (compaction deletes files mid-copy; same single-writer caveat).
-    """
-    import shutil
-
-    with open(os.path.join(src, "stats.json")) as f:
-        stats = json.load(f)
-    # INCREMENTAL (round-9 verdict item 8): data files are HARD-LINKED,
-    # not copied — safe because index data files are immutable once
-    # written (ingests append NEW files; compaction/reindex replace
-    # whole directories, and the snapshot's links keep the inodes
-    # alive past any later rmtree of the source) — exactly ES's
-    # segment-sharing incremental snapshots. A snapshot is therefore
-    # metadata-only at any index size: O(#files) link syscalls, zero
-    # data bytes copied; a snapshot after one delta ingest creates new
-    # storage only for stats.json (every data inode is shared — pinned
-    # in tests/test_search.py). Cross-filesystem destinations fall
-    # back to a real per-file copy.
-    def _link_or_copy(s: str, d: str) -> None:
-        try:
-            os.link(s, d)
-        except OSError:  # cross-device / FS without hard links
-            shutil.copy2(s, d)
-
-    tmp = dst + ".snapshot-tmp"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    os.makedirs(tmp)
-    for rel in _INDEX_RELATIONS:
-        rel_src = os.path.join(src, rel)
-        if os.path.isdir(rel_src):
-            shutil.copytree(
-                rel_src, os.path.join(tmp, rel), copy_function=_link_or_copy
-            )
-    with open(os.path.join(tmp, "stats.json"), "w") as f:
-        json.dump(stats, f)
-    os.rename(tmp, dst)
-    return stats
-
-
-def _live_relations(
-    spark: SparkSession,
-    path: str,
-    idx: PostingsIndex,
-    committed: list[int],
-    new_buckets: int,
-    variant_depth: int,
-) -> tuple[tuple[str, DataFrame, str | None], ...]:
-    """The live (superseded-folded, generation-0) state of every stored
-    relation, re-bucketed/re-dictionaried at the TARGET settings —
-    derived from stored postings alone, never raw text. Shared by
-    in-place compaction (same settings) and ``reindex_postings_index``
-    (settings change into a fresh directory)."""
-    live_postings = idx.postings.join(
-        idx.superseded, [idx.id_col, "gen"], "left_anti"
-    ).withColumn("gen", F.lit(0).cast("long"))
-    live_forward = idx.forward.join(
-        idx.superseded, [idx.id_col, "gen"], "left_anti"
-    ).withColumn("gen", F.lit(0).cast("long"))
-    if new_buckets != idx.n_buckets:
-        live_postings = live_postings.withColumn(
-            "pbucket", _term_bucket_col(F.col("term"), new_buckets)
-        )
-        live_forward = live_forward.withColumn(
-            "ibucket",
-            _term_bucket_col(F.col(idx.id_col).cast("string"), new_buckets),
-        )
-    # committed filter first: orphan rows from crashed updates are
-    # physically dropped here, never resurrected
-    docstats = spark.read.parquet(os.path.join(path, "docstats")).filter(
-        F.col("gen").isin(committed)
-    )
-    live_stats = docstats.join(
-        idx.superseded, [idx.id_col, "gen"], "left_anti"
-    ).withColumn("gen", F.lit(0).cast("long"))
-
-    # the dictionary is REBUILT from live postings here (at the stored
-    # depth) — this is also what restores fuzzy recall for terms whose
-    # ingest deferred its variants write (``defer_variants=True``)
-    live_variants = (
-        live_postings.select("term")
-        .distinct()
-        .select(
-            F.col("term"),
-            F.lit(0).cast("long").alias("gen"),
-            F.explode(
-                F.expr(_deletion_variants_expr(variant_depth))
-            ).alias("variant"),
-        )
-        .withColumn("vbucket", _term_bucket_col(F.col("variant"), new_buckets))
-    )
-
-    relations = [
-        ("postings", live_postings, "pbucket"),
-        ("forward", live_forward, "ibucket"),
-        ("variants", live_variants, "vbucket"),
-        ("docstats", live_stats, None),
-    ]
-    if idx.docvalues is not None:
-        live_dv = idx.docvalues.join(
-            idx.superseded, [idx.id_col, "gen"], "left_anti"
-        ).withColumn("gen", F.lit(0).cast("long"))
-        if new_buckets != idx.n_buckets:
-            live_dv = live_dv.withColumn(
-                "ibucket",
-                _term_bucket_col(
-                    F.col(idx.id_col).cast("string"), new_buckets
-                ),
-            )
-        relations.append(("docvalues", live_dv, "ibucket"))
-    return tuple(relations)
-
-
-def _write_relations_to(
-    relations: tuple[tuple[str, DataFrame, str | None], ...], root: str
-) -> None:
-    for rel, df, partition in relations:
-        w = df.repartition(partition) if partition else df
-        writer = w.write.mode("overwrite")
-        if partition:
-            writer = writer.partitionBy(partition)
-        writer.parquet(os.path.join(root, rel))
-
-
-def compact_postings_index(
-    spark: SparkSession,
-    path: str,
-    n_buckets: int | None = None,
-    variant_depth: int | None = None,
-) -> tuple[int, int]:
-    """Index maintenance (the LSM-compaction twin of
-    ``sources.pyds.compact_lwwstore``): fold superseded generations out
-    of the stored postings/docstats, truncate the superseded list, and
-    reset the generation to 0. Returns (superseded_rows_before, 0).
-
-    After compaction every probe plan gets CHEAPER: generation 0 means
-    ``live_postings_for`` skips the anti-join entirely. Run it when the
-    superseded side has grown past broadcast comfort (many re-ingests).
-    Single-writer AND single-reader-excluded per index path while it
-    runs (the relation swap is multiple renames), like every
-    maintenance op here; a crash leaves each relation either fully old
-    or fully new, with the final stats rewrite as the commit.
-
-    SETTINGS ARE IMMUTABLE IN PLACE: passing ``n_buckets`` /
-    ``variant_depth`` different from the stored settings raises —
-    an in-place settings change would let a concurrent reader pair the
-    OLD stats.json (old modulus) with NEW bucket values mid-swap and
-    silently mis-prune (round-9 advisor finding). Settings changes go
-    through ``reindex_postings_index`` (fresh directory, one atomic
-    rename, alias cutover) — which is also how ES does it."""
-    with open(os.path.join(path, "stats.json")) as f:
-        stats = json.load(f)
-    stored_depth = stats.get("variant_depth", 1)
-    if n_buckets is not None and n_buckets != stats["n_buckets"]:
-        raise ValueError(
-            f"n_buckets={n_buckets} differs from stored "
-            f"{stats['n_buckets']}: settings changes are a reindex, not "
-            "a compaction — use reindex_postings_index into a fresh "
-            "path and cut over via set_index_alias"
-        )
-    if variant_depth is not None and variant_depth != stored_depth:
-        raise ValueError(
-            f"variant_depth={variant_depth} differs from stored "
-            f"{stored_depth}: settings changes are a reindex, not a "
-            "compaction — use reindex_postings_index into a fresh path "
-            "and cut over via set_index_alias"
-        )
-    idx = load_postings_index(spark, path)
-    n_superseded = idx.superseded.count()
-    relations = _live_relations(
-        spark, path, idx, stats["committed_gens"], idx.n_buckets,
-        stored_depth,
-    )
-    # phase 1: materialize EVERY compacted relation into a tmp dir
-    # while the source directories still exist (live_variants and
-    # live_forward derive from the postings relation — swapping
-    # postings first would pull the files out from under their plans)
-    staged = {
-        rel: os.path.join(path, f"{rel}.compact-tmp")
-        for rel, _, _ in relations
-    }
-    for rel, df, partition in relations:
-        w = df.repartition(partition) if partition else df
-        writer = w.write.mode("overwrite")
-        if partition:
-            writer = writer.partitionBy(partition)
-        writer.parquet(staged[rel])
-    # phase 2: swap them in (rename-based; a crash mid-phase leaves
-    # each relation either fully old or fully new — and the stats
-    # rewrite below is what commits the compaction)
-    import shutil
-
-    for rel, _, _ in relations:
-        old = os.path.join(path, f"{rel}.old")
-        live = os.path.join(path, rel)
-        os.replace(live, old)
-        os.replace(staged[rel], live)
-        shutil.rmtree(old)
-    spark.createDataFrame(
-        [], f"{idx.id_col} LONG, gen LONG, by_gen LONG"
-    ).write.mode("overwrite").parquet(os.path.join(path, "superseded"))
-    # generation numbers restart at 1, so the claim files of the folded
-    # (and any orphaned) generations are cleared with them — as is any
-    # stale commit lock (compaction requires exclusive access anyway)
-    for name in os.listdir(path):
-        if name.startswith("gen-") and name.endswith(".claim"):
-            os.remove(os.path.join(path, name))
-    lock = os.path.join(path, _COMMIT_LOCK)
-    if os.path.exists(lock):
-        os.remove(lock)
-    _write_stats(path, {
-        "n_docs": idx.n_docs, "total_dl": idx.total_dl, "generation": 0,
-        "next_gen": 1, "committed_gens": [0],
-        "n_buckets": idx.n_buckets, "id_col": idx.id_col,
-        "variant_depth": stored_depth,
-        "analyzer": stats.get("analyzer"),
-        "stored_fields": stats.get("stored_fields"),
-    })
-    return n_superseded, 0
-
-
-def _reanalyzed_relations(
-    spark: SparkSession,
-    idx: PostingsIndex,
-    live_docstats: DataFrame,
-    analyzer: Analyzer,
-    new_buckets: int,
-    variant_depth: int,
-) -> tuple[tuple[tuple[str, DataFrame, str | None], ...], DataFrame]:
-    """Every relation of ``idx`` re-derived under a NEW analyzer, from
-    stored postings alone — the ES change-the-analyzer reindex, no raw
-    text. Each stored term maps through the chain; terms that merge
-    (e.g. 'The' and 'the' under lowercase) fold into one posting with
-    tf summed and position slots unioned; dropped terms (stopwords,
-    punctuation-only) leave position GAPS exactly as an analyzed
-    from-birth ingest would. Doc length becomes the kept-token count —
-    recomputed per doc as sum(tf) over its surviving terms (the Lucene
-    field norm; a doc whose every token drops keeps a docstats row
-    with dl=0). Returns (relations, per-doc dl frame for the scalar
-    rebuild). One corpus-postings-sized shuffle on (new_term, id),
-    then bucket-partitioned writes — the same cost shape as a plain
-    re-bucketing compaction."""
-    id_col = idx.id_col
-    mapped = (
-        idx.live_postings()
-        .withColumn("new_term", analyzer._apply_col(F.col("term")))
-        .filter(F.col("new_term") != "")
-    )
-    new_postings = (
-        mapped.groupBy("new_term", id_col)
-        .agg(
-            F.sum("tf").alias("tf"),
-            F.sort_array(F.flatten(F.collect_list("positions"))).alias(
-                "positions"
-            ),
-        )
-        .withColumnRenamed("new_term", "term")
-    )
-    new_dl = new_postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    # the authoritative doc list is DOCSTATS, not the postings — a doc
-    # whose every token dropped (or that never had tokens) keeps its
-    # row with dl = 0
-    all_docs = live_docstats.select(id_col).distinct()
-    doc_dl = all_docs.join(new_dl, id_col, "left").select(
-        F.col(id_col), F.coalesce(F.col("dl"), F.lit(0)).cast("long").alias("dl")
-    )
-    live_postings = (
-        new_postings.join(doc_dl, id_col)
-        .withColumn("gen", F.lit(0).cast("long"))
-        .withColumn("pbucket", _term_bucket_col(F.col("term"), new_buckets))
-        .select("pbucket", "term", id_col, "tf", "positions", "dl", "gen")
-    )
-    live_forward = live_postings.select(
-        _term_bucket_col(F.col(id_col).cast("string"), new_buckets).alias(
-            "ibucket"
-        ),
-        F.col(id_col), "term", "tf", "gen",
-    )
-    live_variants = (
-        live_postings.select("term")
-        .distinct()
-        .select(
-            F.col("term"),
-            F.lit(0).cast("long").alias("gen"),
-            F.explode(
-                F.expr(_deletion_variants_expr(variant_depth))
-            ).alias("variant"),
-        )
-        .withColumn("vbucket", _term_bucket_col(F.col("variant"), new_buckets))
-    )
-    live_stats = doc_dl.withColumn("gen", F.lit(0).cast("long"))
-    relations = [
-        ("postings", live_postings, "pbucket"),
-        ("forward", live_forward, "ibucket"),
-        ("variants", live_variants, "vbucket"),
-        ("docstats", live_stats, None),
-    ]
-    if idx.docvalues is not None:
-        live_dv = idx.live_docvalues().withColumn(
-            "gen", F.lit(0).cast("long")
-        )
-        if new_buckets != idx.n_buckets:
-            live_dv = live_dv.withColumn(
-                "ibucket",
-                _term_bucket_col(
-                    F.col(idx.id_col).cast("string"), new_buckets
-                ),
-            )
-        relations.append(("docvalues", live_dv, "ibucket"))
-    return tuple(relations), doc_dl
-
-
-def reindex_postings_index(
-    spark: SparkSession,
-    src: str,
-    dst: str,
-    n_buckets: int | None = None,
-    variant_depth: int | None = None,
-    analyzer: Analyzer | None = None,
-) -> dict:
-    """ES zero-downtime REINDEX: build a COMPLETE new index at ``dst``
-    from the stored state of ``src`` under changed settings —
-    re-bucketing for more scan parallelism, or deepening the FastSS
-    fuzzy dictionary to fuzziness=2 — without ever touching raw text
-    (the stored postings carry terms, positions, and doc lengths).
-    Returns the new index's stats dict.
-
-    Crash/read atomicity is the snapshot contract: every relation AND
-    the new stats.json are staged in a temp directory that becomes
-    ``dst`` via ONE ``os.rename``, so ``dst`` either does not exist or
-    is a complete, internally-consistent index — a reader can never
-    pair old bucket moduli with new bucket values (the hazard the
-    in-place settings change had; round-9 advisor finding). ``src`` is
-    only read. Cut readers over with ``set_index_alias(alias, dst)``
-    (its own single-rename swap); in-flight probes keep their resolved
-    ``src``.
-
-    ``analyzer`` is the third reindexable setting — THE canonical ES
-    reindex trigger (you changed the analysis chain and every stored
-    term must be re-analyzed): stored terms map through the new chain,
-    merged terms fold (tf summed, position slots unioned), dropped
-    terms leave Lucene-style position gaps, and doc lengths become
-    kept-token counts — all from stored postings, never raw text. Only
-    upgrading FROM the legacy exact-token index (no stored analyzer)
-    is supported: an already-analyzed index has lost the original
-    token bytes (lowercased/stripped at ingest), so re-analyzing it
-    with a DIFFERENT chain would compound transforms — rebuild from
-    raw text for that."""
-    import shutil
-
-    with open(os.path.join(src, "stats.json")) as f:
-        stats = json.load(f)
-    idx = load_postings_index(spark, src)
-    new_buckets = n_buckets or idx.n_buckets
-    new_depth = variant_depth or stats.get("variant_depth", 1)
-    n_docs, total_dl = idx.n_docs, idx.total_dl
-    stored_analyzer = stats.get("analyzer")
-    if analyzer is not None and stored_analyzer is not None:
-        if analyzer.to_dict() != stored_analyzer:
-            raise ValueError(
-                "re-analyzing an already-analyzed index would compound "
-                "transforms (the original token bytes are gone) — "
-                "rebuild from raw text to change an analyzer"
-            )
-        analyzer = None  # same chain: a plain re-bucket/deepen reindex
-    if analyzer is not None:
-        committed = stats["committed_gens"]
-        docstats = spark.read.parquet(
-            os.path.join(src, "docstats")
-        ).filter(F.col("gen").isin(committed))
-        live_docstats = docstats.join(
-            idx.superseded, [idx.id_col, "gen"], "left_anti"
-        )
-        relations, doc_dl = _reanalyzed_relations(
-            spark, idx, live_docstats, analyzer, new_buckets, new_depth
-        )
-        agg = doc_dl.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
-        ).collect()[0]
-        n_docs, total_dl = agg["n"], int(agg["s"] or 0)
-        new_analyzer_dict = analyzer.to_dict()
-    else:
-        relations = _live_relations(
-            spark, src, idx, stats["committed_gens"], new_buckets, new_depth
-        )
-        new_analyzer_dict = stored_analyzer
-    tmp = dst + ".reindex-tmp"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    os.makedirs(tmp)
-    _write_relations_to(relations, tmp)
-    spark.createDataFrame(
-        [], f"{idx.id_col} LONG, gen LONG, by_gen LONG"
-    ).write.mode("overwrite").parquet(os.path.join(tmp, "superseded"))
-    new_stats = {
-        "n_docs": n_docs, "total_dl": total_dl, "generation": 0,
-        "next_gen": 1, "committed_gens": [0],
-        "n_buckets": new_buckets, "id_col": idx.id_col,
-        "variant_depth": new_depth,
-        "analyzer": new_analyzer_dict,
-        "stored_fields": stats.get("stored_fields"),
-    }
-    with open(os.path.join(tmp, "stats.json"), "w") as f:
-        json.dump(new_stats, f)
-    os.rename(tmp, dst)
-    return new_stats
-
-
-@dataclass
-class CompactionPolicy:
-    """When ``ingest_into_postings_index`` should fold the index back
-    to a single generation. The reference daemon commits every minute
-    (``SyncCassElastic.py:45-47``) — a day of that is ~1,440
-    generations, and probe cost grows with committed generations (more
-    files per bucket partition to open, a bigger superseded side for
-    the anti-join). The policy bounds both: compact when EITHER the
-    committed-generation count or the postings files-per-bucket
-    maximum crosses its threshold. Thresholds are deliberately coarse
-    — compaction rewrites the whole index (corpus-sized), so it should
-    amortize over many batch-sized ingests; the daemon-cadence curve
-    in SCALING.md §index-lifecycle picked the defaults."""
-
-    max_committed_gens: int = 32
-    max_files_per_bucket: int = 64
-
-    def due(self, path: str) -> bool:
-        with open(os.path.join(path, "stats.json")) as f:
-            stats = json.load(f)
-        if len(stats["committed_gens"]) > self.max_committed_gens:
-            return True
-        return (
-            _max_files_per_bucket(os.path.join(path, "postings"))
-            > self.max_files_per_bucket
-        )
-
-
-def _max_files_per_bucket(relation_dir: str) -> int:
-    """Largest parquet-file count across one relation's bucket
-    partition directories (driver-side listing: n_buckets dirs — the
-    same bounded filesystem peek the lwwstore manifest reader does)."""
-    worst = 0
-    if not os.path.isdir(relation_dir):
-        return 0
-    for bucket in os.listdir(relation_dir):
-        sub = os.path.join(relation_dir, bucket)
-        if not (bucket.count("=") == 1 and os.path.isdir(sub)):
-            continue
-        n = sum(1 for f in os.listdir(sub) if f.endswith(".parquet"))
-        worst = max(worst, n)
-    return worst
-
-
-def ingest_into_postings_index(
-    batch: DataFrame, id_col: str, text_col: str, path: str,
-    n_buckets: int = 16,
-    policy: CompactionPolicy | None = None,
-    defer_variants: bool = False,
-    variant_depth: int = 1,
-    analyzer: Analyzer | None = None,
-    stored_fields: list[str] | None = None,
-) -> None:
-    """One maintenance step: bootstrap the index on the first batch,
-    delta-update on every later one. This is the ``foreachBatch`` body
-    that keeps the index ALWAYS FRESH under a document stream — the
-    reference's entire sync loop (each cycle bulk-upserts the increment
-    into ES so ES's index stays current, pyCassElastic.py:316-354),
-    re-expressed as Structured Streaming over the stored postings.
-
-    Replay-safe: a re-delivered micro-batch re-ingests the same ids,
-    which supersedes its own earlier generation and converges to the
-    identical probe state (the same LWW-absorbs-replay argument as the
-    snapshot store) — at-least-once delivery, exactly-once index
-    visibility.
-
-    ``policy`` adds self-maintenance at daemon cadence: after the
-    ingest commits, compact when the policy says the generation/file
-    state has grown past its thresholds — the operator no longer has
-    to guess when (round-8 verdict item). ``defer_variants`` skips the
-    per-ingest fuzzy-dictionary write (1/3 of the ingest's file
-    creation); the policy-triggered compaction is then also what
-    restores fuzzy recall for first-seen terms.
-
-    ``analyzer``/``stored_fields`` are BOOTSTRAP-ONLY settings,
-    applied when the first batch creates the index (round-10 advisor
-    finding: without them a streaming-maintained index could never be
-    analyzed or carry doc-values — the first micro-batch permanently
-    pinned both to None). Once the index exists, its stats.json is
-    authoritative — a conflicting value here raises rather than
-    silently diverging from the stored settings (changing either is a
-    ``reindex_postings_index``, same contract as everywhere else)."""
-    if os.path.exists(os.path.join(path, "stats.json")):
-        with open(os.path.join(path, "stats.json")) as f:
-            stats = json.load(f)
-        stored_an = stats.get("analyzer")
-        want_an = analyzer.to_dict() if analyzer else None
-        if want_an is not None and want_an != stored_an:
-            raise ValueError(
-                "ingest_into_postings_index: analyzer differs from the "
-                f"index's stored setting ({stored_an!r}) — changing the "
-                "analyzer is a reindex_postings_index, not an ingest"
-            )
-        stored_sf = sorted(stats.get("stored_fields") or [])
-        if stored_fields is not None and sorted(stored_fields) != stored_sf:
-            raise ValueError(
-                "ingest_into_postings_index: stored_fields differ from "
-                f"the index's stored setting ({stored_sf!r}) — changing "
-                "doc-values fields is a rebuild/reindex, not an ingest"
-            )
-        update_postings_index(
-            batch, text_col, path, defer_variants=defer_variants
-        )
-        if policy is not None and policy.due(path):
-            compact_postings_index(batch.sparkSession, path)
-    else:
-        build_postings_index(
-            batch, id_col, text_col, path, n_buckets, variant_depth,
-            analyzer=analyzer, stored_fields=stored_fields,
-        )
-
-
-def start_streaming_index_maintenance(
-    doc_stream: DataFrame,
-    id_col: str,
-    text_col: str,
-    path: str,
-    checkpoint_dir: str,
-    n_buckets: int = 16,
-    policy: CompactionPolicy | None = None,
-    defer_variants: bool = False,
-    analyzer: Analyzer | None = None,
-    stored_fields: list[str] | None = None,
-):
-    """Run index maintenance as a streaming query over a document
-    stream; returns the StreamingQuery handle (availableNow drains the
-    backlog and stops — the daemon trigger is the caller's choice).
-    ``policy``/``defer_variants`` flow through to each micro-batch's
-    ``ingest_into_postings_index`` — the long-running daemon shape
-    needs both (bounded generations/files, 1/3 fewer file creates) —
-    and ``analyzer``/``stored_fields`` reach the bootstrap build, so a
-    streaming-born index can be analyzed and carry doc-values from its
-    first micro-batch (round-10 advisor finding)."""
-
-    def fold(batch_df: DataFrame, _epoch: int) -> None:
-        ingest_into_postings_index(
-            batch_df, id_col, text_col, path, n_buckets,
-            policy=policy, defer_variants=defer_variants,
-            analyzer=analyzer, stored_fields=stored_fields,
-        )
-
-    return (
-        doc_stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-
-
-def index_health(
-    index: PostingsIndex, include_lifecycle: bool = False
-) -> DataFrame:
-    """Operational stats of the STORED index, per term bucket:
-    ``(pbucket, n_postings, n_terms, max_df, total_tf)`` over LIVE
-    postings — the observability an operator needs before trusting an
-    index at scale (bucket balance = scan parallelism; max_df = the
-    boilerplate/stop-term hazard; superseded share comes from
-    ``PostingsIndex.superseded`` directly). Reads only the stored
-    postings — one aggregation, never the corpus.
-
-    ``include_lifecycle=True`` adds the daemon-cadence columns the
-    round-8 verdict asked for: ``n_files`` (parquet files in that
-    bucket's postings partition — what every probe must open) and
-    ``n_gens`` (committed generation count, constant across rows).
-    Both come from a driver-side peek at stats.json + n_buckets
-    directory listings, not a Spark job; they are exactly the inputs
-    ``CompactionPolicy`` thresholds on, so an operator can read the
-    compaction pressure off the health report."""
-    live = index.postings
-    if index.generation > 0:
-        live = live.join(
-            F.broadcast(index.superseded), [index.id_col, "gen"], "left_anti"
-        )
-    per_term = live.groupBy("pbucket", "term").agg(
-        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("term_tf")
-    )
-    health = per_term.groupBy("pbucket").agg(
-        F.sum("df").alias("n_postings"),
-        F.count(F.lit(1)).alias("n_terms"),
-        F.max("df").alias("max_df"),
-        F.sum("term_tf").alias("total_tf"),
-    )
-    if not include_lifecycle:
-        return health
-    with open(os.path.join(index.path, "stats.json")) as f:
-        n_gens = len(json.load(f)["committed_gens"])
-    postings_dir = os.path.join(index.path, "postings")
-    counts = []
-    for bucket in range(index.n_buckets):
-        sub = os.path.join(postings_dir, f"pbucket={bucket}")
-        n = (
-            sum(1 for x in os.listdir(sub) if x.endswith(".parquet"))
-            if os.path.isdir(sub)
-            else 0
-        )
-        counts.append((bucket, n))
-    files = index.postings.sparkSession.createDataFrame(
-        counts, "pbucket INT, n_files INT"
-    )
-    return health.join(F.broadcast(files), "pbucket", "left").withColumn(
-        "n_gens", F.lit(n_gens)
-    )

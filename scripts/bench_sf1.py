@@ -140,8 +140,44 @@ def synthesize_sf1(spark, src_dir: str, out_dir: str) -> None:
         f"{out_dir}/customer.parquet"
     )
 
-    # small dims some queries touch incidentally: copy as-is
-    for t in ("region", "nation", "supplier", "part", "orders", "lineitem"):
+    # TPC-H fact/dim tables: replicate 10x with CONSISTENT key offsets
+    # so every join relationship survives per replica and replicas
+    # never interact (disjoint key ranges) — required for the
+    # full-catalog sf1 ladder (round-11 verdict item 5; before this,
+    # orders/lineitem were copied as-is and TPC-H ratios were
+    # meaningless at "sf1"). o_custkey shares the customer offset
+    # already applied above.
+    orders = spark.read.parquet(f"{src_dir}/orders.parquet")
+    li = spark.read.parquet(f"{src_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{src_dir}/part.parquet")
+    supp = spark.read.parquet(f"{src_dir}/supplier.parquet")
+    order_off = 10 ** len(str(orders.agg(F.max("o_orderkey")).collect()[0][0]))
+    part_off = 10 ** len(str(part.agg(F.max("p_partkey")).collect()[0][0]))
+    supp_off = 10 ** len(str(supp.agg(F.max("s_suppkey")).collect()[0][0]))
+    reps = {"orders": [], "lineitem": [], "part": [], "supplier": []}
+    for r in range(REPLICAS):
+        reps["orders"].append(
+            _offset(_offset(orders, "o_orderkey", r * order_off),
+                    "o_custkey", r * user_off)
+        )
+        reps["lineitem"].append(
+            _offset(_offset(_offset(li, "l_orderkey", r * order_off),
+                            "l_partkey", r * part_off),
+                    "l_suppkey", r * supp_off)
+        )
+        reps["part"].append(_offset(part, "p_partkey", r * part_off))
+        reps["supplier"].append(_offset(supp, "s_suppkey", r * supp_off))
+    for t, parts_t in reps.items():
+        out = parts_t[0]
+        for p in parts_t[1:]:
+            out = out.unionByName(p)
+        out.repartition(32 if t in ("orders", "lineitem") else 8).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{t}.parquet")
+
+    # genuinely tiny dims: copy as-is (nationkey/regionkey spaces are
+    # shared by every replica — they are the broadcast dimensions)
+    for t in ("region", "nation"):
         src = f"{src_dir}/{t}.parquet"
         if os.path.exists(src):
             spark.read.parquet(src).write.mode("overwrite").parquet(

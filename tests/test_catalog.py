@@ -43,25 +43,25 @@ def test_query_runs(spark, sf_dir, name):
     assert len(df.columns) == len(set(df.columns))
 
 
-def test_round10_gate_slots():
-    """The driver hashes the FIRST 50 registered queries; the round-10
-    rotation puts the 27 post-gate round-9 registrations in slots
-    0-26, the 15 remaining stale-r6 rows in slots 27-41, the three
-    NEW round-10 queries in slots 42-44, and the first five stale-r7
-    rows in slots 45-49. Pin the boundary slots so an accidental
-    registration reorder is caught before the driver runs
-    (COVERAGE.md enumerates the full list)."""
+def test_round11_gate_slots():
+    """The driver hashes the FIRST 50 registered queries; the round-11
+    rotation puts the five post-gate round-10 registrations in slots
+    0-4, the five NEW round-11 queries in slots 5-9, and the first 40
+    of the 45 stale-r7 rows in slots 10-49 (CORRECTNESS_r07 order).
+    Pin the boundary slots so an accidental registration reorder is
+    caught before the driver runs (COVERAGE.md enumerates the full
+    list)."""
     names = list(QUERIES)
-    assert names[0] == "min_should_match_bm25_documents"
-    assert names[26] == "msearch_bm25_documents"
-    assert names[27] == "streaming_approx_distinct_windows"
-    assert names[41] == "minhash_lsh_neardup"
-    assert names[42] == "analyzed_bm25_documents"
-    assert names[43] == "reindex_upgrade_analyzer_documents"
-    assert names[44] == "fuzzy2_match_customer_names"
-    assert names[45] == "inverted_index_documents"
-    assert names[49] == "containment_neardup_documents"
+    assert names[0] == "es_dsl_search_documents"
+    assert names[4] == "sorted_search_documents"
+    assert names[5] == "stemmed_bm25_documents"
+    assert names[6] == "synonym_bm25_documents"
+    assert names[7] == "reindex_upgrade_stemmer_documents"
+    assert names[8] == "object_field_search_documents"
+    assert names[9] == "rollover_bm25_documents"
+    assert names[10] == "cluster_aware_split_documents"
+    assert names[49] == "streaming_stream_stream_join"
     # the gate is the FIRST 50; post-gate registrations grow the tail
     # every round (COVERAGE.md enumerates them), so pin a floor, not
     # an exact count — an accidental DEregistration still fails here
-    assert len(names) >= 196
+    assert len(names) >= 205
