@@ -303,6 +303,11 @@ from pycasselastic_spark.operators.search_ext import (  # noqa: E402,F401
 from pycasselastic_spark.operators.search_ext import (  # noqa: E402,F401
     search_sort_by_field,
 )
+from pycasselastic_spark.operators.search_ext import (  # noqa: E402,F401
+    search_exists,
+    search_ids,
+    terms_set_search,
+)
 from pycasselastic_spark.operators.search_rollover import (  # noqa: E402,F401
     RolloverPolicy,
     ingest_with_rollover,

@@ -44,10 +44,13 @@ from pycasselastic_spark.operators.search_probes import (
 from pycasselastic_spark.operators.search_ext import (
     bm25_collapse,
     bm25_topk_filtered,
+    search_exists,
     search_facets,
     search_histogram_agg,
+    search_ids,
     search_sort_by_field,
     search_stats_agg,
+    terms_set_search,
     top_hits_by_facet,
 )
 
@@ -114,7 +117,10 @@ def es_search(
     - ``query``: ``match`` (analyzed, OR semantics; optional
       ``minimum_should_match`` / ``fuzziness``), ``term`` (exact),
       ``match_phrase`` (+``slop``), ``match_phrase_prefix``,
-      ``prefix``, ``wildcard``, ``regexp``, and ``bool`` with
+      ``prefix``, ``wildcard``, ``regexp``, ``exists`` (stored
+      doc-values non-NULL scan), ``ids`` (live-doc batch lookup),
+      ``terms_set`` (per-doc threshold from a stored
+      ``minimum_should_match_field``), and ``bool`` with
       ``must`` / ``should`` / ``must_not`` lists of match/term leaves.
     - ``size`` (default 10) and ``search_after`` ([score_q20, id] —
       the (score desc, id asc) cursor, match-only).
@@ -178,7 +184,9 @@ def es_search(
                 hits_per_bucket=int(s["top_hits"].get("size", 3)),
             )
         return search_facets(
-            index, docs, terms, field, k=int(agg["terms"].get("size", size))
+            index, docs, terms, field,
+            k=int(agg["terms"].get("size", size)),
+            missing=agg["terms"].get("missing"),
         )
 
     if "collapse" in body:
@@ -244,6 +252,27 @@ def es_search(
     if qtype == "term":
         _field, value = _single(q, "term")
         return bm25_topk_indexed(index, [str(value)], k=size)
+    if qtype == "exists":
+        if set(q) != {"field"}:
+            raise _err(f"exists options {sorted(set(q) - {'field'})}")
+        return search_exists(index, q["field"], k=size)
+    if qtype == "ids":
+        if set(q) != {"values"}:
+            raise _err(f"ids options {sorted(set(q) - {'values'})}")
+        return search_ids(index, list(q["values"]), k=size)
+    if qtype == "terms_set":
+        field, spec = _single(q, "terms_set")
+        extra = set(spec) - {"terms", "minimum_should_match_field"}
+        if extra:
+            # minimum_should_match_script etc. — raise by name rather
+            # than fall back to a constant threshold
+            raise _err(f"terms_set options {sorted(extra)}")
+        if "minimum_should_match_field" not in spec:
+            raise _err("terms_set without minimum_should_match_field")
+        return terms_set_search(
+            index, [str(t) for t in spec["terms"]],
+            spec["minimum_should_match_field"], k=size,
+        )
     if qtype == "match_phrase":
         _field, spec = _single(q, "match_phrase")
         slop = 0

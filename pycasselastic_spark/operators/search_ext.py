@@ -174,6 +174,7 @@ def search_facets(
     query_terms: list[str],
     facet_col: str,
     k: int = 10,
+    missing: str | None = None,
 ) -> DataFrame:
     """ES search + aggregations (a terms facet over the hit set):
     ``(facet value, n_docs)`` for every doc matching ANY query term,
@@ -181,13 +182,25 @@ def search_facets(
     pruned stored postings (no corpus scan to FIND matches); only the
     (query-bounded) candidate ids broadcast-join back to the docs
     table for the facet column — the same candidate-bounded
-    stored-field fetch shape as highlighting."""
+    stored-field fetch shape as highlighting.
+
+    ``missing`` is the ES terms-agg ``missing`` parameter: hits whose
+    facet value is NULL count under that substitute bucket; without
+    it they are EXCLUDED from the buckets entirely (ES's default —
+    docs without the field simply don't aggregate)."""
     id_col = index.id_col
     hits = index.live_postings_for(query_terms).select(id_col).distinct()
     hit_side = _bounded_broadcast(hits)
+    facet = (
+        F.coalesce(F.col(facet_col), F.lit(missing))
+        if missing is not None
+        else F.col(facet_col)
+    ).alias(facet_col)
+    joined = hit_side.join(docs.select(id_col, facet), id_col)
+    if missing is None:
+        joined = joined.filter(F.col(facet_col).isNotNull())
     return (
-        hit_side
-        .join(docs.select(id_col, facet_col), id_col)
+        joined
         .groupBy(facet_col)
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy(F.col("n_docs").desc(), F.col(facet_col).asc())
@@ -793,5 +806,107 @@ def search_sort_by_field(
     return (
         dv.join(_bounded_broadcast(hits), id_col)
         .orderBy(order, F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def search_exists(
+    index: PostingsIndex,
+    field: str,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``exists`` query: docs whose STORED doc-values ``field``
+    holds a value (non-NULL) — how ES users find docs carrying an
+    optional field at all (the reference's corpus was flat and fully
+    populated, ``pyCassElastic.py:272-274``, but a migration corpus
+    has sparse fields). ES scores every hit 1.0; with scores tied the
+    page order is the id tiebreak, so the deterministic contract is
+    ``(id)`` ascending, first ``k``. Returns ``(id,)``.
+
+    Plan shape: ONE column-pruned doc-values scan with the
+    ``IsNotNull(field)`` predicate PUSHED into the parquet scan (ES
+    pays the same doc_values walk), then TakeOrderedAndProject — no
+    postings, no docs frame, no shuffle."""
+    if field not in index.stored_fields:
+        raise ValueError(
+            f"field {field!r} is not stored in this index's doc values "
+            f"(stored_fields={index.stored_fields})"
+        )
+    id_col = index.id_col
+    return (
+        index.live_docvalues()
+        .filter(dv_col(field).isNotNull())
+        .select(id_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def search_ids(
+    index: PostingsIndex,
+    values: list,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``ids`` query: the LIVE docs among the given ids — the
+    direct-GET batch lookup every sync pipeline issues to verify an
+    upsert landed (the reference reads back by id after bulk writes,
+    ``pyCassElastic.py:272-274``). Ids whose every copy is superseded
+    do NOT match (they are deleted as far as search is concerned).
+    Constant-score like ``exists``: returns ``(id,)`` ascending,
+    first ``k``.
+
+    Plan shape: the forward relation pruned to the ids' buckets
+    (partition pruning + pushed ``id IN`` filter), superseded dropped
+    by the standard broadcast anti-join, one distinct over a
+    values-bounded set. Never touches postings or raw docs."""
+    id_col = index.id_col
+    return (
+        index.live_forward_for(values)
+        .select(id_col)
+        .distinct()
+        .orderBy(F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def terms_set_search(
+    index: PostingsIndex,
+    query_terms: list[str],
+    msm_field: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``terms_set`` query with ``minimum_should_match_field``:
+    a doc matches when it contains at least N of the supplied terms,
+    where N is read PER DOC from a stored numeric doc-values field —
+    the "match enough of these skills/tags" query, whose threshold
+    lives in the document, not the request. Matches score under this
+    engine's BM25 law over the hit terms (ES scores terms_set like
+    the equivalent bool/should); returns ``(id, n_hit_terms,
+    score_q20)`` by (score desc, id asc), first ``k``.
+
+    Plan shape: the usual pruned postings probe scores candidates
+    (query-bounded); only those candidates broadcast-join to the
+    column-pruned doc-values scan for the per-doc threshold, then the
+    ``n_hit_terms >= threshold`` filter and TakeOrderedAndProject.
+    A doc whose threshold field is NULL never matches (ES skips docs
+    missing the msm field)."""
+    if msm_field not in index.stored_fields:
+        raise ValueError(
+            f"field {msm_field!r} is not stored in this index's doc "
+            f"values (stored_fields={index.stored_fields})"
+        )
+    id_col = index.id_col
+    scored = _bm25_scored(index, query_terms, k1, b)
+    dv = index.live_docvalues().select(F.col(id_col), dv_col(msm_field))
+    return (
+        dv.join(_bounded_broadcast(scored), id_col)
+        .filter(
+            dv_col(msm_field).isNotNull()
+            & (F.col("n_hit_terms") >= dv_col(msm_field))
+        )
+        .select(id_col, "n_hit_terms", "score_q20")
+        .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
         .limit(k)
     )

@@ -91,12 +91,34 @@ class Analyzer:
     def __post_init__(self) -> None:
         for pair in self.synonyms:
             src, dst = pair
-            if not src or not dst or " " in src or " " in dst:
+            if not src or not dst or " " in dst:
                 raise ValueError(
-                    "synonym rules must map one non-empty token to "
-                    f"another (multi-word synonyms are a graph filter "
-                    f"this chain does not implement): {pair!r}"
+                    "synonym rules must map a non-empty token (or "
+                    "space-separated token PHRASE) to one non-empty "
+                    f"token (expansion to multi-word targets is not "
+                    f"implemented): {pair!r}"
                 )
+            if " " in src and any(not t for t in src.split(" ")):
+                raise ValueError(
+                    f"phrase synonym source has an empty token: {pair!r}"
+                )
+        if self.has_phrase_rules and not self.strip_punct:
+            # the stream-level matcher delimits token slots with a
+            # control character; strip_punct guarantees tokens are
+            # [a-zA-Z0-9]* so the delimiter can never collide
+            raise ValueError(
+                "multi-word synonyms require strip_punct=True (the "
+                "phrase matcher needs a guaranteed token charset)"
+            )
+
+    @property
+    def has_phrase_rules(self) -> bool:
+        """True when any synonym source is a multi-token phrase — the
+        chain then applies ALL synonym rules at the token-STREAM level
+        (ES ``synonym_graph`` in its index-time contraction form)
+        instead of per token, so rule order is honored across both
+        kinds."""
+        return any(" " in src for src, _dst in self.synonyms)
 
     def to_dict(self) -> dict:
         d = {
@@ -135,9 +157,9 @@ class Analyzer:
 
         return re.split(self.split_regex, text)
 
-    def _apply_col(self, tok: Column) -> Column:
-        """The chain on ONE token column; a dropped token becomes ''
-        (callers filter empties but keep slots)."""
+    def _stage1_col(self, tok: Column) -> Column:
+        """Chain stages BEFORE the synonym filter (lowercase, punct
+        strip, stopword drop) on one token column."""
         out = tok
         if self.lowercase:
             out = F.lower(out)
@@ -147,10 +169,27 @@ class Analyzer:
             out = F.when(
                 out.isin(list(self.stopwords)), F.lit("")
             ).otherwise(out)
+        return out
+
+    def _apply_col(self, tok: Column) -> Column:
+        """The chain on ONE token column; a dropped token becomes ''
+        (callers filter empties but keep slots). Phrase analyzers
+        cannot analyze per token — their synonym filter needs the
+        whole stream (``analyze_tokens`` routes them)."""
+        if self.has_phrase_rules:
+            raise ValueError(
+                "a phrase-synonym analyzer has no per-token form — "
+                "use analyze_tokens / apply_tokens_py on the stream"
+            )
+        out = self._stage1_col(tok)
         for src, dst in self.synonyms:
             # sequential whens so a later rule sees earlier rewrites —
             # exactly what apply_py's sequential reassignment does
             out = F.when(out == F.lit(src), F.lit(dst)).otherwise(out)
+        return self._stem_col(out)
+
+    def _stem_col(self, out: Column) -> Column:
+        """The stemmer stage alone (chain tail) on one token column."""
         if self.stem:
             # an exception TERMINATES its suffix class ('goes' hits
             # the -oes exception and stays 'goes' — it must not fall
@@ -190,10 +229,7 @@ class Analyzer:
             )
         return out
 
-    def apply_py(self, token: str) -> str:
-        """Python twin of ``_apply_col`` — query-side analysis must be
-        byte-identical to ingest-side (the one invariant every search
-        engine lives or dies by)."""
+    def _stage1_py(self, token: str) -> str:
         import re
 
         out = token
@@ -203,9 +239,9 @@ class Analyzer:
             out = re.sub(_PUNCT_RE, "", out)
         if self.stopwords and out in self.stopwords:
             out = ""
-        for src, dst in self.synonyms:
-            if out == src:
-                out = dst
+        return out
+
+    def _stem_py(self, out: str) -> str:
         if self.stem:
             if out.endswith("ies"):
                 if len(out) >= 4 and not out.endswith(("eies", "aies")):
@@ -220,6 +256,90 @@ class Analyzer:
                     out = out[:-1]
         return out
 
+    def apply_py(self, token: str) -> str:
+        """Python twin of ``_apply_col`` — query-side analysis must be
+        byte-identical to ingest-side (the one invariant every search
+        engine lives or dies by)."""
+        if self.has_phrase_rules:
+            raise ValueError(
+                "a phrase-synonym analyzer has no per-token form — "
+                "use analyze_tokens / apply_tokens_py on the stream"
+            )
+        out = self._stage1_py(token)
+        for src, dst in self.synonyms:
+            if out == src:
+                out = dst
+        return self._stem_py(out)
+
+    # -- stream-level synonym filter (multi-word rules) -----------------
+    #
+    # ES ``synonym_graph`` in its index-time CONTRACTION form: a rule
+    # whose source is a token phrase ("new york" -> "nyc") rewrites the
+    # contiguous slot run to the target in the FIRST slot with the
+    # remaining slots emptied (position gaps — consistent with how
+    # every dropped token already behaves; ES's contraction instead
+    # shifts positions, a bookkeeping difference with identical
+    # match/score semantics under slot-gap phrase matching). Rules
+    # apply SEQUENTIALLY in the given order, leftmost-non-overlapping
+    # per rule — single-token rules run through the same pass so
+    # cross-kind rule order is honored. A stopword dropped INSIDE a
+    # phrase leaves an empty slot and breaks adjacency, exactly as
+    # position-aware synonym matching does in Lucene.
+    #
+    # Mechanics (identical bytes in Spark, Python, and the SQL
+    # oracle): the stage-1 token array joins into one string with each
+    # slot wrapped in \x01 delimiters (strip_punct guarantees \x01
+    # cannot occur in a token), each rule is ONE literal
+    # find-and-replace, and the string splits back into slots.
+
+    _SEP = "\x01"
+
+    def _phrase_pat(self, src: str) -> str:
+        sep = self._SEP
+        return sep + (sep + sep).join(src.split(" ")) + sep
+
+    def _phrase_rep(self, src: str, dst: str) -> str:
+        sep = self._SEP
+        k = len(src.split(" "))
+        return sep + dst + sep + (sep + sep) * (k - 1)
+
+    def _syn_stream_col(self, arr: Column) -> Column:
+        """ALL synonym rules applied at the stream level to a stage-1
+        token array column; returns the rewritten array (slot count
+        preserved)."""
+        sep = self._SEP
+        s = F.concat(
+            F.lit(sep), F.array_join(arr, sep + sep), F.lit(sep)
+        )
+        for src, dst in self.synonyms:
+            s = F.replace(
+                s, F.lit(self._phrase_pat(src)),
+                F.lit(self._phrase_rep(src, dst)),
+            )
+        inner = F.substring(s, F.lit(2), F.length(s) - 2)
+        return F.split(inner, sep + sep, -1)
+
+    def apply_tokens_py(self, tokens: list[str]) -> list[str]:
+        """Python twin of the full chain on a token STREAM (slot list
+        in, slot list out, '' = dropped slot) — required for phrase
+        analyzers, byte-identical to the per-token path otherwise."""
+        toks = [self._stage1_py(t) for t in tokens]
+        if self.has_phrase_rules:
+            sep = self._SEP
+            s = sep + (sep + sep).join(toks) + sep
+            for src, dst in self.synonyms:
+                s = s.replace(
+                    self._phrase_pat(src), self._phrase_rep(src, dst)
+                )
+            toks = s[1:-1].split(sep + sep)
+        else:
+            for i, t in enumerate(toks):
+                for src, dst in self.synonyms:
+                    if t == src:
+                        t = dst
+                toks[i] = t
+        return [self._stem_py(t) for t in toks]
+
 
 def analyze_tokens(
     text_col: Column | str, analyzer: Analyzer | None
@@ -232,6 +352,15 @@ def analyze_tokens(
         return _tokens(text_col)
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = F.split(c, analyzer.split_regex)
+    if analyzer.has_phrase_rules:
+        # phrase analyzers: stage-1 per slot, then the stream-level
+        # synonym pass, then the stemmer per slot — the per-token
+        # composition below is byte-identical when no phrase rule
+        # exists, so legacy indexes keep their exact expression
+        staged = F.transform(toks, analyzer._stage1_col)
+        return F.transform(
+            analyzer._syn_stream_col(staged), analyzer._stem_col
+        )
     return F.transform(toks, analyzer._apply_col)
 
 
@@ -255,7 +384,10 @@ def analyze_terms_py(
     probes dedupe where their semantics require it)."""
     if analyzer is None:
         return list(terms)
-    out = [analyzer.apply_py(t) for t in terms]
+    # the term list IS the token stream in order, so phrase rules see
+    # adjacent query terms ("new", "york" contracts exactly as it did
+    # at ingest); the stream pass is byte-identical per-token otherwise
+    out = analyzer.apply_tokens_py(list(terms))
     return [t for t in out if t != ""]
 
 

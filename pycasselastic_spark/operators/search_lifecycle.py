@@ -303,21 +303,58 @@ def _reanalyzed_relations(
     then bucket-partitioned writes — the same cost shape as a plain
     re-bucketing compaction."""
     id_col = idx.id_col
-    mapped = (
-        idx.live_postings()
-        .withColumn("new_term", analyzer._apply_col(F.col("term")))
-        .filter(F.col("new_term") != "")
-    )
-    new_postings = (
-        mapped.groupBy("new_term", id_col)
-        .agg(
-            F.sum("tf").alias("tf"),
-            F.sort_array(F.flatten(F.collect_list("positions"))).alias(
-                "positions"
-            ),
+    if analyzer.has_phrase_rules:
+        # a phrase-synonym chain needs token ADJACENCY, which a
+        # per-term map cannot see — reconstruct each doc's token-slot
+        # array from the stored (term, positions) pairs (legacy
+        # positions ARE the original slot indices; vacant slots were
+        # dropped-empty tokens and come back as '', preserving gaps),
+        # then run the exact ingest-side chain over the stream. Still
+        # no raw text: one postings-sized explode + per-doc gather,
+        # then the same (term, id) shuffle as the per-term path.
+        slots = idx.live_postings().select(
+            F.col(id_col), "term", F.explode("positions").alias("pos")
         )
-        .withColumnRenamed("new_term", "term")
-    )
+        docarr = slots.groupBy(id_col).agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("pos", "term"))
+            ).alias("m"),
+            F.max("pos").alias("mx"),
+        )
+        tokens_arr = F.transform(
+            F.sequence(F.lit(0), F.col("mx")),
+            lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit("")),
+        )
+        analyzed = F.transform(
+            analyzer._syn_stream_col(
+                F.transform(tokens_arr, analyzer._stage1_col)
+            ),
+            analyzer._stem_col,
+        )
+        toks = docarr.select(
+            F.col(id_col),
+            F.posexplode(analyzed).alias("pos", "term"),
+        ).filter(F.col("term") != "")
+        new_postings = toks.groupBy("term", id_col).agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+    else:
+        mapped = (
+            idx.live_postings()
+            .withColumn("new_term", analyzer._apply_col(F.col("term")))
+            .filter(F.col("new_term") != "")
+        )
+        new_postings = (
+            mapped.groupBy("new_term", id_col)
+            .agg(
+                F.sum("tf").alias("tf"),
+                F.sort_array(F.flatten(F.collect_list("positions"))).alias(
+                    "positions"
+                ),
+            )
+            .withColumnRenamed("new_term", "term")
+        )
     new_dl = new_postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     # the authoritative doc list is DOCSTATS, not the postings — a doc
     # whose every token dropped (or that never had tokens) keeps its

@@ -13,10 +13,14 @@ this module composes them (round-10 verdict item 4).
 
 Layout at ``family_path``::
 
-    family.json        {"indexes": ["ix-00000001", ...]}  (ordered)
-    write.alias        -> the newest generation (set_index_alias file)
-    ix-00000001/       a complete PostingsIndex (every lifecycle op —
-    ix-00000002/        compact/snapshot/reindex — works on it as-is)
+    family.json          {"indexes": ["ix-00000001", ...]}  (ordered)
+    write.alias          -> the newest generation (set_index_alias file)
+    ix-00000001/         a complete PostingsIndex (every lifecycle op —
+    ix-00000002/          compact/snapshot/reindex — works on it as-is)
+    ix-00000001.idbloom.json   per-generation id routing bloom (2 KiB)
+                          that lets ingests SKIP retraction scans of
+                          generations provably holding none of the
+                          batch's ids (round-12; see below)
 
 Crash contract: a new generation is a full ``build_postings_index``
 (internally crash-atomic via its stats.json commit); it becomes
@@ -68,9 +72,28 @@ class RolloverPolicy:
     ``max_docs`` or more documents, the batch bootstraps the next
     generation instead (ES rollover's max_docs condition). Coarse by
     design, like ``CompactionPolicy``: a generation is corpus-sized
-    state; the threshold should amortize over many batch ingests."""
+    state; the threshold should amortize over many batch ingests.
+
+    ``max_indexes`` is the RETENTION phase (ES ILM's delete action,
+    round-11 verdict item 4): whenever a roll leaves the family with
+    more than ``max_indexes`` generations, the OLDEST are dropped —
+    manifest rewrite first (one ``os.replace``; probes stop seeing
+    them atomically), directories deleted after (a crash in between
+    leaves orphan directories no manifest references — swept by the
+    next retention pass). ``None`` = keep everything (the historical
+    behavior). This is what bounds both probe fan-out AND the
+    per-ingest retraction loop at daemon cadence."""
 
     max_docs: int
+    max_indexes: int | None = None
+
+    def __post_init__(self) -> None:
+        if self.max_docs < 1:
+            raise ValueError(f"max_docs must be >= 1: {self.max_docs}")
+        if self.max_indexes is not None and self.max_indexes < 1:
+            raise ValueError(
+                f"max_indexes must be >= 1 or None: {self.max_indexes}"
+            )
 
 
 def _read_manifest(family_path: str) -> list[str]:
@@ -92,6 +115,117 @@ def write_index_path(family_path: str) -> str:
     """The family's live WRITE index, resolved through the alias —
     what a reference user's bulk-upsert loop targets."""
     return resolve_index_alias(os.path.join(family_path, _WRITE_ALIAS))
+
+
+# ---------------------------------------------------------------------------
+# Per-generation id ROUTING BLOOM: which doc ids a generation has ever
+# ingested. The cross-generation LWW retraction only has work to do in
+# generations that actually HOLD one of the batch's ids; without a
+# routing structure every ingest pays one docstats scan per older
+# generation — O(n_generations) Spark jobs, the quadratic term at the
+# reference daemon's 1,440 cycles/day (round-11 verdict item 4). The
+# bloom makes the common case (disjoint id ranges — time-series
+# ingest) a DRIVER-SIDE bitset AND per generation: no Spark job at
+# all. No-false-negative law: the bloom is written (OR of the batch's
+# bits) BEFORE the batch's data commits, so a crash can only leave
+# EXTRA bits (a wasted scan later), never missing ones (a silently
+# skipped retraction). Retractions never clear bits — the bloom stays
+# a superset of the generation's live ids, which is exactly the safe
+# direction. Families created before this feature have no bloom file:
+# ``None`` means "unknown — always scan", the conservative fallback.
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 14  # 16384 bits = 2 KiB per generation on disk
+_BLOOM_HASHES = 4
+
+
+def _bloom_path(family_path: str, name: str) -> str:
+    return os.path.join(family_path, name + ".idbloom.json")
+
+
+def _read_bloom(family_path: str, name: str) -> int | None:
+    p = _bloom_path(family_path, name)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        d = json.load(f)
+    if d.get("m_bits") != _BLOOM_BITS or d.get("k") != _BLOOM_HASHES:
+        return None  # parameter drift: treat as unknown, always scan
+    return int(d["bits_hex"], 16)
+
+
+def _write_bloom(family_path: str, name: str, bits: int) -> None:
+    p = _bloom_path(family_path, name)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"m_bits": _BLOOM_BITS, "k": _BLOOM_HASHES,
+             "bits_hex": hex(bits)}, f,
+        )
+    os.replace(tmp, p)
+
+
+def _batch_bloom_bits(batch_ids: DataFrame, id_col: str) -> int:
+    """The batch's bloom bitset via ONE Spark aggregation: k md5-salted
+    bit positions per id, distinct-collected — the collect is bounded
+    by ``_BLOOM_BITS`` rows regardless of batch size (the same
+    bounded-collect law as operators/sketches.py Bloom masks)."""
+    positions = [
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col(id_col).cast("string"), F.lit(f"#{i}")
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long") % _BLOOM_BITS
+        )
+        for i in range(_BLOOM_HASHES)
+    ]
+    rows = (
+        batch_ids.select(F.explode(F.array(*positions)).alias("b"))
+        .distinct()
+        .collect()
+    )
+    bits = 0
+    for r in rows:
+        bits |= 1 << int(r["b"])
+    return bits
+
+
+def _apply_retention(
+    family_path: str, indexes: list[str], policy: RolloverPolicy
+) -> list[str]:
+    """ES ILM's delete phase: drop the oldest generations beyond
+    ``max_indexes``. Manifest rewrite first (atomic — probes stop
+    unioning the dropped generations), then directory + bloom removal;
+    also sweeps orphan directories a prior crash left unreferenced."""
+    import shutil
+
+    if policy.max_indexes is None or len(indexes) <= policy.max_indexes:
+        return indexes
+    keep = indexes[-policy.max_indexes:]
+    _write_manifest(family_path, keep)
+    kept = set(keep)
+    # sweep EVERY unreferenced generation directory, not just this
+    # pass's drops — that is what cleans up after a crash between a
+    # prior manifest rewrite and its directory removal (an orphan a
+    # drop-list-only loop would never revisit)
+    for entry in sorted(os.listdir(family_path)):
+        if not entry.startswith("ix-"):
+            continue
+        if entry.endswith(".idbloom.json"):
+            if entry[: -len(".idbloom.json")] not in kept:
+                os.remove(os.path.join(family_path, entry))
+            continue
+        p = os.path.join(family_path, entry)
+        if os.path.isdir(p) and entry not in kept:
+            shutil.rmtree(p, ignore_errors=True)
+    return keep
 
 
 def _retract_ids(batch_ids: DataFrame, path: str, id_col: str) -> int:
@@ -173,12 +307,24 @@ def ingest_with_rollover(
     templates under ILM."""
     os.makedirs(family_path, exist_ok=True)
     indexes = _read_manifest(family_path)
+    batch_ids = batch.select(id_col).distinct()
+    # ONE bounded aggregation for the batch's bloom bits — reused for
+    # the landed generation's routing bloom AND every older-generation
+    # overlap check (driver-side bitset ANDs, no Spark jobs)
+    batch_bits = _batch_bloom_bits(batch_ids, id_col)
     landed: str
     if indexes:
         cur = os.path.join(family_path, indexes[-1])
         with open(os.path.join(cur, "stats.json")) as f:
             n_docs = json.load(f)["n_docs"]
         if n_docs < policy.max_docs:
+            # bloom BEFORE the data commit (no-false-negative law): a
+            # crash here leaves extra bits, never missing ones. Legacy
+            # write indexes (no bloom file) stay bloom-less — a bloom
+            # started mid-life would miss earlier ingests.
+            prior = _read_bloom(family_path, indexes[-1])
+            if prior is not None:
+                _write_bloom(family_path, indexes[-1], prior | batch_bits)
             update_postings_index(batch, text_col, cur)
             landed = cur
         else:
@@ -188,6 +334,7 @@ def ingest_with_rollover(
     if not landed:
         name = f"ix-{len(indexes) + 1:08d}"
         landed = os.path.join(family_path, name)
+        _write_bloom(family_path, name, batch_bits)  # before the build
         build_postings_index(
             batch, id_col, text_col, landed, n_buckets=n_buckets,
             variant_depth=variant_depth, analyzer=analyzer,
@@ -197,15 +344,22 @@ def ingest_with_rollover(
         # (family probes see it), then the write alias (ingests target)
         _write_manifest(family_path, indexes + [name])
         set_index_alias(os.path.join(family_path, _WRITE_ALIAS), landed)
+        indexes = _apply_retention(family_path, indexes + [name], policy)
     # cross-generation LWW: a re-ingested doc's stale copies in OLDER
     # generations retract (O7 across indexes) AFTER the new copy is
     # committed — a crash in between leaves both live briefly, and the
-    # probe's newest-generation window still serves only the new one
-    batch_ids = batch.select(id_col).distinct()
+    # probe's newest-generation window still serves only the new one.
+    # The routing bloom prunes the loop to generations that can
+    # actually hold a batch id; a generation without a bloom (legacy)
+    # is always scanned.
     for name in _read_manifest(family_path):
         older = os.path.join(family_path, name)
-        if older != landed:
-            _retract_ids(batch_ids, older, id_col)
+        if older == landed:
+            continue
+        g_bits = _read_bloom(family_path, name)
+        if g_bits is not None and not (g_bits & batch_bits):
+            continue  # provably no overlap — skip without a Spark job
+        _retract_ids(batch_ids, older, id_col)
     return landed
 
 

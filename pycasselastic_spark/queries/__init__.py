@@ -22,3 +22,4 @@ from pycasselastic_spark.queries import search_analytics  # noqa: F401
 from pycasselastic_spark.queries import search_dsl  # noqa: F401
 from pycasselastic_spark.queries import search_es_queries  # noqa: F401
 from pycasselastic_spark.queries import search_es_apis  # noqa: F401
+from pycasselastic_spark.queries import search_r12  # noqa: F401

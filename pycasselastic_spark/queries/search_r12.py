@@ -1,0 +1,326 @@
+"""Round-12 ES-parity queries: multi-word (phrase) synonyms with their
+reindex twin (round-11 verdict item 5) and the stored-doc-values query
+surface ``exists`` / ``ids`` / ``terms_set`` plus the terms-agg
+``missing`` bucket (verdict item 6).
+
+New module imported LAST so every earlier registration keeps its
+global order (the catalog's standing split invariant); slot order in
+the driver gate is decided solely by ``catalog._GATE_PRIORITY``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pycasselastic_spark.operators import search as SRCH
+from pycasselastic_spark.operators.search_api import es_search
+from pycasselastic_spark.plans.tuning import ensure_parallelism
+from pycasselastic_spark.queries.base import _t, register
+from pycasselastic_spark.queries.search_dsl import _postings_index_for
+
+# ---------------------------------------------------------------------------
+# Multi-word synonyms (ES synonym_graph, index-time contraction form).
+# The analysis chain is replayed from raw text by the oracle with the
+# SAME stream algorithm the engine runs (operators/search_index.py:
+# Analyzer._syn_stream_col): stage-1 tokens join into one string with
+# every slot wrapped in chr(1) delimiters, each rule is one literal
+# find-and-replace (leftmost non-overlapping, rules in order), and the
+# string splits back into slots — byte-identical in Spark, the Python
+# query-side twin, and DuckDB.
+# ---------------------------------------------------------------------------
+
+_MW_ANALYSIS_SQL = """
+WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+s1 AS (SELECT doc_id,
+  list_transform(t, x -> CASE
+    WHEN regexp_replace(lower(x), '[^a-zA-Z0-9]', '', 'g') IN ('a', 'the')
+    THEN ''
+    ELSE regexp_replace(lower(x), '[^a-zA-Z0-9]', '', 'g') END) AS t
+  FROM t0),
+enc AS (SELECT doc_id,
+  chr(1) || array_to_string(t, chr(1) || chr(1)) || chr(1) AS s FROM s1),
+rep AS (SELECT doc_id,
+  replace(
+    replace(s,
+      chr(1) || 'table' || chr(1) || chr(1) || 'hash' || chr(1),
+      chr(1) || 'tablehash' || chr(1) || chr(1) || chr(1)),
+    chr(1) || 'join' || chr(1),
+    chr(1) || 'merge' || chr(1)) AS s
+  FROM enc),
+an AS (SELECT doc_id,
+  list_filter(
+    string_split(substr(s, 2, length(s) - 2), chr(1) || chr(1)),
+    x -> x <> '') AS toks
+  FROM rep),
+postings AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM an)
+  GROUP BY term, doc_id),
+qt AS (SELECT * FROM postings WHERE term IN ({terms})),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term),
+dl AS (SELECT doc_id, len(toks) AS dl FROM an),
+sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+              AVG(CAST(len(toks) AS DOUBLE)) AS avgdl FROM an)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+       CAST(FLOOR(SUM(
+         ln(1.0 + (sc.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (qt.tf * 2.2)
+         / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / sc.avgdl))
+       ) * 1048576.0) AS BIGINT) AS score_q20
+FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+GROUP BY doc_id, sc.n_docs
+ORDER BY score_q20 DESC, doc_id LIMIT 10
+"""
+
+
+def _mw_analyzer() -> "SRCH.Analyzer":
+    return SRCH.Analyzer(
+        lowercase=True, strip_punct=True, stopwords=("a", "the"),
+        synonyms=(("table hash", "tablehash"), ("join", "merge")),
+    )
+
+
+_MW_INDEX_CACHE: dict[str, str] = {}
+
+
+def _mw_index_for(spark: SparkSession, sf_dir: str) -> "SRCH.PostingsIndex":
+    path = _MW_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        path = os.path.join(tempfile.mkdtemp(prefix="mwsyn_idx_"), "idx")
+        SRCH.build_postings_index(
+            ensure_parallelism(_t(spark, sf_dir, "documents"), spark),
+            "doc_id", "text", path, n_buckets=16, analyzer=_mw_analyzer(),
+        )
+        _MW_INDEX_CACHE[sf_dir] = path
+    return SRCH.load_postings_index(spark, path)
+
+
+@register(
+    "multiword_synonym_bm25_documents",
+    _MW_ANALYSIS_SQL.format(terms="'tablehash', 'spark'"),
+    doc="Multi-word synonyms in the analyzer chain (round-11 verdict "
+    "item 5; ES synonym_graph in its index-time CONTRACTION form, "
+    "operators/search_index.py:Analyzer._syn_stream_col): the rule "
+    "'table hash' -> 'tablehash' rewrites the contiguous slot run to "
+    "the target in the first slot with the remaining slots emptied "
+    "(position gaps, consistent with every dropped token), applied at "
+    "BOTH index and query time — the raw user query ['Table', "
+    "'hash,', 'spark'] contracts driver-side to ['tablehash', "
+    "'spark'] so partition pruning still sees literal terms. "
+    "Single-token rules ('join' -> 'merge') run through the same "
+    "sequential stream pass so cross-kind rule order is honored. The "
+    "whole pass is one literal find-and-replace per rule over a "
+    "slot-delimited join of the token array — pure Column string ops, "
+    "replayed byte-identically by the DuckDB oracle from raw text.",
+)
+def multiword_synonym_bm25_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx = _mw_index_for(spark, sf_dir)
+    terms = idx.analyze_terms(["Table", "hash,", "spark"])
+    assert terms == ["tablehash", "spark"]
+    return SRCH.bm25_topk_indexed(idx, terms, k=10)
+
+
+@register(
+    "reindex_upgrade_multiword_documents",
+    _MW_ANALYSIS_SQL.format(terms="'tablehash', 'merge'"),
+    doc="Adding multi-word synonyms is a REINDEX, and a phrase rule "
+    "needs token ADJACENCY that a per-term map cannot see: the "
+    "upgrade reconstructs each doc's token-slot stream from the "
+    "stored (term, positions) pairs — legacy positions ARE the "
+    "original slot indices, so the stream comes back exactly, gaps "
+    "included — then runs the ingest-side chain over it "
+    "(operators/search_lifecycle.py:_reanalyzed_relations, phrase "
+    "branch). Still no raw text touched; one postings-sized explode + "
+    "per-doc gather + the same (term, id) shuffle as the per-term "
+    "reindex. Staged-tmp + single-rename + alias-swap crash contract "
+    "unchanged. Proof: the probe through the swapped alias ranks "
+    "exactly like the contracted-from-birth oracle.",
+)
+def reindex_upgrade_multiword_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
+    base = tempfile.mkdtemp(prefix="reindex_mw_")
+    v1, v2 = os.path.join(base, "idx_v1"), os.path.join(base, "idx_v2")
+    alias = os.path.join(base, "docs.alias")
+    SRCH.build_postings_index(docs, "doc_id", "text", v1, n_buckets=16)
+    SRCH.set_index_alias(alias, v1)
+    SRCH.reindex_postings_index(spark, v1, v2, analyzer=_mw_analyzer())
+    SRCH.set_index_alias(alias, v2)
+    idx = SRCH.load_postings_index_by_alias(spark, alias)
+    terms = idx.analyze_terms(["Table", "hash,", "JOIN"])
+    assert terms == ["tablehash", "merge"]
+    return SRCH.bm25_topk_indexed(idx, terms, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Stored-doc-values query surface: exists / ids / terms_set / missing
+# bucket. One dedicated fixture index with a deliberately SPARSE
+# stored field (opt_tag: NULL where source = 'src7') and a per-doc
+# numeric threshold (req_matches = doc_id % 3 + 1) so each query does
+# real work.
+# ---------------------------------------------------------------------------
+
+_DV12_INDEX_CACHE: dict[str, str] = {}
+
+
+def _dv12_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
+    return docs.select(
+        "doc_id", "text",
+        F.when(F.col("source") != "src7", F.col("source")).alias("opt_tag"),
+        (F.col("doc_id") % 3 + 1).cast("long").alias("req_matches"),
+    )
+
+
+def _dv12_index_for(spark: SparkSession, sf_dir: str) -> "SRCH.PostingsIndex":
+    path = _DV12_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        path = os.path.join(tempfile.mkdtemp(prefix="dv12_idx_"), "idx")
+        SRCH.build_postings_index(
+            _dv12_documents(spark, sf_dir), "doc_id", "text", path,
+            n_buckets=16, stored_fields=["opt_tag", "req_matches"],
+        )
+        _DV12_INDEX_CACHE[sf_dir] = path
+    return SRCH.load_postings_index(spark, path)
+
+
+@register(
+    "exists_query_documents",
+    """
+SELECT doc_id FROM documents WHERE source <> 'src7'
+ORDER BY doc_id LIMIT 12
+""",
+    doc="ES ``exists`` query served from STORED doc-values "
+    "(operators/search_ext.py:search_exists, round-11 verdict item "
+    "6): docs whose sparse optional field holds a value at all — the "
+    "fixture stores opt_tag = NULL wherever source = 'src7', so the "
+    "NULL-awareness does real work. ES scores every hit 1.0; with "
+    "scores tied the deterministic page is the id tiebreak. Plan: ONE "
+    "column-pruned doc-values scan with IsNotNull PUSHED into the "
+    "parquet scan, then TakeOrderedAndProject — no postings, no docs "
+    "frame. Dispatched end-to-end from the _search body.",
+)
+def exists_query_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _dv12_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"exists": {"field": "opt_tag"}}, "size": 12,
+    })
+
+
+@register(
+    "ids_query_documents",
+    """
+SELECT doc_id FROM documents WHERE doc_id IN (0, 3, 7, 42, 999999)
+ORDER BY doc_id LIMIT 10
+""",
+    doc="ES ``ids`` query (operators/search_ext.py:search_ids, "
+    "round-11 verdict item 6): the LIVE docs among the requested ids "
+    "— the direct-GET batch lookup a sync pipeline issues to verify "
+    "upserts landed (the reference reads back by id, "
+    "pyCassElastic.py:272-274); an absent id (999999) simply doesn't "
+    "match. Plan: forward relation pruned to the ids' buckets "
+    "(partition pruning + pushed id IN filter), superseded dropped by "
+    "the standard broadcast anti-join, one distinct over a "
+    "values-bounded set — never touches postings or raw docs.",
+)
+def ids_query_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"ids": {"values": [0, 3, 7, 42, 999999]}}, "size": 10,
+    })
+
+
+@register(
+    "terms_set_documents",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+postings AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY term, doc_id
+),
+qt AS (SELECT * FROM postings WHERE term IN ('merge', 'sort', 'scan')),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+              AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+       FROM documents)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+       CAST(FLOOR(SUM(
+         ln(1.0 + (sc.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (qt.tf * 2.2)
+         / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / sc.avgdl))
+       ) * 1048576.0) AS BIGINT) AS score_q20
+FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+GROUP BY doc_id, sc.n_docs
+HAVING COUNT(*) >= doc_id % 3 + 1
+ORDER BY score_q20 DESC, doc_id LIMIT 10
+""",
+    doc="ES ``terms_set`` query with minimum_should_match_field "
+    "(operators/search_ext.py:terms_set_search, round-11 verdict item "
+    "6): a doc matches when it contains at least N of the supplied "
+    "terms where N is read PER DOC from a stored numeric doc-values "
+    "field (req_matches = doc_id %% 3 + 1 in the fixture) — the "
+    "'match enough of these tags' query whose threshold lives in the "
+    "document. Scores under the engine's BM25 law over the hit terms "
+    "(ES scores terms_set like the equivalent bool/should). Plan: the "
+    "usual pruned postings probe scores candidates; only those "
+    "broadcast-join to the column-pruned doc-values scan for the "
+    "threshold, then the per-doc filter and TakeOrderedAndProject.",
+)
+def terms_set_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _dv12_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"terms_set": {"text": {
+            "terms": ["merge", "sort", "scan"],
+            "minimum_should_match_field": "req_matches",
+        }}},
+        "size": 10,
+    })
+
+
+@register(
+    "missing_bucket_facets_documents",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+hits AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('merge', 'sort')),
+d AS (SELECT doc_id,
+  CASE WHEN source = 'src7' THEN '(none)' ELSE source END AS opt_tag
+  FROM documents)
+SELECT opt_tag, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM d JOIN hits USING (doc_id)
+GROUP BY opt_tag ORDER BY n_docs DESC, opt_tag LIMIT 10
+""",
+    doc="ES terms-agg ``missing`` bucket (operators/search_ext.py:"
+    "search_facets missing=, round-11 verdict item 6): hits whose "
+    "facet value is NULL count under the substitute bucket '(none)' "
+    "instead of being excluded (ES's default drops them — that "
+    "default is now implemented too: without ``missing`` the facet "
+    "filters NULLs, matching ES exactly). Same candidate-bounded "
+    "plan as every facet: pruned postings hit set, count-guarded "
+    "broadcast join to the facet column, one aggregation. Dispatched "
+    "from the _search body's aggs.terms.missing key.",
+)
+def missing_bucket_facets_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx = _dv12_index_for(spark, sf_dir)
+    docs = _dv12_documents(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"match": {"text": "merge sort"}},
+        "aggs": {"tags": {"terms": {
+            "field": "opt_tag", "missing": "(none)", "size": 10,
+        }}},
+    }, docs=docs)

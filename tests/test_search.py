@@ -1979,8 +1979,23 @@ def test_analyzer_stem_and_synonym_stages(spark, tmp_path):
         "lowercase", "strip_punct", "stopwords", "split_regex"
     }
     import pytest as _p
+    # round-12: multi-word SOURCES are now the phrase-synonym filter;
+    # the remaining validation surface — multi-word targets, empty
+    # phrase tokens, and phrase rules without the charset guarantee —
+    # still raises by name
+    SRCH.Analyzer(synonyms=(("big data", "bigdata"),))  # ok now
     with _p.raises(ValueError, match="synonym rules"):
-        SRCH.Analyzer(synonyms=(("big data", "bigdata"),))
+        SRCH.Analyzer(synonyms=(("bigdata", "big data"),))
+    with _p.raises(ValueError, match="empty token"):
+        SRCH.Analyzer(synonyms=(("big  data", "bigdata"),))
+    with _p.raises(ValueError, match="strip_punct"):
+        SRCH.Analyzer(
+            strip_punct=False, synonyms=(("big data", "bigdata"),)
+        )
+    # a phrase analyzer refuses the per-token forms by name
+    phr = SRCH.Analyzer(synonyms=(("big data", "bigdata"),))
+    with _p.raises(ValueError, match="per-token"):
+        phr.apply_py("big")
 
 
 def test_stemmed_index_folds_plurals_end_to_end(spark, tmp_path):
@@ -2165,3 +2180,216 @@ def test_rollover_trigger_and_cross_generation_lww(spark, tmp_path):
     import pytest as _p
     with _p.raises(ValueError, match="no rollover family"):
         RO.rollover_bm25_topk(spark, str(tmp_path / "nofam"), ["x"])
+
+
+def test_rollover_retention_drops_oldest_generations(spark, tmp_path):
+    """ES ILM's delete phase (round-12): max_indexes bounds the family
+    — a roll beyond the bound drops the OLDEST generations (manifest
+    first, directories after), the write alias stays on the newest,
+    and the family probe serves exactly the retained docs."""
+    import os as _os
+
+    from pycasselastic_spark.operators import search_rollover as RO
+
+    fam = str(tmp_path / "fam")
+    pol = RO.RolloverPolicy(max_docs=2, max_indexes=2)
+    # disjoint id batches; each fills a generation and rolls the next
+    for lo in (1, 3, 5, 7):
+        RO.ingest_with_rollover(
+            _corpus(spark, [(lo, f"common w{lo}"), (lo + 1, f"common w{lo + 1}")]),
+            "doc_id", "text", fam, pol, n_buckets=4,
+        )
+    names = RO._read_manifest(fam)
+    assert names == ["ix-00000003", "ix-00000004"]
+    assert RO.write_index_path(fam).endswith("ix-00000004")
+    # dropped generation state is gone from disk (dir + bloom)
+    assert not _os.path.exists(_os.path.join(fam, "ix-00000001"))
+    assert not _os.path.exists(_os.path.join(fam, "ix-00000002"))
+    assert not _os.path.exists(RO._bloom_path(fam, "ix-00000001"))
+    assert _os.path.exists(RO._bloom_path(fam, "ix-00000003"))
+    got = RO.rollover_bm25_topk(spark, fam, ["common"], k=10).collect()
+    assert {r["doc_id"] for r in got} == {5, 6, 7, 8}
+    # retention validation
+    import pytest as _p
+    with _p.raises(ValueError, match="max_indexes"):
+        RO.RolloverPolicy(max_docs=2, max_indexes=0)
+    with _p.raises(ValueError, match="max_docs"):
+        RO.RolloverPolicy(max_docs=0)
+
+
+def test_rollover_bloom_prunes_retraction_scans(spark, tmp_path, monkeypatch):
+    """The per-generation id routing bloom (round-12): an ingest whose
+    ids provably overlap NO older generation runs zero retraction
+    Spark jobs; an overlapping ingest still retracts (no false
+    negatives), and results match the pre-bloom semantics exactly."""
+    from pycasselastic_spark.operators import search_rollover as RO
+
+    fam = str(tmp_path / "fam")
+    pol = RO.RolloverPolicy(max_docs=2)
+    for lo in (1, 3):
+        RO.ingest_with_rollover(
+            _corpus(spark, [(lo, f"common w{lo}"), (lo + 1, f"common w{lo + 1}")]),
+            "doc_id", "text", fam, pol, n_buckets=4,
+        )
+    calls = []
+    real = RO._retract_ids
+
+    def counting(batch_ids, path, id_col):
+        calls.append(path)
+        return real(batch_ids, path, id_col)
+
+    monkeypatch.setattr(RO, "_retract_ids", counting)
+    # disjoint ids: bloom AND is empty for both older generations —
+    # the retraction loop must not launch a single Spark job
+    RO.ingest_with_rollover(
+        _corpus(spark, [(100, "common disjoint")]),
+        "doc_id", "text", fam, pol, n_buckets=4,
+    )
+    assert calls == []
+    # overlapping id: the generation holding it MUST be scanned, and
+    # the stale copy retracts (cross-generation LWW unchanged)
+    RO.ingest_with_rollover(
+        _corpus(spark, [(1, "fresh only")]),
+        "doc_id", "text", fam, pol, n_buckets=4,
+    )
+    assert any(p.endswith("ix-00000001") for p in calls)
+    assert RO.rollover_bm25_topk(spark, fam, ["common"], k=10).count() == 4
+    got = RO.rollover_bm25_topk(spark, fam, ["fresh"], k=10).collect()
+    assert [r["doc_id"] for r in got] == [1]
+    # a legacy generation WITHOUT a bloom file is always scanned
+    import os as _os
+
+    _os.remove(RO._bloom_path(fam, "ix-00000002"))
+    calls.clear()
+    RO.ingest_with_rollover(
+        _corpus(spark, [(200, "common disjoint again")]),
+        "doc_id", "text", fam, pol, n_buckets=4,
+    )
+    assert any(p.endswith("ix-00000002") for p in calls)
+    assert not any(p.endswith("ix-00000001") for p in calls)
+
+
+def test_multiword_synonym_chain_and_reindex_parity(spark, tmp_path):
+    """Round-12 phrase synonyms: the stream-level contraction folds a
+    token phrase into one stored term at ingest AND query time, the
+    Python twin is byte-identical to the Column pass, and upgrading a
+    legacy index via reindex (slot-stream reconstruction from stored
+    positions) ranks exactly like the contracted-from-birth build."""
+    from pycasselastic_spark.operators import search_index as SI
+
+    an = SRCH.Analyzer(
+        lowercase=True, strip_punct=True, stopwords=("the",),
+        synonyms=(("big data", "bigdata"), ("join", "merge")),
+    )
+    texts = [
+        (1, "The Big Data, join wins"),
+        (2, "big data big data"),
+        (3, "big killer data join"),   # non-adjacent: no contraction
+        (4, "bigdata merge"),
+    ]
+    docs = _corpus(spark, texts)
+    got = docs.select(
+        "doc_id", SI.analyze_tokens("text", an).alias("a")
+    ).collect()
+    for r in got:
+        raw = dict(texts)[r["doc_id"]]
+        assert r["a"] == an.apply_tokens_py(an.split_py(raw)), raw
+    assert dict(texts)[2] == "big data big data"
+    by_id = {r["doc_id"]: r["a"] for r in got}
+    assert by_id[1] == ["", "bigdata", "", "merge", "wins"]
+    assert by_id[2] == ["bigdata", "", "bigdata", ""]
+    assert by_id[3] == ["big", "killer", "data", "merge"]
+    # query-side: adjacent raw terms contract exactly like ingest
+    assert SI.analyze_terms_py(["Big", "Data,", "JOIN"], an) == [
+        "bigdata", "merge"
+    ]
+    # from-birth vs reindex-upgraded ranking parity
+    born, v2 = str(tmp_path / "born"), str(tmp_path / "v2")
+    legacy = str(tmp_path / "legacy")
+    SRCH.build_postings_index(
+        docs, "doc_id", "text", born, n_buckets=4, analyzer=an
+    )
+    SRCH.build_postings_index(docs, "doc_id", "text", legacy, n_buckets=4)
+    SRCH.reindex_postings_index(spark, legacy, v2, analyzer=an)
+    a = SRCH.bm25_topk_indexed(
+        SRCH.load_postings_index(spark, born), ["bigdata", "merge"], k=10
+    ).collect()
+    b = SRCH.bm25_topk_indexed(
+        SRCH.load_postings_index(spark, v2), ["bigdata", "merge"], k=10
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # phrase positions: contraction keeps the FIRST slot (gap after),
+    # so phrase search over the contracted term still works
+    idx = SRCH.load_postings_index(spark, born)
+    p = idx.live_postings_for(["bigdata"]).collect()
+    pos = {r["doc_id"]: sorted(r["positions"]) for r in p}
+    assert pos[1] == [1] and pos[2] == [0, 2] and pos[4] == [0]
+
+
+def test_exists_ids_terms_set_and_missing_bucket(spark, tmp_path):
+    """Round-12 stored-doc-values query surface: exists (NULL-aware),
+    ids (live docs only — superseded copies don't match), terms_set
+    (per-doc threshold), and the terms-agg missing bucket; unsupported
+    variants raise by name."""
+    import pytest as _p
+
+    from pycasselastic_spark.operators.search_api import es_search
+
+    rows = [
+        (1, "alpha beta gamma", "t1", 1),
+        (2, "alpha beta", None, 2),
+        (3, "alpha", "t1", 3),
+        (4, "delta", "t2", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, opt_tag string, req long"
+    )
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(
+        docs, "doc_id", "text", path, n_buckets=4,
+        stored_fields=["opt_tag", "req"],
+    )
+    idx = SRCH.load_postings_index(spark, path)
+    # exists: NULL opt_tag (doc 2) is excluded
+    got = es_search(idx, {"query": {"exists": {"field": "opt_tag"}}})
+    assert [r["doc_id"] for r in got.collect()] == [1, 3, 4]
+    # ids: absent id ignored
+    got = es_search(idx, {"query": {"ids": {"values": [2, 3, 99]}}})
+    assert [r["doc_id"] for r in got.collect()] == [2, 3]
+    # terms_set: per-doc threshold from the stored req field
+    got = es_search(idx, {"query": {"terms_set": {"text": {
+        "terms": ["alpha", "beta", "gamma"],
+        "minimum_should_match_field": "req",
+    }}}}).collect()
+    # doc1 hits 3 >= 1; doc2 hits 2 >= 2; doc3 hits 1 < 3; doc4 0 < 1
+    assert {r["doc_id"] for r in got} == {1, 2}
+    # missing bucket: NULL facet folds under the substitute; without
+    # it the NULL-facet doc is excluded (ES default)
+    from pycasselastic_spark.operators.search_ext import search_facets
+
+    with_missing = search_facets(
+        idx, docs, ["alpha"], "opt_tag", missing="(none)"
+    ).collect()
+    assert {(r["opt_tag"], r["n_docs"]) for r in with_missing} == {
+        ("t1", 2), ("(none)", 1)
+    }
+    without = search_facets(idx, docs, ["alpha"], "opt_tag").collect()
+    assert {(r["opt_tag"], r["n_docs"]) for r in without} == {("t1", 2)}
+    # strict dispatch: unsupported variants raise by name
+    with _p.raises(ValueError, match="terms_set"):
+        es_search(idx, {"query": {"terms_set": {"text": {
+            "terms": ["alpha"],
+        }}}})
+    with _p.raises(ValueError, match="exists"):
+        es_search(idx, {"query": {"exists": {"field": "opt_tag", "boost": 2}}})
+    with _p.raises(ValueError, match="not stored"):
+        es_search(idx, {"query": {"exists": {"field": "nope"}}})
+    # after a delta ingest, ids serves the LIVE copy set (superseded
+    # rows never resurface) — reloaded handle, standard LWW contract
+    SRCH.update_postings_index(
+        spark.createDataFrame([(3, "omega only")], "doc_id long, text string"),
+        "text", path,
+    )
+    idx2 = SRCH.load_postings_index(spark, path)
+    got = es_search(idx2, {"query": {"ids": {"values": [3, 99]}}})
+    assert [r["doc_id"] for r in got.collect()] == [3]
