@@ -68,73 +68,68 @@ from pycasselastic_spark.queries.events_ops import (  # noqa: F401
 # every test look queries up BY NAME, so reordering is behavior-neutral
 # everywhere except the gate's slot assignment.
 _GATE_PRIORITY: list[str] = [
-    # ROUND 11 gate rotation (COVERAGE.md round-11 plan, committed in
-    # round 10 and executed here): slots 0-4 are the five post-gate
-    # round-10 registrations (judge-replayed green in the r10 oracle
-    # replay, so any failure is a NEW regression; note
-    # es_dsl_search_documents carries the round-11 per-clause
-    # bool.must semantics fix, its oracle updated in lockstep);
-    # slots 5-9 the five NEW round-11 queries (stemmer + synonym
-    # analyzer stages and the stemmer reindex-upgrade twin,
-    # object/dotted-field search, ILM rollover); slots 10-49 the first
-    # 40 of the 45 stale-r7 queries in their CORRECTNESS_r07 order
-    # (the remaining five — range_join_value_buckets,
-    # running_totals_orders, pivot_orders_status,
-    # percentile_stats_lineitem, applyinpandas_rank_events — rotate
-    # into round 12).
-    # --- slots 0-4: post-gate round-10 registrations -----------------
-    "es_dsl_search_documents",
-    "filtered_bm25_documents",
-    "stats_agg_documents",
-    "histogram_agg_documents",
-    "sorted_search_documents",
-    # --- slots 5-9: NEW round-11 queries -----------------------------
-    "stemmed_bm25_documents",
-    "synonym_bm25_documents",
-    "reindex_upgrade_stemmer_documents",
-    "object_field_search_documents",
-    "rollover_bm25_documents",
-    # --- slots 10-49: stale-r7 rows, CORRECTNESS_r07 order -----------
-    "cluster_aware_split_documents",
-    "per_source_cap_documents",
-    "funnel_analysis_events",
-    "cohort_retention_events",
-    "hybrid_skew_join_events_customer",
-    "multi_snapshot_lww_events",
-    "lwwstore_roundtrip_events",
-    "streaming_lwwstore_sync_events",
-    "topk_orders_per_priority",
-    "semi_join_customers_with_orders",
-    "anti_join_customers_without_orders",
-    "rollup_lineitem_status",
-    "cube_orders_status_priority",
-    "distinct_counts_events",
-    "except_customers_minus_buyers",
-    "intersect_buyers_and_customers",
-    "top10_orders_by_price",
-    "tumbling_window_events",
-    "sessionize_events",
-    "asof_join_last_signup",
-    "exact_dedup_documents",
-    "ngram_jaccard_neardup",
-    "simhash_neardup",
-    "embedding_cosine_neardup",
-    "cosine_topk_bruteforce",
-    "cosine_topk_lsh",
-    "text_quality_documents",
-    "token_counts_documents",
-    "pack_documents_greedy",
-    "data_quality_report",
-    "pii_redact_documents",
-    "repetition_stats_documents",
-    "lang_id_documents",
-    "fingerprint_documents",
-    "multimodal_meta_stats",
-    "multimodal_image_features",
-    "multimodal_frame_sample",
-    "streaming_tumbling_window_events",
-    "streaming_static_enrich_events",
-    "streaming_stream_stream_join",
+    # ROUND 12 gate rotation (COVERAGE.md round-12 plan): slots 0-4
+    # retire the LAST five stale-r7 rows (after this, no driver row in
+    # the catalog is older than round 8); slots 5-10 the six NEW
+    # round-12 queries (multi-word phrase synonyms + their
+    # slot-stream-reconstruction reindex twin, and the stored
+    # doc-values surface exists / ids / terms_set / terms-agg missing
+    # bucket); slots 11-49 the first 39 stale-r8 rows in their
+    # CORRECTNESS_r08 order (the remaining 11 r8 rows head the
+    # round-13 rotation).
+    # --- slots 0-4: the last stale-r7 rows ---------------------------
+    "range_join_value_buckets",
+    "running_totals_orders",
+    "pivot_orders_status",
+    "percentile_stats_lineitem",
+    "applyinpandas_rank_events",
+    # --- slots 5-10: NEW round-12 queries ----------------------------
+    "multiword_synonym_bm25_documents",
+    "reindex_upgrade_multiword_documents",
+    "exists_query_documents",
+    "ids_query_documents",
+    "terms_set_documents",
+    "missing_bucket_facets_documents",
+    # --- slots 11-49: stale-r8 rows, CORRECTNESS_r08 order -----------
+    "streaming_lwwstore_replicate_events",
+    "term_cooccurrence_pmi_documents",
+    "json_extract_events",
+    "full_outer_join_customer_orders",
+    "bm25_indexed_search_documents",
+    "bm25_delta_indexed_documents",
+    "phrase_slop_search_documents",
+    "approx_distinct_stats_events",
+    "scd2_customer_history",
+    "session_stats_events",
+    "funnel_conversion_events",
+    "retention_cohorts_events",
+    "q2_min_price_supplier",
+    "q4_priority_with_big_lineitem",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_late_lines_by_priority",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_revenue",
+    "q20_part_supplier_chain",
+    "q21_sole_supplier_orders",
+    "q22_idle_rich_customers",
+    "orders_above_customer_avg",
+    "having_frequent_buyers",
+    "skew_salted_agg_events",
+    "salted_join_events_customer",
+    "neardup_cluster_dedup",
+    "embedding_lsh_neardup",
+    "embedding_ivf_neardup",
+    "cosine_topk_ivf",
 ]
 
 

@@ -197,6 +197,28 @@ def _batch_bloom_bits(batch_ids: DataFrame, id_col: str) -> int:
     return bits
 
 
+def _next_gen_name(family_path: str, indexes: list[str]) -> str:
+    """The next generation's name: MONOTONIC across the family's whole
+    life, never length-derived — retention SHRINKS the manifest, so
+    ``len(indexes) + 1`` would reuse a live generation's name (the
+    collision the round-12 retention test caught). On-disk orphans
+    (a crashed build that never reached its manifest write) also bump
+    the floor so a retry can't collide with one."""
+    mx = 0
+    for n in indexes:
+        mx = max(mx, int(n.split("-", 1)[1]))
+    if os.path.isdir(family_path):
+        for entry in os.listdir(family_path):
+            if entry.startswith("ix-") and os.path.isdir(
+                os.path.join(family_path, entry)
+            ):
+                try:
+                    mx = max(mx, int(entry.split("-", 1)[1]))
+                except ValueError:
+                    pass
+    return f"ix-{mx + 1:08d}"
+
+
 def _apply_retention(
     family_path: str, indexes: list[str], policy: RolloverPolicy
 ) -> list[str]:
@@ -332,7 +354,7 @@ def ingest_with_rollover(
     else:
         landed = ""
     if not landed:
-        name = f"ix-{len(indexes) + 1:08d}"
+        name = _next_gen_name(family_path, indexes)
         landed = os.path.join(family_path, name)
         _write_bloom(family_path, name, batch_bits)  # before the build
         build_postings_index(

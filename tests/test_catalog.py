@@ -43,25 +43,26 @@ def test_query_runs(spark, sf_dir, name):
     assert len(df.columns) == len(set(df.columns))
 
 
-def test_round11_gate_slots():
-    """The driver hashes the FIRST 50 registered queries; the round-11
-    rotation puts the five post-gate round-10 registrations in slots
-    0-4, the five NEW round-11 queries in slots 5-9, and the first 40
-    of the 45 stale-r7 rows in slots 10-49 (CORRECTNESS_r07 order).
-    Pin the boundary slots so an accidental registration reorder is
-    caught before the driver runs (COVERAGE.md enumerates the full
-    list)."""
+def test_round12_gate_slots():
+    """The driver hashes the FIRST 50 registered queries; the round-12
+    rotation retires the LAST five stale-r7 rows in slots 0-4, puts
+    the six NEW round-12 queries (phrase synonyms + reindex twin,
+    exists/ids/terms_set, missing bucket) in slots 5-10, and the first
+    39 stale-r8 rows in slots 11-49 (CORRECTNESS_r08 order). Pin the
+    boundary slots so an accidental registration reorder is caught
+    before the driver runs (COVERAGE.md enumerates the full list)."""
     names = list(QUERIES)
-    assert names[0] == "es_dsl_search_documents"
-    assert names[4] == "sorted_search_documents"
-    assert names[5] == "stemmed_bm25_documents"
-    assert names[6] == "synonym_bm25_documents"
-    assert names[7] == "reindex_upgrade_stemmer_documents"
-    assert names[8] == "object_field_search_documents"
-    assert names[9] == "rollover_bm25_documents"
-    assert names[10] == "cluster_aware_split_documents"
-    assert names[49] == "streaming_stream_stream_join"
+    assert names[0] == "range_join_value_buckets"
+    assert names[4] == "applyinpandas_rank_events"
+    assert names[5] == "multiword_synonym_bm25_documents"
+    assert names[6] == "reindex_upgrade_multiword_documents"
+    assert names[7] == "exists_query_documents"
+    assert names[8] == "ids_query_documents"
+    assert names[9] == "terms_set_documents"
+    assert names[10] == "missing_bucket_facets_documents"
+    assert names[11] == "streaming_lwwstore_replicate_events"
+    assert names[49] == "cosine_topk_ivf"
     # the gate is the FIRST 50; post-gate registrations grow the tail
     # every round (COVERAGE.md enumerates them), so pin a floor, not
     # an exact count — an accidental DEregistration still fails here
-    assert len(names) >= 205
+    assert len(names) >= 211

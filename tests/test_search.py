@@ -2387,7 +2387,10 @@ def test_exists_ids_terms_set_and_missing_bucket(spark, tmp_path):
     # after a delta ingest, ids serves the LIVE copy set (superseded
     # rows never resurface) — reloaded handle, standard LWW contract
     SRCH.update_postings_index(
-        spark.createDataFrame([(3, "omega only")], "doc_id long, text string"),
+        spark.createDataFrame(
+            [(3, "omega only", "t9", 1)],
+            "doc_id long, text string, opt_tag string, req long",
+        ),
         "text", path,
     )
     idx2 = SRCH.load_postings_index(spark, path)
