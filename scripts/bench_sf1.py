@@ -204,6 +204,18 @@ def main() -> None:
     ap.add_argument("--sf01", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--queries", nargs="*", default=HEAVY_QUERIES)
     ap.add_argument(
+        "--all", action="store_true",
+        help="run the ENTIRE catalog (the round-12 full ladder, "
+        "round-10 verdict item 5): ignores --queries; flagged "
+        "super-linear queries get a warm sf1 RE-PASS so one-time "
+        "per-sf cache builds (the postings/band-index family) are "
+        "separated from true scaling before judging them",
+    )
+    ap.add_argument(
+        "--repass-threshold", type=float, default=12.0,
+        help="sf1/sf0.1 ratio above which a query is re-measured warm",
+    )
+    ap.add_argument(
         "--warmup-sf1", action="store_true",
         help="also run a discarded warmup pass at sf1 — required for "
         "queries that cache a per-sf acceleration structure (the "
@@ -214,6 +226,11 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = get_spark(app_name="bench-sf1")
+    queries = args.queries
+    if args.all:
+        from pycasselastic_spark.catalog import QUERIES
+
+        queries = list(QUERIES)
     sf1_dir = os.path.join(tempfile.gettempdir(), "pycasselastic_sf1")
     t0 = time.perf_counter()
     synthesize_sf1(spark, args.sf01, sf1_dir)
@@ -225,12 +242,12 @@ def main() -> None:
     # of this script measured cosine_topk_lsh at 25.6 s cold vs 4.7 s
     # warm — a nonsense 0.18 "ratio")
     print("warmup pass (discarded):", flush=True)
-    run_queries(spark, args.sf01, args.queries)
+    run_queries(spark, args.sf01, queries)
     if args.warmup_sf1:
         print("sf1 warmup pass (discarded):", flush=True)
-        run_queries(spark, sf1_dir, args.queries)
-    sf01 = run_queries(spark, args.sf01, args.queries)
-    sf1 = run_queries(spark, sf1_dir, args.queries)
+        run_queries(spark, sf1_dir, queries)
+    sf01 = run_queries(spark, args.sf01, queries)
+    sf1 = run_queries(spark, sf1_dir, queries)
 
     result = {
         "sf01_dir": args.sf01,
@@ -241,7 +258,7 @@ def main() -> None:
                 "sf1_sec": sf1[n],
                 "ratio": round(sf1[n] / sf01[n], 2) if sf01[n] else None,
             }
-            for n in args.queries
+            for n in queries
         },
     }
     # linear in data = ratio ~ REPLICAS (fixed per-query overhead pulls
@@ -251,6 +268,25 @@ def main() -> None:
         if v["ratio"] is not None and v["ratio"] > 1.2 * REPLICAS
     }
     result["superlinear_flagged"] = sorted(flagged)
+    if args.all and flagged:
+        # warm sf1 re-pass for the flagged tail: queries whose first
+        # sf1 touch built a per-sf acceleration structure (the cached
+        # postings/band/IVF index families) charge that one-time build
+        # to their first run; the warm number separates build
+        # amortization from true scaling so only genuine super-linear
+        # plans get judged as such
+        print("warm sf1 re-pass for flagged queries:", flush=True)
+        warm = run_queries(spark, sf1_dir, sorted(flagged))
+        for n, s in warm.items():
+            result["queries"][n]["sf1_warm_sec"] = s
+            result["queries"][n]["ratio_warm"] = (
+                round(s / sf01[n], 2) if sf01[n] else None
+            )
+        result["superlinear_flagged_warm"] = sorted(
+            n for n in flagged
+            if result["queries"][n]["ratio_warm"] is not None
+            and result["queries"][n]["ratio_warm"] > args.repass_threshold
+        )
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result, indent=1))
