@@ -160,6 +160,26 @@ _EXPORTS: dict[str, str] = {
     "explain_score": "operators.search",
     "hybrid_rrf_search": "operators.search",
     "bm25_msearch": "operators.search",
+    # round-10/11 surface: the ES _search dispatcher, analyzer chain,
+    # doc-values filter context, and ILM rollover families
+    "es_search": "operators.search",
+    "Analyzer": "operators.search",
+    "bm25_topk_filtered": "operators.search",
+    "search_stats_agg": "operators.search",
+    "search_histogram_agg": "operators.search",
+    "search_sort_by_field": "operators.search",
+    "reindex_postings_index": "operators.search",
+    "RolloverPolicy": "operators.search",
+    "ingest_with_rollover": "operators.search",
+    "rollover_bm25_topk": "operators.search",
+    "load_family": "operators.search",
+    "write_index_path": "operators.search",
+    # round-12 surface: stored-doc-values queries
+    "search_exists": "operators.search",
+    "search_ids": "operators.search",
+    "terms_set_search": "operators.search",
+    "search_dv_range": "operators.search",
+    "search_dv_terms": "operators.search",
 }
 
 __all__ = ["__version__", *sorted(_EXPORTS)]

@@ -304,6 +304,8 @@ from pycasselastic_spark.operators.search_ext import (  # noqa: E402,F401
     search_sort_by_field,
 )
 from pycasselastic_spark.operators.search_ext import (  # noqa: E402,F401
+    search_dv_range,
+    search_dv_terms,
     search_exists,
     search_ids,
     terms_set_search,

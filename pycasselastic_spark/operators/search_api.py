@@ -44,6 +44,8 @@ from pycasselastic_spark.operators.search_probes import (
 from pycasselastic_spark.operators.search_ext import (
     bm25_collapse,
     bm25_topk_filtered,
+    search_dv_range,
+    search_dv_terms,
     search_exists,
     search_facets,
     search_histogram_agg,
@@ -120,8 +122,10 @@ def es_search(
       ``prefix``, ``wildcard``, ``regexp``, ``exists`` (stored
       doc-values non-NULL scan), ``ids`` (live-doc batch lookup),
       ``terms_set`` (per-doc threshold from a stored
-      ``minimum_should_match_field``), and ``bool`` with
-      ``must`` / ``should`` / ``must_not`` lists of match/term leaves.
+      ``minimum_should_match_field``), ``range`` / ``terms``
+      (constant-score stored doc-values bounds / IN-list), and
+      ``bool`` with ``must`` / ``should`` / ``must_not`` lists of
+      match/term leaves.
     - ``size`` (default 10) and ``search_after`` ([score_q20, id] —
       the (score desc, id asc) cursor, match-only).
     - ``collapse`` {"field": ...} and ``aggs`` with ONE ``terms``
@@ -256,6 +260,14 @@ def es_search(
         if set(q) != {"field"}:
             raise _err(f"exists options {sorted(set(q) - {'field'})}")
         return search_exists(index, q["field"], k=size)
+    if qtype == "range":
+        field, spec = _single(q, "range")
+        return search_dv_range(index, field, dict(spec), k=size)
+    if qtype == "terms":
+        field, values = _single(q, "terms")
+        if not isinstance(values, (list, tuple)):
+            raise _err(f"terms body {values!r} (expected a value list)")
+        return search_dv_terms(index, field, list(values), k=size)
     if qtype == "ids":
         if set(q) != {"values"}:
             raise _err(f"ids options {sorted(set(q) - {'values'})}")

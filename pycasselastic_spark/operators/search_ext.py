@@ -910,3 +910,77 @@ def terms_set_search(
         .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+_DV_OPS = {
+    "gte": lambda c, v: c >= v,
+    "lte": lambda c, v: c <= v,
+    "gt": lambda c, v: c > v,
+    "lt": lambda c, v: c < v,
+}
+
+
+def search_dv_range(
+    index: PostingsIndex,
+    field: str,
+    spec: dict,
+    k: int = 10,
+) -> DataFrame:
+    """ES top-level ``range`` QUERY (not just filter context): docs
+    whose stored doc-values ``field`` satisfies the gte/lte/gt/lt
+    bounds. ES scores every hit a constant 1.0, so the deterministic
+    page is the id tiebreak — ``(id,)`` ascending, first ``k``
+    (exactly the ``exists`` contract with bounds instead of
+    NULL-awareness).
+
+    Plan shape: ONE column-pruned doc-values scan with every bound
+    PUSHED into the parquet scan, then TakeOrderedAndProject — no
+    postings, no docs frame, no join."""
+    if field not in index.stored_fields:
+        raise ValueError(
+            f"field {field!r} is not stored in this index's doc values "
+            f"(stored_fields={index.stored_fields})"
+        )
+    extra = set(spec) - set(_DV_OPS)
+    if extra:
+        raise ValueError(f"unsupported range options {sorted(extra)}")
+    id_col = index.id_col
+    dv = index.live_docvalues()
+    for op, fn in _DV_OPS.items():
+        if op in spec:
+            dv = dv.filter(fn(dv_col(field), F.lit(spec[op])))
+    return (
+        dv.select(id_col).orderBy(F.col(id_col).asc()).limit(k)
+    )
+
+
+def search_dv_terms(
+    index: PostingsIndex,
+    field: str,
+    values: list,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``terms`` query over a STORED doc-values (keyword-style)
+    field: docs whose field value is IN the given list — the
+    filter-cache workhorse of every ES deployment. Constant-score like
+    ``range``/``exists``: returns ``(id,)`` ascending, first ``k``.
+    A ``terms`` query against the indexed TEXT field is a different
+    semantic (analyzed OR-match) — callers want ``match``/``bool``
+    there, and the stored-fields guard raises by name.
+
+    Plan shape: one column-pruned doc-values scan with the IN-list
+    pushed into parquet, then TakeOrderedAndProject."""
+    if field not in index.stored_fields:
+        raise ValueError(
+            f"field {field!r} is not stored in this index's doc values "
+            f"(stored_fields={index.stored_fields}); for the indexed "
+            "text field use a match or bool query instead"
+        )
+    id_col = index.id_col
+    return (
+        index.live_docvalues()
+        .filter(dv_col(field).isin(list(values)))
+        .select(id_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(k)
+    )

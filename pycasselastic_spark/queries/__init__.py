@@ -20,6 +20,7 @@ from pycasselastic_spark.queries import corpus_quality  # noqa: F401
 from pycasselastic_spark.queries import events_ops  # noqa: F401
 from pycasselastic_spark.queries import search_analytics  # noqa: F401
 from pycasselastic_spark.queries import search_dsl  # noqa: F401
+from pycasselastic_spark.queries import search_analyzer_stages  # noqa: F401
 from pycasselastic_spark.queries import search_es_queries  # noqa: F401
 from pycasselastic_spark.queries import search_es_apis  # noqa: F401
 from pycasselastic_spark.queries import search_r12  # noqa: F401

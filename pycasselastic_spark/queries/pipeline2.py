@@ -422,8 +422,24 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = f"{sf_dir}/events.parquet"
     tmp = tempfile.mkdtemp(prefix="stream_dedup_")
-    shutil.copy(src, os.path.join(tmp, "delivery1.parquet"))
-    shutil.copy(src, os.path.join(tmp, "delivery2.parquet"))
+
+    def deliver(tag: str) -> None:
+        # the driver corpus ships events.parquet as a single FILE, but
+        # a synthesized corpus (scripts/bench_sf1.py) writes a parquet
+        # DIRECTORY — flatten its part files into the stream source
+        # dir so both shapes re-deliver identically
+        if os.path.isdir(src):
+            for i, f in enumerate(sorted(os.listdir(src))):
+                if f.endswith(".parquet"):
+                    shutil.copy(
+                        os.path.join(src, f),
+                        os.path.join(tmp, f"{tag}_{i}.parquet"),
+                    )
+        else:
+            shutil.copy(src, os.path.join(tmp, f"{tag}.parquet"))
+
+    deliver("delivery1")
+    deliver("delivery2")
     stream = read_event_stream(spark, tmp)
     deduped = (
         stream.withWatermark("ts", "1 hour")

@@ -324,3 +324,47 @@ def missing_bucket_facets_documents(
             "field": "opt_tag", "missing": "(none)", "size": 10,
         }}},
     }, docs=docs)
+
+
+@register(
+    "range_query_documents",
+    """
+SELECT doc_id FROM documents WHERE n_chars >= 300 AND n_chars < 420
+ORDER BY doc_id LIMIT 12
+""",
+    doc="ES top-level ``range`` QUERY (not just filter context; "
+    "operators/search_ext.py:search_dv_range): constant-score bounds "
+    "over a stored doc-values field, deterministic id-tiebreak page. "
+    "Plan: one column-pruned doc-values scan with BOTH bounds pushed "
+    "into parquet, TakeOrderedAndProject, zero joins. Dispatched from "
+    "the _search body's query.range key; unsupported options "
+    "(boost, format, relation) raise by name.",
+)
+def range_query_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"range": {"n_chars": {"gte": 300, "lt": 420}}},
+        "size": 12,
+    })
+
+
+@register(
+    "terms_query_documents",
+    """
+SELECT doc_id FROM documents WHERE source IN ('src3', 'src7', 'src11')
+ORDER BY doc_id LIMIT 12
+""",
+    doc="ES ``terms`` query over a stored keyword-style doc-values "
+    "field (operators/search_ext.py:search_dv_terms): value-IN-list "
+    "constant-score lookup — the filter-cache workhorse. The IN-list "
+    "pushes into the columnar doc-values scan; a terms query against "
+    "the indexed TEXT field raises by name (that semantic is an "
+    "analyzed OR-match — use match/bool). Dispatched from "
+    "query.terms.",
+)
+def terms_query_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"terms": {"source": ["src3", "src7", "src11"]}},
+        "size": 12,
+    })

@@ -185,17 +185,49 @@ def synthesize_sf1(spark, src_dir: str, out_dir: str) -> None:
             )
 
 
-def run_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+def run_queries(
+    spark,
+    sf_dir: str,
+    names: list[str],
+    leg: str = "",
+    journal: str | None = None,
+    done: dict | None = None,
+) -> dict[str, float]:
+    """Run each query once against ``sf_dir``, noop-writing the result.
+    With ``journal``/``done`` (the crash-resume protocol a 400+-leg
+    ladder needs): every completed query appends one jsonl row
+    immediately, and queries already recorded for this ``leg`` are
+    skipped with their journaled time — a restart re-runs only what
+    never finished."""
     from pycasselastic_spark.catalog import QUERIES
 
     times = {}
     for name in names:
+        if done is not None and (leg, name) in done:
+            times[name] = done[(leg, name)]
+            continue
         t0 = time.perf_counter()
         df = QUERIES[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 2)
         print(f"  {name} @ {sf_dir}: {times[name]}s", flush=True)
+        if journal:
+            with open(journal, "a") as f:
+                f.write(json.dumps(
+                    {"leg": leg, "query": name, "sec": times[name]}
+                ) + "\n")
     return times
+
+
+def load_journal(path: str) -> dict:
+    done = {}
+    if path and os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                if line.strip():
+                    r = json.loads(line)
+                    done[(r["leg"], r["query"])] = r["sec"]
+    return done
 
 
 def main() -> None:
@@ -216,6 +248,12 @@ def main() -> None:
         help="sf1/sf0.1 ratio above which a query is re-measured warm",
     )
     ap.add_argument(
+        "--journal", default=None,
+        help="jsonl crash journal (default <out>.journal.jsonl with "
+        "--all): completed (leg, query) rows are skipped on restart; "
+        "an existing synthesized sf1 dir is reused",
+    )
+    ap.add_argument(
         "--warmup-sf1", action="store_true",
         help="also run a discarded warmup pass at sf1 — required for "
         "queries that cache a per-sf acceleration structure (the "
@@ -231,10 +269,18 @@ def main() -> None:
         from pycasselastic_spark.catalog import QUERIES
 
         queries = list(QUERIES)
+    journal = args.journal or (args.out + ".journal.jsonl" if args.all else None)
+    done = load_journal(journal) if journal else None
     sf1_dir = os.path.join(tempfile.gettempdir(), "pycasselastic_sf1")
-    t0 = time.perf_counter()
-    synthesize_sf1(spark, args.sf01, sf1_dir)
-    print(f"sf1 corpus synthesized in {time.perf_counter() - t0:.1f}s", flush=True)
+    if done and os.path.isdir(sf1_dir) and os.path.exists(
+        os.path.join(sf1_dir, "lineitem.parquet")
+    ):
+        print(f"reusing synthesized sf1 corpus at {sf1_dir} "
+              f"({len(done)} journaled rows)", flush=True)
+    else:
+        t0 = time.perf_counter()
+        synthesize_sf1(spark, args.sf01, sf1_dir)
+        print(f"sf1 corpus synthesized in {time.perf_counter() - t0:.1f}s", flush=True)
 
     # discarded warmup pass: JIT/codegen/scheduler caches warm BEFORE
     # either measured leg, else the sf0.1 leg pays all the cold-start
@@ -242,12 +288,12 @@ def main() -> None:
     # of this script measured cosine_topk_lsh at 25.6 s cold vs 4.7 s
     # warm — a nonsense 0.18 "ratio")
     print("warmup pass (discarded):", flush=True)
-    run_queries(spark, args.sf01, queries)
+    run_queries(spark, args.sf01, queries, "warmup01", journal, done)
     if args.warmup_sf1:
         print("sf1 warmup pass (discarded):", flush=True)
-        run_queries(spark, sf1_dir, queries)
-    sf01 = run_queries(spark, args.sf01, queries)
-    sf1 = run_queries(spark, sf1_dir, queries)
+        run_queries(spark, sf1_dir, queries, "warmup1", journal, done)
+    sf01 = run_queries(spark, args.sf01, queries, "sf01", journal, done)
+    sf1 = run_queries(spark, sf1_dir, queries, "sf1", journal, done)
 
     result = {
         "sf01_dir": args.sf01,
@@ -276,7 +322,8 @@ def main() -> None:
         # amortization from true scaling so only genuine super-linear
         # plans get judged as such
         print("warm sf1 re-pass for flagged queries:", flush=True)
-        warm = run_queries(spark, sf1_dir, sorted(flagged))
+        warm = run_queries(spark, sf1_dir, sorted(flagged), "warm_repass",
+                           journal, done)
         for n, s in warm.items():
             result["queries"][n]["sf1_warm_sec"] = s
             result["queries"][n]["ratio_warm"] = (

@@ -405,3 +405,37 @@ def test_match_phrase_prefix_plan_is_pruned_and_hash_joined(spark, probe_index):
     assert "SortMergeJoin" not in plan
     assert plan.count("Generate") <= 2  # fixed term + expansion step
     assert "PartitionFilters: [" in plan and "pbucket" in plan
+
+
+def test_exists_probe_pushes_isnotnull_to_docvalues_scan(spark, sf_dir):
+    """The round-12 exists query must run as ONE doc-values scan with
+    the IsNotNull predicate pushed into parquet — no postings probe,
+    no docs frame, no join anywhere in the plan."""
+    df = QUERIES["exists_query_documents"].fn(spark, sf_dir)
+    assert tuning.has_pushed_filter(df, "opt_tag")
+    plan = tuning.formatted_plan(df)
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_terms_set_probe_is_candidate_bounded(spark, sf_dir):
+    """terms_set: the per-doc threshold fetch must be a broadcast join
+    whose build side is the query-bounded scored set — never a
+    corpus-shuffled sort-merge join."""
+    df = QUERIES["terms_set_documents"].fn(spark, sf_dir)
+    plan = tuning.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_multiword_synonym_chain_stays_jvm_side(spark, sf_dir):
+    """The phrase-synonym pass is pure Column string ops: the index
+    build AND the probe contain zero Python eval nodes, and the probe
+    is the standard pruned-postings shape (no Generate over the
+    corpus at query time)."""
+    df = QUERIES["multiword_synonym_bm25_documents"].fn(spark, sf_dir)
+    plan = tuning.formatted_plan(df)
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan
+    assert "Generate" not in plan

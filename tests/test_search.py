@@ -2396,3 +2396,31 @@ def test_exists_ids_terms_set_and_missing_bucket(spark, tmp_path):
     idx2 = SRCH.load_postings_index(spark, path)
     got = es_search(idx2, {"query": {"ids": {"values": [3, 99]}}})
     assert [r["doc_id"] for r in got.collect()] == [3]
+
+
+def test_range_and_terms_dv_queries(spark, tmp_path):
+    """Round-12 tail: top-level range and terms queries over stored
+    doc-values — constant-score id pages, strict guards."""
+    import pytest as _p
+
+    from pycasselastic_spark.operators.search_api import es_search
+
+    docs = spark.createDataFrame(
+        [(1, "alpha", "t1", 10), (2, "beta", "t2", 20),
+         (3, "gamma", "t1", 30), (4, "delta", None, 40)],
+        "doc_id long, text string, tag string, score long",
+    )
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(
+        docs, "doc_id", "text", path, n_buckets=4,
+        stored_fields=["tag", "score"],
+    )
+    idx = SRCH.load_postings_index(spark, path)
+    got = es_search(idx, {"query": {"range": {"score": {"gte": 20, "lt": 40}}}})
+    assert [r["doc_id"] for r in got.collect()] == [2, 3]
+    got = es_search(idx, {"query": {"terms": {"tag": ["t1", "t9"]}}})
+    assert [r["doc_id"] for r in got.collect()] == [1, 3]
+    with _p.raises(ValueError, match="range options"):
+        es_search(idx, {"query": {"range": {"score": {"gte": 1, "boost": 2}}}})
+    with _p.raises(ValueError, match="not stored"):
+        es_search(idx, {"query": {"terms": {"text": ["alpha"]}}})
