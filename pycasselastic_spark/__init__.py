@@ -180,6 +180,7 @@ _EXPORTS: dict[str, str] = {
     "terms_set_search": "operators.search",
     "search_dv_range": "operators.search",
     "search_dv_terms": "operators.search",
+    "search_nested": "operators.search",
 }
 
 __all__ = ["__version__", *sorted(_EXPORTS)]

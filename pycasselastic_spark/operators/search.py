@@ -308,6 +308,7 @@ from pycasselastic_spark.operators.search_ext import (  # noqa: E402,F401
     search_dv_terms,
     search_exists,
     search_ids,
+    search_nested,
     terms_set_search,
 )
 from pycasselastic_spark.operators.search_rollover import (  # noqa: E402,F401

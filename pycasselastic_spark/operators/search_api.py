@@ -47,6 +47,7 @@ from pycasselastic_spark.operators.search_ext import (
     search_dv_range,
     search_dv_terms,
     search_exists,
+    search_nested,
     search_facets,
     search_histogram_agg,
     search_ids,
@@ -272,6 +273,40 @@ def es_search(
         if set(q) != {"values"}:
             raise _err(f"ids options {sorted(set(q) - {'values'})}")
         return search_ids(index, list(q["values"]), k=size)
+    if qtype == "nested":
+        extra = set(q) - {"path", "query"}
+        if extra:
+            raise _err(f"nested options {sorted(extra)}")
+        npath, inner = q["path"], q["query"]
+        ikind, ibody = _single(inner, "nested inner query")
+        leaves = (
+            ibody.get("must", []) if ikind == "bool" else [inner]
+        )
+        if ikind == "bool" and set(ibody) != {"must"}:
+            raise _err(
+                f"nested bool clauses {sorted(set(ibody) - {'must'})}"
+            )
+        conditions = []
+        for leaf in leaves:
+            lkind, lbody = _single(leaf, "nested leaf")
+            field, spec = _single(lbody, f"nested {lkind}")
+            if not field.startswith(npath + "."):
+                raise _err(
+                    f"nested leaf field {field!r} outside path {npath!r}"
+                )
+            sub = field[len(npath) + 1:]
+            if lkind == "term":
+                conditions.append((sub, "=", spec))
+            elif lkind == "range":
+                extra = set(spec) - set(_RANGE_OPS)
+                if extra:
+                    raise _err(f"nested range options {sorted(extra)}")
+                for es_op, op in _RANGE_OPS.items():
+                    if es_op in spec:
+                        conditions.append((sub, op, spec[es_op]))
+            else:
+                raise _err(f"nested leaf type {lkind!r}")
+        return search_nested(index, npath, conditions, k=size)
     if qtype == "terms_set":
         field, spec = _single(q, "terms_set")
         extra = set(spec) - {"terms", "minimum_should_match_field"}

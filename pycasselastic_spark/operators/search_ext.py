@@ -984,3 +984,60 @@ def search_dv_terms(
         .orderBy(F.col(id_col).asc())
         .limit(k)
     )
+
+
+def search_nested(
+    index: PostingsIndex,
+    path: str,
+    conditions: list,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``nested`` query: docs where AT LEAST ONE element of a
+    declared array-of-objects doc-values field satisfies EVERY
+    condition — per-element semantics, the entire reason the nested
+    type exists (a flattened mapping would match one condition on
+    element A and another on element B: ES's cross-object leakage).
+    ``conditions`` is a list of ``(subfield, op, value)`` with op in
+    ``= != >= <= > <``, all evaluated on the SAME element.
+    Constant-score like every pure filter query here: ``(id,)``
+    ascending, first ``k``.
+
+    Plan shape: one column-pruned doc-values scan; the existence test
+    is a JVM-side higher-order ``exists()`` over the stored array —
+    doc-sized work, no explode, no shuffle, no join, then
+    TakeOrderedAndProject."""
+    _OPS = {
+        "=": lambda c, v: c == v,
+        "!=": lambda c, v: c != v,
+        ">=": lambda c, v: c >= v,
+        "<=": lambda c, v: c <= v,
+        ">": lambda c, v: c > v,
+        "<": lambda c, v: c < v,
+    }
+    if path not in index.nested_fields:
+        raise ValueError(
+            f"field {path!r} is not a declared nested field "
+            f"(nested_fields={index.nested_fields}) — nested queries "
+            "need the explicit nested mapping, exactly as in ES"
+        )
+    if not conditions:
+        raise ValueError("nested query with no conditions")
+    for _f, op, _v in conditions:
+        if op not in _OPS:
+            raise ValueError(f"unsupported nested op {op!r}")
+
+    def elem_pred(e):
+        pred = None
+        for sub, op, value in conditions:
+            c = _OPS[op](e[sub], F.lit(value))
+            pred = c if pred is None else (pred & c)
+        return pred
+
+    id_col = index.id_col
+    return (
+        index.live_docvalues()
+        .filter(F.exists(dv_col(path), elem_pred))
+        .select(id_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(k)
+    )

@@ -487,6 +487,7 @@ class PostingsIndex:
     analyzer: "Analyzer | None" = None  # None = legacy exact-token index
     docvalues: "DataFrame | None" = None  # (ibucket, id, <fields>, gen)
     stored_fields: tuple[str, ...] = ()
+    nested_fields: tuple[str, ...] = ()  # array<struct> ES 'nested' types
 
     @property
     def avgdl(self) -> float:
@@ -741,6 +742,7 @@ def build_postings_index(
     variant_depth: int = 1,
     analyzer: Analyzer | None = None,
     stored_fields: list[str] | None = None,
+    nested_fields: list[str] | None = None,
 ) -> None:
     """Full build (generation 0): tokenize the corpus ONCE, store the
     postings partitioned by term bucket. After this, queries never
@@ -767,9 +769,9 @@ def build_postings_index(
         F.lit(0).cast("long").alias("gen"),
     )
     docstats.write.mode("overwrite").parquet(os.path.join(path, "docstats"))
-    if stored_fields:
-        _write_docvalues(docs, id_col, stored_fields, n_buckets, 0,
-                         path, "overwrite")
+    if stored_fields or nested_fields:
+        _write_docvalues(docs, id_col, stored_fields or [], n_buckets, 0,
+                         path, "overwrite", nested_fields=nested_fields)
     spark.createDataFrame([], f"{id_col} LONG, gen LONG, by_gen LONG").write.mode(
         "overwrite"
     ).parquet(os.path.join(path, "superseded"))
@@ -783,6 +785,7 @@ def build_postings_index(
         "variant_depth": variant_depth,
         "analyzer": analyzer.to_dict() if analyzer else None,
         "stored_fields": sorted(stored_fields) if stored_fields else None,
+        "nested_fields": sorted(nested_fields) if nested_fields else None,
     })
 
 
@@ -798,6 +801,7 @@ def dv_col(field: str) -> Column:
 def _write_docvalues(
     docs: DataFrame, id_col: str, stored_fields: list[str],
     n_buckets: int, gen: int, path: str, mode: str,
+    nested_fields: list[str] | None = None,
 ) -> None:
     """One generation's doc-values rows: (ibucket, id, <fields>, gen),
     bucketed by the DOC id like the forward relation. One projection
@@ -810,25 +814,43 @@ def _write_docvalues(
     only ever read flat fields, ``pyCassElastic.py:272-274``): the
     path resolves through the struct at write time and is stored
     FLATTENED under its literal dotted name, exactly how ES maps
-    ``{"meta": {"lang": "en"}}`` to the field ``meta.lang``. Nested
-    ARRAYS of objects (ES ``nested`` type, per-element match
-    semantics) are a different query model — refused by name."""
+    ``{"meta": {"lang": "en"}}`` to the field ``meta.lang``.
+
+    An array-of-objects column is ES's ``nested`` TYPE — a different
+    query model (per-element match semantics, served by
+    ``search_nested``) — and must be DECLARED via ``nested_fields``
+    (exactly ES, where ``nested`` is an explicit mapping choice);
+    nested columns are stored as-is (array<struct> doc values, one
+    row per doc — never exploded, so the probe's existence scan is
+    doc-sized). An UNdeclared array field keeps refusing by name —
+    silently flattening it would reproduce ES's cross-object leakage
+    bug, the very thing the nested type exists to prevent."""
+    nested = sorted(nested_fields or [])
     proj = docs.select(
         _term_bucket_col(F.col(id_col).cast("string"), n_buckets)
         .alias("ibucket"),
         F.col(id_col),
         *[F.col(f).alias(f) for f in sorted(stored_fields)],
+        *[F.col(f).alias(f) for f in nested],
         F.lit(gen).cast("long").alias("gen"),
     )
-    from pyspark.sql.types import ArrayType
+    from pyspark.sql.types import ArrayType, StructType
 
     for f in sorted(stored_fields):
         if isinstance(proj.schema[f].dataType, ArrayType):
             raise ValueError(
-                f"stored field {f!r} is an array — ES 'nested'-type "
-                "per-element match semantics are not implemented; "
-                "store a scalar path (e.g. an element or a derived "
-                "scalar column) instead"
+                f"stored field {f!r} is an array — declare it in "
+                "nested_fields for ES 'nested'-type per-element match "
+                "semantics, or store a scalar path / derived scalar "
+                "column instead"
+            )
+    for f in nested:
+        dt = proj.schema[f].dataType
+        if not (isinstance(dt, ArrayType)
+                and isinstance(dt.elementType, StructType)):
+            raise ValueError(
+                f"nested field {f!r} must be an array of structs "
+                f"(ES nested type), got {dt.simpleString()}"
             )
     (
         proj
@@ -969,10 +991,11 @@ def update_postings_index(
         F.lit(gen).cast("long").alias("gen"),
     )
     new_stats.write.mode("append").parquet(os.path.join(path, "docstats"))
-    if stats.get("stored_fields"):
+    if stats.get("stored_fields") or stats.get("nested_fields"):
         _write_docvalues(
-            delta, id_col, stats["stored_fields"], n_buckets, gen,
-            path, "append",
+            delta, id_col, stats.get("stored_fields") or [], n_buckets,
+            gen, path, "append",
+            nested_fields=stats.get("nested_fields"),
         )
     replaced.select(
         id_col, "gen", F.lit(gen).cast("long").alias("by_gen")
@@ -1032,8 +1055,9 @@ def load_postings_index(spark: SparkSession, path: str) -> PostingsIndex:
         F.col("gen").isin(committed)
     )
     stored_fields = tuple(stats.get("stored_fields") or ())
+    nested_fields = tuple(stats.get("nested_fields") or ())
     docvalues = None
-    if stored_fields:
+    if stored_fields or nested_fields:
         docvalues = spark.read.parquet(
             os.path.join(path, "docvalues")
         ).filter(F.col("gen").isin(committed))
@@ -1052,6 +1076,7 @@ def load_postings_index(spark: SparkSession, path: str) -> PostingsIndex:
         analyzer=Analyzer.from_dict(stats.get("analyzer")),
         docvalues=docvalues,
         stored_fields=stored_fields,
+        nested_fields=nested_fields,
     )
 
 def set_index_alias(alias_path: str, index_path: str) -> None:

@@ -277,6 +277,7 @@ def compact_postings_index(
         "variant_depth": stored_depth,
         "analyzer": stats.get("analyzer"),
         "stored_fields": stats.get("stored_fields"),
+        "nested_fields": stats.get("nested_fields"),
     })
     return n_superseded, 0
 
@@ -498,6 +499,7 @@ def reindex_postings_index(
         "variant_depth": new_depth,
         "analyzer": new_analyzer_dict,
         "stored_fields": stats.get("stored_fields"),
+        "nested_fields": stats.get("nested_fields"),
     }
     with open(os.path.join(tmp, "stats.json"), "w") as f:
         json.dump(new_stats, f)

@@ -2424,3 +2424,77 @@ def test_range_and_terms_dv_queries(spark, tmp_path):
         es_search(idx, {"query": {"range": {"score": {"gte": 1, "boost": 2}}}})
     with _p.raises(ValueError, match="not stored"):
         es_search(idx, {"query": {"terms": {"text": ["alpha"]}}})
+
+
+def test_nested_type_per_element_semantics(spark, tmp_path):
+    """Round-12: ES nested type — declared array-of-struct doc values
+    with per-element match (one element satisfies EVERY leaf); a doc
+    that only matches across DIFFERENT elements must NOT match, and
+    undeclared arrays keep refusing by name."""
+    import pytest as _p
+
+    from pycasselastic_spark.operators.search_api import es_search
+
+    docs = spark.createDataFrame(
+        [(1, "alpha", [("fr", 4), ("en", 1)]),
+         (2, "beta", [("fr", 1), ("en", 9)]),   # cross-element only
+         (3, "gamma", [("de", 5)]),
+         (4, "delta", [])],
+        "doc_id long, text string, "
+        "anns array<struct<alang string, ascore long>>",
+    )
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(
+        docs, "doc_id", "text", path, n_buckets=4, nested_fields=["anns"],
+    )
+    idx = SRCH.load_postings_index(spark, path)
+    assert idx.nested_fields == ("anns",)
+    got = es_search(idx, {"query": {"nested": {
+        "path": "anns",
+        "query": {"bool": {"must": [
+            {"term": {"anns.alang": "fr"}},
+            {"range": {"anns.ascore": {"gte": 3}}},
+        ]}},
+    }}})
+    # doc 2 has alang='fr' (score 1) and score>=3 ('en' 9) on
+    # DIFFERENT elements — flattened matching would include it
+    assert [r["doc_id"] for r in got.collect()] == [1]
+    got = es_search(idx, {"query": {"nested": {
+        "path": "anns",
+        "query": {"range": {"anns.ascore": {"gte": 5}}},
+    }}})
+    assert [r["doc_id"] for r in got.collect()] == [2, 3]
+    # guards: undeclared arrays, out-of-path leaves, unknown paths
+    with _p.raises(ValueError, match="nested_fields"):
+        SRCH.build_postings_index(
+            docs.select("doc_id", "text",
+                        F.col("anns").alias("plain_arr")),
+            "doc_id", "text", str(tmp_path / "i2"), n_buckets=4,
+            stored_fields=["plain_arr"],
+        )
+    with _p.raises(ValueError, match="outside path"):
+        es_search(idx, {"query": {"nested": {
+            "path": "anns", "query": {"term": {"other.f": 1}},
+        }}})
+    with _p.raises(ValueError, match="declared nested"):
+        es_search(idx, {"query": {"nested": {
+            "path": "nope", "query": {"term": {"nope.f": 1}},
+        }}})
+    # LWW: a re-ingested doc's nested values follow the newest copy
+    SRCH.update_postings_index(
+        spark.createDataFrame(
+            [(2, "beta2", [("fr", 8)])],
+            "doc_id long, text string, "
+            "anns array<struct<alang string, ascore long>>",
+        ),
+        "text", path,
+    )
+    idx2 = SRCH.load_postings_index(spark, path)
+    got = es_search(idx2, {"query": {"nested": {
+        "path": "anns",
+        "query": {"bool": {"must": [
+            {"term": {"anns.alang": "fr"}},
+            {"range": {"anns.ascore": {"gte": 3}}},
+        ]}},
+    }}})
+    assert [r["doc_id"] for r in got.collect()] == [1, 2]
