@@ -86,6 +86,14 @@ class RolloverPolicy:
 
     max_docs: int
     max_indexes: int | None = None
+    # ES rollover's max_age condition: a live write index OLDER than
+    # this (seconds since its generation was created) rolls on the
+    # next ingest even if it is not full — what bounds the staleness
+    # of generation boundaries on a slow stream. None = size-only.
+    # Ages come from creation timestamps the manifest records per
+    # generation; pre-round-12 families have no timestamps and never
+    # age-roll (size condition still applies).
+    max_age_s: float | None = None
 
     def __post_init__(self) -> None:
         if self.max_docs < 1:
@@ -93,6 +101,10 @@ class RolloverPolicy:
         if self.max_indexes is not None and self.max_indexes < 1:
             raise ValueError(
                 f"max_indexes must be >= 1 or None: {self.max_indexes}"
+            )
+        if self.max_age_s is not None and self.max_age_s <= 0:
+            raise ValueError(
+                f"max_age_s must be > 0 or None: {self.max_age_s}"
             )
 
 
@@ -104,10 +116,29 @@ def _read_manifest(family_path: str) -> list[str]:
         return list(json.load(f)["indexes"])
 
 
-def _write_manifest(family_path: str, indexes: list[str]) -> None:
+def _read_created(family_path: str) -> dict:
+    """Per-generation creation timestamps (unix seconds) — absent for
+    pre-round-12 families and for generations created before the
+    max_age feature (those never age-roll; unknown age is not old)."""
+    p = os.path.join(family_path, _MANIFEST)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return dict(json.load(f).get("created") or {})
+
+
+def _write_manifest(
+    family_path: str, indexes: list[str], created: dict | None = None
+) -> None:
+    doc = {"indexes": indexes}
+    kept = {
+        n: t for n, t in (created or {}).items() if n in set(indexes)
+    }
+    if kept:
+        doc["created"] = kept
     tmp = os.path.join(family_path, "." + _MANIFEST + ".tmp")
     with open(tmp, "w") as f:
-        json.dump({"indexes": indexes}, f)
+        json.dump(doc, f)
     os.replace(tmp, os.path.join(family_path, _MANIFEST))
 
 
@@ -220,7 +251,8 @@ def _next_gen_name(family_path: str, indexes: list[str]) -> str:
 
 
 def _apply_retention(
-    family_path: str, indexes: list[str], policy: RolloverPolicy
+    family_path: str, indexes: list[str], policy: RolloverPolicy,
+    created: dict | None = None,
 ) -> list[str]:
     """ES ILM's delete phase: drop the oldest generations beyond
     ``max_indexes``. Manifest rewrite first (atomic — probes stop
@@ -231,7 +263,7 @@ def _apply_retention(
     if policy.max_indexes is None or len(indexes) <= policy.max_indexes:
         return indexes
     keep = indexes[-policy.max_indexes:]
-    _write_manifest(family_path, keep)
+    _write_manifest(family_path, keep, created)
     kept = set(keep)
     # sweep EVERY unreferenced generation directory, not just this
     # pass's drops — that is what cleans up after a crash between a
@@ -268,7 +300,6 @@ def _retract_ids(batch_ids: DataFrame, path: str, id_col: str) -> int:
         stats = json.load(f)
     id_col_s, committed = stats["id_col"], list(stats["committed_gens"])
     assert id_col_s == id_col
-    gen = _claim_generation(path, stats["next_gen"])
     docstats = spark.read.parquet(os.path.join(path, "docstats")).filter(
         F.col("gen").isin(committed)
     )
@@ -283,7 +314,14 @@ def _retract_ids(batch_ids: DataFrame, path: str, id_col: str) -> int:
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
     ).collect()[0]
     if not r["n"]:
-        return 0  # nothing to retract; the claimed number is wasted
+        return 0  # nothing to retract — and no generation claimed
+    # claim only AFTER the overlap is known non-empty (an empty
+    # overlap used to burn a generation number — round-11 verdict
+    # cosmetic note, now moot on the common path anyway since the
+    # routing bloom skips provably-empty overlaps without calling
+    # here). Safe under the index's single-writer contract: nothing
+    # commits between the count and the claim.
+    gen = _claim_generation(path, stats["next_gen"])
     replaced.select(
         id_col, "gen", F.lit(gen).cast("long").alias("by_gen")
     ).write.mode("append").parquet(os.path.join(path, "superseded"))
@@ -319,6 +357,7 @@ def ingest_with_rollover(
     variant_depth: int = 1,
     analyzer: Analyzer | None = None,
     stored_fields: list[str] | None = None,
+    now_fn=None,
 ) -> str:
     """One daemon-cadence ingest into the family: bootstrap the first
     generation, roll to a fresh one when the policy says the live
@@ -326,7 +365,11 @@ def ingest_with_rollover(
     path of the index the batch landed in. Settings (analyzer /
     stored_fields / buckets / depth) apply to every generation the
     family opens — generations are homogeneous, like ES index
-    templates under ILM."""
+    templates under ILM. ``now_fn`` injects the clock for the
+    max_age condition (tests freeze it); default wall clock."""
+    import time as _time
+
+    now = float((now_fn or _time.time)())
     os.makedirs(family_path, exist_ok=True)
     indexes = _read_manifest(family_path)
     batch_ids = batch.select(id_col).distinct()
@@ -335,11 +378,18 @@ def ingest_with_rollover(
     # overlap check (driver-side bitset ANDs, no Spark jobs)
     batch_bits = _batch_bloom_bits(batch_ids, id_col)
     landed: str
+    created = _read_created(family_path)
     if indexes:
         cur = os.path.join(family_path, indexes[-1])
         with open(os.path.join(cur, "stats.json")) as f:
             n_docs = json.load(f)["n_docs"]
-        if n_docs < policy.max_docs:
+        born = created.get(indexes[-1])
+        aged = (
+            policy.max_age_s is not None
+            and born is not None
+            and (now - float(born)) >= policy.max_age_s
+        )
+        if n_docs < policy.max_docs and not aged:
             # bloom BEFORE the data commit (no-false-negative law): a
             # crash here leaves extra bits, never missing ones. Legacy
             # write indexes (no bloom file) stay bloom-less — a bloom
@@ -364,9 +414,12 @@ def ingest_with_rollover(
         )
         # visibility order: complete index first, then the manifest row
         # (family probes see it), then the write alias (ingests target)
-        _write_manifest(family_path, indexes + [name])
+        created[name] = now
+        _write_manifest(family_path, indexes + [name], created)
         set_index_alias(os.path.join(family_path, _WRITE_ALIAS), landed)
-        indexes = _apply_retention(family_path, indexes + [name], policy)
+        indexes = _apply_retention(
+            family_path, indexes + [name], policy, created
+        )
     # cross-generation LWW: a re-ingested doc's stale copies in OLDER
     # generations retract (O7 across indexes) AFTER the new copy is
     # committed — a crash in between leaves both live briefly, and the

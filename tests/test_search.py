@@ -2498,3 +2498,53 @@ def test_nested_type_per_element_semantics(spark, tmp_path):
         ]}},
     }}})
     assert [r["doc_id"] for r in got.collect()] == [1, 2]
+
+
+def test_rollover_max_age_condition(spark, tmp_path):
+    """Round-12: ES rollover's max_age — a live write index older than
+    the policy age rolls on the next ingest even when not full; the
+    clock is injected so the test is deterministic, and manifests
+    without timestamps (legacy families) never age-roll."""
+    from pycasselastic_spark.operators import search_rollover as RO
+
+    fam = str(tmp_path / "fam")
+    pol = RO.RolloverPolicy(max_docs=1000, max_age_s=60)
+    clock = {"t": 1_000.0}
+    now = lambda: clock["t"]  # noqa: E731
+    RO.ingest_with_rollover(
+        _corpus(spark, [(1, "common a")]), "doc_id", "text", fam, pol,
+        n_buckets=4, now_fn=now,
+    )
+    clock["t"] += 30  # young: same generation
+    RO.ingest_with_rollover(
+        _corpus(spark, [(2, "common b")]), "doc_id", "text", fam, pol,
+        n_buckets=4, now_fn=now,
+    )
+    assert RO._read_manifest(fam) == ["ix-00000001"]
+    clock["t"] += 61  # past max_age: rolls despite being nearly empty
+    RO.ingest_with_rollover(
+        _corpus(spark, [(3, "common c")]), "doc_id", "text", fam, pol,
+        n_buckets=4, now_fn=now,
+    )
+    assert RO._read_manifest(fam) == ["ix-00000001", "ix-00000002"]
+    assert RO.write_index_path(fam).endswith("ix-00000002")
+    # probes span the age-rolled boundary as usual
+    got = RO.rollover_bm25_topk(spark, fam, ["common"], k=10)
+    assert {r["doc_id"] for r in got.collect()} == {1, 2, 3}
+    # legacy manifest without timestamps: age can never trigger
+    import json as _json
+    import os as _os
+
+    mp = _os.path.join(fam, "family.json")
+    doc = _json.load(open(mp))
+    doc.pop("created")
+    _json.dump(doc, open(mp, "w"))
+    clock["t"] += 10_000
+    RO.ingest_with_rollover(
+        _corpus(spark, [(4, "common d")]), "doc_id", "text", fam, pol,
+        n_buckets=4, now_fn=now,
+    )
+    assert RO._read_manifest(fam) == ["ix-00000001", "ix-00000002"]
+    import pytest as _p
+    with _p.raises(ValueError, match="max_age_s"):
+        RO.RolloverPolicy(max_docs=1, max_age_s=0)
