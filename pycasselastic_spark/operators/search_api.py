@@ -79,6 +79,52 @@ def _filter_predicates(clauses: list) -> list:
         elif kind == "term":
             field, value = _single(body, "term filter")
             preds.append((field, "=", value))
+        elif kind == "exists":
+            if set(body) != {"field"}:
+                raise _err(
+                    f"exists filter options {sorted(set(body) - {'field'})}"
+                )
+            preds.append((body["field"], "exists", None))
+        elif kind == "nested":
+            if set(body) != {"path", "query"}:
+                raise _err(
+                    f"nested filter options "
+                    f"{sorted(set(body) - {'path', 'query'})}"
+                )
+            npath, inner = body["path"], body["query"]
+            ikind, ibody = _single(inner, "nested filter inner query")
+            leaves = (
+                ibody.get("must", []) if ikind == "bool" else [inner]
+            )
+            if ikind == "bool" and set(ibody) != {"must"}:
+                raise _err(
+                    f"nested filter bool clauses "
+                    f"{sorted(set(ibody) - {'must'})}"
+                )
+            conditions = []
+            for leaf in leaves:
+                lkind, lbody = _single(leaf, "nested filter leaf")
+                field, spec = _single(lbody, f"nested filter {lkind}")
+                if not field.startswith(npath + "."):
+                    raise _err(
+                        f"nested filter leaf field {field!r} outside "
+                        f"path {npath!r}"
+                    )
+                sub = field[len(npath) + 1:]
+                if lkind == "term":
+                    conditions.append((sub, "=", spec))
+                elif lkind == "range":
+                    extra = set(spec) - set(_RANGE_OPS)
+                    if extra:
+                        raise _err(
+                            f"nested filter range options {sorted(extra)}"
+                        )
+                    for es_op, op in _RANGE_OPS.items():
+                        if es_op in spec:
+                            conditions.append((sub, op, spec[es_op]))
+                else:
+                    raise _err(f"nested filter leaf type {lkind!r}")
+            preds.append((npath, "nested", conditions))
         else:
             raise _err(f"filter clause type {kind!r}")
     return preds

@@ -682,10 +682,46 @@ def bm25_topk_filtered(
         "<": lambda c, v: c < v,
         "=": lambda c, v: c == v,
         "!=": lambda c, v: c != v,
+        # ES exists query in filter context (value ignored)
+        "exists": lambda c, v: c.isNotNull(),
     }
     id_col = index.id_col
     dv = index.live_docvalues()
     for field, op, value in filters:
+        if op == "nested":
+            # ES nested query in FILTER context: value is the
+            # per-element condition list of ``search_nested`` — the
+            # same stored doc-values scan gains one JVM-side exists()
+            # predicate, so relevance + nested filtering stays a
+            # single candidate-bounded plan
+            if field not in index.nested_fields:
+                raise ValueError(
+                    f"field {field!r} is not a declared nested field "
+                    f"(nested_fields={index.nested_fields})"
+                )
+            conds = list(value)
+
+            # factory closure, NOT a default-arg second parameter:
+            # PySpark's higher-order exists() inspects the callable's
+            # arity and would treat a 2-arg function as the
+            # (element, index) form, binding the index Column to the
+            # would-be default
+            def _mk_elem_pred(conds_):
+                def elem_pred(e):
+                    pred = None
+                    for sub, cop, cval in conds_:
+                        if cop not in _OPS or cop in ("exists", "nested"):
+                            raise ValueError(
+                                f"unsupported nested filter op {cop!r}"
+                            )
+                        c = _OPS[cop](e[sub], F.lit(cval))
+                        pred = c if pred is None else (pred & c)
+                    return pred
+
+                return elem_pred
+
+            dv = dv.filter(F.exists(dv_col(field), _mk_elem_pred(conds)))
+            continue
         if field not in index.stored_fields:
             raise ValueError(
                 f"field {field!r} is not stored in this index's "

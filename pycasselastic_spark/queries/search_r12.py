@@ -444,3 +444,99 @@ def nested_query_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         }},
         "size": 12,
     })
+
+
+_FILTERED_BM25_TAIL = """
+postings AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents) WHERE term <> '' GROUP BY term, doc_id),
+qt AS (SELECT * FROM postings WHERE term IN ('merge')),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+              AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+       FROM documents)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+       CAST(FLOOR(SUM(
+         ln(1.0 + (sc.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (qt.tf * 2.2)
+         / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / sc.avgdl))
+       ) * 1048576.0) AS BIGINT) AS score_q20
+FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+WHERE doc_id IN (SELECT doc_id FROM allowed)
+GROUP BY doc_id, sc.n_docs
+ORDER BY score_q20 DESC, doc_id LIMIT 10
+"""
+
+
+@register(
+    "nested_filtered_bm25_documents",
+    """
+WITH d AS (SELECT doc_id,
+  [struct_pack(alang := lang, ascore := doc_id % 5),
+   struct_pack(alang := 'fr', ascore := (doc_id + 3) % 5)] AS anns
+  FROM documents),
+allowed AS (SELECT doc_id FROM d
+  WHERE len(list_filter(anns, a -> a.alang = 'fr' AND a.ascore >= 3)) > 0),
+""" + _FILTERED_BM25_TAIL,
+    doc="BM25 relevance + a NESTED query in FILTER context — the "
+    "canonical ES composition ('match the text, require an "
+    "annotation object satisfying both leaves'): the scored pruned "
+    "probe meets the SAME doc-values scan used by scalar filters, "
+    "which gains one JVM-side per-element exists() predicate "
+    "(operators/search_ext.py:bm25_topk_filtered nested branch) — "
+    "relevance + nested filtering in a single candidate-bounded "
+    "plan, no explode, no extra join, and scores UNCHANGED by the "
+    "filter (non-scoring context, which the shared-SQL oracle "
+    "enforces). Dispatched end-to-end from bool.filter.",
+)
+def nested_filtered_bm25_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx = _nested_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"bool": {
+            "must": [{"match": {"text": "merge"}}],
+            "filter": [{"nested": {
+                "path": "anns",
+                "query": {"bool": {"must": [
+                    {"term": {"anns.alang": "fr"}},
+                    {"range": {"anns.ascore": {"gte": 3}}},
+                ]}},
+            }}],
+        }},
+        "size": 10,
+    })
+
+
+@register(
+    "exists_filtered_bm25_documents",
+    """
+WITH allowed AS (
+  SELECT doc_id FROM documents
+  WHERE source <> 'src7' AND doc_id % 3 + 1 <= 2),
+""" + _FILTERED_BM25_TAIL,
+    doc="BM25 relevance + an EXISTS clause in filter context (docs "
+    "whose sparse optional field holds a value) composed with a "
+    "range filter on a second stored field — both predicates pushed "
+    "into the one columnar doc-values scan the filter side already "
+    "pays, scores untouched (the shared-SQL oracle enforces "
+    "non-scoring filter semantics). Dispatched from bool.filter's "
+    "exists clause.",
+)
+def exists_filtered_bm25_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx = _dv12_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"bool": {
+            "must": [{"match": {"text": "merge"}}],
+            "filter": [
+                {"exists": {"field": "opt_tag"}},
+                {"range": {"req_matches": {"lte": 2}}},
+            ],
+        }},
+        "size": 10,
+    })

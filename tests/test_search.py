@@ -2548,3 +2548,46 @@ def test_rollover_max_age_condition(spark, tmp_path):
     import pytest as _p
     with _p.raises(ValueError, match="max_age_s"):
         RO.RolloverPolicy(max_docs=1, max_age_s=0)
+
+
+def test_exists_and_nested_in_filter_context(spark, tmp_path):
+    """Round-12 tail: exists and nested clauses compose with scoring
+    inside bool.filter — non-scoring (scores equal the unfiltered
+    probe's for survivors), and strict guards hold."""
+    import pytest as _p
+
+    from pycasselastic_spark.operators.search_api import es_search
+
+    docs = spark.createDataFrame(
+        [(1, "alpha common", "t1", [("fr", 4)]),
+         (2, "alpha common", None, [("fr", 9)]),
+         (3, "alpha common", "t1", [("fr", 1)])],
+        "doc_id long, text string, tag string, "
+        "anns array<struct<alang string, ascore long>>",
+    )
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(
+        docs, "doc_id", "text", path, n_buckets=4,
+        stored_fields=["tag"], nested_fields=["anns"],
+    )
+    idx = SRCH.load_postings_index(spark, path)
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "alpha"}}],
+        "filter": [
+            {"exists": {"field": "tag"}},
+            {"nested": {"path": "anns", "query": {
+                "range": {"anns.ascore": {"gte": 3}}}}},
+        ],
+    }}}
+    got = es_search(idx, body).collect()
+    assert [r["doc_id"] for r in got] == [1]  # 2 fails exists, 3 nested
+    # non-scoring: survivor's score equals the unfiltered probe's
+    unfiltered = {r["doc_id"]: r["score_q20"] for r in
+                  SRCH.bm25_topk_indexed(idx, ["alpha"], k=10).collect()}
+    assert got[0]["score_q20"] == unfiltered[1]
+    with _p.raises(ValueError, match="declared nested"):
+        es_search(idx, {"query": {"bool": {
+            "must": [{"match": {"text": "alpha"}}],
+            "filter": [{"nested": {"path": "tag", "query": {
+                "term": {"tag.x": 1}}}}],
+        }}})
