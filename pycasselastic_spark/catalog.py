@@ -74,9 +74,13 @@ _GATE_PRIORITY: list[str] = [
     # round-12 queries (multi-word phrase synonyms + their
     # slot-stream-reconstruction reindex twin, and the stored
     # doc-values surface exists / ids / terms_set / terms-agg missing
-    # bucket); slots 11-49 the first 39 stale-r8 rows in their
-    # CORRECTNESS_r08 order (the remaining 11 r8 rows head the
-    # round-13 rotation).
+    # bucket); slots 11-23 the THIRTEEN round-12 continuation queries
+    # (never driver-checked: the late-r12 nested-type / top-level
+    # range+terms / filter-context composition five, then the
+    # compound-scoring + aggregation + span-coverage eight); slots
+    # 24-49 the first 26 stale-r8 rows in their CORRECTNESS_r08 order
+    # (the remaining 24 r8 rows head the round-13 rotation —
+    # enumerated in COVERAGE.md).
     # --- slots 0-4: the last stale-r7 rows ---------------------------
     "range_join_value_buckets",
     "running_totals_orders",
@@ -90,7 +94,24 @@ _GATE_PRIORITY: list[str] = [
     "ids_query_documents",
     "terms_set_documents",
     "missing_bucket_facets_documents",
-    # --- slots 11-49: stale-r8 rows, CORRECTNESS_r08 order -----------
+    # --- slots 11-15: late round-12 additions (nested type, dv
+    # queries, filter-context composition) ----------------------------
+    "range_query_documents",
+    "terms_query_documents",
+    "nested_query_documents",
+    "nested_filtered_bm25_documents",
+    "exists_filtered_bm25_documents",
+    # --- slots 16-23: round-12 continuation (compound scoring, aggs,
+    # span coverage) ---------------------------------------------------
+    "dis_max_bm25_documents",
+    "boosting_query_documents",
+    "constant_score_sync_documents",
+    "percentiles_agg_documents",
+    "cardinality_agg_documents",
+    "range_agg_documents",
+    "date_histogram_agg_documents",
+    "duplicate_span_coverage_documents",
+    # --- slots 24-49: stale-r8 rows, CORRECTNESS_r08 order -----------
     "streaming_lwwstore_replicate_events",
     "term_cooccurrence_pmi_documents",
     "json_extract_events",
@@ -117,19 +138,6 @@ _GATE_PRIORITY: list[str] = [
     "q15_top_supplier",
     "q16_supplier_variety",
     "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_disjunctive_revenue",
-    "q20_part_supplier_chain",
-    "q21_sole_supplier_orders",
-    "q22_idle_rich_customers",
-    "orders_above_customer_avg",
-    "having_frequent_buyers",
-    "skew_salted_agg_events",
-    "salted_join_events_customer",
-    "neardup_cluster_dedup",
-    "embedding_lsh_neardup",
-    "embedding_ivf_neardup",
-    "cosine_topk_ivf",
 ]
 
 

@@ -945,3 +945,97 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("doc_inner", "doc_outer", "shared", "n_inner", "containment")
     )
+
+
+def duplicate_span_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_tokens: int = 8,
+) -> DataFrame:
+    """Per-document coverage by cross-document duplicated token SPANS:
+    every OVERLAPPING ``window_tokens``-token window (stride 1) is
+    hashed; a window occurring in >= 2 distinct documents is a
+    duplicated span, and a document's coverage is the UNION length of
+    its duplicated windows' intervals — the exact-substring dedup
+    signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), which masks repeated spans instead of
+    dropping whole documents. ``passage_duplicate_stats`` is the
+    cheaper non-overlapping approximation; stride-1 windows catch
+    spans that straddle passage boundaries and the interval union
+    yields a token-exact mask length.
+
+    Tokens are raw single-space slots (split keeps empties — both
+    engines agree on the array, so window identity is byte-exact).
+    Returns ``(id_col, n_tokens, n_dup_windows, covered_tokens,
+    covered_share_q20)`` for documents holding at least one
+    duplicated window.
+
+    Scale shape: the window relation is ~1 row per token (linear);
+    duplicate detection is ONE hash-shuffle on the window digest with
+    the min!=max distinct-doc test (map-side partials); the digest
+    join back is an equi-join; the interval union is a running-max
+    window PARTITIONED BY document — state bounded by one document's
+    length, never global. No pair space anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    w = int(window_tokens)
+    toks = F.split(F.col(text_col), " ")
+    n_win = F.size(toks) - w + 1
+    starts = F.when(
+        n_win >= 1, F.sequence(F.lit(1), n_win)
+    ).otherwise(F.array().cast("array<int>"))
+    wins = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(starts).alias("_s"),
+        toks.alias("_tk"),
+    ).select(
+        "_id", "_s",
+        F.md5(F.array_join(F.slice("_tk", F.col("_s"), w), " ")).alias("_wh"),
+    )
+    cross_doc = wins.groupBy("_wh").agg(
+        (F.min("_id") != F.max("_id")).alias("_is_dup")
+    )
+    occ = (
+        wins.join(cross_doc, "_wh")
+        .filter(F.col("_is_dup"))
+        .select("_id", "_s")
+    )
+    prev = (
+        Window.partitionBy("_id")
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cov = occ.select(
+        "_id",
+        F.greatest(
+            F.lit(0),
+            (F.col("_s") + w)
+            - F.greatest(
+                F.col("_s"),
+                F.coalesce(F.max(F.col("_s") + w).over(prev), F.lit(0)),
+            ),
+        ).alias("_c"),
+    )
+    per_doc = cov.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_dup_windows"),
+        F.sum("_c").cast("long").alias("covered_tokens"),
+    )
+    lens = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    return (
+        per_doc.join(lens, "_id")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            "n_dup_windows",
+            "covered_tokens",
+            F.floor(
+                (F.col("covered_tokens") / F.col("n_tokens"))
+                * F.lit(float(1 << 20))
+            ).cast("long").alias("covered_share_q20"),
+        )
+    )

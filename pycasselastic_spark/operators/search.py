@@ -311,6 +311,15 @@ from pycasselastic_spark.operators.search_ext import (  # noqa: E402,F401
     search_nested,
     terms_set_search,
 )
+from pycasselastic_spark.operators.search_compose import (  # noqa: E402,F401
+    boosting_search,
+    constant_score_search,
+    dis_max_search,
+    search_cardinality_agg,
+    search_date_histogram_agg,
+    search_percentiles_agg,
+    search_range_agg,
+)
 from pycasselastic_spark.operators.search_rollover import (  # noqa: E402,F401
     RolloverPolicy,
     ingest_with_rollover,

@@ -41,6 +41,15 @@ from pycasselastic_spark.operators.search_probes import (
     match_phrase_prefix,
     phrase_slop_search,
 )
+from pycasselastic_spark.operators.search_compose import (
+    boosting_search,
+    constant_score_search,
+    dis_max_search,
+    search_cardinality_agg,
+    search_date_histogram_agg,
+    search_percentiles_agg,
+    search_range_agg,
+)
 from pycasselastic_spark.operators.search_ext import (
     bm25_collapse,
     bm25_topk_filtered,
@@ -125,6 +134,15 @@ def _filter_predicates(clauses: list) -> list:
                 else:
                     raise _err(f"nested filter leaf type {lkind!r}")
             preds.append((npath, "nested", conditions))
+        elif kind == "not":
+            # legacy ES 1.x not-filter — the exact clause the
+            # reference appends for ignore_same_source
+            # (pyCassElastic.py:391-397); only the term form it emits
+            ikind, ibody = _single(body, "not filter inner")
+            if ikind != "term":
+                raise _err(f"not filter over {ikind!r} (term only)")
+            field, value = _single(ibody, "not.term")
+            preds.append((field, "!=", value))
         else:
             raise _err(f"filter clause type {kind!r}")
     return preds
@@ -170,14 +188,22 @@ def es_search(
       doc-values non-NULL scan), ``ids`` (live-doc batch lookup),
       ``terms_set`` (per-doc threshold from a stored
       ``minimum_should_match_field``), ``range`` / ``terms``
-      (constant-score stored doc-values bounds / IN-list), and
-      ``bool`` with ``must`` / ``should`` / ``must_not`` lists of
-      match/term leaves.
+      (constant-score stored doc-values bounds / IN-list),
+      ``dis_max`` (+``tie_breaker``), ``boosting``
+      (+``negative_boost``), ``constant_score`` (single clause,
+      ``bool.must``, or the reference's legacy ``and`` list with
+      ``not.term`` — ``pyCassElastic.py:366-397``), and ``bool`` with
+      ``must`` / ``should`` / ``must_not`` lists of match/term
+      leaves.
     - ``size`` (default 10) and ``search_after`` ([score_q20, id] —
       the (score desc, id asc) cursor, match-only).
     - ``collapse`` {"field": ...} and ``aggs`` with ONE ``terms``
       facet, optionally carrying a ``top_hits`` sub-aggregation —
       these need the ``docs`` frame for the stored-field fetch.
+    - ``aggs`` metric/bucket forms over STORED doc-values (no docs
+      frame): ``stats``, ``histogram``, ``percentiles`` (exact),
+      ``cardinality`` (exact), ``range``, ``date_histogram``
+      (calendar_interval day/week/month).
 
     Anything else raises naming the feature — a silently-dropped
     clause is how search APIs corrupt downstream evaluations.
@@ -219,6 +245,42 @@ def es_search(
             return search_histogram_agg(
                 index, terms, agg["histogram"]["field"],
                 float(agg["histogram"]["interval"]),
+            )
+        if set(agg) == {"percentiles"}:
+            spec = agg["percentiles"]
+            extra = set(spec) - {"field", "percents"}
+            if extra:
+                raise _err(f"percentiles options {sorted(extra)}")
+            return search_percentiles_agg(
+                index, terms, spec["field"],
+                percents=tuple(
+                    int(p) for p in spec.get("percents", (25, 50, 75, 90))
+                ),
+            )
+        if set(agg) == {"cardinality"}:
+            if set(agg["cardinality"]) != {"field"}:
+                raise _err(
+                    "cardinality options "
+                    f"{sorted(set(agg['cardinality']) - {'field'})}"
+                )
+            return search_cardinality_agg(
+                index, terms, agg["cardinality"]["field"]
+            )
+        if set(agg) == {"range"}:
+            spec = agg["range"]
+            extra = set(spec) - {"field", "ranges"}
+            if extra:
+                raise _err(f"range agg options {sorted(extra)}")
+            return search_range_agg(
+                index, terms, spec["field"], list(spec["ranges"])
+            )
+        if set(agg) == {"date_histogram"}:
+            spec = agg["date_histogram"]
+            extra = set(spec) - {"field", "calendar_interval"}
+            if extra:
+                raise _err(f"date_histogram options {sorted(extra)}")
+            return search_date_histogram_agg(
+                index, terms, spec["field"], spec["calendar_interval"]
             )
         if docs is None:
             raise _err("terms aggs without a docs frame (stored-field fetch)")
@@ -303,6 +365,52 @@ def es_search(
     if qtype == "term":
         _field, value = _single(q, "term")
         return bm25_topk_indexed(index, [str(value)], k=size)
+    if qtype == "dis_max":
+        extra = set(q) - {"queries", "tie_breaker"}
+        if extra:
+            raise _err(f"dis_max options {sorted(extra)}")
+        clauses = [_clause_terms(index, c) for c in q["queries"]]
+        if not all(clauses):
+            raise _err("dis_max clause analyzing to no terms")
+        return dis_max_search(
+            index, clauses, float(q.get("tie_breaker", 0.0)), k=size
+        )
+    if qtype == "boosting":
+        extra = set(q) - {"positive", "negative", "negative_boost"}
+        if extra:
+            raise _err(f"boosting options {sorted(extra)}")
+        pos = _clause_terms(index, q["positive"])
+        neg = _clause_terms(index, q["negative"])
+        if not pos or not neg:
+            raise _err("boosting clause analyzing to no terms")
+        return boosting_search(
+            index, pos, neg,
+            negative_boost=float(q.get("negative_boost", 0.5)), k=size,
+        )
+    if qtype == "constant_score":
+        extra = set(q) - {"filter", "boost"}
+        if extra:
+            raise _err(f"constant_score options {sorted(extra)}")
+        filt = q["filter"]
+        fkind, fbody = _single(filt, "constant_score filter")
+        # the reference emits the legacy and-list form
+        # (pyCassElastic.py:369-383); a bare single clause and the
+        # modern bool.must list are accepted too
+        if fkind == "and":
+            clauses = list(fbody)
+        elif fkind == "bool":
+            if set(fbody) != {"must"}:
+                raise _err(
+                    "constant_score bool filter clauses "
+                    f"{sorted(set(fbody) - {'must'})}"
+                )
+            clauses = list(fbody["must"])
+        else:
+            clauses = [filt]
+        return constant_score_search(
+            index, _filter_predicates(clauses),
+            boost=float(q.get("boost", 1.0)), k=size,
+        )
     if qtype == "exists":
         if set(q) != {"field"}:
             raise _err(f"exists options {sorted(set(q) - {'field'})}")

@@ -1,0 +1,379 @@
+"""ES compound-scoring queries and metric aggregations over the stored
+index: ``dis_max``, ``boosting``, ``constant_score`` (the reference's
+own query idiom — ``pyCassElastic.py:366-397`` POSTs exactly
+``constant_score.filter.and: [range{gte,lte}, not{term}]`` at ES every
+sync cycle), and the ``percentiles`` / ``cardinality`` / ``range`` /
+``date_histogram`` aggregations.
+
+Determinism law shared with the rest of the search family: per-clause
+BM25 scores are floored to Q20 integers FIRST, then compound scores
+combine in integer space (max/sum/one float multiply + floor) — the
+DuckDB oracles replay the identical arithmetic, so compound scoring
+never stacks float-order noise.
+
+Every plan here is candidate-bounded: postings probes are pruned to
+the query terms' buckets, doc-values predicates push into the columnar
+parquet scan, and small sides travel through the count-guarded
+``_bounded_broadcast``. The corpus is never shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pycasselastic_spark.operators.search_index import (
+    Q20,
+    PostingsIndex,
+    _bounded_broadcast,
+    dv_col,
+)
+from pycasselastic_spark.operators.search_probes import _bm25_scored
+
+_DV_OPS = {
+    ">=": lambda c, v: c >= v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    "<": lambda c, v: c < v,
+    "=": lambda c, v: c == v,
+    "!=": lambda c, v: c != v,
+    "exists": lambda c, v: c.isNotNull(),
+}
+
+
+def dis_max_search(
+    index: PostingsIndex,
+    clauses: list[list[str]],
+    tie_breaker: float = 0.0,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``dis_max``: per-document score = the BEST clause's score
+    plus ``tie_breaker`` times every other matching clause's score —
+    the multi-field/multi-phrasing query that rewards the strongest
+    signal instead of summing correlated ones (``bool.should`` adds;
+    ``dis_max`` takes the max).
+
+    Each clause is a term list (an analyzed match); scores combine in
+    Q20 integer space: ``max_q20 + floor(tie_breaker * (sum_q20 -
+    max_q20))`` — one float multiply between exact integers, replayed
+    bit-identically by the SQL oracle. Returns
+    ``(id, n_clauses, score_q20)``.
+
+    Plan shape (the msearch amortization): ONE pruned postings probe
+    over the union term set, per-term df computed once, the
+    (clause, term) membership map a broadcast literal, then two
+    partial-aggregated reductions — (clause, doc) then (doc). No
+    per-clause re-probe, no corpus shuffle."""
+    if not clauses:
+        raise ValueError("dis_max needs at least one clause")
+    id_col = index.id_col
+    pairs = [
+        (int(ci), t)
+        for ci, clause in enumerate(clauses)
+        for t in sorted(set(clause))
+    ]
+    all_terms = sorted({t for _, t in pairs})
+    postings = index.live_postings_for(all_terms)
+    spark = postings.sparkSession
+    cmap = spark.createDataFrame(pairs, "clause_id INT, term STRING")
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    per_clause = (
+        postings.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(cmap), "term")
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(index.n_docs) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.lit(index.avgdl))
+            ),
+        )
+        .groupBy("clause_id", id_col)
+        .agg(
+            F.floor(F.sum("term_score") * Q20).cast("long").alias("s_q20")
+        )
+    )
+    return (
+        per_clause.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_clauses"),
+            F.max("s_q20").alias("max_q20"),
+            F.sum("s_q20").alias("sum_q20"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_clauses"),
+            (
+                F.col("max_q20")
+                + F.floor(
+                    F.lit(float(tie_breaker))
+                    * (F.col("sum_q20") - F.col("max_q20"))
+                ).cast("long")
+            ).alias("score_q20"),
+        )
+        .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def boosting_search(
+    index: PostingsIndex,
+    positive_terms: list[str],
+    negative_terms: list[str],
+    negative_boost: float = 0.5,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``boosting`` query: hits come ONLY from the positive match;
+    any hit that also matches the negative query keeps its rank slot
+    but with its score multiplied by ``negative_boost`` — demotion
+    without exclusion (``must_not`` throws the doc away; ``boosting``
+    keeps it cheap).
+
+    Demotion happens on the already-Q20 positive score:
+    ``floor(score_q20 * negative_boost)`` — one float multiply of an
+    exact integer, oracle-replayable. Returns
+    ``(id, n_hit_terms, score_q20)``.
+
+    Plan shape: the positive side is the standard pruned scored probe;
+    the negative side is a DISTINCT id set from its own pruned probe
+    (query-bounded) that meets the positive set through the
+    count-guarded broadcast left join. Neither side touches raw docs."""
+    pos = _bm25_scored(index, positive_terms, k1, b)
+    id_col = index.id_col
+    neg_ids = (
+        index.live_postings_for(negative_terms)
+        .select(id_col)
+        .distinct()
+        .withColumn("_neg", F.lit(1))
+    )
+    return (
+        pos.join(_bounded_broadcast(neg_ids), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_hit_terms"),
+            F.when(
+                F.col("_neg").isNotNull(),
+                F.floor(
+                    F.col("score_q20") * F.lit(float(negative_boost))
+                ).cast("long"),
+            )
+            .otherwise(F.col("score_q20"))
+            .alias("score_q20"),
+        )
+        .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def constant_score_search(
+    index: PostingsIndex,
+    filters: list,
+    boost: float = 1.0,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``constant_score``: every doc passing the filter scores the
+    flat ``boost`` — no relevance math, no df lookups. This is THE
+    reference query: ``get_elasticsearch_latest``
+    (``pyCassElastic.py:366-383``) wraps a version-column range in
+    ``constant_score.filter`` each cycle, optionally appending the
+    legacy ``not.term`` source guard (``:391-397``).
+
+    ``filters`` is the ``(field, op, value)`` triple list shared with
+    ``bm25_topk_filtered`` (range bounds, exact term, ``!=`` for the
+    ``not.term`` form, ``exists``). Returns ``(id, score_q20)`` with
+    score_q20 = floor(boost * Q20) on every row, paged by the id
+    tiebreak (all scores tied — exactly ES).
+
+    Plan shape: ONE column-pruned doc-values scan with every predicate
+    PUSHED into the parquet scan, a literal score column, then
+    TakeOrderedAndProject. No postings, no joins."""
+    if not filters:
+        raise ValueError("constant_score needs at least one filter")
+    id_col = index.id_col
+    dv = index.live_docvalues()
+    for field, op, value in filters:
+        if field not in index.stored_fields:
+            raise ValueError(
+                f"field {field!r} is not stored in this index's "
+                f"doc values (stored_fields={index.stored_fields})"
+            )
+        if op not in _DV_OPS:
+            raise ValueError(f"unsupported constant_score filter op {op!r}")
+        dv = dv.filter(_DV_OPS[op](dv_col(field), F.lit(value)))
+    score = int(float(boost) * Q20)
+    return (
+        dv.select(
+            F.col(id_col),
+            F.lit(score).cast("long").alias("score_q20"),
+        )
+        .orderBy(F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _hit_docvalues(
+    index: PostingsIndex, query_terms: list[str], field: str
+) -> DataFrame:
+    """Shared agg input: the hit set's stored doc-values for one field
+    — pruned postings probe, count-guarded broadcast, column-pruned
+    doc-values scan."""
+    if field not in index.stored_fields:
+        raise ValueError(
+            f"field {field!r} is not stored in this index's doc values "
+            f"(stored_fields={index.stored_fields})"
+        )
+    id_col = index.id_col
+    hits = index.live_postings_for(query_terms).select(id_col).distinct()
+    dv = index.live_docvalues().select(F.col(id_col), dv_col(field))
+    return dv.join(_bounded_broadcast(hits), id_col)
+
+
+def search_percentiles_agg(
+    index: PostingsIndex,
+    query_terms: list[str],
+    field: str,
+    percents: tuple[int, ...] = (25, 50, 75, 90),
+) -> DataFrame:
+    """ES ``percentiles`` aggregation over the hit set from STORED
+    doc-values — EXACT linear-interpolated percentiles (ES's t-digest
+    is an approximation forced by its segment architecture; a Spark
+    reduction computes the exact answer in one pass, and Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the
+    interpolation law). Values are Q20-quantized (the cross-engine
+    float rule). Returns ``(pct, val_q20)`` rows sorted by pct.
+
+    Plan shape: hit ids (pruned probe, count-guarded broadcast) join
+    the column-pruned doc-values scan, ONE exact-percentile reduction
+    to a single array row, then a bounded len(percents) explode."""
+    fracs = ", ".join(f"{p / 100.0!r}D" for p in percents)
+    one = _hit_docvalues(index, query_terms, field).agg(
+        F.expr(f"percentile(`{field}`, array({fracs}))").alias("vals")
+    )
+    pcts = F.array(*[F.lit(int(p)).cast("long") for p in percents])
+    return (
+        one.select(F.posexplode("vals").alias("pos", "val"))
+        .select(
+            F.element_at(pcts, F.col("pos").cast("int") + 1).alias("pct"),
+            F.floor(F.col("val") * Q20).cast("long").alias("val_q20"),
+        )
+        .orderBy("pct")
+    )
+
+
+def search_cardinality_agg(
+    index: PostingsIndex,
+    query_terms: list[str],
+    field: str,
+) -> DataFrame:
+    """ES ``cardinality`` aggregation over the hit set: distinct count
+    of a stored doc-values field — EXACT here (ES's HLL++ is
+    approximate by design; the catalog's streaming/approx twins cover
+    the sketch path, ``approx_distinct_stats_events``). Returns one
+    row ``(cardinality,)``.
+
+    Plan shape: hit ids join the column-pruned doc-values scan, then
+    one partial-aggregated distinct count — the distinct's shuffle is
+    bounded by the hit set, never the corpus."""
+    return _hit_docvalues(index, query_terms, field).agg(
+        F.countDistinct(dv_col(field)).alias("cardinality")
+    )
+
+
+def search_range_agg(
+    index: PostingsIndex,
+    query_terms: list[str],
+    field: str,
+    ranges: list[dict],
+) -> DataFrame:
+    """ES ``range`` aggregation over the hit set: per-bucket doc
+    counts for ``[{"from": a, "to": b}, ...]`` bounds — ``from``
+    inclusive, ``to`` exclusive, either side open, buckets may overlap
+    and EMPTY buckets are returned (all exactly ES). Bucket keys
+    follow ES's ``a-b`` / ``*-b`` / ``a-*`` convention. Returns
+    ``(bucket, n_docs)`` sorted by bucket key.
+
+    Plan shape: one pass — every bucket is a conditional sum inside a
+    SINGLE reduction over the hit set's doc-values (no per-bucket
+    re-scan), then a bounded len(ranges) explode."""
+    if not ranges:
+        raise ValueError("range aggregation needs at least one range")
+    hdv = _hit_docvalues(index, query_terms, field)
+    col = dv_col(field)
+    sums, keys = [], []
+    for i, spec in enumerate(ranges):
+        extra = set(spec) - {"from", "to"}
+        if extra:
+            raise ValueError(f"unsupported range agg options {sorted(extra)}")
+        cond = F.lit(True)
+        lo, hi = spec.get("from"), spec.get("to")
+        if lo is not None:
+            cond = cond & (col >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (col < F.lit(hi))
+        key = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+        keys.append(key)
+        sums.append(
+            F.sum(F.when(cond, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_b{i}")
+        )
+    one = hdv.agg(*sums)
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("bucket"), F.col(f"_b{i}").alias("n_docs")
+            )
+            for i, k in enumerate(keys)
+        ]
+    )
+    return (
+        one.select(F.explode(buckets).alias("b"))
+        .select("b.bucket", "b.n_docs")
+        .orderBy("bucket")
+    )
+
+
+_CAL_INTERVALS = {"day": "day", "week": "week", "month": "month"}
+
+
+def search_date_histogram_agg(
+    index: PostingsIndex,
+    query_terms: list[str],
+    field: str,
+    calendar_interval: str,
+) -> DataFrame:
+    """ES ``date_histogram`` (calendar_interval form) over the hit
+    set from a STORED date doc-values field: buckets keyed by the
+    calendar-truncated date (month -> first of month, week -> Monday,
+    day -> identity), empty buckets omitted (min_doc_count=1).
+    Returns ``(bucket, n_docs)`` DATE-keyed, sorted by bucket.
+
+    Plan shape: identical to ``search_histogram_agg`` with a calendar
+    truncation instead of an interval floor — hit ids join the
+    column-pruned doc-values scan, one two-column reduction."""
+    if calendar_interval not in _CAL_INTERVALS:
+        raise ValueError(
+            f"unsupported calendar_interval {calendar_interval!r} "
+            f"(supported: {sorted(_CAL_INTERVALS)})"
+        )
+    hdv = _hit_docvalues(index, query_terms, field)
+    bucket = F.trunc(dv_col(field), _CAL_INTERVALS[calendar_interval])
+    return (
+        hdv.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("bucket").asc())
+    )

@@ -1,0 +1,304 @@
+"""Compound-scoring queries (dis_max / boosting / constant_score) and
+the round-12b aggregations (percentiles / cardinality / range /
+date_histogram), plus duplicate_span_coverage.
+
+Semantics are checked against the engine's own standalone probes (the
+BM25 law itself is hand-verified in test_search.py) and against
+hand-countable fixtures; dispatcher strictness is pinned so an
+unsupported ES option can never silently degrade.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from pycasselastic_spark.operators import search as SRCH
+from pycasselastic_spark.operators.dedup import duplicate_span_coverage
+from pycasselastic_spark.operators.search_api import es_search
+from pycasselastic_spark.operators.search_compose import (
+    boosting_search,
+    constant_score_search,
+    dis_max_search,
+    search_date_histogram_agg,
+    search_percentiles_agg,
+    search_range_agg,
+)
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    docs = _corpus(spark, [
+        (1, "spark join shuffle join"),
+        (2, "spark filter scan"),
+        (3, "join join broadcast window"),
+        (4, "scan scan filter pushdown spark"),
+        (5, "unrelated words only here"),
+    ])
+    path = str(tmp_path_factory.mktemp("compose") / "idx")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4)
+    return SRCH.load_postings_index(spark, path)
+
+
+@pytest.fixture(scope="module")
+def dv_idx(spark, tmp_path_factory):
+    rows = [
+        (1, "alpha beta", 10, "x", dt.date(2024, 1, 20)),
+        (2, "alpha gamma", 20, "y", dt.date(2024, 2, 5)),
+        (3, "alpha beta beta", 30, "x", dt.date(2024, 2, 25)),
+        (4, "delta only", 40, "z", dt.date(2024, 3, 1)),
+        (5, "alpha delta", 50, None, dt.date(2024, 3, 9)),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, val long, tag string, d date"
+    )
+    path = str(tmp_path_factory.mktemp("composedv") / "idx")
+    SRCH.build_postings_index(
+        docs, "doc_id", "text", path, n_buckets=4,
+        stored_fields=["val", "tag", "d"],
+    )
+    return SRCH.load_postings_index(spark, path)
+
+
+def _scores(df, id_col="doc_id"):
+    return {r[id_col]: r["score_q20"] for r in df.collect()}
+
+
+# --- dis_max ----------------------------------------------------------------
+
+
+def test_dis_max_combines_clause_scores_in_integer_space(idx):
+    c1, c2 = ["join"], ["scan", "filter"]
+    s1 = _scores(SRCH.bm25_topk_indexed(idx, c1, k=100))
+    s2 = _scores(SRCH.bm25_topk_indexed(idx, c2, k=100))
+    got = dis_max_search(idx, [c1, c2], tie_breaker=0.3, k=100)
+    rows = {r["doc_id"]: r for r in got.collect()}
+    assert set(rows) == set(s1) | set(s2)
+    import math
+
+    for did, r in rows.items():
+        parts = [s for s in (s1.get(did), s2.get(did)) if s is not None]
+        want = max(parts) + math.floor(0.3 * (sum(parts) - max(parts)))
+        assert r["score_q20"] == want
+        assert r["n_clauses"] == len(parts)
+
+
+def test_dis_max_zero_tiebreaker_is_best_clause(idx):
+    c1, c2 = ["join"], ["spark"]
+    s1 = _scores(SRCH.bm25_topk_indexed(idx, c1, k=100))
+    s2 = _scores(SRCH.bm25_topk_indexed(idx, c2, k=100))
+    got = _scores(dis_max_search(idx, [c1, c2], tie_breaker=0.0, k=100))
+    for did, s in got.items():
+        assert s == max(
+            s for s in (s1.get(did), s2.get(did)) if s is not None
+        )
+
+
+def test_dis_max_plan_has_no_explode(idx):
+    plan = (
+        dis_max_search(idx, [["join"], ["scan"]], 0.3, k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Generate" not in plan and "CartesianProduct" not in plan
+
+
+# --- boosting ---------------------------------------------------------------
+
+
+def test_boosting_demotes_without_excluding(idx):
+    pos = _scores(SRCH.bm25_topk_indexed(idx, ["join"], k=100))
+    # doc 3 matches "window" (negative); doc 1 doesn't
+    got = _scores(boosting_search(idx, ["join"], ["window"], 0.5, k=100))
+    assert set(got) == set(pos)  # demotion never removes a hit
+    assert got[1] == pos[1]
+    assert got[3] == int(pos[3] * 0.5 // 1)
+
+
+def test_boosting_negative_only_docs_absent(idx):
+    got = boosting_search(idx, ["broadcast"], ["spark"], 0.5, k=100)
+    ids = {r["doc_id"] for r in got.collect()}
+    assert ids == {3}  # docs matching only the negative never surface
+
+
+# --- constant_score ----------------------------------------------------------
+
+
+def test_constant_score_flat_boost_and_id_page(dv_idx):
+    got = constant_score_search(
+        dv_idx, [("val", ">=", 20), ("val", "<=", 40), ("tag", "!=", "z")],
+        boost=1.0, k=10,
+    ).collect()
+    assert [(r["doc_id"], r["score_q20"]) for r in got] == [
+        (2, 1 << 20), (3, 1 << 20),
+    ]
+
+
+def test_constant_score_pushes_filters_into_scan(dv_idx):
+    plan = (
+        constant_score_search(dv_idx, [("val", ">=", 20)], 1.0, 10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual" in plan
+
+
+def test_constant_score_guards(dv_idx):
+    with pytest.raises(ValueError, match="not stored"):
+        constant_score_search(dv_idx, [("nope", "=", 1)], 1.0, 10)
+    with pytest.raises(ValueError, match="filter op"):
+        constant_score_search(dv_idx, [("val", "~", 1)], 1.0, 10)
+    with pytest.raises(ValueError, match="at least one filter"):
+        constant_score_search(dv_idx, [], 1.0, 10)
+
+
+# --- es_search dispatch -------------------------------------------------------
+
+
+def test_es_search_dispatches_compound_queries(idx, dv_idx):
+    dm = es_search(idx, {"query": {"dis_max": {
+        "queries": [{"match": {"text": "join"}}, {"match": {"text": "scan"}}],
+        "tie_breaker": 0.3,
+    }}})
+    assert dm.columns == ["doc_id", "n_clauses", "score_q20"]
+    bo = es_search(idx, {"query": {"boosting": {
+        "positive": {"match": {"text": "join"}},
+        "negative": {"term": {"text": "window"}},
+        "negative_boost": 0.5,
+    }}})
+    assert bo.columns == ["doc_id", "n_hit_terms", "score_q20"]
+    # the reference's literal legacy shape (pyCassElastic.py:366-397)
+    cs = es_search(dv_idx, {"query": {"constant_score": {"filter": {"and": [
+        {"range": {"val": {"gte": 20, "lte": 40}}},
+        {"not": {"term": {"tag": "z"}}},
+    ]}}}})
+    assert {r["doc_id"] for r in cs.collect()} == {2, 3}
+
+
+def test_es_search_compound_strictness(idx, dv_idx):
+    with pytest.raises(ValueError, match="dis_max options"):
+        es_search(idx, {"query": {"dis_max": {"queries": [], "boost": 2}}})
+    with pytest.raises(ValueError, match="boosting options"):
+        es_search(idx, {"query": {"boosting": {
+            "positive": {"match": {"text": "join"}}, "negative_boost": 1,
+            "negative": {"match": {"text": "scan"}}, "shape": "bad",
+        }}})
+    with pytest.raises(ValueError, match="not filter over"):
+        es_search(dv_idx, {"query": {"constant_score": {"filter": {"and": [
+            {"not": {"range": {"val": {"gte": 1}}}},
+        ]}}}})
+    with pytest.raises(ValueError, match="constant_score options"):
+        es_search(dv_idx, {"query": {"constant_score": {
+            "filter": {"term": {"tag": "x"}}, "minimum_should_match": 1,
+        }}})
+    with pytest.raises(ValueError, match="percentiles options"):
+        es_search(dv_idx, {
+            "query": {"match": {"text": "alpha"}},
+            "aggs": {"p": {"percentiles": {"field": "val", "keyed": True}}},
+        })
+    with pytest.raises(ValueError, match="calendar_interval"):
+        es_search(dv_idx, {
+            "query": {"match": {"text": "alpha"}},
+            "aggs": {"h": {"date_histogram": {
+                "field": "d", "calendar_interval": "quarter",
+            }}},
+        })
+
+
+# --- aggregations -------------------------------------------------------------
+
+
+def test_percentiles_exact_interpolation(dv_idx):
+    # hits of "alpha": docs 1,2,3,5 -> vals [10, 20, 30, 50]
+    got = {
+        r["pct"]: r["val_q20"]
+        for r in search_percentiles_agg(
+            dv_idx, ["alpha"], "val", percents=(50, 90)
+        ).collect()
+    }
+    q20 = 1 << 20
+    assert got[50] == int(25.0 * q20)  # (20+30)/2
+    assert got[90] == int((30 + 0.7 * 20) * q20)  # 30 + 0.9*3-2 -> 44.0
+
+
+def test_range_agg_returns_empty_and_overlapping_buckets(dv_idx):
+    got = {
+        r["bucket"]: r["n_docs"]
+        for r in search_range_agg(
+            dv_idx, ["alpha"], "val",
+            [{"to": 15}, {"from": 10, "to": 35}, {"from": 100}],
+        ).collect()
+    }
+    assert got == {"*-15": 1, "10-35": 3, "100-*": 0}
+
+
+def test_date_histogram_calendar_months(dv_idx):
+    got = {
+        r["bucket"].isoformat(): r["n_docs"]
+        for r in search_date_histogram_agg(
+            dv_idx, ["alpha"], "d", "month"
+        ).collect()
+    }
+    assert got == {"2024-01-01": 1, "2024-02-01": 2, "2024-03-01": 1}
+
+
+def test_cardinality_agg_exact(dv_idx):
+    got = es_search(dv_idx, {
+        "query": {"match": {"text": "alpha"}},
+        "aggs": {"tags": {"cardinality": {"field": "tag"}}},
+    }).collect()
+    assert got[0]["cardinality"] == 2  # x, y (NULL not counted)
+
+
+# --- duplicate_span_coverage ---------------------------------------------------
+
+
+def test_duplicate_span_coverage_union_length(spark):
+    shared = " ".join(f"s{i}" for i in range(10))  # 10-token shared run
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail1 tail2"),
+            (2, "head1 head2 " + shared),
+            (3, "all unique tokens here nothing shared at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in duplicate_span_coverage(
+            docs, "doc_id", "text", window_tokens=8
+        ).collect()
+    }
+    # a 10-token shared run yields 3 duplicated 8-windows whose
+    # interval union is exactly the 10 shared tokens
+    assert set(got) == {1, 2}
+    assert got[1]["n_dup_windows"] == 3 and got[1]["covered_tokens"] == 10
+    assert got[2]["n_dup_windows"] == 3 and got[2]["covered_tokens"] == 10
+    assert got[1]["n_tokens"] == 12 and got[2]["n_tokens"] == 12
+
+
+def test_duplicate_span_within_doc_repeat_is_not_cross_doc(spark):
+    run = " ".join(f"r{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, run + " mid " + run), (2, "other words entirely unrelated")],
+        ["doc_id", "text"],
+    )
+    assert (
+        duplicate_span_coverage(docs, "doc_id", "text", window_tokens=8)
+        .count() == 0
+    )
+
+
+def test_duplicate_span_short_docs_yield_no_windows(spark):
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "too short")], ["doc_id", "text"]
+    )
+    # 2-token docs have no 8-token windows at all
+    assert (
+        duplicate_span_coverage(docs, "doc_id", "text", window_tokens=8)
+        .count() == 0
+    )
