@@ -981,27 +981,7 @@ def duplicate_span_coverage(
     from pyspark.sql.window import Window
 
     w = int(window_tokens)
-    toks = F.split(F.col(text_col), " ")
-    n_win = F.size(toks) - w + 1
-    starts = F.when(
-        n_win >= 1, F.sequence(F.lit(1), n_win)
-    ).otherwise(F.array().cast("array<int>"))
-    wins = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(starts).alias("_s"),
-        toks.alias("_tk"),
-    ).select(
-        "_id", "_s",
-        F.md5(F.array_join(F.slice("_tk", F.col("_s"), w), " ")).alias("_wh"),
-    )
-    cross_doc = wins.groupBy("_wh").agg(
-        (F.min("_id") != F.max("_id")).alias("_is_dup")
-    )
-    occ = (
-        wins.join(cross_doc, "_wh")
-        .filter(F.col("_is_dup"))
-        .select("_id", "_s")
-    )
+    occ = _dup_span_occurrences(df, id_col, text_col, w)
     prev = (
         Window.partitionBy("_id")
         .orderBy("_s")
@@ -1024,7 +1004,7 @@ def duplicate_span_coverage(
     )
     lens = df.select(
         F.col(id_col).alias("_id"),
-        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
     )
     return (
         per_doc.join(lens, "_id")
@@ -1038,4 +1018,82 @@ def duplicate_span_coverage(
                 * F.lit(float(1 << 20))
             ).cast("long").alias("covered_share_q20"),
         )
+    )
+
+
+def _dup_span_occurrences(
+    df: DataFrame, id_col: str, text_col: str, w: int
+) -> DataFrame:
+    """Shared span-dedup core: ``(_id, _s)`` occurrences of every
+    overlapping ``w``-token window (1-based start) that appears in
+    >= 2 DISTINCT documents. One ~row-per-token window relation, one
+    digest hash-shuffle with the min!=max distinct-doc test, one
+    equi-join back — no pair space."""
+    toks = F.split(F.col(text_col), " ")
+    n_win = F.size(toks) - w + 1
+    starts = F.when(
+        n_win >= 1, F.sequence(F.lit(1), n_win)
+    ).otherwise(F.array().cast("array<int>"))
+    wins = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(starts).alias("_s"),
+        toks.alias("_tk"),
+    ).select(
+        "_id", "_s",
+        F.md5(F.array_join(F.slice("_tk", F.col("_s"), w), " ")).alias("_wh"),
+    )
+    cross_doc = wins.groupBy("_wh").agg(
+        (F.min("_id") != F.max("_id")).alias("_is_dup")
+    )
+    return (
+        wins.join(cross_doc, "_wh")
+        .filter(F.col("_is_dup"))
+        .select("_id", "_s")
+    )
+
+
+def span_dedup_rewrite(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_tokens: int = 8,
+) -> DataFrame:
+    """The APPLY twin of ``duplicate_span_coverage``: REMOVE every
+    token covered by a cross-document duplicated span and rebuild the
+    text from the kept tokens — span-level dedup as Lee et al. 2022
+    actually apply it (mask the repeated substring, keep the document)
+    instead of dropping whole near-duplicate documents.
+
+    Returns every document: ``(id_col, n_tokens, kept_tokens,
+    cleaned_text)`` — untouched docs pass through with their original
+    token stream (cleaned_text re-joined on single spaces, the
+    tokenizer's inverse).
+
+    Scale shape: the duplicated-window detection is the shared
+    ``_dup_span_occurrences`` core; per-doc duplicated starts fold to
+    ONE array per doc (bounded by the doc's own window count), and the
+    token mask is a per-row JVM higher-order filter — position p
+    drops iff some start s satisfies s <= p < s+w. No window
+    functions, no second shuffle beyond the per-doc fold."""
+    w = int(window_tokens)
+    occ = _dup_span_occurrences(df, id_col, text_col, w)
+    starts = occ.groupBy("_id").agg(
+        F.sort_array(F.collect_list("_s")).alias("_starts")
+    )
+    toks = F.split(F.col(text_col), " ")
+    joined = df.select(F.col(id_col), toks.alias("_tk")).join(
+        starts.withColumnRenamed("_id", id_col), id_col, "left"
+    )
+    st = F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
+    kept_pos = F.filter(
+        F.sequence(F.lit(1), F.size("_tk")),
+        lambda p: ~F.exists(st, lambda s: (p >= s) & (p < s + w)),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("_tk").cast("long").alias("n_tokens"),
+        F.size(kept_pos).cast("long").alias("kept_tokens"),
+        F.array_join(
+            F.transform(kept_pos, lambda p: F.element_at("_tk", p)), " "
+        ).alias("cleaned_text"),
     )

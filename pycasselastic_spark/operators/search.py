@@ -315,6 +315,7 @@ from pycasselastic_spark.operators.search_compose import (  # noqa: E402,F401
     boosting_search,
     constant_score_search,
     dis_max_search,
+    multi_match_best_fields,
     search_cardinality_agg,
     search_date_histogram_agg,
     search_percentiles_agg,

@@ -190,7 +190,9 @@ def es_search(
       ``minimum_should_match_field``), ``range`` / ``terms``
       (constant-score stored doc-values bounds / IN-list),
       ``dis_max`` (+``tie_breaker``), ``boosting``
-      (+``negative_boost``), ``constant_score`` (single clause,
+      (+``negative_boost``), ``simple_query_string`` (+/- operators,
+      default_operator or/and; phrase/prefix/fuzzy syntax raises),
+      ``constant_score`` (single clause,
       ``bool.must``, or the reference's legacy ``and`` list with
       ``not.term`` — ``pyCassElastic.py:366-397``), and ``bool`` with
       ``must`` / ``should`` / ``must_not`` lists of match/term
@@ -365,6 +367,45 @@ def es_search(
     if qtype == "term":
         _field, value = _single(q, "term")
         return bm25_topk_indexed(index, [str(value)], k=size)
+    if qtype == "simple_query_string":
+        extra = set(q) - {"query", "default_operator"}
+        if extra:
+            raise _err(f"simple_query_string options {sorted(extra)}")
+        default_op = str(q.get("default_operator", "or")).lower()
+        if default_op not in ("or", "and"):
+            raise _err(f"simple_query_string default_operator {default_op!r}")
+        must, should, must_not = [], [], []
+        for tok in str(q["query"]).split():
+            if tok == "|":
+                # bare OR separator — OR is already the combinator for
+                # optional clauses
+                continue
+            if any(ch in tok for ch in '"*~()'):
+                # phrase / prefix / fuzzy / precedence syntax — raise
+                # by name rather than score a half-understood query
+                raise _err(
+                    f"simple_query_string operator in {tok!r} "
+                    "(phrase, prefix, fuzzy and precedence are not "
+                    "dispatched)"
+                )
+            if tok.startswith("-"):
+                must_not.extend(index.analyze_text(tok[1:]))
+                continue
+            terms = index.analyze_text(tok.lstrip("+"))
+            if tok.startswith("+") or default_op == "and":
+                if not terms:
+                    raise _err(
+                        "simple_query_string required clause analyzing "
+                        f"to no terms: {tok!r}"
+                    )
+                must.append(terms)
+            else:
+                should.extend(terms)
+        if not must and not should:
+            raise _err("simple_query_string with no scoring clause")
+        return bm25_bool_query(
+            index, must=must, should=should, must_not=must_not, k=size
+        )
     if qtype == "dis_max":
         extra = set(q) - {"queries", "tie_breaker"}
         if extra:

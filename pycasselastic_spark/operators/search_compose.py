@@ -377,3 +377,66 @@ def search_date_histogram_agg(
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy(F.col("bucket").asc())
     )
+
+
+def multi_match_best_fields(
+    field_indexes: dict[str, PostingsIndex],
+    query_terms: list[str],
+    tie_breaker: float = 0.0,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``multi_match`` in ``best_fields`` mode — the DEFAULT
+    multi_match type: the document's score is its BEST field's score
+    plus ``tie_breaker`` times the other matching fields' (a dis_max
+    across fields, exactly how ES compiles it). Complements the
+    ``most_fields`` sum (``bm25_topk_multifield``). Each field is its
+    own stored index with its own df/dl/avgdl statistics — the Lucene
+    per-field scoring model. Returns ``(id, n_hit_terms, score_q20)``
+    with n_hit_terms = the max over fields.
+
+    Determinism law: per-field scores are already Q20 integers; max /
+    sum / one DOUBLE multiply + floor combine them (BM25 Q20 scores
+    are strictly positive, so COALESCE-to-0 is exact for both the max
+    and the sum).
+
+    Plan shape: one pruned probe per field (each against its own
+    term-bucket layout) combined by a full outer join on the doc id —
+    field outputs are query-bounded, no corpus scan."""
+    if not field_indexes:
+        raise ValueError("best_fields needs at least one field index")
+    combined = None
+    id_col = None
+    fields = list(field_indexes)
+    for field, index in field_indexes.items():
+        id_col = index.id_col
+        scored = _bm25_scored(index, query_terms, k1, b).select(
+            F.col(index.id_col),
+            F.col("n_hit_terms").alias(f"hits_{field}"),
+            F.col("score_q20").alias(f"score_{field}"),
+        )
+        combined = (
+            scored
+            if combined is None
+            else combined.join(scored, id_col, "full_outer")
+        )
+    s = [F.coalesce(F.col(f"score_{f}"), F.lit(0)) for f in fields]
+    best = F.greatest(*s) if len(s) > 1 else s[0]
+    total = sum(s[1:], s[0])
+    return (
+        combined.select(
+            F.col(id_col),
+            F.greatest(
+                *[F.coalesce(F.col(f"hits_{f}"), F.lit(0)) for f in fields]
+            ).alias("n_hit_terms"),
+            (
+                best
+                + F.floor(
+                    F.lit(float(tie_breaker)) * (total - best)
+                ).cast("long")
+            ).alias("score_q20"),
+        )
+        .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -107,6 +107,41 @@ _MF_FIELD_SCORE_SQL = """
 """
 
 
+def _mf_indexes_for(spark: SparkSession, sf_dir: str):
+    """The shared title/body per-field index pair (first 8 tokens vs
+    the rest) used by the most_fields and best_fields multi_match
+    queries — built once per sf_dir like every corpus fixture."""
+    cached = _MF_INDEX_CACHE.get(sf_dir)
+    if cached is None:
+        docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
+        toks = F.split(F.col("text"), " ")
+        fields = docs.select(
+            "doc_id",
+            F.array_join(F.slice(toks, 1, 8), " ").alias("title"),
+            F.array_join(
+                F.expr(
+                    "slice(split(text, ' '), 9,"
+                    " greatest(size(split(text, ' ')) - 8, 0))"
+                ),
+                " ",
+            ).alias("body"),
+        )
+        base = tempfile.mkdtemp(prefix="mf_idx_")
+        tpath, bpath = os.path.join(base, "title"), os.path.join(base, "body")
+        SRCH.build_postings_index(
+            fields.select("doc_id", "title"), "doc_id", "title", tpath, 16
+        )
+        SRCH.build_postings_index(
+            fields.select("doc_id", "body"), "doc_id", "body", bpath, 16
+        )
+        cached = (tpath, bpath)
+        _MF_INDEX_CACHE[sf_dir] = cached
+    return (
+        SRCH.load_postings_index(spark, cached[0]),
+        SRCH.load_postings_index(spark, cached[1]),
+    )
+
+
 @register(
     "multifield_bm25_documents",
     "WITH f AS (SELECT doc_id,\n"
@@ -141,33 +176,7 @@ ORDER BY score_q20 DESC, doc_id LIMIT 10
     "field derivations and the weighted combine.",
 )
 def multifield_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cached = _MF_INDEX_CACHE.get(sf_dir)
-    if cached is None:
-        docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
-        toks = F.split(F.col("text"), " ")
-        fields = docs.select(
-            "doc_id",
-            F.array_join(F.slice(toks, 1, 8), " ").alias("title"),
-            F.array_join(
-                F.expr(
-                    "slice(split(text, ' '), 9,"
-                    " greatest(size(split(text, ' ')) - 8, 0))"
-                ),
-                " ",
-            ).alias("body"),
-        )
-        base = tempfile.mkdtemp(prefix="mf_idx_")
-        tpath, bpath = os.path.join(base, "title"), os.path.join(base, "body")
-        SRCH.build_postings_index(
-            fields.select("doc_id", "title"), "doc_id", "title", tpath, 16
-        )
-        SRCH.build_postings_index(
-            fields.select("doc_id", "body"), "doc_id", "body", bpath, 16
-        )
-        cached = (tpath, bpath)
-        _MF_INDEX_CACHE[sf_dir] = cached
-    tidx = SRCH.load_postings_index(spark, cached[0])
-    bidx = SRCH.load_postings_index(spark, cached[1])
+    tidx, bidx = _mf_indexes_for(spark, sf_dir)
     return SRCH.bm25_topk_multifield(
         {"title": tidx, "body": bidx}, {"title": 2, "body": 1},
         ["spark", "merge"], k=10,

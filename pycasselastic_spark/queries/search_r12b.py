@@ -426,3 +426,176 @@ def duplicate_span_coverage_documents(
     return cov.orderBy(
         F.col("covered_tokens").desc(), F.col("doc_id").asc()
     ).limit(15)
+
+
+@register(
+    "simple_query_string_documents",
+    f"""
+WITH {_TOK_POSTINGS},
+qt AS (SELECT * FROM postings WHERE term IN ('scan', 'join', 'hash')),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term),
+scored AS (
+  SELECT qt.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+         CAST(FLOOR(SUM({_BM25_TERM_SCORE}) * 1048576.0) AS BIGINT)
+           AS score_q20,
+         COUNT(CASE WHEN term = 'scan' THEN 1 END) AS must_hits
+  FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+  GROUP BY qt.doc_id, sc.n_docs)
+SELECT doc_id, n_hit_terms, score_q20
+FROM scored
+WHERE must_hits >= 1
+  AND doc_id NOT IN (SELECT doc_id FROM postings WHERE term = 'window')
+ORDER BY score_q20 DESC, doc_id LIMIT 10
+""",
+    doc="ES ``simple_query_string`` — the forgiving end-user query "
+    "grammar every search box speaks: '+scan join hash -window' "
+    "parses to required (+) / optional (bare, default_operator OR) / "
+    "excluded (-) clauses and compiles onto the SAME full-bool probe "
+    "as query.bool (operators/search_probes.py:bm25_bool_query): one "
+    "pruned probe fetches all contexts' terms, the required-clause "
+    "hit count rides the scoring aggregation, the veto is a "
+    "broadcast anti-join. Tokens run through the index's stored "
+    "analyzer; phrase/prefix/fuzzy/precedence syntax raises by name "
+    "(never a half-understood query), and default_operator=and is "
+    "dispatched too. Oracle replays the clause algebra.",
+)
+def simple_query_string_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"simple_query_string": {
+            "query": "+scan join hash -window",
+        }},
+        "size": 10,
+    })
+
+
+_MF_FIELD_SCORE_SQL_R12B = """
+{p}tok AS (SELECT doc_id, unnest(string_split({field}, ' ')) AS term FROM f),
+{p}post AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM {p}tok WHERE term <> '' GROUP BY term, doc_id),
+{p}qt AS (SELECT * FROM {p}post WHERE term IN ({terms})),
+{p}df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM {p}qt GROUP BY term),
+{p}dl AS (SELECT doc_id, len(string_split({field}, ' ')) AS dl FROM f),
+{p}sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 AVG(CAST(len(string_split({field}, ' ')) AS DOUBLE)) AS avgdl
+          FROM f),
+{p}score AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS hits,
+         CAST(FLOOR(SUM(
+           ln(1.0 + ({p}sc.n_docs - {p}df.df + 0.5) / ({p}df.df + 0.5))
+           * ({p}qt.tf * 2.2)
+           / ({p}qt.tf + 1.2 * (0.25 + 0.75 * {p}dl.dl / {p}sc.avgdl))
+         ) * 1048576.0) AS BIGINT) AS s
+  FROM {p}qt JOIN {p}df USING (term) JOIN {p}dl USING (doc_id)
+       CROSS JOIN {p}sc
+  GROUP BY doc_id, {p}sc.n_docs)
+"""
+
+
+@register(
+    "best_fields_bm25_documents",
+    "WITH f AS (SELECT doc_id,\n"
+    "  array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')"
+    " AS title,\n"
+    "  array_to_string(list_slice(string_split(text, ' '), 9,"
+    " len(string_split(text, ' '))), ' ') AS body\n"
+    "  FROM documents),\n"
+    + _MF_FIELD_SCORE_SQL_R12B.format(p="t", field="title",
+                                      terms="'spark', 'merge'")
+    + ",\n"
+    + _MF_FIELD_SCORE_SQL_R12B.format(p="b", field="body",
+                                      terms="'spark', 'merge'")
+    + """
+SELECT COALESCE(tscore.doc_id, bscore.doc_id) AS doc_id,
+       CAST(GREATEST(COALESCE(tscore.hits, 0), COALESCE(bscore.hits, 0))
+            AS BIGINT) AS n_hit_terms,
+       CAST(GREATEST(COALESCE(tscore.s, 0), COALESCE(bscore.s, 0))
+            + CAST(FLOOR(CAST(0.3 AS DOUBLE)
+                * (COALESCE(tscore.s, 0) + COALESCE(bscore.s, 0)
+                   - GREATEST(COALESCE(tscore.s, 0), COALESCE(bscore.s, 0))))
+              AS BIGINT)
+            AS BIGINT) AS score_q20
+FROM tscore FULL OUTER JOIN bscore ON tscore.doc_id = bscore.doc_id
+ORDER BY score_q20 DESC, doc_id LIMIT 10
+""",
+    doc="ES multi_match in its DEFAULT ``best_fields`` mode "
+    "(operators/search_compose.py:multi_match_best_fields): a dis_max "
+    "ACROSS FIELDS — the doc's score is its best field's score plus "
+    "tie_breaker x the other matching fields', over the same "
+    "title/body per-field index pair (own df/dl/avgdl each, the "
+    "Lucene per-field model) the most_fields twin sums. Per-field "
+    "Q20 integers combine via max/sum/one DOUBLE multiply + floor "
+    "(BM25 Q20 scores are strictly positive, so COALESCE-to-0 is "
+    "exact). One pruned probe per field, full outer join on "
+    "query-bounded outputs, no corpus scan.",
+)
+def best_fields_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pycasselastic_spark.operators.search_compose import (
+        multi_match_best_fields,
+    )
+    from pycasselastic_spark.queries.search_es_queries import _mf_indexes_for
+
+    tidx, bidx = _mf_indexes_for(spark, sf_dir)
+    return multi_match_best_fields(
+        {"title": tidx, "body": bidx}, ["spark", "merge"],
+        tie_breaker=0.3, k=10,
+    )
+
+
+@register(
+    "span_dedup_rewrite_documents",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+w AS (
+  SELECT doc_id, CAST(u.s AS BIGINT) AS s,
+         md5(array_to_string(tk[u.s:u.s + 7], ' ')) AS wh
+  FROM t, unnest(range(1, len(tk) - 8 + 2)) AS u(s)
+),
+dup AS (SELECT wh FROM w GROUP BY wh HAVING MIN(doc_id) <> MAX(doc_id)),
+occ AS (SELECT doc_id, s FROM w JOIN dup USING (wh)),
+st AS (SELECT doc_id, list_sort(list(s)) AS starts FROM occ GROUP BY doc_id),
+rw AS (
+  SELECT t.doc_id,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         list_transform(
+           list_filter(range(1, len(tk) + 1),
+             p -> NOT len(list_filter(COALESCE(starts, []),
+                    x -> p >= x AND p < x + 8)) > 0),
+           p -> tk[p]) AS kept
+  FROM t LEFT JOIN st USING (doc_id)
+)
+SELECT doc_id, n_tokens,
+       CAST(len(kept) AS BIGINT) AS kept_tokens,
+       CAST(n_tokens - len(kept) AS BIGINT) AS removed_tokens,
+       -- DuckDB's array_to_string([]) is NULL; Spark's array_join is ''
+       COALESCE(array_to_string(kept, ' '), '') AS cleaned_text
+FROM rw
+ORDER BY removed_tokens DESC, doc_id LIMIT 15
+""",
+    doc="The APPLY twin of span coverage (operators/dedup.py:"
+    "span_dedup_rewrite): REMOVE every token covered by a "
+    "cross-document duplicated 8-token span and rebuild the text from "
+    "the kept tokens — span-level dedup as Lee et al. 2022 apply it "
+    "(mask the repeated substring, keep the document). The oracle "
+    "rebuilds each cleaned text string byte-for-byte. Plan: the "
+    "shared duplicated-window core, per-doc starts folded to ONE "
+    "array (bounded by the doc's window count), then a per-row JVM "
+    "higher-order position filter — no second shuffle, no window "
+    "functions. removed_tokens is pinned equal to the coverage "
+    "twin's covered_tokens in tests.",
+)
+def span_dedup_rewrite_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pycasselastic_spark.operators.dedup import span_dedup_rewrite
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
+    rw = span_dedup_rewrite(docs, "doc_id", "text", window_tokens=8)
+    return rw.select(
+        "doc_id", "n_tokens", "kept_tokens",
+        (F.col("n_tokens") - F.col("kept_tokens")).alias("removed_tokens"),
+        "cleaned_text",
+    ).orderBy(F.col("removed_tokens").desc(), F.col("doc_id").asc()).limit(15)

@@ -302,3 +302,101 @@ def test_duplicate_span_short_docs_yield_no_windows(spark):
         duplicate_span_coverage(docs, "doc_id", "text", window_tokens=8)
         .count() == 0
     )
+
+
+# --- best_fields / simple_query_string / span rewrite --------------------------
+
+
+def test_best_fields_is_dis_max_across_fields(spark, tmp_path):
+    from pycasselastic_spark.operators.search_compose import (
+        multi_match_best_fields,
+    )
+
+    title = _corpus(spark, [(1, "spark join"), (2, "scan only"), (3, "x y")])
+    body = _corpus(spark, [(1, "other words"), (2, "spark spark"), (3, "z")])
+    tp, bp = str(tmp_path / "t"), str(tmp_path / "b")
+    SRCH.build_postings_index(title, "doc_id", "text", tp, n_buckets=4)
+    SRCH.build_postings_index(body, "doc_id", "text", bp, n_buckets=4)
+    tidx, bidx = (
+        SRCH.load_postings_index(spark, tp),
+        SRCH.load_postings_index(spark, bp),
+    )
+    st = _scores(SRCH.bm25_topk_indexed(tidx, ["spark"], k=10))
+    sb = _scores(SRCH.bm25_topk_indexed(bidx, ["spark"], k=10))
+    got = multi_match_best_fields(
+        {"title": tidx, "body": bidx}, ["spark"], tie_breaker=0.3, k=10
+    )
+    import math
+
+    rows = {r["doc_id"]: r["score_q20"] for r in got.collect()}
+    assert set(rows) == set(st) | set(sb)
+    for did, s in rows.items():
+        parts = [x for x in (st.get(did, 0), sb.get(did, 0))]
+        assert s == max(parts) + math.floor(0.3 * (sum(parts) - max(parts)))
+
+
+def test_simple_query_string_compiles_to_bool(idx):
+    from pycasselastic_spark.operators.search_probes import bm25_bool_query
+
+    got = es_search(idx, {"query": {"simple_query_string": {
+        "query": "+join scan -window",
+    }}}).collect()
+    want = bm25_bool_query(
+        idx, must=[["join"]], should=["scan"], must_not=["window"], k=10
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # default_operator=and makes every bare token required
+    got_and = es_search(idx, {"query": {"simple_query_string": {
+        "query": "join scan", "default_operator": "and",
+    }}}).collect()
+    want_and = bm25_bool_query(
+        idx, must=[["join"], ["scan"]], k=10
+    ).collect()
+    assert [tuple(r) for r in got_and] == [tuple(r) for r in want_and]
+
+
+def test_simple_query_string_strictness(idx):
+    with pytest.raises(ValueError, match="simple_query_string operator"):
+        es_search(idx, {"query": {"simple_query_string": {
+            "query": 'join "exact phrase"',
+        }}})
+    with pytest.raises(ValueError, match="no scoring clause"):
+        es_search(idx, {"query": {"simple_query_string": {
+            "query": "-window",
+        }}})
+    with pytest.raises(ValueError, match="default_operator"):
+        es_search(idx, {"query": {"simple_query_string": {
+            "query": "join", "default_operator": "xor",
+        }}})
+
+
+def test_span_rewrite_matches_coverage_and_rebuilds_text(spark):
+    from pycasselastic_spark.operators.dedup import span_dedup_rewrite
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail1 tail2"),
+            (2, "head1 head2 " + shared),
+            (3, "untouched words stay put"),
+        ],
+        ["doc_id", "text"],
+    )
+    cov = {
+        r["doc_id"]: r["covered_tokens"]
+        for r in duplicate_span_coverage(
+            docs, "doc_id", "text", window_tokens=8
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: r
+        for r in span_dedup_rewrite(
+            docs, "doc_id", "text", window_tokens=8
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}  # every doc passes through
+    for did, covered in cov.items():
+        assert got[did]["n_tokens"] - got[did]["kept_tokens"] == covered
+    assert got[1]["cleaned_text"] == "tail1 tail2"
+    assert got[2]["cleaned_text"] == "head1 head2"
+    assert got[3]["cleaned_text"] == "untouched words stay put"
