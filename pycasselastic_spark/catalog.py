@@ -78,10 +78,10 @@ _GATE_PRIORITY: list[str] = [
     # (never driver-checked: the late-r12 nested-type / top-level
     # range+terms / filter-context composition five, then the
     # compound-scoring + aggregation + span-coverage eight); slots
-    # 24-26 the last three continuation queries (simple_query_string,
-    # best_fields, span rewrite); slots 27-49 the first 23 stale-r8
-    # rows in their CORRECTNESS_r08 order (the remaining 27 r8 rows
-    # head the round-13 rotation — enumerated in COVERAGE.md).
+    # 24-27 the last four continuation queries (simple_query_string,
+    # best_fields, span rewrite, knn API); slots 28-49 the first 22
+    # stale-r8 rows in their CORRECTNESS_r08 order (the remaining 28
+    # r8 rows head the round-13 rotation — enumerated in COVERAGE.md).
     # --- slots 0-4: the last stale-r7 rows ---------------------------
     "range_join_value_buckets",
     "running_totals_orders",
@@ -112,11 +112,12 @@ _GATE_PRIORITY: list[str] = [
     "range_agg_documents",
     "date_histogram_agg_documents",
     "duplicate_span_coverage_documents",
-    # --- slots 24-26: last continuation additions ---------------------
+    # --- slots 24-27: last continuation additions ---------------------
     "simple_query_string_documents",
     "best_fields_bm25_documents",
     "span_dedup_rewrite_documents",
-    # --- slots 27-49: stale-r8 rows, CORRECTNESS_r08 order -----------
+    "knn_search_api_embeddings",
+    # --- slots 28-49: stale-r8 rows, CORRECTNESS_r08 order -----------
     "streaming_lwwstore_replicate_events",
     "term_cooccurrence_pmi_documents",
     "json_extract_events",
@@ -139,7 +140,6 @@ _GATE_PRIORITY: list[str] = [
     "q11_important_stock",
     "q12_late_lines_by_priority",
     "q13_order_count_distribution",
-    "q14_promo_revenue",
 ]
 
 

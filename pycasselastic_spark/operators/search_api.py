@@ -175,6 +175,7 @@ def es_search(
     index: PostingsIndex,
     body: dict,
     docs: DataFrame | None = None,
+    embeddings: DataFrame | None = None,
 ) -> DataFrame:
     """Execute an ES ``_search`` request body against a stored index.
 
@@ -206,16 +207,63 @@ def es_search(
       frame): ``stats``, ``histogram``, ``percentiles`` (exact),
       ``cardinality`` (exact), ``range``, ``date_histogram``
       (calendar_interval day/week/month).
+    - top-level ``knn`` (ES 8.x): exact cosine retrieval over the
+      ``embeddings`` frame from a literal ``query_vector``
+      (num_candidates accepted — exact search is its limit); hybrid
+      lexical+kNN raises naming ``hybrid_rrf_search``.
 
     Anything else raises naming the feature — a silently-dropped
     clause is how search APIs corrupt downstream evaluations.
     """
     unknown = set(body) - {
-        "query", "size", "search_after", "collapse", "aggs", "sort",
+        "query", "size", "search_after", "collapse", "aggs", "sort", "knn",
     }
     if unknown:
         raise _err(f"body keys {sorted(unknown)}")
     size = int(body.get("size", 10))
+
+    if "knn" in body:
+        # ES 8.x top-level kNN retrieval. EXACT search over the
+        # embeddings frame (ES's HNSW is approximate by necessity;
+        # num_candidates is its recall dial, accepted here because the
+        # exact answer is what any num_candidates converges to — the
+        # banded/IVF ANN twins remain the scale path). Combining knn
+        # with a lexical query is the rrf retriever — a different
+        # result shape served by hybrid_rrf_search, so it raises by
+        # name here.
+        if set(body) - {"knn", "size"}:
+            raise _err(
+                f"knn combined with {sorted(set(body) - {'knn', 'size'})} "
+                "(hybrid lexical+kNN is hybrid_rrf_search)"
+            )
+        spec = body["knn"]
+        extra = set(spec) - {"field", "query_vector", "k", "num_candidates"}
+        if extra:
+            raise _err(f"knn options {sorted(extra)}")
+        if embeddings is None:
+            raise _err("knn without an embeddings frame")
+        field = spec["field"]
+        if field not in embeddings.columns:
+            raise _err(
+                f"knn field {field!r} not in the embeddings frame "
+                f"(columns: {embeddings.columns})"
+            )
+        from pyspark.sql import functions as F
+
+        from pycasselastic_spark.operators.similarity import brute_force_topk
+
+        k = int(spec.get("k", size))
+        vec = [float(x) for x in spec["query_vector"]]
+        spark = embeddings.sparkSession
+        q_frame = spark.createDataFrame(
+            [(-1, vec)], f"vec_id long, {field} array<double>"
+        )
+        return (
+            brute_force_topk(embeddings, q_frame, "vec_id", field, k=k)
+            .select(F.col("match_id").alias("vec_id"), "cosine")
+            .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        )
+
     qtype, q = _single(body.get("query", {}), "query")
 
     if "sort" in body:

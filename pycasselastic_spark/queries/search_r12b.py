@@ -599,3 +599,55 @@ def span_dedup_rewrite_documents(
         (F.col("n_tokens") - F.col("kept_tokens")).alias("removed_tokens"),
         "cleaned_text",
     ).orderBy(F.col("removed_tokens").desc(), F.col("doc_id").asc()).limit(15)
+
+
+@register(
+    "knn_search_api_embeddings",
+    """
+WITH en AS (SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))
+          AS nrm
+      FROM embeddings),
+eu AS (SELECT vec_id,
+        list_transform(embedding, x -> x::DOUBLE / nrm) AS u FROM en),
+qv AS (SELECT list_transform(range(0, 64),
+        i -> CASE WHEN i % 2 = 0 THEN CAST(1.0 AS DOUBLE)
+             ELSE CAST(0.0 AS DOUBLE) END) AS v),
+qn AS (SELECT v,
+        sqrt(list_sum(list_transform(v, y -> y * y))) AS nrm FROM qv),
+qu AS (SELECT list_transform(v, x -> x / nrm) AS u FROM qn),
+p AS (
+  SELECT c.vec_id,
+         list_sum(list_transform(range(1, 65), k -> q.u[k] * c.u[k]))
+           AS cosine
+  FROM eu c CROSS JOIN qu q
+)
+SELECT vec_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rn FROM p
+) WHERE rn <= 8
+ORDER BY cosine DESC, vec_id
+""",
+    doc="ES 8.x top-level ``knn`` retrieval dispatched from the "
+    "_search request body (operators/search_api.py:es_search): exact "
+    "cosine top-8 for a LITERAL query_vector over the embeddings "
+    "frame — the request a RAG stack POSTs. ES's HNSW is approximate "
+    "by necessity and num_candidates is its recall dial; the exact "
+    "answer dispatched here is what any num_candidates converges to, "
+    "and the banded-LSH / IVF twins (cosine_topk_lsh/ivf) stay the "
+    "100 TB path. Plan: the one-row query broadcast against one "
+    "corpus scan (operators/similarity.py:brute_force_topk), "
+    "sequential-double dot products, windowed top-k — the oracle "
+    "replays normalization and fold order bit-exactly.",
+)
+def knn_search_api_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pycasselastic_spark.queries.search_dsl import _postings_index_for
+
+    idx = _postings_index_for(spark, sf_dir)
+    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings"), spark)
+    vec = [1.0 if i % 2 == 0 else 0.0 for i in range(64)]
+    return es_search(idx, {
+        "knn": {
+            "field": "embedding", "query_vector": vec,
+            "k": 8, "num_candidates": 100,
+        },
+    }, embeddings=emb)

@@ -47,14 +47,14 @@ def test_round12_gate_slots():
     """The driver hashes the FIRST 50 registered queries; the round-12
     rotation retires the LAST five stale-r7 rows in slots 0-4, puts
     the six NEW round-12 queries (phrase synonyms + reindex twin,
-    exists/ids/terms_set, missing bucket) in slots 5-10, the sixteen
-    round-12 continuation queries in slots 11-26 (late nested-type /
+    exists/ids/terms_set, missing bucket) in slots 5-10, the seventeen
+    round-12 continuation queries in slots 11-27 (late nested-type /
     dv-query five + compound-scoring / aggregation / span-coverage /
-    simple_query_string / best_fields / span-rewrite eleven), and the
-    first 23 stale-r8 rows in slots 27-49 (CORRECTNESS_r08 order).
-    Pin the boundary slots so an accidental registration reorder is
-    caught before the driver runs (COVERAGE.md enumerates the full
-    list)."""
+    simple_query_string / best_fields / span-rewrite / knn-API
+    twelve), and the first 22 stale-r8 rows in slots 28-49
+    (CORRECTNESS_r08 order). Pin the boundary slots so an accidental
+    registration reorder is caught before the driver runs
+    (COVERAGE.md enumerates the full list)."""
     names = list(QUERIES)
     assert names[0] == "range_join_value_buckets"
     assert names[4] == "applyinpandas_rank_events"
@@ -70,8 +70,9 @@ def test_round12_gate_slots():
     assert names[23] == "duplicate_span_coverage_documents"
     assert names[24] == "simple_query_string_documents"
     assert names[26] == "span_dedup_rewrite_documents"
-    assert names[27] == "streaming_lwwstore_replicate_events"
-    assert names[49] == "q14_promo_revenue"
+    assert names[27] == "knn_search_api_embeddings"
+    assert names[28] == "streaming_lwwstore_replicate_events"
+    assert names[49] == "q13_order_count_distribution"
     # the gate is the FIRST 50; post-gate registrations grow the tail
     # every round (COVERAGE.md enumerates them), so pin a floor, not
     # an exact count — an accidental DEregistration still fails here

@@ -400,3 +400,34 @@ def test_span_rewrite_matches_coverage_and_rebuilds_text(spark):
     assert got[1]["cleaned_text"] == "tail1 tail2"
     assert got[2]["cleaned_text"] == "head1 head2"
     assert got[3]["cleaned_text"] == "untouched words stay put"
+
+
+def test_knn_dispatch_exact_and_strict(spark, idx, tmp_path):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+            (4, [-1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = es_search(idx, {
+        "knn": {"field": "embedding", "query_vector": [1.0, 0.0, 0.0],
+                "k": 2, "num_candidates": 10},
+    }, embeddings=emb).collect()
+    assert [r["vec_id"] for r in got] == [1, 2]
+    assert got[0]["cosine"] == pytest.approx(1.0)
+    with pytest.raises(ValueError, match="knn combined with"):
+        es_search(idx, {
+            "knn": {"field": "embedding", "query_vector": [1.0, 0.0, 0.0]},
+            "query": {"match": {"text": "join"}},
+        }, embeddings=emb)
+    with pytest.raises(ValueError, match="embeddings frame"):
+        es_search(idx, {
+            "knn": {"field": "embedding", "query_vector": [1.0]},
+        })
+    with pytest.raises(ValueError, match="knn field"):
+        es_search(idx, {
+            "knn": {"field": "vector", "query_vector": [1.0]},
+        }, embeddings=emb)
