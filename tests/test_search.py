@@ -1567,8 +1567,15 @@ class TestEsSearchApi:
             ({"query": {"bool": {"filter": [
                 {"range": {"n_chars": {"gte": 1, "boost": 2}}},
             ]}}}, "range options"),
+            # exists/nested ARE dispatched in filter context since
+            # round 12 (this fixture just stores no doc values) — a
+            # script filter is the representative still-unsupported
+            # clause type
             ({"query": {"bool": {"filter": [
                 {"exists": {"field": "n_chars"}},
+            ]}}}, "stores no doc values"),
+            ({"query": {"bool": {"filter": [
+                {"script": {"script": "doc['n'].value > 1"}},
             ]}}}, "filter clause type"),
             ({"query": {"match": {"text": {"query": "x", "operator": "and"}}}}, "operator"),
             ({"query": {"term": {"text": "x"}}, "search_after": [0, 0]}, "search_after"),
