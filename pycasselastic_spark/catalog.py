@@ -78,10 +78,11 @@ _GATE_PRIORITY: list[str] = [
     # (never driver-checked: the late-r12 nested-type / top-level
     # range+terms / filter-context composition five, then the
     # compound-scoring + aggregation + span-coverage eight); slots
-    # 24-27 the last four continuation queries (simple_query_string,
-    # best_fields, span rewrite, knn API); slots 28-49 the first 22
-    # stale-r8 rows in their CORRECTNESS_r08 order (the remaining 28
-    # r8 rows head the round-13 rotation — enumerated in COVERAGE.md).
+    # 24-28 the last five continuation queries (simple_query_string,
+    # best_fields, span rewrite, knn API, match_all); slots 29-49 the
+    # first 21 stale-r8 rows in their CORRECTNESS_r08 order (the
+    # remaining 29 r8 rows head the round-13 rotation — enumerated in
+    # COVERAGE.md).
     # --- slots 0-4: the last stale-r7 rows ---------------------------
     "range_join_value_buckets",
     "running_totals_orders",
@@ -112,12 +113,13 @@ _GATE_PRIORITY: list[str] = [
     "range_agg_documents",
     "date_histogram_agg_documents",
     "duplicate_span_coverage_documents",
-    # --- slots 24-27: last continuation additions ---------------------
+    # --- slots 24-28: last continuation additions ---------------------
     "simple_query_string_documents",
     "best_fields_bm25_documents",
     "span_dedup_rewrite_documents",
     "knn_search_api_embeddings",
-    # --- slots 28-49: stale-r8 rows, CORRECTNESS_r08 order -----------
+    "match_all_page_documents",
+    # --- slots 29-49: stale-r8 rows, CORRECTNESS_r08 order -----------
     "streaming_lwwstore_replicate_events",
     "term_cooccurrence_pmi_documents",
     "json_extract_events",
@@ -139,7 +141,6 @@ _GATE_PRIORITY: list[str] = [
     "q10_returned_items",
     "q11_important_stock",
     "q12_late_lines_by_priority",
-    "q13_order_count_distribution",
 ]
 
 

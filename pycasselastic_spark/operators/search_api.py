@@ -27,11 +27,13 @@ tests/test_plans.py; the dispatcher adds zero Spark work of its own.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from pycasselastic_spark.operators.search_index import PostingsIndex
 from pycasselastic_spark.operators.search_probes import (
     bm25_bool_query,
     bm25_search_after,
+    bm25_topk_conjunctive,
     bm25_topk_fuzzy,
     bm25_topk_indexed,
     bm25_topk_min_should_match,
@@ -183,7 +185,10 @@ def es_search(
     shape and oracle the catalog already pins):
 
     - ``query``: ``match`` (analyzed, OR semantics; optional
-      ``minimum_should_match`` / ``fuzziness``), ``term`` (exact),
+      ``minimum_should_match`` / ``fuzziness`` / ``operator`` or|and —
+      and = the conjunctive probe), ``match_all`` (live-doc id page),
+      ``fuzzy`` (standalone term-level edit-distance query),
+      ``term`` (exact),
       ``match_phrase`` (+``slop``), ``match_phrase_prefix``,
       ``prefix``, ``wildcard``, ``regexp``, ``exists`` (stored
       doc-values non-NULL scan), ``ids`` (live-doc batch lookup),
@@ -248,8 +253,6 @@ def es_search(
                 f"knn field {field!r} not in the embeddings frame "
                 f"(columns: {embeddings.columns})"
             )
-        from pyspark.sql import functions as F
-
         from pycasselastic_spark.operators.similarity import brute_force_topk
 
         k = int(spec.get("k", size))
@@ -371,9 +374,28 @@ def es_search(
         if isinstance(spec, dict):
             text = spec["query"]
             terms = index.analyze_text(str(text))
-            extra = set(spec) - {"query", "minimum_should_match", "fuzziness"}
+            extra = set(spec) - {
+                "query", "minimum_should_match", "fuzziness", "operator",
+            }
             if extra:
                 raise _err(f"match options {sorted(extra)}")
+            if "operator" in spec:
+                op = str(spec["operator"]).lower()
+                if op not in ("or", "and"):
+                    raise _err(f"match operator {op!r}")
+                if op == "and":
+                    # every analyzed term required — the conjunctive
+                    # probe; the other dials don't compose with it
+                    # (fuzzy has no conjunction, min-match contradicts
+                    # it, the cursor isn't threaded), so they raise
+                    clash = (set(spec) - {"query", "operator"}) | (
+                        {"search_after"} if "search_after" in body else set()
+                    )
+                    if clash:
+                        raise _err(
+                            f"match operator=and combined with {sorted(clash)}"
+                        )
+                    return bm25_topk_conjunctive(index, terms, k=size)
             if "fuzziness" in spec and "minimum_should_match" in spec:
                 # the fuzzy probe has no min-match dial — honoring one
                 # option while silently dropping the other is exactly
@@ -415,6 +437,34 @@ def es_search(
     if qtype == "term":
         _field, value = _single(q, "term")
         return bm25_topk_indexed(index, [str(value)], k=size)
+    if qtype == "match_all":
+        if q:
+            raise _err(f"match_all options {sorted(q)}")
+        # every LIVE doc, ES's constant 1.0 score -> the id-tiebreak
+        # page (the exists/ids contract without a predicate); served
+        # from the forward relation with superseded copies dropped
+        id_col = index.id_col
+        return (
+            index.live_forward()
+            .select(id_col)
+            .distinct()
+            .orderBy(F.col(id_col).asc())
+            .limit(size)
+        )
+    if qtype == "fuzzy":
+        # the standalone term-level fuzzy query (match+fuzziness is
+        # the analyzed multi-term form; this is the single-term ES
+        # ``fuzzy`` query)
+        _field, spec = _single(q, "fuzzy")
+        if not isinstance(spec, dict):
+            spec = {"value": spec}
+        extra = set(spec) - {"value", "fuzziness"}
+        if extra:
+            raise _err(f"fuzzy options {sorted(extra)}")
+        return bm25_topk_fuzzy(
+            index, [str(spec["value"])], k=size,
+            max_dist=int(spec.get("fuzziness", 1)),
+        )
     if qtype == "simple_query_string":
         extra = set(q) - {"query", "default_operator"}
         if extra:

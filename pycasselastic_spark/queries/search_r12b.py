@@ -651,3 +651,23 @@ def knn_search_api_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k": 8, "num_candidates": 100,
         },
     }, embeddings=emb)
+
+
+@register(
+    "match_all_page_documents",
+    """
+SELECT doc_id FROM documents ORDER BY doc_id LIMIT 12
+""",
+    doc="ES ``match_all`` (operators/search_api.py:es_search): every "
+    "LIVE document at ES's constant 1.0 score, paged by the id "
+    "tiebreak — the exists/ids constant-score contract without a "
+    "predicate, and the query every index browser / reindex driver "
+    "issues first. Served from the forward relation with superseded "
+    "copies dropped (a deleted-by-LWW doc never resurfaces in the "
+    "page, which raw-docs pagination would get wrong). Plan: "
+    "column-pruned forward scan, distinct over ids, "
+    "TakeOrderedAndProject — no postings, no raw docs.",
+)
+def match_all_page_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {"query": {"match_all": {}}, "size": 12})

@@ -1555,7 +1555,9 @@ class TestEsSearchApi:
         idx, docs = self._idx(spark, tmp_path)
         import pytest as _p
         for body, frag in [
-            ({"query": {"match_all": {}}}, "match_all"),
+            # match_all is dispatched since round 12; span queries
+            # stay the representative unsupported type
+            ({"query": {"span_near": {"clauses": []}}}, "query type"),
             ({"query": {"match": {"text": "x"}}, "highlight": {}}, "highlight"),
             # filter IS supported, but only in the simple must+filter
             # shape — combining it with must_not/should raises rather
@@ -1577,7 +1579,9 @@ class TestEsSearchApi:
             ({"query": {"bool": {"filter": [
                 {"script": {"script": "doc['n'].value > 1"}},
             ]}}}, "filter clause type"),
-            ({"query": {"match": {"text": {"query": "x", "operator": "and"}}}}, "operator"),
+            # operator=and IS dispatched now (conjunctive probe) —
+            # an unknown operator value is the strict case
+            ({"query": {"match": {"text": {"query": "x", "operator": "xor"}}}}, "operator"),
             ({"query": {"term": {"text": "x"}}, "search_after": [0, 0]}, "search_after"),
         ]:
             with _p.raises(ValueError, match=frag):

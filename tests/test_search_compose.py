@@ -431,3 +431,29 @@ def test_knn_dispatch_exact_and_strict(spark, idx, tmp_path):
         es_search(idx, {
             "knn": {"field": "vector", "query_vector": [1.0]},
         }, embeddings=emb)
+
+
+def test_match_operator_and_match_all_fuzzy_dispatch(idx):
+    from pycasselastic_spark.operators.search_probes import (
+        bm25_topk_conjunctive,
+        bm25_topk_fuzzy,
+    )
+
+    got = es_search(idx, {"query": {"match": {"text": {
+        "query": "spark filter", "operator": "and",
+    }}}}).collect()
+    want = bm25_topk_conjunctive(idx, ["spark", "filter"], k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    with pytest.raises(ValueError, match="operator=and combined"):
+        es_search(idx, {"query": {"match": {"text": {
+            "query": "spark", "operator": "and", "fuzziness": 1,
+        }}}})
+    ma = es_search(idx, {"query": {"match_all": {}}, "size": 3}).collect()
+    assert [r["doc_id"] for r in ma] == [1, 2, 3]
+    with pytest.raises(ValueError, match="match_all options"):
+        es_search(idx, {"query": {"match_all": {"boost": 2}}})
+    fz = es_search(idx, {"query": {"fuzzy": {"text": {
+        "value": "spakr", "fuzziness": 1,
+    }}}}).collect()
+    want_fz = bm25_topk_fuzzy(idx, ["spakr"], k=10, max_dist=1).collect()
+    assert [tuple(r) for r in fz] == [tuple(r) for r in want_fz]
