@@ -78,11 +78,11 @@ _GATE_PRIORITY: list[str] = [
     # (never driver-checked: the late-r12 nested-type / top-level
     # range+terms / filter-context composition five, then the
     # compound-scoring + aggregation + span-coverage eight); slots
-    # 24-28 the last five continuation queries (simple_query_string,
-    # best_fields, span rewrite, knn API, match_all); slots 29-49 the
-    # first 21 stale-r8 rows in their CORRECTNESS_r08 order (the
-    # remaining 29 r8 rows head the round-13 rotation — enumerated in
-    # COVERAGE.md).
+    # 24-29 the last six continuation queries (simple_query_string,
+    # best_fields, span rewrite, knn API, match_all, facet+stats
+    # sub-agg); slots 30-49 the first 20 stale-r8 rows in their
+    # CORRECTNESS_r08 order (the remaining 30 r8 rows head the
+    # round-13 rotation — enumerated in COVERAGE.md).
     # --- slots 0-4: the last stale-r7 rows ---------------------------
     "range_join_value_buckets",
     "running_totals_orders",
@@ -119,7 +119,8 @@ _GATE_PRIORITY: list[str] = [
     "span_dedup_rewrite_documents",
     "knn_search_api_embeddings",
     "match_all_page_documents",
-    # --- slots 29-49: stale-r8 rows, CORRECTNESS_r08 order -----------
+    "facet_stats_agg_documents",
+    # --- slots 30-49: stale-r8 rows, CORRECTNESS_r08 order -----------
     "streaming_lwwstore_replicate_events",
     "term_cooccurrence_pmi_documents",
     "json_extract_events",
@@ -140,7 +141,6 @@ _GATE_PRIORITY: list[str] = [
     "q9_product_profit",
     "q10_returned_items",
     "q11_important_stock",
-    "q12_late_lines_by_priority",
 ]
 
 

@@ -49,6 +49,7 @@ from pycasselastic_spark.operators.search_compose import (
     dis_max_search,
     search_cardinality_agg,
     search_date_histogram_agg,
+    search_facet_metric_agg,
     search_percentiles_agg,
     search_range_agg,
 )
@@ -335,20 +336,49 @@ def es_search(
             return search_date_histogram_agg(
                 index, terms, spec["field"], spec["calendar_interval"]
             )
-        if docs is None:
-            raise _err("terms aggs without a docs frame (stored-field fetch)")
         if set(agg) - {"terms", "aggs"}:
             raise _err(f"aggregation {sorted(set(agg) - {'terms'})}")
         field = agg["terms"]["field"]
         sub = agg.get("aggs")
         if sub:
             _sn, s = _single(sub, "sub-aggregation")
+            if set(s) == {"stats"}:
+                # terms + metric sub-agg runs entirely on STORED
+                # doc-values (both fields); ES bucket `order` may name
+                # the sub-agg's value
+                order = agg["terms"].get("order")
+                order_by = "n_docs"
+                if order is not None:
+                    okey, odir = _single(order, "terms order")
+                    if odir != "desc":
+                        raise _err(f"terms order direction {odir!r}")
+                    order_by = {
+                        "_count": "n_docs", "avg": "avg_q20",
+                        "sum": "sum_val", "min": "min_val",
+                        "max": "max_val",
+                    }.get(okey)
+                    if order_by is None:
+                        raise _err(f"terms order key {okey!r}")
+                extra = set(agg["terms"]) - {"field", "order"}
+                if extra:
+                    raise _err(f"terms options {sorted(extra)}")
+                return search_facet_metric_agg(
+                    index, terms, field, s["stats"]["field"],
+                    order_by=order_by,
+                )
             if set(s) != {"top_hits"}:
                 raise _err(f"sub-aggregation {sorted(s)}")
+            if docs is None:
+                raise _err(
+                    "top_hits sub-aggregation without a docs frame "
+                    "(stored-field fetch)"
+                )
             return top_hits_by_facet(
                 index, docs, terms, field,
                 hits_per_bucket=int(s["top_hits"].get("size", 3)),
             )
+        if docs is None:
+            raise _err("terms aggs without a docs frame (stored-field fetch)")
         return search_facets(
             index, docs, terms, field,
             k=int(agg["terms"].get("size", size)),

@@ -440,3 +440,59 @@ def multi_match_best_fields(
         .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def search_facet_metric_agg(
+    index: PostingsIndex,
+    query_terms: list[str],
+    facet_field: str,
+    metric_field: str,
+    order_by: str = "n_docs",
+) -> DataFrame:
+    """ES ``terms`` aggregation carrying a METRIC sub-aggregation —
+    the most common composed request ("per source: hit count and
+    char-length stats"): buckets of the hit set's ``facet_field``
+    doc-values, each carrying count / min / max / sum / Q20-avg of
+    ``metric_field``. ``order_by`` is ES's bucket ``order``: the
+    default count ordering (``n_docs``) or a metric key (``avg_q20``,
+    ``sum_val``, ``min_val``, ``max_val``) — ordering buckets by a
+    sub-aggregation value, exactly ES's ``order: {"metric": "desc"}``.
+    NULL facet values are excluded (ES's default; the ``missing``
+    bucket lives in ``search_facets``).
+
+    Plan shape: hit ids (pruned probe, count-guarded broadcast) join
+    ONE column-pruned doc-values scan carrying both fields, then a
+    single partial-aggregated groupBy — the sub-aggregation rides the
+    same reduction as the bucket count, no second pass, no raw docs."""
+    for f in (facet_field, metric_field):
+        if f not in index.stored_fields:
+            raise ValueError(
+                f"field {f!r} is not stored in this index's doc values "
+                f"(stored_fields={index.stored_fields})"
+            )
+    valid_orders = ("n_docs", "avg_q20", "sum_val", "min_val", "max_val")
+    if order_by not in valid_orders:
+        raise ValueError(
+            f"unsupported bucket order {order_by!r} "
+            f"(supported: {valid_orders})"
+        )
+    id_col = index.id_col
+    hits = index.live_postings_for(query_terms).select(id_col).distinct()
+    dv = index.live_docvalues().select(
+        F.col(id_col), dv_col(facet_field), dv_col(metric_field)
+    )
+    return (
+        dv.join(_bounded_broadcast(hits), id_col)
+        .filter(dv_col(facet_field).isNotNull())
+        .groupBy(dv_col(facet_field).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(dv_col(metric_field)).alias("min_val"),
+            F.max(dv_col(metric_field)).alias("max_val"),
+            F.sum(dv_col(metric_field)).cast("long").alias("sum_val"),
+            F.floor(F.avg(dv_col(metric_field)) * Q20)
+            .cast("long")
+            .alias("avg_q20"),
+        )
+        .orderBy(F.col(order_by).desc(), F.col("bucket").asc())
+    )

@@ -671,3 +671,42 @@ SELECT doc_id FROM documents ORDER BY doc_id LIMIT 12
 def match_all_page_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _postings_index_for(spark, sf_dir)
     return es_search(idx, {"query": {"match_all": {}}, "size": 12})
+
+
+@register(
+    "facet_stats_agg_documents",
+    "WITH "
+    + _HITS_MERGE_SORT.format(terms="'merge'")
+    + """
+SELECT source AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(n_chars) AS min_val,
+       MAX(n_chars) AS max_val,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_val,
+       CAST(FLOOR(AVG(n_chars) * 1048576.0) AS BIGINT) AS avg_q20
+FROM documents JOIN hits USING (doc_id)
+WHERE source IS NOT NULL
+GROUP BY source
+ORDER BY avg_q20 DESC, bucket
+""",
+    doc="ES ``terms`` aggregation CARRYING a stats sub-aggregation, "
+    "bucket-ordered by the sub-agg's value (order: {avg: desc}) — "
+    "the most common composed request ('per source: hit count + "
+    "char-length stats, biggest-average first'); operators/"
+    "search_compose.py:search_facet_metric_agg. Both fields come "
+    "from STORED doc-values, so no docs frame is touched: hit ids "
+    "from the pruned probe broadcast-join ONE column-pruned "
+    "doc-values scan carrying facet + metric, and the sub-agg rides "
+    "the same single partial-aggregated reduction as the bucket "
+    "count — no second pass. Dispatched from aggs.terms.aggs.stats "
+    "with the order key mapped exactly (_count/avg/sum/min/max).",
+)
+def facet_stats_agg_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"match": {"text": "merge"}},
+        "aggs": {"by_source": {
+            "terms": {"field": "source", "order": {"avg": "desc"}},
+            "aggs": {"chars": {"stats": {"field": "n_chars"}}},
+        }},
+    })

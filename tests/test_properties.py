@@ -253,3 +253,76 @@ def test_containment_matches_python_reference(spark, docs):
         for r in containment_pairs(df, "doc_id", "text", threshold=0.0).collect()
     }
     assert got == want
+
+
+# --- span-level dedup laws ---------------------------------------------------
+
+corpora = st.lists(
+    st.lists(
+        st.integers(min_value=0, max_value=3),  # tiny vocab -> collisions
+        min_size=0, max_size=14,
+    ),
+    min_size=2, max_size=5,
+)
+
+
+def golden_span_coverage(texts, w):
+    """Brute-force duplicated-window coverage: per doc, the set of
+    positions covered by any w-window whose exact text occurs in >= 2
+    distinct docs."""
+    from collections import defaultdict
+
+    occ = defaultdict(set)
+    for did, toks in enumerate(texts):
+        for s in range(len(toks) - w + 1):
+            occ[tuple(toks[s:s + w])].add(did)
+    covered = {}
+    nwin = {}
+    for did, toks in enumerate(texts):
+        pos = set()
+        n = 0
+        for s in range(len(toks) - w + 1):
+            if len(occ[tuple(toks[s:s + w])]) >= 2:
+                n += 1
+                pos.update(range(s, s + w))
+        if n:
+            covered[did] = len(pos)
+            nwin[did] = n
+    return covered, nwin
+
+
+@given(data=corpora, w=st.integers(min_value=2, max_value=4))
+@SETTINGS
+def test_span_coverage_equals_bruteforce_union(spark, data, w):
+    """duplicate_span_coverage's running-max interval union must equal
+    the brute-force position-set size for ANY corpus and window width,
+    and span_dedup_rewrite's removal count must match it (the
+    detect/apply twins agree by construction, not by fixture)."""
+    from pycasselastic_spark.operators.dedup import (
+        duplicate_span_coverage,
+        span_dedup_rewrite,
+    )
+
+    texts = [[f"t{v}" for v in doc] for doc in data]
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    want_cov, want_nwin = golden_span_coverage(texts, w)
+    got = {
+        r["doc_id"]: r
+        for r in duplicate_span_coverage(
+            df, "doc_id", "text", window_tokens=w
+        ).collect()
+    }
+    assert {d: r["covered_tokens"] for d, r in got.items()} == want_cov
+    assert {d: r["n_dup_windows"] for d, r in got.items()} == want_nwin
+    rw = {
+        r["doc_id"]: r
+        for r in span_dedup_rewrite(
+            df, "doc_id", "text", window_tokens=w
+        ).collect()
+    }
+    assert set(rw) == set(range(len(texts)))  # every doc passes through
+    for did, r in rw.items():
+        assert r["n_tokens"] - r["kept_tokens"] == want_cov.get(did, 0)

@@ -457,3 +457,38 @@ def test_match_operator_and_match_all_fuzzy_dispatch(idx):
     }}}}).collect()
     want_fz = bm25_topk_fuzzy(idx, ["spakr"], k=10, max_dist=1).collect()
     assert [tuple(r) for r in fz] == [tuple(r) for r in want_fz]
+
+
+def test_facet_metric_agg_and_order(dv_idx):
+    from pycasselastic_spark.operators.search_compose import (
+        search_facet_metric_agg,
+    )
+
+    # hits of "alpha": docs 1,2,3,5 -> tags x(1,3) y(2) NULL(5)
+    got = search_facet_metric_agg(
+        dv_idx, ["alpha"], "tag", "val", order_by="n_docs"
+    ).collect()
+    rows = {r["bucket"]: r for r in got}
+    assert set(rows) == {"x", "y"}  # NULL facet excluded (ES default)
+    assert rows["x"]["n_docs"] == 2 and rows["x"]["sum_val"] == 40
+    assert rows["x"]["min_val"] == 10 and rows["x"]["max_val"] == 30
+    assert rows["x"]["avg_q20"] == 20 * (1 << 20)
+    assert rows["y"]["n_docs"] == 1 and rows["y"]["sum_val"] == 20
+    # order by the metric sub-agg flips the buckets
+    ordered = [
+        r["bucket"]
+        for r in search_facet_metric_agg(
+            dv_idx, ["alpha"], "tag", "val", order_by="avg_q20"
+        ).collect()
+    ]
+    assert ordered == ["x", "y"]  # avg 20 > 20? x avg 20, y avg 20 -> tie
+    with pytest.raises(ValueError, match="bucket order"):
+        search_facet_metric_agg(dv_idx, ["alpha"], "tag", "val", "median")
+    with pytest.raises(ValueError, match="terms order key"):
+        es_search(dv_idx, {
+            "query": {"match": {"text": "alpha"}},
+            "aggs": {"b": {
+                "terms": {"field": "tag", "order": {"median": "desc"}},
+                "aggs": {"m": {"stats": {"field": "val"}}},
+            }},
+        })
