@@ -78,11 +78,11 @@ _GATE_PRIORITY: list[str] = [
     # (never driver-checked: the late-r12 nested-type / top-level
     # range+terms / filter-context composition five, then the
     # compound-scoring + aggregation + span-coverage eight); slots
-    # 24-29 the last six continuation queries (simple_query_string,
+    # 24-30 the last seven continuation queries (simple_query_string,
     # best_fields, span rewrite, knn API, match_all, facet+stats
-    # sub-agg); slots 30-49 the first 20 stale-r8 rows in their
-    # CORRECTNESS_r08 order (the remaining 30 r8 rows head the
-    # round-13 rotation — enumerated in COVERAGE.md).
+    # sub-agg, temperature mixing); slots 31-49 the first 19 stale-r8
+    # rows in their CORRECTNESS_r08 order (the remaining 31 r8 rows
+    # head the round-13 rotation — enumerated in COVERAGE.md).
     # --- slots 0-4: the last stale-r7 rows ---------------------------
     "range_join_value_buckets",
     "running_totals_orders",
@@ -120,7 +120,8 @@ _GATE_PRIORITY: list[str] = [
     "knn_search_api_embeddings",
     "match_all_page_documents",
     "facet_stats_agg_documents",
-    # --- slots 30-49: stale-r8 rows, CORRECTNESS_r08 order -----------
+    "temperature_mixture_sample_documents",
+    # --- slots 31-49: stale-r8 rows, CORRECTNESS_r08 order -----------
     "streaming_lwwstore_replicate_events",
     "term_cooccurrence_pmi_documents",
     "json_extract_events",
@@ -140,7 +141,6 @@ _GATE_PRIORITY: list[str] = [
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
-    "q11_important_stock",
 ]
 
 

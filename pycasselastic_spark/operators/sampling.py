@@ -192,3 +192,53 @@ def group_consistent_split(
     return F.when(
         hash_key(group_col, n_hex) < F.lit(thr), F.lit("train")
     ).otherwise(F.lit("heldout"))
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    alpha: float,
+    target_total: int,
+) -> DataFrame:
+    """Temperature (alpha-smoothed) source mixing — the multilingual-
+    corpus rebalancing law (mBERT / XLM-R style): target share of
+    stratum i is ``n_i^alpha / Σ n_j^alpha``, so alpha=1 keeps natural
+    proportions, alpha=0 equalizes strata, and the usual alpha≈0.5
+    boosts tail sources without flattening the head. Each stratum
+    keeps rate ``min(1, target_total * share_i / n_i)`` with the keep
+    decision keyed off 52 md5 bits of the row key — reproducible
+    across engines, re-runs and partitionings.
+
+    Cross-engine exactness: ``alpha=0.5`` computes through IEEE-exact
+    ``sqrt`` (bit-identical everywhere); other alphas go through
+    ``pow``, whose last bit may differ across libm builds — fine for
+    production, but oracle-checked pipelines should use 0.5.
+
+    Scale shape: one partial-aggregated count per stratum plus one
+    scalar normalizer over the (tiny) strata relation, broadcast back
+    onto the corpus — a map-side join + narrow filter; the corpus is
+    never shuffled."""
+    smooth = (
+        (lambda c: F.sqrt(c)) if float(alpha) == 0.5
+        else (lambda c: F.pow(c, F.lit(float(alpha))))
+    )
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    z = counts.agg(
+        F.sum(smooth(F.col("_n").cast("double"))).alias("_z")
+    )
+    rates = counts.crossJoin(F.broadcast(z)).select(
+        F.col(strata_col),
+        F.least(
+            F.lit(1.0),
+            F.lit(float(target_total))
+            * smooth(F.col("_n").cast("double"))
+            / F.col("_z")
+            / F.col("_n").cast("double"),
+        ).alias("_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(uniform_u(key_col) < F.col("_rate"))
+        .drop("_rate")
+    )

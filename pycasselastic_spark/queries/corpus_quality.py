@@ -898,3 +898,41 @@ def streaming_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination()
     return spark.read.parquet(out)
+
+
+@register(
+    "temperature_mixture_sample_documents",
+    """
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+z AS (SELECT SUM(sqrt(CAST(n AS DOUBLE))) AS z FROM c),
+r AS (SELECT c.source,
+        LEAST(CAST(1.0 AS DOUBLE),
+              CAST(120.0 AS DOUBLE) * sqrt(CAST(c.n AS DOUBLE))
+              / z.z / CAST(c.n AS DOUBLE)) AS rate
+      FROM c CROSS JOIN z)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r USING (source)
+WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 13))::BIGINT::DOUBLE
+        / 4503599627370496.0
+      < r.rate
+""",
+    doc="Temperature (alpha=0.5) source mixing (operators/sampling.py:"
+    "temperature_mixture_sample) — the multilingual-corpus law "
+    "(mBERT/XLM-R): target share of source i is sqrt(n_i)/Σ sqrt(n_j) "
+    "and each source keeps rate min(1, 120 * share/n) — natural "
+    "proportions at alpha=1, equal shares at alpha=0, the standard "
+    "0.5 boosts tail sources without flattening the head (where "
+    "source_balanced_sample_documents equalizes outright). alpha=0.5 "
+    "runs through IEEE-exact sqrt so the rate — and therefore every "
+    "md5-keyed keep decision — is bit-deterministic cross-engine. "
+    "Plan: tiny per-source count + one scalar normalizer broadcast "
+    "back; map-side join + narrow filter, corpus never shuffled.",
+)
+def temperature_mixture_sample_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return SP.temperature_mixture_sample(
+        docs, key_col="doc_id", strata_col="source",
+        alpha=0.5, target_total=120,
+    ).select("doc_id", "source")

@@ -47,12 +47,12 @@ def test_round12_gate_slots():
     """The driver hashes the FIRST 50 registered queries; the round-12
     rotation retires the LAST five stale-r7 rows in slots 0-4, puts
     the six NEW round-12 queries (phrase synonyms + reindex twin,
-    exists/ids/terms_set, missing bucket) in slots 5-10, the nineteen
-    round-12 continuation queries in slots 11-29 (late nested-type /
+    exists/ids/terms_set, missing bucket) in slots 5-10, the twenty
+    round-12 continuation queries in slots 11-30 (late nested-type /
     dv-query five + compound-scoring / aggregation / span-coverage /
     simple_query_string / best_fields / span-rewrite / knn-API /
-    match_all / facet-stats fourteen), and the first 20 stale-r8 rows
-    in slots 30-49
+    match_all / facet-stats / temperature-mixing fifteen), and the
+    first 19 stale-r8 rows in slots 31-49
     (CORRECTNESS_r08 order). Pin the boundary slots so an accidental
     registration reorder is caught before the driver runs
     (COVERAGE.md enumerates the full list)."""
@@ -74,8 +74,9 @@ def test_round12_gate_slots():
     assert names[27] == "knn_search_api_embeddings"
     assert names[28] == "match_all_page_documents"
     assert names[29] == "facet_stats_agg_documents"
-    assert names[30] == "streaming_lwwstore_replicate_events"
-    assert names[49] == "q11_important_stock"
+    assert names[30] == "temperature_mixture_sample_documents"
+    assert names[31] == "streaming_lwwstore_replicate_events"
+    assert names[49] == "q10_returned_items"
     # the gate is the FIRST 50; post-gate registrations grow the tail
     # every round (COVERAGE.md enumerates them), so pin a floor, not
     # an exact count — an accidental DEregistration still fails here

@@ -108,3 +108,42 @@ class TestBalancedSample:
             ).collect()
         }
         assert ids_a == ids_b
+
+
+def test_temperature_mixture_rates_and_determinism(spark):
+    """alpha=0.5 mixing: hand-computed per-stratum rates and the exact
+    md5 keep law (rate_A = min(1, T*shareA/nA) with share ∝ sqrt(n))."""
+    import hashlib
+    import math
+
+    from pycasselastic_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    rows = [(i, "A" if i < 8 else "B") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = {
+        r["doc_id"]
+        for r in temperature_mixture_sample(
+            df, "doc_id", "source", alpha=0.5, target_total=5
+        ).collect()
+    }
+    z = math.sqrt(8) + math.sqrt(2)
+    rates = {"A": min(1.0, 5.0 * math.sqrt(8) / z / 8),
+             "B": min(1.0, 5.0 * math.sqrt(2) / z / 2)}
+
+    def u(key):
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:13], 16) / float(16 ** 13)
+
+    want = {i for i, s in rows if u(i) < rates[s]}
+    assert got == want
+    # alpha=1 keeps natural proportions: every stratum gets the SAME
+    # rate target/N, so the kept set is the plain global md5 sample
+    got1 = {
+        r["doc_id"]
+        for r in temperature_mixture_sample(
+            df, "doc_id", "source", alpha=1.0, target_total=5
+        ).collect()
+    }
+    want1 = {i for i, _ in rows if u(i) < 0.5}
+    assert got1 == want1
