@@ -113,7 +113,7 @@ _GATE_PRIORITY: list[str] = [
     "range_agg_documents",
     "date_histogram_agg_documents",
     "duplicate_span_coverage_documents",
-    # --- slots 24-28: last continuation additions ---------------------
+    # --- slots 24-30: last continuation additions ---------------------
     "simple_query_string_documents",
     "best_fields_bm25_documents",
     "span_dedup_rewrite_documents",

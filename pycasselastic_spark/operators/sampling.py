@@ -219,21 +219,27 @@ def temperature_mixture_sample(
     scalar normalizer over the (tiny) strata relation, broadcast back
     onto the corpus — a map-side join + narrow filter; the corpus is
     never shuffled."""
+    from pyspark.sql.window import Window
+
     smooth = (
         (lambda c: F.sqrt(c)) if float(alpha) == 0.5
         else (lambda c: F.pow(c, F.lit(float(alpha))))
     )
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
-    z = counts.agg(
-        F.sum(smooth(F.col("_n").cast("double"))).alias("_z")
+    # the normalizer rides a global window over the STRATA relation —
+    # rows = distinct strata (sources/domains, tiny by construction),
+    # so the single partition is bounded; a separate counts.agg()
+    # would re-execute the corpus-wide groupBy a second time
+    z = F.sum(smooth(F.col("_n").cast("double"))).over(
+        Window.partitionBy()
     )
-    rates = counts.crossJoin(F.broadcast(z)).select(
+    rates = counts.select(
         F.col(strata_col),
         F.least(
             F.lit(1.0),
             F.lit(float(target_total))
             * smooth(F.col("_n").cast("double"))
-            / F.col("_z")
+            / z
             / F.col("_n").cast("double"),
         ).alias("_rate"),
     )

@@ -140,12 +140,15 @@ def _filter_predicates(clauses: list) -> list:
         elif kind == "not":
             # legacy ES 1.x not-filter — the exact clause the
             # reference appends for ignore_same_source
-            # (pyCassElastic.py:391-397); only the term form it emits
+            # (pyCassElastic.py:391-397); only the term form it emits.
+            # ES KEEPS a doc whose field is missing (it can't match
+            # the term, so the negation passes it) — the null-safe op,
+            # not plain !=, which silently drops NULL-valued docs
             ikind, ibody = _single(body, "not filter inner")
             if ikind != "term":
                 raise _err(f"not filter over {ikind!r} (term only)")
             field, value = _single(ibody, "not.term")
-            preds.append((field, "!=", value))
+            preds.append((field, "!=~", value))
         else:
             raise _err(f"filter clause type {kind!r}")
     return preds
@@ -266,6 +269,9 @@ def es_search(
             brute_force_topk(embeddings, q_frame, "vec_id", field, k=k)
             .select(F.col("match_id").alias("vec_id"), "cosine")
             .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+            # ES retrieves k neighbors, then the page is still bounded
+            # by size (default 10) — min(k, size) hits come back
+            .limit(min(k, size))
         )
 
     qtype, q = _single(body.get("query", {}), "query")
@@ -305,11 +311,17 @@ def es_search(
             extra = set(spec) - {"field", "percents"}
             if extra:
                 raise _err(f"percentiles options {sorted(extra)}")
+            percents = spec.get("percents", (25, 50, 75, 90))
+            if any(float(p) != int(float(p)) for p in percents):
+                # int() would silently truncate 99.9 -> 99 and compute
+                # a different quantile; raise until fractional percents
+                # get a first-class (DOUBLE-keyed) output schema
+                raise _err(
+                    f"fractional percentiles {sorted(set(map(float, percents)))}"
+                )
             return search_percentiles_agg(
                 index, terms, spec["field"],
-                percents=tuple(
-                    int(p) for p in spec.get("percents", (25, 50, 75, 90))
-                ),
+                percents=tuple(int(p) for p in percents),
             )
         if set(agg) == {"cardinality"}:
             if set(agg["cardinality"]) != {"field"}:
@@ -471,12 +483,20 @@ def es_search(
         if q:
             raise _err(f"match_all options {sorted(q)}")
         # every LIVE doc, ES's constant 1.0 score -> the id-tiebreak
-        # page (the exists/ids contract without a predicate); served
-        # from the forward relation with superseded copies dropped
+        # page (the exists/ids contract without a predicate). The
+        # doc-values relation holds one row per ingested doc EVEN when
+        # its text analyzed to zero terms, so it is the complete
+        # live-doc registry; a terms-only index falls back to the
+        # forward relation, which cannot see zero-term docs (they hold
+        # no postings) — the one documented gap of that layout.
         id_col = index.id_col
+        base = (
+            index.live_docvalues()
+            if index.stored_fields
+            else index.live_forward()
+        )
         return (
-            index.live_forward()
-            .select(id_col)
+            base.select(id_col)
             .distinct()
             .orderBy(F.col(id_col).asc())
             .limit(size)
@@ -505,10 +525,19 @@ def es_search(
         must, should, must_not = [], [], []
         for tok in str(q["query"]).split():
             if tok == "|":
+                if default_op == "and":
+                    # 'a | b' under default_operator=and means (a OR
+                    # b) with precedence — silently AND-ing both terms
+                    # is exactly the forbidden failure mode
+                    raise _err(
+                        "simple_query_string '|' under "
+                        "default_operator=and (precedence not "
+                        "dispatched)"
+                    )
                 # bare OR separator — OR is already the combinator for
                 # optional clauses
                 continue
-            if any(ch in tok for ch in '"*~()'):
+            if any(ch in tok for ch in '"*~()|'):
                 # phrase / prefix / fuzzy / precedence syntax — raise
                 # by name rather than score a half-understood query
                 raise _err(

@@ -37,6 +37,10 @@ _DV_OPS = {
     "<": lambda c, v: c < v,
     "=": lambda c, v: c == v,
     "!=": lambda c, v: c != v,
+    # null-safe not-equal: ES's not/must_not term filter KEEPS docs
+    # whose field is missing (they can't match the term) — plain !=
+    # would drop them
+    "!=~": lambda c, v: ~c.eqNullSafe(v),
     "exists": lambda c, v: c.isNotNull(),
 }
 
@@ -262,6 +266,14 @@ def search_percentiles_agg(
     one = _hit_docvalues(index, query_terms, field).agg(
         F.expr(f"percentile(`{field}`, array({fracs}))").alias("vals")
     )
+    # an EMPTY hit set aggregates to vals=NULL and exploding NULL
+    # would emit zero rows; ES returns one NULL value per requested
+    # percentile (and so does the SQL oracle) — substitute the
+    # all-NULL array so the row count is percents-stable
+    nulls = F.array(
+        *[F.lit(None).cast("double") for _ in percents]
+    )
+    one = one.select(F.coalesce(F.col("vals"), nulls).alias("vals"))
     pcts = F.array(*[F.lit(int(p)).cast("long") for p in percents])
     return (
         one.select(F.posexplode("vals").alias("pos", "val"))

@@ -682,6 +682,9 @@ def bm25_topk_filtered(
         "<": lambda c, v: c < v,
         "=": lambda c, v: c == v,
         "!=": lambda c, v: c != v,
+        # null-safe not-equal (ES not/must_not term filters KEEP
+        # missing-field docs — plain != would drop them)
+        "!=~": lambda c, v: ~c.eqNullSafe(v),
         # ES exists query in filter context (value ignored)
         "exists": lambda c, v: c.isNotNull(),
     }

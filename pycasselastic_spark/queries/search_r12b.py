@@ -156,14 +156,18 @@ def boosting_query_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT doc_id, CAST(1048576 AS BIGINT) AS score_q20
 FROM documents
-WHERE n_chars >= 300 AND n_chars <= 420 AND source <> 'src3'
+WHERE n_chars >= 300 AND n_chars <= 420
+  AND (source IS NULL OR source <> 'src3')
 ORDER BY doc_id LIMIT 12
 """,
     doc="THE reference query: get_elasticsearch_latest wraps its "
     "version-column range in constant_score.filter and appends the "
     "legacy not.term source guard when ignore_same_source is set "
     "(pyCassElastic.py:366-397 — the exact JSON shape this body "
-    "reproduces, legacy and-list included). Every doc passing the "
+    "reproduces, legacy and-list included). The not.term compiles "
+    "NULL-SAFE: ES keeps a doc whose field is missing (it can't "
+    "match the negated term), where a plain != would silently drop "
+    "it — the oracle spells the same law. Every doc passing the "
     "filter scores the flat boost (1.0 -> Q20 1048576); the "
     "deterministic page is the id tiebreak, exactly ES's tied-score "
     "behavior. Plan (operators/search_compose.py:"
@@ -472,27 +476,12 @@ def simple_query_string_documents(
     })
 
 
-_MF_FIELD_SCORE_SQL_R12B = """
-{p}tok AS (SELECT doc_id, unnest(string_split({field}, ' ')) AS term FROM f),
-{p}post AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
-            FROM {p}tok WHERE term <> '' GROUP BY term, doc_id),
-{p}qt AS (SELECT * FROM {p}post WHERE term IN ({terms})),
-{p}df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM {p}qt GROUP BY term),
-{p}dl AS (SELECT doc_id, len(string_split({field}, ' ')) AS dl FROM f),
-{p}sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-                 AVG(CAST(len(string_split({field}, ' ')) AS DOUBLE)) AS avgdl
-          FROM f),
-{p}score AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS hits,
-         CAST(FLOOR(SUM(
-           ln(1.0 + ({p}sc.n_docs - {p}df.df + 0.5) / ({p}df.df + 0.5))
-           * ({p}qt.tf * 2.2)
-           / ({p}qt.tf + 1.2 * (0.25 + 0.75 * {p}dl.dl / {p}sc.avgdl))
-         ) * 1048576.0) AS BIGINT) AS s
-  FROM {p}qt JOIN {p}df USING (term) JOIN {p}dl USING (doc_id)
-       CROSS JOIN {p}sc
-  GROUP BY doc_id, {p}sc.n_docs)
-"""
+# the shared per-field BM25 replay template — imported, not copied, so
+# the scoring algebra can never drift between the most_fields and
+# best_fields oracles
+from pycasselastic_spark.queries.search_es_queries import (  # noqa: E402
+    _MF_FIELD_SCORE_SQL as _MF_FIELD_SCORE_SQL_R12B,
+)
 
 
 @register(

@@ -492,3 +492,74 @@ def test_facet_metric_agg_and_order(dv_idx):
                 "aggs": {"m": {"stats": {"field": "val"}}},
             }},
         })
+
+
+# --- review-pass regression pins ----------------------------------------------
+
+
+def test_not_term_filter_keeps_missing_field_docs(dv_idx):
+    # ES's not/must_not term filter passes docs whose field is MISSING
+    # (doc 5 has tag=NULL): null-safe compile, not plain !=
+    got = es_search(dv_idx, {"query": {"constant_score": {"filter": {"and": [
+        {"range": {"val": {"gte": 40}}},
+        {"not": {"term": {"tag": "z"}}},
+    ]}}}}).collect()
+    assert [r["doc_id"] for r in got] == [5]
+
+
+def test_match_all_includes_zero_term_docs_via_docvalues(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "some words", 1), (2, "", 2), (3, "more words", 3)],
+        "doc_id long, text string, v long",
+    )
+    path = str(tmp_path / "idx")
+    SRCH.build_postings_index(
+        docs, "doc_id", "text", path, n_buckets=4, stored_fields=["v"]
+    )
+    idx = SRCH.load_postings_index(spark, path)
+    got = es_search(idx, {"query": {"match_all": {}}}).collect()
+    # doc 2 analyzes to zero terms (no postings) but IS a live doc —
+    # the doc-values relation sees it
+    assert [r["doc_id"] for r in got] == [1, 2, 3]
+
+
+def test_simple_query_string_or_bar_strictness(idx):
+    with pytest.raises(ValueError, match="'\\|' under"):
+        es_search(idx, {"query": {"simple_query_string": {
+            "query": "join | scan", "default_operator": "and",
+        }}})
+    with pytest.raises(ValueError, match="simple_query_string operator"):
+        es_search(idx, {"query": {"simple_query_string": {
+            "query": "join|scan",
+        }}})
+    # bare | under the default OR operator is a benign separator
+    got = es_search(idx, {"query": {"simple_query_string": {
+        "query": "join | scan",
+    }}}).count()
+    assert got > 0
+
+
+def test_knn_size_bounds_the_page(spark, idx):
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    got = es_search(idx, {
+        "knn": {"field": "embedding", "query_vector": [0.0, 1.0], "k": 5},
+        "size": 2,
+    }, embeddings=emb).collect()
+    assert len(got) == 2  # ES: k retrieved, size returned
+
+
+def test_percentiles_empty_hit_set_yields_null_rows(dv_idx):
+    got = search_percentiles_agg(
+        dv_idx, ["zzz_no_such_term"], "val", percents=(50, 90)
+    ).collect()
+    assert [(r["pct"], r["val_q20"]) for r in got] == [(50, None), (90, None)]
+    with pytest.raises(ValueError, match="fractional percentiles"):
+        es_search(dv_idx, {
+            "query": {"match": {"text": "alpha"}},
+            "aggs": {"p": {"percentiles": {
+                "field": "val", "percents": [99.9],
+            }}},
+        })
