@@ -213,7 +213,10 @@ def temperature_mixture_sample(
     Cross-engine exactness: ``alpha=0.5`` computes through IEEE-exact
     ``sqrt`` (bit-identical everywhere); other alphas go through
     ``pow``, whose last bit may differ across libm builds — fine for
-    production, but oracle-checked pipelines should use 0.5.
+    production, but oracle-checked pipelines should use 0.5. The
+    normalizer sums in Q20 fixed-point integer space so its value —
+    and every keep decision — is independent of addend order
+    (partitioning, engine).
 
     Scale shape: one partial-aggregated count per stratum plus one
     scalar normalizer over the (tiny) strata relation, broadcast back
@@ -229,10 +232,17 @@ def temperature_mixture_sample(
     # the normalizer rides a global window over the STRATA relation —
     # rows = distinct strata (sources/domains, tiny by construction),
     # so the single partition is bounded; a separate counts.agg()
-    # would re-execute the corpus-wide groupBy a second time
-    z = F.sum(smooth(F.col("_n").cast("double"))).over(
-        Window.partitionBy()
-    )
+    # would re-execute the corpus-wide groupBy a second time.
+    # The sum runs in Q20 FIXED-POINT integer space (the repo's
+    # order-independent float-sum law): a double SUM's value depends
+    # on addend order, which partitioning — and the DuckDB oracle —
+    # would not reproduce bit-for-bit, and a last-bit z difference can
+    # flip a keep decision.
+    q20 = F.lit(float(1 << 20))
+    z_int = F.sum(
+        F.floor(smooth(F.col("_n").cast("double")) * q20).cast("long")
+    ).over(Window.partitionBy())
+    z = z_int.cast("double") / q20
     rates = counts.select(
         F.col(strata_col),
         F.least(

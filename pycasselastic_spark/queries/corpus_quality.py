@@ -904,7 +904,9 @@ def streaming_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     "temperature_mixture_sample_documents",
     """
 WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
-z AS (SELECT SUM(sqrt(CAST(n AS DOUBLE))) AS z FROM c),
+z AS (SELECT CAST(SUM(CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1048576.0)
+                          AS BIGINT)) AS DOUBLE) / 1048576.0 AS z
+      FROM c),
 r AS (SELECT c.source,
         LEAST(CAST(1.0 AS DOUBLE),
               CAST(120.0 AS DOUBLE) * sqrt(CAST(c.n AS DOUBLE))
@@ -923,8 +925,11 @@ WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 13))::BIGINT::DOUBLE
     "proportions at alpha=1, equal shares at alpha=0, the standard "
     "0.5 boosts tail sources without flattening the head (where "
     "source_balanced_sample_documents equalizes outright). alpha=0.5 "
-    "runs through IEEE-exact sqrt so the rate — and therefore every "
-    "md5-keyed keep decision — is bit-deterministic cross-engine. "
+    "runs through IEEE-exact sqrt, and the normalizer sums in Q20 "
+    "fixed-point integer space (the catalog's order-independent "
+    "float-sum law) so the rate — and therefore every md5-keyed keep "
+    "decision — is bit-deterministic regardless of partitioning or "
+    "engine. "
     "Plan: tiny per-source count + one scalar normalizer broadcast "
     "back; map-side join + narrow filter, corpus never shuffled.",
 )

@@ -326,3 +326,67 @@ def test_span_coverage_equals_bruteforce_union(spark, data, w):
     assert set(rw) == set(range(len(texts)))  # every doc passes through
     for did, r in rw.items():
         assert r["n_tokens"] - r["kept_tokens"] == want_cov.get(did, 0)
+
+
+# --- temperature mixing laws -------------------------------------------------
+
+strata_counts = st.lists(
+    st.integers(min_value=1, max_value=40), min_size=1, max_size=5
+)
+
+
+@given(counts=strata_counts)
+@SETTINGS
+def test_temperature_alpha_zero_equalizes_rates(spark, counts):
+    """alpha=0 gives every stratum the SAME target share (1/k), so the
+    per-stratum keep rate is min(1, T/k/n_i) — balanced_sample's law
+    with target T/k; and alpha=1 collapses to one global rate T/N.
+    Checked via the actual kept sets (rates are not observable
+    directly), with the md5 keep law replayed in Python."""
+    import hashlib
+
+    from pycasselastic_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    rows = []
+    next_id = 0
+    for si, n in enumerate(counts):
+        for _ in range(n):
+            rows.append((next_id, f"s{si}"))
+            next_id += 1
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    T = 7
+
+    def u(key):
+        return int(
+            hashlib.md5(str(key).encode()).hexdigest()[:13], 16
+        ) / float(16 ** 13)
+
+    # replay the engine's EXACT float op order (T * n^a / z / n) —
+    # algebraically-equal spellings can differ in the last bit and
+    # flip a keep decision
+    k = len(counts)
+    rate0 = {
+        f"s{i}": min(1.0, float(T) * 1.0 / float(k) / float(n))
+        for i, n in enumerate(counts)
+    }
+    got0 = {
+        r["doc_id"]
+        for r in temperature_mixture_sample(
+            df, "doc_id", "source", alpha=0.0, target_total=T
+        ).collect()
+    }
+    assert got0 == {i for i, s in rows if u(i) < rate0[s]}
+    N = float(sum(counts))
+    rate1 = {
+        f"s{i}": min(1.0, float(T) * float(n) / N / float(n))
+        for i, n in enumerate(counts)
+    }
+    got1 = {
+        r["doc_id"]
+        for r in temperature_mixture_sample(
+            df, "doc_id", "source", alpha=1.0, target_total=T
+        ).collect()
+    }
+    assert got1 == {i for i, s in rows if u(i) < rate1[s]}

@@ -128,9 +128,11 @@ def test_temperature_mixture_rates_and_determinism(spark):
             df, "doc_id", "source", alpha=0.5, target_total=5
         ).collect()
     }
-    z = math.sqrt(8) + math.sqrt(2)
-    rates = {"A": min(1.0, 5.0 * math.sqrt(8) / z / 8),
-             "B": min(1.0, 5.0 * math.sqrt(2) / z / 2)}
+    # z is summed in Q20 fixed-point (order-independent) — replay it
+    q20 = float(1 << 20)
+    z = (math.floor(math.sqrt(8) * q20) + math.floor(math.sqrt(2) * q20)) / q20
+    rates = {"A": min(1.0, 5.0 * math.sqrt(8) / z / 8.0),
+             "B": min(1.0, 5.0 * math.sqrt(2) / z / 2.0)}
 
     def u(key):
         return int(hashlib.md5(str(key).encode()).hexdigest()[:13], 16) / float(16 ** 13)
