@@ -164,6 +164,21 @@ def _single(d: dict, what: str) -> tuple[str, object]:
     return next(iter(d.items()))
 
 
+def _match_text(q: dict, context: str) -> str:
+    """Query text of a ``match`` body for contexts that dispatch only
+    the plain form (sort / aggs / collapse / hybrid): the dict form is
+    accepted ONLY when it carries nothing but ``query`` — analyzing a
+    dict's repr would silently yield a garbage hit set, the
+    dispatcher's forbidden failure mode (round-12 advisor finding)."""
+    _field, spec = _single(q, "match")
+    if isinstance(spec, dict):
+        extra = set(spec) - {"query"}
+        if extra:
+            raise _err(f"match options {sorted(extra)} under {context}")
+        spec = spec["query"]
+    return str(spec)
+
+
 def _clause_terms(index: PostingsIndex, clause: dict) -> list[str]:
     """Terms contributed by one leaf clause inside ``bool`` — ``match``
     analyzes, ``term`` is exact (ES semantics)."""
@@ -218,14 +233,21 @@ def es_search(
       (calendar_interval day/week/month).
     - top-level ``knn`` (ES 8.x): exact cosine retrieval over the
       ``embeddings`` frame from a literal ``query_vector``
-      (num_candidates accepted — exact search is its limit); hybrid
-      lexical+kNN raises naming ``hybrid_rrf_search``.
+      (num_candidates accepted — exact search is its limit), with
+      optional ``knn.filter`` (term / range / exists / not.term
+      clauses against STORED doc-values — the pre-filter, so all k
+      survivors pass). ``knn`` BESIDE a match ``query`` is the hybrid
+      body: ES's default additive combination (lexical Q20 +
+      floor(knn.boost x cosine x Q20) over the union of both hit
+      sets), or reciprocal rank fusion when ``rank: {rrf: ...}`` is
+      present (rank_constant / rank_window_size dispatched).
 
     Anything else raises naming the feature — a silently-dropped
     clause is how search APIs corrupt downstream evaluations.
     """
     unknown = set(body) - {
         "query", "size", "search_after", "collapse", "aggs", "sort", "knn",
+        "rank",
     }
     if unknown:
         raise _err(f"body keys {sorted(unknown)}")
@@ -236,43 +258,88 @@ def es_search(
         # embeddings frame (ES's HNSW is approximate by necessity;
         # num_candidates is its recall dial, accepted here because the
         # exact answer is what any num_candidates converges to — the
-        # banded/IVF ANN twins remain the scale path). Combining knn
-        # with a lexical query is the rrf retriever — a different
-        # result shape served by hybrid_rrf_search, so it raises by
-        # name here.
-        if set(body) - {"knn", "size"}:
-            raise _err(
-                f"knn combined with {sorted(set(body) - {'knn', 'size'})} "
-                "(hybrid lexical+kNN is hybrid_rrf_search)"
-            )
+        # banded/IVF ANN twins remain the scale path).
+        extra_body = set(body) - {"knn", "size", "query", "rank"}
+        if extra_body:
+            raise _err(f"knn combined with {sorted(extra_body)}")
         spec = body["knn"]
-        extra = set(spec) - {"field", "query_vector", "k", "num_candidates"}
+        extra = set(spec) - {
+            "field", "query_vector", "k", "num_candidates", "filter",
+            "boost",
+        }
         if extra:
             raise _err(f"knn options {sorted(extra)}")
         if embeddings is None:
             raise _err("knn without an embeddings frame")
-        field = spec["field"]
-        if field not in embeddings.columns:
-            raise _err(
-                f"knn field {field!r} not in the embeddings frame "
-                f"(columns: {embeddings.columns})"
-            )
-        from pycasselastic_spark.operators.similarity import brute_force_topk
+        from pycasselastic_spark.operators.search_hybrid import (
+            filtered_ids,
+            hybrid_knn_bm25,
+            hybrid_rrf_from_vector,
+            knn_literal_topk,
+        )
 
+        field = spec["field"]
         k = int(spec.get("k", size))
         vec = [float(x) for x in spec["query_vector"]]
-        spark = embeddings.sparkSession
-        q_frame = spark.createDataFrame(
-            [(-1, vec)], f"vec_id long, {field} array<double>"
-        )
+        knn_filters = None
+        if "filter" in spec:
+            clauses = spec["filter"]
+            if isinstance(clauses, dict):
+                clauses = [clauses]
+            knn_filters = _filter_predicates(list(clauses))
+        if "query" in body:
+            # hybrid lexical+kNN in ONE body — the RAG request shape
+            qtype2, q2 = _single(body["query"], "query")
+            if qtype2 != "match":
+                raise _err(f"knn combined with query type {qtype2!r}")
+            terms = index.analyze_text(_match_text(q2, "hybrid knn"))
+            if not terms:
+                raise _err("hybrid knn lexical query analyzing to no terms")
+            if "rank" in body:
+                rkind, rspec = _single(body["rank"], "rank")
+                if rkind != "rrf":
+                    raise _err(f"rank type {rkind!r}")
+                rextra = set(rspec) - {"rank_window_size", "rank_constant"}
+                if rextra:
+                    raise _err(f"rrf options {sorted(rextra)}")
+                window = int(rspec.get("rank_window_size", max(size, k)))
+                return hybrid_rrf_from_vector(
+                    index, embeddings, terms, vec, k=size,
+                    k_rrf=int(rspec.get("rank_constant", 60)),
+                    n_text=window, n_knn=window,
+                    emb_vec_col=field, knn_filters=knn_filters,
+                )
+            return hybrid_knn_bm25(
+                index, embeddings, terms, vec, k=size, knn_k=k,
+                knn_boost=float(spec.get("boost", 1.0)),
+                emb_vec_col=field, knn_filters=knn_filters,
+            )
+        if "rank" in body:
+            raise _err("rank without both knn and query")
+        if "boost" in spec:
+            # standalone knn scores ARE the cosine column; scaling it
+            # without a second leg to combine against would silently
+            # change reported similarities
+            raise _err("knn boost without a lexical query")
+        allowed = None
+        if knn_filters:
+            allowed = filtered_ids(index, knn_filters).withColumnRenamed(
+                index.id_col, "vec_id"
+            )
         return (
-            brute_force_topk(embeddings, q_frame, "vec_id", field, k=k)
+            knn_literal_topk(
+                embeddings, vec, k, id_col="vec_id", vec_col=field,
+                allowed_ids=allowed,
+            )
             .select(F.col("match_id").alias("vec_id"), "cosine")
             .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
             # ES retrieves k neighbors, then the page is still bounded
             # by size (default 10) — min(k, size) hits come back
             .limit(min(k, size))
         )
+
+    if "rank" in body:
+        raise _err("rank without a knn clause")
 
     qtype, q = _single(body.get("query", {}), "query")
 
@@ -284,9 +351,8 @@ def es_search(
         field, direction = _single(body["sort"][0], "sort clause")
         if direction not in ("asc", "desc"):
             raise _err(f"sort direction {direction!r}")
-        _f, text = _single(q, "match")
         return search_sort_by_field(
-            index, index.analyze_text(str(text)), field,
+            index, index.analyze_text(_match_text(q, "sort")), field,
             ascending=direction == "asc", k=size,
         )
 
@@ -294,8 +360,7 @@ def es_search(
         agg_name, agg = _single(body["aggs"], "aggs")
         if qtype != "match":
             raise _err(f"aggs under query type {qtype!r}")
-        _f, text = _single(q, "match")
-        terms = index.analyze_text(str(text))
+        terms = index.analyze_text(_match_text(q, "aggs"))
         # metric/histogram aggregations run on STORED doc-values — no
         # docs frame needed; the terms facet still fetches its field
         # from the docs frame (any column, not just stored ones)
@@ -402,9 +467,8 @@ def es_search(
             raise _err("collapse without a docs frame (stored-field fetch)")
         if qtype != "match":
             raise _err(f"collapse under query type {qtype!r}")
-        _f, text = _single(q, "match")
         return bm25_collapse(
-            index, docs, index.analyze_text(str(text)),
+            index, docs, index.analyze_text(_match_text(q, "collapse")),
             body["collapse"]["field"], k=size,
         )
 

@@ -19,6 +19,8 @@ parquet scan, and small sides travel through the count-guarded
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -217,7 +219,11 @@ def constant_score_search(
         if op not in _DV_OPS:
             raise ValueError(f"unsupported constant_score filter op {op!r}")
         dv = dv.filter(_DV_OPS[op](dv_col(field), F.lit(value)))
-    score = int(float(boost) * Q20)
+    # floor, not int(): int() truncates toward zero, which diverges
+    # from the repo's floor-quantization law for fractional boosts
+    # whose product isn't exactly representable (and for any negative
+    # boost) — round-12 advisor finding
+    score = math.floor(float(boost) * Q20)
     return (
         dv.select(
             F.col(id_col),
@@ -493,6 +499,19 @@ def search_facet_metric_agg(
     dv = index.live_docvalues().select(
         F.col(id_col), dv_col(facet_field), dv_col(metric_field)
     )
+    # the sum: exact long for integral metric fields; for fractional
+    # fields, pre-quantize each value to Q20 and sum in INTEGER space
+    # (sum_val then reads in Q20 units) — a raw double sum is
+    # partition-order dependent and a blind cast("long") silently
+    # truncates the fractional part (round-12 advisor finding)
+    integral = dict(dv.dtypes)[metric_field] in (
+        "tinyint", "smallint", "int", "bigint",
+    )
+    sum_col = (
+        F.sum(dv_col(metric_field)).cast("long")
+        if integral
+        else F.sum(F.floor(dv_col(metric_field) * Q20)).cast("long")
+    )
     return (
         dv.join(_bounded_broadcast(hits), id_col)
         .filter(dv_col(facet_field).isNotNull())
@@ -501,7 +520,7 @@ def search_facet_metric_agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min(dv_col(metric_field)).alias("min_val"),
             F.max(dv_col(metric_field)).alias("max_val"),
-            F.sum(dv_col(metric_field)).cast("long").alias("sum_val"),
+            sum_col.alias("sum_val"),
             F.floor(F.avg(dv_col(metric_field)) * Q20)
             .cast("long")
             .alias("avg_q20"),

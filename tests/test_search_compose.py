@@ -418,16 +418,18 @@ def test_knn_dispatch_exact_and_strict(spark, idx, tmp_path):
     }, embeddings=emb).collect()
     assert [r["vec_id"] for r in got] == [1, 2]
     assert got[0]["cosine"] == pytest.approx(1.0)
+    # knn + query is DISPATCHED since round 13 (the hybrid body);
+    # aggs beside knn still raises
     with pytest.raises(ValueError, match="knn combined with"):
         es_search(idx, {
             "knn": {"field": "embedding", "query_vector": [1.0, 0.0, 0.0]},
-            "query": {"match": {"text": "join"}},
+            "aggs": {"t": {"terms": {"field": "text"}}},
         }, embeddings=emb)
     with pytest.raises(ValueError, match="embeddings frame"):
         es_search(idx, {
             "knn": {"field": "embedding", "query_vector": [1.0]},
         })
-    with pytest.raises(ValueError, match="knn field"):
+    with pytest.raises(ValueError, match="knn column"):
         es_search(idx, {
             "knn": {"field": "vector", "query_vector": [1.0]},
         }, embeddings=emb)
