@@ -37,6 +37,7 @@ from pycasselastic_spark.operators.search_probes import (
     bm25_topk_fuzzy,
     bm25_topk_indexed,
     bm25_topk_min_should_match,
+    bm25_topk_multifield,
     bm25_topk_prefix,
     bm25_topk_regexp,
     bm25_topk_wildcard,
@@ -47,6 +48,9 @@ from pycasselastic_spark.operators.search_compose import (
     boosting_search,
     constant_score_search,
     dis_max_search,
+    multi_match_best_fields,
+    multi_match_cross_fields,
+    multi_match_phrase,
     search_cardinality_agg,
     search_date_histogram_agg,
     search_facet_metric_agg,
@@ -197,6 +201,7 @@ def es_search(
     body: dict,
     docs: DataFrame | None = None,
     embeddings: DataFrame | None = None,
+    field_indexes: dict[str, PostingsIndex] | None = None,
 ) -> DataFrame:
     """Execute an ES ``_search`` request body against a stored index.
 
@@ -219,8 +224,11 @@ def es_search(
       default_operator or/and; phrase/prefix/fuzzy syntax raises),
       ``constant_score`` (single clause,
       ``bool.must``, or the reference's legacy ``and`` list with
-      ``not.term`` — ``pyCassElastic.py:366-397``), and ``bool`` with
-      ``must`` / ``should`` / ``must_not`` lists of match/term
+      ``not.term`` — ``pyCassElastic.py:366-397``), ``multi_match``
+      (all four types — ``best_fields`` / ``most_fields`` (+ caret
+      boosts) / ``phrase`` (+``slop``) / ``cross_fields`` — over
+      per-field indexes passed via ``field_indexes``), and ``bool``
+      with ``must`` / ``should`` / ``must_not`` lists of match/term
       leaves.
     - ``size`` (default 10) and ``search_after`` ([score_q20, id] —
       the (score desc, id asc) cursor, match-only).
@@ -736,6 +744,70 @@ def es_search(
             index, [str(t) for t in spec["terms"]],
             spec["minimum_should_match_field"], k=size,
         )
+    if qtype == "multi_match":
+        # the multi-field family: every type is a different scoring
+        # LAW over per-field indexes (own df/dl/avgdl each — the
+        # Lucene per-field model), so each dispatches to its own
+        # operator; ``fields`` may carry ES's caret boosts
+        # (``title^2``) only where the type's combine law supports
+        # exact integer boosts (most_fields)
+        extra = set(q) - {"query", "fields", "type", "tie_breaker", "slop"}
+        if extra:
+            raise _err(f"multi_match options {sorted(extra)}")
+        if field_indexes is None:
+            raise _err("multi_match without field indexes")
+        mtype = str(q.get("type", "best_fields"))
+        names, boosts = [], {}
+        for spec in q["fields"]:
+            name, _, boost = str(spec).partition("^")
+            names.append(name)
+            if boost:
+                if mtype != "most_fields":
+                    raise _err(
+                        f"multi_match field boost {spec!r} under type "
+                        f"{mtype!r} (integer boosts compose exactly only "
+                        "in most_fields' sum)"
+                    )
+                if not boost.isdigit():
+                    raise _err(f"non-integer multi_match field boost {spec!r}")
+            boosts[name] = int(boost) if boost else 1
+        missing = [f for f in names if f not in field_indexes]
+        if missing:
+            raise _err(f"multi_match fields {missing} without a field index")
+        sel = {f: field_indexes[f] for f in names}
+        terms = sel[names[0]].analyze_text(str(q["query"]))
+        if not terms:
+            raise _err("multi_match query analyzing to no terms")
+        tie = float(q.get("tie_breaker", 0.0))
+        if mtype == "best_fields":
+            if "slop" in q:
+                raise _err("multi_match slop under type 'best_fields'")
+            return multi_match_best_fields(sel, terms, tie_breaker=tie,
+                                           k=size)
+        if mtype == "most_fields":
+            if "slop" in q or "tie_breaker" in q:
+                raise _err(
+                    "multi_match options "
+                    f"{sorted(set(q) & {'slop', 'tie_breaker'})} under "
+                    "type 'most_fields'"
+                )
+            return bm25_topk_multifield(sel, boosts, terms, k=size)
+        if mtype == "phrase":
+            return multi_match_phrase(
+                sel, terms, tie_breaker=tie, slop=int(q.get("slop", 0)),
+                k=size,
+            )
+        if mtype == "cross_fields":
+            if "slop" in q or "tie_breaker" in q:
+                raise _err(
+                    "multi_match options "
+                    f"{sorted(set(q) & {'slop', 'tie_breaker'})} under "
+                    "type 'cross_fields' (term-centric max has no "
+                    "tie_breaker dial)"
+                )
+            return multi_match_cross_fields(sel, terms, k=size)
+        raise _err(f"multi_match type {mtype!r}")
+
     if qtype == "match_phrase":
         _field, spec = _single(q, "match_phrase")
         slop = 0

@@ -30,7 +30,10 @@ from pycasselastic_spark.operators.search_index import (
     _bounded_broadcast,
     dv_col,
 )
-from pycasselastic_spark.operators.search_probes import _bm25_scored
+from pycasselastic_spark.operators.search_probes import (
+    _bm25_scored,
+    phrase_slop_search,
+)
 
 _DV_OPS = {
     ">=": lambda c, v: c >= v,
@@ -454,6 +457,215 @@ def multi_match_best_fields(
                     F.lit(float(tie_breaker)) * (total - best)
                 ).cast("long")
             ).alias("score_q20"),
+        )
+        .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _phrase_field_scored(
+    index: PostingsIndex,
+    phrase_terms: list[str],
+    slop: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """One field's Lucene PhraseQuery score under BM25Similarity:
+    score = (Σ term idf) x pf(k1+1) / (pf + k1(1-b+b·dl/avgdl)),
+    where pf is the phrase frequency (number of valid chain starts,
+    ``phrase_slop_search``'s n_hits) — the phrase acts as ONE synthetic
+    term whose idf is the terms' sum, exactly Lucene's PhraseWeight.
+    Returns ``(id, score_q20)``.
+
+    Determinism: per-term idfs floor to Q20 integers and sum in
+    INTEGER space (order-independent), then divide by the power-of-two
+    Q20 (exact) — so the idf sum never stacks float-order noise for
+    any phrase length; the remaining arithmetic is one fixed
+    expression over (pf, dl).
+
+    Plan shape: the positional chain join (inputs bounded by the docs
+    containing the rarest prefix), per-doc dl from the SAME pruned
+    postings probe, and the idf sum a one-row broadcast."""
+    id_col = index.id_col
+    pf = phrase_slop_search(index, phrase_terms, slop=slop)
+    postings = index.live_postings_for(sorted(set(phrase_terms)))
+    dls = postings.select(F.col(id_col), "dl").distinct()
+    idf_sum = (
+        postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.log(
+                        F.lit(1.0)
+                        + (F.lit(index.n_docs) - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)
+                    )
+                    * Q20
+                ).cast("long")
+            ).alias("idf_sum_q20")
+        )
+    )
+    return (
+        pf.join(dls, id_col)
+        .crossJoin(F.broadcast(idf_sum))
+        .select(
+            F.col(id_col),
+            F.floor(
+                (F.col("idf_sum_q20") / F.lit(float(Q20)))
+                * (F.col("n_hits") * F.lit(k1 + 1))
+                / (
+                    F.col("n_hits")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1 - b)
+                        + F.lit(b) * F.col("dl") / F.lit(index.avgdl)
+                    )
+                )
+                * Q20
+            ).cast("long").alias("score_q20"),
+        )
+    )
+
+
+def multi_match_phrase(
+    field_indexes: dict[str, PostingsIndex],
+    phrase_terms: list[str],
+    tie_breaker: float = 0.0,
+    slop: int = 0,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``multi_match`` in ``phrase`` mode: run ``match_phrase`` on
+    every field and combine best_fields-style — the doc's score is its
+    BEST field's phrase score plus ``tie_breaker`` times the others'
+    (exactly how ES compiles type=phrase: a dis_max of per-field
+    phrase queries). Each field is its own stored index with its own
+    positions/df/dl/avgdl. Returns ``(id, score_q20)``.
+
+    Determinism law shared with ``multi_match_best_fields``: per-field
+    scores are already Q20 integers; max / sum / one DOUBLE multiply +
+    floor combine them (phrase Q20 scores are strictly positive, so
+    COALESCE-to-0 is exact).
+
+    Plan shape: one positional chain probe per field (query-bounded)
+    combined by a full outer join on the doc id — no corpus scan."""
+    if not field_indexes:
+        raise ValueError("multi_match phrase needs at least one field index")
+    if len(phrase_terms) < 2:
+        raise ValueError("multi_match phrase needs at least two terms")
+    combined = None
+    id_col = None
+    fields = list(field_indexes)
+    for field, index in field_indexes.items():
+        id_col = index.id_col
+        scored = _phrase_field_scored(index, phrase_terms, slop, k1, b).select(
+            F.col(index.id_col),
+            F.col("score_q20").alias(f"score_{field}"),
+        )
+        combined = (
+            scored
+            if combined is None
+            else combined.join(scored, id_col, "full_outer")
+        )
+    s = [F.coalesce(F.col(f"score_{f}"), F.lit(0)) for f in fields]
+    best = F.greatest(*s) if len(s) > 1 else s[0]
+    total = sum(s[1:], s[0])
+    return (
+        combined.select(
+            F.col(id_col),
+            (
+                best
+                + F.floor(
+                    F.lit(float(tie_breaker)) * (total - best)
+                ).cast("long")
+            ).alias("score_q20"),
+        )
+        .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def multi_match_cross_fields(
+    field_indexes: dict[str, PostingsIndex],
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``multi_match`` in ``cross_fields`` mode — TERM-centric
+    multi-field matching: each query term may match in ANY field, the
+    term's score is its best field's (Lucene's BlendedTermQuery
+    grouping), and document frequencies are BLENDED across fields
+    (df(t) = max over fields of df_f(t)) so a term common in one field
+    can't look artificially rare in another — the failure mode
+    best_fields/most_fields have on entity names split across
+    first_name/last_name-style fields. Per-doc score = Σ over terms of
+    the per-term best-field score; n_hit_terms = distinct terms
+    matched in any field. Returns ``(id, n_hit_terms, score_q20)``.
+
+    Determinism: the per-(term, doc) best-field score is a max of
+    doubles (order-independent), floored once to Q20; per-doc
+    combination is an integer sum.
+
+    Plan shape: one pruned probe per field unioned with a field tag
+    (query-bounded), per-(field, term) df reduced then blended by a
+    broadcast max join, two partial-aggregated reductions —
+    (term, doc) then (doc). No corpus scan, no per-field re-probe."""
+    if not field_indexes:
+        raise ValueError("cross_fields needs at least one field index")
+    n_docs = {index.n_docs for index in field_indexes.values()}
+    if len(n_docs) != 1:
+        raise ValueError(
+            "cross_fields needs indexes over the SAME document set "
+            f"(saw n_docs={sorted(n_docs)})"
+        )
+    n = n_docs.pop()
+    id_col = None
+    union = None
+    for field, index in field_indexes.items():
+        id_col = index.id_col
+        part = index.live_postings_for(query_terms).select(
+            F.col(index.id_col).alias("_id"),
+            "term", "tf", "dl",
+            F.lit(field).alias("_field"),
+            F.lit(float(index.avgdl)).alias("_avgdl"),
+        )
+        union = part if union is None else union.unionByName(part)
+    blended_df = (
+        union.groupBy("term", "_field")
+        .agg(F.count(F.lit(1)).alias("df_f"))
+        .groupBy("term")
+        .agg(F.max("df_f").alias("df"))
+    )
+    per_term_doc = (
+        union.join(F.broadcast(blended_df), "term")
+        .withColumn(
+            "term_score",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("_avgdl"))
+            ),
+        )
+        .groupBy("term", "_id")
+        .agg(
+            F.floor(F.max("term_score") * Q20).cast("long").alias("s_q20")
+        )
+    )
+    return (
+        per_term_doc.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_terms"),
+            F.sum("s_q20").cast("long").alias("score_q20"),
+        )
+        .select(
+            F.col("_id").alias(id_col), "n_hit_terms", "score_q20"
         )
         .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
         .limit(k)

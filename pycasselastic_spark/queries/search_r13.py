@@ -215,3 +215,170 @@ def hybrid_rrf_api_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank": {"rrf": {"rank_window_size": 30, "rank_constant": 60}},
         "size": 10,
     }, embeddings=emb)
+
+
+# --- multi_match: the remaining types (phrase, cross_fields) ----------------
+
+_MF_SPLIT_SQL = """f AS (SELECT doc_id,
+  array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS title,
+  array_to_string(list_slice(string_split(text, ' '), 9,
+    len(string_split(text, ' '))), ' ') AS body
+  FROM documents)"""
+
+# One field's Lucene PhraseQuery score under BM25Similarity: pf = the
+# number of adjacent chain starts, idf = the terms' Q20-integer idf
+# sum (order-independent), score = (idf/Q20) * pf(k1+1)/(pf + k1*norm).
+_PHRASE_FIELD_SQL = """
+{p}k AS (SELECT doc_id, string_split({field}, ' ') AS tk FROM f),
+{p}pf AS (SELECT doc_id,
+    CAST(len(list_filter(range(1, len(tk)),
+      i -> tk[i] = '{t1}' AND tk[i + 1] = '{t2}')) AS BIGINT) AS pf
+  FROM {p}k),
+{p}pfh AS (SELECT * FROM {p}pf WHERE pf > 0),
+{p}post AS (SELECT term, doc_id
+  FROM (SELECT doc_id, unnest(string_split({field}, ' ')) AS term FROM f)
+  WHERE term <> '' GROUP BY term, doc_id),
+{p}df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM {p}post
+  WHERE term IN ('{t1}', '{t2}') GROUP BY term),
+{p}sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+    AVG(CAST(len(string_split({field}, ' ')) AS DOUBLE)) AS avgdl FROM f),
+{p}idf AS (SELECT CAST(SUM(CAST(FLOOR(
+    ln(1.0 + ({p}sc.n_docs - df + 0.5) / (df + 0.5)) * 1048576.0)
+    AS BIGINT)) AS BIGINT) AS idf_q FROM {p}df CROSS JOIN {p}sc),
+{p}dl AS (SELECT doc_id, len(string_split({field}, ' ')) AS dl FROM f),
+{p}score AS (
+  SELECT p.doc_id,
+         CAST(FLOOR(({p}idf.idf_q / 1048576.0)
+           * (p.pf * 2.2)
+           / (p.pf + 1.2 * (0.25 + 0.75 * {p}dl.dl / {p}sc.avgdl))
+           * 1048576.0) AS BIGINT) AS s
+  FROM {p}pfh p JOIN {p}dl USING (doc_id)
+       CROSS JOIN {p}idf CROSS JOIN {p}sc
+)"""
+
+
+@register(
+    "phrase_multi_match_documents",
+    "WITH "
+    + _MF_SPLIT_SQL
+    + ","
+    + _PHRASE_FIELD_SQL.format(p="t", field="title", t1="merge", t2="sort")
+    + ","
+    + _PHRASE_FIELD_SQL.format(p="b", field="body", t1="merge", t2="sort")
+    + """
+SELECT COALESCE(ts.doc_id, bs.doc_id) AS doc_id,
+       CAST(GREATEST(COALESCE(ts.s, 0), COALESCE(bs.s, 0))
+            + CAST(FLOOR(CAST(0.3 AS DOUBLE)
+                * (COALESCE(ts.s, 0) + COALESCE(bs.s, 0)
+                   - GREATEST(COALESCE(ts.s, 0), COALESCE(bs.s, 0))))
+              AS BIGINT)
+            AS BIGINT) AS score_q20
+FROM tscore ts FULL OUTER JOIN bscore bs ON ts.doc_id = bs.doc_id
+ORDER BY score_q20 DESC, doc_id LIMIT 10
+""",
+    doc="ES multi_match type=``phrase``: match_phrase runs on EVERY "
+    "field and the doc's score is its best field's phrase score plus "
+    "tie_breaker x the others' — a dis_max of per-field phrase "
+    "queries, exactly how ES compiles the type (operators/"
+    "search_compose.py:multi_match_phrase over the shared title/body "
+    "index pair). Per-field scoring is Lucene's PhraseWeight under "
+    "BM25Similarity: the phrase acts as ONE synthetic term whose tf "
+    "is the phrase frequency (valid chain starts from STORED "
+    "positions) and whose idf is the terms' idf sum — summed in Q20 "
+    "INTEGER space so the idf can never stack float-order noise at "
+    "any phrase length, then one fixed double expression over "
+    "(pf, dl), floored once. Plan: per-field positional chain joins "
+    "(inputs bounded by docs containing the rarer prefix), dl from "
+    "the same pruned probe, idf a one-row broadcast, full outer join "
+    "of query-bounded field outputs. Dispatched from "
+    "query.multi_match.type=phrase.",
+)
+def phrase_multi_match_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pycasselastic_spark.queries.search_es_queries import _mf_indexes_for
+
+    tidx, bidx = _mf_indexes_for(spark, sf_dir)
+    return es_search(tidx, {
+        "query": {"multi_match": {
+            "query": "merge sort", "type": "phrase",
+            "fields": ["title", "body"], "tie_breaker": 0.3,
+        }},
+        "size": 10,
+    }, field_indexes={"title": tidx, "body": bidx})
+
+
+@register(
+    "cross_fields_bm25_documents",
+    "WITH "
+    + _MF_SPLIT_SQL
+    + """,
+tqt AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(title, ' ')) AS term FROM f)
+  WHERE term IN ('spark', 'merge') GROUP BY term, doc_id),
+bqt AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(body, ' ')) AS term FROM f)
+  WHERE term IN ('spark', 'merge') GROUP BY term, doc_id),
+tdl AS (SELECT doc_id, len(string_split(title, ' ')) AS dl FROM f),
+bdl AS (SELECT doc_id, len(string_split(body, ' ')) AS dl FROM f),
+tsc AS (SELECT AVG(CAST(len(string_split(title, ' ')) AS DOUBLE))
+          AS avgdl FROM f),
+bsc AS (SELECT AVG(CAST(len(string_split(body, ' ')) AS DOUBLE))
+          AS avgdl FROM f),
+nsc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM f),
+u AS (
+  SELECT qt.term, qt.doc_id, qt.tf, dl.dl, sc.avgdl
+  FROM tqt qt JOIN tdl dl USING (doc_id) CROSS JOIN tsc sc
+  UNION ALL
+  SELECT qt.term, qt.doc_id, qt.tf, dl.dl, sc.avgdl
+  FROM bqt qt JOIN bdl dl USING (doc_id) CROSS JOIN bsc sc
+),
+bdf AS (SELECT term, CAST(MAX(df_f) AS BIGINT) AS df FROM (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df_f FROM tqt GROUP BY term
+    UNION ALL
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df_f FROM bqt GROUP BY term
+  ) GROUP BY term),
+ptd AS (
+  SELECT u.term, u.doc_id,
+         CAST(FLOOR(MAX(
+           ln(1.0 + (nsc.n - bdf.df + 0.5) / (bdf.df + 0.5))
+           * (u.tf * 2.2)
+           / (u.tf + 1.2 * (0.25 + 0.75 * u.dl / u.avgdl))
+         ) * 1048576.0) AS BIGINT) AS s
+  FROM u JOIN bdf USING (term) CROSS JOIN nsc
+  GROUP BY u.term, u.doc_id
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+       CAST(SUM(s) AS BIGINT) AS score_q20
+FROM ptd GROUP BY doc_id
+ORDER BY score_q20 DESC, doc_id LIMIT 10
+""",
+    doc="ES multi_match type=``cross_fields`` — TERM-centric "
+    "multi-field matching (operators/search_compose.py:"
+    "multi_match_cross_fields): each query term may match in ANY "
+    "field, a term's score is its best field's, and document "
+    "frequencies are BLENDED across fields (df(t) = max over fields "
+    "of df_f(t), Lucene's BlendedTermQuery) so a term common in one "
+    "field can't look artificially rare in another — the entity-name "
+    "failure mode best_fields has on first_name/last_name-style "
+    "splits. Per-doc score = sum over terms of the per-term "
+    "best-field score (max of doubles — order-independent — floored "
+    "once to Q20, then INTEGER-summed across terms). Plan: one "
+    "pruned probe per field unioned with a field tag, per-(field, "
+    "term) df reduced then blended via a broadcast max join, two "
+    "partial-aggregated reductions — no corpus scan, no per-field "
+    "re-probe. Dispatched from query.multi_match.type=cross_fields.",
+)
+def cross_fields_bm25_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pycasselastic_spark.queries.search_es_queries import _mf_indexes_for
+
+    tidx, bidx = _mf_indexes_for(spark, sf_dir)
+    return es_search(tidx, {
+        "query": {"multi_match": {
+            "query": "spark merge", "type": "cross_fields",
+            "fields": ["title", "body"],
+        }},
+        "size": 10,
+    }, field_indexes={"title": tidx, "body": bidx})

@@ -335,6 +335,168 @@ def test_best_fields_is_dis_max_across_fields(spark, tmp_path):
         assert s == max(parts) + math.floor(0.3 * (sum(parts) - max(parts)))
 
 
+def test_multi_match_phrase_is_lucene_phrase_weight(spark, tmp_path):
+    import math
+
+    from pycasselastic_spark.operators.search_compose import (
+        multi_match_phrase,
+    )
+    from pycasselastic_spark.operators.search_index import Q20
+
+    # 'a b' appears twice in doc 1's title, once in doc 2's body
+    title = _corpus(spark, [(1, "a b c a b"), (2, "c d e"), (3, "x y")])
+    body = _corpus(spark, [(1, "other words"), (2, "z a b"), (3, "a c b")])
+    tp, bp = str(tmp_path / "t"), str(tmp_path / "b")
+    SRCH.build_postings_index(title, "doc_id", "text", tp, n_buckets=4)
+    SRCH.build_postings_index(body, "doc_id", "text", bp, n_buckets=4)
+    tidx = SRCH.load_postings_index(spark, tp)
+    bidx = SRCH.load_postings_index(spark, bp)
+    got = {
+        r["doc_id"]: r["score_q20"]
+        for r in multi_match_phrase(
+            {"title": tidx, "body": bidx}, ["a", "b"], tie_breaker=0.0, k=10
+        ).collect()
+    }
+    # doc 3 has 'a' and 'b' in body but never adjacent — no phrase hit
+    assert set(got) == {1, 2}
+
+    def field_score(idx_, pf, dl):
+        idf_q = 0
+        # df over the field's postings
+        posts = idx_.live_postings_for(["a", "b"])
+        dfs = {
+            r["term"]: r["cnt"]
+            for r in posts.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        for t in ("a", "b"):
+            idf = math.log(
+                1.0 + (idx_.n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)
+            )
+            idf_q += math.floor(idf * Q20)
+        return math.floor(
+            (idf_q / Q20)
+            * (pf * 2.2)
+            / (pf + 1.2 * (0.25 + 0.75 * dl / idx_.avgdl))
+            * Q20
+        )
+
+    # doc 1: pf=2 in title (dl=5), no body hit; doc 2: pf=1 in body (dl=3)
+    assert got[1] == field_score(tidx, 2, 5)
+    assert got[2] == field_score(bidx, 1, 3)
+
+
+def test_cross_fields_blends_df_and_takes_best_field(spark, tmp_path):
+    import math
+
+    from pycasselastic_spark.operators.search_compose import (
+        multi_match_cross_fields,
+    )
+    from pycasselastic_spark.operators.search_index import Q20
+
+    # 'spark' is common in title (df 2) and rare in body (df 1):
+    # blended df = max = 2 must apply to BOTH fields' scores
+    title = _corpus(spark, [(1, "spark join"), (2, "spark scan"), (3, "x y")])
+    body = _corpus(spark, [(1, "other words"), (2, "w z"), (3, "spark q")])
+    tp, bp = str(tmp_path / "t"), str(tmp_path / "b")
+    SRCH.build_postings_index(title, "doc_id", "text", tp, n_buckets=4)
+    SRCH.build_postings_index(body, "doc_id", "text", bp, n_buckets=4)
+    tidx = SRCH.load_postings_index(spark, tp)
+    bidx = SRCH.load_postings_index(spark, bp)
+    got = {
+        r["doc_id"]: (r["n_hit_terms"], r["score_q20"])
+        for r in multi_match_cross_fields(
+            {"title": tidx, "body": bidx}, ["spark"], k=10
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    df_blended = 2
+    n = tidx.n_docs
+
+    def raw(tf, dl, avgdl):
+        return (
+            math.log(1.0 + (n - df_blended + 0.5) / (df_blended + 0.5))
+            * (tf * 2.2)
+            / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        )
+
+    # doc 3 matches only in BODY — scored with the blended df of 2,
+    # not body's own df of 1 (the whole point of cross_fields)
+    assert got[3] == (1, math.floor(raw(1, 2, bidx.avgdl) * Q20))
+    assert got[1] == (1, math.floor(raw(1, 2, tidx.avgdl) * Q20))
+
+
+def test_multi_match_dispatch_and_strictness(spark, tmp_path):
+    from pycasselastic_spark.operators.search_compose import (
+        multi_match_best_fields,
+        multi_match_cross_fields,
+    )
+
+    title = _corpus(spark, [(1, "spark join"), (2, "scan only")])
+    body = _corpus(spark, [(1, "other words"), (2, "spark spark")])
+    tp, bp = str(tmp_path / "t"), str(tmp_path / "b")
+    SRCH.build_postings_index(title, "doc_id", "text", tp, n_buckets=4)
+    SRCH.build_postings_index(body, "doc_id", "text", bp, n_buckets=4)
+    tidx = SRCH.load_postings_index(spark, tp)
+    bidx = SRCH.load_postings_index(spark, bp)
+    fi = {"title": tidx, "body": bidx}
+    body_q = {
+        "query": {"multi_match": {
+            "query": "spark", "fields": ["title", "body"],
+            "tie_breaker": 0.3,
+        }},
+        "size": 5,
+    }
+    # default type is best_fields
+    assert es_search(tidx, body_q, field_indexes=fi).collect() == (
+        multi_match_best_fields(fi, ["spark"], tie_breaker=0.3, k=5).collect()
+    )
+    got = es_search(tidx, {
+        "query": {"multi_match": {
+            "query": "spark", "type": "cross_fields",
+            "fields": ["title", "body"],
+        }},
+    }, field_indexes=fi).collect()
+    assert got == multi_match_cross_fields(fi, ["spark"], k=10).collect()
+    with pytest.raises(ValueError, match="without field indexes"):
+        es_search(tidx, body_q)
+    with pytest.raises(ValueError, match="without a field index"):
+        es_search(tidx, {
+            "query": {"multi_match": {"query": "spark",
+                                      "fields": ["headline"]}},
+        }, field_indexes=fi)
+    with pytest.raises(ValueError, match="multi_match type"):
+        es_search(tidx, {
+            "query": {"multi_match": {"query": "spark", "type": "bool_prefix",
+                                      "fields": ["title"]}},
+        }, field_indexes=fi)
+    with pytest.raises(ValueError, match="field boost"):
+        # caret boosts only compose exactly in most_fields' sum
+        es_search(tidx, {
+            "query": {"multi_match": {"query": "spark",
+                                      "fields": ["title^2", "body"]}},
+        }, field_indexes=fi)
+    with pytest.raises(ValueError, match="under type 'cross_fields'"):
+        es_search(tidx, {
+            "query": {"multi_match": {"query": "spark",
+                                      "type": "cross_fields",
+                                      "fields": ["title"],
+                                      "tie_breaker": 0.5}},
+        }, field_indexes=fi)
+    from pycasselastic_spark.operators.search_probes import (
+        bm25_topk_multifield,
+    )
+
+    got = es_search(tidx, {
+        "query": {"multi_match": {"query": "spark", "type": "most_fields",
+                                  "fields": ["title^2", "body"]}},
+    }, field_indexes=fi).collect()
+    want = bm25_topk_multifield(
+        fi, {"title": 2, "body": 1}, ["spark"], k=10
+    ).collect()
+    assert got == want
+
+
 def test_simple_query_string_compiles_to_bool(idx):
     from pycasselastic_spark.operators.search_probes import bm25_bool_query
 
