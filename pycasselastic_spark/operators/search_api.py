@@ -26,6 +26,8 @@ tests/test_plans.py; the dispatcher adds zero Spark work of its own.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -196,6 +198,191 @@ def _clause_terms(index: PostingsIndex, clause: dict) -> list[str]:
     raise _err(f"bool clause type {kind!r}")
 
 
+def _sqs_tokens(s: str) -> list[tuple]:
+    """Tokenize the ``simple_query_string`` grammar into
+    ``(sign, kind, value, opt)`` tuples — sign in {'', '+', '-'},
+    kind in {'term', 'phrase' (opt=slop), 'prefix', 'fuzzy'
+    (opt=max edit distance), 'group' (value=list of alternatives),
+    'or'}. Lucene's SimpleQueryParser is error-forgiving (it treats
+    broken syntax as literal text); this dispatcher is deliberately
+    STRICT instead — malformed syntax raises by name, because
+    silently scoring a half-understood query is how search APIs
+    corrupt downstream evaluations."""
+    toks: list[tuple] = []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch.isspace():
+            i += 1
+            continue
+        sign = ""
+        if ch in "+-":
+            sign = ch
+            i += 1
+            if i >= n or s[i].isspace():
+                raise _err(f"simple_query_string dangling {sign!r}")
+            ch = s[i]
+        if ch == '"':
+            j = s.find('"', i + 1)
+            if j < 0:
+                raise _err("simple_query_string unterminated phrase quote")
+            text = s[i + 1:j]
+            i = j + 1
+            slop = 0
+            m = re.match(r"~(\d+)", s[i:])
+            if m:
+                # "a b"~N is phrase SLOP in this grammar (after a bare
+                # word ~N is fuzziness)
+                slop = int(m.group(1))
+                i += m.end()
+            toks.append((sign, "phrase", text, slop))
+        elif ch == "(":
+            j = s.find(")", i + 1)
+            if j < 0:
+                raise _err("simple_query_string unterminated group")
+            inner = s[i + 1:j]
+            i = j + 1
+            if any(c in inner for c in '"()*~'):
+                raise _err(
+                    f"simple_query_string nested syntax in group ({inner!r})"
+                )
+            alts = [a.strip() for a in inner.split("|")]
+            if not alts or any(not a for a in alts):
+                raise _err(
+                    f"simple_query_string empty group alternative "
+                    f"({inner!r})"
+                )
+            if any(" " in a for a in alts):
+                # (a b | c) would need AND-inside-OR precedence —
+                # raise rather than silently flatten
+                raise _err(
+                    "simple_query_string multi-word group alternative "
+                    f"({inner!r})"
+                )
+            toks.append((sign, "group", alts, None))
+        elif ch == "|":
+            if sign:
+                raise _err(f"simple_query_string {sign!r} before '|'")
+            toks.append(("", "or", None, None))
+            i += 1
+        else:
+            m = re.match(r'[^\s()|"]+', s[i:])
+            word = m.group(0)
+            i += m.end()
+            if "~" in word:
+                base, _, d = word.rpartition("~")
+                if not d.isdigit() or not base or "*" in base or "~" in base:
+                    raise _err(
+                        f"simple_query_string fuzzy syntax in {word!r}"
+                    )
+                toks.append((sign, "fuzzy", base, int(d)))
+            elif word.endswith("*"):
+                if "*" in word[:-1] or len(word) == 1:
+                    raise _err(
+                        f"simple_query_string wildcard syntax in {word!r} "
+                        "(only a trailing '*' prefix is dispatched)"
+                    )
+                toks.append((sign, "prefix", word[:-1], None))
+            elif "*" in word:
+                raise _err(
+                    f"simple_query_string non-trailing wildcard in {word!r}"
+                )
+            else:
+                toks.append((sign, "term", word, None))
+    return toks
+
+
+def _dispatch_simple_query_string(
+    index: PostingsIndex, q: dict, size: int
+) -> DataFrame:
+    """Compile a ``simple_query_string`` body onto the standalone
+    probes: a whole-query phrase / trailing-``*`` prefix / ``~N``
+    fuzzy token dispatches to its dedicated probe
+    (``phrase_slop_search`` / ``bm25_topk_prefix`` /
+    ``bm25_topk_fuzzy``); boolean mixes of bare terms, ``+``/``-``
+    operators, ``|`` separators and parenthesized OR-groups compile
+    onto ``bm25_bool_query`` (a group is one clause whose analyzed
+    alternatives OR — exactly the per-clause semantics the bool probe
+    implements). Phrase/prefix/fuzzy MIXED with other clauses would
+    need a composed scoring law the probes don't share — raises by
+    name."""
+    extra = set(q) - {"query", "default_operator"}
+    if extra:
+        raise _err(f"simple_query_string options {sorted(extra)}")
+    default_op = str(q.get("default_operator", "or")).lower()
+    if default_op not in ("or", "and"):
+        raise _err(f"simple_query_string default_operator {default_op!r}")
+    toks = _sqs_tokens(str(q["query"]))
+    if not toks:
+        raise _err("simple_query_string with no clause")
+    specials = [t for t in toks if t[1] in ("phrase", "prefix", "fuzzy")]
+    if len(toks) == 1 and specials:
+        sign, kind, val, opt = toks[0]
+        if sign == "-":
+            raise _err("simple_query_string with no scoring clause")
+        if kind == "phrase":
+            terms = index.analyze_text(val)
+            if not terms:
+                raise _err(
+                    f"simple_query_string phrase analyzing to no terms: "
+                    f"{val!r}"
+                )
+            if len(terms) == 1:
+                # a one-word phrase IS the term query
+                return bm25_topk_indexed(index, terms, k=size)
+            return phrase_slop_search(index, terms, slop=opt)
+        if kind == "prefix":
+            return bm25_topk_prefix(index, val, k=size)
+        return bm25_topk_fuzzy(index, [val], k=size, max_dist=opt)
+    if specials:
+        raise _err(
+            "simple_query_string phrase/prefix/fuzzy combined with other "
+            f"clauses ({[t[1] for t in specials]} — the composed scoring "
+            "law is not dispatched)"
+        )
+    must, should, must_not = [], [], []
+    for sign, kind, val, _opt in toks:
+        if kind == "or":
+            if default_op == "and":
+                # 'a | b' under default_operator=and means (a OR b)
+                # with precedence — use a parenthesized group;
+                # silently AND-ing both terms is exactly the
+                # forbidden failure mode
+                raise _err(
+                    "simple_query_string '|' under default_operator=and "
+                    "outside a group (use parentheses for precedence)"
+                )
+            # bare OR separator — OR is already the combinator for
+            # optional clauses
+            continue
+        alts = val if kind == "group" else [val]
+        terms = [t for a in alts for t in index.analyze_text(a)]
+        if sign == "-":
+            if not terms:
+                # mirror the must path: an exclusion the user asked
+                # for silently not applying is the same failure mode
+                # (round-12 advisor finding)
+                raise _err(
+                    "simple_query_string must_not clause analyzing to "
+                    f"no terms: {alts!r}"
+                )
+            must_not.extend(terms)
+        elif sign == "+" or default_op == "and":
+            if not terms:
+                raise _err(
+                    "simple_query_string required clause analyzing to "
+                    f"no terms: {alts!r}"
+                )
+            must.append(terms)
+        else:
+            should.extend(terms)
+    if not must and not should:
+        raise _err("simple_query_string with no scoring clause")
+    return bm25_bool_query(
+        index, must=must, should=should, must_not=must_not, k=size
+    )
+
+
 def es_search(
     index: PostingsIndex,
     body: dict,
@@ -220,8 +407,12 @@ def es_search(
       ``minimum_should_match_field``), ``range`` / ``terms``
       (constant-score stored doc-values bounds / IN-list),
       ``dis_max`` (+``tie_breaker``), ``boosting``
-      (+``negative_boost``), ``simple_query_string`` (+/- operators,
-      default_operator or/and; phrase/prefix/fuzzy syntax raises),
+      (+``negative_boost``), ``simple_query_string`` (the full
+      grammar: +/- operators, ``|`` separators, parenthesized
+      OR-groups for precedence, default_operator or/and, and
+      whole-query ``"quoted phrase"``(+``~slop``) / trailing-``*``
+      prefix / ``~N`` fuzzy tokens compiled onto their standalone
+      probes; specials mixed with other clauses raise),
       ``constant_score`` (single clause,
       ``bool.must``, or the reference's legacy ``and`` list with
       ``not.term`` — ``pyCassElastic.py:366-397``), ``multi_match``
@@ -415,11 +606,26 @@ def es_search(
             )
         if set(agg) == {"date_histogram"}:
             spec = agg["date_histogram"]
-            extra = set(spec) - {"field", "calendar_interval"}
+            extra = set(spec) - {
+                "field", "calendar_interval", "fixed_interval",
+                "min_doc_count", "extended_bounds",
+            }
             if extra:
                 raise _err(f"date_histogram options {sorted(extra)}")
+            eb = spec.get("extended_bounds")
+            if eb is not None:
+                if set(eb) != {"min", "max"}:
+                    raise _err(
+                        f"extended_bounds keys {sorted(set(eb))} "
+                        "(expected min/max)"
+                    )
+                eb = (eb["min"], eb["max"])
             return search_date_histogram_agg(
-                index, terms, spec["field"], spec["calendar_interval"]
+                index, terms, spec["field"],
+                calendar_interval=spec.get("calendar_interval"),
+                fixed_interval=spec.get("fixed_interval"),
+                min_doc_count=int(spec.get("min_doc_count", 1)),
+                extended_bounds=eb,
             )
         if set(agg) - {"terms", "aggs"}:
             raise _err(f"aggregation {sorted(set(agg) - {'terms'})}")
@@ -588,53 +794,7 @@ def es_search(
             max_dist=int(spec.get("fuzziness", 1)),
         )
     if qtype == "simple_query_string":
-        extra = set(q) - {"query", "default_operator"}
-        if extra:
-            raise _err(f"simple_query_string options {sorted(extra)}")
-        default_op = str(q.get("default_operator", "or")).lower()
-        if default_op not in ("or", "and"):
-            raise _err(f"simple_query_string default_operator {default_op!r}")
-        must, should, must_not = [], [], []
-        for tok in str(q["query"]).split():
-            if tok == "|":
-                if default_op == "and":
-                    # 'a | b' under default_operator=and means (a OR
-                    # b) with precedence — silently AND-ing both terms
-                    # is exactly the forbidden failure mode
-                    raise _err(
-                        "simple_query_string '|' under "
-                        "default_operator=and (precedence not "
-                        "dispatched)"
-                    )
-                # bare OR separator — OR is already the combinator for
-                # optional clauses
-                continue
-            if any(ch in tok for ch in '"*~()|'):
-                # phrase / prefix / fuzzy / precedence syntax — raise
-                # by name rather than score a half-understood query
-                raise _err(
-                    f"simple_query_string operator in {tok!r} "
-                    "(phrase, prefix, fuzzy and precedence are not "
-                    "dispatched)"
-                )
-            if tok.startswith("-"):
-                must_not.extend(index.analyze_text(tok[1:]))
-                continue
-            terms = index.analyze_text(tok.lstrip("+"))
-            if tok.startswith("+") or default_op == "and":
-                if not terms:
-                    raise _err(
-                        "simple_query_string required clause analyzing "
-                        f"to no terms: {tok!r}"
-                    )
-                must.append(terms)
-            else:
-                should.extend(terms)
-        if not must and not should:
-            raise _err("simple_query_string with no scoring clause")
-        return bm25_bool_query(
-            index, must=must, should=should, must_not=must_not, k=size
-        )
+        return _dispatch_simple_query_string(index, q, size)
     if qtype == "dis_max":
         extra = set(q) - {"queries", "tie_breaker"}
         if extra:

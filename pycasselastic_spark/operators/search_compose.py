@@ -20,6 +20,7 @@ parquet scan, and small sides travel through the count-guarded
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -367,35 +368,139 @@ def search_range_agg(
     )
 
 
-_CAL_INTERVALS = {"day": "day", "week": "week", "month": "month"}
+# calendar intervals served by DATE truncation (bucket keys are DATEs)
+_CAL_INTERVALS = {"day": "day", "week": "week", "month": "month",
+                  "quarter": "quarter", "year": "year"}
+# the step each calendar bucket advances by when synthesizing empty
+# buckets (min_doc_count=0)
+_CAL_STEPS = {
+    "hour": "interval 1 hour", "day": "interval 1 day",
+    "week": "interval 7 days", "month": "interval 1 month",
+    "quarter": "interval 3 months", "year": "interval 1 year",
+}
+_FIXED_UNITS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+
+
+def _parse_fixed_interval(spec: str) -> int:
+    """ES ``fixed_interval`` string -> whole seconds (s/m/h/d units;
+    sub-second intervals raise — the stored doc-values here carry at
+    most second resolution)."""
+    m = re.fullmatch(r"(\d+)(s|m|h|d)", str(spec))
+    if not m or int(m.group(1)) == 0:
+        raise ValueError(
+            f"unsupported fixed_interval {spec!r} "
+            "(supported: <n>s / <n>m / <n>h / <n>d)"
+        )
+    return int(m.group(1)) * _FIXED_UNITS[m.group(2)]
 
 
 def search_date_histogram_agg(
     index: PostingsIndex,
     query_terms: list[str],
     field: str,
-    calendar_interval: str,
+    calendar_interval: str | None = None,
+    fixed_interval: str | None = None,
+    min_doc_count: int = 1,
+    extended_bounds: tuple | None = None,
 ) -> DataFrame:
-    """ES ``date_histogram`` (calendar_interval form) over the hit
-    set from a STORED date doc-values field: buckets keyed by the
-    calendar-truncated date (month -> first of month, week -> Monday,
-    day -> identity), empty buckets omitted (min_doc_count=1).
-    Returns ``(bucket, n_docs)`` DATE-keyed, sorted by bucket.
+    """ES ``date_histogram`` over the hit set from a STORED date /
+    timestamp doc-values field — BOTH interval forms:
 
-    Plan shape: identical to ``search_histogram_agg`` with a calendar
-    truncation instead of an interval floor — hit ids join the
-    column-pruned doc-values scan, one two-column reduction."""
-    if calendar_interval not in _CAL_INTERVALS:
+    * ``calendar_interval`` hour/day/week/month/quarter/year: buckets
+      keyed by the calendar truncation (month -> first of month,
+      week -> Monday, quarter -> quarter start). DATE keys, except
+      ``hour`` which keys TIMESTAMPs — calendar units are
+      variable-length, exactly why ES distinguishes the two forms.
+    * ``fixed_interval`` ``<n>s/m/h/d``: epoch-floored fixed-width
+      buckets (``floor(epoch / width) * width``), TIMESTAMP keys.
+
+    ``min_doc_count=0`` synthesizes EMPTY buckets across the data
+    span, and ``extended_bounds=(lo, hi)`` (ISO strings, or epoch
+    seconds for the fixed form) widens that span even where no
+    document falls — exactly ES's contract: bounds only take effect
+    with min_doc_count=0, so passing them with the default 1 raises.
+    Returns ``(bucket, n_docs)`` sorted by bucket.
+
+    Plan shape: hit ids join the column-pruned doc-values scan, one
+    two-column reduction; the empty-bucket synthesis is ONE
+    generate-series from a one-row bounds reduction left-joining the
+    counted buckets — series length = bucket count, never corpus."""
+    if (calendar_interval is None) == (fixed_interval is None):
         raise ValueError(
-            f"unsupported calendar_interval {calendar_interval!r} "
-            f"(supported: {sorted(_CAL_INTERVALS)})"
+            "date_histogram needs exactly one of calendar_interval / "
+            "fixed_interval"
         )
+    if extended_bounds is not None and min_doc_count != 0:
+        raise ValueError(
+            "date_histogram extended_bounds only takes effect with "
+            "min_doc_count=0 (ES contract) — raise rather than ignore"
+        )
+    col = dv_col(field)
+    if fixed_interval is not None:
+        width = _parse_fixed_interval(fixed_interval)
+
+        def to_bucket(c):
+            return F.timestamp_seconds(
+                (F.floor(c.cast("timestamp").cast("double") / width)
+                 * width).cast("long")
+            )
+
+        step = f"interval {width} seconds"
+    elif calendar_interval == "hour":
+        def to_bucket(c):
+            return F.date_trunc("hour", c.cast("timestamp"))
+
+        step = _CAL_STEPS["hour"]
+    else:
+        if calendar_interval not in _CAL_INTERVALS:
+            raise ValueError(
+                f"unsupported calendar_interval {calendar_interval!r} "
+                f"(supported: {sorted(_CAL_INTERVALS)} + 'hour')"
+            )
+
+        def to_bucket(c):
+            return F.trunc(c, _CAL_INTERVALS[calendar_interval])
+
+        step = _CAL_STEPS[calendar_interval]
     hdv = _hit_docvalues(index, query_terms, field)
-    bucket = F.trunc(dv_col(field), _CAL_INTERVALS[calendar_interval])
-    return (
-        hdv.select(bucket.alias("bucket"))
+    counts = (
+        hdv.select(to_bucket(col).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    if min_doc_count != 0:
+        return counts.orderBy(F.col("bucket").asc())
+    # empty-bucket synthesis: one-row bounds reduction (data span
+    # widened by the bucket-ALIGNED extended bounds), one
+    # generate-series, left join the counts
+    bounds = counts.agg(
+        F.min("bucket").alias("dlo"), F.max("bucket").alias("dhi")
+    )
+    if extended_bounds is not None:
+        lo_raw, hi_raw = extended_bounds
+        if fixed_interval is not None:
+            lo_lit = to_bucket(F.lit(int(lo_raw)).cast("timestamp"))
+            hi_lit = to_bucket(F.lit(int(hi_raw)).cast("timestamp"))
+        elif calendar_interval == "hour":
+            lo_lit = to_bucket(F.lit(str(lo_raw)).cast("timestamp"))
+            hi_lit = to_bucket(F.lit(str(hi_raw)).cast("timestamp"))
+        else:
+            lo_lit = to_bucket(F.lit(str(lo_raw)).cast("date"))
+            hi_lit = to_bucket(F.lit(str(hi_raw)).cast("date"))
+        bounds = bounds.select(
+            F.least(F.coalesce(F.col("dlo"), lo_lit), lo_lit).alias("dlo"),
+            F.greatest(F.coalesce(F.col("dhi"), hi_lit), hi_lit).alias("dhi"),
+        )
+    series = bounds.select(
+        F.explode(F.expr(f"sequence(dlo, dhi, {step})")).alias("bucket")
+    )
+    return (
+        series.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long")
+            .alias("n_docs"),
+        )
         .orderBy(F.col("bucket").asc())
     )
 

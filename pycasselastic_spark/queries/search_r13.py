@@ -217,6 +217,173 @@ def hybrid_rrf_api_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     }, embeddings=emb)
 
 
+@register(
+    "sqs_phrase_prefix_documents",
+    f"""
+WITH {_TOK_POSTINGS},
+k1 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+ph AS (SELECT doc_id,
+    CAST(len(list_filter(range(1, len(tk)),
+      i -> tk[i] = 'merge' AND tk[i + 1] = 'sort')) AS BIGINT) AS n_hits
+  FROM k1),
+phl AS (SELECT 'phrase' AS kind, doc_id, n_hits AS metric
+  FROM ph WHERE n_hits > 0 ORDER BY n_hits DESC, doc_id LIMIT 10),
+exp AS (SELECT term FROM (
+  SELECT term, COUNT(*) AS df FROM postings WHERE term LIKE 'mer%'
+  GROUP BY term ORDER BY df DESC, term LIMIT 50)),
+qt AS (SELECT * FROM postings WHERE term IN (SELECT term FROM exp)),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term),
+pre AS (
+  SELECT doc_id,
+         CAST(FLOOR(SUM({_BM25_TERM_SCORE}) * 1048576.0) AS BIGINT)
+           AS score_q20
+  FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+  GROUP BY doc_id, sc.n_docs),
+prel AS (SELECT 'prefix' AS kind, doc_id, score_q20 AS metric
+  FROM pre ORDER BY score_q20 DESC, doc_id LIMIT 10)
+SELECT * FROM phl
+UNION ALL
+SELECT * FROM prel
+ORDER BY kind, metric DESC, doc_id
+""",
+    doc="The ``simple_query_string`` grammar BEYOND bare terms — the "
+    "round-12 dispatcher raised on every one of these; now a "
+    "whole-query special token compiles onto its standalone probe "
+    "(operators/search_api.py:_dispatch_simple_query_string): the "
+    "phrase leg runs '\"merge sort\"' through the positional chain "
+    "probe (phrase_slop_search — n_hits = distinct chain starts from "
+    "STORED positions), the prefix leg runs 'mer*' through the edge "
+    "probe (bm25_topk_prefix — LIKE-pruned dictionary expansion, "
+    "top-50 by df, summed BM25). ~N fuzzy and parenthesized "
+    "OR-groups dispatch too (compile-equivalence pytests pin all "
+    "four against the standalone probes); specials MIXED with other "
+    "clauses raise by name — Lucene's parser silently treats broken "
+    "syntax as text, this dispatcher never scores a half-understood "
+    "query. Both legs stay candidate-bounded postings plans.",
+)
+def sqs_phrase_prefix_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    idx = _postings_index_for(spark, sf_dir)
+    ph = (
+        es_search(idx, {
+            "query": {"simple_query_string": {"query": '"merge sort"'}},
+        })
+        .orderBy(F.col("n_hits").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select(
+            F.lit("phrase").alias("kind"), "doc_id",
+            F.col("n_hits").cast("long").alias("metric"),
+        )
+    )
+    pre = es_search(idx, {
+        "query": {"simple_query_string": {"query": "mer*"}},
+        "size": 10,
+    }).select(
+        F.lit("prefix").alias("kind"), "doc_id",
+        F.col("score_q20").alias("metric"),
+    )
+    return ph.unionByName(pre).orderBy(
+        "kind", F.col("metric").desc(), F.col("doc_id").asc()
+    )
+
+
+# --- date_histogram: fixed_interval + min_doc_count=0/extended_bounds -------
+
+_TS_INDEX_CACHE: dict[str, str] = {}
+
+# epoch anchor 2024-01-07T00:00:00Z; one doc every (doc_id % 7) x 30 h
+# so the 12 h grid holds both multi-doc and EMPTY buckets
+_TS0 = 1704585600
+_TS_STEP = 108000  # 30 h
+_EB_LO = _TS0 - 43200  # one empty bucket before the data span
+_EB_HI = _TS0 + 8 * 86400  # empty buckets after it
+
+
+def _ts_index_for(spark: SparkSession, sf_dir: str):
+    from pycasselastic_spark.operators import search as SRCH
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    path = _TS_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
+        with_ts = docs.select(
+            "doc_id", "text",
+            F.timestamp_seconds(
+                F.lit(_TS0) + (F.col("doc_id") % 7) * _TS_STEP
+            ).alias("ingest_ts"),
+        )
+        path = os.path.join(tempfile.mkdtemp(prefix="tshist_idx_"), "idx")
+        SRCH.build_postings_index(
+            with_ts, "doc_id", "text", path,
+            n_buckets=16, stored_fields=["ingest_ts"],
+        )
+        _TS_INDEX_CACHE[sf_dir] = path
+    return SRCH.load_postings_index(spark, path)
+
+
+@register(
+    "date_histogram_fixed_documents",
+    f"""
+WITH hits AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  WHERE term = 'merge'
+),
+d AS (SELECT doc_id,
+        {_TS0} + (doc_id % 7) * {_TS_STEP} AS ts FROM documents),
+c AS (SELECT CAST(FLOOR(ts / 43200) * 43200 AS BIGINT) AS bucket_s,
+        CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM d JOIN hits USING (doc_id) GROUP BY 1),
+b AS (SELECT LEAST(COALESCE(MIN(bucket_s), {_EB_LO}), {_EB_LO}) AS lo,
+             GREATEST(COALESCE(MAX(bucket_s), {_EB_HI}), {_EB_HI}) AS hi
+      FROM c),
+s AS (SELECT unnest(range(b.lo, b.hi + 43200, 43200)) AS bucket_s FROM b)
+SELECT s.bucket_s, CAST(COALESCE(c.n_docs, 0) AS BIGINT) AS n_docs
+FROM s LEFT JOIN c USING (bucket_s) ORDER BY bucket_s
+""",
+    doc="ES ``date_histogram`` in its ``fixed_interval`` form (12 h "
+    "epoch-floored buckets — floor(epoch/43200)*43200, the "
+    "fixed-width law, vs calendar_interval's variable-length "
+    "truncation) WITH ``min_doc_count=0`` + ``extended_bounds``: "
+    "empty buckets are synthesized across the union of the data span "
+    "and the bucket-aligned bounds — the exact shape every "
+    "time-series dashboard needs (gaps must RENDER as zeros, and the "
+    "x-axis must extend to the requested window even where no doc "
+    "fell). Operators/search_compose.py:search_date_histogram_agg; "
+    "hour/quarter/year calendar intervals share the dispatch "
+    "(pytest-pinned incl. month boundaries). Output keys are epoch "
+    "seconds (timezone-free cross-engine compare). Plan: one "
+    "two-column reduction over the hit set's doc-values, then ONE "
+    "generate-series from a one-row bounds reduction left-joining "
+    "the counts — series length = bucket count, never corpus. "
+    "Dispatched from aggs.date_histogram.",
+)
+def date_histogram_fixed_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    idx = _ts_index_for(spark, sf_dir)
+    out = es_search(idx, {
+        "query": {"match": {"text": "merge"}},
+        "aggs": {"halfdays": {"date_histogram": {
+            "field": "ingest_ts", "fixed_interval": "12h",
+            "min_doc_count": 0,
+            "extended_bounds": {"min": _EB_LO, "max": _EB_HI},
+        }}},
+    })
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket_s"), "n_docs"
+    ).orderBy("bucket_s")
+
+
 # --- multi_match: the remaining types (phrase, cross_fields) ----------------
 
 _MF_SPLIT_SQL = """f AS (SELECT doc_id,

@@ -246,6 +246,96 @@ def test_date_histogram_calendar_months(dv_idx):
     assert got == {"2024-01-01": 1, "2024-02-01": 2, "2024-03-01": 1}
 
 
+def test_date_histogram_calendar_quarter_year_hour(dv_idx):
+    # quarter: Jan 20 / Feb 5 / Feb 25 / Mar 9 (alpha hits) all fall
+    # in Q1 — one 2024-01-01 bucket; year: one 2024-01-01 bucket
+    for unit, want in (
+        ("quarter", {"2024-01-01": 4}),
+        ("year", {"2024-01-01": 4}),
+    ):
+        got = {
+            r["bucket"].isoformat(): r["n_docs"]
+            for r in search_date_histogram_agg(
+                dv_idx, ["alpha"], "d", calendar_interval=unit
+            ).collect()
+        }
+        assert got == want, unit
+    # hour over a DATE field: midnight timestamps, day-distinct
+    got = search_date_histogram_agg(
+        dv_idx, ["alpha"], "d", calendar_interval="hour"
+    ).collect()
+    assert len(got) == 4
+    assert all(
+        r["bucket"].hour == 0 and r["bucket"].minute == 0 for r in got
+    )
+
+
+def test_date_histogram_min_doc_count_zero_fills_month_gaps(dv_idx):
+    # alpha hits span Jan 20 .. Mar 9; extended bounds widen to
+    # Dec 2023 .. May 2024 — the empty Dec/Apr/May buckets must
+    # appear as zeros, and the month steps must honor calendar
+    # boundaries (Jan->Feb across the 31-day month, Feb->Mar across
+    # the leap-February)
+    got = {
+        r["bucket"].isoformat(): r["n_docs"]
+        for r in search_date_histogram_agg(
+            dv_idx, ["alpha"], "d", calendar_interval="month",
+            min_doc_count=0,
+            extended_bounds=("2023-12-15", "2024-05-02"),
+        ).collect()
+    }
+    assert got == {
+        "2023-12-01": 0, "2024-01-01": 1, "2024-02-01": 2,
+        "2024-03-01": 1, "2024-04-01": 0, "2024-05-01": 0,
+    }
+    # without extended bounds the zero-fill covers only the data span
+    got = {
+        r["bucket"].isoformat(): r["n_docs"]
+        for r in search_date_histogram_agg(
+            dv_idx, ["alpha"], "d", calendar_interval="month",
+            min_doc_count=0,
+        ).collect()
+    }
+    assert got == {"2024-01-01": 1, "2024-02-01": 2, "2024-03-01": 1}
+
+
+def test_date_histogram_fixed_interval_and_strictness(dv_idx):
+    # 2-week fixed buckets over DATEs: epoch-floored, NOT calendar
+    # aligned — exactly the fixed/calendar distinction
+    got = search_date_histogram_agg(
+        dv_idx, ["alpha"], "d", fixed_interval="14d"
+    ).collect()
+    assert sum(r["n_docs"] for r in got) == 4
+    width = 14 * 86400
+    assert all(
+        int(r["bucket"].timestamp()) % width == 0 for r in got
+    )
+    with pytest.raises(ValueError, match="exactly one of"):
+        search_date_histogram_agg(dv_idx, ["alpha"], "d")
+    with pytest.raises(ValueError, match="exactly one of"):
+        search_date_histogram_agg(
+            dv_idx, ["alpha"], "d", calendar_interval="day",
+            fixed_interval="1d",
+        )
+    with pytest.raises(ValueError, match="fixed_interval"):
+        search_date_histogram_agg(
+            dv_idx, ["alpha"], "d", fixed_interval="10x"
+        )
+    with pytest.raises(ValueError, match="extended_bounds only"):
+        search_date_histogram_agg(
+            dv_idx, ["alpha"], "d", calendar_interval="day",
+            extended_bounds=("2024-01-01", "2024-02-01"),
+        )
+    with pytest.raises(ValueError, match="extended_bounds keys"):
+        es_search(dv_idx, {
+            "query": {"match": {"text": "alpha"}},
+            "aggs": {"m": {"date_histogram": {
+                "field": "d", "calendar_interval": "month",
+                "min_doc_count": 0, "extended_bounds": {"from": 1},
+            }}},
+        })
+
+
 def test_cardinality_agg_exact(dv_idx):
     got = es_search(dv_idx, {
         "query": {"match": {"text": "alpha"}},
@@ -518,7 +608,10 @@ def test_simple_query_string_compiles_to_bool(idx):
 
 
 def test_simple_query_string_strictness(idx):
-    with pytest.raises(ValueError, match="simple_query_string operator"):
+    # a phrase MIXED with other clauses needs a composed scoring law
+    # the probes don't share — raises (the whole-query phrase form is
+    # dispatched, test_simple_query_string_specials)
+    with pytest.raises(ValueError, match="combined with other clauses"):
         es_search(idx, {"query": {"simple_query_string": {
             "query": 'join "exact phrase"',
         }}})
@@ -530,6 +623,96 @@ def test_simple_query_string_strictness(idx):
         es_search(idx, {"query": {"simple_query_string": {
             "query": "join", "default_operator": "xor",
         }}})
+
+
+def test_simple_query_string_specials_compile_to_standalone_probes(idx):
+    from pycasselastic_spark.operators.search_probes import (
+        bm25_bool_query,
+        bm25_topk_fuzzy,
+        bm25_topk_prefix,
+        phrase_slop_search,
+    )
+
+    def sqs(query, **opts):
+        return es_search(idx, {
+            "query": {"simple_query_string": {"query": query, **opts}},
+        }).collect()
+
+    # whole-query phrase -> the positional probe
+    assert sqs('"spark join"') == phrase_slop_search(
+        idx, ["spark", "join"], slop=0
+    ).collect()
+    # "..."~N is phrase slop
+    assert sqs('"spark shuffle"~1') == phrase_slop_search(
+        idx, ["spark", "shuffle"], slop=1
+    ).collect()
+    # trailing-* prefix -> the edge probe
+    assert sqs("sca*") == es_search(
+        idx, {"query": {"prefix": {"text": "sca"}}}
+    ).collect()
+    assert sqs("sca*") == bm25_topk_prefix(idx, "sca", k=10).collect()
+    # ~N fuzzy -> the FastSS probe
+    assert sqs("joib~1") == bm25_topk_fuzzy(
+        idx, ["joib"], k=10, max_dist=1
+    ).collect()
+    # parenthesized OR-group under default_operator=and: one must
+    # clause whose alternatives OR — scan AND (join OR filter)
+    got = sqs("scan (join | filter)", default_operator="and")
+    want = bm25_bool_query(
+        idx, must=[["scan"], ["join", "filter"]], k=10
+    ).collect()
+    assert got == want
+    # +group / -term compose the same way under default OR
+    got = sqs("+(join | filter) shuffle -window")
+    want = bm25_bool_query(
+        idx, must=[["join", "filter"]], should=["shuffle"],
+        must_not=["window"], k=10,
+    ).collect()
+    assert got == want
+
+
+def test_simple_query_string_grammar_strictness(idx):
+    def sqs(query):
+        return es_search(idx, {
+            "query": {"simple_query_string": {"query": query}},
+        })
+
+    with pytest.raises(ValueError, match="unterminated phrase"):
+        sqs('"open quote')
+    with pytest.raises(ValueError, match="unterminated group"):
+        sqs("(join | scan")
+    with pytest.raises(ValueError, match="nested syntax in group"):
+        sqs('(join "a b")')
+    with pytest.raises(ValueError, match="multi-word group"):
+        sqs("(join scan | filter)")
+    with pytest.raises(ValueError, match="fuzzy syntax"):
+        sqs("join~x")
+    with pytest.raises(ValueError, match="non-trailing wildcard"):
+        sqs("jo*in")
+    with pytest.raises(ValueError, match="dangling"):
+        sqs("join + scan")
+    with pytest.raises(ValueError, match="combined with other clauses"):
+        sqs("sca* join")
+    # a must_not clause analyzing to no terms must raise, mirroring
+    # the must path (round-12 advisor finding) — '' analyzes to
+    # nothing only via an analyzer chain; simulate with a stopword-ish
+    # empty result by passing a token of only analyzer-dropped chars
+    from pycasselastic_spark.operators.search_api import (
+        _dispatch_simple_query_string,
+    )
+
+    class _EmptyAnalyzer:
+        def analyze_text(self, s):
+            return []
+
+    with pytest.raises(ValueError, match="must_not clause analyzing"):
+        # required positive clause present; the exclusion analyzes to
+        # nothing -> raise, never silently drop the veto
+        idx2 = type(
+            "P", (), {"analyze_text": lambda self, s: [] if s == "the"
+                      else [s]}
+        )()
+        _dispatch_simple_query_string(idx2, {"query": "join -the"}, 10)
 
 
 def test_span_rewrite_matches_coverage_and_rebuilds_text(spark):
@@ -692,15 +875,15 @@ def test_simple_query_string_or_bar_strictness(idx):
         es_search(idx, {"query": {"simple_query_string": {
             "query": "join | scan", "default_operator": "and",
         }}})
-    with pytest.raises(ValueError, match="simple_query_string operator"):
-        es_search(idx, {"query": {"simple_query_string": {
-            "query": "join|scan",
-        }}})
-    # bare | under the default OR operator is a benign separator
-    got = es_search(idx, {"query": {"simple_query_string": {
+    # '|' binds without surrounding whitespace too (ES tokenizes the
+    # operator, not the spacing)
+    tight = es_search(idx, {"query": {"simple_query_string": {
+        "query": "join|scan",
+    }}}).collect()
+    spaced = es_search(idx, {"query": {"simple_query_string": {
         "query": "join | scan",
-    }}}).count()
-    assert got > 0
+    }}}).collect()
+    assert tight == spaced and len(spaced) > 0
 
 
 def test_knn_size_bounds_the_page(spark, idx):
