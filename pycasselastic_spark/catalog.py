@@ -68,79 +68,70 @@ from pycasselastic_spark.queries.events_ops import (  # noqa: F401
 # every test look queries up BY NAME, so reordering is behavior-neutral
 # everywhere except the gate's slot assignment.
 _GATE_PRIORITY: list[str] = [
-    # ROUND 12 gate rotation (COVERAGE.md round-12 plan): slots 0-4
-    # retire the LAST five stale-r7 rows (after this, no driver row in
-    # the catalog is older than round 8); slots 5-10 the six NEW
-    # round-12 queries (multi-word phrase synonyms + their
-    # slot-stream-reconstruction reindex twin, and the stored
-    # doc-values surface exists / ids / terms_set / terms-agg missing
-    # bucket); slots 11-23 the THIRTEEN round-12 continuation queries
-    # (never driver-checked: the late-r12 nested-type / top-level
-    # range+terms / filter-context composition five, then the
-    # compound-scoring + aggregation + span-coverage eight); slots
-    # 24-30 the last seven continuation queries (simple_query_string,
-    # best_fields, span rewrite, knn API, match_all, facet+stats
-    # sub-agg, temperature mixing); slots 31-49 the first 19 stale-r8
-    # rows in their CORRECTNESS_r08 order (the remaining 31 r8 rows
-    # head the round-13 rotation — enumerated in COVERAGE.md).
-    # --- slots 0-4: the last stale-r7 rows ---------------------------
-    "range_join_value_buckets",
-    "running_totals_orders",
-    "pivot_orders_status",
-    "percentile_stats_lineitem",
-    "applyinpandas_rank_events",
-    # --- slots 5-10: NEW round-12 queries ----------------------------
-    "multiword_synonym_bm25_documents",
-    "reindex_upgrade_multiword_documents",
-    "exists_query_documents",
-    "ids_query_documents",
-    "terms_set_documents",
-    "missing_bucket_facets_documents",
-    # --- slots 11-15: late round-12 additions (nested type, dv
-    # queries, filter-context composition) ----------------------------
-    "range_query_documents",
-    "terms_query_documents",
-    "nested_query_documents",
-    "nested_filtered_bm25_documents",
-    "exists_filtered_bm25_documents",
-    # --- slots 16-23: round-12 continuation (compound scoring, aggs,
-    # span coverage) ---------------------------------------------------
-    "dis_max_bm25_documents",
-    "boosting_query_documents",
-    "constant_score_sync_documents",
-    "percentiles_agg_documents",
-    "cardinality_agg_documents",
-    "range_agg_documents",
-    "date_histogram_agg_documents",
-    "duplicate_span_coverage_documents",
-    # --- slots 24-30: last continuation additions ---------------------
-    "simple_query_string_documents",
-    "best_fields_bm25_documents",
-    "span_dedup_rewrite_documents",
-    "knn_search_api_embeddings",
-    "match_all_page_documents",
-    "facet_stats_agg_documents",
-    "temperature_mixture_sample_documents",
-    # --- slots 31-49: stale-r8 rows, CORRECTNESS_r08 order -----------
-    "streaming_lwwstore_replicate_events",
-    "term_cooccurrence_pmi_documents",
-    "json_extract_events",
-    "full_outer_join_customer_orders",
-    "bm25_indexed_search_documents",
-    "bm25_delta_indexed_documents",
-    "phrase_slop_search_documents",
-    "approx_distinct_stats_events",
-    "scd2_customer_history",
-    "session_stats_events",
-    "funnel_conversion_events",
-    "retention_cohorts_events",
-    "q2_min_price_supplier",
-    "q4_priority_with_big_lineitem",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
+    # ROUND 13 gate rotation (exactly the plan committed in round 12,
+    # COVERAGE.md): slots 0-30 retire the LAST 31 stale-r8 rows in
+    # their CORRECTNESS_r08 order — after CORRECTNESS_r13 lands green,
+    # no driver row in the catalog is older than round 9; slots 31-37
+    # the seven NEW round-13 queries (kNN composition: filtered /
+    # additive hybrid / rrf retriever; simple_query_string
+    # phrase+prefix grammar; date_histogram fixed_interval with
+    # zero-fill; multi_match phrase / cross_fields); slots 38-49 the
+    # 12 OLDEST stale-r9 rows in their CORRECTNESS_r09 order (the
+    # remaining 38 r9 rows head the round-14 rotation — enumerated in
+    # COVERAGE.md).
+    # --- slots 0-30: the last stale-r8 rows, CORRECTNESS_r08 order ---
+    "q11_important_stock",
+    "q12_late_lines_by_priority",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_revenue",
+    "q20_part_supplier_chain",
+    "q21_sole_supplier_orders",
+    "q22_idle_rich_customers",
+    "orders_above_customer_avg",
+    "having_frequent_buyers",
+    "skew_salted_agg_events",
+    "salted_join_events_customer",
+    "neardup_cluster_dedup",
+    "embedding_lsh_neardup",
+    "embedding_ivf_neardup",
+    "cosine_topk_ivf",
+    "contamination_overlap",
+    "curation_pipeline_documents",
+    "udtf_chunk_documents",
+    "multimodal_ppm_decode_stats",
+    "multimodal_ppm_resize",
+    "multimodal_image_resize",
+    "multimodal_audio_resample",
+    "streaming_stateful_first_event",
+    "streaming_session_window_events",
+    "conjunctive_bm25_indexed_documents",
+    "streaming_indexed_search_documents",
+    # --- slots 31-37: NEW round-13 queries ----------------------------
+    "knn_filtered_search_embeddings",
+    "hybrid_knn_bm25_documents",
+    "hybrid_rrf_api_documents",
+    "sqs_phrase_prefix_documents",
+    "date_histogram_fixed_documents",
+    "phrase_multi_match_documents",
+    "cross_fields_bm25_documents",
+    # --- slots 38-49: oldest stale-r9 rows, CORRECTNESS_r09 order -----
+    "postings_index_health_documents",
+    "search_highlight_documents",
+    "more_like_this_documents",
+    "fuzzy_bm25_search_documents",
+    "gap_fill_hourly_events",
+    "stratified_sample_documents",
+    "weighted_sample_documents",
+    "shard_assignment_documents",
+    "zorder_key_events",
+    "label_centroid_embeddings",
+    "tfidf_top_terms_per_doc",
+    "streaming_sliding_window_events",
 ]
 
 

@@ -690,6 +690,80 @@ def edit_distance_pairs(
     )
 
 
+def edit_distance_pairs_grouped(
+    df: DataFrame, id_col: str, text_col: str, max_dist: int = 1
+) -> DataFrame:
+    """``edit_distance_pairs`` with DEDUP-BEFORE-VERIFY — the flood
+    dial for duplicate-heavy corpora: when a text value occurs cnt
+    times, the pair output of the id-level operator grows as cnt² per
+    value (10 exact copies of every name → ~45x the true-pair volume,
+    the one genuine super-linear residual of the sf1 ladder), yet
+    every one of those pairs carries the SAME (text_a, text_b, dist)
+    fact. This variant groups identical texts FIRST, runs the FastSS
+    block join over DISTINCT texts only, and returns one row per TEXT
+    pair with the id-pair multiplicity as a count:
+
+    ``(text_a, text_b, dist, n_pairs)`` where dist=0 rows are the
+    within-group pairs (n_pairs = C(cnt, 2)) and dist>=1 rows carry
+    n_pairs = cnt_a * cnt_b — the exact id-pair multiset of the
+    ungrouped operator is recoverable by expanding each row against
+    the per-text id lists, so no information is lost; the OUTPUT (and
+    the verify join, and the distinct's shuffle) shrink from
+    O(Σ cnt²) to O(distinct-text pairs).
+
+    Plan shape: one hash groupBy on the text (map-side partial), the
+    same variant equi-join as the base operator but over the deduped
+    relation, levenshtein verify map-side before the distinct."""
+    if max_dist not in (1, 2):
+        raise ValueError(
+            f"edit_distance_pairs supports max_dist 1 or 2 (the ES "
+            f"fuzziness ceiling), got {max_dist}"
+        )
+    from pycasselastic_spark.operators.search_index import (
+        _deletion_variants_expr,
+    )
+
+    base = (
+        df.filter(F.length(F.col(text_col)) >= 1)
+        .groupBy(F.col(text_col).alias("_text"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    same = base.filter(F.col("_cnt") >= 2).select(
+        F.col("_text").alias("text_a"),
+        F.col("_text").alias("text_b"),
+        F.lit(0).cast("int").alias("dist"),
+        F.expr("_cnt * (_cnt - 1) div 2").cast("long").alias("n_pairs"),
+    )
+    variants = base.withColumnRenamed("_text", "term").select(
+        "term",
+        "_cnt",
+        F.explode(
+            F.expr(_deletion_variants_expr(max_dist))
+        ).alias("_variant"),
+    )
+    left = variants.select(
+        F.col("term").alias("text_a"), F.col("_cnt").alias("_cnt_a"),
+        "_variant",
+    )
+    right = variants.select(
+        F.col("term").alias("text_b"), F.col("_cnt").alias("_cnt_b"),
+        "_variant",
+    )
+    cross = (
+        left.join(right, "_variant")
+        .filter(F.col("text_a") < F.col("text_b"))
+        .filter(F.levenshtein("text_a", "text_b") <= max_dist)
+        .select("text_a", "text_b", "_cnt_a", "_cnt_b")
+        .distinct()
+        .select(
+            "text_a", "text_b",
+            F.levenshtein("text_a", "text_b").cast("int").alias("dist"),
+            (F.col("_cnt_a") * F.col("_cnt_b")).cast("long").alias("n_pairs"),
+        )
+    )
+    return same.unionByName(cross)
+
+
 def passage_duplicate_stats(
     df: DataFrame, id_col: str, text_col: str, passage_tokens: int = 10
 ) -> DataFrame:

@@ -290,6 +290,57 @@ def sqs_phrase_prefix_documents(
     )
 
 
+@register(
+    "fuzzy_match_grouped_customer_names",
+    """
+WITH base AS (
+  SELECT c_name AS text, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM customer WHERE length(c_name) >= 1 GROUP BY c_name),
+same AS (
+  SELECT text AS text_a, text AS text_b, CAST(0 AS INT) AS dist,
+         CAST(cnt * (cnt - 1) // 2 AS BIGINT) AS n_pairs
+  FROM base WHERE cnt >= 2),
+v AS (
+  SELECT text, cnt,
+         unnest(list_prepend(text,
+            list_transform(range(1, length(text) + 1),
+                           i -> substr(text, 1, i - 1) || substr(text, i + 1))))
+           AS variant
+  FROM base),
+crs AS (
+  SELECT DISTINCT a.text AS text_a, b.text AS text_b,
+         CAST(levenshtein(a.text, b.text) AS INT) AS dist,
+         CAST(a.cnt * b.cnt AS BIGINT) AS n_pairs
+  FROM v a JOIN v b ON a.variant = b.variant AND a.text < b.text
+  WHERE levenshtein(a.text, b.text) <= 1)
+SELECT * FROM same UNION ALL SELECT * FROM crs
+""",
+    doc="The FLOOD DIAL for fuzzy entity matching (operators/dedup.py:"
+    "edit_distance_pairs_grouped) — dedup-before-verify: when a text "
+    "value occurs cnt times, the id-level pair output grows as cnt2 "
+    "per value (the sf1 ladder's one genuine super-linear residual: "
+    "replica-duplicated names made fuzzy_match_customer_names ~12x "
+    "at 10x data, all of it output volume), yet every such pair "
+    "carries the same (text_a, text_b, dist) fact. Grouping "
+    "identical texts FIRST collapses output, verify join, and the "
+    "distinct's shuffle from O(sum cnt2) to O(distinct-text pairs); "
+    "dist=0 rows carry n_pairs=C(cnt,2), dist>=1 rows cnt_a*cnt_b — "
+    "the id-pair multiset stays exactly recoverable. Same FastSS "
+    "deletion-variant block join, now over the deduped relation. "
+    "Measured before/after at sf1 in SCALING.md.",
+)
+def fuzzy_match_grouped_customer_names(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pycasselastic_spark.operators.dedup import (
+        edit_distance_pairs_grouped,
+    )
+
+    cust = ensure_parallelism(_t(spark, sf_dir, "customer"), spark)
+    return edit_distance_pairs_grouped(cust, "c_custkey", "c_name",
+                                       max_dist=1)
+
+
 # --- date_histogram: fixed_interval + min_doc_count=0/extended_bounds -------
 
 _TS_INDEX_CACHE: dict[str, str] = {}

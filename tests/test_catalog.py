@@ -43,41 +43,33 @@ def test_query_runs(spark, sf_dir, name):
     assert len(df.columns) == len(set(df.columns))
 
 
-def test_round12_gate_slots():
-    """The driver hashes the FIRST 50 registered queries; the round-12
-    rotation retires the LAST five stale-r7 rows in slots 0-4, puts
-    the six NEW round-12 queries (phrase synonyms + reindex twin,
-    exists/ids/terms_set, missing bucket) in slots 5-10, the twenty
-    round-12 continuation queries in slots 11-30 (late nested-type /
-    dv-query five + compound-scoring / aggregation / span-coverage /
-    simple_query_string / best_fields / span-rewrite / knn-API /
-    match_all / facet-stats / temperature-mixing fifteen), and the
-    first 19 stale-r8 rows in slots 31-49
-    (CORRECTNESS_r08 order). Pin the boundary slots so an accidental
-    registration reorder is caught before the driver runs
-    (COVERAGE.md enumerates the full list)."""
+def test_round13_gate_slots():
+    """The driver hashes the FIRST 50 registered queries; the round-13
+    rotation retires the LAST 31 stale-r8 rows in slots 0-30 (their
+    CORRECTNESS_r08 order — after this lands green no driver row is
+    older than round 9), puts the seven NEW round-13 queries (kNN
+    composition x3, sqs grammar, date_histogram fixed/zero-fill,
+    multi_match phrase/cross_fields) in slots 31-37, and backfills
+    slots 38-49 with the 12 OLDEST stale-r9 rows (CORRECTNESS_r09
+    order). Pin the boundary slots so an accidental registration
+    reorder is caught before the driver runs (COVERAGE.md enumerates
+    the full list)."""
     names = list(QUERIES)
-    assert names[0] == "range_join_value_buckets"
-    assert names[4] == "applyinpandas_rank_events"
-    assert names[5] == "multiword_synonym_bm25_documents"
-    assert names[6] == "reindex_upgrade_multiword_documents"
-    assert names[7] == "exists_query_documents"
-    assert names[8] == "ids_query_documents"
-    assert names[9] == "terms_set_documents"
-    assert names[10] == "missing_bucket_facets_documents"
-    assert names[11] == "range_query_documents"
-    assert names[15] == "exists_filtered_bm25_documents"
-    assert names[16] == "dis_max_bm25_documents"
-    assert names[23] == "duplicate_span_coverage_documents"
-    assert names[24] == "simple_query_string_documents"
-    assert names[26] == "span_dedup_rewrite_documents"
-    assert names[27] == "knn_search_api_embeddings"
-    assert names[28] == "match_all_page_documents"
-    assert names[29] == "facet_stats_agg_documents"
-    assert names[30] == "temperature_mixture_sample_documents"
-    assert names[31] == "streaming_lwwstore_replicate_events"
-    assert names[49] == "q10_returned_items"
+    assert names[0] == "q11_important_stock"
+    assert names[13] == "having_frequent_buyers"
+    assert names[14] == "skew_salted_agg_events"
+    assert names[29] == "conjunctive_bm25_indexed_documents"
+    assert names[30] == "streaming_indexed_search_documents"
+    assert names[31] == "knn_filtered_search_embeddings"
+    assert names[32] == "hybrid_knn_bm25_documents"
+    assert names[33] == "hybrid_rrf_api_documents"
+    assert names[34] == "sqs_phrase_prefix_documents"
+    assert names[35] == "date_histogram_fixed_documents"
+    assert names[36] == "phrase_multi_match_documents"
+    assert names[37] == "cross_fields_bm25_documents"
+    assert names[38] == "postings_index_health_documents"
+    assert names[49] == "streaming_sliding_window_events"
     # the gate is the FIRST 50; post-gate registrations grow the tail
     # every round (COVERAGE.md enumerates them), so pin a floor, not
     # an exact count — an accidental DEregistration still fails here
-    assert len(names) >= 211
+    assert len(names) >= 238

@@ -334,6 +334,43 @@ class TestEditDistancePairs:
             edit_distance_pairs(df, "id", "name", max_dist=3)
 
 
+class TestEditDistanceGrouped:
+    def test_grouped_pairs_preserve_id_pair_multiset(self, spark):
+        """Dedup-before-verify must lose NOTHING: expanding each
+        grouped row's n_pairs reproduces exactly the ungrouped
+        operator's pair count per (text_a, text_b, dist) — and the
+        within-group dist-0 rows carry C(cnt, 2)."""
+        from collections import Counter
+
+        from pycasselastic_spark.operators.dedup import (
+            edit_distance_pairs,
+            edit_distance_pairs_grouped,
+        )
+
+        # 'kitten' x3, 'mitten' x2 (dist 1 across, dist 0 within),
+        # 'zebra' x1 (no matches)
+        rows = [
+            (1, "kitten"), (2, "kitten"), (3, "kitten"),
+            (4, "mitten"), (5, "mitten"), (6, "zebra"),
+        ]
+        df = spark.createDataFrame(rows, ["id", "name"])
+        flat = Counter(
+            (min(r["text_a"], r["text_b"]), max(r["text_a"], r["text_b"]),
+             r["dist"])
+            for r in edit_distance_pairs(df, "id", "name").collect()
+        )
+        grouped = {
+            (r["text_a"], r["text_b"], r["dist"]): r["n_pairs"]
+            for r in edit_distance_pairs_grouped(df, "id", "name").collect()
+        }
+        assert grouped == dict(flat)
+        assert grouped[("kitten", "kitten", 0)] == 3  # C(3, 2)
+        assert grouped[("kitten", "mitten", 1)] == 6  # 3 x 2
+        # the grouped output is one row per TEXT pair — the collapse
+        assert sum(grouped.values()) == sum(flat.values()) == 10
+        assert len(grouped) == 3
+
+
 class TestPassageDedup:
     def test_shared_passages_counted_cross_doc_only(self, spark):
         # docs 1 and 2 share their first 10-token passage exactly; doc 3
