@@ -423,6 +423,13 @@ def es_search(
       leaves.
     - ``size`` (default 10) and ``search_after`` ([score_q20, id] —
       the (score desc, id asc) cursor, match-only).
+    - ``highlight`` {"fields": {field: {}}} under a match query:
+      the ranked hits each carrying a 5-token snippet at the first
+      match position (needs the ``docs`` frame for the stored-field
+      fetch).
+    - ``suggest`` (query-less allowed): one named suggester, the
+      ``term`` (did-you-mean over the FastSS dictionary) or
+      ``phrase`` (bigram-frequency-ranked) form.
     - ``collapse`` {"field": ...} and ``aggs`` with ONE ``terms``
       facet, optionally carrying a ``top_hits`` sub-aggregation —
       these need the ``docs`` frame for the stored-field fetch.
@@ -446,11 +453,57 @@ def es_search(
     """
     unknown = set(body) - {
         "query", "size", "search_after", "collapse", "aggs", "sort", "knn",
-        "rank",
+        "rank", "highlight", "suggest",
     }
     if unknown:
         raise _err(f"body keys {sorted(unknown)}")
     size = int(body.get("size", 10))
+
+    if "suggest" in body:
+        # suggest-only request (ES allows it with no query) — one
+        # named suggester, term or phrase form
+        if set(body) - {"suggest", "size"}:
+            raise _err(
+                f"suggest combined with {sorted(set(body) - {'suggest', 'size'})}"
+            )
+        _sname, spec = _single(body["suggest"], "suggest")
+        if (
+            not isinstance(spec, dict)
+            or "text" not in spec
+            or ("term" in spec) == ("phrase" in spec)
+            or set(spec) - {"text", "term", "phrase"}
+        ):
+            raise _err(
+                "suggest body (expected text + exactly one of term/phrase)"
+            )
+        from pycasselastic_spark.operators.search_ext import (
+            suggest_phrase,
+            suggest_terms,
+        )
+
+        text = str(spec["text"])
+        kind = "term" if "term" in spec else "phrase"
+        opts = spec[kind]
+        extra = set(opts) - {"field", "size", "max_edits"}
+        if extra:
+            raise _err(f"{kind} suggester options {sorted(extra)}")
+        toks = text.split()
+        if kind == "term":
+            if len(toks) != 1:
+                raise _err(
+                    "term suggester over multi-token text (use phrase)"
+                )
+            me = opts.get("max_edits")
+            return suggest_terms(
+                index, toks[0], k=int(opts.get("size", 5)),
+                max_dist=None if me is None else int(me),
+            )
+        if len(toks) < 2:
+            raise _err("phrase suggester needs at least two tokens")
+        return suggest_phrase(
+            index, toks, k=int(opts.get("size", 3)),
+            max_dist=int(opts.get("max_edits", 1)),
+        )
 
     if "knn" in body:
         # ES 8.x top-level kNN retrieval. EXACT search over the
@@ -684,6 +737,46 @@ def es_search(
         return bm25_collapse(
             index, docs, index.analyze_text(_match_text(q, "collapse")),
             body["collapse"]["field"], k=size,
+        )
+
+    if "highlight" in body:
+        # ES's response shape: the RANKED hits, each carrying its
+        # snippet — the scored probe joins the candidate-bounded
+        # stored-field fetch on the id
+        if docs is None:
+            raise _err("highlight without a docs frame (stored-field fetch)")
+        if set(body) - {"highlight", "query", "size"}:
+            raise _err(
+                "highlight combined with "
+                f"{sorted(set(body) - {'highlight', 'query', 'size'})}"
+            )
+        if qtype != "match":
+            raise _err(f"highlight under query type {qtype!r}")
+        hspec = body["highlight"]
+        if set(hspec) != {"fields"}:
+            raise _err(
+                f"highlight options {sorted(set(hspec) - {'fields'})}"
+            )
+        field, fopts = _single(hspec["fields"], "highlight field")
+        if fopts:
+            # fragment_size etc. are char-based in ES; the snippet
+            # window here is token-based — raise rather than silently
+            # reinterpret units
+            raise _err(f"highlight field options {sorted(fopts)}")
+        from pycasselastic_spark.operators.search_ext import (
+            highlight_snippets,
+        )
+
+        terms = index.analyze_text(_match_text(q, "highlight"))
+        id_col = index.id_col
+        hits = bm25_topk_indexed(index, terms, k=size)
+        snips = highlight_snippets(index, docs, field, terms).select(
+            F.col(id_col), "snippet"
+        )
+        return (
+            hits.join(snips, id_col)
+            .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
+            .limit(size)
         )
 
     if qtype == "match":

@@ -291,6 +291,60 @@ def sqs_phrase_prefix_documents(
 
 
 @register(
+    "highlighted_search_documents",
+    f"""
+WITH {_TOK_POSTINGS},
+qt AS (SELECT * FROM postings WHERE term IN ('scan', 'hash')),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term),
+scored AS (
+  SELECT qt.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+         CAST(FLOOR(SUM({_BM25_TERM_SCORE}) * 1048576.0) AS BIGINT)
+           AS score_q20
+  FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+  GROUP BY qt.doc_id, sc.n_docs),
+top AS (SELECT * FROM scored ORDER BY score_q20 DESC, doc_id LIMIT 10),
+tokp AS (
+  SELECT doc_id, i AS pos, toks[i+1] AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       LATERAL (SELECT unnest(range(len(toks))) AS i) t
+  WHERE toks[i+1] <> ''
+),
+firsts AS (
+  SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS first_pos
+  FROM tokp WHERE term IN ('scan', 'hash') GROUP BY doc_id)
+SELECT t.doc_id, t.n_hit_terms, t.score_q20,
+       array_to_string(
+         list_slice(string_split(d.text, ' '),
+                    f.first_pos + 1, f.first_pos + 5), ' ') AS snippet
+FROM top t JOIN firsts f USING (doc_id) JOIN documents d USING (doc_id)
+ORDER BY score_q20 DESC, doc_id
+""",
+    doc="ES's ACTUAL highlight response shape dispatched from the "
+    "_search body (operators/search_api.py: highlight branch): the "
+    "RANKED BM25 hits, each carrying its 5-token snippet at the "
+    "first match position — the standalone search_highlight_"
+    "documents returns the unranked candidate relation; a real "
+    "search page is scored-then-snippeted. Plan: the pruned scored "
+    "probe (TakeOrderedAndProject top-10) joins the "
+    "candidate-bounded stored-field fetch (positions from STORED "
+    "postings, only candidates touch raw text) on the id — both "
+    "sides query-sized. fragment_size raises (ES counts chars, this "
+    "window counts tokens — never silently reinterpret units).",
+)
+def highlighted_search_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
+    return es_search(idx, {
+        "query": {"match": {"text": "scan hash"}},
+        "highlight": {"fields": {"text": {}}},
+        "size": 10,
+    }, docs=docs)
+
+
+@register(
     "fuzzy_match_grouped_customer_names",
     """
 WITH base AS (

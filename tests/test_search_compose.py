@@ -715,6 +715,66 @@ def test_simple_query_string_grammar_strictness(idx):
         _dispatch_simple_query_string(idx2, {"query": "join -the"}, 10)
 
 
+def test_suggest_and_highlight_dispatch(spark, idx, tmp_path):
+    from pycasselastic_spark.operators.search_ext import (
+        highlight_snippets,
+        suggest_terms,
+    )
+
+    # term suggester: dispatch == standalone probe
+    got = es_search(idx, {
+        "suggest": {"fix": {"text": "joib",
+                            "term": {"field": "text", "size": 3}}},
+    }).collect()
+    want = suggest_terms(idx, "joib", k=3).collect()
+    assert got == want
+    # highlight: ranked hits each carrying the standalone snippet
+    docs = _corpus(spark, [
+        (1, "spark join shuffle join"),
+        (2, "spark filter scan"),
+        (3, "join join broadcast window"),
+        (4, "scan scan filter pushdown spark"),
+        (5, "unrelated words only here"),
+    ])
+    got = es_search(idx, {
+        "query": {"match": {"text": "spark join"}},
+        "highlight": {"fields": {"text": {}}},
+        "size": 3,
+    }, docs=docs).collect()
+    assert len(got) == 3
+    snips = {
+        r["doc_id"]: r["snippet"]
+        for r in highlight_snippets(idx, docs, "text",
+                                    ["spark", "join"]).collect()
+    }
+    ranked = SRCH.bm25_topk_indexed(idx, ["spark", "join"], k=3).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in ranked]
+    for r in got:
+        assert r["snippet"] == snips[r["doc_id"]]
+    # strictness
+    with pytest.raises(ValueError, match="suggest body"):
+        es_search(idx, {"suggest": {"s": {"text": "a"}}})
+    with pytest.raises(ValueError, match="multi-token"):
+        es_search(idx, {
+            "suggest": {"s": {"text": "a b", "term": {"field": "text"}}},
+        })
+    with pytest.raises(ValueError, match="suggest combined"):
+        es_search(idx, {
+            "suggest": {"s": {"text": "a", "term": {"field": "text"}}},
+            "query": {"match": {"text": "spark"}},
+        })
+    with pytest.raises(ValueError, match="highlight without a docs"):
+        es_search(idx, {
+            "query": {"match": {"text": "spark"}},
+            "highlight": {"fields": {"text": {}}},
+        })
+    with pytest.raises(ValueError, match="highlight field options"):
+        es_search(idx, {
+            "query": {"match": {"text": "spark"}},
+            "highlight": {"fields": {"text": {"fragment_size": 80}}},
+        }, docs=docs)
+
+
 def test_span_rewrite_matches_coverage_and_rebuilds_text(spark):
     from pycasselastic_spark.operators.dedup import span_dedup_rewrite
 
