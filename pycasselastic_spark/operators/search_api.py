@@ -420,7 +420,8 @@ def es_search(
       boosts) / ``phrase`` (+``slop``) / ``cross_fields`` — over
       per-field indexes passed via ``field_indexes``), and ``bool``
       with ``must`` / ``should`` / ``must_not`` lists of match/term
-      leaves.
+      leaves plus bool-level ``minimum_should_match`` (N of the
+      should CLAUSES required).
     - ``size`` (default 10) and ``search_after`` ([score_q20, id] —
       the (score desc, id asc) cursor, match-only).
     - ``highlight`` {"fields": {field: {}}} under a match query:
@@ -1087,9 +1088,12 @@ def es_search(
         value = value["value"] if isinstance(value, dict) else value
         return bm25_topk_regexp(index, str(value), k=size)
     if qtype == "bool":
-        extra = set(q) - {"must", "should", "must_not", "filter"}
+        extra = set(q) - {
+            "must", "should", "must_not", "filter", "minimum_should_match",
+        }
         if extra:
             raise _err(f"bool options {sorted(extra)}")
+        msm = int(q.get("minimum_should_match", 0))
         must_clauses = [
             _clause_terms(index, c) for c in q.get("must", [])
         ]
@@ -1124,20 +1128,22 @@ def es_search(
                 index, must, _filter_predicates(q["filter"]), k=size,
                 min_match=len(set(must)),
             )
-        # must passes CLAUSE structure through: a multi-term match
-        # clause is satisfied when ANY of its analyzed terms occurs
-        # (ES default operator OR inside match) — bm25_bool_query's
-        # per-clause conditional aggregates implement exactly that
-        # (round-10 advisor finding: flattening silently returned a
-        # strict subset of ES's results)
-        should = [
-            t for c in q.get("should", []) for t in _clause_terms(index, c)
+        # must AND should pass CLAUSE structure through: a multi-term
+        # match clause is satisfied when ANY of its analyzed terms
+        # occurs (ES default operator OR inside match) —
+        # bm25_bool_query's per-clause conditional aggregates
+        # implement exactly that (round-10 advisor finding: flattening
+        # silently returned a strict subset of ES's results); should
+        # clauses need the structure for bool-level
+        # minimum_should_match (N CLAUSES, not N terms)
+        should_clauses = [
+            _clause_terms(index, c) for c in q.get("should", [])
         ]
         must_not = [
             t for c in q.get("must_not", []) for t in _clause_terms(index, c)
         ]
         return bm25_bool_query(
-            index, must=must_clauses, should=should, must_not=must_not,
-            k=size,
+            index, must=must_clauses, should=should_clauses,
+            must_not=must_not, k=size, min_should_match=msm,
         )
     raise _err(f"query type {qtype!r}")

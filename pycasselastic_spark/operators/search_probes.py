@@ -292,6 +292,7 @@ def bm25_bool_query(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    min_should_match: int = 0,
 ) -> DataFrame:
     """The full ES ``bool`` query: every ``must`` CLAUSE must be
     satisfied, ``should`` terms add relevance without being required,
@@ -310,6 +311,14 @@ def bm25_bool_query(
     scores a bool query (per-clause sums of per-term scores).
     ``must_not`` flattens safely — a doc is vetoed iff ANY term of ANY
     must_not clause hits, which is term-set semantics.
+
+    ``min_should_match`` is ES's BOOL-LEVEL ``minimum_should_match``:
+    at least N of the ``should`` CLAUSES must be satisfied (a clause
+    counts once however many of its terms hit). The default 0 keeps
+    ES's own default in the presence of must clauses; should-only
+    bodies already behave as msm=1 (a doc can only surface by
+    matching a scoring term). The per-clause hit flags ride the same
+    single aggregation as the must flags — no extra pass.
 
     Plan shape: ONE pruned postings probe fetches all three contexts'
     terms; scoring rows (must+should) flow through the same
@@ -337,6 +346,20 @@ def bm25_bool_query(
             )
         ).alias(f"_clause_{i}")
         for i, c in enumerate(must_clauses)
+    ]
+    should_clauses = _as_clauses(should) if min_should_match else []
+    if min_should_match > len(should_clauses):
+        raise ValueError(
+            f"min_should_match={min_should_match} exceeds the "
+            f"{len(should_clauses)} should clauses — no doc could match"
+        )
+    clause_hits += [
+        F.max(
+            F.when(F.col("term").isin(sorted(set(c))), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias(f"_should_{i}")
+        for i, c in enumerate(should_clauses)
     ]
     scored = (
         scoring.join(F.broadcast(dfreq), "term")
@@ -367,6 +390,14 @@ def bm25_bool_query(
     for i in range(len(must_clauses)):
         scored = scored.filter(F.col(f"_clause_{i}") == 1)
     scored = scored.drop(*[f"_clause_{i}" for i in range(len(must_clauses))])
+    if min_should_match:
+        total = None
+        for i in range(len(should_clauses)):
+            c = F.col(f"_should_{i}")
+            total = c if total is None else total + c
+        scored = scored.filter(total >= min_should_match).drop(
+            *[f"_should_{i}" for i in range(len(should_clauses))]
+        )
     if must_not:
         vetoed = (
             postings.filter(F.col("term").isin(sorted(set(must_not))))

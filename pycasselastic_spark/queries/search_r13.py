@@ -291,6 +291,60 @@ def sqs_phrase_prefix_documents(
 
 
 @register(
+    "bool_min_should_match_documents",
+    f"""
+WITH {_TOK_POSTINGS},
+qt AS (SELECT * FROM postings
+       WHERE term IN ('scan', 'join', 'hash', 'merge')),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term),
+scored AS (
+  SELECT qt.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+         CAST(FLOOR(SUM({_BM25_TERM_SCORE}) * 1048576.0) AS BIGINT)
+           AS score_q20,
+         MAX(CASE WHEN term = 'scan' THEN 1 ELSE 0 END) AS m0,
+         MAX(CASE WHEN term = 'join' THEN 1 ELSE 0 END) AS s0,
+         MAX(CASE WHEN term = 'hash' THEN 1 ELSE 0 END) AS s1,
+         MAX(CASE WHEN term = 'merge' THEN 1 ELSE 0 END) AS s2
+  FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+  GROUP BY qt.doc_id, sc.n_docs)
+SELECT doc_id, n_hit_terms, score_q20 FROM scored
+WHERE m0 = 1 AND s0 + s1 + s2 >= 2
+ORDER BY score_q20 DESC, doc_id LIMIT 10
+""",
+    doc="ES BOOL-LEVEL ``minimum_should_match`` — the common "
+    "recall/precision dial ('must match the anchor term AND at least "
+    "2 of the 3 context terms'): must=[scan], "
+    "should=[join][hash][merge], minimum_should_match=2 "
+    "(operators/search_probes.py:bm25_bool_query min_should_match). "
+    "A should CLAUSE counts once however many of its analyzed terms "
+    "hit — clause semantics, not term counting (the match-level "
+    "minimum_should_match twin counts terms; both exist in ES and "
+    "they differ on multi-term clauses). The per-clause hit flags "
+    "ride the SAME single scoring aggregation as the must flags — "
+    "one pruned probe, one reduction, no extra pass. Scoring stays "
+    "the BM25 sum over every matched scoring term, exactly Lucene. "
+    "Dispatched from query.bool.minimum_should_match.",
+)
+def bool_min_should_match_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"bool": {
+            "must": [{"match": {"text": "scan"}}],
+            "should": [
+                {"match": {"text": "join"}},
+                {"match": {"text": "hash"}},
+                {"match": {"text": "merge"}},
+            ],
+            "minimum_should_match": 2,
+        }},
+        "size": 10,
+    })
+
+
+@register(
     "highlighted_search_documents",
     f"""
 WITH {_TOK_POSTINGS},

@@ -715,6 +715,44 @@ def test_simple_query_string_grammar_strictness(idx):
         _dispatch_simple_query_string(idx2, {"query": "join -the"}, 10)
 
 
+def test_bool_minimum_should_match_counts_clauses(idx):
+    from pycasselastic_spark.operators.search_probes import bm25_bool_query
+
+    # corpus: 1 spark join..join | 2 spark filter scan |
+    # 3 join..broadcast window | 4 scan scan filter pushdown spark
+    body = {
+        "query": {"bool": {
+            "must": [{"match": {"text": "spark"}}],
+            "should": [
+                {"match": {"text": "join"}},
+                {"match": {"text": "filter"}},
+                {"match": {"text": "scan"}},
+            ],
+            "minimum_should_match": 2,
+        }},
+        "size": 10,
+    }
+    got = es_search(idx, body)
+    # docs 2 and 4 match spark + (filter, scan); doc 1 matches spark
+    # + only join (1 should clause) — excluded
+    assert {r["doc_id"] for r in got.collect()} == {2, 4}
+    direct = bm25_bool_query(
+        idx, must=[["spark"]], should=[["join"], ["filter"], ["scan"]],
+        min_should_match=2, k=10,
+    )
+    assert got.collect() == direct.collect()
+    # a multi-term should CLAUSE counts once however many terms hit
+    one_clause = bm25_bool_query(
+        idx, must=[["spark"]], should=[["join", "filter", "scan"]],
+        min_should_match=1, k=10,
+    ).collect()
+    assert {r["doc_id"] for r in one_clause} == {1, 2, 4}
+    with pytest.raises(ValueError, match="exceeds"):
+        bm25_bool_query(
+            idx, must=[["spark"]], should=[["join"]], min_should_match=2
+        )
+
+
 def test_suggest_and_highlight_dispatch(spark, idx, tmp_path):
     from pycasselastic_spark.operators.search_ext import (
         highlight_snippets,
