@@ -198,6 +198,91 @@ def _clause_terms(index: PostingsIndex, clause: dict) -> list[str]:
     raise _err(f"bool clause type {kind!r}")
 
 
+def _agg_scope(index: PostingsIndex, qtype: str, q):
+    """The hit scope an aggregation runs over: analyzed TERMS for a
+    match query (the fast path every agg function already speaks), or
+    a derived hit-id RELATION for the other dispatched query types —
+    ES lets an aggregation ride ANY query, so restricting aggs to
+    match (the round-12 state) refused real request shapes; the hit
+    set is derived ONCE here and shared by every agg through
+    ``hits_relation``. Scoring-dependent aggs (top_hits) stay
+    match-only — they need the probe's scores, not just its ids."""
+    from pycasselastic_spark.operators.search_hybrid import filtered_ids
+    from pycasselastic_spark.operators.search_index import dv_col
+
+    id_col = index.id_col
+    if qtype == "match":
+        return index.analyze_text(_match_text(q, "aggs"))
+    if qtype == "term":
+        _f, v = _single(q, "term")
+        return index.live_postings_for([str(v)]).select(id_col).distinct()
+    if qtype == "match_all":
+        if q:
+            raise _err(f"match_all options {sorted(q)}")
+        base = (
+            index.live_docvalues()
+            if index.stored_fields
+            else index.live_forward()
+        )
+        return base.select(id_col).distinct()
+    if qtype == "exists":
+        if set(q) != {"field"}:
+            raise _err(f"exists options {sorted(set(q) - {'field'})}")
+        return filtered_ids(index, [(q["field"], "exists", None)])
+    if qtype == "range":
+        field, spec = _single(q, "range")
+        extra = set(spec) - set(_RANGE_OPS)
+        if extra:
+            raise _err(f"range options {sorted(extra)}")
+        preds = [
+            (field, op, spec[es_op])
+            for es_op, op in _RANGE_OPS.items()
+            if es_op in spec
+        ]
+        return filtered_ids(index, preds)
+    if qtype == "terms":
+        field, values = _single(q, "terms")
+        if not isinstance(values, (list, tuple)):
+            raise _err(f"terms body {values!r} (expected a value list)")
+        if field not in index.stored_fields:
+            raise _err(
+                f"terms field {field!r} is not stored "
+                f"(stored_fields={index.stored_fields})"
+            )
+        dv = index.live_docvalues()
+        return (
+            dv.filter(dv_col(field).isin(list(values)))
+            .select(id_col)
+            .distinct()
+        )
+    if qtype == "bool":
+        extra = set(q) - {"must", "must_not"}
+        if extra:
+            raise _err(
+                f"aggs under bool options {sorted(extra)} "
+                "(must/must_not only)"
+            )
+        musts = q.get("must", [])
+        if not musts:
+            raise _err("aggs under bool without must clauses")
+        ids = None
+        for c in musts:
+            terms = _clause_terms(index, c)
+            if not terms:
+                raise _err(f"must clause analyzing to no terms: {c!r}")
+            cl = index.live_postings_for(terms).select(id_col).distinct()
+            ids = cl if ids is None else ids.join(cl, id_col, "semi")
+        for c in q.get("must_not", []):
+            veto = (
+                index.live_postings_for(_clause_terms(index, c))
+                .select(id_col)
+                .distinct()
+            )
+            ids = ids.join(veto, id_col, "anti")
+        return ids
+    raise _err(f"aggs under query type {qtype!r}")
+
+
 def _sqs_tokens(s: str) -> list[tuple]:
     """Tokenize the ``simple_query_string`` grammar into
     ``(sign, kind, value, opt)`` tuples — sign in {'', '+', '-'},
@@ -437,7 +522,13 @@ def es_search(
     - ``aggs`` metric/bucket forms over STORED doc-values (no docs
       frame): ``stats``, ``histogram``, ``percentiles`` (exact),
       ``cardinality`` (exact), ``range``, ``date_histogram``
-      (calendar_interval day/week/month).
+      (calendar_interval hour/day/week/month/quarter/year, or
+      fixed_interval <n>s/m/h/d, with min_doc_count=0 +
+      extended_bounds zero-fill). Aggregations compose with ANY
+      dispatched hit-defining query — match / term / match_all /
+      exists / range / terms / bool(must, must_not) — the hit set is
+      derived once and shared (top_hits stays match-only: it needs
+      scores).
     - top-level ``knn`` (ES 8.x): exact cosine retrieval over the
       ``embeddings`` frame from a literal ``query_vector``
       (num_candidates accepted — exact search is its limit), with
@@ -611,9 +702,10 @@ def es_search(
 
     if "aggs" in body:
         agg_name, agg = _single(body["aggs"], "aggs")
-        if qtype != "match":
-            raise _err(f"aggs under query type {qtype!r}")
-        terms = index.analyze_text(_match_text(q, "aggs"))
+        # terms is the agg scope: an analyzed term list under match,
+        # a derived hit-id relation under the other query types
+        # (hits_relation accepts both downstream)
+        terms = _agg_scope(index, qtype, q)
         # metric/histogram aggregations run on STORED doc-values — no
         # docs frame needed; the terms facet still fetches its field
         # from the docs frame (any column, not just stored ones)
@@ -718,6 +810,10 @@ def es_search(
                     "top_hits sub-aggregation without a docs frame "
                     "(stored-field fetch)"
                 )
+            if not isinstance(terms, list):
+                # top_hits ranks by SCORE — an id-only hit set has
+                # none; the other aggs only need membership
+                raise _err(f"top_hits under query type {qtype!r}")
             return top_hits_by_facet(
                 index, docs, terms, field,
                 hits_per_bucket=int(s["top_hits"].get("size", 3)),

@@ -30,6 +30,7 @@ from pycasselastic_spark.operators.search_index import (
     PostingsIndex,
     _bounded_broadcast,
     dv_col,
+    hits_relation,
 )
 from pycasselastic_spark.operators.search_probes import (
     _bm25_scored,
@@ -250,7 +251,7 @@ def _hit_docvalues(
             f"(stored_fields={index.stored_fields})"
         )
     id_col = index.id_col
-    hits = index.live_postings_for(query_terms).select(id_col).distinct()
+    hits = hits_relation(index, query_terms)
     dv = index.live_docvalues().select(F.col(id_col), dv_col(field))
     return dv.join(_bounded_broadcast(hits), id_col)
 
@@ -812,7 +813,7 @@ def search_facet_metric_agg(
             f"(supported: {valid_orders})"
         )
     id_col = index.id_col
-    hits = index.live_postings_for(query_terms).select(id_col).distinct()
+    hits = hits_relation(index, query_terms)
     dv = index.live_docvalues().select(
         F.col(id_col), dv_col(facet_field), dv_col(metric_field)
     )

@@ -19,6 +19,7 @@ from pycasselastic_spark.operators.search_index import (
     PostingsIndex,
     _tokens,
     dv_col,
+    hits_relation,
 )
 from pycasselastic_spark.operators.search_probes import (
     _bm25_scored,
@@ -189,7 +190,7 @@ def search_facets(
     it they are EXCLUDED from the buckets entirely (ES's default —
     docs without the field simply don't aggregate)."""
     id_col = index.id_col
-    hits = index.live_postings_for(query_terms).select(id_col).distinct()
+    hits = hits_relation(index, query_terms)
     hit_side = _bounded_broadcast(hits)
     facet = (
         F.coalesce(F.col(facet_col), F.lit(missing))
@@ -267,7 +268,7 @@ def search_facets_after(
     page is the same bounded probe — that is exactly why ES offers
     composite for deep bucket pagination."""
     id_col = index.id_col
-    hits = index.live_postings_for(query_terms).select(id_col).distinct()
+    hits = hits_relation(index, query_terms)
     hit_side = _bounded_broadcast(hits)
     buckets = (
         hit_side
@@ -333,7 +334,7 @@ def significant_terms(
     stored-relation scan by design (ES pays the same global-ordinals
     pass), but never a raw-text scan."""
     id_col = index.id_col
-    hits = index.live_postings_for(query_terms).select(id_col).distinct()
+    hits = hits_relation(index, query_terms)
     n_fg = hits.count()
     if n_fg == 0:
         return index.postings.sparkSession.createDataFrame(
@@ -767,7 +768,7 @@ def search_stats_agg(
             f"(stored_fields={index.stored_fields})"
         )
     id_col = index.id_col
-    hits = index.live_postings_for(query_terms).select(id_col).distinct()
+    hits = hits_relation(index, query_terms)
     dv = index.live_docvalues().select(F.col(id_col), dv_col(field))
     return (
         dv.join(_bounded_broadcast(hits), id_col)
@@ -801,7 +802,7 @@ def search_histogram_agg(
             f"(stored_fields={index.stored_fields})"
         )
     id_col = index.id_col
-    hits = index.live_postings_for(query_terms).select(id_col).distinct()
+    hits = hits_relation(index, query_terms)
     dv = index.live_docvalues().select(F.col(id_col), dv_col(field))
     bucket = (
         F.floor(dv_col(field) / F.lit(float(interval)))
@@ -839,7 +840,7 @@ def search_sort_by_field(
             f"(stored_fields={index.stored_fields})"
         )
     id_col = index.id_col
-    hits = index.live_postings_for(query_terms).select(id_col).distinct()
+    hits = hits_relation(index, query_terms)
     dv = index.live_docvalues().select(F.col(id_col), dv_col(field))
     order = dv_col(field).asc() if ascending else dv_col(field).desc()
     return (

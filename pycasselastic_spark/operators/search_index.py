@@ -455,6 +455,24 @@ def _bounded_broadcast(
     return df if df.count() > threshold else F.broadcast(df)
 
 
+def hits_relation(index, query_terms) -> DataFrame:
+    """The hit-id relation an aggregation scopes to: a TERM LIST runs
+    the pruned postings probe (docs matching ANY term — the match
+    query's hit set, the historical fast path); a DataFrame IS the hit
+    set already (one ``id_col`` column — how aggs compose with
+    non-match queries: term / range / terms / exists / bool hit sets
+    are derived once by the dispatcher and every agg shares them).
+    Lives here so both probe modules reach it without a circular
+    import."""
+    if isinstance(query_terms, DataFrame):
+        return query_terms.select(index.id_col).distinct()
+    return (
+        index.live_postings_for(query_terms)
+        .select(index.id_col)
+        .distinct()
+    )
+
+
 def _term_bucket_py(term: str, n_buckets: int) -> int:
     """Python twin of ``_term_bucket_col`` — md5-based so both sides
     agree regardless of PYTHONHASHSEED (same rationale as

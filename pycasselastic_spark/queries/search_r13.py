@@ -291,6 +291,51 @@ def sqs_phrase_prefix_documents(
 
 
 @register(
+    "range_query_facet_agg_documents",
+    """
+WITH hits AS (
+  SELECT doc_id FROM documents WHERE n_chars >= 250 AND n_chars < 400),
+j AS (SELECT d.source, d.n_chars FROM documents d JOIN hits USING (doc_id)
+      WHERE d.source IS NOT NULL)
+SELECT source AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(n_chars) AS min_val,
+       MAX(n_chars) AS max_val,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_val,
+       CAST(FLOOR(AVG(n_chars) * 1048576.0) AS BIGINT) AS avg_q20
+FROM j GROUP BY source
+ORDER BY n_docs DESC, bucket
+""",
+    doc="Aggregations under a NON-MATCH query — ES lets an "
+    "aggregation ride ANY query, and the round-12 dispatcher refused "
+    "everything but match (operators/search_api.py:_agg_scope, new): "
+    "here a constant-score ``range`` query over stored doc-values "
+    "defines the hit set (n_chars in [250, 400) — no lexical terms "
+    "anywhere) and the terms+stats sub-aggregation buckets it by "
+    "source. The hit-id relation is derived ONCE (predicates PUSHED "
+    "into the columnar doc-values scan) and shared by the agg "
+    "through hits_relation — every agg function now accepts a term "
+    "list (the match fast path, plans unchanged) or a hit-id frame. "
+    "term / match_all / exists / terms / bool(must, must_not) scopes "
+    "dispatch the same way; top_hits stays match-only (it needs "
+    "scores). Plan: one pushed dv scan for the hits, one "
+    "partial-aggregated groupBy carrying the metric — no postings, "
+    "no raw docs.",
+)
+def range_query_facet_agg_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"range": {"n_chars": {"gte": 250, "lt": 400}}},
+        "aggs": {"by_source": {
+            "terms": {"field": "source"},
+            "aggs": {"chars": {"stats": {"field": "n_chars"}}},
+        }},
+    })
+
+
+@register(
     "bool_min_should_match_documents",
     f"""
 WITH {_TOK_POSTINGS},

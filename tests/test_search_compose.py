@@ -336,6 +336,57 @@ def test_date_histogram_fixed_interval_and_strictness(dv_idx):
         })
 
 
+def test_aggs_compose_with_non_match_queries(dv_idx):
+    # fixture: (1,val 10,tag x) (2,20,y) (3,30,x) (4,40,z) (5,50,NULL)
+    # range query val>=20 -> hits {2,3,4,5}
+    got = es_search(dv_idx, {
+        "query": {"range": {"val": {"gte": 20}}},
+        "aggs": {"v": {"stats": {"field": "val"}}},
+    }).collect()[0]
+    assert (got["n_docs"], got["min_val"], got["max_val"],
+            got["sum_val"]) == (4, 20, 50, 140)
+    # exists query: tag non-NULL -> {1,2,3,4}
+    got = es_search(dv_idx, {
+        "query": {"exists": {"field": "tag"}},
+        "aggs": {"v": {"stats": {"field": "val"}}},
+    }).collect()[0]
+    assert (got["n_docs"], got["sum_val"]) == (4, 100)
+    # terms query on a stored field
+    got = es_search(dv_idx, {
+        "query": {"terms": {"tag": ["x", "z"]}},
+        "aggs": {"v": {"cardinality": {"field": "val"}}},
+    }).collect()[0]
+    assert got["cardinality"] == 3  # docs 1, 3, 4
+    # match_all scope
+    got = es_search(dv_idx, {
+        "query": {"match_all": {}},
+        "aggs": {"v": {"stats": {"field": "val"}}},
+    }).collect()[0]
+    assert got["n_docs"] == 5
+    # bool must+must_not scope: alpha docs {1,2,3,5} minus delta {4,5}
+    got = es_search(dv_idx, {
+        "query": {"bool": {
+            "must": [{"match": {"text": "alpha"}}],
+            "must_not": [{"match": {"text": "delta"}}],
+        }},
+        "aggs": {"v": {"stats": {"field": "val"}}},
+    }).collect()[0]
+    assert (got["n_docs"], got["sum_val"]) == (3, 60)  # docs 1, 2, 3
+    # match scope unchanged (fast path) — equals the bool-free form
+    via_match = es_search(dv_idx, {
+        "query": {"match": {"text": "alpha"}},
+        "aggs": {"v": {"stats": {"field": "val"}}},
+    }).collect()
+    assert via_match[0]["n_docs"] == 4
+    # top_hits still needs scores -> match-only
+    with pytest.raises(ValueError, match="top_hits under query type"):
+        es_search(dv_idx, {
+            "query": {"range": {"val": {"gte": 20}}},
+            "aggs": {"t": {"terms": {"field": "tag"},
+                           "aggs": {"h": {"top_hits": {"size": 1}}}}},
+        }, docs=dv_idx.live_docvalues())
+
+
 def test_cardinality_agg_exact(dv_idx):
     got = es_search(dv_idx, {
         "query": {"match": {"text": "alpha"}},
