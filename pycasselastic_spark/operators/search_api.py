@@ -55,6 +55,7 @@ from pycasselastic_spark.operators.search_compose import (
     multi_match_phrase,
     search_cardinality_agg,
     search_date_histogram_agg,
+    search_facet_date_histogram_agg,
     search_facet_metric_agg,
     search_percentiles_agg,
     search_range_agg,
@@ -802,6 +803,25 @@ def es_search(
                 return search_facet_metric_agg(
                     index, terms, field, s["stats"]["field"],
                     order_by=order_by,
+                )
+            if set(s) == {"date_histogram"}:
+                # terms > date_histogram: the two-level time-series
+                # bucket rides one two-key reduction
+                dspec = s["date_histogram"]
+                dextra = set(dspec) - {"field", "calendar_interval"}
+                if dextra:
+                    raise _err(
+                        f"date_histogram sub-agg options {sorted(dextra)}"
+                    )
+                textra = set(agg["terms"]) - {"field"}
+                if textra:
+                    raise _err(
+                        f"terms options {sorted(textra)} with a "
+                        "date_histogram sub-agg"
+                    )
+                return search_facet_date_histogram_agg(
+                    index, terms, field,
+                    dspec["field"], dspec["calendar_interval"],
                 )
             if set(s) != {"top_hits"}:
                 raise _err(f"sub-aggregation {sorted(s)}")

@@ -778,6 +778,56 @@ def multi_match_cross_fields(
     )
 
 
+def search_facet_date_histogram_agg(
+    index: PostingsIndex,
+    query_terms,
+    facet_field: str,
+    date_field: str,
+    calendar_interval: str,
+) -> DataFrame:
+    """ES ``terms`` aggregation carrying a ``date_histogram``
+    SUB-aggregation — the time-series-dashboard request ("per source:
+    monthly doc counts"): two-level buckets of the hit set's stored
+    doc-values, keyed (facet, calendar-truncated date). NULL facet
+    values are excluded (ES's default), empty date buckets omitted
+    (min_doc_count=1 — the zero-fill form lives on the single-level
+    agg). Returns ``(bucket, date_bucket, n_docs)`` sorted by
+    (bucket, date_bucket).
+
+    Plan shape: hit ids (term list or derived hit relation —
+    ``hits_relation``) join ONE column-pruned doc-values scan carrying
+    both fields, then a single partial-aggregated two-key groupBy —
+    the nested bucket rides the same reduction, no second pass."""
+    if calendar_interval not in _CAL_INTERVALS:
+        raise ValueError(
+            f"unsupported calendar_interval {calendar_interval!r} "
+            f"(supported: {sorted(_CAL_INTERVALS)})"
+        )
+    for f in (facet_field, date_field):
+        if f not in index.stored_fields:
+            raise ValueError(
+                f"field {f!r} is not stored in this index's doc values "
+                f"(stored_fields={index.stored_fields})"
+            )
+    id_col = index.id_col
+    hits = hits_relation(index, query_terms)
+    dv = index.live_docvalues().select(
+        F.col(id_col), dv_col(facet_field), dv_col(date_field)
+    )
+    return (
+        dv.join(_bounded_broadcast(hits), id_col)
+        .filter(dv_col(facet_field).isNotNull())
+        .select(
+            dv_col(facet_field).alias("bucket"),
+            F.trunc(dv_col(date_field), _CAL_INTERVALS[calendar_interval])
+            .alias("date_bucket"),
+        )
+        .groupBy("bucket", "date_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("bucket").asc(), F.col("date_bucket").asc())
+    )
+
+
 def search_facet_metric_agg(
     index: PostingsIndex,
     query_terms: list[str],

@@ -318,7 +318,7 @@ def _date_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     both month/week boundaries)."""
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
     return docs.select(
-        "doc_id", "text",
+        "doc_id", "text", "source",
         F.date_add(
             F.lit("2024-01-07").cast("date"),
             (F.col("doc_id") % 90).cast("int"),
@@ -332,7 +332,7 @@ def _date_index_for(spark: SparkSession, sf_dir: str) -> "SRCH.PostingsIndex":
         path = os.path.join(tempfile.mkdtemp(prefix="dthist_idx_"), "idx")
         SRCH.build_postings_index(
             _date_documents(spark, sf_dir), "doc_id", "text", path,
-            n_buckets=16, stored_fields=["ingest_date"],
+            n_buckets=16, stored_fields=["ingest_date", "source"],
         )
         _DATE_INDEX_CACHE[sf_dir] = path
     return SRCH.load_postings_index(spark, path)

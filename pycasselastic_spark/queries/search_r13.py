@@ -291,6 +291,55 @@ def sqs_phrase_prefix_documents(
 
 
 @register(
+    "facet_date_histogram_agg_documents",
+    """
+WITH hits AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  WHERE term = 'merge'
+),
+d AS (SELECT doc_id, source,
+        DATE '2024-01-07' + CAST(doc_id % 90 AS INTEGER) AS ingest_date
+      FROM documents)
+SELECT source AS bucket,
+       CAST(date_trunc('month', ingest_date) AS DATE) AS date_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM d JOIN hits USING (doc_id)
+WHERE source IS NOT NULL
+GROUP BY 1, 2 ORDER BY bucket, date_bucket
+""",
+    doc="ES ``terms`` aggregation carrying a ``date_histogram`` "
+    "SUB-aggregation — per source, monthly hit counts: THE "
+    "time-series dashboard request (operators/search_compose.py:"
+    "search_facet_date_histogram_agg, dispatched from "
+    "aggs.terms.aggs.date_histogram). Both bucket keys come from "
+    "STORED doc-values (facet + the derived four-month ingest date), "
+    "NULL facets excluded (ES default), empty date buckets omitted "
+    "(min_doc_count=1; the zero-fill form lives on the single-level "
+    "agg). Plan: hit ids broadcast-join ONE column-pruned doc-values "
+    "scan carrying both fields, then a single partial-aggregated "
+    "TWO-KEY groupBy — the nested bucket rides the same reduction, "
+    "no second pass, no raw docs.",
+)
+def facet_date_histogram_agg_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pycasselastic_spark.queries.search_r12b import _date_index_for
+
+    idx = _date_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"match": {"text": "merge"}},
+        "aggs": {"by_source": {
+            "terms": {"field": "source"},
+            "aggs": {"monthly": {"date_histogram": {
+                "field": "ingest_date", "calendar_interval": "month",
+            }}},
+        }},
+    })
+
+
+@register(
     "range_query_facet_agg_documents",
     """
 WITH hits AS (
