@@ -608,12 +608,13 @@ def es_search(
         if extra_body:
             raise _err(f"knn combined with {sorted(extra_body)}")
         spec = body["knn"]
-        extra = set(spec) - {
-            "field", "query_vector", "k", "num_candidates", "filter",
-            "boost",
-        }
-        if extra:
-            raise _err(f"knn options {sorted(extra)}")
+        if not isinstance(spec, (list, tuple)):
+            extra = set(spec) - {
+                "field", "query_vector", "k", "num_candidates", "filter",
+                "boost",
+            }
+            if extra:
+                raise _err(f"knn options {sorted(extra)}")
         if embeddings is None:
             raise _err("knn without an embeddings frame")
         from pycasselastic_spark.operators.search_hybrid import (
@@ -621,7 +622,48 @@ def es_search(
             hybrid_knn_bm25,
             hybrid_rrf_from_vector,
             knn_literal_topk,
+            multi_knn_bm25,
         )
+
+        if isinstance(spec, (list, tuple)):
+            # ES 8.7+ multi-kNN: a LIST of clauses, contributions
+            # summed (optionally beside a lexical match query)
+            if "rank" in body:
+                raise _err("rank with a multi-clause knn list")
+            specs = []
+            for clause in spec:
+                cextra = set(clause) - {
+                    "field", "query_vector", "k", "num_candidates",
+                    "filter", "boost",
+                }
+                if cextra:
+                    raise _err(f"knn clause options {sorted(cextra)}")
+                cfilters = None
+                if "filter" in clause:
+                    fcl = clause["filter"]
+                    if isinstance(fcl, dict):
+                        fcl = [fcl]
+                    cfilters = _filter_predicates(list(fcl))
+                specs.append({
+                    "vec": [float(x) for x in clause["query_vector"]],
+                    "k": int(clause.get("k", size)),
+                    "boost": float(clause.get("boost", 1.0)),
+                    "vec_col": clause["field"],
+                    "filters": cfilters,
+                })
+            terms = None
+            if "query" in body:
+                qtype2, q2 = _single(body["query"], "query")
+                if qtype2 != "match":
+                    raise _err(f"knn combined with query type {qtype2!r}")
+                terms = index.analyze_text(_match_text(q2, "hybrid knn"))
+                if not terms:
+                    raise _err(
+                        "hybrid knn lexical query analyzing to no terms"
+                    )
+            return multi_knn_bm25(
+                index, embeddings, terms, specs, k=size
+            )
 
         field = spec["field"]
         k = int(spec.get("k", size))

@@ -196,6 +196,82 @@ def hybrid_knn_bm25(
     )
 
 
+def multi_knn_bm25(
+    index: PostingsIndex,
+    embeddings: DataFrame,
+    query_terms: list[str] | None,
+    knn_specs: list[dict],
+    k: int = 10,
+    emb_id_col: str = "vec_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES 8.7+ MULTI-kNN: the ``knn`` body key as a LIST of clauses
+    (multi-vector retrieval — several query aspects, or title/body
+    embedding columns): each clause contributes
+    floor(boost x cosine x Q20) for the docs in ITS global top-k, an
+    optional lexical ``query`` contributes its BM25 Q20, and a doc's
+    score is the SUM over the legs that retrieved it (exactly ES's
+    additive combination generalized to n legs). Returns
+    ``(id, score_q20)`` top-``k``.
+
+    Each spec dict: ``vec`` (literal query_vector), ``k``, ``boost``
+    (default 1.0), ``vec_col``, optional ``filters`` (the shared
+    filter-context triples, pre-filter semantics per clause).
+
+    Determinism: every leg floors independently (the single-leg law),
+    and the combination is integer addition — order-free.
+
+    Plan shape: n bounded kNN legs (each ONE broadcast one-row query
+    over the embeddings scan) + the pruned lexical probe, reduced by
+    full outer joins on the id — every input is query-sized."""
+    if not knn_specs:
+        raise ValueError("multi_knn_bm25 needs at least one knn clause")
+    id_col = index.id_col
+    combined = None
+    score_cols = []
+    for i, spec in enumerate(knn_specs):
+        allowed = None
+        if spec.get("filters"):
+            allowed = filtered_ids(index, spec["filters"]).withColumnRenamed(
+                id_col, emb_id_col
+            )
+        leg = knn_literal_topk(
+            embeddings, spec["vec"], int(spec["k"]),
+            id_col=emb_id_col, vec_col=spec["vec_col"],
+            allowed_ids=allowed,
+        ).select(
+            F.col("match_id").alias(id_col),
+            F.floor(
+                F.col("cosine")
+                * F.lit(float(spec.get("boost", 1.0)))
+                * F.lit(float(Q20))
+            ).cast("long").alias(f"knn_q20_{i}"),
+        )
+        score_cols.append(f"knn_q20_{i}")
+        combined = (
+            leg if combined is None
+            else combined.join(leg, id_col, "full_outer")
+        )
+    if query_terms:
+        lex = _bm25_scored(index, query_terms, k1, b).select(
+            F.col(id_col), F.col("score_q20").alias("lex_q20")
+        )
+        combined = combined.join(lex, id_col, "full_outer")
+        score_cols.append("lex_q20")
+    total = None
+    for c in score_cols:
+        t = F.coalesce(F.col(c), F.lit(0))
+        total = t if total is None else total + t
+    return (
+        combined.select(
+            F.col(id_col), total.cast("long").alias("score_q20")
+        )
+        .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def hybrid_rrf_from_vector(
     index: PostingsIndex,
     embeddings: DataFrame,

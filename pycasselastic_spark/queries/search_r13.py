@@ -637,6 +637,92 @@ def date_histogram_fixed_documents(
     ).orderBy("bucket_s")
 
 
+@register(
+    "multi_knn_search_embeddings",
+    f"""
+WITH {_TOK_POSTINGS},
+qt AS (SELECT * FROM postings WHERE term IN ('merge')),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term),
+lexs AS (
+  SELECT qt.doc_id,
+         CAST(FLOOR(SUM({_BM25_TERM_SCORE}) * 1048576.0) AS BIGINT)
+           AS lex_q20
+  FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+  GROUP BY qt.doc_id, sc.n_docs
+),
+en AS (SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))
+          AS nrm
+      FROM embeddings),
+eu AS (SELECT vec_id,
+        list_transform(embedding, x -> x::DOUBLE / nrm) AS u FROM en),
+qa AS (SELECT list_transform(range(0, 64),
+        i -> CASE WHEN i % 2 = 0 THEN CAST(1.0 AS DOUBLE)
+             ELSE CAST(0.0 AS DOUBLE) END) AS v),
+qan AS (SELECT list_transform(v, x -> x /
+          sqrt(list_sum(list_transform(v, y -> y * y)))) AS u FROM qa),
+qb AS (SELECT list_transform(range(0, 64),
+        i -> CASE WHEN i % 3 = 0 THEN CAST(1.0 AS DOUBLE)
+             ELSE CAST(0.0 AS DOUBLE) END) AS v),
+qbn AS (SELECT list_transform(v, x -> x /
+          sqrt(list_sum(list_transform(v, y -> y * y)))) AS u FROM qb),
+pa AS (SELECT c.vec_id,
+         list_sum(list_transform(range(1, 65), k -> q.u[k] * c.u[k]))
+           AS cosine
+       FROM eu c CROSS JOIN qan q),
+pb AS (SELECT c.vec_id,
+         list_sum(list_transform(range(1, 65), k -> q.u[k] * c.u[k]))
+           AS cosine
+       FROM eu c CROSS JOIN qbn q),
+ka AS (SELECT vec_id AS doc_id,
+         CAST(FLOOR((cosine * CAST(1.0 AS DOUBLE)) * 1048576.0) AS BIGINT)
+           AS q20
+       FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id)
+             AS rn FROM pa) WHERE rn <= 15),
+kb AS (SELECT vec_id AS doc_id,
+         CAST(FLOOR((cosine * CAST(0.5 AS DOUBLE)) * 1048576.0) AS BIGINT)
+           AS q20
+       FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id)
+             AS rn FROM pb) WHERE rn <= 15)
+SELECT doc_id,
+       CAST(COALESCE(ka.q20, 0) + COALESCE(kb.q20, 0)
+            + COALESCE(l.lex_q20, 0) AS BIGINT) AS score_q20
+FROM ka FULL OUTER JOIN kb USING (doc_id)
+        FULL OUTER JOIN lexs l USING (doc_id)
+ORDER BY score_q20 DESC, doc_id LIMIT 10
+""",
+    doc="ES 8.7+ MULTI-kNN: the ``knn`` body key as a LIST of clauses "
+    "beside a lexical match — multi-vector retrieval (several query "
+    "aspects against the same embedding column, here an alternating "
+    "and an every-third pattern at boosts 1.0/0.5 with a 'merge' "
+    "lexical leg): each clause contributes floor(boost x cosine x "
+    "Q20) for the docs in ITS global top-15, the lexical leg its "
+    "BM25 Q20, and a doc's score is the SUM over the legs that "
+    "retrieved it — ES's additive combination generalized to n legs "
+    "(operators/search_hybrid.py:multi_knn_bm25). Determinism: every "
+    "leg floors independently, the combination is order-free integer "
+    "addition. Plan: n bounded kNN legs (each one broadcast one-row "
+    "query over the embeddings scan) + the pruned lexical probe, "
+    "reduced by full outer joins — every input query-sized.",
+)
+def multi_knn_search_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings"), spark)
+    vec_b = [1.0 if i % 3 == 0 else 0.0 for i in range(64)]
+    return es_search(idx, {
+        "query": {"match": {"text": "merge"}},
+        "knn": [
+            {"field": "embedding", "query_vector": _QVEC, "k": 15,
+             "num_candidates": 100},
+            {"field": "embedding", "query_vector": vec_b, "k": 15,
+             "boost": 0.5, "num_candidates": 100},
+        ],
+        "size": 10,
+    }, embeddings=emb)
+
+
 # --- multi_match: the remaining types (phrase, cross_fields) ----------------
 
 _MF_SPLIT_SQL = """f AS (SELECT doc_id,
