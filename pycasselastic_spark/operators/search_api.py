@@ -1156,6 +1156,46 @@ def es_search(
             index, [str(t) for t in spec["terms"]],
             spec["minimum_should_match_field"], k=size,
         )
+    if qtype == "function_score":
+        # field_value_factor form: relevance x modifier(factor x field)
+        # — the full ES modifier set (log* base 10, ln* natural,
+        # sqrt/square/reciprocal/none) with factor and missing
+        extra = set(q) - {"query", "field_value_factor"}
+        if extra:
+            raise _err(
+                f"function_score options {sorted(extra)} "
+                "(field_value_factor form only)"
+            )
+        if "field_value_factor" not in q:
+            raise _err("function_score without field_value_factor")
+        if docs is None:
+            raise _err(
+                "function_score without a docs frame (field fetch)"
+            )
+        ikind, ibody = _single(
+            q.get("query", {"match": None}), "function_score query"
+        )
+        if ikind != "match" or ibody is None:
+            raise _err(f"function_score under query type {ikind!r}")
+        terms = index.analyze_text(_match_text(ibody, "function_score"))
+        if not terms:
+            raise _err("function_score query analyzing to no terms")
+        fvf = q["field_value_factor"]
+        fextra = set(fvf) - {"field", "modifier", "factor", "missing"}
+        if fextra:
+            raise _err(f"field_value_factor options {sorted(fextra)}")
+        from pycasselastic_spark.operators.search_ext import (
+            bm25_function_score,
+        )
+
+        missing = fvf.get("missing")
+        return bm25_function_score(
+            index, docs, terms, fvf["field"], k=size,
+            modifier=str(fvf.get("modifier", "ln1p")),
+            factor=float(fvf.get("factor", 1.0)),
+            missing=None if missing is None else float(missing),
+        )
+
     if qtype == "multi_match":
         # the multi-field family: every type is a different scoring
         # LAW over per-field indexes (own df/dl/avgdl each — the

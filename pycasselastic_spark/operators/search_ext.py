@@ -37,6 +37,23 @@ from pycasselastic_spark.operators.search_index import (  # noqa: E402
 )
 
 
+# ES field_value_factor modifiers — EXACTLY ES's function names: the
+# log family is base 10, the ln family natural (Lucene's
+# FieldValueFactorFunction.Modifier). Applied to (factor x value).
+_FVF_MODIFIERS = {
+    "none": lambda c: c,
+    "log": lambda c: F.log10(c),
+    "log1p": lambda c: F.log10(c + F.lit(1.0)),
+    "log2p": lambda c: F.log10(c + F.lit(2.0)),
+    "ln": lambda c: F.log(c),
+    "ln1p": lambda c: F.log(F.lit(1.0) + c),
+    "ln2p": lambda c: F.log(F.lit(2.0) + c),
+    "sqrt": lambda c: F.sqrt(c),
+    "square": lambda c: c * c,
+    "reciprocal": lambda c: F.lit(1.0) / c,
+}
+
+
 def bm25_function_score(
     index: PostingsIndex,
     docs: DataFrame,
@@ -45,11 +62,18 @@ def bm25_function_score(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    modifier: str = "ln1p",
+    factor: float = 1.0,
+    missing: float | None = None,
 ) -> DataFrame:
-    """ES ``function_score`` with a ``field_value_factor`` (modifier
-    ``log1p``): final score = BM25 * ln(1 + doc[factor_col]) — the
+    """ES ``function_score`` with a ``field_value_factor``: final
+    score = BM25 x modifier(factor x doc[factor_col]) — the
     "relevance × document-quality signal" reranking every production
-    search deploys (recency, popularity, length priors). Returns
+    search deploys (recency, popularity, length priors). The full ES
+    modifier set is dispatched with ES's exact function semantics
+    (``log``/``log1p``/``log2p`` are BASE-10, ``ln*`` natural — the
+    Lucene FieldValueFactorFunction contract); ``missing``
+    substitutes for NULL field values. Returns
     ``(id, n_hit_terms, score_q20)`` with ONE Q20 floor applied after
     the multiply, so the factor reorders within the exact arithmetic
     the oracle replays.
@@ -58,8 +82,17 @@ def bm25_function_score(
     (query-bounded) candidates broadcast-join back to the docs table
     for the factor column — the highlight-style stored-field fetch,
     never a corpus scan."""
+    if modifier not in _FVF_MODIFIERS:
+        raise ValueError(
+            f"unsupported field_value_factor modifier {modifier!r} "
+            f"(supported: {sorted(_FVF_MODIFIERS)})"
+        )
     id_col = index.id_col
     raw = _bm25_scored_raw(index, query_terms, k1, b)
+    val = F.col(factor_col)
+    if missing is not None:
+        val = F.coalesce(val, F.lit(float(missing)))
+    val = val * F.lit(float(factor))
     return (
         _bounded_broadcast(raw)
         .join(docs.select(id_col, factor_col), id_col)
@@ -68,7 +101,7 @@ def bm25_function_score(
             "n_hit_terms",
             F.floor(
                 F.col("score_raw")
-                * F.log(F.lit(1.0) + F.col(factor_col))
+                * _FVF_MODIFIERS[modifier](val)
                 * Q20
             ).cast("long").alias("score_q20"),
         )

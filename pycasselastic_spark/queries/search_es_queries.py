@@ -396,8 +396,8 @@ FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
 GROUP BY doc_id, sc.n_docs, d.n_chars
 ORDER BY score_q20 DESC, doc_id LIMIT 10
 """,
-    doc="ES function_score with field_value_factor(modifier=log1p) on "
-    "n_chars: final score = BM25 * ln(1 + n_chars) — the relevance × "
+    doc="ES function_score with field_value_factor(modifier=ln1p) on "
+    "n_chars: final score = BM25 * ln(1 + n_chars) (ES's ln1p — its log1p is base 10; the full modifier set dispatches since round 13) — the relevance × "
     "document-signal reranking (recency/popularity/length priors) "
     "every production search deploys "
     "(operators/search.py:bm25_function_score). The probe scores "

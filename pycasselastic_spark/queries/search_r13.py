@@ -638,6 +638,51 @@ def date_histogram_fixed_documents(
 
 
 @register(
+    "function_score_sqrt_documents",
+    f"""
+WITH {_TOK_POSTINGS},
+qt AS (SELECT * FROM postings WHERE term IN ('spark', 'merge')),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term)
+SELECT qt.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+       CAST(FLOOR(SUM({_BM25_TERM_SCORE})
+         * sqrt(d.n_chars * CAST(0.5 AS DOUBLE)) * 1048576.0) AS BIGINT)
+         AS score_q20
+FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+     JOIN documents d ON d.doc_id = qt.doc_id
+GROUP BY qt.doc_id, sc.n_docs, d.n_chars
+ORDER BY score_q20 DESC, doc_id LIMIT 10
+""",
+    doc="ES function_score field_value_factor with the FULL modifier "
+    "set dispatched from the _search body (operators/search_ext.py:"
+    "bm25_function_score; round-13 extension of the ln1p-only round-9 "
+    "operator): here modifier=sqrt with factor=0.5 — final score = "
+    "BM25 x sqrt(0.5 x n_chars), the sub-linear length prior. "
+    "Modifier semantics are EXACTLY ES's Lucene contract: log/log1p/"
+    "log2p are BASE-10, ln/ln1p/ln2p natural, plus sqrt/square/"
+    "reciprocal/none and the missing-value substitute; unsupported "
+    "modifiers raise by name. One Q20 floor after the multiply "
+    "(sqrt is correctly-rounded IEEE — bit-equal cross-engine); the "
+    "query-bounded candidates broadcast-join back for the factor "
+    "column, no corpus scan. Dispatched from query.function_score.",
+)
+def function_score_sqrt_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
+    return es_search(idx, {
+        "query": {"function_score": {
+            "query": {"match": {"text": "spark merge"}},
+            "field_value_factor": {
+                "field": "n_chars", "modifier": "sqrt", "factor": 0.5,
+            },
+        }},
+        "size": 10,
+    }, docs=docs)
+
+
+@register(
     "multi_knn_search_embeddings",
     f"""
 WITH {_TOK_POSTINGS},
