@@ -200,11 +200,13 @@ def test_es_search_compound_strictness(idx, dv_idx):
             "query": {"match": {"text": "alpha"}},
             "aggs": {"p": {"percentiles": {"field": "val", "keyed": True}}},
         })
+    # quarter/year/hour are dispatched since round 13; a made-up
+    # interval still raises
     with pytest.raises(ValueError, match="calendar_interval"):
         es_search(dv_idx, {
             "query": {"match": {"text": "alpha"}},
             "aggs": {"h": {"date_histogram": {
-                "field": "d", "calendar_interval": "quarter",
+                "field": "d", "calendar_interval": "fortnight",
             }}},
         })
 
