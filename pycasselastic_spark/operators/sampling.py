@@ -258,3 +258,65 @@ def temperature_mixture_sample(
         .filter(uniform_u(key_col) < F.col("_rate"))
         .drop("_rate")
     )
+
+
+def quality_bucket_sample(
+    df: DataFrame,
+    key_col: str,
+    score_col: str,
+    head_frac: float = 0.75,
+    tail_frac: float = 0.25,
+    rates: tuple[float, float, float] = (1.0, 0.5, 0.1),
+) -> DataFrame:
+    """CCNet-style QUALITY-BUCKETED sampling — the perplexity
+    head/middle/tail mix (Wenzek et al. 2020): rank documents by a
+    quality score (here any fluency/LM signal, higher = better),
+    split the corpus at the ``tail_frac`` and ``head_frac`` EXACT
+    percentiles of that score, then keep each bucket at its own
+    deterministic rate (``rates`` = head, middle, tail; CCNet keeps
+    the head whole, samples the middle, and thins the tail instead of
+    hard-dropping it — quality scores are noisy and a hard cut
+    throws away recoverable data). Returns the kept rows with their
+    ``bucket`` label.
+
+    Determinism: the two cut points are exact linear-interpolated
+    percentiles (one reduction; Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the interpolation law); bucket membership
+    is a plain double compare against those shared values; the keep
+    decision is the md5-uniform ``uniform_u`` against a rate literal
+    — every decision bit-identical cross-engine, no RNG state.
+
+    Plan shape: ONE percentile reduction to a one-row relation,
+    broadcast back over the scored frame, then a narrow filter —
+    the corpus is scanned once and never shuffled."""
+    if not (0.0 <= tail_frac < head_frac <= 1.0):
+        raise ValueError(
+            f"need 0 <= tail_frac < head_frac <= 1, got "
+            f"({tail_frac}, {head_frac})"
+        )
+    cuts = df.agg(
+        F.expr(
+            f"percentile(`{score_col}`, array({tail_frac!r}D, "
+            f"{head_frac!r}D))"
+        ).alias("_cuts")
+    ).select(
+        F.element_at("_cuts", 1).alias("_c_tail"),
+        F.element_at("_cuts", 2).alias("_c_head"),
+    )
+    head_r, mid_r, tail_r = (float(r) for r in rates)
+    bucket = (
+        F.when(_c(score_col) >= F.col("_c_head"), F.lit("head"))
+        .when(_c(score_col) >= F.col("_c_tail"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    rate = (
+        F.when(F.col("bucket") == "head", F.lit(head_r))
+        .when(F.col("bucket") == "middle", F.lit(mid_r))
+        .otherwise(F.lit(tail_r))
+    )
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .withColumn("bucket", bucket)
+        .filter(uniform_u(key_col) < rate)
+        .drop("_c_tail", "_c_head")
+    )

@@ -493,6 +493,72 @@ def highlighted_search_documents(
 
 
 @register(
+    "ccnet_quality_sample_documents",
+    """
+WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+         unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+  FROM sp WHERE len(t) >= 2),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT w) AS nv
+      FROM (SELECT unnest(t) AS w FROM sp)),
+q AS (
+  SELECT bg.doc_id,
+         FLOOR(CAST(c12.c12 + 1 AS DOUBLE) / CAST(c1.c1 + v.nv AS DOUBLE)
+               * 1073741824.0) AS qp
+  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+lm AS (SELECT doc_id,
+         (CAST(SUM(qp) AS BIGINT) / 1073741824.0) / COUNT(*) AS avg_prob
+       FROM q GROUP BY doc_id),
+cuts AS (SELECT quantile_cont(avg_prob, 0.25) AS ct,
+                quantile_cont(avg_prob, 0.75) AS ch FROM lm),
+b AS (SELECT doc_id,
+        CASE WHEN avg_prob >= ch THEN 'head'
+             WHEN avg_prob >= ct THEN 'middle'
+             ELSE 'tail' END AS bucket
+      FROM lm CROSS JOIN cuts)
+SELECT doc_id, bucket FROM b
+WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        ::BIGINT::DOUBLE / 4503599627370496.0
+      < CASE bucket WHEN 'head' THEN 1.0
+             WHEN 'middle' THEN 0.5 ELSE 0.1 END
+ORDER BY doc_id
+""",
+    doc="CCNet-style QUALITY-BUCKETED corpus sampling (Wenzek et al. "
+    "2020 — the perplexity head/middle/tail mix every web-scale "
+    "pretraining pipeline runs; operators/sampling.py:"
+    "quality_bucket_sample over the corpus-trained bigram-LM fluency "
+    "score): documents split at the exact 25th/75th percentiles of "
+    "avg bigram probability, the head kept whole, the middle sampled "
+    "at 0.5, the tail thinned to 0.1 instead of hard-dropped "
+    "(quality scores are noisy; a hard cut throws away recoverable "
+    "data). Every decision is bit-deterministic cross-engine: exact "
+    "percentile cuts (Spark percentile = DuckDB quantile_cont), "
+    "Q30-integer LM scores (order-independent sums), md5-uniform "
+    "keeps. Plan: the LM's vocabulary-bounded count tables + one "
+    "percentile reduction broadcast back over the scored frame + a "
+    "narrow filter — the corpus itself is never shuffled.",
+)
+def ccnet_quality_sample_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pycasselastic_spark.operators.sampling import quality_bucket_sample
+    from pycasselastic_spark.queries.base import QUERIES
+
+    lm = QUERIES["bigram_lm_score_documents"].fn(spark, sf_dir)
+    kept = quality_bucket_sample(
+        lm.select("doc_id", "avg_prob"), "doc_id", "avg_prob",
+        head_frac=0.75, tail_frac=0.25, rates=(1.0, 0.5, 0.1),
+    )
+    from pyspark.sql import functions as F
+
+    return kept.select("doc_id", "bucket").orderBy("doc_id")
+
+
+@register(
     "fuzzy_match_grouped_customer_names",
     """
 WITH base AS (
