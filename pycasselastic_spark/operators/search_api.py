@@ -546,7 +546,7 @@ def es_search(
     """
     unknown = set(body) - {
         "query", "size", "search_after", "collapse", "aggs", "sort", "knn",
-        "rank", "highlight", "suggest",
+        "rank", "highlight", "suggest", "rescore",
     }
     if unknown:
         raise _err(f"body keys {sorted(unknown)}")
@@ -732,15 +732,66 @@ def es_search(
 
     if "sort" in body:
         # field sort (ES disables scoring under it): one doc-values
-        # field + the implicit id tiebreak; anything fancier raises
+        # field + the implicit id tiebreak; anything fancier raises.
+        # search_after under the sort is the (field_value, id) cursor
+        # — previously a cursor here would have been silently ignored
+        # and page one returned again
         if qtype != "match" or len(body["sort"]) != 1:
             raise _err("sort (supported: one field under a match query)")
         field, direction = _single(body["sort"][0], "sort clause")
         if direction not in ("asc", "desc"):
             raise _err(f"sort direction {direction!r}")
+        after = None
+        if "search_after" in body:
+            cursor = list(body["search_after"])
+            if len(cursor) != 2:
+                raise _err(
+                    "search_after cursor under a field sort (expected "
+                    "[field_value, id])"
+                )
+            after = (cursor[0], cursor[1])
         return search_sort_by_field(
             index, index.analyze_text(_match_text(q, "sort")), field,
-            ascending=direction == "asc", k=size,
+            ascending=direction == "asc", k=size, after=after,
+        )
+
+    if "rescore" in body:
+        # the _search body's rescore key: rerank only the top
+        # window_size hits of the cheap base query with a second query
+        if set(body) - {"rescore", "query", "size"}:
+            raise _err(
+                "rescore combined with "
+                f"{sorted(set(body) - {'rescore', 'query', 'size'})}"
+            )
+        if qtype != "match":
+            raise _err(f"rescore under query type {qtype!r}")
+        rs = body["rescore"]
+        rextra = set(rs) - {"window_size", "query"}
+        if rextra:
+            raise _err(f"rescore options {sorted(rextra)}")
+        rq = rs.get("query")
+        if not isinstance(rq, dict) or "rescore_query" not in rq:
+            raise _err("rescore body (expected query.rescore_query)")
+        rqextra = set(rq) - {
+            "rescore_query", "query_weight", "rescore_query_weight",
+        }
+        if rqextra:
+            raise _err(f"rescore query options {sorted(rqextra)}")
+        rkind, rbody = _single(rq["rescore_query"], "rescore_query")
+        if rkind != "match":
+            raise _err(f"rescore_query type {rkind!r}")
+        rterms = index.analyze_text(_match_text(rbody, "rescore"))
+        terms = index.analyze_text(_match_text(q, "rescore"))
+        if not terms or not rterms:
+            raise _err("rescore query analyzing to no terms")
+        from pycasselastic_spark.operators.search_probes import bm25_rescore
+
+        return bm25_rescore(
+            index, terms, rterms,
+            window_size=int(rs.get("window_size", 10)),
+            query_weight=float(rq.get("query_weight", 1.0)),
+            rescore_weight=float(rq.get("rescore_query_weight", 1.0)),
+            k=size,
         )
 
     if "aggs" in body:

@@ -856,6 +856,7 @@ def search_sort_by_field(
     field: str,
     ascending: bool = True,
     k: int = 10,
+    after: tuple | None = None,
 ) -> DataFrame:
     """ES ``sort`` by a doc-values field: the top-``k`` hits ordered by
     the STORED field instead of relevance (ES disables scoring under a
@@ -863,10 +864,17 @@ def search_sort_by_field(
     ``(id, <field>)`` in (field, id) total order — the id tiebreak
     keeps pagination deterministic, exactly why ES requires one.
 
+    ``after`` is the ``search_after`` cursor under this sort —
+    ``(field_value, id)`` of the previous page's last hit: the page is
+    the hits STRICTLY after that point in the (field, id) total order
+    (ES's stateless deep paging, the field-sort twin of the score
+    cursor ``bm25_search_after``).
+
     Plan shape: hit ids from the pruned postings probe (count-guarded
-    broadcast) join the column-pruned doc-values scan, then
-    TakeOrderedAndProject — per-partition heaps over the hit set,
-    no global sort, no docs frame."""
+    broadcast) join the column-pruned doc-values scan — the cursor
+    predicate rides that scan — then TakeOrderedAndProject —
+    per-partition heaps over the hit set, no global sort, no docs
+    frame."""
     if field not in index.stored_fields:
         raise ValueError(
             f"field {field!r} is not stored in this index's doc values "
@@ -875,12 +883,20 @@ def search_sort_by_field(
     id_col = index.id_col
     hits = hits_relation(index, query_terms)
     dv = index.live_docvalues().select(F.col(id_col), dv_col(field))
+    page = dv.join(_bounded_broadcast(hits), id_col)
+    if after is not None:
+        a_val, a_id = after
+        nxt = (
+            (dv_col(field) > F.lit(a_val))
+            if ascending
+            else (dv_col(field) < F.lit(a_val))
+        )
+        page = page.filter(
+            nxt
+            | ((dv_col(field) == F.lit(a_val)) & (F.col(id_col) > a_id))
+        )
     order = dv_col(field).asc() if ascending else dv_col(field).desc()
-    return (
-        dv.join(_bounded_broadcast(hits), id_col)
-        .orderBy(order, F.col(id_col).asc())
-        .limit(k)
-    )
+    return page.orderBy(order, F.col(id_col).asc()).limit(k)
 
 
 def search_exists(

@@ -493,6 +493,53 @@ def highlighted_search_documents(
 
 
 @register(
+    "sorted_search_after_documents",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+hits AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark',)
+)
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents JOIN hits USING (doc_id)
+) WHERE rn BETWEEN 11 AND 20
+ORDER BY n_chars DESC, doc_id
+""",
+    doc="``search_after`` UNDER A FIELD SORT — stateless deep paging "
+    "in the (field desc, id asc) total order, the field-sort twin of "
+    "the score cursor (operators/search_ext.py:search_sort_by_field "
+    "after=; round-13 fix: the dispatcher previously IGNORED a "
+    "cursor beside a sort clause and silently returned page one "
+    "again — the forbidden failure mode). Page 1's last hit "
+    "(n_chars, doc_id) becomes the cursor; page 2 is the hits "
+    "STRICTLY after it, replayed by the oracle as rows 11-20 of the "
+    "identical total order — an exact-pagination identity. Plan: the "
+    "cursor predicate rides the column-pruned doc-values scan the "
+    "sort already does; TakeOrderedAndProject per-partition heaps, "
+    "no global sort.",
+)
+def sorted_search_after_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    page1 = es_search(idx, {
+        "query": {"match": {"text": "spark"}},
+        "sort": [{"n_chars": "desc"}],
+        "size": 10,
+    }).collect()
+    cursor = page1[-1]
+    return es_search(idx, {
+        "query": {"match": {"text": "spark"}},
+        "sort": [{"n_chars": "desc"}],
+        "search_after": [cursor["n_chars"], cursor["doc_id"]],
+        "size": 10,
+    })
+
+
+@register(
     "ccnet_quality_sample_documents",
     """
 WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

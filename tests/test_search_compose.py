@@ -866,6 +866,56 @@ def test_suggest_and_highlight_dispatch(spark, idx, tmp_path):
         }, docs=docs)
 
 
+def test_rescore_and_sorted_cursor_dispatch(dv_idx):
+    from pycasselastic_spark.operators.search_ext import (
+        search_sort_by_field,
+    )
+    from pycasselastic_spark.operators.search_probes import bm25_rescore
+
+    got = es_search(dv_idx, {
+        "query": {"match": {"text": "alpha"}},
+        "rescore": {
+            "window_size": 3,
+            "query": {
+                "rescore_query": {"match": {"text": "beta"}},
+                "query_weight": 0.7,
+                "rescore_query_weight": 1.2,
+            },
+        },
+        "size": 3,
+    }).collect()
+    want = bm25_rescore(
+        dv_idx, ["alpha"], ["beta"], window_size=3,
+        query_weight=0.7, rescore_weight=1.2, k=3,
+    ).collect()
+    assert got == want
+    with pytest.raises(ValueError, match="rescore_query type"):
+        es_search(dv_idx, {
+            "query": {"match": {"text": "alpha"}},
+            "rescore": {"query": {
+                "rescore_query": {"term": {"text": "beta"}},
+            }},
+        })
+    # field-sort cursor: page 2 strictly follows page 1, union is the
+    # unpaged prefix (dispatch previously IGNORED the cursor here)
+    body = {"query": {"match": {"text": "alpha"}},
+            "sort": [{"val": "asc"}], "size": 2}
+    p1 = es_search(dv_idx, body).collect()
+    cursor = [p1[-1]["val"], p1[-1]["doc_id"]]
+    p2 = es_search(dv_idx, {**body, "search_after": cursor}).collect()
+    direct = search_sort_by_field(
+        dv_idx, ["alpha"], "val", ascending=True, k=2,
+        after=(cursor[0], cursor[1]),
+    ).collect()
+    assert p2 == direct
+    all4 = search_sort_by_field(
+        dv_idx, ["alpha"], "val", ascending=True, k=4
+    ).collect()
+    assert p1 + p2 == all4
+    with pytest.raises(ValueError, match="cursor under a field sort"):
+        es_search(dv_idx, {**body, "search_after": [1, 2, 3]})
+
+
 def test_span_rewrite_matches_coverage_and_rebuilds_text(spark):
     from pycasselastic_spark.operators.dedup import span_dedup_rewrite
 
