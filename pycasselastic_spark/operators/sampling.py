@@ -320,3 +320,104 @@ def quality_bucket_sample(
         .filter(uniform_u(key_col) < rate)
         .drop("_c_tail", "_c_head")
     )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: DataFrame,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """DSIR — Data Selection with Importance Resampling (Xie et al.
+    2023): score every document by how much it looks like a TARGET
+    distribution under hashed n-gram features, the data-selection
+    primitive for "give me web data that resembles my high-quality
+    target set". Features are bigrams hashed into ``n_buckets``
+    md5 buckets; each bucket's log importance ratio is
+    ln(p_target(f) / p_raw(f)) under add-one smoothing, and a
+    document's log weight is the sum over its bigram occurrences.
+    Returns ``(id, n_bigrams, logw_q20)``.
+
+    Determinism law: each bucket's log-ratio quantizes to a Q20
+    integer FIRST (one ln over correctly-rounded divisions — the
+    engine-shared transcendental convention every BM25 oracle already
+    relies on), and the per-document combination is an exact integer
+    dot product c_doc(f) x L(f) — order-independent under any
+    partitioning, exactly the fixed-point trick the temperature
+    normalizer uses.
+
+    Plan shape: ONE tokenize pass builds (id, bucket) counts
+    (map-side partial); the raw and target bucket tables are
+    n_buckets rows each, their scalars one-row reductions — all
+    broadcast; the per-doc reduce is the only shuffle and it is keyed
+    by the doc id. The corpus is scanned once; the target set should
+    be the small curated side (DSIR's premise)."""
+    from pycasselastic_spark.functions.expr import let
+
+    def doc_feats(frame: DataFrame) -> DataFrame:
+        bg = let(
+            F.split(F.col(text_col), " "),
+            lambda ws: F.when(
+                F.size(ws) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+        feat = (
+            F.conv(F.substring(F.md5(F.col("_bg")), 1, 4), 16, 10)
+            .cast("long") % n_buckets
+        )
+        return frame.select(
+            F.col(id_col), F.explode(bg).alias("_bg")
+        ).select(F.col(id_col), feat.alias("feat"))
+
+    raw_feats = doc_feats(df)
+    tgt_feats = doc_feats(target)
+    raw_c = raw_feats.groupBy("feat").agg(F.count(F.lit(1)).alias("c_r"))
+    tgt_c = tgt_feats.groupBy("feat").agg(F.count(F.lit(1)).alias("c_t"))
+    raw_n = raw_feats.agg(F.count(F.lit(1)).alias("n_r"))
+    tgt_n = tgt_feats.agg(F.count(F.lit(1)).alias("n_t"))
+    # full per-bucket table: buckets absent from one side still get
+    # their smoothed mass (the join is outer over the bucket space)
+    ratios = (
+        raw_c.join(tgt_c, "feat", "full_outer")
+        .crossJoin(F.broadcast(raw_n))
+        .crossJoin(F.broadcast(tgt_n))
+        .select(
+            "feat",
+            F.floor(
+                F.log(
+                    (
+                        (F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast(
+                            "double"
+                        )
+                        / (F.col("n_t") + n_buckets).cast("double")
+                    )
+                    / (
+                        (F.coalesce(F.col("c_r"), F.lit(0)) + 1).cast(
+                            "double"
+                        )
+                        / (F.col("n_r") + n_buckets).cast("double")
+                    )
+                )
+                * F.lit(float(1 << 20))
+            ).cast("long").alias("lr_q20"),
+        )
+    )
+    per_doc = raw_feats.groupBy(F.col(id_col), "feat").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_doc.join(F.broadcast(ratios), "feat")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("lr_q20")).cast("long")
+            .alias("logw_q20"),
+        )
+    )

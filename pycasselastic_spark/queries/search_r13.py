@@ -493,6 +493,68 @@ def highlighted_search_documents(
 
 
 @register(
+    "dsir_importance_documents",
+    """
+WITH sp AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+            FROM documents),
+bg AS (SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS b
+       FROM sp WHERE len(t) >= 2),
+f AS (SELECT doc_id, lang,
+        ('0x' || substring(md5(b), 1, 4))::BIGINT % 64 AS feat FROM bg),
+rc AS (SELECT feat, COUNT(*) AS c_r FROM f GROUP BY 1),
+tc AS (SELECT feat, COUNT(*) AS c_t FROM f WHERE lang = 'en' GROUP BY 1),
+rn AS (SELECT COUNT(*) AS n_r FROM f),
+tn AS (SELECT COUNT(*) AS n_t FROM f WHERE lang = 'en'),
+lr AS (SELECT feat,
+         CAST(FLOOR(ln(
+           ((COALESCE(c_t, 0) + 1)::DOUBLE / (n_t + 64)::DOUBLE)
+           / ((COALESCE(c_r, 0) + 1)::DOUBLE / (n_r + 64)::DOUBLE)
+         ) * 1048576.0) AS BIGINT) AS lr_q20
+       FROM rc FULL OUTER JOIN tc USING (feat)
+            CROSS JOIN rn CROSS JOIN tn),
+pd AS (SELECT doc_id, feat, COUNT(*) AS c FROM f GROUP BY 1, 2)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       CAST(SUM(c * lr_q20) AS BIGINT) AS logw_q20
+FROM pd JOIN lr USING (feat)
+GROUP BY doc_id ORDER BY logw_q20 DESC, doc_id LIMIT 20
+""",
+    doc="DSIR — Data Selection with Importance Resampling (Xie et al. "
+    "2023; operators/sampling.py:dsir_importance_weights): score every "
+    "document by how much it resembles a TARGET distribution (here "
+    "the lang='en' slice) under hashed bigram features — the modern "
+    "data-selection primitive ('web data that looks like my curated "
+    "set') that a 100 TB pretraining pipeline runs between dedup and "
+    "mixing. log w(doc) = sum over bigram occurrences of "
+    "ln(p_target(bucket)/p_raw(bucket)) with add-one smoothing over "
+    "64 md5 buckets. Determinism: each bucket's log-ratio floors to "
+    "a Q20 integer FIRST, the per-doc combination is an exact integer "
+    "dot product — order-independent under any partitioning (the "
+    "temperature-normalizer law). Plan: one tokenize pass, "
+    "vocabulary-bounded 64-row ratio table broadcast, per-doc reduce "
+    "keyed by the doc id — the corpus is scanned once and never "
+    "shuffled whole. Top-20 by weight.",
+)
+def dsir_importance_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from pycasselastic_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
+    target = docs.filter(F.col("lang") == "en")
+    w = dsir_importance_weights(docs, "doc_id", "text", target,
+                                n_buckets=64)
+    return w.orderBy(
+        F.col("logw_q20").desc(), F.col("doc_id").asc()
+    ).limit(20)
+
+
+@register(
     "sorted_search_after_documents",
     """
 WITH tok AS (
