@@ -728,6 +728,23 @@ def es_search(
     if "rank" in body:
         raise _err("rank without a knn clause")
 
+    # each of these sections SHAPES the one result frame a dispatch
+    # returns; two at once would mean one silently wins — raise (ES
+    # returns hits + aggs side by side in one response envelope; this
+    # API returns one DataFrame per request, so combinations are a
+    # second request, never a silent drop)
+    shaping = [
+        k for k in ("sort", "aggs", "collapse", "highlight", "rescore")
+        if k in body
+    ]
+    if len(shaping) > 1:
+        raise _err(
+            f"combined body sections {shaping} (one result-shaping "
+            "section per request)"
+        )
+    if "search_after" in body and shaping and shaping[0] != "sort":
+        raise _err(f"search_after combined with {shaping[0]}")
+
     qtype, q = _single(body.get("query", {}), "query")
 
     if "sort" in body:

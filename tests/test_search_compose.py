@@ -866,6 +866,29 @@ def test_suggest_and_highlight_dispatch(spark, idx, tmp_path):
         }, docs=docs)
 
 
+def test_shaping_sections_never_silently_combine(dv_idx):
+    # sort + aggs used to silently take the sort path and drop the
+    # aggregation; every pairwise combination must raise
+    with pytest.raises(ValueError, match="combined body sections"):
+        es_search(dv_idx, {
+            "query": {"match": {"text": "alpha"}},
+            "sort": [{"val": "asc"}],
+            "aggs": {"v": {"stats": {"field": "val"}}},
+        })
+    with pytest.raises(ValueError, match="combined body sections"):
+        es_search(dv_idx, {
+            "query": {"match": {"text": "alpha"}},
+            "aggs": {"v": {"stats": {"field": "val"}}},
+            "collapse": {"field": "tag"},
+        })
+    with pytest.raises(ValueError, match="search_after combined"):
+        es_search(dv_idx, {
+            "query": {"match": {"text": "alpha"}},
+            "aggs": {"v": {"stats": {"field": "val"}}},
+            "search_after": [1, 2],
+        })
+
+
 def test_rescore_and_sorted_cursor_dispatch(dv_idx):
     from pycasselastic_spark.operators.search_ext import (
         search_sort_by_field,
