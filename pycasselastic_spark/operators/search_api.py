@@ -822,6 +822,18 @@ def es_search(
         # from the docs frame (any column, not just stored ones)
         if set(agg) == {"stats"}:
             return search_stats_agg(index, terms, agg["stats"]["field"])
+        for m in ("avg", "sum", "min", "max", "value_count", "missing"):
+            if set(agg) == {m}:
+                if set(agg[m]) != {"field"}:
+                    raise _err(
+                        f"{m} aggregation options "
+                        f"{sorted(set(agg[m]) - {'field'})}"
+                    )
+                from pycasselastic_spark.operators.search_ext import (
+                    search_metric_agg,
+                )
+
+                return search_metric_agg(index, terms, agg[m]["field"], m)
         if set(agg) == {"histogram"}:
             return search_histogram_agg(
                 index, terms, agg["histogram"]["field"],

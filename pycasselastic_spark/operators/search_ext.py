@@ -815,6 +815,64 @@ def search_stats_agg(
     )
 
 
+def search_metric_agg(
+    index: PostingsIndex,
+    query_terms,
+    field: str,
+    metric: str,
+) -> DataFrame:
+    """ES single-METRIC aggregations over the hit set's stored
+    doc-values — the ``avg`` / ``sum`` / ``min`` / ``max`` /
+    ``value_count`` / ``missing`` request bodies (every one a
+    real-world one-liner; ``stats`` bundles the first five but ES
+    serves them individually and so does this). One row out, named by
+    the metric: ``avg_q20`` (Q20-quantized, the cross-engine float
+    law), ``sum_val`` (exact long for integral fields; fractional
+    fields pre-quantize each value to Q20 and sum in INTEGER space —
+    the order-independent rule), ``min_val`` / ``max_val`` (native
+    type), ``value_count`` (non-NULL count), ``n_missing`` (docs in
+    the hit set whose field is NULL — the ``missing`` agg).
+
+    Plan shape: hit ids (term list or derived hit relation) join the
+    column-pruned doc-values scan, ONE partial-aggregated reduction."""
+    if field not in index.stored_fields:
+        raise ValueError(
+            f"field {field!r} is not stored in this index's doc values "
+            f"(stored_fields={index.stored_fields})"
+        )
+    id_col = index.id_col
+    hits = hits_relation(index, query_terms)
+    dv = index.live_docvalues().select(F.col(id_col), dv_col(field))
+    joined = dv.join(_bounded_broadcast(hits), id_col)
+    c = dv_col(field)
+    if metric == "avg":
+        agg = F.floor(F.avg(c) * Q20).cast("long").alias("avg_q20")
+    elif metric == "sum":
+        integral = dict(dv.dtypes)[field] in (
+            "tinyint", "smallint", "int", "bigint",
+        )
+        agg = (
+            F.sum(c).cast("long") if integral
+            else F.sum(F.floor(c * Q20)).cast("long")
+        ).alias("sum_val")
+    elif metric == "min":
+        agg = F.min(c).alias("min_val")
+    elif metric == "max":
+        agg = F.max(c).alias("max_val")
+    elif metric == "value_count":
+        agg = F.count(c).alias("value_count")
+    elif metric == "missing":
+        agg = F.sum(
+            F.when(c.isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_missing")
+    else:
+        raise ValueError(
+            f"unsupported metric aggregation {metric!r} (supported: "
+            "avg/sum/min/max/value_count/missing)"
+        )
+    return joined.agg(agg)
+
+
 def search_histogram_agg(
     index: PostingsIndex,
     query_terms: list[str],

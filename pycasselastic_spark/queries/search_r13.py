@@ -493,6 +493,64 @@ def highlighted_search_documents(
 
 
 @register(
+    "metric_aggs_documents",
+    """
+WITH hits AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  WHERE term = 'merge'
+),
+v AS (SELECT d.n_chars, d.source
+      FROM documents d JOIN hits USING (doc_id))
+SELECT 'avg' AS metric,
+       CAST(FLOOR(AVG(n_chars) * 1048576.0) AS BIGINT) AS value FROM v
+UNION ALL SELECT 'max', MAX(n_chars) FROM v
+UNION ALL SELECT 'min', MIN(n_chars) FROM v
+UNION ALL SELECT 'missing',
+  CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM v
+UNION ALL SELECT 'sum', CAST(SUM(n_chars) AS BIGINT) FROM v
+UNION ALL SELECT 'value_count', CAST(COUNT(source) AS BIGINT) FROM v
+ORDER BY metric
+""",
+    doc="The SINGLE-metric aggregation bodies — avg / sum / min / "
+    "max / value_count / missing (operators/search_ext.py:"
+    "search_metric_agg; ES serves each as its own one-line request, "
+    "stats only bundles them): six dispatches over the 'merge' hit "
+    "set, numeric metrics on n_chars, the NULL-sensitive pair "
+    "(value_count counts non-NULL, missing counts NULL — ES's "
+    "missing agg) on the nullable source field. avg Q20-quantized, "
+    "sum exact-long for the integral field (fractional fields "
+    "pre-quantize per value and integer-sum, the facet rule). Each "
+    "dispatch is ONE partial-aggregated reduction over the hit set's "
+    "column-pruned doc-values; the union is driver-side plumbing of "
+    "six one-row frames. Dispatched from aggs.<metric>.",
+)
+def metric_aggs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    idx = _postings_index_for(spark, sf_dir)
+    legs = []
+    for m, field in (
+        ("avg", "n_chars"), ("sum", "n_chars"), ("min", "n_chars"),
+        ("max", "n_chars"), ("value_count", "source"),
+        ("missing", "source"),
+    ):
+        one = es_search(idx, {
+            "query": {"match": {"text": "merge"}},
+            "aggs": {"a": {m: {"field": field}}},
+        })
+        legs.append(one.select(
+            F.lit(m).alias("metric"),
+            F.col(one.columns[0]).cast("long").alias("value"),
+        ))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("metric")
+
+
+@register(
     "dsir_importance_documents",
     """
 WITH sp AS (SELECT doc_id, lang, string_split(text, ' ') AS t
