@@ -1340,6 +1340,39 @@ def es_search(
             return multi_match_cross_fields(sel, terms, k=size)
         raise _err(f"multi_match type {mtype!r}")
 
+    if qtype == "match_bool_prefix":
+        # search-as-you-type WITHOUT position requirements: every
+        # analyzed term is an optional (should) clause, the LAST one
+        # expanded as a prefix (ES compiles exactly this bool) — the
+        # unordered sibling of match_phrase_prefix
+        _field, spec = _single(q, "match_bool_prefix")
+        max_exp = 50
+        if isinstance(spec, dict):
+            extra = set(spec) - {"query", "max_expansions"}
+            if extra:
+                raise _err(f"match_bool_prefix options {sorted(extra)}")
+            max_exp = int(spec.get("max_expansions", 50))
+            spec = spec["query"]
+        toks = index.analyze_text(str(spec))
+        if not toks:
+            raise _err("match_bool_prefix analyzing to no terms")
+        fixed, last = toks[:-1], toks[-1]
+        dict_scan = (
+            index.live_postings()
+            .filter(F.col("term").startswith(last))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(max_exp)
+        )
+        expansions = [r["term"] for r in dict_scan.collect()]
+        scoring = fixed + expansions
+        if not scoring:
+            return index.postings.sparkSession.createDataFrame(
+                [], f"{index.id_col} LONG, n_hit_terms LONG, score_q20 LONG"
+            )
+        return bm25_bool_query(index, must=[], should=scoring, k=size)
+
     if qtype == "match_phrase":
         _field, spec = _single(q, "match_phrase")
         slop = 0

@@ -493,6 +493,47 @@ def highlighted_search_documents(
 
 
 @register(
+    "match_bool_prefix_documents",
+    f"""
+WITH {_TOK_POSTINGS},
+exp AS (SELECT term FROM (
+  SELECT term, COUNT(*) AS df FROM postings WHERE term LIKE 'ta%'
+  GROUP BY term ORDER BY df DESC, term LIMIT 50)),
+qterms AS (SELECT 'fast' AS term UNION SELECT term FROM exp),
+qt AS (SELECT * FROM postings
+       WHERE term IN (SELECT term FROM qterms)),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term)
+SELECT qt.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+       CAST(FLOOR(SUM({_BM25_TERM_SCORE}) * 1048576.0) AS BIGINT)
+         AS score_q20
+FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+GROUP BY qt.doc_id, sc.n_docs
+ORDER BY score_q20 DESC, doc_id LIMIT 10
+""",
+    doc="ES ``match_bool_prefix`` — search-as-you-type WITHOUT the "
+    "position requirement: 'fast ta' compiles to a bool of optional "
+    "term clauses with the LAST token expanded as a prefix (exactly "
+    "the bool ES builds; match_phrase_prefix is the ordered-adjacency "
+    "sibling). The expansion is the stored-dictionary scan capped at "
+    "max_expansions by (df desc, term) — the prefix probe's rewrite "
+    "cap — and scoring is the plain BM25 sum over every matched "
+    "term, each with its own df (bm25_bool_query with all-should "
+    "clauses). One pruned probe over fixed + expansion terms; no "
+    "positions touched, no raw text. Dispatched from "
+    "query.match_bool_prefix.",
+)
+def match_bool_prefix_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"match_bool_prefix": {"text": "fast ta"}},
+        "size": 10,
+    })
+
+
+@register(
     "metric_aggs_documents",
     """
 WITH hits AS (
