@@ -1340,6 +1340,41 @@ def es_search(
             return multi_match_cross_fields(sel, terms, k=size)
         raise _err(f"multi_match type {mtype!r}")
 
+    if qtype == "span_near":
+        extra = set(q) - {"clauses", "slop", "in_order"}
+        if extra:
+            raise _err(f"span_near options {sorted(extra)}")
+        sterms = []
+        for c in q["clauses"]:
+            ckind, cbody = _single(c, "span clause")
+            if ckind != "span_term":
+                raise _err(f"span clause type {ckind!r} (span_term only)")
+            _f, v = _single(cbody, "span_term")
+            sterms.append(str(v))
+        from pycasselastic_spark.operators.search_ext import (
+            span_near_search,
+        )
+
+        return span_near_search(
+            index, sterms, slop=int(q.get("slop", 0)),
+            in_order=bool(q.get("in_order", True)),
+        )
+    if qtype == "span_first":
+        extra = set(q) - {"match", "end"}
+        if extra or "match" not in q or "end" not in q:
+            raise _err(
+                f"span_first body {sorted(q)} (expected match + end)"
+            )
+        mkind, mbody = _single(q["match"], "span_first match")
+        if mkind != "span_term":
+            raise _err(f"span_first match type {mkind!r} (span_term only)")
+        _f, v = _single(mbody, "span_term")
+        from pycasselastic_spark.operators.search_ext import (
+            span_first_search,
+        )
+
+        return span_first_search(index, str(v), int(q["end"]))
+
     if qtype == "match_bool_prefix":
         # search-as-you-type WITHOUT position requirements: every
         # analyzed term is an optional (should) clause, the LAST one

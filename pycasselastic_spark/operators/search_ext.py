@@ -815,6 +815,93 @@ def search_stats_agg(
     )
 
 
+def span_near_search(
+    index: PostingsIndex,
+    span_terms: list[str],
+    slop: int = 0,
+    in_order: bool = True,
+) -> DataFrame:
+    """ES ``span_near`` (in_order form) from STORED positions — the
+    proximity primitive legal/patent search builds on: the span terms
+    must occur IN ORDER within a window of ``n_terms + slop`` total
+    positions (Lucene's span law: the whole match may STRETCH by at
+    most ``slop`` intervening positions, unlike match_phrase+slop's
+    per-gap bound — 'a x x b c' matches span_near([a,b,c], slop=2)
+    but not phrase slop=1). Returns ``(id, n_spans)`` with n_spans =
+    distinct start positions opening at least one valid span.
+    ``in_order=False`` raises by name (unordered spans need interval
+    algebra this join chain doesn't implement).
+
+    Plan shape: the phrase probe's position chain joins with the
+    TOTAL-stretch bound applied incrementally (positions only grow,
+    so ``p_next - p_start <= n_terms + slop - 1`` prunes every
+    intermediate join, keeping candidates bounded exactly like the
+    per-gap chain)."""
+    if not in_order:
+        raise ValueError(
+            "span_near in_order=false is not implemented (unordered "
+            "span interval algebra) — raise rather than approximate"
+        )
+    if len(span_terms) < 2:
+        raise ValueError("span_near needs at least two clauses")
+    id_col = index.id_col
+    width = len(span_terms) + slop - 1  # max (end - start)
+    postings = index.live_postings_for(sorted(set(span_terms)))
+    per_term = {
+        t: postings.filter(F.col("term") == t).select(
+            F.col(id_col), F.explode("positions").alias("pos")
+        )
+        for t in set(span_terms)
+    }
+    chain = per_term[span_terms[0]].select(
+        id_col, F.col("pos").alias("p_start"), F.col("pos").alias("p_prev")
+    )
+    for t in span_terms[1:]:
+        nxt = per_term[t].select(id_col, F.col("pos").alias("p_next"))
+        chain = (
+            chain.join(nxt, id_col)
+            .filter(
+                (F.col("p_next") > F.col("p_prev"))
+                & (F.col("p_next") - F.col("p_start") <= width)
+            )
+            .select(id_col, "p_start", F.col("p_next").alias("p_prev"))
+        )
+    return (
+        chain.select(id_col, "p_start")
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+    )
+
+
+def span_first_search(
+    index: PostingsIndex,
+    term: str,
+    end: int,
+) -> DataFrame:
+    """ES ``span_first``: the term must occur within the FIRST ``end``
+    positions of the document (title-ish boosting without a separate
+    field — Lucene's SpanFirstQuery: span end <= end, i.e. 0-based
+    position <= end - 1). Returns ``(id, n_hits)`` with n_hits = the
+    number of qualifying occurrences.
+
+    Plan shape: ONE pruned postings probe; the position bound is a
+    JVM-side array filter over the stored position list — no explode
+    of non-qualifying positions, no joins."""
+    if end < 1:
+        raise ValueError(f"span_first end must be >= 1, got {end}")
+    id_col = index.id_col
+    postings = index.live_postings_for([term])
+    n_q = F.size(
+        F.filter(F.col("positions"), lambda p: p <= F.lit(end - 1))
+    )
+    return (
+        postings.select(F.col(id_col), n_q.alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+        .select(id_col, F.col("n_hits").cast("long"))
+    )
+
+
 def search_metric_agg(
     index: PostingsIndex,
     query_terms,

@@ -492,6 +492,92 @@ def highlighted_search_documents(
     }, docs=docs)
 
 
+_TOKPOS_SQL = """tok AS (
+  SELECT doc_id, i AS pos, toks[i+1] AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       LATERAL (SELECT unnest(range(len(toks))) AS i) t
+  WHERE toks[i+1] <> ''
+)"""
+
+
+@register(
+    "span_near_documents",
+    "WITH "
+    + _TOKPOS_SQL
+    + """,
+a AS (SELECT doc_id, pos FROM tok WHERE term = 'fast'),
+b AS (SELECT doc_id, pos FROM tok WHERE term = 'table'),
+c AS (SELECT doc_id, pos FROM tok WHERE term = 'scan'),
+sel AS (
+  SELECT DISTINCT a.doc_id, a.pos AS p
+  FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos > a.pos
+       JOIN c ON a.doc_id = c.doc_id AND c.pos > b.pos
+            AND c.pos - a.pos <= 4)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+FROM sel GROUP BY doc_id ORDER BY doc_id
+""",
+    doc="ES ``span_near`` in_order — the proximity primitive "
+    "legal/patent search builds on (operators/search_ext.py:"
+    "span_near_search, dispatched from query.span_near with "
+    "span_term clauses): 'fast' then 'table' then 'scan' IN ORDER "
+    "within a TOTAL stretch of slop=2 intervening positions — "
+    "Lucene's span law bounds the whole match width "
+    "(end - start <= n_terms + slop - 1), unlike match_phrase+slop's "
+    "per-gap bound; 'fast x x table scan' matches here but not "
+    "phrase slop=1. n_spans = distinct qualifying start positions. "
+    "Plan: the phrase probe's position chain joins with the stretch "
+    "bound applied INCREMENTALLY (positions only grow, so "
+    "p_next - p_start <= width prunes every intermediate join); "
+    "inputs bounded by the clause terms' postings. in_order=false "
+    "raises by name. Oracle replays positions from raw text.",
+)
+def span_near_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    idx = _postings_index_for(spark, sf_dir)
+    out = es_search(idx, {
+        "query": {"span_near": {
+            "clauses": [
+                {"span_term": {"text": "fast"}},
+                {"span_term": {"text": "table"}},
+                {"span_term": {"text": "scan"}},
+            ],
+            "slop": 2, "in_order": True,
+        }},
+    })
+    return out.orderBy("doc_id")
+
+
+@register(
+    "span_first_documents",
+    "WITH "
+    + _TOKPOS_SQL
+    + """
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM tok WHERE term = 'merge' AND pos <= 4
+GROUP BY doc_id ORDER BY doc_id
+""",
+    doc="ES ``span_first``: 'merge' within the FIRST 5 positions of "
+    "the document — title-ish boosting without a separate field "
+    "(Lucene SpanFirstQuery: span end <= end; operators/"
+    "search_ext.py:span_first_search, dispatched from "
+    "query.span_first.match.span_term). n_hits counts qualifying "
+    "occurrences. Plan: ONE pruned postings probe with a JVM-side "
+    "array filter over the STORED position list — no explode of "
+    "non-qualifying positions, no joins, no raw text. Oracle "
+    "replays positions from raw text.",
+)
+def span_first_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    out = es_search(idx, {
+        "query": {"span_first": {
+            "match": {"span_term": {"text": "merge"}},
+            "end": 5,
+        }},
+    })
+    return out.orderBy("doc_id")
+
+
 @register(
     "match_bool_prefix_documents",
     f"""
