@@ -817,6 +817,27 @@ def es_search(
         # a derived hit-id relation under the other query types
         # (hits_relation accepts both downstream)
         terms = _agg_scope(index, qtype, q)
+        # ES ``filter`` aggregation: narrow the scope with a
+        # filter-context clause WITHOUT touching the query, then run
+        # the sub-aggregation over the intersection — the dashboard
+        # staple ("hits for X; stats over the paid subset"). Nesting
+        # composes (filter inside filter), hence the loop.
+        while isinstance(agg, dict) and set(agg) == {"filter", "aggs"}:
+            from pycasselastic_spark.operators.search_hybrid import (
+                filtered_ids,
+            )
+
+            preds = _filter_predicates([agg["filter"]])
+            base = (
+                terms
+                if not isinstance(terms, list)
+                else index.live_postings_for(terms)
+                .select(index.id_col)
+                .distinct()
+            )
+            terms = base.join(filtered_ids(index, preds),
+                              index.id_col, "semi")
+            _fname, agg = _single(agg["aggs"], "filter sub-aggregation")
         # metric/histogram aggregations run on STORED doc-values — no
         # docs frame needed; the terms facet still fetches its field
         # from the docs frame (any column, not just stored ones)

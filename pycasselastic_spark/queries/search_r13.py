@@ -492,6 +492,47 @@ def highlighted_search_documents(
     }, docs=docs)
 
 
+@register(
+    "filter_agg_documents",
+    """
+WITH hits AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  WHERE term = 'merge'
+),
+v AS (SELECT d.n_chars FROM documents d JOIN hits USING (doc_id)
+      WHERE d.source = 'src1')
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(n_chars) AS min_val,
+       MAX(n_chars) AS max_val,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_val,
+       CAST(FLOOR(AVG(n_chars) * 1048576.0) AS BIGINT) AS avg_q20
+FROM v
+""",
+    doc="ES ``filter`` aggregation — narrow the agg scope with a "
+    "filter-context clause WITHOUT touching the query, then run the "
+    "sub-aggregation over the intersection: the dashboard staple "
+    "('hits for merge; char stats over just the src1 subset'). "
+    "Dispatched from aggs.<name>.filter + aggs (nesting composes — "
+    "filter inside filter loops in the dispatcher); the filter's "
+    "id set comes from the PUSHED doc-values scan and meets the "
+    "query's hit relation through a semi join, then the stats "
+    "sub-agg rides one partial-aggregated reduction "
+    "(operators/search_api.py aggs branch + search_hybrid."
+    "filtered_ids + search_ext.search_stats_agg).",
+)
+def filter_agg_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"match": {"text": "merge"}},
+        "aggs": {"src1_only": {
+            "filter": {"term": {"source": "src1"}},
+            "aggs": {"chars": {"stats": {"field": "n_chars"}}},
+        }},
+    })
+
+
 _TOKPOS_SQL = """tok AS (
   SELECT doc_id, i AS pos, toks[i+1] AS term
   FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
