@@ -866,6 +866,61 @@ def test_suggest_and_highlight_dispatch(spark, idx, tmp_path):
         }, docs=docs)
 
 
+def test_span_near_total_stretch_vs_phrase_per_gap(spark, tmp_path):
+    from pycasselastic_spark.operators.search_ext import (
+        span_first_search,
+        span_near_search,
+    )
+
+    docs = _corpus(spark, [
+        (1, "a x x b c"),     # a..c width 5: stretch 2 -> slop 2 ok
+        (2, "a b c"),         # exact
+        (3, "a x b x c"),     # stretch 2, spread across gaps
+        (4, "c b a"),         # wrong order
+        (5, "a x x x b c"),   # stretch 3 -> out at slop 2
+    ])
+    path = str(tmp_path / "span")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4)
+    sidx = SRCH.load_postings_index(spark, path)
+    got = {
+        r["doc_id"]: r["n_spans"]
+        for r in span_near_search(sidx, ["a", "b", "c"], slop=2).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}
+    # per-gap phrase slop=2 ADMITS doc 1 (each gap <= 3) and doc 5's
+    # 3-gap is out for span but its per-gap... a->b gap 4 > 3: out
+    # both; the semantics differ on doc 3 vs stretch-1 budgets:
+    # slop=1: docs 1 and 3 carry total stretch 2 -> excluded; only
+    # the exact phrase (stretch 0) fits — the TOTAL-stretch law, where
+    # a per-gap law would still admit doc 3 (each gap <= 2)
+    tight = {
+        r["doc_id"]: r["n_spans"]
+        for r in span_near_search(sidx, ["a", "b", "c"], slop=1).collect()
+    }
+    assert set(tight) == {2}
+    with pytest.raises(ValueError, match="in_order"):
+        span_near_search(sidx, ["a", "b"], slop=0, in_order=False)
+    # span_first: 'b' within first 2 positions -> only doc 4 (pos 1)
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in span_first_search(sidx, "b", 2).collect()
+    }
+    assert got == {2: 1, 4: 1}
+
+
+def test_match_bool_prefix_compiles_to_should_bool(idx):
+    from pycasselastic_spark.operators.search_probes import bm25_bool_query
+
+    # 'spark jo' -> should [spark] + expansion of 'jo' (join)
+    got = es_search(idx, {
+        "query": {"match_bool_prefix": {"text": "spark jo"}},
+    }).collect()
+    want = bm25_bool_query(
+        idx, must=[], should=["spark", "join"], k=10
+    ).collect()
+    assert got == want
+
+
 def test_shaping_sections_never_silently_combine(dv_idx):
     # sort + aggs used to silently take the sort path and drop the
     # aggregation; every pairwise combination must raise

@@ -208,6 +208,59 @@ def test_hybrid_dispatch_strictness(idx, emb):
         }, embeddings=emb)
 
 
+def test_multi_knn_sums_leg_contributions(idx, emb):
+    from pycasselastic_spark.operators.search_hybrid import multi_knn_bm25
+
+    qa, qb = [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]
+    legs = {
+        v: {
+            r["match_id"]: math.floor(r["cosine"] * b * Q20)
+            for r in knn_literal_topk(emb, v_, k=2).collect()
+        }
+        for v, (v_, b) in {"a": (qa, 1.0), "b": (qb, 0.5)}.items()
+    }
+    # recompute leg b with its boost
+    legs["b"] = {
+        r["match_id"]: math.floor(r["cosine"] * 0.5 * Q20)
+        for r in knn_literal_topk(emb, qb, k=2).collect()
+    }
+    got = {
+        r["doc_id"]: r["score_q20"]
+        for r in multi_knn_bm25(
+            idx, emb, None,
+            [{"vec": qa, "k": 2, "boost": 1.0, "vec_col": "embedding"},
+             {"vec": qb, "k": 2, "boost": 0.5, "vec_col": "embedding"}],
+            k=10,
+        ).collect()
+    }
+    want = {}
+    for leg in legs.values():
+        for i, s in leg.items():
+            want[i] = want.get(i, 0) + s
+    assert got == want
+    # dispatch: list form of the knn key
+    via_api = es_search(idx, {
+        "knn": [
+            {"field": "embedding", "query_vector": qa, "k": 2},
+            {"field": "embedding", "query_vector": qb, "k": 2,
+             "boost": 0.5},
+        ],
+    }, embeddings=emb).collect()
+    direct = multi_knn_bm25(
+        idx, emb, None,
+        [{"vec": qa, "k": 2, "boost": 1.0, "vec_col": "embedding"},
+         {"vec": qb, "k": 2, "boost": 0.5, "vec_col": "embedding"}],
+        k=10,
+    ).collect()
+    assert via_api == direct
+    with pytest.raises(ValueError, match="rank with a multi-clause"):
+        es_search(idx, {
+            "query": {"match": {"text": "spark"}},
+            "knn": [{"field": "embedding", "query_vector": qa}],
+            "rank": {"rrf": {}},
+        }, embeddings=emb)
+
+
 # --- round-12 advisor fixes --------------------------------------------------
 
 
