@@ -244,6 +244,8 @@ from pycasselastic_spark.operators.search_lifecycle import (  # noqa: E402,F401
     CompactionPolicy,
     _max_files_per_bucket,
     compact_postings_index,
+    delete_by_query,
+    delete_ids_from_index,
     index_health,
     ingest_into_postings_index,
     reindex_postings_index,

@@ -535,6 +535,95 @@ class CompactionPolicy:
         )
 
 
+def delete_ids_from_index(
+    spark: SparkSession, path: str, ids: DataFrame
+) -> int:
+    """The WRITE half of ES ``_delete_by_query``: mark every LIVE
+    generation row of the given ids superseded — a supersede WITHOUT
+    replacement, the delete the LWW machinery already knows how to
+    read (probes drop superseded (id, gen) pairs via the standard
+    broadcast anti-join; a later re-ingest of a deleted id brings it
+    back alive, exactly ES). Corpus scalars (n_docs / total_dl)
+    decrement by the deleted rows' stats, so BM25 after a delete
+    ranks EXACTLY like a fresh build on the remaining corpus —
+    fresh-build parity is the correctness contract, pinned by the
+    catalog oracle. Returns the number of deleted docs.
+
+    Crash atomicity: the full claim/append/commit protocol of
+    ``update_postings_index`` with an empty data append — the claimed
+    generation tags only superseded rows, the atomic stats rewrite
+    makes them visible all-at-once, a crash before commit leaves
+    invisible orphans, and a concurrent commit is detected and fails
+    loudly (single-writer remains the deployment contract)."""
+    with open(os.path.join(path, "stats.json")) as f:
+        stats = json.load(f)
+    id_col = stats["id_col"]
+    committed = list(stats["committed_gens"])
+    gen = _core._claim_generation(path, stats["next_gen"])
+    docstats = spark.read.parquet(os.path.join(path, "docstats")).filter(
+        F.col("gen").isin(committed)
+    )
+    superseded = (
+        spark.read.parquet(os.path.join(path, "superseded"))
+        .filter(F.col("by_gen").isin(committed))
+        .select(id_col, "gen")
+    )
+    live = docstats.join(superseded, [id_col, "gen"], "left_anti")
+    doomed = live.join(ids.select(id_col).distinct(), id_col, "semi")
+    r = doomed.agg(
+        F.countDistinct(id_col).alias("n_ids"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("s"),
+    ).collect()[0]
+    doomed.select(
+        id_col, "gen", F.lit(gen).cast("long").alias("by_gen")
+    ).write.mode("append").parquet(os.path.join(path, "superseded"))
+    lock = _core._acquire_commit_lock(path)
+    try:
+        with open(os.path.join(path, "stats.json")) as f:
+            current = json.load(f)
+        if current["committed_gens"] != committed:
+            raise RuntimeError(
+                f"concurrent update committed {current['committed_gens']} "
+                f"while delete generation {gen} was being written; it "
+                "stays uncommitted (invisible) — re-run the delete"
+            )
+        stats.update(
+            n_docs=stats["n_docs"] - int(r["n"]),
+            total_dl=stats["total_dl"] - int(r["s"] or 0),
+            generation=gen,
+            next_gen=gen + 1,
+            committed_gens=committed + [gen],
+        )
+        _core._write_stats(path, stats)
+    finally:
+        os.remove(lock)
+    return int(r["n_ids"])
+
+
+def delete_by_query(spark: SparkSession, path: str, body: dict) -> int:
+    """ES ``_delete_by_query``: derive the hit set of a ``query``
+    body against the stored index at ``path`` (the same scope
+    machinery aggregations use — match / term / match_all / exists /
+    range / terms / bool(must, must_not)), then delete those docs via
+    ``delete_ids_from_index``. Returns the deleted-doc count.
+
+    This is the index-maintenance request every ES operator runs
+    (expire-by-policy, purge-by-source, GDPR erasure); unsupported
+    query shapes raise by name through the shared scope dispatcher."""
+    from pycasselastic_spark.operators.search_api import (
+        _agg_scope,
+        _single,
+    )
+    from pycasselastic_spark.operators.search_index import hits_relation
+
+    idx = load_postings_index(spark, path)
+    qtype, q = _single(body.get("query", {}), "query")
+    scope = _agg_scope(idx, qtype, q)
+    ids = hits_relation(idx, scope)
+    return delete_ids_from_index(spark, path, ids)
+
+
 def _max_files_per_bucket(relation_dir: str) -> int:
     """Largest parquet-file count across one relation's bucket
     partition directories (driver-side listing: n_buckets dirs — the

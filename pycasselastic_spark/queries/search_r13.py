@@ -493,6 +493,73 @@ def highlighted_search_documents(
 
 
 @register(
+    "delete_by_query_documents",
+    """
+WITH doomed AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  WHERE term = 'window'
+),
+d2 AS (SELECT * FROM documents
+       WHERE doc_id NOT IN (SELECT doc_id FROM doomed)),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d2),
+postings AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY term, doc_id
+),
+qt AS (SELECT * FROM postings WHERE term IN ('merge', 'sort')),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM d2),
+sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+              AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+       FROM d2)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+       CAST(FLOOR(SUM(
+         ln(1.0 + (sc.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (qt.tf * 2.2)
+         / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / sc.avgdl))
+       ) * 1048576.0) AS BIGINT) AS score_q20
+FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+GROUP BY doc_id, sc.n_docs
+ORDER BY score_q20 DESC, doc_id LIMIT 10
+""",
+    doc="ES ``_delete_by_query`` — the index-maintenance request "
+    "every operator runs (expire-by-policy, purge-by-source, GDPR "
+    "erasure; operators/search_lifecycle.py:delete_by_query): delete "
+    "every doc matching 'window', then a BM25 probe for 'merge sort' "
+    "must rank EXACTLY like a FRESH BUILD on the remaining corpus — "
+    "the fresh-build-parity contract, which only holds because the "
+    "delete is a supersede-without-replacement through the index's "
+    "standard LWW machinery (probes drop superseded (id, gen) pairs; "
+    "a re-ingested id comes back alive, exactly ES) AND the corpus "
+    "scalars decrement by the deleted rows' stats (n_docs / "
+    "total_dl, hence avgdl) — a delete that left stale scalars would "
+    "mis-rank every subsequent query. Crash-atomic via the claimed "
+    "generation + atomic stats rewrite (the update protocol with an "
+    "empty data append). The oracle IS the fresh build on the "
+    "remaining docs.",
+)
+def delete_by_query_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+
+    from pycasselastic_spark.operators import search as SRCH2
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
+    path = os.path.join(tempfile.mkdtemp(prefix="delq_idx_"), "idx")
+    SRCH2.build_postings_index(docs, "doc_id", "text", path, n_buckets=16)
+    SRCH2.delete_by_query(spark, path, {
+        "query": {"match": {"text": "window"}},
+    })
+    idx = SRCH2.load_postings_index(spark, path)
+    return SRCH2.bm25_topk_indexed(idx, ["merge", "sort"], k=10)
+
+
+@register(
     "filter_agg_documents",
     """
 WITH hits AS (

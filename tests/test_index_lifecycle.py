@@ -263,3 +263,56 @@ def test_index_health_lifecycle_columns(spark, tmp_path):
     idx2 = SRCH.load_postings_index(spark, path)
     rows2 = SRCH.index_health(idx2, include_lifecycle=True).collect()
     assert all(r["n_gens"] == 1 and r["n_files"] == 1 for r in rows2)
+
+
+def test_delete_by_query_fresh_build_parity_and_resurrection(
+    spark, tmp_path
+):
+    """_delete_by_query must (1) rank every later probe exactly like a
+    fresh build on the remaining corpus (scalars decremented, df
+    shrunk), (2) report the deleted count, (3) leave a re-ingested id
+    ALIVE again (the LWW resurrection ES has), and (4) no-op at count
+    0 for a query matching nothing."""
+    rows = [
+        (1, "alpha beta old"),
+        (2, "alpha gamma"),
+        (3, "beta old stale"),
+        (4, "gamma delta"),
+    ]
+    path = _build(spark, tmp_path, rows)
+    n = SRCH.delete_by_query(spark, path, {
+        "query": {"match": {"text": "old"}},
+    })
+    assert n == 2  # docs 1 and 3
+    idx = SRCH.load_postings_index(spark, path)
+    got = {
+        r["doc_id"]: r["score_q20"]
+        for r in SRCH.bm25_topk_indexed(idx, ["alpha", "gamma"],
+                                        k=10).collect()
+    }
+    fresh_path = str(tmp_path / "fresh")
+    SRCH.build_postings_index(
+        _corpus(spark, [rows[1], rows[3]]), "doc_id", "text", fresh_path,
+        n_buckets=4,
+    )
+    fresh = SRCH.load_postings_index(spark, fresh_path)
+    want = {
+        r["doc_id"]: r["score_q20"]
+        for r in SRCH.bm25_topk_indexed(fresh, ["alpha", "gamma"],
+                                        k=10).collect()
+    }
+    assert got == want and set(got) == {2, 4}
+    # nothing-matches delete is a zero-count no-op
+    assert SRCH.delete_by_query(spark, path, {
+        "query": {"term": {"text": "nonexistenttoken"}},
+    }) == 0
+    # resurrection: re-ingesting doc 1 brings it back
+    SRCH.update_postings_index(
+        _corpus(spark, [(1, "alpha reborn")]), "text", path
+    )
+    idx2 = SRCH.load_postings_index(spark, path)
+    alive = {r["doc_id"] for r in SRCH.bm25_topk_indexed(
+        idx2, ["alpha"], k=10).collect()}
+    assert 1 in alive
+    # deleted content never resurfaces: 'old' matches nothing
+    assert SRCH.bm25_topk_indexed(idx2, ["old"], k=10).count() == 0
