@@ -1104,7 +1104,7 @@ def es_search(
             )
         return bm25_topk_indexed(index, terms, k=size)
 
-    if "search_after" in body:
+    if "search_after" in body and qtype != "match_all":
         raise _err(f"search_after under query type {qtype!r}")
 
     if qtype == "term":
@@ -1126,12 +1126,18 @@ def es_search(
             if index.stored_fields
             else index.live_forward()
         )
-        return (
-            base.select(id_col)
-            .distinct()
-            .orderBy(F.col(id_col).asc())
-            .limit(size)
-        )
+        page = base.select(id_col).distinct()
+        if "search_after" in body:
+            # the index-export loop: match_all pages in id order, the
+            # cursor is [last_id] — ES's scroll replacement
+            cursor = list(body["search_after"])
+            if len(cursor) != 1:
+                raise _err(
+                    "search_after cursor under match_all (expected "
+                    "[last_id])"
+                )
+            page = page.filter(F.col(id_col) > cursor[0])
+        return page.orderBy(F.col(id_col).asc()).limit(size)
     if qtype == "fuzzy":
         # the standalone term-level fuzzy query (match+fuzziness is
         # the analyzed multi-term form; this is the single-term ES

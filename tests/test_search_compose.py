@@ -908,6 +908,19 @@ def test_span_near_total_stretch_vs_phrase_per_gap(spark, tmp_path):
     assert got == {2: 1, 4: 1}
 
 
+def test_match_all_pages_with_id_cursor(idx):
+    p1 = es_search(idx, {"query": {"match_all": {}}, "size": 2}).collect()
+    p2 = es_search(idx, {
+        "query": {"match_all": {}}, "size": 2,
+        "search_after": [p1[-1]["doc_id"]],
+    }).collect()
+    both = es_search(idx, {"query": {"match_all": {}}, "size": 4}).collect()
+    assert p1 + p2 == both  # pages tile the id order exactly
+    with pytest.raises(ValueError, match="cursor under match_all"):
+        es_search(idx, {"query": {"match_all": {}},
+                        "search_after": [1, 2]})
+
+
 def test_match_bool_prefix_compiles_to_should_bool(idx):
     from pycasselastic_spark.operators.search_probes import bm25_bool_query
 
