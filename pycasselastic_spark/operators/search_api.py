@@ -611,10 +611,15 @@ def es_search(
         if not isinstance(spec, (list, tuple)):
             extra = set(spec) - {
                 "field", "query_vector", "k", "num_candidates", "filter",
-                "boost",
+                "boost", "similarity",
             }
             if extra:
                 raise _err(f"knn options {sorted(extra)}")
+            if "similarity" in spec and "query" in body:
+                # the cutoff composes with the standalone retrieval;
+                # under a hybrid body its interaction with the lexical
+                # leg is a different law — raise by name
+                raise _err("knn similarity under a hybrid body")
         if embeddings is None:
             raise _err("knn without an embeddings frame")
         from pycasselastic_spark.operators.search_hybrid import (
@@ -713,13 +718,18 @@ def es_search(
             allowed = filtered_ids(index, knn_filters).withColumnRenamed(
                 index.id_col, "vec_id"
             )
-        return (
-            knn_literal_topk(
-                embeddings, vec, k, id_col="vec_id", vec_col=field,
-                allowed_ids=allowed,
+        out = knn_literal_topk(
+            embeddings, vec, k, id_col="vec_id", vec_col=field,
+            allowed_ids=allowed,
+        ).select(F.col("match_id").alias("vec_id"), "cosine")
+        if "similarity" in spec:
+            # ES 8.8 knn.similarity: the minimum-similarity cutoff —
+            # neighbors below it are dropped even inside the top-k
+            out = out.filter(
+                F.col("cosine") >= F.lit(float(spec["similarity"]))
             )
-            .select(F.col("match_id").alias("vec_id"), "cosine")
-            .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        return (
+            out.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
             # ES retrieves k neighbors, then the page is still bounded
             # by size (default 10) — min(k, size) hits come back
             .limit(min(k, size))

@@ -174,6 +174,23 @@ def test_es_search_dispatches_knn_filter(idx, emb):
     assert [r["vec_id"] for r in got] == [1, 3]
 
 
+def test_knn_similarity_cutoff(idx, emb):
+    # without the cutoff: [1, 2, 4]; cosine of doc 4 ([.5,.5,0]) vs
+    # [1,0,0] is ~0.707 — a 0.9 cutoff keeps only 1 and 2
+    got = es_search(idx, {
+        "knn": {"field": "embedding", "query_vector": QV, "k": 3,
+                "similarity": 0.9},
+    }, embeddings=emb).collect()
+    assert [r["vec_id"] for r in got] == [1, 2]
+    assert all(r["cosine"] >= 0.9 for r in got)
+    with pytest.raises(ValueError, match="similarity under a hybrid"):
+        es_search(idx, {
+            "query": {"match": {"text": "spark"}},
+            "knn": {"field": "embedding", "query_vector": QV,
+                    "similarity": 0.9},
+        }, embeddings=emb)
+
+
 def test_hybrid_dispatch_strictness(idx, emb):
     with pytest.raises(ValueError, match="rank without"):
         es_search(idx, {
@@ -202,9 +219,11 @@ def test_hybrid_dispatch_strictness(idx, emb):
             "rank": {"rrf": {"window": 9}},
         }, embeddings=emb)
     with pytest.raises(ValueError, match="knn options"):
+        # query_vector_builder (server-side embedding) has no model
+        # to run here — must raise, never silently skip
         es_search(idx, {
             "knn": {"field": "embedding", "query_vector": QV,
-                    "similarity": 0.5},
+                    "query_vector_builder": {"text_embedding": {}}},
         }, embeddings=emb)
 
 
