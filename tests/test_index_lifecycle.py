@@ -316,3 +316,60 @@ def test_delete_by_query_fresh_build_parity_and_resurrection(
     assert 1 in alive
     # deleted content never resurfaces: 'old' matches nothing
     assert SRCH.bm25_topk_indexed(idx2, ["old"], k=10).count() == 0
+
+
+def test_delete_crash_before_commit_is_invisible_and_retryable(
+    spark, tmp_path, monkeypatch
+):
+    """A delete that dies AFTER appending superseded rows but BEFORE
+    the stats commit must change NOTHING (the orphan generation's
+    superseded rows are invisible — readers filter by committed
+    by_gen), and the retried delete must converge to fresh-build
+    parity."""
+    import pytest as _p
+
+    from pycasselastic_spark.operators import search_index as SRCH_INDEX
+
+    rows = [(1, "alpha old"), (2, "alpha keep"), (3, "beta old")]
+    path = _build(spark, tmp_path, rows)
+    idx0 = SRCH.load_postings_index(spark, path)
+    before = sorted(map(tuple, SRCH.bm25_topk_indexed(
+        idx0, ["alpha", "beta"], k=10).collect()))
+
+    real_write = SRCH_INDEX._write_stats
+    calls = {"n": 0}
+
+    def exploding_write(p, stats):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("injected crash before delete commit")
+        return real_write(p, stats)
+
+    monkeypatch.setattr(SRCH_INDEX, "_write_stats", exploding_write)
+    with _p.raises(OSError, match="injected crash"):
+        SRCH.delete_by_query(spark, path, {
+            "query": {"match": {"text": "old"}},
+        })
+    monkeypatch.setattr(SRCH_INDEX, "_write_stats", real_write)
+
+    # nothing deleted: answers and scalars unchanged
+    idx1 = SRCH.load_postings_index(spark, path)
+    assert (idx1.n_docs, idx1.total_dl) == (idx0.n_docs, idx0.total_dl)
+    assert sorted(map(tuple, SRCH.bm25_topk_indexed(
+        idx1, ["alpha", "beta"], k=10).collect())) == before
+
+    # retry converges to fresh-build parity on the survivors
+    n = SRCH.delete_by_query(spark, path, {
+        "query": {"match": {"text": "old"}},
+    })
+    assert n == 2
+    fresh_path = str(tmp_path / "fresh")
+    SRCH.build_postings_index(
+        _corpus(spark, [rows[1]]), "doc_id", "text", fresh_path,
+        n_buckets=4,
+    )
+    idx2 = SRCH.load_postings_index(spark, path)
+    fresh = SRCH.load_postings_index(spark, fresh_path)
+    assert (idx2.n_docs, idx2.total_dl) == (fresh.n_docs, fresh.total_dl)
+    assert SRCH.bm25_topk_indexed(idx2, ["alpha"], k=10).collect() == \
+        SRCH.bm25_topk_indexed(fresh, ["alpha"], k=10).collect()
