@@ -1555,9 +1555,13 @@ class TestEsSearchApi:
         idx, docs = self._idx(spark, tmp_path)
         import pytest as _p
         for body, frag in [
-            # match_all is dispatched since round 12; span queries
-            # stay the representative unsupported type
-            ({"query": {"span_near": {"clauses": []}}}, "query type"),
+            # span_near/span_first are dispatched since round 13 —
+            # script_score is the representative unsupported type
+            # (no sandboxed script engine here), and an empty
+            # span_near raises its own named error
+            ({"query": {"script_score": {"script": "1"}}}, "query type"),
+            ({"query": {"span_near": {"clauses": []}}},
+             "at least two clauses"),
             ({"query": {"match": {"text": "x"}}, "highlight": {}}, "highlight"),
             # filter IS supported, but only in the simple must+filter
             # shape — combining it with must_not/should raises rather
