@@ -51,6 +51,7 @@ from pycasselastic_spark.operators.search_compose import (
     constant_score_search,
     dis_max_search,
     multi_match_best_fields,
+    multi_match_bool_prefix,
     multi_match_cross_fields,
     multi_match_phrase,
     search_cardinality_agg,
@@ -1375,6 +1376,12 @@ def es_search(
                     "tie_breaker dial)"
                 )
             return multi_match_cross_fields(sel, terms, k=size)
+        if mtype == "bool_prefix":
+            if "slop" in q:
+                raise _err("multi_match slop under type 'bool_prefix'")
+            return multi_match_bool_prefix(
+                sel, str(q["query"]), tie_breaker=tie, k=size
+            )
         raise _err(f"multi_match type {mtype!r}")
 
     if qtype == "span_near":

@@ -693,6 +693,90 @@ def multi_match_phrase(
     )
 
 
+def multi_match_bool_prefix(
+    field_indexes: dict[str, PostingsIndex],
+    text: str,
+    tie_breaker: float = 0.0,
+    max_expansions: int = 50,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``multi_match`` type=``bool_prefix`` — multi-field
+    search-as-you-type WITHOUT position requirements: each field runs
+    a ``match_bool_prefix`` (every analyzed token an optional clause,
+    the LAST expanded as a prefix against THAT field's dictionary,
+    capped at ``max_expansions`` by (df desc, term)), and the doc's
+    score is its best field's plus ``tie_breaker`` times the others'
+    — the best_fields combination over per-field bool_prefix queries,
+    exactly how ES compiles the type. Returns ``(id, score_q20)``.
+
+    Each field analyzes the text through its OWN stored chain and
+    expands against its OWN dictionary (per-field df/dl/avgdl — the
+    Lucene model); a field whose analysis or expansion comes up empty
+    simply contributes nothing (ES's lenient multi-field behavior for
+    the as-you-type case, where a half-typed token often misses a
+    short field entirely).
+
+    Plan shape: per-field dictionary expansion scans (postings-sized,
+    pushed startswith) + one pruned scored probe per field, combined
+    by full outer joins on the doc id — all query-bounded."""
+    if not field_indexes:
+        raise ValueError("bool_prefix needs at least one field index")
+    combined = None
+    id_col = None
+    fields = []
+    for field, index in field_indexes.items():
+        id_col = index.id_col
+        toks = index.analyze_text(text)
+        if not toks:
+            continue
+        fixed, last = toks[:-1], toks[-1]
+        dict_scan = (
+            index.live_postings()
+            .filter(F.col("term").startswith(last))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(max_expansions)
+        )
+        expansions = [r["term"] for r in dict_scan.collect()]
+        scoring = fixed + expansions
+        if not scoring:
+            continue
+        scored = _bm25_scored(index, scoring, k1, b).select(
+            F.col(index.id_col),
+            F.col("score_q20").alias(f"score_{field}"),
+        )
+        fields.append(field)
+        combined = (
+            scored
+            if combined is None
+            else combined.join(scored, id_col, "full_outer")
+        )
+    if combined is None:
+        raise ValueError(
+            f"bool_prefix text {text!r} analyzes/expands to no terms in "
+            "any field"
+        )
+    s = [F.coalesce(F.col(f"score_{f}"), F.lit(0)) for f in fields]
+    best = F.greatest(*s) if len(s) > 1 else s[0]
+    total = sum(s[1:], s[0])
+    return (
+        combined.select(
+            F.col(id_col),
+            (
+                best
+                + F.floor(
+                    F.lit(float(tie_breaker)) * (total - best)
+                ).cast("long")
+            ).alias("score_q20"),
+        )
+        .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def multi_match_cross_fields(
     field_indexes: dict[str, PostingsIndex],
     query_terms: list[str],

@@ -1011,6 +1011,91 @@ def fuzzy_match_grouped_customer_names(
                                        max_dist=1)
 
 
+_MF_SPLIT_SQL = """f AS (SELECT doc_id,
+  array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS title,
+  array_to_string(list_slice(string_split(text, ' '), 9,
+    len(string_split(text, ' '))), ' ') AS body
+  FROM documents)"""
+
+_BP_FIELD_SQL = """
+{p}post AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split({field}, ' ')) AS term FROM f)
+  WHERE term <> '' GROUP BY term, doc_id),
+{p}exp AS (SELECT term FROM (
+  SELECT term, COUNT(*) AS df FROM {p}post WHERE term LIKE '{prefix}%'
+  GROUP BY term ORDER BY df DESC, term LIMIT 50)),
+{p}qt AS (SELECT * FROM {p}post
+  WHERE term IN (SELECT term FROM {p}exp UNION SELECT '{fixed}')),
+{p}df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM {p}qt
+  GROUP BY term),
+{p}dl AS (SELECT doc_id, len(string_split({field}, ' ')) AS dl FROM f),
+{p}sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+    AVG(CAST(len(string_split({field}, ' ')) AS DOUBLE)) AS avgdl FROM f),
+{p}score AS (
+  SELECT doc_id,
+         CAST(FLOOR(SUM(
+           ln(1.0 + ({p}sc.n_docs - {p}df.df + 0.5) / ({p}df.df + 0.5))
+           * ({p}qt.tf * 2.2)
+           / ({p}qt.tf + 1.2 * (0.25 + 0.75 * {p}dl.dl / {p}sc.avgdl))
+         ) * 1048576.0) AS BIGINT) AS s
+  FROM {p}qt JOIN {p}df USING (term) JOIN {p}dl USING (doc_id)
+       CROSS JOIN {p}sc
+  GROUP BY doc_id, {p}sc.n_docs)
+"""
+
+
+@register(
+    "bool_prefix_multi_match_documents",
+    "WITH "
+    + _MF_SPLIT_SQL
+    + ","
+    + _BP_FIELD_SQL.format(p="t", field="title", fixed="spark",
+                           prefix="mer")
+    + ","
+    + _BP_FIELD_SQL.format(p="b", field="body", fixed="spark",
+                           prefix="mer")
+    + """
+SELECT COALESCE(ts.doc_id, bs.doc_id) AS doc_id,
+       CAST(GREATEST(COALESCE(ts.s, 0), COALESCE(bs.s, 0))
+            + CAST(FLOOR(CAST(0.3 AS DOUBLE)
+                * (COALESCE(ts.s, 0) + COALESCE(bs.s, 0)
+                   - GREATEST(COALESCE(ts.s, 0), COALESCE(bs.s, 0))))
+              AS BIGINT)
+            AS BIGINT) AS score_q20
+FROM tscore ts FULL OUTER JOIN bscore bs ON ts.doc_id = bs.doc_id
+ORDER BY score_q20 DESC, doc_id LIMIT 10
+""",
+    doc="ES multi_match type=``bool_prefix`` — multi-field "
+    "search-as-you-type (operators/search_compose.py:"
+    "multi_match_bool_prefix): each field runs a match_bool_prefix "
+    "('spark mer' — 'spark' optional, 'mer' expanded against THAT "
+    "field's dictionary at the df-desc rewrite cap), scored by the "
+    "per-term-df BM25 sum with the field's own statistics, and the "
+    "doc takes its best field plus tie_breaker x the rest — the "
+    "best_fields combination over per-field bool_prefix queries, "
+    "exactly how ES compiles the type; a field whose expansion comes "
+    "up empty contributes nothing (the lenient as-you-type "
+    "behavior). Completes the multi_match family: all six ES types "
+    "now dispatch or raise by name (phrase_prefix raises — its "
+    "positional expansion scoring law is not dispatched). Plan: "
+    "per-field pushed-startswith dictionary scans + one pruned probe "
+    "per field, full outer join of query-bounded outputs.",
+)
+def bool_prefix_multi_match_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pycasselastic_spark.queries.search_es_queries import _mf_indexes_for
+
+    tidx, bidx = _mf_indexes_for(spark, sf_dir)
+    return es_search(tidx, {
+        "query": {"multi_match": {
+            "query": "spark mer", "type": "bool_prefix",
+            "fields": ["title", "body"], "tie_breaker": 0.3,
+        }},
+        "size": 10,
+    }, field_indexes={"title": tidx, "body": bidx})
+
+
 # --- date_histogram: fixed_interval + min_doc_count=0/extended_bounds -------
 
 _TS_INDEX_CACHE: dict[str, str] = {}
@@ -1237,12 +1322,6 @@ def multi_knn_search_embeddings(
 
 
 # --- multi_match: the remaining types (phrase, cross_fields) ----------------
-
-_MF_SPLIT_SQL = """f AS (SELECT doc_id,
-  array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS title,
-  array_to_string(list_slice(string_split(text, ' '), 9,
-    len(string_split(text, ' '))), ' ') AS body
-  FROM documents)"""
 
 # One field's Lucene PhraseQuery score under BM25Similarity: pf = the
 # number of adjacent chain starts, idf = the terms' Q20-integer idf
