@@ -928,6 +928,26 @@ def es_search(
                 min_doc_count=int(spec.get("min_doc_count", 1)),
                 extended_bounds=eb,
             )
+        if set(agg) == {"multi_terms"}:
+            spec = agg["multi_terms"]
+            mextra = set(spec) - {"terms", "size"}
+            if mextra:
+                raise _err(f"multi_terms options {sorted(mextra)}")
+            mfields = []
+            for t in spec["terms"]:
+                if set(t) != {"field"}:
+                    raise _err(
+                        f"multi_terms term options "
+                        f"{sorted(set(t) - {'field'})}"
+                    )
+                mfields.append(t["field"])
+            from pycasselastic_spark.operators.search_ext import (
+                search_multi_terms_agg,
+            )
+
+            return search_multi_terms_agg(
+                index, terms, mfields, k=int(spec.get("size", size))
+            )
         if set(agg) - {"terms", "aggs"}:
             raise _err(f"aggregation {sorted(set(agg) - {'terms'})}")
         field = agg["terms"]["field"]

@@ -902,6 +902,49 @@ def span_first_search(
     )
 
 
+def search_multi_terms_agg(
+    index: PostingsIndex,
+    query_terms,
+    fields: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """ES ``multi_terms`` aggregation (7.12+): buckets keyed by the
+    COMBINATION of several doc-values fields — the group-by-composite
+    the plain terms agg can't express ("per (source, lang): hit
+    count"). Docs missing ANY key field are excluded (exactly ES).
+    Returns the key columns + ``n_docs``, ordered by (count desc,
+    keys asc), top ``k``.
+
+    Plan shape: hit ids join ONE column-pruned doc-values scan
+    carrying every key field, then a single partial-aggregated
+    multi-key groupBy + TakeOrderedAndProject."""
+    if len(fields) < 2:
+        raise ValueError("multi_terms needs at least two fields")
+    for f in fields:
+        if f not in index.stored_fields:
+            raise ValueError(
+                f"field {f!r} is not stored in this index's doc values "
+                f"(stored_fields={index.stored_fields})"
+            )
+    id_col = index.id_col
+    hits = hits_relation(index, query_terms)
+    dv = index.live_docvalues().select(
+        F.col(id_col), *[dv_col(f) for f in fields]
+    )
+    out = dv.join(_bounded_broadcast(hits), id_col)
+    for f in fields:
+        out = out.filter(dv_col(f).isNotNull())
+    return (
+        out.groupBy(*[dv_col(f) for f in fields])
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(
+            F.col("n_docs").desc(),
+            *[dv_col(f).asc() for f in fields],
+        )
+        .limit(k)
+    )
+
+
 def search_metric_agg(
     index: PostingsIndex,
     query_terms,

@@ -85,9 +85,10 @@ def _postings_index_for(spark: SparkSession, sf_dir: str) -> "SRCH.PostingsIndex
         SRCH.build_postings_index(
             docs, "doc_id", "text", path, n_buckets=16, variant_depth=2,
             # doc-values for the filter-context probes (n_chars range,
-            # source term filters) — one extra bucketed relation, no
+            # source term filters; lang added round 13 for the
+            # multi_terms agg) — one extra bucketed relation, no
             # change to any other probe's plan
-            stored_fields=["n_chars", "source"],
+            stored_fields=["n_chars", "source", "lang"],
         )
         _INDEX_CACHE[sf_dir] = path
     return SRCH.load_postings_index(spark, path)

@@ -493,6 +493,45 @@ def highlighted_search_documents(
 
 
 @register(
+    "multi_terms_agg_documents",
+    """
+WITH hits AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  WHERE term = 'merge'
+)
+SELECT d.source, d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents d JOIN hits USING (doc_id)
+WHERE d.source IS NOT NULL AND d.lang IS NOT NULL
+GROUP BY d.source, d.lang
+ORDER BY n_docs DESC, d.source, d.lang
+LIMIT 10
+""",
+    doc="ES ``multi_terms`` aggregation (7.12+) — buckets keyed by "
+    "the COMBINATION of several doc-values fields, the composite "
+    "group-by the plain terms agg can't express ('per (source, "
+    "lang): hit count'; operators/search_ext.py:"
+    "search_multi_terms_agg, dispatched from aggs.multi_terms). Docs "
+    "missing ANY key are excluded, exactly ES. Plan: hit ids "
+    "broadcast-join ONE column-pruned doc-values scan carrying both "
+    "key fields, a single partial-aggregated multi-key groupBy, "
+    "TakeOrderedAndProject by (count desc, keys asc).",
+)
+def multi_terms_agg_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"match": {"text": "merge"}},
+        "aggs": {"by_src_lang": {"multi_terms": {
+            "terms": [{"field": "source"}, {"field": "lang"}],
+            "size": 10,
+        }}},
+    })
+
+
+@register(
     "delete_by_query_documents",
     """
 WITH doomed AS (
