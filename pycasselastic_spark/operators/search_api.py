@@ -905,7 +905,7 @@ def es_search(
             return search_range_agg(
                 index, terms, spec["field"], list(spec["ranges"])
             )
-        if set(agg) == {"date_histogram"}:
+        if set(agg) in ({"date_histogram"}, {"date_histogram", "aggs"}):
             spec = agg["date_histogram"]
             extra = set(spec) - {
                 "field", "calendar_interval", "fixed_interval",
@@ -921,13 +921,44 @@ def es_search(
                         "(expected min/max)"
                     )
                 eb = (eb["min"], eb["max"])
-            return search_date_histogram_agg(
+            buckets = search_date_histogram_agg(
                 index, terms, spec["field"],
                 calendar_interval=spec.get("calendar_interval"),
                 fixed_interval=spec.get("fixed_interval"),
                 min_doc_count=int(spec.get("min_doc_count", 1)),
                 extended_bounds=eb,
             )
+            sub = agg.get("aggs")
+            if sub:
+                # parent PIPELINE aggregations riding the histogram:
+                # cumulative_sum / derivative over the response-sized
+                # bucket relation (ES caps it at search.max_buckets)
+                from pycasselastic_spark.operators.search_compose import (
+                    apply_bucket_pipelines,
+                )
+
+                pipelines = []
+                for pname, pbody in sub.items():
+                    pkind, pspec = _single(
+                        pbody, f"date_histogram sub-aggregation {pname!r}"
+                    )
+                    if pkind not in ("cumulative_sum", "derivative"):
+                        raise _err(
+                            f"date_histogram sub-aggregation {pkind!r}"
+                        )
+                    if set(pspec) != {"buckets_path"}:
+                        raise _err(
+                            f"{pkind} options "
+                            f"{sorted(set(pspec) - {'buckets_path'})}"
+                        )
+                    if pspec["buckets_path"] != "_count":
+                        raise _err(
+                            f"{pkind} buckets_path "
+                            f"{pspec['buckets_path']!r} (supported: _count)"
+                        )
+                    pipelines.append((pname, pkind, "n_docs"))
+                buckets = apply_bucket_pipelines(buckets, pipelines)
+            return buckets
         if set(agg) == {"multi_terms"}:
             spec = agg["multi_terms"]
             mextra = set(spec) - {"terms", "size"}
@@ -952,6 +983,123 @@ def es_search(
             raise _err(f"aggregation {sorted(set(agg) - {'terms'})}")
         field = agg["terms"]["field"]
         sub = agg.get("aggs")
+        if sub and any(
+            isinstance(s, dict) and set(s) & {"bucket_selector", "bucket_sort"}
+            for s in sub.values()
+        ):
+            # sibling PIPELINE aggregations under terms: exactly one
+            # metric sub-agg (stats) defines the bucket columns, then
+            # bucket_selector filters / bucket_sort re-pages the
+            # response-sized bucket relation
+            from pycasselastic_spark.operators.search_compose import (
+                apply_bucket_selector,
+                apply_bucket_sort,
+            )
+
+            selector = sorter = None
+            metric_name = None
+            for pname, pbody in sub.items():
+                pkind, pspec = _single(
+                    pbody, f"terms sub-aggregation {pname!r}"
+                )
+                if pkind == "bucket_selector":
+                    if selector is not None:
+                        raise _err("multiple bucket_selector entries")
+                    selector = pspec
+                elif pkind == "bucket_sort":
+                    if sorter is not None:
+                        raise _err("multiple bucket_sort entries")
+                    sorter = pspec
+                elif pkind == "stats":
+                    if metric_name is not None:
+                        raise _err("multiple metric sub-aggregations")
+                    metric_name = pname
+                    metric_field = pspec["field"]
+                else:
+                    raise _err(
+                        f"terms sub-aggregation {pkind!r} alongside "
+                        "pipeline aggregations (supported: stats)"
+                    )
+            if metric_name is None:
+                raise _err(
+                    "bucket pipeline aggregations without a stats "
+                    "sub-aggregation (buckets_path needs metric columns)"
+                )
+            textra = set(agg["terms"]) - {"field"}
+            if textra:
+                raise _err(
+                    f"terms options {sorted(textra)} with pipeline "
+                    "sub-aggregations"
+                )
+
+            def _path_col(path: str, *, selector_ctx: bool) -> str:
+                if path == "_count":
+                    return "n_docs"
+                head, _, leaf = str(path).partition(".")
+                if head != metric_name:
+                    raise _err(
+                        f"buckets_path head {head!r} "
+                        f"(known sub-aggregations: {metric_name!r})"
+                    )
+                cols = {
+                    "sum": "sum_val", "min": "min_val",
+                    "max": "max_val", "count": "n_docs",
+                }
+                if leaf == "avg":
+                    if selector_ctx:
+                        # avg is stored Q20-quantized; comparing it to
+                        # a user literal would silently be off by 2^20
+                        raise _err(
+                            "bucket_selector over the avg metric "
+                            "(Q20-quantized — compare sum/min/max/_count)"
+                        )
+                    return "avg_q20"
+                if leaf not in cols:
+                    raise _err(f"buckets_path leaf {leaf!r}")
+                return cols[leaf]
+
+            buckets = search_facet_metric_agg(
+                index, terms, field, metric_field, order_by="n_docs"
+            )
+            if selector is not None:
+                if set(selector) != {"buckets_path", "script"}:
+                    raise _err(
+                        "bucket_selector options "
+                        f"{sorted(set(selector) - {'buckets_path', 'script'})}"
+                    )
+                paths = {
+                    var: _path_col(p, selector_ctx=True)
+                    for var, p in selector["buckets_path"].items()
+                }
+                buckets = apply_bucket_selector(
+                    buckets, paths, selector["script"]
+                )
+            if sorter is not None:
+                sextra = set(sorter) - {"sort", "size", "from"}
+                if sextra:
+                    raise _err(f"bucket_sort options {sorted(sextra)}")
+                sort_cols = []
+                for entry in sorter.get("sort", []):
+                    p, odir = _single(entry, "bucket_sort sort entry")
+                    if isinstance(odir, dict):
+                        if set(odir) != {"order"}:
+                            raise _err(
+                                f"bucket_sort sort options "
+                                f"{sorted(set(odir) - {'order'})}"
+                            )
+                        odir = odir["order"]
+                    sort_cols.append(
+                        (_path_col(p, selector_ctx=False), str(odir))
+                    )
+                buckets = apply_bucket_sort(
+                    buckets, sort_cols,
+                    size=(int(sorter["size"]) if "size" in sorter
+                          else None),
+                    from_=int(sorter.get("from", 0)),
+                )
+            else:
+                buckets = buckets.orderBy(F.col("bucket").asc())
+            return buckets
         if sub:
             _sn, s = _single(sub, "sub-aggregation")
             if set(s) == {"stats"}:

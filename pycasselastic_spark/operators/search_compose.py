@@ -979,3 +979,152 @@ def search_facet_metric_agg(
         )
         .orderBy(F.col(order_by).desc(), F.col("bucket").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline aggregations: second-pass transforms over a materialized
+# bucket relation (ES "parent" pipeline aggs). The input here is the
+# RESPONSE-sized bucket table an aggregation already produced — ES
+# itself bounds it (search.max_buckets, default 65536 per response) —
+# so the single-partition window below is over an inherently tiny
+# relation, never the corpus.
+
+# bucket_selector scripts: ES runs Painless; the SQL-expressible (and
+# by far the most used) shape is one comparison of one buckets_path
+# variable against a literal.  Anything else raises by name.
+_SELECTOR_SCRIPT = re.compile(
+    r"\s*params\.(\w+)\s*(>=|<=|==|!=|>|<)\s*(-?\d+(?:\.\d+)?)\s*$"
+)
+
+_PIPELINE_CMP = {
+    ">=": lambda c, v: c >= v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    "<": lambda c, v: c < v,
+    "==": lambda c, v: c == v,
+    "!=": lambda c, v: c != v,
+}
+
+
+def apply_bucket_pipelines(
+    buckets: DataFrame,
+    pipelines: list[tuple[str, str, str]],
+    order_col: str = "bucket",
+) -> DataFrame:
+    """ES parent pipeline aggregations (``cumulative_sum``,
+    ``derivative``) over an already-computed bucket relation: each
+    ``(out_name, kind, value_col)`` adds one column computed along the
+    bucket order — the running total, or the delta vs the previous
+    bucket (NULL for the first bucket, exactly ES). ``value_col`` is
+    the resolved buckets_path column (``n_docs`` for ``_count``).
+
+    Scale note: the window is single-partition BY DESIGN — its input
+    is the final bucket table (ES caps it at search.max_buckets,
+    default 65536), not a corpus-sized relation; the corpus-sized
+    reduction already happened upstream."""
+    from pyspark.sql.window import Window
+
+    out = buckets
+    w = Window.orderBy(F.col(order_col).asc())
+    for out_name, kind, value_col in pipelines:
+        if value_col not in out.columns:
+            raise ValueError(
+                f"pipeline buckets_path column {value_col!r} not in the "
+                f"bucket relation (columns: {out.columns})"
+            )
+        if kind == "cumulative_sum":
+            out = out.withColumn(
+                out_name,
+                F.sum(value_col).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ).cast("long"),
+            )
+        elif kind == "derivative":
+            out = out.withColumn(
+                out_name,
+                (F.col(value_col)
+                 - F.lag(value_col, 1).over(w)).cast("long"),
+            )
+        else:
+            raise ValueError(
+                f"unsupported pipeline aggregation {kind!r} "
+                "(supported: cumulative_sum, derivative)"
+            )
+    return out.orderBy(F.col(order_col).asc())
+
+
+def apply_bucket_selector(
+    buckets: DataFrame,
+    paths: dict[str, str],
+    script: str,
+) -> DataFrame:
+    """ES ``bucket_selector``: drop buckets failing a script predicate
+    over buckets_path variables. The supported script grammar is ONE
+    comparison ``params.<var> <op> <literal>`` — the filter-dashboards
+    shape; Painless beyond that raises by name. ``paths`` maps each
+    script variable to a column of the bucket relation (already
+    resolved from ES buckets_path syntax by the dispatcher)."""
+    m = _SELECTOR_SCRIPT.fullmatch(str(script))
+    if not m:
+        raise ValueError(
+            f"unsupported bucket_selector script {script!r} (supported: "
+            "'params.<var> <op> <number>')"
+        )
+    var, op, lit = m.group(1), m.group(2), m.group(3)
+    if var not in paths:
+        raise ValueError(
+            f"bucket_selector script variable {var!r} not in "
+            f"buckets_path {sorted(paths)}"
+        )
+    col_name = paths[var]
+    if col_name not in buckets.columns:
+        raise ValueError(
+            f"bucket_selector buckets_path column {col_name!r} not in "
+            f"the bucket relation (columns: {buckets.columns})"
+        )
+    value = float(lit) if "." in lit else int(lit)
+    return buckets.filter(_PIPELINE_CMP[op](F.col(col_name), F.lit(value)))
+
+
+def apply_bucket_sort(
+    buckets: DataFrame,
+    sort: list[tuple[str, str]],
+    size: int | None = None,
+    from_: int = 0,
+) -> DataFrame:
+    """ES ``bucket_sort``: re-order the parent's buckets by
+    buckets_path values and truncate to a page (``from``/``size``).
+    ``sort`` is a list of (column, asc|desc) with the bucket key as
+    the implicit final tie-break (ES sorts ties by insertion order;
+    a deterministic key order replaces that here — same law as every
+    other ranked output in this engine).
+
+    ``from_`` pages by skipping N leading buckets — implemented with
+    one ROW_NUMBER over the response-sized bucket relation (same
+    max_buckets bound as apply_bucket_pipelines)."""
+    from pyspark.sql.window import Window
+
+    cols = []
+    for col_name, direction in sort:
+        if col_name not in buckets.columns:
+            raise ValueError(
+                f"bucket_sort column {col_name!r} not in the bucket "
+                f"relation (columns: {buckets.columns})"
+            )
+        if direction not in ("asc", "desc"):
+            raise ValueError(f"bucket_sort order {direction!r}")
+        c = F.col(col_name)
+        cols.append(c.asc() if direction == "asc" else c.desc())
+    cols.append(F.col("bucket").asc())
+    out = buckets.orderBy(*cols)
+    if from_:
+        w = Window.orderBy(*cols)
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > from_)
+            .drop("_rn")
+            .orderBy(*cols)
+        )
+    if size is not None:
+        out = out.limit(int(size))
+    return out

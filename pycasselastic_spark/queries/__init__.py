@@ -26,3 +26,4 @@ from pycasselastic_spark.queries import search_es_apis  # noqa: F401
 from pycasselastic_spark.queries import search_r12  # noqa: F401
 from pycasselastic_spark.queries import search_r12b  # noqa: F401
 from pycasselastic_spark.queries import search_r13  # noqa: F401
+from pycasselastic_spark.queries import search_r13b  # noqa: F401

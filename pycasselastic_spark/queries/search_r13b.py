@@ -1,0 +1,137 @@
+"""Round-13 continuation queries: the ES PIPELINE aggregations
+(``cumulative_sum`` / ``derivative`` under ``date_histogram``;
+``bucket_selector`` / ``bucket_sort`` under ``terms``), plus further
+``_search`` surface added this round.
+
+All dispatch end-to-end through the ``es_search`` request-body API.
+Pipeline aggregations are second-pass transforms over the
+RESPONSE-sized bucket relation (ES caps it at ``search.max_buckets``,
+default 65536), so their windows never see the corpus — the
+corpus-sized reduction happened in the parent aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pycasselastic_spark.operators.search_api import es_search
+from pycasselastic_spark.queries.base import register
+from pycasselastic_spark.queries.search_dsl import _postings_index_for
+from pycasselastic_spark.queries.search_r13 import (
+    _TS0,
+    _TS_STEP,
+    _ts_index_for,
+)
+
+# the analyzed-hit CTE shared with the other date_histogram oracles:
+# docs whose whitespace tokenization contains the query term
+_HITS_MERGE = """
+hits AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  WHERE term = 'merge'
+)
+"""
+
+
+@register(
+    "cumulative_derivative_documents",
+    f"""
+WITH {_HITS_MERGE},
+d AS (SELECT doc_id,
+        {_TS0} + (doc_id % 7) * {_TS_STEP} AS ts FROM documents),
+c AS (SELECT CAST(FLOOR(ts / 43200) * 43200 AS BIGINT) AS bucket_s,
+        CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM d JOIN hits USING (doc_id) GROUP BY 1)
+SELECT bucket_s, n_docs,
+       CAST(SUM(n_docs) OVER (ORDER BY bucket_s) AS BIGINT) AS cum_docs,
+       CAST(n_docs - LAG(n_docs) OVER (ORDER BY bucket_s) AS BIGINT)
+         AS deriv_docs
+FROM c ORDER BY bucket_s
+""",
+    doc="ES parent PIPELINE aggregations riding a date_histogram: "
+    "``cumulative_sum`` (the running total every usage dashboard "
+    "plots) and ``derivative`` (bucket-over-bucket delta, NULL for "
+    "the first bucket — exactly ES) over buckets_path ``_count``. "
+    "operators/search_compose.py:apply_bucket_pipelines. The window "
+    "is single-partition BY DESIGN: its input is the final bucket "
+    "table ES itself caps at search.max_buckets (default 65536), "
+    "never the corpus — the corpus-sized reduction already happened "
+    "in the histogram. Dispatched from "
+    "aggs.<name>.date_histogram + aggs.<name>.aggs.",
+)
+def cumulative_derivative_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx = _ts_index_for(spark, sf_dir)
+    out = es_search(idx, {
+        "query": {"match": {"text": "merge"}},
+        "aggs": {"halfdays": {
+            "date_histogram": {
+                "field": "ingest_ts", "fixed_interval": "12h",
+            },
+            "aggs": {
+                "cum_docs": {"cumulative_sum": {"buckets_path": "_count"}},
+                "deriv_docs": {"derivative": {"buckets_path": "_count"}},
+            },
+        }},
+    })
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket_s"),
+        "n_docs", "cum_docs", "deriv_docs",
+    ).orderBy("bucket_s")
+
+
+@register(
+    "bucket_selector_sort_documents",
+    f"""
+WITH {_HITS_MERGE},
+b AS (
+  SELECT d.source AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         MIN(d.n_chars) AS min_val,
+         MAX(d.n_chars) AS max_val,
+         CAST(SUM(d.n_chars) AS BIGINT) AS sum_val,
+         CAST(FLOOR(AVG(d.n_chars) * 1048576.0) AS BIGINT) AS avg_q20
+  FROM documents d JOIN hits USING (doc_id)
+  WHERE d.source IS NOT NULL
+  GROUP BY 1
+)
+SELECT * FROM b WHERE n_docs >= 18
+ORDER BY sum_val DESC, bucket LIMIT 5
+""",
+    doc="ES sibling PIPELINE aggregations under terms: "
+    "``bucket_selector`` (keep buckets where params.n >= 18 — the "
+    "supported script grammar is one comparison of one buckets_path "
+    "variable, the filter-dashboards shape; Painless beyond that "
+    "raises by name) then ``bucket_sort`` re-paging by the stats "
+    "sub-aggregation's sum descending, size 5. buckets_path resolves "
+    "_count and <stats>.sum/min/max; selecting on the Q20-quantized "
+    "avg raises rather than comparing in the wrong units. "
+    "operators/search_compose.py:apply_bucket_selector/"
+    "apply_bucket_sort over the response-sized bucket relation. "
+    "Dispatched from aggs.<name>.aggs siblings.",
+)
+def bucket_selector_sort_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"match": {"text": "merge"}},
+        "aggs": {"per_source": {
+            "terms": {"field": "source"},
+            "aggs": {
+                "len": {"stats": {"field": "n_chars"}},
+                "keep_busy": {"bucket_selector": {
+                    "buckets_path": {"n": "_count"},
+                    "script": "params.n >= 18",
+                }},
+                "page": {"bucket_sort": {
+                    "sort": [{"len.sum": {"order": "desc"}}],
+                    "size": 5,
+                }},
+            },
+        }},
+    })

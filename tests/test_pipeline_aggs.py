@@ -1,0 +1,154 @@
+"""ES pipeline aggregations: cumulative_sum / derivative under
+date_histogram, bucket_selector / bucket_sort under terms.
+
+Hand-counted fixtures pin the running-total / delta / filter / paging
+laws; dispatcher strictness is pinned so unsupported Painless or
+buckets_path shapes raise by name instead of silently degrading.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pycasselastic_spark.operators import search as SRCH
+from pycasselastic_spark.operators.search_api import es_search
+
+
+@pytest.fixture(scope="module")
+def dv_idx(spark, tmp_path_factory):
+    rows = [
+        (1, "alpha beta", 10, "x", dt.date(2024, 1, 20)),
+        (2, "alpha gamma", 20, "y", dt.date(2024, 2, 5)),
+        (3, "alpha beta beta", 30, "x", dt.date(2024, 2, 25)),
+        (4, "delta only", 40, "z", dt.date(2024, 3, 1)),
+        (5, "alpha delta", 50, None, dt.date(2024, 3, 9)),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, val long, tag string, d date"
+    )
+    path = str(tmp_path_factory.mktemp("pipeagg") / "idx")
+    SRCH.build_postings_index(
+        docs, "doc_id", "text", path, n_buckets=4,
+        stored_fields=["val", "tag", "d"],
+    )
+    return SRCH.load_postings_index(spark, path)
+
+
+def test_cumulative_and_derivative_over_month_histogram(dv_idx):
+    # "alpha" hits docs 1,2,3,5 -> months Jan:1 Feb:2 Mar:1
+    out = es_search(dv_idx, {
+        "query": {"match": {"text": "alpha"}},
+        "aggs": {"m": {
+            "date_histogram": {"field": "d", "calendar_interval": "month"},
+            "aggs": {
+                "cum": {"cumulative_sum": {"buckets_path": "_count"}},
+                "der": {"derivative": {"buckets_path": "_count"}},
+            },
+        }},
+    }).collect()
+    got = [(r["bucket"].isoformat() if hasattr(r["bucket"], "isoformat")
+            else str(r["bucket"]), r["n_docs"], r["cum"], r["der"])
+           for r in out]
+    assert got == [
+        ("2024-01-01", 1, 1, None),   # first bucket: derivative NULL (ES)
+        ("2024-02-01", 2, 3, 1),
+        ("2024-03-01", 1, 4, -1),
+    ]
+
+
+def test_bucket_selector_keeps_only_passing_buckets(dv_idx):
+    # hits 1,2,3,5; tag buckets: x {1,3} n=2, y {2} n=1; NULL tag excluded
+    out = es_search(dv_idx, {
+        "query": {"match": {"text": "alpha"}},
+        "aggs": {"per_tag": {
+            "terms": {"field": "tag"},
+            "aggs": {
+                "v": {"stats": {"field": "val"}},
+                "keep": {"bucket_selector": {
+                    "buckets_path": {"n": "_count"},
+                    "script": "params.n >= 2",
+                }},
+            },
+        }},
+    }).collect()
+    assert [(r["bucket"], r["n_docs"], r["sum_val"]) for r in out] == [
+        ("x", 2, 40)
+    ]
+
+
+def test_bucket_sort_orders_by_metric_and_pages(dv_idx):
+    # x sum=40, y sum=20 -> asc: y first; from=0 size=1 keeps y only
+    out = es_search(dv_idx, {
+        "query": {"match": {"text": "alpha"}},
+        "aggs": {"per_tag": {
+            "terms": {"field": "tag"},
+            "aggs": {
+                "v": {"stats": {"field": "val"}},
+                "page": {"bucket_sort": {
+                    "sort": [{"v.sum": {"order": "asc"}}], "size": 1,
+                }},
+            },
+        }},
+    }).collect()
+    assert [(r["bucket"], r["sum_val"]) for r in out] == [("y", 20)]
+
+
+def test_bucket_sort_from_skips_leading_buckets(dv_idx):
+    out = es_search(dv_idx, {
+        "query": {"match": {"text": "alpha"}},
+        "aggs": {"per_tag": {
+            "terms": {"field": "tag"},
+            "aggs": {
+                "v": {"stats": {"field": "val"}},
+                "page": {"bucket_sort": {
+                    "sort": [{"v.sum": {"order": "asc"}}],
+                    "from": 1,
+                }},
+            },
+        }},
+    }).collect()
+    assert [(r["bucket"], r["sum_val"]) for r in out] == [("x", 40)]
+
+
+@pytest.mark.parametrize("body_patch,needle", [
+    # unsupported pipeline kind under date_histogram
+    ({"aggs": {"m": {"date_histogram": {
+        "field": "d", "calendar_interval": "month"},
+        "aggs": {"p": {"moving_fn": {"buckets_path": "_count"}}}}}},
+     "moving_fn"),
+    # buckets_path beyond _count under date_histogram pipelines
+    ({"aggs": {"m": {"date_histogram": {
+        "field": "d", "calendar_interval": "month"},
+        "aggs": {"p": {"cumulative_sum": {"buckets_path": "other"}}}}}},
+     "buckets_path"),
+    # selector over the Q20-quantized avg: wrong units, must raise
+    ({"aggs": {"t": {"terms": {"field": "tag"}, "aggs": {
+        "v": {"stats": {"field": "val"}},
+        "k": {"bucket_selector": {
+            "buckets_path": {"a": "v.avg"},
+            "script": "params.a > 1",
+        }}}}}},
+     "avg"),
+    # Painless beyond one comparison raises by name
+    ({"aggs": {"t": {"terms": {"field": "tag"}, "aggs": {
+        "v": {"stats": {"field": "val"}},
+        "k": {"bucket_selector": {
+            "buckets_path": {"a": "_count"},
+            "script": "params.a > 1 && params.a < 5",
+        }}}}}},
+     "bucket_selector"),
+    # pipelines need the metric sub-agg that defines bucket columns
+    ({"aggs": {"t": {"terms": {"field": "tag"}, "aggs": {
+        "k": {"bucket_selector": {
+            "buckets_path": {"a": "_count"},
+            "script": "params.a > 1",
+        }}}}}},
+     "stats"),
+])
+def test_pipeline_strictness(dv_idx, body_patch, needle):
+    body = {"query": {"match": {"text": "alpha"}}}
+    body.update(body_patch)
+    with pytest.raises(ValueError, match=needle):
+        es_search(dv_idx, body)
