@@ -905,6 +905,48 @@ def es_search(
             return search_range_agg(
                 index, terms, spec["field"], list(spec["ranges"])
             )
+        if set(agg) == {"filters"}:
+            spec = agg["filters"]
+            if set(spec) != {"filters"}:
+                # other_bucket / keyed-array forms are not dispatched
+                raise _err(
+                    f"filters agg options {sorted(set(spec) - {'filters'})}"
+                )
+            if not isinstance(spec["filters"], dict):
+                raise _err(
+                    "filters agg with anonymous (array) filters "
+                    "(supported: the named-bucket object form)"
+                )
+            from pycasselastic_spark.operators.search_compose import (
+                search_filters_agg,
+            )
+
+            named = [
+                (name, _filter_predicates([clause]))
+                for name, clause in spec["filters"].items()
+            ]
+            return search_filters_agg(index, terms, named)
+        if set(agg) == {"adjacency_matrix"}:
+            spec = agg["adjacency_matrix"]
+            extra = set(spec) - {"filters", "separator"}
+            if extra:
+                raise _err(f"adjacency_matrix options {sorted(extra)}")
+            if not isinstance(spec["filters"], dict):
+                raise _err(
+                    "adjacency_matrix with anonymous (array) filters"
+                )
+            from pycasselastic_spark.operators.search_compose import (
+                search_adjacency_matrix_agg,
+            )
+
+            named = [
+                (name, _filter_predicates([clause]))
+                for name, clause in spec["filters"].items()
+            ]
+            return search_adjacency_matrix_agg(
+                index, terms, named,
+                separator=str(spec.get("separator", "&")),
+            )
         if set(agg) in ({"date_histogram"}, {"date_histogram", "aggs"}):
             spec = agg["date_histogram"]
             extra = set(spec) - {

@@ -1128,3 +1128,117 @@ def apply_bucket_sort(
     if size is not None:
         out = out.limit(int(size))
     return out
+
+
+def _named_filter_conditions(
+    index: PostingsIndex,
+    named_filters: list[tuple[str, list]],
+):
+    """Shared by the ``filters`` / ``adjacency_matrix`` aggregations:
+    resolve each named filter's (field, op, value) predicate triples
+    into one boolean Column over the doc-values relation, validating
+    fields and ops exactly like ``filtered_ids``."""
+    conds = []
+    for name, preds in named_filters:
+        cond = F.lit(True)
+        for field, op, value in preds:
+            if field not in index.stored_fields:
+                raise ValueError(
+                    f"field {field!r} is not stored in this index's doc "
+                    f"values (stored_fields={index.stored_fields})"
+                )
+            if op not in _DV_OPS:
+                raise ValueError(f"unsupported filter op {op!r}")
+            cond = cond & _DV_OPS[op](dv_col(field), F.lit(value))
+        conds.append((name, cond))
+    return conds
+
+
+def search_filters_agg(
+    index: PostingsIndex,
+    query_terms: list[str],
+    named_filters: list[tuple[str, list]],
+) -> DataFrame:
+    """ES ``filters`` aggregation: one NAMED bucket per filter-context
+    clause, each counting the hit docs that pass it — the
+    segment-comparison dashboard shape ("hits for X: how many en vs
+    de, short vs long"). Buckets may overlap; EMPTY named buckets are
+    returned with 0 (exactly ES — unlike adjacency_matrix). Returns
+    ``(bucket, n_docs)`` sorted by bucket key.
+
+    Plan shape: hit ids join ONE column-pruned doc-values scan, every
+    named bucket a conditional sum inside a SINGLE reduction (no
+    per-bucket re-scan), then a bounded len(filters) explode."""
+    if not named_filters:
+        raise ValueError("filters aggregation needs at least one filter")
+    id_col = index.id_col
+    hits = hits_relation(index, query_terms)
+    dv = index.live_docvalues().join(_bounded_broadcast(hits), id_col)
+    conds = _named_filter_conditions(index, named_filters)
+    sums = [
+        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"_b{i}")
+        for i, (_n, cond) in enumerate(conds)
+    ]
+    one = dv.agg(*sums)
+    buckets = F.array(*[
+        F.struct(F.lit(name).alias("bucket"), F.col(f"_b{i}").alias("n_docs"))
+        for i, (name, _c) in enumerate(conds)
+    ])
+    return (
+        one.select(F.explode(buckets).alias("b"))
+        .select("b.bucket", "b.n_docs")
+        .orderBy("bucket")
+    )
+
+
+def search_adjacency_matrix_agg(
+    index: PostingsIndex,
+    query_terms: list[str],
+    named_filters: list[tuple[str, list]],
+    separator: str = "&",
+) -> DataFrame:
+    """ES ``adjacency_matrix`` aggregation: a bucket per named filter
+    PLUS one per pairwise intersection (key ``a&b``, names joined by
+    the separator in sorted order) — the co-occurrence matrix behind
+    segment-overlap dashboards. Exactly ES: intersection buckets with
+    ZERO docs are omitted; the n(n-1)/2 pair space is over the FILTER
+    LIST (ES caps it at indices.query.bool.max_clause_count), never
+    the docs. Returns ``(bucket, n_docs)`` sorted by bucket key.
+
+    Plan shape: same single-reduction law as ``search_filters_agg`` —
+    one doc-values pass computes every single and pairwise conditional
+    sum; the explode is len(filters)^2-bounded."""
+    if not named_filters:
+        raise ValueError(
+            "adjacency_matrix aggregation needs at least one filter"
+        )
+    id_col = index.id_col
+    hits = hits_relation(index, query_terms)
+    dv = index.live_docvalues().join(_bounded_broadcast(hits), id_col)
+    conds = _named_filter_conditions(index, named_filters)
+    cells = list(conds)
+    for i in range(len(conds)):
+        for j in range(i + 1, len(conds)):
+            ni, ci = conds[i]
+            nj, cj = conds[j]
+            a, b = sorted((ni, nj))
+            cells.append((f"{a}{separator}{b}", ci & cj))
+    sums = [
+        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"_c{i}")
+        for i, (_k, cond) in enumerate(cells)
+    ]
+    one = dv.agg(*sums)
+    buckets = F.array(*[
+        F.struct(
+            F.lit(key).alias("bucket"),
+            F.col(f"_c{i}").alias("n_docs"),
+        )
+        for i, (key, _c) in enumerate(cells)
+    ])
+    return (
+        one.select(F.explode(buckets).alias("b"))
+        .select("b.bucket", "b.n_docs")
+        # ES omits every zero-count bucket from adjacency_matrix output
+        .filter(F.col("n_docs") > 0)
+        .orderBy("bucket")
+    )

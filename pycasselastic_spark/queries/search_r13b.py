@@ -135,3 +135,103 @@ def bucket_selector_sort_documents(
             },
         }},
     })
+
+
+@register(
+    "filters_agg_documents",
+    f"""
+WITH {_HITS_MERGE},
+dv AS (SELECT d.* FROM documents d JOIN hits USING (doc_id))
+SELECT bucket, n_docs FROM (
+  SELECT 'en' AS bucket,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs FROM dv
+  UNION ALL
+  SELECT 'long',
+         CAST(SUM(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM dv
+  UNION ALL
+  SELECT 'src5',
+         CAST(SUM(CASE WHEN source = 'src5' THEN 1 ELSE 0 END) AS BIGINT)
+    FROM dv
+) ORDER BY bucket
+""",
+    doc="ES ``filters`` aggregation: one NAMED bucket per "
+    "filter-context clause over the hit set (term lang, range "
+    "n_chars, term source) — the segment-comparison dashboard shape. "
+    "Buckets overlap freely and EMPTY named buckets return 0 "
+    "(exactly ES; adjacency_matrix omits them instead). "
+    "operators/search_compose.py:search_filters_agg — hit ids join "
+    "ONE column-pruned doc-values scan, every bucket a conditional "
+    "sum inside a SINGLE reduction, then a bounded len(filters) "
+    "explode; no per-bucket re-scan, the corpus is never shuffled. "
+    "Dispatched from aggs.<name>.filters.filters.",
+)
+def filters_agg_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"match": {"text": "merge"}},
+        "aggs": {"segments": {"filters": {"filters": {
+            "en": {"term": {"lang": "en"}},
+            "long": {"range": {"n_chars": {"gte": 400}}},
+            "src5": {"term": {"source": "src5"}},
+        }}}},
+    })
+
+
+@register(
+    "adjacency_matrix_documents",
+    f"""
+WITH {_HITS_MERGE},
+dv AS (SELECT d.* FROM documents d JOIN hits USING (doc_id)),
+cells AS (
+  SELECT 'en' AS bucket,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs FROM dv
+  UNION ALL
+  SELECT 'fr',
+         CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT)
+    FROM dv
+  UNION ALL
+  SELECT 'long',
+         CAST(SUM(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM dv
+  UNION ALL
+  SELECT 'en&fr',
+         CAST(SUM(CASE WHEN lang = 'en' AND lang = 'fr'
+                  THEN 1 ELSE 0 END) AS BIGINT) FROM dv
+  UNION ALL
+  SELECT 'en&long',
+         CAST(SUM(CASE WHEN lang = 'en' AND n_chars >= 400
+                  THEN 1 ELSE 0 END) AS BIGINT) FROM dv
+  UNION ALL
+  SELECT 'fr&long',
+         CAST(SUM(CASE WHEN lang = 'fr' AND n_chars >= 400
+                  THEN 1 ELSE 0 END) AS BIGINT) FROM dv
+)
+SELECT bucket, n_docs FROM cells WHERE n_docs > 0 ORDER BY bucket
+""",
+    doc="ES ``adjacency_matrix`` aggregation: a bucket per named "
+    "filter PLUS one per pairwise intersection (keys joined by '&' "
+    "in sorted name order) — the segment co-occurrence matrix. "
+    "Zero-count buckets are OMITTED (exactly ES; here en&fr is "
+    "structurally empty — one doc has one lang — and must disappear "
+    "from the output, which the oracle pins). The n(n-1)/2 pair "
+    "space is over the FILTER LIST (ES caps it at max_clause_count), "
+    "never the docs: one doc-values pass computes every single and "
+    "pairwise conditional sum in a SINGLE reduction. "
+    "operators/search_compose.py:search_adjacency_matrix_agg; "
+    "dispatched from aggs.<name>.adjacency_matrix.",
+)
+def adjacency_matrix_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"match": {"text": "merge"}},
+        "aggs": {"overlap": {"adjacency_matrix": {"filters": {
+            "en": {"term": {"lang": "en"}},
+            "fr": {"term": {"lang": "fr"}},
+            "long": {"range": {"n_chars": {"gte": 400}}},
+        }}}},
+    })

@@ -152,3 +152,47 @@ def test_pipeline_strictness(dv_idx, body_patch, needle):
     body.update(body_patch)
     with pytest.raises(ValueError, match=needle):
         es_search(dv_idx, body)
+
+
+# --- filters / adjacency_matrix ---------------------------------------------
+
+
+def test_filters_agg_counts_named_buckets_and_keeps_empty(dv_idx):
+    # hits 1,2,3,5; tag x: {1,3}; val>=50: {5}; tag 'missing': none -> 0
+    out = es_search(dv_idx, {
+        "query": {"match": {"text": "alpha"}},
+        "aggs": {"seg": {"filters": {"filters": {
+            "x": {"term": {"tag": "x"}},
+            "big": {"range": {"val": {"gte": 50}}},
+            "none": {"term": {"tag": "missing"}},
+        }}}},
+    }).collect()
+    assert {(r["bucket"], r["n_docs"]) for r in out} == {
+        ("x", 2), ("big", 1), ("none", 0),
+    }
+
+
+def test_adjacency_matrix_omits_zero_buckets_and_intersects(dv_idx):
+    # hits 1,2,3,5; x:{1,3}, big(val>=30):{3,5}; x&big:{3}; y:{2}
+    # y&x and y&big empty -> omitted
+    out = es_search(dv_idx, {
+        "query": {"match": {"text": "alpha"}},
+        "aggs": {"m": {"adjacency_matrix": {"filters": {
+            "x": {"term": {"tag": "x"}},
+            "big": {"range": {"val": {"gte": 30}}},
+            "y": {"term": {"tag": "y"}},
+        }}}},
+    }).collect()
+    assert {(r["bucket"], r["n_docs"]) for r in out} == {
+        ("x", 2), ("big", 2), ("y", 1), ("big&x", 1),
+    }
+
+
+def test_filters_agg_anonymous_array_form_raises(dv_idx):
+    with pytest.raises(ValueError, match="anonymous"):
+        es_search(dv_idx, {
+            "query": {"match": {"text": "alpha"}},
+            "aggs": {"seg": {"filters": {"filters": [
+                {"term": {"tag": "x"}},
+            ]}}},
+        })
