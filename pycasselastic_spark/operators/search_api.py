@@ -1421,6 +1421,83 @@ def es_search(
             index, _filter_predicates(clauses),
             boost=float(q.get("boost", 1.0)), k=size,
         )
+    if qtype == "rank_feature":
+        extra = set(q) - {"field", "saturation", "boost"}
+        if extra:
+            # log / sigmoid are transcendental — not correctly-rounded
+            # across engines, so they raise rather than drift
+            raise _err(f"rank_feature options {sorted(extra)}")
+        sat = q.get("saturation")
+        if sat is None or "pivot" not in sat:
+            # ES's default pivot is the field's approximate geometric
+            # mean — index-statistics-derived, not replayable; require
+            # the explicit form
+            raise _err(
+                "rank_feature without an explicit saturation.pivot"
+            )
+        if set(sat) != {"pivot"}:
+            raise _err(
+                f"rank_feature saturation options "
+                f"{sorted(set(sat) - {'pivot'})}"
+            )
+        from pycasselastic_spark.operators.search_compose import (
+            rank_feature_search,
+        )
+
+        return rank_feature_search(
+            index, q["field"], float(sat["pivot"]),
+            boost=float(q.get("boost", 1.0)), k=size,
+        )
+    if qtype == "distance_feature":
+        extra = set(q) - {"field", "origin", "pivot", "boost"}
+        if extra:
+            raise _err(f"distance_feature options {sorted(extra)}")
+        for req in ("field", "origin", "pivot"):
+            if req not in q:
+                raise _err(f"distance_feature without {req!r}")
+        origin = q["origin"]
+        if isinstance(origin, str):
+            import datetime as _dt
+
+            try:
+                origin_s = int(
+                    _dt.datetime.fromisoformat(
+                        origin.replace("Z", "+00:00")
+                    ).timestamp()
+                )
+            except ValueError:
+                raise _err(f"distance_feature origin {origin!r}")
+        else:
+            origin_s = int(origin)
+        from pycasselastic_spark.operators.search_compose import (
+            _parse_fixed_interval,
+            distance_feature_search,
+        )
+
+        return distance_feature_search(
+            index, q["field"], origin_s,
+            _parse_fixed_interval(q["pivot"]),
+            boost=float(q.get("boost", 1.0)), k=size,
+        )
+    if qtype == "pinned":
+        extra = set(q) - {"ids", "organic"}
+        if extra:
+            # the docs-form (pinned docs across indices) is not
+            # dispatched
+            raise _err(f"pinned options {sorted(extra)}")
+        if "ids" not in q or "organic" not in q:
+            raise _err("pinned needs both ids and organic")
+        okind, obody = _single(q["organic"], "pinned organic query")
+        if okind != "match":
+            raise _err(f"pinned organic query type {okind!r}")
+        from pycasselastic_spark.operators.search_compose import (
+            pinned_search,
+        )
+
+        oterms = index.analyze_text(_match_text(obody, "pinned organic"))
+        if not oterms:
+            raise _err("pinned organic query analyzing to no terms")
+        return pinned_search(index, list(q["ids"]), oterms, k=size)
     if qtype == "exists":
         if set(q) != {"field"}:
             raise _err(f"exists options {sorted(set(q) - {'field'})}")

@@ -1242,3 +1242,167 @@ def search_adjacency_matrix_agg(
         .filter(F.col("n_docs") > 0)
         .orderBy("bucket")
     )
+
+
+def rank_feature_search(
+    index: PostingsIndex,
+    field: str,
+    pivot: float,
+    boost: float = 1.0,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``rank_feature`` query, ``saturation`` function: score =
+    boost * x / (x + pivot) over a positive numeric doc-values field —
+    the static-signal ranker (pagerank / url_length / recency scores).
+    Hits are the docs whose feature EXISTS and is positive (rank_feature
+    fields must be positive in ES; non-positive values can't score).
+    Returns ``(id, score_q20)`` top-k.
+
+    Determinism: x and pivot are exact in double, the saturation is ONE
+    IEEE division and one multiply, then the Q20 floor — bit-replayable
+    cross-engine; the log/sigmoid functions are transcendental (not
+    correctly-rounded across engines) so the dispatcher raises on them.
+
+    Plan: one column-pruned doc-values scan with the existence/positive
+    predicate pushed down, per-row scoring, TakeOrderedAndProject."""
+    if field not in index.stored_fields:
+        raise ValueError(
+            f"field {field!r} is not stored in this index's doc values "
+            f"(stored_fields={index.stored_fields})"
+        )
+    if not (float(pivot) > 0):
+        raise ValueError(f"rank_feature pivot must be positive: {pivot!r}")
+    id_col = index.id_col
+    col = dv_col(field)
+    dv = index.live_docvalues().select(F.col(id_col), col)
+    return (
+        dv.filter(col.isNotNull() & (col > 0))
+        .withColumn(
+            "score_q20",
+            F.floor(
+                F.lit(float(boost))
+                * (col.cast("double")
+                   / (col.cast("double") + F.lit(float(pivot))))
+                * Q20
+            ).cast("long"),
+        )
+        .select(id_col, "score_q20")
+        .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def distance_feature_search(
+    index: PostingsIndex,
+    field: str,
+    origin_epoch_s: int,
+    pivot_s: int,
+    boost: float = 1.0,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``distance_feature`` query over a DATE field: score =
+    boost * pivot / (pivot + |value - origin|) — the recency booster
+    (docs at the origin score ``boost``, decaying hyperbolically with
+    temporal distance). Returns ``(id, score_q20)`` top-k.
+
+    Origin and pivot arrive normalized to epoch seconds (the dispatcher
+    parses ISO origins and ``<n>s/m/h/d`` pivots); the distance is an
+    exact BIGINT, the score one IEEE division — Q20-floored,
+    bit-replayable cross-engine. Geo-point origins are not dispatched
+    (no geo doc-values in this engine).
+
+    Plan: one column-pruned doc-values scan, per-row scoring,
+    TakeOrderedAndProject."""
+    if field not in index.stored_fields:
+        raise ValueError(
+            f"field {field!r} is not stored in this index's doc values "
+            f"(stored_fields={index.stored_fields})"
+        )
+    if int(pivot_s) <= 0:
+        raise ValueError(f"distance_feature pivot must be positive: {pivot_s!r}")
+    id_col = index.id_col
+    col = dv_col(field)
+    dv = index.live_docvalues().select(F.col(id_col), col)
+    dist = F.abs(
+        col.cast("timestamp").cast("long") - F.lit(int(origin_epoch_s))
+    )
+    return (
+        dv.filter(col.isNotNull())
+        .withColumn(
+            "score_q20",
+            F.floor(
+                F.lit(float(boost))
+                * (F.lit(float(pivot_s))
+                   / (F.lit(float(pivot_s)) + dist.cast("double")))
+                * Q20
+            ).cast("long"),
+        )
+        .select(id_col, "score_q20")
+        .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def pinned_search(
+    index: PostingsIndex,
+    pinned_ids: list,
+    organic_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``pinned`` query: the listed ids come FIRST in list order
+    (editorial promotion), then the organic hits by BM25 score with
+    pinned ids excluded — exactly ES (which fakes this with enormous
+    scores; here the contract is explicit). Pinned ids that don't
+    exist in the index are skipped, as ES does. Returns
+    ``(rnk, id, pinned)`` — rnk is the page position, pinned the
+    provenance flag.
+
+    Plan: the pinned list is a literal inline relation semi-joined
+    against live ids (len(ids)-bounded, ES caps pinned ids at 100);
+    the organic probe is the standard pruned BM25 probe minus the
+    pinned set (one bounded anti-join); ranks are ROW_NUMBERs over
+    k-bounded relations, never the corpus."""
+    from pycasselastic_spark.operators.search_probes import (
+        bm25_topk_indexed,
+    )
+    from pyspark.sql.window import Window
+
+    if not pinned_ids:
+        raise ValueError("pinned query needs at least one id")
+    if len(set(pinned_ids)) != len(pinned_ids):
+        raise ValueError("pinned ids must be distinct")
+    id_col = index.id_col
+    spark = index.live_docvalues().sparkSession
+    pin = spark.createDataFrame(
+        [(int(i), n) for n, i in enumerate(pinned_ids)],
+        f"{id_col} long, _pos long",
+    )
+    live = index.live_docvalues().select(id_col)
+    pin_live = pin.join(F.broadcast(live.join(
+        F.broadcast(pin.select(id_col)), id_col, "semi"
+    )), id_col, "semi")
+    w_pin = Window.orderBy(F.col("_pos").asc())
+    pinned_page = pin_live.select(
+        F.row_number().over(w_pin).alias("rnk"),
+        F.col(id_col),
+        F.lit(True).alias("pinned"),
+    )
+    organic = bm25_topk_indexed(
+        index, organic_terms, k=k + len(pinned_ids), k1=k1, b=b
+    ).join(F.broadcast(pin.select(id_col)), id_col, "left_anti")
+    w_org = Window.orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
+    n_pin = pinned_page.count()
+    organic_page = organic.select(
+        (F.row_number().over(w_org) + F.lit(n_pin)).alias("rnk"),
+        F.col(id_col),
+        F.lit(False).alias("pinned"),
+    )
+    # ES page semantics: pinned hits occupy the TOP of the same
+    # size-bounded page, they don't extend it
+    return (
+        pinned_page.unionByName(organic_page)
+        .orderBy("rnk")
+        .limit(k)
+    )

@@ -18,6 +18,10 @@ from pyspark.sql import functions as F
 from pycasselastic_spark.operators.search_api import es_search
 from pycasselastic_spark.queries.base import register
 from pycasselastic_spark.queries.search_dsl import _postings_index_for
+from pycasselastic_spark.queries.search_r12b import (
+    _BM25_TERM_SCORE,
+    _TOK_POSTINGS,
+)
 from pycasselastic_spark.queries.search_r13 import (
     _TS0,
     _TS_STEP,
@@ -234,4 +238,131 @@ def adjacency_matrix_documents(
             "fr": {"term": {"lang": "fr"}},
             "long": {"range": {"n_chars": {"gte": 400}}},
         }}}},
+    })
+
+
+@register(
+    "rank_feature_documents",
+    """
+SELECT doc_id,
+       CAST(FLOOR(1.5
+         * (n_chars::DOUBLE / (n_chars::DOUBLE + 300.0))
+         * 1048576.0) AS BIGINT) AS score_q20
+FROM documents
+WHERE n_chars IS NOT NULL AND n_chars > 0
+ORDER BY score_q20 DESC, doc_id LIMIT 10
+""",
+    doc="ES ``rank_feature`` query, saturation function: score = "
+    "boost * x / (x + pivot) over a positive numeric doc-values "
+    "field — the static-signal ranker (pagerank / recency / "
+    "url_length). x and pivot are exact in double, the saturation is "
+    "ONE IEEE division then the Q20 floor (bit-replayable); the "
+    "log/sigmoid functions are transcendental and raise by name, as "
+    "does the pivot-less form (ES defaults it to the index's "
+    "approximate geometric mean — statistics-derived, not "
+    "replayable). operators/search_compose.py:rank_feature_search; "
+    "one column-pruned doc-values scan with the positive predicate "
+    "pushed down, TakeOrderedAndProject. Dispatched from "
+    "query.rank_feature.",
+)
+def rank_feature_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"rank_feature": {
+            "field": "n_chars",
+            "saturation": {"pivot": 300},
+            "boost": 1.5,
+        }},
+        "size": 10,
+    })
+
+
+@register(
+    "distance_feature_documents",
+    f"""
+WITH d AS (SELECT doc_id,
+        {_TS0} + (doc_id % 7) * {_TS_STEP} AS ts FROM documents)
+SELECT doc_id,
+       CAST(FLOOR(2.0
+         * (259200.0 / (259200.0 + ABS(ts - {_TS0 + 2 * _TS_STEP})))
+         * 1048576.0) AS BIGINT) AS score_q20
+FROM d
+ORDER BY score_q20 DESC, doc_id LIMIT 10
+""",
+    doc="ES ``distance_feature`` query over a DATE field: score = "
+    "boost * pivot / (pivot + |value - origin|) — the recency "
+    "booster every news/feed ranker runs (docs at the origin score "
+    "boost, decaying hyperbolically). Origin parses from ISO or "
+    "epoch seconds, pivot from the ES duration grammar (<n>s/m/h/d); "
+    "the temporal distance is an exact BIGINT and the score one IEEE "
+    "division, Q20-floored — bit-replayable. Geo origins raise (no "
+    "geo doc-values here). operators/search_compose.py:"
+    "distance_feature_search; one column-pruned doc-values scan, "
+    "TakeOrderedAndProject. Dispatched from query.distance_feature.",
+)
+def distance_feature_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx = _ts_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"distance_feature": {
+            "field": "ingest_ts",
+            "origin": _TS0 + 2 * _TS_STEP,
+            "pivot": "3d",
+            "boost": 2.0,
+        }},
+        "size": 10,
+    })
+
+
+@register(
+    "pinned_search_documents",
+    f"""
+WITH {_TOK_POSTINGS.strip().rstrip(',')},
+qt AS (SELECT * FROM postings WHERE term IN ('merge', 'spark')),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term),
+scores AS (
+  SELECT qt.doc_id,
+         CAST(FLOOR(SUM({_BM25_TERM_SCORE}) * 1048576.0) AS BIGINT) AS score_q20
+  FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+  GROUP BY qt.doc_id, sc.n_docs
+),
+pin_spec AS (SELECT * FROM (VALUES (0, 5), (1, 12), (2, 999999999))
+             t(_pos, doc_id)),
+pin AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY _pos) AS rnk, doc_id
+  FROM pin_spec WHERE doc_id IN (SELECT doc_id FROM documents)
+),
+org AS (
+  SELECT s.doc_id, ROW_NUMBER() OVER (ORDER BY s.score_q20 DESC, s.doc_id)
+           AS rn
+  FROM scores s WHERE s.doc_id NOT IN (SELECT doc_id FROM pin_spec)
+),
+page AS (
+  SELECT rnk, doc_id, TRUE AS pinned FROM pin
+  UNION ALL
+  SELECT rn + (SELECT COUNT(*) FROM pin), doc_id, FALSE FROM org
+)
+SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, pinned
+FROM page ORDER BY rnk LIMIT 10
+""",
+    doc="ES ``pinned`` query: the listed ids occupy the TOP of the "
+    "page in list order (editorial promotion), then organic BM25 "
+    "hits with pinned ids excluded — the same size-bounded page, not "
+    "an extended one. A pinned id absent from the index is skipped "
+    "(here 999999999), exactly ES. operators/search_compose.py:"
+    "pinned_search — the pinned list is a literal inline relation "
+    "(ES caps pinned ids at 100) semi-joined against live ids; the "
+    "organic probe is the standard pruned BM25 probe minus the "
+    "pinned set via one bounded anti-join; ranks are ROW_NUMBERs "
+    "over k-bounded relations. Dispatched from query.pinned.",
+)
+def pinned_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"pinned": {
+            "ids": [5, 12, 999999999],
+            "organic": {"match": {"text": "merge spark"}},
+        }},
+        "size": 10,
     })

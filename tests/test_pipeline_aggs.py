@@ -196,3 +196,48 @@ def test_filters_agg_anonymous_array_form_raises(dv_idx):
                 {"term": {"tag": "x"}},
             ]}}},
         })
+
+
+# --- rank_feature / distance_feature / pinned --------------------------------
+
+
+def test_rank_feature_saturation_law(dv_idx):
+    import math
+
+    out = es_search(dv_idx, {
+        "query": {"rank_feature": {
+            "field": "val", "saturation": {"pivot": 20}, "boost": 2.0,
+        }},
+        "size": 10,
+    }).collect()
+    got = {r["doc_id"]: r["score_q20"] for r in out}
+    want = {i: math.floor(2.0 * (v / (v + 20.0)) * 1048576)
+            for i, v in [(1, 10), (2, 20), (3, 30), (4, 40), (5, 50)]}
+    assert got == want
+    # monotone in the feature: 5 first, 1 last
+    assert [r["doc_id"] for r in out] == [5, 4, 3, 2, 1]
+
+
+def test_rank_feature_requires_explicit_pivot(dv_idx):
+    with pytest.raises(ValueError, match="pivot"):
+        es_search(dv_idx, {"query": {"rank_feature": {"field": "val"}}})
+    with pytest.raises(ValueError, match="rank_feature options"):
+        es_search(dv_idx, {"query": {"rank_feature": {
+            "field": "val", "log": {"scaling_factor": 4}}}})
+
+
+def test_pinned_promotes_in_list_order_and_skips_missing(dv_idx):
+    out = es_search(dv_idx, {
+        "query": {"pinned": {
+            "ids": [4, 99, 2],          # 99 doesn't exist -> skipped
+            "organic": {"match": {"text": "alpha beta"}},
+        }},
+        "size": 4,
+    }).collect()
+    ids = [(r["rnk"], r["doc_id"], r["pinned"]) for r in out]
+    # pinned 4 then 2 in LIST order; organic best next, 2/4 excluded
+    assert ids[0] == (1, 4, True)
+    assert ids[1] == (2, 2, True)
+    assert all(not r["pinned"] for r in out[2:])
+    assert {r["doc_id"] for r in out[2:]}.isdisjoint({2, 4})
+    assert len(out) == 4  # page is size-bounded, pinned don't extend it

@@ -609,8 +609,11 @@ def test_multi_match_dispatch_and_strictness(spark, tmp_path):
                                       "fields": ["headline"]}},
         }, field_indexes=fi)
     with pytest.raises(ValueError, match="multi_match type"):
+        # phrase_prefix is the remaining undispatched type (bool_prefix,
+        # phrase and cross_fields all dispatch now)
         es_search(tidx, {
-            "query": {"multi_match": {"query": "spark", "type": "bool_prefix",
+            "query": {"multi_match": {"query": "spark",
+                                      "type": "phrase_prefix",
                                       "fields": ["title"]}},
         }, field_indexes=fi)
     with pytest.raises(ValueError, match="field boost"):
