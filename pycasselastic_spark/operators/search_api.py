@@ -1671,6 +1671,57 @@ def es_search(
             )
         raise _err(f"multi_match type {mtype!r}")
 
+    if qtype == "combined_fields":
+        extra = set(q) - {"query", "fields", "operator"}
+        if extra:
+            raise _err(f"combined_fields options {sorted(extra)}")
+        if field_indexes is None:
+            raise _err("combined_fields without field indexes")
+        op = str(q.get("operator", "or"))
+        if op not in ("or", "and"):
+            raise _err(f"combined_fields operator {op!r}")
+        names, weights = [], {}
+        for spec in q["fields"]:
+            name, _, boost = str(spec).partition("^")
+            names.append(name)
+            if boost:
+                if not boost.isdigit() or int(boost) < 1:
+                    # ES rejects fractional combined_fields boosts: the
+                    # synthetic tf must stay integral
+                    raise _err(
+                        f"combined_fields boost {spec!r} "
+                        "(integer >= 1 only)"
+                    )
+                weights[name] = int(boost)
+        missing = [f for f in names if f not in field_indexes]
+        if missing:
+            raise _err(
+                f"combined_fields fields {missing} without a field index"
+            )
+        sel = {f: field_indexes[f] for f in names}
+        cterms = sel[names[0]].analyze_text(str(q["query"]))
+        if not cterms:
+            raise _err("combined_fields query analyzing to no terms")
+        from pycasselastic_spark.operators.search_compose import (
+            combined_fields_search,
+        )
+
+        if op == "and":
+            # AND over the combined field: every distinct query term
+            # must appear in SOME field — filter BEFORE the limit so
+            # the page never under-fills (the conjunctive-probe law);
+            # the unlimited inner call is still TakeOrderedAndProject
+            cid = sel[names[0]].id_col
+            return (
+                combined_fields_search(
+                    sel, cterms, weights=weights, k=2_147_483_647
+                )
+                .filter(F.col("n_hit_terms") == len(set(cterms)))
+                .orderBy(F.col("score_q20").desc(), F.col(cid).asc())
+                .limit(size)
+            )
+        return combined_fields_search(sel, cterms, weights=weights, k=size)
+
     if qtype == "span_near":
         extra = set(q) - {"clauses", "slop", "in_order"}
         if extra:

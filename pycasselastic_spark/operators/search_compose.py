@@ -1406,3 +1406,138 @@ def pinned_search(
         .orderBy("rnk")
         .limit(k)
     )
+
+
+def combined_fields_search(
+    field_indexes: dict[str, PostingsIndex],
+    query_terms: list[str],
+    weights: dict[str, int] | None = None,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``combined_fields`` query: term-centric multi-field scoring
+    against ONE synthetic combined field (Lucene's CombinedFieldQuery
+    / the BM25F simplification) — per (doc, term): tf_c = Σ_f w_f x
+    tf_f, per doc: dl_c = Σ_f w_f x dl_f, df_c = docs containing the
+    term in ANY field, avgdl_c = Σ_f w_f x total_dl_f / N; BM25 over
+    those combined statistics, per-term scores Q20-floored then
+    integer-summed per doc. Returns ``(id, n_hit_terms, score_q20)``.
+    Field weights are the ES ``field^boost`` integers (>= 1 — ES
+    rejects fractional combined_fields boosts precisely because the
+    synthetic tf must stay integral).
+
+    Per-doc field lengths are reconstructed from each index's FORWARD
+    relation (dl_f = Σ tf over the doc's terms) — exact for ANALYZED
+    indexes, whose dl counts kept tokens; legacy (analyzer=None)
+    indexes count raw split slots instead, so they raise rather than
+    drift. This is the Lucene norms read re-expressed relationally:
+    a candidate-pruned scan of the id-bucketed forward relation per
+    field, never a corpus shuffle.
+
+    Plan: one pruned probe per field (query-bounded union), combined
+    df by distinct + count (query-bounded), candidate ids broadcast
+    into the per-field forward scans, one (term, doc) reduction and
+    one (doc) reduction."""
+    if not field_indexes:
+        raise ValueError("combined_fields needs at least one field index")
+    n_docs = {index.n_docs for index in field_indexes.values()}
+    id_cols = {index.id_col for index in field_indexes.values()}
+    if len(n_docs) != 1 or len(id_cols) != 1:
+        raise ValueError(
+            "combined_fields needs indexes over the SAME document set "
+            f"(saw n_docs={sorted(n_docs)}, id_col={sorted(id_cols)})"
+        )
+    for field, index in field_indexes.items():
+        if index.analyzer is None:
+            raise ValueError(
+                f"combined_fields over legacy index {field!r}: "
+                "analyzer=None stores slot-count norms that can't be "
+                "reconstructed from the forward relation — rebuild the "
+                "field index with an Analyzer"
+            )
+    weights = dict(weights or {})
+    for field, w in weights.items():
+        if int(w) != w or int(w) < 1:
+            raise ValueError(
+                f"combined_fields boost {w!r} on {field!r} "
+                "(ES requires integer boosts >= 1)"
+            )
+    n = n_docs.pop()
+    id_col = id_cols.pop()
+    avgdl_c = (
+        sum(
+            int(weights.get(f, 1)) * index.total_dl
+            for f, index in field_indexes.items()
+        )
+        / n
+        if n
+        else 0.0
+    )
+    union = None
+    for field, index in field_indexes.items():
+        w = int(weights.get(field, 1))
+        part = index.live_postings_for(query_terms).select(
+            F.col(index.id_col).alias("_id"),
+            "term",
+            (F.col("tf") * w).alias("wtf"),
+        )
+        union = part if union is None else union.unionByName(part)
+    tfc = union.groupBy("_id", "term").agg(
+        F.sum("wtf").cast("long").alias("tf_c")
+    )
+    dfc = (
+        union.select("term", "_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    cand = tfc.select("_id").distinct()
+    dl_parts = None
+    for field, index in field_indexes.items():
+        w = int(weights.get(field, 1))
+        part = (
+            index.live_forward()
+            .join(
+                _bounded_broadcast(
+                    cand.withColumnRenamed("_id", index.id_col)
+                ),
+                index.id_col,
+            )
+            .groupBy(F.col(index.id_col).alias("_id"))
+            .agg((F.sum("tf") * w).cast("long").alias("wdl"))
+        )
+        dl_parts = part if dl_parts is None else dl_parts.unionByName(part)
+    dlc = dl_parts.groupBy("_id").agg(
+        F.sum("wdl").cast("long").alias("dl_c")
+    )
+    per_term_doc = (
+        tfc.join(dlc, "_id")
+        .join(F.broadcast(dfc), "term")
+        .withColumn(
+            "s_q20",
+            F.floor(
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(float(n)) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf_c") * (k1 + 1))
+                / (
+                    F.col("tf_c")
+                    + k1 * (1 - b + b * F.col("dl_c") / F.lit(avgdl_c))
+                )
+                * Q20
+            ).cast("long"),
+        )
+    )
+    return (
+        per_term_doc.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_terms"),
+            F.sum("s_q20").cast("long").alias("score_q20"),
+        )
+        .select(F.col("_id").alias(id_col), "n_hit_terms", "score_q20")
+        .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

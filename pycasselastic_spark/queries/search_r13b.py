@@ -366,3 +366,130 @@ def pinned_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         }},
         "size": 10,
     })
+
+
+# --- combined_fields: ANALYZED title/body field indexes ----------------------
+# combined_fields reconstructs per-doc field norms from the forward
+# relation (dl = sum of tf), exact only for analyzed indexes — the
+# identity chain below keeps tokens byte-identical to the whitespace
+# split while switching dl to the kept-token law.
+
+_CF_INDEX_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _cf_indexes_for(spark: SparkSession, sf_dir: str):
+    import os
+    import tempfile
+
+    from pycasselastic_spark.operators import search as SRCH
+    from pycasselastic_spark.operators.search_index import Analyzer
+    from pycasselastic_spark.plans.tuning import ensure_parallelism
+    from pycasselastic_spark.queries.base import _t
+
+    cached = _CF_INDEX_CACHE.get(sf_dir)
+    if cached is None:
+        docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
+        toks = F.split(F.col("text"), " ")
+        fields = docs.select(
+            "doc_id",
+            F.array_join(F.slice(toks, 1, 8), " ").alias("title"),
+            F.array_join(
+                F.expr(
+                    "slice(split(text, ' '), 9,"
+                    " greatest(size(split(text, ' ')) - 8, 0))"
+                ),
+                " ",
+            ).alias("body"),
+        )
+        ident = Analyzer(lowercase=False, strip_punct=False)
+        base = tempfile.mkdtemp(prefix="cf_idx_")
+        tpath = os.path.join(base, "title")
+        bpath = os.path.join(base, "body")
+        SRCH.build_postings_index(
+            fields.select("doc_id", "title"), "doc_id", "title", tpath,
+            16, analyzer=ident,
+        )
+        SRCH.build_postings_index(
+            fields.select("doc_id", "body"), "doc_id", "body", bpath,
+            16, analyzer=ident,
+        )
+        cached = (tpath, bpath)
+        _CF_INDEX_CACHE[sf_dir] = cached
+    return (
+        SRCH.load_postings_index(spark, cached[0]),
+        SRCH.load_postings_index(spark, cached[1]),
+    )
+
+
+@register(
+    "combined_fields_documents",
+    """
+WITH f AS (SELECT doc_id,
+  array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS title,
+  array_to_string(list_slice(string_split(text, ' '), 9,
+    len(string_split(text, ' '))), ' ') AS body
+  FROM documents),
+tpost AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(title, ' ')) AS term FROM f)
+  WHERE term <> '' GROUP BY doc_id, term),
+bpost AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(body, ' ')) AS term FROM f)
+  WHERE term <> '' GROUP BY doc_id, term),
+u AS (
+  SELECT doc_id, term, tf * 1 AS wtf FROM tpost
+  WHERE term IN ('merge', 'spark')
+  UNION ALL
+  SELECT doc_id, term, tf * 2 AS wtf FROM bpost
+  WHERE term IN ('merge', 'spark')
+),
+tfc AS (SELECT doc_id, term, CAST(SUM(wtf) AS BIGINT) AS tf_c
+        FROM u GROUP BY doc_id, term),
+dfc AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM u GROUP BY term),
+dl AS (SELECT doc_id,
+  CAST(len(list_filter(string_split(title, ' '), x -> x <> ''))
+     + 2 * len(list_filter(string_split(body, ' '), x -> x <> ''))
+    AS BIGINT) AS dl_c FROM f),
+sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+  CAST(SUM(len(list_filter(string_split(title, ' '), x -> x <> ''))
+       + 2 * len(list_filter(string_split(body, ' '), x -> x <> '')))
+    AS DOUBLE) / COUNT(*) AS avgdl FROM f)
+SELECT tfc.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+       CAST(SUM(CAST(FLOOR(
+         ln(1.0 + (sc.n_docs - dfc.df + 0.5) / (dfc.df + 0.5))
+         * (tfc.tf_c * 2.2)
+         / (tfc.tf_c + 1.2 * (0.25 + 0.75 * dl.dl_c / sc.avgdl))
+         * 1048576.0) AS BIGINT)) AS BIGINT) AS score_q20
+FROM tfc JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+GROUP BY tfc.doc_id
+ORDER BY score_q20 DESC, doc_id LIMIT 10
+""",
+    doc="ES ``combined_fields`` query — TERM-centric multi-field "
+    "scoring against ONE synthetic combined field (Lucene's "
+    "CombinedFieldQuery / BM25F simplification), here title + "
+    "body^2: tf_c = tf_title + 2 x tf_body, dl_c = dl_title + 2 x "
+    "dl_body, df = docs with the term in ANY field, avgdl from the "
+    "weighted total lengths — the principled alternative ES offers "
+    "to cross_fields' per-field blending (boosts must be integers "
+    ">= 1 because the synthetic tf stays integral; fractional "
+    "boosts raise, exactly ES). Per-doc field norms are "
+    "reconstructed from each index's id-bucketed FORWARD relation "
+    "(dl = sum of tf — exact for analyzed indexes; legacy "
+    "slot-count indexes raise). operators/search_compose.py:"
+    "combined_fields_search; dispatched from query.combined_fields. "
+    "Plan: per-field pruned probes unioned (query-bounded), "
+    "candidate ids broadcast into the forward scans, two "
+    "reductions; per-term Q20 floors, integer per-doc sum.",
+)
+def combined_fields_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    tidx, bidx = _cf_indexes_for(spark, sf_dir)
+    return es_search(tidx, {
+        "query": {"combined_fields": {
+            "query": "merge spark",
+            "fields": ["title", "body^2"],
+        }},
+        "size": 10,
+    }, field_indexes={"title": tidx, "body": bidx})

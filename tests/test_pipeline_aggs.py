@@ -241,3 +241,83 @@ def test_pinned_promotes_in_list_order_and_skips_missing(dv_idx):
     assert all(not r["pinned"] for r in out[2:])
     assert {r["doc_id"] for r in out[2:]}.isdisjoint({2, 4})
     assert len(out) == 4  # page is size-bounded, pinned don't extend it
+
+
+# --- combined_fields ----------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def cf_indexes(spark, tmp_path_factory):
+    from pycasselastic_spark.operators.search_index import Analyzer
+
+    ident = Analyzer(lowercase=False, strip_punct=False)
+    title = spark.createDataFrame(
+        [(1, "spark join"), (2, "scan only"), (3, "spark")],
+        ["doc_id", "title"],
+    )
+    body = spark.createDataFrame(
+        [(1, "other words here"), (2, "spark spark"), (3, "")],
+        ["doc_id", "body"],
+    )
+    base = tmp_path_factory.mktemp("cf")
+    SRCH.build_postings_index(title, "doc_id", "title", str(base / "t"),
+                              n_buckets=4, analyzer=ident)
+    SRCH.build_postings_index(body, "doc_id", "body", str(base / "b"),
+                              n_buckets=4, analyzer=ident)
+    return {
+        "title": SRCH.load_postings_index(spark, str(base / "t")),
+        "body": SRCH.load_postings_index(spark, str(base / "b")),
+    }
+
+
+def test_combined_fields_matches_hand_computed_bm25f(cf_indexes):
+    import math
+
+    out = es_search(cf_indexes["title"], {
+        "query": {"combined_fields": {
+            "query": "spark", "fields": ["title", "body^2"],
+        }},
+    }, field_indexes=cf_indexes).collect()
+    got = {r["doc_id"]: r["score_q20"] for r in out}
+    # combined stats: N=3; dl_c: d1=2+2*3=8, d2=2+2*2=6, d3=1+0=1
+    # avgdl=(5 + 2*5)/3 = 5.0; tf_c: d1=1, d2=4, d3=1; df(spark)=3
+    n, avgdl = 3.0, 5.0
+    idf = math.log(1.0 + (n - 3 + 0.5) / (3 + 0.5))
+
+    def s(tf_c, dl_c):
+        return math.floor(
+            idf * (tf_c * 2.2)
+            / (tf_c + 1.2 * (0.25 + 0.75 * dl_c / avgdl))
+            * 1048576
+        )
+
+    assert got == {1: s(1, 8), 2: s(4, 6), 3: s(1, 1)}
+
+
+def test_combined_fields_and_requires_all_terms(cf_indexes):
+    out = es_search(cf_indexes["title"], {
+        "query": {"combined_fields": {
+            "query": "spark join", "fields": ["title", "body"],
+            "operator": "and",
+        }},
+    }, field_indexes=cf_indexes).collect()
+    # only doc 1 has both terms across the combined field
+    assert [r["doc_id"] for r in out] == [1]
+
+
+def test_combined_fields_strictness(cf_indexes, spark, tmp_path):
+    with pytest.raises(ValueError, match="boost"):
+        es_search(cf_indexes["title"], {
+            "query": {"combined_fields": {
+                "query": "spark", "fields": ["title^0.5"],
+            }},
+        }, field_indexes=cf_indexes)
+    # legacy (analyzer=None) indexes store slot-count norms -> raise
+    legacy = spark.createDataFrame([(1, "a b")], ["doc_id", "t"])
+    lp = str(tmp_path / "legacy")
+    SRCH.build_postings_index(legacy, "doc_id", "t", lp, n_buckets=4)
+    lidx = SRCH.load_postings_index(spark, lp)
+    with pytest.raises(ValueError, match="legacy"):
+        es_search(lidx, {
+            "query": {"combined_fields": {"query": "a", "fields": ["t"]}},
+        }, field_indexes={"t": lidx})
