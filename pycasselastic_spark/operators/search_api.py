@@ -1671,6 +1671,21 @@ def es_search(
             )
         raise _err(f"multi_match type {mtype!r}")
 
+    if qtype == "query_string":
+        extra = set(q) - {"query", "default_operator"}
+        if extra:
+            # default_field / fields / lenient / analyze_wildcard etc.
+            raise _err(f"query_string options {sorted(extra)}")
+        from pycasselastic_spark.operators.search_qs import (
+            query_string_search,
+        )
+
+        return query_string_search(
+            index, str(q["query"]),
+            default_operator=str(q.get("default_operator", "or")),
+            k=size,
+        )
+
     if qtype == "combined_fields":
         extra = set(q) - {"query", "fields", "operator"}
         if extra:

@@ -493,3 +493,119 @@ def combined_fields_documents(
         }},
         "size": 10,
     }, field_indexes={"title": tidx, "body": bidx})
+
+
+# --- query_string: the Lucene grammar ----------------------------------------
+
+# per-(term, doc) BM25 with its OWN Q20 floor — the query_string leaf
+# law (each leaf probe floors independently; boolean combinations sum
+# the integer floors, so compositions stack no float noise)
+_QS_PER_TERM = f"""
+per AS (SELECT qt.doc_id,
+         CAST(FLOOR(({_BM25_TERM_SCORE}) * 1048576.0) AS BIGINT) AS s
+        FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id)
+             CROSS JOIN sc)
+"""
+
+
+@register(
+    "query_string_bool_documents",
+    f"""
+WITH {_TOK_POSTINGS},
+qt AS (SELECT * FROM postings WHERE term IN ('merge', 'spark')),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term),
+{_QS_PER_TERM},
+pos AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_q20
+        FROM per GROUP BY doc_id),
+neg AS (SELECT DISTINCT doc_id FROM postings WHERE term = 'slow')
+SELECT doc_id, score_q20 FROM pos
+WHERE doc_id NOT IN (SELECT doc_id FROM neg)
+ORDER BY score_q20 DESC, doc_id LIMIT 10
+""",
+    doc="ES ``query_string`` — the full Lucene grammar every Kibana "
+    "search box POSTs, here '(merge OR spark) AND NOT slow': "
+    "recursive-descent parse with Lucene precedence (NOT > AND > "
+    "OR, default_operator filling bare adjacency), compiled onto a "
+    "HIT-RELATION ALGEBRA over the standalone probes — each leaf a "
+    "query-bounded pruned-postings probe returning (id, Q20 score), "
+    "AND an inner join summing scores, OR a full outer coalesce-sum, "
+    "AND NOT an anti join (operators/search_qs.py). Pure-negative "
+    "queries and NOT-under-OR raise by name (Lucene's "
+    "prohibited-clause OR semantics is a silent-miss trap), as do "
+    "field: scoping, ^boosts, ranges and inner wildcards. "
+    "Determinism: leaves floor independently, combinations are exact "
+    "integer sums. Dispatched from query.query_string.",
+)
+def query_string_bool_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"query_string": {
+            "query": "(merge OR spark) AND NOT slow",
+        }},
+        "size": 10,
+    })
+
+
+@register(
+    "query_string_mixed_documents",
+    f"""
+WITH {_TOK_POSTINGS},
+-- phrase leaf: Lucene PhraseQuery BM25 ("fast merge", adjacency)
+tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+pf AS (SELECT doc_id,
+    CAST(len(list_filter(range(1, len(tk)),
+      i -> tk[i] = 'fast' AND tk[i + 1] = 'merge')) AS BIGINT) AS pf
+  FROM tk),
+pfh AS (SELECT * FROM pf WHERE pf > 0),
+pdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM postings
+  WHERE term IN ('fast', 'merge') GROUP BY term),
+pidf AS (SELECT CAST(SUM(CAST(FLOOR(
+    ln(1.0 + (sc.n_docs - df + 0.5) / (df + 0.5)) * 1048576.0)
+    AS BIGINT)) AS BIGINT) AS idf_q FROM pdf CROSS JOIN sc),
+phr AS (SELECT p.doc_id,
+    CAST(FLOOR((pidf.idf_q / 1048576.0)
+      * (p.pf * 2.2) / (p.pf + 1.2 * (0.25 + 0.75 * dl.dl / sc.avgdl))
+      * 1048576.0) AS BIGINT) AS s
+  FROM pfh p JOIN dl USING (doc_id) CROSS JOIN pidf CROSS JOIN sc),
+-- prefix leaf: 'mer*' expanded at the df-desc rewrite cap (50)
+exp AS (SELECT term FROM (
+  SELECT term, COUNT(*) AS df FROM postings WHERE term LIKE 'mer%'
+  GROUP BY term ORDER BY df DESC, term LIMIT 50)),
+qt AS (SELECT * FROM postings WHERE term IN (SELECT term FROM exp)),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt
+  GROUP BY term),
+pre AS (SELECT qt.doc_id,
+    CAST(FLOOR(SUM({_BM25_TERM_SCORE}) * 1048576.0) AS BIGINT) AS s
+  FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+  GROUP BY qt.doc_id, sc.n_docs)
+SELECT COALESCE(phr.doc_id, pre.doc_id) AS doc_id,
+       CAST(COALESCE(phr.s, 0) + COALESCE(pre.s, 0) AS BIGINT)
+         AS score_q20
+FROM phr FULL OUTER JOIN pre ON phr.doc_id = pre.doc_id
+ORDER BY score_q20 DESC, doc_id LIMIT 10
+""",
+    doc="ES ``query_string`` mixing LEAF TYPES in one boolean — "
+    "'\"fast merge\" OR mer*': the quoted phrase compiles to the "
+    "positional PhraseQuery probe (stored-position chain counting, "
+    "Lucene BM25 phrase scoring), the trailing-* prefix to the "
+    "dictionary-expansion probe (df-desc rewrite cap 50), and the OR "
+    "combines their independently-floored Q20 scores in one full "
+    "outer coalesce-sum — the composed scoring law "
+    "simple_query_string deliberately refuses (it dispatches "
+    "single-leaf specials only); query_string's algebra makes the "
+    "composition exact. operators/search_qs.py:_compile. Plan: two "
+    "query-bounded probe relations, one bounded join, "
+    "TakeOrderedAndProject.",
+)
+def query_string_mixed_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"query_string": {
+            "query": '"fast merge" OR mer*',
+        }},
+        "size": 10,
+    })

@@ -1,0 +1,108 @@
+"""query_string: Lucene grammar parse + hit-relation algebra.
+
+The algebra's laws are pinned against the standalone probes (leaf
+scores must equal the probe family's own outputs; AND/OR/AND NOT must
+be exact integer-sum joins) and the strictness contract is pinned for
+every raised syntax family.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pycasselastic_spark.operators import search as SRCH
+from pycasselastic_spark.operators.search_api import es_search
+from pycasselastic_spark.operators.search_probes import (
+    bm25_topk_indexed,
+    bm25_topk_prefix,
+)
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    docs = spark.createDataFrame([
+        (1, "spark join shuffle join"),
+        (2, "spark filter scan"),
+        (3, "join join broadcast window"),
+        (4, "scan scan filter pushdown spark"),
+        (5, "unrelated words only here"),
+    ], ["doc_id", "text"])
+    path = str(tmp_path_factory.mktemp("qs") / "idx")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4)
+    return SRCH.load_postings_index(spark, path)
+
+
+def _qs(idx, q, **kw):
+    body = {"query": {"query_string": {"query": q, **kw}}, "size": 10}
+    return {r["doc_id"]: r["score_q20"] for r in es_search(idx, body).collect()}
+
+
+def _term_scores(idx, term):
+    return {r["doc_id"]: r["score_q20"]
+            for r in bm25_topk_indexed(idx, [term], k=100).collect()}
+
+
+def test_or_sums_leaf_scores_exactly(idx):
+    s1, s2 = _term_scores(idx, "spark"), _term_scores(idx, "join")
+    got = _qs(idx, "spark OR join")
+    assert got == {
+        d: s1.get(d, 0) + s2.get(d, 0) for d in set(s1) | set(s2)
+    }
+    # bare adjacency under the default operator is the same OR
+    assert _qs(idx, "spark join") == got
+
+
+def test_and_intersects_and_sums(idx):
+    s1, s2 = _term_scores(idx, "spark"), _term_scores(idx, "join")
+    got = _qs(idx, "spark AND join")
+    assert got == {d: s1[d] + s2[d] for d in set(s1) & set(s2)}
+    # default_operator=and binds adjacency at the AND level
+    assert _qs(idx, "spark join", default_operator="and") == got
+
+
+def test_and_not_is_an_anti_join(idx):
+    s1 = _term_scores(idx, "spark")
+    excluded = set(_term_scores(idx, "filter"))
+    got = _qs(idx, "spark AND NOT filter")
+    assert got == {d: s for d, s in s1.items() if d not in excluded}
+    # bare NOT keyword between operands means AND NOT (Lucene)
+    assert _qs(idx, "spark NOT filter") == got
+
+
+def test_parenthesized_precedence(idx):
+    sj = _term_scores(idx, "join")
+    ss = _term_scores(idx, "scan")
+    sp = _term_scores(idx, "spark")
+    got = _qs(idx, "(join OR scan) AND spark")
+    want = {}
+    for d in (set(sj) | set(ss)) & set(sp):
+        want[d] = sj.get(d, 0) + ss.get(d, 0) + sp[d]
+    assert got == want
+
+
+def test_prefix_leaf_matches_standalone_probe(idx):
+    want = {r["doc_id"]: r["score_q20"]
+            for r in bm25_topk_prefix(idx, "pu", k=100).collect()}
+    assert _qs(idx, "pu*") == want
+
+
+@pytest.mark.parametrize("bad,needle", [
+    ("title:spark", "field-scoped"),
+    ("spark^2", "boost"),
+    ("NOT spark", "pure-negative"),
+    ("spark OR NOT join", "NOT under OR"),
+    ("a AND (b", "parenthesis"),
+    ("spark AND", "operator"),
+    ("[1 TO 5]", "range"),
+    ("sp?rk", "wildcard"),
+    ("*park", "wildcard"),
+])
+def test_query_string_strictness(idx, bad, needle):
+    with pytest.raises(ValueError, match=needle):
+        _qs(idx, bad)
+
+
+def test_clause_budget(idx):
+    huge = " OR ".join(["spark"] * 65)
+    with pytest.raises(ValueError, match="max_clause_count"):
+        _qs(idx, huge)
