@@ -833,6 +833,16 @@ def es_search(
         # the sub-aggregation over the intersection — the dashboard
         # staple ("hits for X; stats over the paid subset"). Nesting
         # composes (filter inside filter), hence the loop.
+        if isinstance(agg, dict) and set(agg) == {"global", "aggs"}:
+            # ES ``global`` scope: the sub-aggregation runs over ALL
+            # live docs, ignoring the query — the "X among hits vs X
+            # overall" comparison every faceted UI draws
+            if agg["global"] != {}:
+                raise _err(
+                    f"global agg options {sorted(agg['global'])}"
+                )
+            terms = _agg_scope(index, "match_all", {})
+            _gname, agg = _single(agg["aggs"], "global sub-aggregation")
         while isinstance(agg, dict) and set(agg) == {"filter", "aggs"}:
             from pycasselastic_spark.operators.search_hybrid import (
                 filtered_ids,
@@ -854,6 +864,31 @@ def es_search(
         # from the docs frame (any column, not just stored ones)
         if set(agg) == {"stats"}:
             return search_stats_agg(index, terms, agg["stats"]["field"])
+        if set(agg) == {"extended_stats"}:
+            spec = agg["extended_stats"]
+            if set(spec) != {"field"}:
+                raise _err(
+                    f"extended_stats options "
+                    f"{sorted(set(spec) - {'field'})}"
+                )
+            from pycasselastic_spark.operators.search_ext import (
+                search_extended_stats_agg,
+            )
+
+            return search_extended_stats_agg(index, terms, spec["field"])
+        if set(agg) == {"rare_terms"}:
+            spec = agg["rare_terms"]
+            extra = set(spec) - {"field", "max_doc_count"}
+            if extra:
+                raise _err(f"rare_terms options {sorted(extra)}")
+            from pycasselastic_spark.operators.search_ext import (
+                search_rare_terms_agg,
+            )
+
+            return search_rare_terms_agg(
+                index, terms, spec["field"],
+                max_doc_count=int(spec.get("max_doc_count", 1)),
+            )
         for m in ("avg", "sum", "min", "max", "value_count", "missing"):
             if set(agg) == {m}:
                 if set(agg[m]) != {"field"}:
@@ -1890,3 +1925,44 @@ def es_search(
             must_not=must_not, k=size, min_should_match=msm,
         )
     raise _err(f"query type {qtype!r}")
+
+
+def es_mget(index: PostingsIndex, ids: list) -> DataFrame:
+    """ES ``_mget``: fetch docs BY ID in REQUEST ORDER, one response
+    row per requested id with ``found`` false for absent ids (deleted
+    or never ingested) — the batched point-lookup every sync loop and
+    cache-refill runs (the reference GETs docs back from ES after
+    upserting, the round-trip this serves). Returns ``(pos, <id>,
+    found, <stored fields...>)`` ordered by request position, stored
+    fields NULL when not found.
+
+    Plan: the id list is a literal inline relation (request-bounded);
+    one broadcast join against the live doc-values scan — the stored
+    fields ARE the _source this engine keeps columnar. Indexes without
+    doc-values raise (nothing stored to fetch)."""
+    from pycasselastic_spark.operators.search_index import dv_col
+
+    if not ids:
+        raise ValueError("_mget needs at least one id")
+    if index.docvalues is None:
+        raise ValueError(
+            "_mget needs an index with stored fields (doc-values) — "
+            "nothing is stored to fetch"
+        )
+    id_col = index.id_col
+    dv = index.live_docvalues()
+    spark = dv.sparkSession
+    req = spark.createDataFrame(
+        [(n, int(v)) for n, v in enumerate(ids)],
+        f"pos long, {id_col} long",
+    )
+    fields = [dv_col(f).alias(f) for f in index.stored_fields]
+    got = dv.select(
+        F.col(id_col), F.lit(True).alias("found"), *fields
+    )
+    return (
+        F.broadcast(req)
+        .join(got, id_col, "left")
+        .withColumn("found", F.coalesce(F.col("found"), F.lit(False)))
+        .orderBy("pos")
+    )

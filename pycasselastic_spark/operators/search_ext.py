@@ -1318,3 +1318,103 @@ def search_nested(
         .orderBy(F.col(id_col).asc())
         .limit(k)
     )
+
+
+def search_extended_stats_agg(
+    index: PostingsIndex,
+    query_terms,
+    field: str,
+) -> DataFrame:
+    """ES ``extended_stats`` over the hit set's stored doc-values: the
+    ``stats`` row plus sum_of_squares / population variance / standard
+    deviation — the dashboard's dispersion panel. One row
+    ``(n_docs, min_val, max_val, sum_val, sum_sq, avg_q20, var_q20,
+    std_q20)``.
+
+    Determinism: INTEGRAL fields only (fractional fields raise — their
+    Q20-prequantized squares overflow long). n, Σx and Σx² are exact
+    BIGINTs; variance = (Σx² - (Σx)²/n)/n evaluated in IEEE double
+    from those exact integers (identical rounding cross-engine),
+    std = correctly-rounded sqrt of the same double, both Q20-floored.
+
+    Plan shape: hit ids join the column-pruned doc-values scan, ONE
+    partial-aggregated reduction to a single row."""
+    if field not in index.stored_fields:
+        raise ValueError(
+            f"field {field!r} is not stored in this index's doc values "
+            f"(stored_fields={index.stored_fields})"
+        )
+    id_col = index.id_col
+    hits = hits_relation(index, query_terms)
+    dv = index.live_docvalues().select(F.col(id_col), dv_col(field))
+    if dict(dv.dtypes)[field] not in (
+        "tinyint", "smallint", "int", "bigint",
+    ):
+        raise ValueError(
+            f"extended_stats over fractional field {field!r} "
+            "(integral doc-values only — the exact-integer variance "
+            "law doesn't extend)"
+        )
+    c = dv_col(field)
+    base = (
+        dv.join(_bounded_broadcast(hits), id_col)
+        # ES extended_stats count is the number of VALUES (NULLs
+        # excluded) and the variance divides by it
+        .agg(
+            F.count(c).alias("n_docs"),
+            F.min(c).alias("min_val"),
+            F.max(c).alias("max_val"),
+            F.sum(c).cast("long").alias("sum_val"),
+            F.sum(c * c).cast("long").alias("sum_sq"),
+            F.floor(F.avg(c) * Q20).cast("long").alias("avg_q20"),
+        )
+    )
+    var = (
+        F.col("sum_sq").cast("double")
+        - F.col("sum_val").cast("double")
+        * F.col("sum_val").cast("double") / F.col("n_docs")
+    ) / F.col("n_docs")
+    return base.select(
+        "n_docs", "min_val", "max_val", "sum_val", "sum_sq", "avg_q20",
+        F.floor(var * Q20).cast("long").alias("var_q20"),
+        F.floor(F.sqrt(var) * Q20).cast("long").alias("std_q20"),
+    )
+
+
+def search_rare_terms_agg(
+    index: PostingsIndex,
+    query_terms,
+    field: str,
+    max_doc_count: int = 1,
+) -> DataFrame:
+    """ES ``rare_terms`` aggregation: the LONG TAIL the terms agg's
+    size cap hides — buckets of the hit set's ``field`` doc-values
+    holding at most ``max_doc_count`` docs, ordered count ASCENDING
+    then value (ES's rarest-first contract). NULLs are excluded like
+    the terms agg. Returns ``(bucket, n_docs)``.
+
+    Plan shape: the SAME single reduction as the terms facet (hit ids
+    join one column-pruned doc-values scan, one groupBy) with the
+    rarity filter riding the aggregation output — ES implements this
+    with a CuckooFilter to bound memory; here the bucket relation is
+    exact and the filter is a post-aggregation predicate."""
+    if not (int(max_doc_count) >= 1):
+        raise ValueError(
+            f"rare_terms max_doc_count {max_doc_count!r} (must be >= 1)"
+        )
+    if field not in index.stored_fields:
+        raise ValueError(
+            f"field {field!r} is not stored in this index's doc values "
+            f"(stored_fields={index.stored_fields})"
+        )
+    id_col = index.id_col
+    hits = hits_relation(index, query_terms)
+    dv = index.live_docvalues().select(F.col(id_col), dv_col(field))
+    return (
+        dv.join(_bounded_broadcast(hits), id_col)
+        .filter(dv_col(field).isNotNull())
+        .groupBy(dv_col(field).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") <= int(max_doc_count))
+        .orderBy(F.col("n_docs").asc(), F.col("bucket").asc())
+    )

@@ -609,3 +609,116 @@ def query_string_mixed_documents(
         }},
         "size": 10,
     })
+
+
+@register(
+    "rare_terms_agg_documents",
+    f"""
+WITH {_HITS_MERGE}
+SELECT d.n_chars AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents d JOIN hits USING (doc_id)
+WHERE d.n_chars IS NOT NULL
+GROUP BY 1 HAVING COUNT(*) <= 2
+ORDER BY n_docs, bucket
+""",
+    doc="ES ``rare_terms`` aggregation: the LONG TAIL the terms agg's "
+    "size cap hides — buckets of the hit set's n_chars doc-values "
+    "holding at most max_doc_count=2 docs, rarest first (count asc "
+    "then value, ES's contract). ES bounds memory with a "
+    "CuckooFilter and documents the approximation; here the bucket "
+    "relation is exact and the rarity cut is a post-aggregation "
+    "predicate riding the SAME single reduction as the terms facet. "
+    "operators/search_ext.py:search_rare_terms_agg; dispatched from "
+    "aggs.<name>.rare_terms.",
+)
+def rare_terms_agg_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"match": {"text": "merge"}},
+        "aggs": {"rare_lengths": {"rare_terms": {
+            "field": "n_chars", "max_doc_count": 2,
+        }}},
+    })
+
+
+@register(
+    "global_extended_stats_documents",
+    """
+WITH s AS (
+  SELECT CAST(COUNT(n_chars) AS BIGINT) AS n_docs,
+         MIN(n_chars) AS min_val,
+         MAX(n_chars) AS max_val,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_val,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS sum_sq,
+         CAST(FLOOR(AVG(n_chars) * 1048576.0) AS BIGINT) AS avg_q20
+  FROM documents
+)
+SELECT n_docs, min_val, max_val, sum_val, sum_sq, avg_q20,
+       CAST(FLOOR(((CAST(sum_sq AS DOUBLE)
+          - CAST(sum_val AS DOUBLE) * CAST(sum_val AS DOUBLE) / n_docs)
+          / n_docs) * 1048576.0) AS BIGINT) AS var_q20,
+       CAST(FLOOR(sqrt((CAST(sum_sq AS DOUBLE)
+          - CAST(sum_val AS DOUBLE) * CAST(sum_val AS DOUBLE) / n_docs)
+          / n_docs) * 1048576.0) AS BIGINT) AS std_q20
+FROM s
+""",
+    doc="ES ``global`` aggregation scope carrying ``extended_stats``: "
+    "the sub-aggregation runs over ALL live docs, IGNORING the query "
+    "(here a match that would otherwise narrow the scope) — the "
+    "'hits vs overall' comparison every faceted dashboard draws. "
+    "extended_stats adds sum_of_squares / population variance / std "
+    "to the stats row; INTEGRAL fields only (fractional raise — the "
+    "exact-integer law doesn't extend): n, Σx, Σx² are exact "
+    "BIGINTs, variance = (Σx² - (Σx)²/n)/n in IEEE double from exact "
+    "integers (identical rounding cross-engine), std the "
+    "correctly-rounded sqrt, both Q20-floored. operators/"
+    "search_ext.py:search_extended_stats_agg; global unwrap in "
+    "es_search. One partial-aggregated reduction to a single row.",
+)
+def global_extended_stats_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"match": {"text": "merge"}},
+        "aggs": {"all_docs": {
+            "global": {},
+            "aggs": {"len_stats": {"extended_stats": {
+                "field": "n_chars",
+            }}},
+        }},
+    })
+
+
+@register(
+    "mget_documents",
+    """
+WITH req AS (SELECT * FROM (VALUES (0, 5), (1, 999999999), (2, 12),
+                                   (3, 7))
+             t(pos, doc_id))
+SELECT CAST(req.pos AS BIGINT) AS pos, req.doc_id,
+       d.doc_id IS NOT NULL AS found,
+       d.n_chars, d.source, d.lang
+FROM req LEFT JOIN documents d USING (doc_id)
+ORDER BY pos
+""",
+    doc="ES ``_mget``: batched point lookup BY ID in REQUEST ORDER, "
+    "one response row per requested id with found=false for absent "
+    "ids (here 999999999) and NULL stored fields — the round-trip "
+    "the reference runs after every bulk upsert (read-back "
+    "verification, pyCassElastic.py's ES GET path). The stored "
+    "doc-values ARE the _source this engine keeps columnar. "
+    "operators/search_api.py:es_mget — the id list is a literal "
+    "request-bounded inline relation, one broadcast join against "
+    "the live doc-values scan, ordered by request position.",
+)
+def mget_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pycasselastic_spark.operators.search_api import es_mget
+
+    idx = _postings_index_for(spark, sf_dir)
+    out = es_mget(idx, [5, 999999999, 12, 7])
+    return out.select(
+        "pos", "doc_id", "found", "n_chars", "source", "lang"
+    ).orderBy("pos")

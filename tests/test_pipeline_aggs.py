@@ -321,3 +321,51 @@ def test_combined_fields_strictness(cf_indexes, spark, tmp_path):
         es_search(lidx, {
             "query": {"combined_fields": {"query": "a", "fields": ["t"]}},
         }, field_indexes={"t": lidx})
+
+
+# --- rare_terms / extended_stats / global / _mget ----------------------------
+
+
+def test_rare_terms_returns_long_tail_ascending(dv_idx):
+    # hits 1,2,3,5; tag x:2, y:1 -> max_doc_count=1 keeps only y
+    out = es_search(dv_idx, {
+        "query": {"match": {"text": "alpha"}},
+        "aggs": {"r": {"rare_terms": {"field": "tag"}}},
+    }).collect()
+    assert [(r["bucket"], r["n_docs"]) for r in out] == [("y", 1)]
+
+
+def test_extended_stats_variance_law(dv_idx):
+    import math
+
+    out = es_search(dv_idx, {
+        "query": {"match": {"text": "alpha"}},
+        "aggs": {"s": {"extended_stats": {"field": "val"}}},
+    }).collect()[0]
+    vals = [10, 20, 30, 50]  # hits 1,2,3,5
+    n, s, ssq = len(vals), sum(vals), sum(v * v for v in vals)
+    var = (ssq - s * s / n) / n
+    assert (out["n_docs"], out["sum_val"], out["sum_sq"]) == (n, s, ssq)
+    assert out["var_q20"] == math.floor(var * 1048576)
+    assert out["std_q20"] == math.floor(math.sqrt(var) * 1048576)
+
+
+def test_global_scope_ignores_the_query(dv_idx):
+    out = es_search(dv_idx, {
+        "query": {"match": {"text": "alpha"}},   # hits exclude doc 4
+        "aggs": {"all": {"global": {}, "aggs": {
+            "s": {"extended_stats": {"field": "val"}},
+        }}},
+    }).collect()[0]
+    assert out["n_docs"] == 5                    # doc 4 included
+    assert out["sum_val"] == 150
+
+
+def test_mget_request_order_and_found_flag(dv_idx):
+    from pycasselastic_spark.operators.search_api import es_mget
+
+    out = es_mget(dv_idx, [3, 42, 1]).collect()
+    assert [(r["pos"], r["doc_id"], r["found"]) for r in out] == [
+        (0, 3, True), (1, 42, False), (2, 1, True),
+    ]
+    assert out[0]["val"] == 30 and out[1]["val"] is None
