@@ -1171,3 +1171,94 @@ def span_dedup_rewrite(
             F.transform(kept_pos, lambda p: F.element_at("_tk", p)), " "
         ).alias("cleaned_text"),
     )
+
+
+def semdedup_prune(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int = 64,
+    num_planes: int = 12,
+    num_bands: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    deduplication by embedding clusters — find groups of
+    semantically-duplicate documents (cosine >= threshold), keep ONE
+    representative per group and flag the rest for removal. The keep
+    rule is the paper's: within a duplicate group, keep the member
+    with the LOWEST cosine to the group centroid (the most atypical
+    example preserves diversity; the near-centroid copies are the
+    redundant mass). Returns one row per DUP-GROUP MEMBER:
+    ``(<id>, component, cos_c_q20, keep)`` — docs outside any group
+    are implicitly kept and not emitted.
+
+    Determinism: candidate pairs come from the md5-hyperplane LSH
+    banding (``embedding_lsh_pairs`` — replayable in SQL), components
+    from large/small-star propagation (order-free fixed point), the
+    group centroid from Q20 fixed-point coordinate sums
+    (order-independent integer accumulation), the cosine one
+    sequential fold, and the keep decision an argmin on
+    (floor(cos x 2^20), id).
+
+    Scale: pair space is band-bounded, components touch only dup
+    members, the centroid reduction is keyed by (component, dim) —
+    nothing corpus-sized shuffles; this is the embedding-space twin
+    of ``neardup_cluster_dedup``."""
+    from pycasselastic_spark.operators.components import (
+        connected_components,
+    )
+    from pycasselastic_spark.operators.similarity import (
+        dot,
+        with_unit_vector,
+    )
+
+    q20 = 1048576.0
+    pairs = embedding_lsh_pairs(
+        df, id_col, vec_col, threshold, dim,
+        num_planes=num_planes, num_bands=num_bands,
+    )
+    comp = connected_components(pairs).withColumnRenamed("node", id_col)
+    unit = with_unit_vector(df.select(id_col, vec_col), vec_col, "_u")
+    members = comp.join(unit.select(id_col, "_u"), id_col)
+    cent = (
+        members.select(
+            "component", F.posexplode("_u").alias("_pos", "_v")
+        )
+        .groupBy("component", "_pos")
+        .agg(
+            (
+                F.sum(F.floor(F.col("_v") * q20).cast("long"))
+                .cast("double")
+                / (F.lit(q20) * F.count(F.lit(1)))
+            ).alias("_m")
+        )
+        .groupBy("component")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_pos", "_m"))
+            ).alias("_pm")
+        )
+        .select(
+            "component",
+            F.transform(F.col("_pm"), lambda s: s["_m"]).alias("_cv"),
+        )
+    )
+    cent = with_unit_vector(cent, "_cv", "_cu").select("component", "_cu")
+    scored = (
+        members.join(F.broadcast(cent), "component")
+        .withColumn(
+            "cos_c_q20",
+            F.floor(dot(F.col("_u"), F.col("_cu")) * q20).cast("long"),
+        )
+        .select(id_col, "component", "cos_c_q20")
+    )
+    keeper = scored.groupBy("component").agg(
+        F.min(F.struct("cos_c_q20", id_col)).alias("_k")
+    ).select("component", F.col(f"_k.{id_col}").alias("_keep_id"))
+    return (
+        scored.join(F.broadcast(keeper), "component")
+        .withColumn("keep", F.col(id_col) == F.col("_keep_id"))
+        .select(id_col, "component", "cos_c_q20", "keep")
+        .orderBy("component", id_col)
+    )

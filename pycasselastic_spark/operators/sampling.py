@@ -421,3 +421,134 @@ def dsir_importance_weights(
             .alias("logw_q20"),
         )
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    strata_col: str,
+    budget_total: int,
+    max_epochs: int = 1,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151)
+    — the fairer alternative to temperature mixing for multilingual /
+    multi-source pretraining: WATER-FILL the document budget across
+    strata with a per-stratum epoch cap. Sources ascending by size
+    each receive an equal share of the remaining budget, capped at
+    ``max_epochs`` x their size; a small source hits its cap and the
+    freed budget flows to larger ones, so no source is oversampled
+    past the cap and no head source starves the tail.
+
+    Returns the per-stratum allocation table ``(<strata>, n_docs,
+    alloc_q20, rate_q20, kept_docs)``: alloc the water-filled budget,
+    rate = min(1, alloc/n) (the dedup-style keep rate; full-cap
+    strata sample at 1.0 and repeat up to max_epochs at training
+    time), kept_docs the md5-keyed keep count at that rate — the
+    same 52-bit uniform every sampler here uses, so the decision
+    replays bit-for-bit cross-engine.
+
+    Determinism: the greedy loop has the standard water-filling
+    closed form — fullness is prefix-closed in ascending size order,
+    so one cumulative-sum window over the (tiny) strata relation
+    finds the cutoff; caps and prefix sums are EXACT integers
+    (max_epochs is integer-validated), the residual share is one
+    integer division pair in IEEE double. The strata window is
+    single-partition over distinct sources — bounded by construction,
+    same law as temperature_mixture_sample's normalizer."""
+    from pyspark.sql.window import Window
+
+    if int(max_epochs) != max_epochs or int(max_epochs) < 1:
+        raise ValueError(
+            f"unimax max_epochs {max_epochs!r} (integer >= 1 — the "
+            "cap law stays in exact integer space)"
+        )
+    if int(budget_total) < 0:
+        raise ValueError(f"unimax budget {budget_total!r}")
+    e = int(max_epochs)
+    b = int(budget_total)
+    counts = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w_ord = Window.orderBy(F.col("n_docs").asc(), F.col(strata_col).asc())
+    w_all = Window.partitionBy()
+    ranked = (
+        counts.withColumn("_i", F.row_number().over(w_ord))
+        .withColumn("_k", F.count(F.lit(1)).over(w_all))
+        .withColumn("_cap", (F.col("n_docs") * e).cast("long"))
+        .withColumn(
+            "_prefix",
+            F.coalesce(
+                F.sum("_cap").over(
+                    w_ord.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        # water-filling: row i is FULL iff its cap fits its equal
+        # share of what's left assuming all smaller rows are full —
+        # prefix-closed in ascending order, so the AND-min window
+        # turns the per-row condition into the true fullness flag
+        .withColumn(
+            "_cond",
+            (F.col("_cap") * (F.col("_k") - F.col("_i") + 1)
+             <= F.lit(b) - F.col("_prefix")).cast("int"),
+        )
+        .withColumn(
+            "_full",
+            F.min("_cond").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, 0)
+            ) == 1,
+        )
+    )
+    totals = ranked.select(
+        F.sum(F.when(F.col("_full"), F.col("_cap")).otherwise(0))
+        .over(w_all).alias("_full_sum"),
+        F.sum(F.when(F.col("_full"), 1).otherwise(0))
+        .over(w_all).alias("_n_full"),
+        F.col(strata_col), F.col("n_docs"), F.col("_cap"), F.col("_full"),
+        F.col("_k"),
+    )
+    q20 = F.lit(float(1 << 20))
+    # all-strata-at-cap leaves no residual takers: share is unused
+    # then, but keep the expression NaN-free
+    share = F.when(
+        F.col("_k") == F.col("_n_full"), F.lit(0.0)
+    ).otherwise(
+        (F.lit(b) - F.col("_full_sum")).cast("double")
+        / (F.col("_k") - F.col("_n_full")).cast("double")
+    )
+    alloc = F.when(F.col("_full"), F.col("_cap").cast("double")).otherwise(
+        share
+    )
+    rate = F.least(F.lit(1.0), alloc / F.col("n_docs").cast("double"))
+    return totals.select(
+        F.col(strata_col),
+        F.col("n_docs"),
+        F.floor(alloc * q20).cast("long").alias("alloc_q20"),
+        F.floor(rate * q20).cast("long").alias("rate_q20"),
+        F.col("_full").alias("at_cap"),
+    ).orderBy(strata_col)
+
+
+def unimax_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    budget_total: int,
+    max_epochs: int = 1,
+) -> DataFrame:
+    """Apply a ``unimax_allocation``: keep each row where its 52-bit
+    md5 uniform falls under its stratum's water-filled rate — the
+    UniMax twin of ``temperature_mixture_sample`` (broadcast rate
+    join + narrow filter; the corpus is never shuffled)."""
+    q20 = float(1 << 20)
+    rates = unimax_allocation(
+        df, strata_col, budget_total, max_epochs
+    ).select(
+        strata_col,
+        (F.col("rate_q20").cast("double") / F.lit(q20)).alias("_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(uniform_u(key_col) < F.col("_rate"))
+        .drop("_rate")
+    )

@@ -722,3 +722,227 @@ def mget_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "pos", "doc_id", "found", "n_chars", "source", "lang"
     ).orderBy("pos")
+
+
+# --- SemDeDup: semantic dedup by embedding clusters --------------------------
+
+from pycasselastic_spark.queries.pipeline_text import (  # noqa: E402
+    _DOT_SQL,
+    _MEAN_SQL,
+    _UNIT_SQL,
+)
+
+_SEMDEDUP_THRESHOLD = 0.4
+_SD_PLANES, _SD_BANDS = 12, 6
+
+
+@register(
+    "semdedup_prune_embeddings",
+    f"""
+WITH {_UNIT_SQL},
+{_MEAN_SQL},
+planes AS (
+  SELECT p, list_transform(range(0, 64), d ->
+    CASE WHEN ('0x' || substring(md5('plane' || p || ':dim' || d), 1, 2))::INT % 2 = 1
+         THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS vec
+  FROM range(0, {_SD_PLANES}) t(p)
+),
+sigs AS (
+  SELECT e.vec_id,
+         string_agg(CASE WHEN list_sum(list_transform(range(1, 65),
+                           k -> (e.u[k] - ma.mv[k]) * pl.vec[k])) >= 0
+                         THEN '1' ELSE '0' END, '' ORDER BY pl.p) AS sig
+  FROM eu e CROSS JOIN planes pl CROSS JOIN marr ma GROUP BY e.vec_id
+),
+banded AS (
+  SELECT vec_id, b AS band_idx,
+         substring(sig, b * {_SD_PLANES // _SD_BANDS} + 1,
+                   {_SD_PLANES // _SD_BANDS}) AS band_key
+  FROM sigs, range(0, {_SD_BANDS}) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS doc_a, c.vec_id AS doc_b
+  FROM banded a JOIN banded c
+    ON a.band_idx = c.band_idx AND a.band_key = c.band_key
+  WHERE a.vec_id < c.vec_id
+),
+vpairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT cand.doc_a, cand.doc_b,
+           {_DOT_SQL.format(a='x.u', b='y.u')} AS cosine
+    FROM cand JOIN eu x ON x.vec_id = cand.doc_a
+              JOIN eu y ON y.vec_id = cand.doc_b)
+  WHERE cosine >= {_SEMDEDUP_THRESHOLD}
+),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM vpairs
+          UNION SELECT doc_b, doc_a FROM vpairs),
+comp AS (
+  WITH RECURSIVE reach(node, label) AS (
+    SELECT DISTINCT s, s FROM edges
+    UNION
+    SELECT e.s, r.label FROM edges e JOIN reach r ON e.d = r.node
+  )
+  SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+memb AS (SELECT c.node AS vec_id, c.component, eu.u
+         FROM comp c JOIN eu ON eu.vec_id = c.node),
+cq AS (SELECT component, k AS dim,
+         CAST(SUM(CAST(FLOOR(u[k] * 1048576.0) AS BIGINT)) AS DOUBLE)
+           / (1048576.0 * COUNT(*)) AS m
+       FROM memb, range(1, 65) t(k) GROUP BY component, k),
+carr AS (SELECT component, list(m ORDER BY dim) AS cv FROM cq
+         GROUP BY component),
+cn AS (SELECT component,
+         list_transform(cv, x -> x /
+           sqrt(list_sum(list_transform(cv, y -> y * y)))) AS cu
+       FROM carr),
+scored AS (
+  SELECT m.vec_id, m.component,
+         CAST(FLOOR({_DOT_SQL.format(a='m.u', b='cn.cu')} * 1048576.0)
+           AS BIGINT) AS cos_c_q20
+  FROM memb m JOIN cn USING (component)),
+keeper AS (
+  SELECT component, vec_id AS keep_id FROM (
+    SELECT component, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY component
+                              ORDER BY cos_c_q20, vec_id) AS rn
+    FROM scored) WHERE rn = 1)
+SELECT s.vec_id, s.component, s.cos_c_q20,
+       s.vec_id = k.keep_id AS keep
+FROM scored s JOIN keeper k USING (component)
+ORDER BY s.component, s.vec_id
+""",
+    doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — SEMANTIC "
+    "dedup by embedding clusters, the pruning pass behind "
+    "web-scale curation stacks: duplicate groups are connected "
+    "components of the cosine>=0.4 LSH pair graph; within each "
+    "group ONE representative survives — the member with the LOWEST "
+    "cosine to the group centroid (the paper's keep-the-atypical "
+    "rule: near-centroid copies are the redundant mass, the outlier "
+    "carries the diversity). operators/dedup.py:semdedup_prune. "
+    "Fully deterministic end-to-end: md5-hyperplane banding, "
+    "large/small-star components, Q20 fixed-point centroid sums, "
+    "sequential-fold cosines, argmin on (floor(cos x 2^20), id) — "
+    "the oracle replays ALL of it in SQL including the recursive "
+    "closure. Scale: band-bounded pair space, dup-member-bounded "
+    "components, (component, dim)-keyed centroid reduction; the "
+    "corpus never shuffles.",
+)
+def semdedup_prune_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pycasselastic_spark.operators.dedup import semdedup_prune
+    from pycasselastic_spark.plans.tuning import ensure_parallelism
+    from pycasselastic_spark.queries.base import _t
+
+    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings"), spark)
+    return semdedup_prune(
+        emb, "vec_id", "embedding", _SEMDEDUP_THRESHOLD,
+        num_planes=_SD_PLANES, num_bands=_SD_BANDS,
+    )
+
+
+# --- UniMax: water-filled budget allocation across sources --------------------
+
+_UNIMAX_BUDGET, _UNIMAX_EPOCHS = 3000, 2
+
+_UNIMAX_ALLOC_SQL = f"""
+c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source),
+r AS (SELECT source, n_docs,
+        ROW_NUMBER() OVER (ORDER BY n_docs, source) AS i,
+        COUNT(*) OVER () AS k,
+        CAST(n_docs * {_UNIMAX_EPOCHS} AS BIGINT) AS cap,
+        CAST(COALESCE(SUM(n_docs * {_UNIMAX_EPOCHS}) OVER (
+          ORDER BY n_docs, source
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS prefix
+      FROM c),
+f AS (SELECT *,
+        MIN(CASE WHEN cap * (k - i + 1) <= {_UNIMAX_BUDGET} - prefix
+                 THEN 1 ELSE 0 END) OVER (
+          ORDER BY n_docs, source
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS is_full
+      FROM r),
+t AS (SELECT *,
+        SUM(CASE WHEN is_full THEN cap ELSE 0 END) OVER () AS full_sum,
+        SUM(CASE WHEN is_full THEN 1 ELSE 0 END) OVER () AS n_full
+      FROM f),
+alloc AS (SELECT source, n_docs, is_full AS at_cap,
+        CASE WHEN is_full THEN CAST(cap AS DOUBLE)
+             WHEN k = n_full THEN CAST(0.0 AS DOUBLE)
+             ELSE CAST({_UNIMAX_BUDGET} - full_sum AS DOUBLE)
+                  / CAST(k - n_full AS DOUBLE) END AS a
+      FROM t),
+rates AS (SELECT source, n_docs, at_cap,
+        CAST(FLOOR(a * 1048576.0) AS BIGINT) AS alloc_q20,
+        CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE),
+                         a / CAST(n_docs AS DOUBLE)) * 1048576.0)
+          AS BIGINT) AS rate_q20
+      FROM alloc)
+"""
+
+
+@register(
+    "unimax_allocation_documents",
+    f"""
+WITH {_UNIMAX_ALLOC_SQL}
+SELECT source, n_docs, alloc_q20, rate_q20, at_cap
+FROM rates ORDER BY source
+""",
+    doc="UniMax budget allocation (Chung et al. 2023, "
+    "arXiv:2304.09151) — the fairer alternative to temperature "
+    "mixing: WATER-FILL a document budget across sources with a "
+    "per-source epoch cap (here budget 3000, max 2 epochs). Sources "
+    "ascending by size each take an equal share of the remaining "
+    "budget capped at epochs x size; freed budget flows to larger "
+    "sources, so the tail is never oversampled past the cap and the "
+    "head never starves it. The greedy loop collapses to its "
+    "water-filling closed form (fullness is prefix-closed in "
+    "ascending order): ONE cumulative-sum window over the tiny "
+    "strata relation, caps and prefixes exact integers, the residual "
+    "share one IEEE division — bit-replayable. operators/"
+    "sampling.py:unimax_allocation; the corpus is touched by exactly "
+    "one partial-aggregated count.",
+)
+def unimax_allocation_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pycasselastic_spark.operators.sampling import unimax_allocation
+    from pycasselastic_spark.plans.tuning import ensure_parallelism
+    from pycasselastic_spark.queries.base import _t
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
+    return unimax_allocation(
+        docs, "source", _UNIMAX_BUDGET, max_epochs=_UNIMAX_EPOCHS
+    )
+
+
+@register(
+    "unimax_sample_documents",
+    f"""
+WITH {_UNIMAX_ALLOC_SQL}
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates USING (source)
+WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 13))::BIGINT::DOUBLE
+        / 4503599627370496.0
+      < CAST(rate_q20 AS DOUBLE) / 1048576.0
+ORDER BY d.doc_id
+""",
+    doc="UniMax applied: each doc keeps iff its 52-bit md5 uniform "
+    "falls under its source's water-filled Q20 rate — the sampling "
+    "twin of unimax_allocation_documents and the UniMax counterpart "
+    "of temperature_mixture_sample (broadcast rate join + narrow "
+    "filter, corpus never shuffled; the Q20-floored rate is the one "
+    "the allocation table publishes, so keep decisions replay "
+    "bit-for-bit). operators/sampling.py:unimax_sample.",
+)
+def unimax_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pycasselastic_spark.operators.sampling import unimax_sample
+    from pycasselastic_spark.plans.tuning import ensure_parallelism
+    from pycasselastic_spark.queries.base import _t
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
+    return unimax_sample(
+        docs, "doc_id", "source", _UNIMAX_BUDGET,
+        max_epochs=_UNIMAX_EPOCHS,
+    ).select("doc_id", "source").orderBy("doc_id")

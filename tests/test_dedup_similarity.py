@@ -525,3 +525,31 @@ class TestContainmentDenominator:
         # filler-filler pairs were pruned away entirely (boilerplate
         # shingles never reach the join)
         assert all(a < 10 and b < 10 for a, b in got)
+
+
+def test_semdedup_keeps_the_most_atypical_member(spark):
+    from pycasselastic_spark.operators.dedup import semdedup_prune
+
+    # a tight trio (near-identical directions) + two unrelated vectors
+    base = [1.0] * 32 + [0.0] * 32
+    tweak1 = list(base); tweak1[0] = 1.05
+    tweak2 = list(base); tweak2[1] = 0.9
+    other = [0.0] * 32 + [1.0] * 32
+    lone = [1.0 if i % 2 else -1.0 for i in range(64)]
+    df = spark.createDataFrame(
+        [(1, base), (2, tweak1), (3, tweak2), (4, other), (5, lone)],
+        ["vec_id", "embedding"],
+    )
+    out = semdedup_prune(df, "vec_id", "embedding", threshold=0.95)
+    rows = out.collect()
+    trio = [r for r in rows if r["vec_id"] in (1, 2, 3)]
+    assert len(trio) == 3 and len({r["component"] for r in trio}) == 1
+    keepers = [r["vec_id"] for r in trio if r["keep"]]
+    assert len(keepers) == 1
+    # the keeper is the member with the LOWEST cosine to the centroid
+    by_cos = sorted(trio, key=lambda r: (r["cos_c_q20"], r["vec_id"]))
+    assert keepers[0] == by_cos[0]["vec_id"]
+    # unrelated vectors are not emitted (implicitly kept)
+    assert all(r["vec_id"] not in (4, 5) for r in rows) or not any(
+        r["vec_id"] in (4, 5) for r in rows
+    )

@@ -149,3 +149,57 @@ def test_temperature_mixture_rates_and_determinism(spark):
     }
     want1 = {i for i, _ in rows if u(i) < 0.5}
     assert got1 == want1
+
+
+# --- UniMax water-filling ------------------------------------------------------
+
+
+def test_unimax_water_filling_caps_small_sources(spark):
+    from pycasselastic_spark.operators.sampling import (
+        unimax_allocation,
+        unimax_sample,
+    )
+
+    rows = [(i, "tiny") for i in range(4)]
+    rows += [(100 + i, "mid") for i in range(10)]
+    rows += [(1000 + i, "big") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    # budget 40, epochs 2: tiny caps at 8; residual 32 split between
+    # mid and big = 16 each; mid gets 16 (not full: cap 20 > 16);
+    # big gets 16
+    out = {r["source"]: r for r in
+           unimax_allocation(df, "source", 40, max_epochs=2).collect()}
+    q20 = 1 << 20
+    assert out["tiny"]["at_cap"] and out["tiny"]["alloc_q20"] == 8 * q20
+    assert not out["mid"]["at_cap"] and out["mid"]["alloc_q20"] == 16 * q20
+    assert not out["big"]["at_cap"] and out["big"]["alloc_q20"] == 16 * q20
+    # rates: tiny 1.0 (epochs handled at training time), mid 1.0
+    # floored from 16/10 -> capped at 1.0, big 16/100
+    assert out["tiny"]["rate_q20"] == q20
+    assert out["mid"]["rate_q20"] == q20
+    assert out["big"]["rate_q20"] == (16 * q20) // 100
+    kept = unimax_sample(df, "doc_id", "source", 40, max_epochs=2)
+    by_src = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src["tiny"] == 4 and by_src["mid"] == 10
+    assert 0 < by_src.get("big", 0) < 100
+
+
+def test_unimax_all_sources_at_cap(spark):
+    from pycasselastic_spark.operators.sampling import unimax_allocation
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(9)], ["doc_id", "source"]
+    )
+    out = unimax_allocation(df, "source", 1000, max_epochs=1).collect()
+    assert all(r["at_cap"] for r in out)
+    assert all(r["rate_q20"] == (1 << 20) for r in out)
+
+
+def test_unimax_rejects_fractional_epochs(spark):
+    from pycasselastic_spark.operators.sampling import unimax_allocation
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_epochs"):
+        unimax_allocation(df, "source", 10, max_epochs=1.5)
