@@ -940,6 +940,47 @@ def es_search(
             return search_range_agg(
                 index, terms, spec["field"], list(spec["ranges"])
             )
+        if set(agg) == {"sampler", "aggs"}:
+            # ES ``sampler``: run the sub-aggregation over only the
+            # TOP-SCORING shard_size hits — the "what do the best
+            # matches look like" scope. ES's per-shard sample is
+            # nondeterministic across topologies; this engine's one
+            # logical shard makes it the exact global top-N by
+            # (score, id), strictly more reproducible.
+            spec = agg["sampler"]
+            if set(spec) - {"shard_size"}:
+                raise _err(
+                    f"sampler options {sorted(set(spec) - {'shard_size'})}"
+                )
+            if not isinstance(terms, list):
+                # the sample ranks by SCORE — an id-only hit set has
+                # none (same law as top_hits)
+                raise _err(f"sampler under query type {qtype!r}")
+            _sname, samp_sub = _single(agg["aggs"], "sampler sub-aggregation")
+            if set(samp_sub) != {"terms"} or set(samp_sub["terms"]) != {"field"}:
+                raise _err(
+                    "sampler sub-aggregation (a plain terms facet only)"
+                )
+            sfield = samp_sub["terms"]["field"]
+            if sfield not in index.stored_fields:
+                raise _err(
+                    f"sampler facet field {sfield!r} without doc-values"
+                )
+            from pycasselastic_spark.operators.search_index import dv_col
+
+            top = bm25_topk_indexed(
+                index, terms, k=int(spec.get("shard_size", 100))
+            ).select(index.id_col)
+            dv = index.live_docvalues().select(
+                F.col(index.id_col), dv_col(sfield)
+            )
+            return (
+                dv.join(F.broadcast(top), index.id_col)
+                .filter(dv_col(sfield).isNotNull())
+                .groupBy(dv_col(sfield).alias("bucket"))
+                .agg(F.count(F.lit(1)).alias("n_docs"))
+                .orderBy(F.col("n_docs").desc(), F.col("bucket").asc())
+            )
         if set(agg) == {"filters"}:
             spec = agg["filters"]
             if set(spec) != {"filters"}:
@@ -1772,6 +1813,42 @@ def es_search(
             )
         return combined_fields_search(sel, cterms, weights=weights, k=size)
 
+    if qtype == "intervals":
+        field, ispec = _single(q, "intervals")
+        ikind, ibody = _single(ispec, "intervals rule")
+        if ikind != "match":
+            # all_of/any_of/prefix/wildcard/fuzzy interval sources
+            raise _err(f"intervals rule {ikind!r} (match only)")
+        iextra = set(ibody) - {"query", "max_gaps", "ordered"}
+        if iextra:
+            raise _err(f"intervals match options {sorted(iextra)}")
+        iterms = index.analyze_text(str(ibody["query"]))
+        if len(iterms) < 2:
+            raise _err(
+                "intervals match with fewer than two terms (a one-term "
+                "interval is the term query)"
+            )
+        if not bool(ibody.get("ordered", False)):
+            # unordered intervals need the interval algebra span_near
+            # also refuses — raise by the ES option name
+            raise _err("intervals ordered=false (unordered algebra)")
+        from pycasselastic_spark.operators.search_ext import (
+            span_near_search,
+        )
+
+        max_gaps = int(ibody.get("max_gaps", -1))
+        if max_gaps < 0:
+            # ES's default -1 means UNBOUNDED gaps — that's a
+            # conjunctive co-occurrence test, not a proximity probe;
+            # require the explicit bound
+            raise _err("intervals without a bounded max_gaps")
+        # ES intervals match(ordered, max_gaps) IS Lucene's ordered
+        # interval: all terms in order with at most max_gaps total
+        # intervening positions — exactly the span_near total-stretch
+        # law
+        return span_near_search(index, iterms, slop=max_gaps,
+                                in_order=True)
+
     if qtype == "span_near":
         extra = set(q) - {"clauses", "slop", "in_order"}
         if extra:
@@ -1966,3 +2043,24 @@ def es_mget(index: PostingsIndex, ids: list) -> DataFrame:
         .withColumn("found", F.coalesce(F.col("found"), F.lit(False)))
         .orderBy("pos")
     )
+
+
+def es_count(index: PostingsIndex, body: dict) -> DataFrame:
+    """ES ``_count``: the hit COUNT of a query body without fetching
+    hits — the cheapest request ES serves and the one monitoring
+    dashboards poll. Accepts the same query shapes the aggregation
+    scope dispatcher does (match / term / match_all / exists / range /
+    terms / bool); unsupported shapes raise by name. Returns one row
+    ``(n_hits,)``.
+
+    Plan: the hit-id relation reduced by ONE count — no stored-field
+    fetch, no scoring, no sort."""
+    from pycasselastic_spark.operators.search_index import hits_relation
+
+    extra = set(body) - {"query"}
+    if extra:
+        raise _err(f"_count body keys {sorted(extra)}")
+    qtype, q = _single(body.get("query", {}), "query")
+    scope = _agg_scope(index, qtype, q)
+    ids = hits_relation(index, scope)
+    return ids.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))

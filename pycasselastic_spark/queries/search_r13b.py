@@ -946,3 +946,117 @@ def unimax_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "source", _UNIMAX_BUDGET,
         max_epochs=_UNIMAX_EPOCHS,
     ).select("doc_id", "source").orderBy("doc_id")
+
+
+# --- _count API, intervals query, sampler aggregation ------------------------
+
+from pycasselastic_spark.queries.search_r13 import _TOKPOS_SQL  # noqa: E402
+
+
+@register(
+    "count_api_documents",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge'),
+x AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'slow')
+SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM m WHERE doc_id NOT IN (SELECT doc_id FROM x)
+""",
+    doc="ES ``_count``: the hit COUNT of a query body without "
+    "fetching hits — the cheapest request ES serves and the one "
+    "every monitoring dashboard polls; here a bool "
+    "(must match 'merge', must_not term 'slow'). Reuses the "
+    "aggregation scope dispatcher's hit-relation machinery, so every "
+    "scope-supported query shape counts and unsupported ones raise "
+    "by name. operators/search_api.py:es_count. Plan: the pruned "
+    "hit-id relation reduced by ONE count — no stored-field fetch, "
+    "no scoring, no sort.",
+)
+def count_api_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pycasselastic_spark.operators.search_api import es_count
+
+    idx = _postings_index_for(spark, sf_dir)
+    return es_count(idx, {"query": {"bool": {
+        "must": [{"match": {"text": "merge"}}],
+        "must_not": [{"term": {"text": "slow"}}],
+    }}})
+
+
+@register(
+    "intervals_match_documents",
+    "WITH "
+    + _TOKPOS_SQL
+    + """,
+a AS (SELECT doc_id, pos FROM tok WHERE term = 'fast'),
+b AS (SELECT doc_id, pos FROM tok WHERE term = 'merge'),
+sel AS (
+  SELECT DISTINCT a.doc_id, a.pos AS p
+  FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos > a.pos
+       AND b.pos - a.pos <= 3)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+FROM sel GROUP BY doc_id ORDER BY doc_id
+""",
+    doc="ES ``intervals`` query, ``match`` rule with ordered=true + "
+    "max_gaps — the modern interval-algebra surface Lucene grew to "
+    "replace span queries: 'fast merge' in order with at most 2 "
+    "intervening positions. An ordered bounded-gap interval IS the "
+    "span total-stretch law (end - start <= n_terms + max_gaps - 1), "
+    "so the dispatcher compiles it onto span_near_search — one "
+    "grammar, one proximity engine. Unordered intervals, unbounded "
+    "max_gaps (ES's -1 default would be a co-occurrence test, not a "
+    "proximity probe) and the all_of/any_of/prefix/fuzzy rules raise "
+    "by name. Dispatched from query.intervals.",
+)
+def intervals_match_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"intervals": {"text": {"match": {
+            "query": "fast merge", "max_gaps": 2, "ordered": True,
+        }}}},
+    }).orderBy("doc_id")
+
+
+@register(
+    "sampler_agg_documents",
+    f"""
+WITH {_TOK_POSTINGS.strip().rstrip(',')},
+qt AS (SELECT * FROM postings WHERE term IN ('merge', 'spark')),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term),
+scores AS (
+  SELECT qt.doc_id,
+         CAST(FLOOR(SUM({_BM25_TERM_SCORE}) * 1048576.0) AS BIGINT) AS score_q20
+  FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+  GROUP BY qt.doc_id, sc.n_docs
+),
+top AS (SELECT doc_id FROM (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_q20 DESC, doc_id) rn
+  FROM scores) WHERE rn <= 60)
+SELECT d.source AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents d JOIN top USING (doc_id)
+WHERE d.source IS NOT NULL
+GROUP BY 1 ORDER BY n_docs DESC, bucket
+""",
+    doc="ES ``sampler`` aggregation: the sub-aggregation (a terms "
+    "facet over source) runs over only the TOP-SCORING shard_size "
+    "hits — the 'what do the best matches look like' scope that "
+    "keeps agg cost flat no matter how many docs match. ES's "
+    "per-shard sample is topology-dependent; this engine's one "
+    "logical shard makes it the exact global top-N by (score, id) — "
+    "strictly more reproducible, same contract at shard count 1. "
+    "Plan: the pruned scored probe's TakeOrderedAndProject feeds a "
+    "broadcast semi-join into the column-pruned doc-values scan, one "
+    "facet reduction. Dispatched from aggs.<name>.sampler.",
+)
+def sampler_agg_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"match": {"text": "merge spark"}},
+        "aggs": {"best": {
+            "sampler": {"shard_size": 60},
+            "aggs": {"src": {"terms": {"field": "source"}}},
+        }},
+    })

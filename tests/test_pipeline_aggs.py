@@ -369,3 +369,51 @@ def test_mget_request_order_and_found_flag(dv_idx):
         (0, 3, True), (1, 42, False), (2, 1, True),
     ]
     assert out[0]["val"] == 30 and out[1]["val"] is None
+
+
+# --- intervals / sampler / _count ---------------------------------------------
+
+
+def test_intervals_compiles_to_ordered_span(dv_idx, spark, tmp_path):
+    docs = spark.createDataFrame([
+        (1, "a x x b"),      # gap 2 <= max_gaps 2
+        (2, "a x x x b"),    # gap 3 > 2
+        (3, "b a"),          # wrong order
+    ], ["doc_id", "text"])
+    p = str(tmp_path / "iv")
+    SRCH.build_postings_index(docs, "doc_id", "text", p, n_buckets=4)
+    idx = SRCH.load_postings_index(spark, p)
+    out = es_search(idx, {
+        "query": {"intervals": {"text": {"match": {
+            "query": "a b", "max_gaps": 2, "ordered": True,
+        }}}},
+    }).collect()
+    assert [(r["doc_id"], r["n_spans"]) for r in out] == [(1, 1)]
+    with pytest.raises(ValueError, match="ordered"):
+        es_search(idx, {"query": {"intervals": {"text": {"match": {
+            "query": "a b", "max_gaps": 2}}}}})
+    with pytest.raises(ValueError, match="max_gaps"):
+        es_search(idx, {"query": {"intervals": {"text": {"match": {
+            "query": "a b", "ordered": True}}}}})
+
+
+def test_sampler_scopes_subagg_to_top_hits(dv_idx):
+    # shard_size 2: only the 2 best "alpha" hits feed the tag facet
+    out = es_search(dv_idx, {
+        "query": {"match": {"text": "alpha"}},
+        "aggs": {"best": {
+            "sampler": {"shard_size": 2},
+            "aggs": {"t": {"terms": {"field": "tag"}}},
+        }},
+    }).collect()
+    total = sum(r["n_docs"] for r in out)
+    assert total <= 2
+
+
+def test_count_api(dv_idx):
+    from pycasselastic_spark.operators.search_api import es_count
+
+    got = es_count(dv_idx, {
+        "query": {"match": {"text": "alpha"}},
+    }).collect()[0]["n_hits"]
+    assert got == 4
