@@ -480,6 +480,21 @@ def bm25_topk_prefix(
     caps the expansion at ``max_expansions`` terms by (df desc, term)
     exactly like ES's rewrite cap. The scoring probe afterwards is
     the normal pruned-by-expanded-terms shape."""
+    terms = prefix_expansion_terms(index, prefix, max_expansions)
+    if not terms:
+        return index.postings.sparkSession.createDataFrame(
+            [], f"{index.id_col} LONG, n_hit_terms LONG, score_q20 LONG"
+        )
+    return bm25_topk_indexed(index, terms, k=k, k1=k1, b=b)
+
+
+def prefix_expansion_terms(
+    index: PostingsIndex, prefix: str, max_expansions: int = 50
+) -> list[str]:
+    """The prefix rewrite's expansion set: dictionary terms starting
+    with ``prefix``, capped at ``max_expansions`` by (df desc, term) —
+    ES's rewrite cap. Shared by the standalone prefix probe and the
+    query_string prefix leaf."""
     dict_scan = (
         index.live_postings()
         .filter(F.col("term").startswith(prefix))
@@ -488,12 +503,7 @@ def bm25_topk_prefix(
         .orderBy(F.col("df").desc(), F.col("term").asc())
         .limit(max_expansions)
     )
-    terms = [r["term"] for r in dict_scan.collect()]
-    if not terms:
-        return index.postings.sparkSession.createDataFrame(
-            [], f"{index.id_col} LONG, n_hit_terms LONG, score_q20 LONG"
-        )
-    return bm25_topk_indexed(index, terms, k=k, k1=k1, b=b)
+    return [r["term"] for r in dict_scan.collect()]
 
 
 def _wildcard_to_like(pattern: str) -> str:

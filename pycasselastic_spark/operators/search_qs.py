@@ -221,40 +221,45 @@ def _compile(index: PostingsIndex, node, k1: float, b: float) -> DataFrame:
         _phrase_field_scored,
     )
     from pycasselastic_spark.operators.search_probes import (
-        bm25_topk_fuzzy,
-        bm25_topk_indexed,
-        bm25_topk_prefix,
+        _bm25_scored,
+        expand_fuzzy_terms,
+        prefix_expansion_terms,
     )
 
     id_col = index.id_col
     kind = node[0]
-    unbounded = 2_147_483_647
+
+    def scored(probe_terms: list[str]) -> DataFrame:
+        # UNORDERED leaf relation: leaves feed joins, so ranking here
+        # would force a useless single-partition global sort per leaf
+        # (plan-audited); the one TakeOrderedAndProject happens at the
+        # root
+        return _bm25_scored(index, probe_terms, k1, b).select(
+            id_col, "score_q20"
+        )
+
     if kind == "term":
         terms = index.analyze_text(node[1])
         if not terms:
             raise _err(f"term analyzing to no tokens: {node[1]!r}")
-        return bm25_topk_indexed(index, terms, k=unbounded, k1=k1, b=b).select(
-            id_col, "score_q20"
-        )
+        return scored(terms)
     if kind == "phrase":
         terms = index.analyze_text(node[1])
         if not terms:
             raise _err(f"phrase analyzing to no tokens: {node[1]!r}")
         if len(terms) == 1:
-            return bm25_topk_indexed(
-                index, terms, k=unbounded, k1=k1, b=b
-            ).select(id_col, "score_q20")
+            return scored(terms)
         return _phrase_field_scored(index, terms, node[2], k1, b).select(
             id_col, "score_q20"
         )
     if kind == "prefix":
-        return bm25_topk_prefix(index, node[1], k=unbounded, k1=k1, b=b).select(
-            id_col, "score_q20"
-        )
+        terms = prefix_expansion_terms(index, node[1])
+        if not terms:
+            raise _err(f"prefix {node[1]!r} expanding to no terms")
+        return scored(terms)
     if kind == "fuzzy":
-        return bm25_topk_fuzzy(
-            index, [node[1]], k=unbounded, max_dist=node[2], k1=k1, b=b
-        ).select(id_col, "score_q20")
+        expanded = expand_fuzzy_terms(index, [node[1]], node[2])
+        return scored(sorted(set(expanded) | {node[1]}))
     if kind == "not":
         raise _err(
             "pure-negative query (Lucene matches nothing — require a "
