@@ -758,6 +758,29 @@ def es_search(
 
     qtype, q = _single(body.get("query", {}), "query")
 
+    if qtype == "wrapper":
+        # ES ``wrapper``: a base64-encoded query embedded by tooling
+        # that can't emit raw JSON (templating layers, signed query
+        # pass-through). Decode and re-dispatch — every strictness
+        # rule applies to the decoded query unchanged.
+        import base64
+        import json as _json
+
+        if set(q) != {"query"}:
+            raise _err(f"wrapper options {sorted(set(q) - {'query'})}")
+        try:
+            inner = _json.loads(base64.b64decode(str(q["query"])))
+        except Exception:
+            raise _err("wrapper payload (not base64-encoded JSON)")
+        if not isinstance(inner, dict):
+            raise _err("wrapper payload (decoded to a non-object)")
+        rebuilt = dict(body)
+        rebuilt["query"] = inner
+        return es_search(
+            index, rebuilt, docs=docs, embeddings=embeddings,
+            field_indexes=field_indexes,
+        )
+
     if "sort" in body:
         # field sort (ES disables scoring under it): one doc-values
         # field + the implicit id tiebreak; anything fancier raises.
@@ -876,6 +899,41 @@ def es_search(
             )
 
             return search_extended_stats_agg(index, terms, spec["field"])
+        if set(agg) == {"weighted_avg"}:
+            spec = agg["weighted_avg"]
+            if set(spec) != {"value", "weight"}:
+                raise _err(
+                    f"weighted_avg options "
+                    f"{sorted(set(spec) - {'value', 'weight'})}"
+                )
+            for part in ("value", "weight"):
+                if set(spec[part]) != {"field"}:
+                    raise _err(
+                        f"weighted_avg {part} options "
+                        f"{sorted(set(spec[part]) - {'field'})}"
+                    )
+            from pycasselastic_spark.operators.search_compose import (
+                search_weighted_avg_agg,
+            )
+
+            return search_weighted_avg_agg(
+                index, terms,
+                spec["value"]["field"], spec["weight"]["field"],
+            )
+        if set(agg) == {"median_absolute_deviation"}:
+            spec = agg["median_absolute_deviation"]
+            if set(spec) != {"field"}:
+                # compression is the t-digest dial — this engine is
+                # exact, accepting it would imply an approximation
+                raise _err(
+                    f"median_absolute_deviation options "
+                    f"{sorted(set(spec) - {'field'})}"
+                )
+            from pycasselastic_spark.operators.search_compose import (
+                search_mad_agg,
+            )
+
+            return search_mad_agg(index, terms, spec["field"])
         if set(agg) == {"rare_terms"}:
             spec = agg["rare_terms"]
             extra = set(spec) - {"field", "max_doc_count"}

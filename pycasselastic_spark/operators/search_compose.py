@@ -1541,3 +1541,100 @@ def combined_fields_search(
         .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def search_weighted_avg_agg(
+    index: PostingsIndex,
+    query_terms,
+    value_field: str,
+    weight_field: str,
+) -> DataFrame:
+    """ES ``weighted_avg`` aggregation over the hit set's stored
+    doc-values: Σ(value x weight) / Σ(weight) — the rating-by-volume /
+    price-by-quantity request. INTEGRAL fields only (the exact-integer
+    law): both sums are exact BIGINTs, the quotient ONE IEEE division,
+    Q20-floored. Rows where either side is NULL are skipped (exactly
+    ES's default missing behavior). Returns one row
+    ``(n_used, wsum, wavg_q20)``.
+
+    Plan: hit ids join ONE column-pruned doc-values scan carrying both
+    fields, a single partial-aggregated reduction."""
+    id_col = index.id_col
+    for f in (value_field, weight_field):
+        if f not in index.stored_fields:
+            raise ValueError(
+                f"field {f!r} is not stored in this index's doc values "
+                f"(stored_fields={index.stored_fields})"
+            )
+    hits = hits_relation(index, query_terms)
+    dv = index.live_docvalues().select(
+        F.col(id_col), dv_col(value_field), dv_col(weight_field)
+    )
+    types = dict(dv.dtypes)
+    for f in (value_field, weight_field):
+        if types[f] not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"weighted_avg over fractional field {f!r} "
+                "(integral doc-values only)"
+            )
+    v, w = dv_col(value_field), dv_col(weight_field)
+    both = v.isNotNull() & w.isNotNull()
+    return (
+        dv.join(_bounded_broadcast(hits), id_col)
+        .agg(
+            F.sum(F.when(both, 1).otherwise(0)).cast("long").alias("n_used"),
+            F.sum(F.when(both, w).otherwise(0)).cast("long").alias("wsum"),
+            F.floor(
+                F.sum(F.when(both, v * w).otherwise(0)).cast("double")
+                / F.sum(F.when(both, w).otherwise(0)).cast("double")
+                * Q20
+            ).cast("long").alias("wavg_q20"),
+        )
+    )
+
+
+def search_mad_agg(
+    index: PostingsIndex,
+    query_terms,
+    field: str,
+) -> DataFrame:
+    """ES ``median_absolute_deviation`` over the hit set's stored
+    doc-values — the robust dispersion metric (immune to the outliers
+    that wreck std): median(|x - median(x)|). ES computes it on a
+    t-digest and documents the approximation; a Spark reduction
+    computes the EXACT interpolated answer (Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the linear-interpolation law, and
+    over integral inputs every interpolated midpoint is an exactly-
+    representable binary fraction). Returns one row ``(mad_q20,)``.
+
+    Plan: two reductions over the hit set's doc-values (the inner
+    median is a scalar broadcast into the residual pass) — both
+    column-pruned, no corpus shuffle."""
+    if field not in index.stored_fields:
+        raise ValueError(
+            f"field {field!r} is not stored in this index's doc values "
+            f"(stored_fields={index.stored_fields})"
+        )
+    id_col = index.id_col
+    hits = hits_relation(index, query_terms)
+    dv = (
+        index.live_docvalues()
+        .select(F.col(id_col), dv_col(field))
+        .join(_bounded_broadcast(hits), id_col)
+        .filter(dv_col(field).isNotNull())
+    )
+    med = dv.agg(
+        F.expr(f"percentile(`{field}`, 0.5D)").alias("_med")
+    )
+    return (
+        dv.crossJoin(F.broadcast(med))
+        .select(
+            F.abs(dv_col(field).cast("double") - F.col("_med"))
+            .alias("_resid")
+        )
+        .agg(
+            F.floor(F.expr("percentile(_resid, 0.5D)") * Q20)
+            .cast("long")
+            .alias("mad_q20")
+        )
+    )

@@ -1060,3 +1060,146 @@ def sampler_agg_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aggs": {"src": {"terms": {"field": "source"}}},
         }},
     })
+
+
+# --- weighted_avg / median_absolute_deviation / wrapper ----------------------
+
+_WV_INDEX_CACHE: dict[str, str] = {}
+
+
+def _wv_index_for(spark: SparkSession, sf_dir: str):
+    """Index storing TWO integral doc-values fields (n_chars + the
+    derived token count) — the weighted_avg fixture, built once per
+    sf_dir like every corpus fixture."""
+    import os
+    import tempfile
+
+    from pycasselastic_spark.operators import search as SRCH
+    from pycasselastic_spark.plans.tuning import ensure_parallelism
+    from pycasselastic_spark.queries.base import _t
+
+    path = _WV_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
+        with_tok = docs.select(
+            "doc_id", "text", "n_chars",
+            F.size(F.split(F.col("text"), " ")).cast("long")
+            .alias("n_tokens"),
+        )
+        path = os.path.join(tempfile.mkdtemp(prefix="wv_idx_"), "idx")
+        SRCH.build_postings_index(
+            with_tok, "doc_id", "text", path, n_buckets=16,
+            stored_fields=["n_chars", "n_tokens"],
+        )
+        _WV_INDEX_CACHE[sf_dir] = path
+    return SRCH.load_postings_index(spark, path)
+
+
+@register(
+    "weighted_avg_agg_documents",
+    f"""
+WITH {_HITS_MERGE},
+d AS (SELECT doc_id, n_chars,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+       CAST(SUM(n_tokens) AS BIGINT) AS wsum,
+       CAST(FLOOR(CAST(SUM(n_chars * n_tokens) AS DOUBLE)
+         / CAST(SUM(n_tokens) AS DOUBLE) * 1048576.0) AS BIGINT)
+         AS wavg_q20
+FROM d JOIN hits USING (doc_id)
+WHERE n_chars IS NOT NULL AND n_tokens IS NOT NULL
+""",
+    doc="ES ``weighted_avg`` aggregation: Σ(value x weight)/Σ(weight) "
+    "over the hit set's stored doc-values (char length weighted by "
+    "token count) — the rating-by-volume request shape. INTEGRAL "
+    "fields only: both sums exact BIGINTs, the quotient ONE IEEE "
+    "division Q20-floored; NULL-on-either-side rows skipped (ES's "
+    "default missing behavior). operators/search_compose.py:"
+    "search_weighted_avg_agg — hit ids join ONE two-field doc-values "
+    "scan, a single partial-aggregated reduction. Dispatched from "
+    "aggs.<name>.weighted_avg.",
+)
+def weighted_avg_agg_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx = _wv_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"match": {"text": "merge"}},
+        "aggs": {"wavg": {"weighted_avg": {
+            "value": {"field": "n_chars"},
+            "weight": {"field": "n_tokens"},
+        }}},
+    })
+
+
+@register(
+    "mad_agg_documents",
+    f"""
+WITH {_HITS_MERGE},
+d AS (SELECT doc_id, n_chars FROM documents),
+h AS (SELECT n_chars FROM d JOIN hits USING (doc_id)
+      WHERE n_chars IS NOT NULL),
+m AS (SELECT quantile_cont(n_chars, 0.5) AS med FROM h)
+SELECT CAST(FLOOR(quantile_cont(ABS(CAST(h.n_chars AS DOUBLE) - m.med),
+         0.5) * 1048576.0) AS BIGINT) AS mad_q20
+FROM h CROSS JOIN m
+""",
+    doc="ES ``median_absolute_deviation`` over the hit set — the "
+    "robust dispersion metric (immune to the outliers that wreck "
+    "std): median(|x - median|). ES computes it on a t-digest and "
+    "documents the approximation; one Spark reduction computes the "
+    "EXACT interpolated answer (Spark percentile and DuckDB "
+    "quantile_cont share the interpolation law, and over integral "
+    "inputs every midpoint is an exactly-representable binary "
+    "fraction). The t-digest ``compression`` dial raises — accepting "
+    "it would imply an approximation. operators/search_compose.py:"
+    "search_mad_agg; two column-pruned reductions, the inner median "
+    "a broadcast scalar. Dispatched from "
+    "aggs.<name>.median_absolute_deviation.",
+)
+def mad_agg_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"match": {"text": "merge"}},
+        "aggs": {"spread": {"median_absolute_deviation": {
+            "field": "n_chars",
+        }}},
+    })
+
+
+@register(
+    "wrapper_query_documents",
+    f"""
+WITH {_TOK_POSTINGS},
+qt AS (SELECT * FROM postings WHERE term IN ('merge', 'spark')),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term)
+SELECT qt.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+       CAST(FLOOR(SUM({_BM25_TERM_SCORE}) * 1048576.0) AS BIGINT)
+         AS score_q20
+FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+GROUP BY qt.doc_id, sc.n_docs
+ORDER BY score_q20 DESC, doc_id LIMIT 10
+""",
+    doc="ES ``wrapper`` query: a base64-encoded query embedded by "
+    "tooling that can't emit raw JSON (templating layers, signed "
+    "query pass-through) — decoded and RE-DISPATCHED through "
+    "es_search, so every strictness rule applies to the decoded "
+    "query unchanged; here it wraps a plain match and must rank "
+    "IDENTICALLY to the direct request (the oracle is the standard "
+    "BM25 replay). Malformed payloads and non-object decodes raise "
+    "by name. Dispatched from query.wrapper.",
+)
+def wrapper_query_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import base64
+    import json
+
+    idx = _postings_index_for(spark, sf_dir)
+    encoded = base64.b64encode(
+        json.dumps({"match": {"text": "merge spark"}}).encode()
+    ).decode()
+    return es_search(idx, {
+        "query": {"wrapper": {"query": encoded}},
+        "size": 10,
+    })

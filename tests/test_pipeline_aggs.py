@@ -417,3 +417,60 @@ def test_count_api(dv_idx):
         "query": {"match": {"text": "alpha"}},
     }).collect()[0]["n_hits"]
     assert got == 4
+
+
+# --- weighted_avg / MAD / wrapper ----------------------------------------------
+
+
+def test_weighted_avg_law(dv_idx, spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "a", 10, 1), (2, "a", 20, 3), (3, "a b", 30, 0),
+         (4, "b", 99, 5)],
+        "doc_id long, text string, v long, w long",
+    )
+    p = str(tmp_path / "wv")
+    SRCH.build_postings_index(docs, "doc_id", "text", p, n_buckets=4,
+                              stored_fields=["v", "w"])
+    idx = SRCH.load_postings_index(spark, p)
+    out = es_search(idx, {
+        "query": {"match": {"text": "a"}},
+        "aggs": {"wa": {"weighted_avg": {
+            "value": {"field": "v"}, "weight": {"field": "w"},
+        }}},
+    }).collect()[0]
+    # hits 1,2,3; weighted sum = 10*1 + 20*3 + 30*0 = 70; wsum = 4
+    import math
+    assert (out["n_used"], out["wsum"]) == (3, 4)
+    assert out["wavg_q20"] == math.floor(70.0 / 4.0 * 1048576)
+
+
+def test_mad_is_robust_median_of_residuals(dv_idx):
+    import math
+
+    out = es_search(dv_idx, {
+        "query": {"match": {"text": "alpha"}},
+        "aggs": {"m": {"median_absolute_deviation": {"field": "val"}}},
+    }).collect()[0]
+    vals = [10, 20, 30, 50]
+    med = 25.0
+    resid = sorted(abs(x - med) for x in vals)  # [5, 5, 15, 25]
+    mad = (resid[1] + resid[2]) / 2.0
+    assert out["mad_q20"] == math.floor(mad * 1048576)
+
+
+def test_wrapper_decodes_and_redispatches(dv_idx):
+    import base64
+    import json
+
+    direct = es_search(dv_idx, {
+        "query": {"match": {"text": "alpha"}}, "size": 5,
+    }).collect()
+    enc = base64.b64encode(
+        json.dumps({"match": {"text": "alpha"}}).encode()
+    ).decode()
+    wrapped = es_search(dv_idx, {
+        "query": {"wrapper": {"query": enc}}, "size": 5,
+    }).collect()
+    assert wrapped == direct
+    with pytest.raises(ValueError, match="wrapper payload"):
+        es_search(dv_idx, {"query": {"wrapper": {"query": "!!notb64"}}})
