@@ -2092,12 +2092,16 @@ def es_mget(index: PostingsIndex, ids: list) -> DataFrame:
         f"pos long, {id_col} long",
     )
     fields = [dv_col(f).alias(f) for f in index.stored_fields]
-    got = dv.select(
-        F.col(id_col), F.lit(True).alias("found"), *fields
+    # the ids are driver-side literals: push the IN filter into the
+    # doc-values parquet scan, so the fetch side is request-sized and
+    # broadcastable (a bare left join here could not broadcast its
+    # preserved side and fell back to a shuffle — plan-audited)
+    got = (
+        dv.filter(F.col(id_col).isin([int(v) for v in ids]))
+        .select(F.col(id_col), F.lit(True).alias("found"), *fields)
     )
     return (
-        F.broadcast(req)
-        .join(got, id_col, "left")
+        req.join(F.broadcast(got), id_col, "left")
         .withColumn("found", F.coalesce(F.col("found"), F.lit(False)))
         .orderBy("pos")
     )
