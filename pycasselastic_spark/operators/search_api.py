@@ -547,7 +547,7 @@ def es_search(
     """
     unknown = set(body) - {
         "query", "size", "search_after", "collapse", "aggs", "sort", "knn",
-        "rank", "highlight", "suggest", "rescore",
+        "rank", "highlight", "suggest", "rescore", "fields",
     }
     if unknown:
         raise _err(f"body keys {sorted(unknown)}")
@@ -756,6 +756,52 @@ def es_search(
     if "search_after" in body and shaping and shaping[0] != "sort":
         raise _err(f"search_after combined with {shaping[0]}")
 
+    if "fields" in body:
+        # ES ``fields``: hits carry the named STORED fields — the
+        # response shape every client that renders results requests.
+        # Served from doc-values (the columnar _source this engine
+        # keeps); the fetch joins the k-bounded hit page, so the
+        # doc-values scan is id-pruned by a broadcast of at most
+        # ``size`` ids.
+        if shaping:
+            raise _err(f"fields combined with {shaping[0]}")
+        if "search_after" in body or "knn" in body:
+            raise _err("fields combined with search_after/knn")
+        flist = list(body["fields"])
+        if not flist:
+            raise _err("fields with an empty list")
+        missing_f = [f for f in flist if f not in index.stored_fields]
+        if missing_f:
+            raise _err(
+                f"fields {missing_f} without doc-values "
+                f"(stored_fields={list(index.stored_fields)})"
+            )
+        from pycasselastic_spark.operators.search_index import dv_col
+
+        inner_body = {k: v for k, v in body.items() if k != "fields"}
+        hits_page = es_search(
+            index, inner_body, docs=docs, embeddings=embeddings,
+            field_indexes=field_indexes,
+        )
+        id_col = index.id_col
+        if id_col not in hits_page.columns:
+            raise _err(
+                f"fields under a query returning no {id_col} column"
+            )
+        dvf = index.live_docvalues().select(
+            F.col(id_col), *[dv_col(f).alias(f) for f in flist]
+        )
+        return (
+            hits_page.join(F.broadcast(dvf.join(
+                F.broadcast(hits_page.select(id_col)), id_col, "semi"
+            )), id_col, "left")
+            .orderBy(
+                *( [F.col("score_q20").desc()]
+                   if "score_q20" in hits_page.columns else [] ),
+                F.col(id_col).asc(),
+            )
+        )
+
     qtype, q = _single(body.get("query", {}), "query")
 
     if qtype == "wrapper":
@@ -960,9 +1006,17 @@ def es_search(
 
                 return search_metric_agg(index, terms, agg[m]["field"], m)
         if set(agg) == {"histogram"}:
+            hspec = agg["histogram"]
+            hextra = set(hspec) - {
+                "field", "interval", "offset", "min_doc_count",
+            }
+            if hextra:
+                raise _err(f"histogram options {sorted(hextra)}")
             return search_histogram_agg(
-                index, terms, agg["histogram"]["field"],
-                float(agg["histogram"]["interval"]),
+                index, terms, hspec["field"],
+                float(hspec["interval"]),
+                offset=float(hspec.get("offset", 0.0)),
+                min_doc_count=int(hspec.get("min_doc_count", 1)),
             )
         if set(agg) == {"percentiles"}:
             spec = agg["percentiles"]
@@ -1135,6 +1189,19 @@ def es_search(
                     pipelines.append((pname, pkind, "n_docs"))
                 buckets = apply_bucket_pipelines(buckets, pipelines)
             return buckets
+        if set(agg) == {"auto_date_histogram"}:
+            spec = agg["auto_date_histogram"]
+            aextra = set(spec) - {"field", "buckets"}
+            if aextra:
+                raise _err(f"auto_date_histogram options {sorted(aextra)}")
+            from pycasselastic_spark.operators.search_compose import (
+                search_auto_date_histogram_agg,
+            )
+
+            return search_auto_date_histogram_agg(
+                index, terms, spec["field"],
+                buckets=int(spec.get("buckets", 10)),
+            )
         if set(agg) == {"multi_terms"}:
             spec = agg["multi_terms"]
             mextra = set(spec) - {"terms", "size"}

@@ -1638,3 +1638,82 @@ def search_mad_agg(
             .alias("mad_q20")
         )
     )
+
+
+# auto_date_histogram's interval ladder (seconds). ES walks
+# second->minute->hour->day->week rungs exactly like this and then
+# crosses into CALENDAR months/years — variable-length units this
+# fixed ladder can't express, so spans needing a coarser rung than a
+# week raise rather than silently approximate a month as 30 days.
+_AUTO_LADDER_S = (
+    1, 5, 10, 30, 60, 300, 600, 1800,
+    3600, 10800, 43200, 86400, 604800,
+)
+
+
+def search_auto_date_histogram_agg(
+    index: PostingsIndex,
+    query_terms,
+    field: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """ES ``auto_date_histogram``: pick the smallest ladder interval
+    that renders the hit set's time span in at most ``buckets``
+    buckets, then histogram on it — the "just give me a sensible
+    x-axis" aggregation every overview dashboard opens with. Returns
+    ``(interval_s, bucket_s, n_docs)`` with the chosen interval
+    carried in-band so callers (and the oracle) can pin the choice.
+
+    The span reduction is one bounded collect (a single min/max row —
+    same driver-side law as the prefix rewrite's expansion); the
+    histogram afterwards is the standard fixed-interval reduction.
+    Spans needing a rung coarser than a week raise (ES crosses into
+    calendar months there — variable-length units the fixed ladder
+    must not silently approximate)."""
+    if int(buckets) < 1:
+        raise ValueError(f"auto_date_histogram buckets {buckets!r}")
+    if field not in index.stored_fields:
+        raise ValueError(
+            f"field {field!r} is not stored in this index's doc values "
+            f"(stored_fields={index.stored_fields})"
+        )
+    id_col = index.id_col
+    hits = hits_relation(index, query_terms)
+    dv = (
+        index.live_docvalues()
+        .select(
+            F.col(id_col),
+            dv_col(field).cast("timestamp").cast("long").alias("_s"),
+        )
+        .join(_bounded_broadcast(hits), id_col)
+        .filter(F.col("_s").isNotNull())
+    )
+    span = dv.agg(F.min("_s").alias("lo"), F.max("_s").alias("hi")).collect()[0]
+    spark = index.postings.sparkSession
+    if span["lo"] is None:
+        return spark.createDataFrame(
+            [], "interval_s long, bucket_s long, n_docs long"
+        )
+    lo, hi = int(span["lo"]), int(span["hi"])
+    width = None
+    for w in _AUTO_LADDER_S:
+        if (hi // w) - (lo // w) + 1 <= int(buckets):
+            width = w
+            break
+    if width is None:
+        raise ValueError(
+            "auto_date_histogram span needs a rung coarser than a week "
+            "(calendar months — not expressible on the fixed ladder)"
+        )
+    return (
+        dv.select(
+            ((F.col("_s") - (F.col("_s") % width))).alias("bucket_s")
+        )
+        .groupBy("bucket_s")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.lit(width).cast("long").alias("interval_s"),
+            "bucket_s", "n_docs",
+        )
+        .orderBy("bucket_s")
+    )

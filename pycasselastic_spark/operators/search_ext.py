@@ -1008,32 +1008,61 @@ def search_histogram_agg(
     query_terms: list[str],
     field: str,
     interval: float,
+    offset: float = 0.0,
+    min_doc_count: int = 1,
 ) -> DataFrame:
     """ES ``histogram`` aggregation over the hit set from STORED
     doc-values: fixed-``interval`` buckets keyed by
-    ``floor(value / interval) * interval`` (ES's exact bucket law),
-    returning ``(bucket, n_docs)`` sorted by bucket — empty buckets
-    omitted (ES min_doc_count=1 behavior). Same plan shape as
-    ``search_stats_agg`` with a two-column aggregation instead of a
-    scalar one; the bucket count is bounded by the field's range over
-    the hit set, never the corpus."""
+    ``floor((value - offset) / interval) * interval + offset`` (ES's
+    exact bucket law with the grid-shift ``offset``), returning
+    ``(bucket, n_docs)`` sorted by bucket. ``min_doc_count=0``
+    synthesizes EMPTY buckets across the hit set's value span —
+    the zero-gap rendering every distribution chart needs. Same plan
+    shape as ``search_stats_agg`` with a two-column aggregation; the
+    zero-fill is ONE generate-series from a one-row min/max reduction
+    over bucket INDEXES (exact longs — the double bucket key is one
+    identical multiply per engine). Bucket counts are bounded by the
+    field's range over the hit set, never the corpus."""
     if field not in index.stored_fields:
         raise ValueError(
             f"field {field!r} is not stored in this index's doc values "
             f"(stored_fields={index.stored_fields})"
         )
+    if min_doc_count not in (0, 1):
+        raise ValueError(
+            f"histogram min_doc_count {min_doc_count!r} (0 or 1)"
+        )
     id_col = index.id_col
     hits = hits_relation(index, query_terms)
     dv = index.live_docvalues().select(F.col(id_col), dv_col(field))
-    bucket = (
-        F.floor(dv_col(field) / F.lit(float(interval)))
-        * F.lit(float(interval))
-    ).alias("bucket")
-    return (
+    idx_col = F.floor(
+        (dv_col(field) - F.lit(float(offset))) / F.lit(float(interval))
+    ).cast("long").alias("_bidx")
+    counts = (
         dv.join(_bounded_broadcast(hits), id_col)
-        .select(bucket)
-        .groupBy("bucket")
+        .filter(dv_col(field).isNotNull())
+        .select(idx_col)
+        .groupBy("_bidx")
         .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    if min_doc_count == 0:
+        span = counts.agg(
+            F.min("_bidx").alias("_lo"), F.max("_bidx").alias("_hi")
+        ).filter(F.col("_lo").isNotNull())
+        grid = span.select(
+            F.explode(F.sequence("_lo", "_hi")).alias("_bidx")
+        )
+        counts = grid.join(counts, "_bidx", "left").select(
+            "_bidx",
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long")
+            .alias("n_docs"),
+        )
+    return (
+        counts.select(
+            (F.col("_bidx").cast("double") * F.lit(float(interval))
+             + F.lit(float(offset))).alias("bucket"),
+            "n_docs",
+        )
         .orderBy(F.col("bucket").asc())
     )
 

@@ -1203,3 +1203,124 @@ def wrapper_query_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query": {"wrapper": {"query": encoded}},
         "size": 10,
     })
+
+
+# --- fields fetch, histogram zero-fill/offset, auto_date_histogram -----------
+
+
+@register(
+    "fields_fetch_documents",
+    f"""
+WITH {_TOK_POSTINGS},
+qt AS (SELECT * FROM postings WHERE term IN ('merge', 'spark')),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term),
+page AS (
+  SELECT qt.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+         CAST(FLOOR(SUM({_BM25_TERM_SCORE}) * 1048576.0) AS BIGINT)
+           AS score_q20
+  FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+  GROUP BY qt.doc_id, sc.n_docs
+  ORDER BY score_q20 DESC, doc_id LIMIT 10
+)
+SELECT p.doc_id, p.n_hit_terms, p.score_q20, d.n_chars, d.source
+FROM page p JOIN documents d USING (doc_id)
+ORDER BY p.score_q20 DESC, p.doc_id
+""",
+    doc="ES ``fields`` response shaping: the ranked hit page carries "
+    "the named STORED fields — the request every client that renders "
+    "results sends. Served from doc-values (the columnar _source "
+    "this engine keeps); the fetch joins the k-bounded page, so the "
+    "doc-values scan is id-pruned by a broadcast of at most size "
+    "ids — no corpus-wide fetch, the exact opposite of SELECT *. "
+    "Unstored fields raise naming the doc-values gap; combining with "
+    "another shaping section raises. Dispatched from body.fields in "
+    "es_search.",
+)
+def fields_fetch_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"match": {"text": "merge spark"}},
+        "fields": ["n_chars", "source"],
+        "size": 10,
+    })
+
+
+@register(
+    "histogram_zero_fill_documents",
+    f"""
+WITH {_HITS_MERGE},
+d AS (SELECT doc_id, n_chars FROM documents),
+c AS (SELECT CAST(FLOOR((n_chars - 25.0) / 50.0) AS BIGINT) AS bidx,
+        CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM d JOIN hits USING (doc_id)
+      WHERE n_chars IS NOT NULL GROUP BY 1),
+s AS (SELECT unnest(range((SELECT MIN(bidx) FROM c),
+                          (SELECT MAX(bidx) FROM c) + 1)) AS bidx)
+SELECT CAST(s.bidx AS DOUBLE) * 50.0 + 25.0 AS bucket,
+       CAST(COALESCE(c.n_docs, 0) AS BIGINT) AS n_docs
+FROM s LEFT JOIN c USING (bidx) ORDER BY bucket
+""",
+    doc="ES numeric ``histogram`` with ``offset`` (grid shifted by 25 "
+    "so bucket edges land mid-range) and ``min_doc_count=0`` "
+    "zero-fill: empty buckets render as zeros across the hit set's "
+    "value span — the distribution-chart contract, completing what "
+    "date_histogram already had. The zero-fill is ONE "
+    "generate-series from a one-row min/max reduction over bucket "
+    "INDEXES (exact longs; the double bucket key is one identical "
+    "multiply per engine). operators/search_ext.py:"
+    "search_histogram_agg; dispatched from aggs.<name>.histogram.",
+)
+def histogram_zero_fill_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"match": {"text": "merge"}},
+        "aggs": {"lens": {"histogram": {
+            "field": "n_chars", "interval": 50,
+            "offset": 25, "min_doc_count": 0,
+        }}},
+    })
+
+
+@register(
+    "auto_date_histogram_documents",
+    f"""
+WITH {_HITS_MERGE},
+d AS (SELECT doc_id,
+        {_TS0} + (doc_id % 7) * {_TS_STEP} AS ts FROM documents),
+h AS (SELECT ts FROM d JOIN hits USING (doc_id)),
+span AS (SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM h),
+lad AS (SELECT unnest([1, 5, 10, 30, 60, 300, 600, 1800,
+                       3600, 10800, 43200, 86400, 604800]) AS w),
+pick AS (SELECT MIN(w) AS w FROM lad CROSS JOIN span
+         WHERE (hi // w) - (lo // w) + 1 <= 12)
+SELECT CAST(pick.w AS BIGINT) AS interval_s,
+       CAST((ts // pick.w) * pick.w AS BIGINT) AS bucket_s,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM h CROSS JOIN pick GROUP BY 1, 2 ORDER BY bucket_s
+""",
+    doc="ES ``auto_date_histogram``: pick the smallest ladder "
+    "interval rendering the hit set's time span in at most "
+    "``buckets`` buckets, then histogram on it — the 'sensible "
+    "x-axis' aggregation every overview dashboard opens with. The "
+    "chosen interval travels IN-BAND (interval_s) so the choice "
+    "itself is oracle-pinned. Ladder = ES's second/minute/hour/day/"
+    "week rungs; spans needing calendar months raise (variable-"
+    "length units a fixed ladder must not silently approximate as "
+    "30 days). The span reduction is one bounded single-row collect "
+    "(same driver-side law as the prefix rewrite). operators/"
+    "search_compose.py:search_auto_date_histogram_agg; dispatched "
+    "from aggs.<name>.auto_date_histogram.",
+)
+def auto_date_histogram_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx = _ts_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"match": {"text": "merge"}},
+        "aggs": {"auto": {"auto_date_histogram": {
+            "field": "ingest_ts", "buckets": 12,
+        }}},
+    })

@@ -474,3 +474,58 @@ def test_wrapper_decodes_and_redispatches(dv_idx):
     assert wrapped == direct
     with pytest.raises(ValueError, match="wrapper payload"):
         es_search(dv_idx, {"query": {"wrapper": {"query": "!!notb64"}}})
+
+
+# --- fields fetch / histogram zero-fill / auto_date_histogram ------------------
+
+
+def test_fields_fetch_joins_stored_values(dv_idx):
+    out = es_search(dv_idx, {
+        "query": {"match": {"text": "alpha"}},
+        "fields": ["val", "tag"],
+        "size": 3,
+    }).collect()
+    assert len(out) == 3
+    vals = {1: (10, "x"), 2: (20, "y"), 3: (30, "x"), 5: (50, None)}
+    for r in out:
+        assert (r["val"], r["tag"]) == vals[r["doc_id"]]
+    with pytest.raises(ValueError, match="without doc-values"):
+        es_search(dv_idx, {
+            "query": {"match": {"text": "alpha"}},
+            "fields": ["nope"],
+        })
+
+
+def test_histogram_offset_and_zero_fill(dv_idx):
+    # hits 1,2,3,5 -> val 10,20,30,50; interval 20 offset 5:
+    # idx = floor((v-5)/20): 0,0,1,2 -> buckets 5,25,45; idx grid 0..2
+    out = es_search(dv_idx, {
+        "query": {"match": {"text": "alpha"}},
+        "aggs": {"h": {"histogram": {
+            "field": "val", "interval": 20, "offset": 5,
+            "min_doc_count": 0,
+        }}},
+    }).collect()
+    assert [(r["bucket"], r["n_docs"]) for r in out] == [
+        (5.0, 2), (25.0, 1), (45.0, 1),
+    ]
+
+
+def test_auto_date_histogram_picks_smallest_fitting_rung(dv_idx):
+    # dates span 2024-01-20 .. 2024-03-09 (~49 days); buckets=10 ->
+    # the week rung (604800 s) is the first that fits
+    out = es_search(dv_idx, {
+        "query": {"match": {"text": "alpha"}},
+        "aggs": {"a": {"auto_date_histogram": {
+            "field": "d", "buckets": 10,
+        }}},
+    }).collect()
+    assert out and all(r["interval_s"] == 604800 for r in out)
+    assert sum(r["n_docs"] for r in out) == 4
+    with pytest.raises(ValueError, match="coarser than a week"):
+        es_search(dv_idx, {
+            "query": {"match": {"text": "alpha"}},
+            "aggs": {"a": {"auto_date_histogram": {
+                "field": "d", "buckets": 2,
+            }}},
+        })
