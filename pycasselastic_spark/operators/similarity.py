@@ -629,3 +629,69 @@ def quantize_int8_stats(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         .otherwise(dot(F.col("_v"), F.col("_rv")) / nn)
         .alias("cos_recon"),
     )
+
+
+def hard_negative_mining(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    n_anchors: int = 32,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training: for
+    each anchor, the OTHER-labeled vector most similar to it — the
+    near-miss that teaches the margin (random negatives are trivially
+    easy; the hardest negative per anchor is the standard curriculum,
+    DPR/SimCSE style). Returns one row per anchor:
+    ``(anchor_id, anchor_label, neg_id, neg_label, cos_q20)``.
+
+    Anchors are a DETERMINISTIC md5-ordered sample of ``n_anchors``
+    ids (reproducible across engines/partitionings — the corpus-cap
+    law every sampler here uses); each anchor then scans the corpus
+    once via a broadcast join. The argmax is an order-free
+    min(struct(-cos, id)) on Q20-floored cosines, so ties break to
+    the smallest negative id identically everywhere.
+
+    Scale: n_anchors broadcast rows x ONE corpus scan — linear in the
+    corpus with a bounded constant; at 100 TB the same shape rides
+    the IVF cells (mine within the anchor's cell first), which the
+    ivf machinery here already provides."""
+    unit = with_unit_vector(df.select(id_col, vec_col, label_col),
+                            vec_col, "_u")
+    anchors = (
+        unit.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(label_col).alias("anchor_label"),
+            F.col("_u").alias("_au"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "anchor_id")
+        .limit(int(n_anchors))
+        .drop("_h")
+    )
+    cand = unit.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(label_col).alias("neg_label"),
+        F.col("_u").alias("_cu"),
+    )
+    scored = (
+        cand.join(F.broadcast(anchors),
+                  F.col("neg_label") != F.col("anchor_label"))
+        .withColumn(
+            "cos_q20",
+            F.floor(dot(F.col("_au"), F.col("_cu")) * (1 << 20))
+            .cast("long"),
+        )
+    )
+    best = scored.groupBy("anchor_id", "anchor_label").agg(
+        F.min(F.struct(
+            (-F.col("cos_q20")).alias("_nc"), F.col("neg_id"),
+            F.col("neg_label"),
+        )).alias("_b")
+    )
+    return best.select(
+        "anchor_id", "anchor_label",
+        F.col("_b.neg_id").alias("neg_id"),
+        F.col("_b.neg_label").alias("neg_label"),
+        (-F.col("_b._nc")).cast("long").alias("cos_q20"),
+    ).orderBy("anchor_id")

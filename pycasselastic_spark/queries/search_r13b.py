@@ -1324,3 +1324,55 @@ def auto_date_histogram_documents(
             "field": "ingest_ts", "buckets": 12,
         }}},
     })
+
+
+@register(
+    "hard_negative_mining_embeddings",
+    f"""
+WITH {_UNIT_SQL},
+lab AS (SELECT e.vec_id, e.label, eu.u
+        FROM embeddings e JOIN eu ON eu.vec_id = e.vec_id),
+anch AS (SELECT vec_id AS anchor_id, label AS anchor_label, u AS au
+         FROM (SELECT l.*, md5(CAST(vec_id AS VARCHAR)) AS h FROM lab l
+               ORDER BY h, vec_id LIMIT 32)),
+scored AS (
+  SELECT a.anchor_id, a.anchor_label,
+         c.vec_id AS neg_id, c.label AS neg_label,
+         CAST(FLOOR({_DOT_SQL.format(a='a.au', b='c.u')} * 1048576.0)
+           AS BIGINT) AS cos_q20
+  FROM anch a JOIN lab c ON c.label <> a.anchor_label
+),
+best AS (
+  SELECT anchor_id, anchor_label, neg_id, neg_label, cos_q20 FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY anchor_id
+      ORDER BY cos_q20 DESC, neg_id, neg_label) AS rn
+    FROM scored) WHERE rn = 1)
+SELECT anchor_id, anchor_label, neg_id, neg_label, cos_q20
+FROM best ORDER BY anchor_id
+""",
+    doc="Hard-negative mining for contrastive / retrieval training "
+    "(DPR / SimCSE curriculum): for each of 32 md5-ordered anchor "
+    "vectors, the OTHER-labeled vector most similar to it — the "
+    "near-miss that teaches the margin, where random negatives are "
+    "trivially easy. operators/similarity.py:hard_negative_mining — "
+    "deterministic md5 anchor sample, n_anchors broadcast rows x ONE "
+    "corpus scan, argmax an order-free min(struct(-cos, id)) on "
+    "Q20-floored cosines so ties break identically everywhere. At "
+    "100 TB the same shape rides the IVF cells (mine within the "
+    "anchor's cell first). Anchors whose complement class is empty "
+    "simply emit nothing.",
+)
+def hard_negative_mining_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pycasselastic_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+    from pycasselastic_spark.plans.tuning import ensure_parallelism
+    from pycasselastic_spark.queries.base import _t
+
+    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings"), spark)
+    return hard_negative_mining(
+        emb, "vec_id", "embedding", "label", n_anchors=32
+    )

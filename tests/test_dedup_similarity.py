@@ -553,3 +553,26 @@ def test_semdedup_keeps_the_most_atypical_member(spark):
     assert all(r["vec_id"] not in (4, 5) for r in rows) or not any(
         r["vec_id"] in (4, 5) for r in rows
     )
+
+
+def test_hard_negative_mining_picks_closest_other_label(spark):
+    from pycasselastic_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    a = [1.0] + [0.0] * 63
+    near_a = [0.9] + [0.1] + [0.0] * 62      # other label, very close
+    far = [0.0] * 32 + [1.0] + [0.0] * 31    # other label, orthogonal
+    df = spark.createDataFrame(
+        [(1, a, 0), (2, near_a, 1), (3, far, 1), (4, a, 0)],
+        ["vec_id", "embedding", "label"],
+    )
+    out = {r["anchor_id"]: r for r in hard_negative_mining(
+        df, "vec_id", "embedding", "label", n_anchors=4
+    ).collect()}
+    # every label-0 anchor's hardest negative is the near-duplicate
+    # from label 1, never the orthogonal one
+    assert out[1]["neg_id"] == 2 and out[4]["neg_id"] == 2
+    # label-1 anchors mine from label 0 (ids 1 and 4 tie on cosine ->
+    # smallest id wins)
+    assert out[2]["neg_id"] == 1 and out[3]["neg_id"] == 1
