@@ -733,19 +733,39 @@ from pycasselastic_spark.queries.pipeline_text import (  # noqa: E402
 )
 
 _SEMDEDUP_THRESHOLD = 0.4
-_SD_PLANES, _SD_BANDS = 12, 6
+_SEMDEDUP_RECALL = 0.6
 
 
-@register(
-    "semdedup_prune_embeddings",
-    f"""
+def _semdedup_oracle(sf_dir: str) -> str | None:
+    """Render the SemDeDup oracle with the SAME corpus-scaled LSH
+    parameters the Spark side derives (lsh_params_for over the DuckDB
+    row count — pure arithmetic on n, both engines agree by
+    construction); fixed small bands measured 27x at 10x data, the
+    scaled form is the 100 TB path."""
+    import os
+
+    import duckdb
+
+    from pycasselastic_spark.operators.similarity import lsh_params_for
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{path}')"
+    ).fetchone()[0]
+    num_planes, num_bands = lsh_params_for(
+        n, _SEMDEDUP_THRESHOLD, _SEMDEDUP_RECALL
+    )
+    width = num_planes // num_bands
+    return f"""
 WITH {_UNIT_SQL},
 {_MEAN_SQL},
 planes AS (
   SELECT p, list_transform(range(0, 64), d ->
     CASE WHEN ('0x' || substring(md5('plane' || p || ':dim' || d), 1, 2))::INT % 2 = 1
          THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS vec
-  FROM range(0, {_SD_PLANES}) t(p)
+  FROM range(0, {num_planes}) t(p)
 ),
 sigs AS (
   SELECT e.vec_id,
@@ -756,9 +776,8 @@ sigs AS (
 ),
 banded AS (
   SELECT vec_id, b AS band_idx,
-         substring(sig, b * {_SD_PLANES // _SD_BANDS} + 1,
-                   {_SD_PLANES // _SD_BANDS}) AS band_key
-  FROM sigs, range(0, {_SD_BANDS}) t(b)
+         substring(sig, b * {width} + 1, {width}) AS band_key
+  FROM sigs, range(0, {num_bands}) t(b)
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS doc_a, c.vec_id AS doc_b
@@ -810,8 +829,13 @@ SELECT s.vec_id, s.component, s.cos_c_q20,
        s.vec_id = k.keep_id AS keep
 FROM scored s JOIN keeper k USING (component)
 ORDER BY s.component, s.vec_id
-""",
-    doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — SEMANTIC "
+"""
+
+
+@register(
+    "semdedup_prune_embeddings",
+    _semdedup_oracle,
+        doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — SEMANTIC "
     "dedup by embedding clusters, the pruning pass behind "
     "web-scale curation stacks: duplicate groups are connected "
     "components of the cosine>=0.4 LSH pair graph; within each "
@@ -837,7 +861,7 @@ def semdedup_prune_embeddings(
     emb = ensure_parallelism(_t(spark, sf_dir, "embeddings"), spark)
     return semdedup_prune(
         emb, "vec_id", "embedding", _SEMDEDUP_THRESHOLD,
-        num_planes=_SD_PLANES, num_bands=_SD_BANDS,
+        target_recall=_SEMDEDUP_RECALL,
     )
 
 
