@@ -1167,11 +1167,59 @@ def es_search(
                     apply_bucket_pipelines,
                 )
 
+                scalar_kinds = (
+                    "avg_bucket", "sum_bucket", "min_bucket",
+                    "max_bucket", "stats_bucket",
+                )
                 pipelines = []
                 for pname, pbody in sub.items():
                     pkind, pspec = _single(
                         pbody, f"date_histogram sub-aggregation {pname!r}"
                     )
+                    if pkind in scalar_kinds:
+                        # a sibling scalar reduction IS the response —
+                        # it can't ride next to per-bucket columns in
+                        # one frame, so it must be the only sub-agg
+                        if len(sub) != 1:
+                            raise _err(
+                                f"{pkind} beside other sub-aggregations "
+                                "(a scalar reduction is its own response)"
+                            )
+                        if set(pspec) != {"buckets_path"}:
+                            raise _err(
+                                f"{pkind} options "
+                                f"{sorted(set(pspec) - {'buckets_path'})}"
+                            )
+                        if pspec["buckets_path"] != "_count":
+                            raise _err(
+                                f"{pkind} buckets_path "
+                                f"{pspec['buckets_path']!r} "
+                                "(supported: _count)"
+                            )
+                        from pycasselastic_spark.operators.search_compose import (  # noqa: E501
+                            bucket_scalar_agg,
+                        )
+
+                        return bucket_scalar_agg(buckets, pkind, "n_docs")
+                    if pkind == "serial_diff":
+                        pextra = set(pspec) - {"buckets_path", "lag"}
+                        if pextra:
+                            raise _err(
+                                f"serial_diff options {sorted(pextra)}"
+                            )
+                        if pspec["buckets_path"] != "_count":
+                            raise _err(
+                                f"serial_diff buckets_path "
+                                f"{pspec['buckets_path']!r} "
+                                "(supported: _count)"
+                            )
+                        lag = int(pspec.get("lag", 1))
+                        if lag < 1:
+                            raise _err(f"serial_diff lag {lag!r}")
+                        pipelines.append(
+                            (pname, ("serial_diff", lag), "n_docs")
+                        )
+                        continue
                     if pkind not in ("cumulative_sum", "derivative"):
                         raise _err(
                             f"date_histogram sub-aggregation {pkind!r}"

@@ -1045,12 +1045,61 @@ def apply_bucket_pipelines(
                 (F.col(value_col)
                  - F.lag(value_col, 1).over(w)).cast("long"),
             )
+        elif isinstance(kind, tuple) and kind[0] == "serial_diff":
+            # ES serial_diff: the lag-N difference (seasonality
+            # removal — lag 7 on daily buckets strips the weekly
+            # cycle); NULL for the first N buckets, exactly ES
+            out = out.withColumn(
+                out_name,
+                (F.col(value_col)
+                 - F.lag(value_col, int(kind[1])).over(w)).cast("long"),
+            )
         else:
             raise ValueError(
                 f"unsupported pipeline aggregation {kind!r} "
-                "(supported: cumulative_sum, derivative)"
+                "(supported: cumulative_sum, derivative, serial_diff)"
             )
     return out.orderBy(F.col(order_col).asc())
+
+
+def bucket_scalar_agg(
+    buckets: DataFrame, kind: str, value_col: str
+) -> DataFrame:
+    """ES sibling pipeline aggregations that REDUCE the bucket
+    relation to one scalar: avg_bucket / sum_bucket / min_bucket /
+    max_bucket / stats_bucket over a parent's per-bucket values — the
+    "average daily count" summary row. Counts are exact longs; the
+    avg is Q20-floored (the cross-engine float law). The reduction is
+    over the response-sized bucket table (same max_buckets bound as
+    apply_bucket_pipelines)."""
+    if value_col not in buckets.columns:
+        raise ValueError(
+            f"buckets_path column {value_col!r} not in the bucket "
+            f"relation (columns: {buckets.columns})"
+        )
+    c = F.col(value_col)
+    if kind == "avg_bucket":
+        return buckets.agg(
+            F.floor(F.avg(c) * Q20).cast("long").alias("avg_q20")
+        )
+    if kind == "sum_bucket":
+        return buckets.agg(F.sum(c).cast("long").alias("sum_val"))
+    if kind == "min_bucket":
+        return buckets.agg(F.min(c).cast("long").alias("min_val"))
+    if kind == "max_bucket":
+        return buckets.agg(F.max(c).cast("long").alias("max_val"))
+    if kind == "stats_bucket":
+        return buckets.agg(
+            F.count(c).cast("long").alias("n_buckets"),
+            F.min(c).cast("long").alias("min_val"),
+            F.max(c).cast("long").alias("max_val"),
+            F.sum(c).cast("long").alias("sum_val"),
+            F.floor(F.avg(c) * Q20).cast("long").alias("avg_q20"),
+        )
+    raise ValueError(
+        f"unsupported bucket pipeline aggregation {kind!r} (supported: "
+        "avg_bucket, sum_bucket, min_bucket, max_bucket, stats_bucket)"
+    )
 
 
 def apply_bucket_selector(

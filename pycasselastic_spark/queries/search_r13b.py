@@ -1400,3 +1400,49 @@ def hard_negative_mining_embeddings(
     return hard_negative_mining(
         emb, "vec_id", "embedding", "label", n_anchors=32
     )
+
+
+@register(
+    "serial_diff_stats_bucket_documents",
+    f"""
+WITH {_HITS_MERGE},
+d AS (SELECT doc_id,
+        {_TS0} + (doc_id % 7) * {_TS_STEP} AS ts FROM documents),
+c AS (SELECT CAST(FLOOR(ts / 43200) * 43200 AS BIGINT) AS bucket_s,
+        CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM d JOIN hits USING (doc_id) GROUP BY 1)
+SELECT bucket_s, n_docs,
+       CAST(n_docs - LAG(n_docs, 2) OVER (ORDER BY bucket_s) AS BIGINT)
+         AS season_diff
+FROM c ORDER BY bucket_s
+""",
+    doc="ES ``serial_diff`` pipeline aggregation: the lag-N "
+    "bucket-over-bucket difference (here lag 2 on 12 h buckets — "
+    "the seasonality-removal transform; lag 7 on daily buckets "
+    "strips the weekly cycle). NULL for the first N buckets, exactly "
+    "ES. Same response-sized single-partition window law as "
+    "cumulative_sum/derivative (operators/search_compose.py:"
+    "apply_bucket_pipelines); the sibling scalar reductions "
+    "avg_bucket/sum_bucket/min_bucket/max_bucket/stats_bucket "
+    "dispatch from the same sub-agg position and are pinned by "
+    "pytest. Dispatched from aggs.<name>.aggs.<p>.serial_diff.",
+)
+def serial_diff_stats_bucket_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx = _ts_index_for(spark, sf_dir)
+    out = es_search(idx, {
+        "query": {"match": {"text": "merge"}},
+        "aggs": {"halfdays": {
+            "date_histogram": {
+                "field": "ingest_ts", "fixed_interval": "12h",
+            },
+            "aggs": {"season_diff": {"serial_diff": {
+                "buckets_path": "_count", "lag": 2,
+            }}},
+        }},
+    })
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket_s"),
+        "n_docs", "season_diff",
+    ).orderBy("bucket_s")

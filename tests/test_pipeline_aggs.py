@@ -529,3 +529,36 @@ def test_auto_date_histogram_picks_smallest_fitting_rung(dv_idx):
                 "field": "d", "buckets": 2,
             }}},
         })
+
+
+def test_serial_diff_and_scalar_bucket_pipelines(dv_idx):
+    base = {"query": {"match": {"text": "alpha"}}}
+    # months Jan:1 Feb:2 Mar:1 -> serial_diff lag2: NULL, NULL, 0
+    out = es_search(dv_idx, {**base, "aggs": {"m": {
+        "date_histogram": {"field": "d", "calendar_interval": "month"},
+        "aggs": {"sd": {"serial_diff": {
+            "buckets_path": "_count", "lag": 2,
+        }}},
+    }}}).collect()
+    assert [r["sd"] for r in out] == [None, None, 0]
+    # stats_bucket reduces the bucket table to one row
+    import math
+    row = es_search(dv_idx, {**base, "aggs": {"m": {
+        "date_histogram": {"field": "d", "calendar_interval": "month"},
+        "aggs": {"s": {"stats_bucket": {"buckets_path": "_count"}}},
+    }}}).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert (r["n_buckets"], r["min_val"], r["max_val"], r["sum_val"]) == (
+        3, 1, 2, 4)
+    assert r["avg_q20"] == math.floor(4 / 3 * 1048576)
+    # a scalar reduction beside another sub-agg raises
+    with pytest.raises(ValueError, match="its own response"):
+        es_search(dv_idx, {**base, "aggs": {"m": {
+            "date_histogram": {"field": "d",
+                               "calendar_interval": "month"},
+            "aggs": {
+                "s": {"avg_bucket": {"buckets_path": "_count"}},
+                "c": {"cumulative_sum": {"buckets_path": "_count"}},
+            },
+        }}})
