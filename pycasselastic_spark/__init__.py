@@ -181,6 +181,15 @@ _EXPORTS: dict[str, str] = {
     "search_dv_range": "operators.search",
     "search_dv_terms": "operators.search",
     "search_nested": "operators.search",
+    # round-13 surface: the Lucene query_string grammar, the _count /
+    # _mget endpoints, and the training-data curation additions
+    "query_string_search": "operators.search",
+    "es_count": "operators.search",
+    "es_mget": "operators.search",
+    "semdedup_prune": "operators.dedup",
+    "unimax_allocation": "operators.sampling",
+    "unimax_sample": "operators.sampling",
+    "hard_negative_mining": "operators.similarity",
 }
 
 __all__ = ["__version__", *sorted(_EXPORTS)]

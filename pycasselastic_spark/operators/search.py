@@ -293,7 +293,12 @@ from pycasselastic_spark.operators.search_ext import (  # noqa: E402,F401
     top_hits_by_facet,
 )
 from pycasselastic_spark.operators.search_api import (  # noqa: E402,F401
+    es_count,
+    es_mget,
     es_search,
+)
+from pycasselastic_spark.operators.search_qs import (  # noqa: E402,F401
+    query_string_search,
 )
 from pycasselastic_spark.operators.search_ext import (  # noqa: E402,F401
     bm25_topk_filtered,
