@@ -1035,6 +1035,30 @@ def es_search(
                 index, terms, spec["field"],
                 percents=tuple(int(p) for p in percents),
             )
+        if set(agg) == {"percentile_ranks"}:
+            spec = agg["percentile_ranks"]
+            extra = set(spec) - {"field", "values"}
+            if extra:
+                raise _err(f"percentile_ranks options {sorted(extra)}")
+            from pycasselastic_spark.operators.search_compose import (
+                search_percentile_ranks_agg,
+            )
+
+            return search_percentile_ranks_agg(
+                index, terms, spec["field"], list(spec["values"])
+            )
+        if set(agg) == {"date_range"}:
+            spec = agg["date_range"]
+            extra = set(spec) - {"field", "ranges"}
+            if extra:
+                raise _err(f"date_range options {sorted(extra)}")
+            from pycasselastic_spark.operators.search_compose import (
+                search_date_range_agg,
+            )
+
+            return search_date_range_agg(
+                index, terms, spec["field"], list(spec["ranges"])
+            )
         if set(agg) == {"cardinality"}:
             if set(agg["cardinality"]) != {"field"}:
                 raise _err(
@@ -1453,10 +1477,22 @@ def es_search(
             )
         if docs is None:
             raise _err("terms aggs without a docs frame (stored-field fetch)")
+        textra = set(agg["terms"]) - {
+            "field", "size", "missing", "include", "exclude",
+        }
+        if textra:
+            raise _err(f"terms options {sorted(textra)}")
+        inc, exc = agg["terms"].get("include"), agg["terms"].get("exclude")
+        for r in (inc, exc):
+            if r is not None and not isinstance(r, str):
+                # the partitioned expressions form ({"partition": ..})
+                raise _err(f"terms include/exclude form {r!r}")
         return search_facets(
             index, docs, terms, field,
             k=int(agg["terms"].get("size", size)),
             missing=agg["terms"].get("missing"),
+            include=inc,
+            exclude=exc,
         )
 
     if "collapse" in body:

@@ -1766,3 +1766,135 @@ def search_auto_date_histogram_agg(
         )
         .orderBy("bucket_s")
     )
+
+
+def search_percentile_ranks_agg(
+    index: PostingsIndex,
+    query_terms,
+    field: str,
+    values: list,
+) -> DataFrame:
+    """ES ``percentile_ranks`` — the INVERSE of percentiles: for each
+    given value, the percentage of the hit set's doc-values at or
+    below it ("what fraction of responses beat 200 ms"). ES serves an
+    interpolated t-digest estimate; this engine computes the EXACT
+    empirical CDF — rank(v) = 100 x |{x : x <= v}| / n — from one
+    reduction, Q20-floored (the cross-engine float law). Empty hit
+    sets return NULL ranks, one row per requested value (ES's shape).
+    Returns ``(value, rank_q20)`` sorted by value.
+
+    Plan shape: hit ids join the column-pruned doc-values scan; every
+    requested value is a conditional sum inside a SINGLE reduction
+    (no per-value re-scan), then a bounded len(values) explode."""
+    if not values:
+        raise ValueError("percentile_ranks needs at least one value")
+    if field not in index.stored_fields:
+        raise ValueError(
+            f"field {field!r} is not stored in this index's doc values "
+            f"(stored_fields={index.stored_fields})"
+        )
+    id_col = index.id_col
+    hits = hits_relation(index, query_terms)
+    col = dv_col(field)
+    dv = (
+        index.live_docvalues()
+        .select(F.col(id_col), col)
+        .join(_bounded_broadcast(hits), id_col)
+        .filter(col.isNotNull())
+    )
+    sums = [
+        F.sum(F.when(col <= F.lit(v), 1).otherwise(0))
+        .cast("long")
+        .alias(f"_le{i}")
+        for i, v in enumerate(values)
+    ]
+    one = dv.agg(F.count(F.lit(1)).alias("_n"), *sums)
+    cells = F.array(*[
+        F.struct(
+            F.lit(float(v)).alias("value"),
+            F.when(
+                F.col("_n") > 0,
+                F.floor(
+                    F.col(f"_le{i}").cast("double") / F.col("_n")
+                    * 100.0 * Q20
+                ).cast("long"),
+            ).alias("rank_q20"),
+        )
+        for i, v in enumerate(values)
+    ])
+    return (
+        one.select(F.explode(cells).alias("c"))
+        .select("c.value", "c.rank_q20")
+        .orderBy("value")
+    )
+
+
+def search_date_range_agg(
+    index: PostingsIndex,
+    query_terms,
+    field: str,
+    ranges: list[dict],
+) -> DataFrame:
+    """ES ``date_range`` aggregation: the ``range`` agg with ISO /
+    epoch-second bounds over a DATE doc-values field — from inclusive,
+    to exclusive, either side open, overlapping and EMPTY buckets
+    returned, keys in ES's ``a-b`` / ``*-b`` / ``a-*`` convention
+    (epoch seconds, timezone-free). Same single-reduction plan as the
+    numeric range agg: every bucket a conditional sum in ONE pass over
+    the hit set's doc-values."""
+    import datetime as _dt
+
+    if not ranges:
+        raise ValueError("date_range aggregation needs at least one range")
+    if field not in index.stored_fields:
+        raise ValueError(
+            f"field {field!r} is not stored in this index's doc values "
+            f"(stored_fields={index.stored_fields})"
+        )
+
+    def to_epoch(v):
+        if v is None:
+            return None
+        if isinstance(v, str):
+            return int(
+                _dt.datetime.fromisoformat(
+                    v.replace("Z", "+00:00")
+                ).timestamp()
+            )
+        return int(v)
+
+    id_col = index.id_col
+    hits = hits_relation(index, query_terms)
+    col = dv_col(field).cast("timestamp").cast("long")
+    dv = (
+        index.live_docvalues()
+        .select(F.col(id_col), col.alias("_s"))
+        .join(_bounded_broadcast(hits), id_col)
+    )
+    sums, keys = [], []
+    for i, spec in enumerate(ranges):
+        extra = set(spec) - {"from", "to"}
+        if extra:
+            raise ValueError(
+                f"unsupported date_range options {sorted(extra)}"
+            )
+        lo, hi = to_epoch(spec.get("from")), to_epoch(spec.get("to"))
+        cond = F.lit(True) & F.col("_s").isNotNull()
+        if lo is not None:
+            cond = cond & (F.col("_s") >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col("_s") < F.lit(hi))
+        keys.append(f"{'*' if lo is None else lo}-{'*' if hi is None else hi}")
+        sums.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"_b{i}")
+        )
+    one = dv.agg(*sums)
+    buckets = F.array(*[
+        F.struct(F.lit(k).alias("bucket"), F.col(f"_b{i}").alias("n_docs"))
+        for i, k in enumerate(keys)
+    ])
+    return (
+        one.select(F.explode(buckets).alias("b"))
+        .select("b.bucket", "b.n_docs")
+        .orderBy("bucket")
+    )

@@ -209,6 +209,8 @@ def search_facets(
     facet_col: str,
     k: int = 10,
     missing: str | None = None,
+    include: str | None = None,
+    exclude: str | None = None,
 ) -> DataFrame:
     """ES search + aggregations (a terms facet over the hit set):
     ``(facet value, n_docs)`` for every doc matching ANY query term,
@@ -233,6 +235,17 @@ def search_facets(
     joined = hit_side.join(docs.select(id_col, facet), id_col)
     if missing is None:
         joined = joined.filter(F.col(facet_col).isNotNull())
+    # ES terms-agg include/exclude: regexes ANCHORED to the whole
+    # value (Lucene's convention — same anchoring law as the regexp
+    # query); exclude wins on overlap, exactly ES
+    if include is not None:
+        joined = joined.filter(
+            F.col(facet_col).cast("string").rlike(f"^(?:{include})$")
+        )
+    if exclude is not None:
+        joined = joined.filter(
+            ~F.col(facet_col).cast("string").rlike(f"^(?:{exclude})$")
+        )
     return (
         joined
         .groupBy(facet_col)

@@ -1446,3 +1446,141 @@ def serial_diff_stats_bucket_documents(
         F.col("bucket").cast("long").alias("bucket_s"),
         "n_docs", "season_diff",
     ).orderBy("bucket_s")
+
+
+@register(
+    "percentile_ranks_documents",
+    f"""
+WITH {_HITS_MERGE},
+h AS (SELECT n_chars FROM documents JOIN hits USING (doc_id)
+      WHERE n_chars IS NOT NULL),
+one AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN n_chars <= 200 THEN 1 ELSE 0 END) AS BIGINT)
+            AS le0,
+          CAST(SUM(CASE WHEN n_chars <= 350 THEN 1 ELSE 0 END) AS BIGINT)
+            AS le1,
+          CAST(SUM(CASE WHEN n_chars <= 500 THEN 1 ELSE 0 END) AS BIGINT)
+            AS le2
+        FROM h)
+SELECT value, rank_q20 FROM (
+  SELECT CAST(200.0 AS DOUBLE) AS value,
+         CAST(FLOOR(CAST(le0 AS DOUBLE) / n * 100.0 * 1048576.0)
+           AS BIGINT) AS rank_q20 FROM one
+  UNION ALL
+  SELECT 350.0, CAST(FLOOR(CAST(le1 AS DOUBLE) / n * 100.0 * 1048576.0)
+    AS BIGINT) FROM one
+  UNION ALL
+  SELECT 500.0, CAST(FLOOR(CAST(le2 AS DOUBLE) / n * 100.0 * 1048576.0)
+    AS BIGINT) FROM one
+) ORDER BY value
+""",
+    doc="ES ``percentile_ranks`` — the INVERSE of percentiles: for "
+    "each requested value, the percentage of the hit set's "
+    "doc-values at or below it ('what share of docs fit the 350-char "
+    "budget'). ES serves an interpolated t-digest estimate; this "
+    "engine computes the EXACT empirical CDF (100 x count(<=v) / n) "
+    "in ONE reduction — every requested value a conditional sum, no "
+    "per-value re-scan — Q20-floored. operators/search_compose.py:"
+    "search_percentile_ranks_agg; dispatched from "
+    "aggs.<name>.percentile_ranks.",
+)
+def percentile_ranks_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"match": {"text": "merge"}},
+        "aggs": {"budget": {"percentile_ranks": {
+            "field": "n_chars", "values": [200, 350, 500],
+        }}},
+    })
+
+
+@register(
+    "date_range_agg_documents",
+    f"""
+WITH {_HITS_MERGE},
+d AS (SELECT doc_id,
+        {_TS0} + (doc_id % 7) * {_TS_STEP} AS ts FROM documents),
+h AS (SELECT ts FROM d JOIN hits USING (doc_id)),
+one AS (SELECT
+  CAST(SUM(CASE WHEN ts < {_TS0 + 2 * 86400} THEN 1 ELSE 0 END)
+    AS BIGINT) AS b0,
+  CAST(SUM(CASE WHEN ts >= {_TS0 + 2 * 86400}
+            AND ts < {_TS0 + 5 * 86400} THEN 1 ELSE 0 END)
+    AS BIGINT) AS b1,
+  CAST(SUM(CASE WHEN ts >= {_TS0 + 5 * 86400} THEN 1 ELSE 0 END)
+    AS BIGINT) AS b2
+  FROM h)
+SELECT bucket, n_docs FROM (
+  SELECT '*-{_TS0 + 2 * 86400}' AS bucket, b0 AS n_docs FROM one
+  UNION ALL SELECT '{_TS0 + 2 * 86400}-{_TS0 + 5 * 86400}', b1 FROM one
+  UNION ALL SELECT '{_TS0 + 5 * 86400}-*', b2 FROM one
+) ORDER BY bucket
+""",
+    doc="ES ``date_range`` aggregation: the range agg with ISO / "
+    "epoch bounds over a DATE doc-values field — from inclusive, to "
+    "exclusive, open sides, overlapping and EMPTY buckets returned, "
+    "ES's a-b / *-b / a-* keys (epoch seconds, timezone-free "
+    "cross-engine). Same single-reduction law as the numeric range "
+    "agg: every bucket a conditional sum in ONE pass. operators/"
+    "search_compose.py:search_date_range_agg; dispatched from "
+    "aggs.<name>.date_range.",
+)
+def date_range_agg_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx = _ts_index_for(spark, sf_dir)
+    lo = _TS0 + 2 * 86400
+    hi = _TS0 + 5 * 86400
+    return es_search(idx, {
+        "query": {"match": {"text": "merge"}},
+        "aggs": {"eras": {"date_range": {
+            "field": "ingest_ts",
+            "ranges": [
+                {"to": lo},
+                {"from": lo, "to": hi},
+                {"from": hi},
+            ],
+        }}},
+    })
+
+
+@register(
+    "terms_include_exclude_documents",
+    f"""
+WITH {_HITS_MERGE},
+b AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents d JOIN hits USING (doc_id)
+      WHERE d.source IS NOT NULL
+        AND regexp_full_match(d.source, 'src1.*')
+        AND NOT regexp_full_match(d.source, 'src1[23]')
+      GROUP BY 1)
+SELECT source, n_docs FROM b
+ORDER BY n_docs DESC, source LIMIT 10
+""",
+    doc="ES ``terms`` aggregation ``include``/``exclude`` regex "
+    "filters: buckets keep values matching include and not exclude, "
+    "both ANCHORED to the whole value (Lucene's convention — the "
+    "same anchoring law as the regexp query, paired with DuckDB's "
+    "regexp_full_match), exclude winning on overlap. The filter "
+    "rides the facet reduction's input — no second pass. The "
+    "partitioned expressions form raises by name. operators/"
+    "search_ext.py:search_facets; dispatched from "
+    "aggs.<name>.terms.include/exclude.",
+)
+def terms_include_exclude_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pycasselastic_spark.plans.tuning import ensure_parallelism
+    from pycasselastic_spark.queries.base import _t
+
+    idx = _postings_index_for(spark, sf_dir)
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
+    return es_search(idx, {
+        "query": {"match": {"text": "merge"}},
+        "aggs": {"srcs": {"terms": {
+            "field": "source", "size": 10,
+            "include": "src1.*", "exclude": "src1[23]",
+        }}},
+    }, docs=docs)

@@ -562,3 +562,51 @@ def test_serial_diff_and_scalar_bucket_pipelines(dv_idx):
                 "c": {"cumulative_sum": {"buckets_path": "_count"}},
             },
         }}})
+
+
+def test_percentile_ranks_exact_cdf(dv_idx):
+    import math
+
+    out = es_search(dv_idx, {
+        "query": {"match": {"text": "alpha"}},
+        "aggs": {"r": {"percentile_ranks": {
+            "field": "val", "values": [10, 25, 50],
+        }}},
+    }).collect()
+    # vals 10,20,30,50: <=10 -> 1/4; <=25 -> 2/4; <=50 -> 4/4
+    want = {10.0: 25.0, 25.0: 50.0, 50.0: 100.0}
+    for r in out:
+        assert r["rank_q20"] == math.floor(want[r["value"]] * 1048576)
+
+
+def test_date_range_buckets_and_keys(dv_idx):
+    import datetime as dt
+
+    cut = int(dt.datetime(2024, 2, 15, tzinfo=dt.timezone.utc).timestamp())
+    out = es_search(dv_idx, {
+        "query": {"match": {"text": "alpha"}},
+        "aggs": {"eras": {"date_range": {
+            "field": "d",
+            "ranges": [{"to": cut}, {"from": cut}],
+        }}},
+    }).collect()
+    got = {r["bucket"]: r["n_docs"] for r in out}
+    # hits: Jan 20, Feb 5 before the cut; Feb 25, Mar 9 after
+    assert got == {f"*-{cut}": 2, f"{cut}-*": 2}
+
+
+def test_terms_include_exclude_anchored(dv_idx):
+    from pyspark.sql import functions as F
+
+    from pycasselastic_spark.operators.search_ext import search_facets
+
+    docs = dv_idx.live_docvalues().select(dv_idx.id_col, F.col("tag"))
+    got = {r["tag"]: r["n_docs"] for r in search_facets(
+        dv_idx, docs, ["alpha"], "tag", include="x|y", exclude="y",
+    ).collect()}
+    assert got == {"x": 2}
+    # anchoring: include 'x' must not match a hypothetical 'xx'
+    got2 = {r["tag"]: r["n_docs"] for r in search_facets(
+        dv_idx, docs, ["alpha"], "tag", include="x",
+    ).collect()}
+    assert got2 == {"x": 2}
