@@ -106,3 +106,82 @@ def test_clause_budget(idx):
     huge = " OR ".join(["spark"] * 65)
     with pytest.raises(ValueError, match="max_clause_count"):
         _qs(idx, huge)
+
+
+# --- property: random boolean trees vs a Python reference evaluator ----------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_TERMS = ["spark", "join", "scan", "filter", "window"]
+
+_leaf = st.sampled_from(_TERMS)
+
+
+def _trees(depth):
+    if depth == 0:
+        return _leaf.map(lambda t: ("term", t))
+    sub = _trees(depth - 1)
+    return st.one_of(
+        _leaf.map(lambda t: ("term", t)),
+        st.tuples(st.just("and"), sub, sub),
+        st.tuples(st.just("or"), sub, sub),
+        # NOT only as the right arm of AND (the dispatched shape)
+        st.tuples(st.just("andnot"), sub, _leaf.map(lambda t: ("term", t))),
+    )
+
+
+def _render(node):
+    kind = node[0]
+    if kind == "term":
+        return node[1]
+    l, r = _render(node[1]), _render(node[2])
+    op = {"and": "AND", "or": "OR", "andnot": "AND NOT"}[kind]
+    return f"({l} {op} {r})"
+
+
+def _eval_ref(node, doc_terms, term_scores):
+    """Python reference: returns the doc's score or None (no match)."""
+    kind = node[0]
+    if kind == "term":
+        return term_scores.get(node[1])
+    ls = _eval_ref(node[1], doc_terms, term_scores)
+    rs = _eval_ref(node[2], doc_terms, term_scores)
+    if kind == "and":
+        return ls + rs if ls is not None and rs is not None else None
+    if kind == "or":
+        if ls is None and rs is None:
+            return None
+        return (ls or 0) + (rs or 0)
+    if kind == "andnot":
+        return ls if ls is not None and rs is None else None
+    raise AssertionError(kind)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(tree=_trees(2))
+def test_query_string_matches_reference_evaluator(idx, tree):
+    q = _render(tree)
+    try:
+        got = _qs(idx, q)
+    except ValueError as e:
+        # pure-negative compositions legitimately raise
+        assert "pure-negative" in str(e) or "NOT under OR" in str(e)
+        return
+    # per-doc per-term Q20 scores from the standalone probe
+    per_term = {t: _term_scores(idx, t) for t in _TERMS}
+    docs = {d for s in per_term.values() for d in s}
+    want = {}
+    for d in docs:
+        scores = {t: s[d] for t, s in per_term.items() if d in s}
+        val = _eval_ref(tree, set(scores), scores)
+        if val is not None:
+            want[d] = val
+    # the page is top-10; compare on the full set when it fits
+    if len(want) <= 10:
+        assert got == want
+    else:
+        assert set(got).issubset(want)
+        for d, s in got.items():
+            assert s == want[d]
