@@ -378,10 +378,19 @@ def dsir_importance_weights(
 
     raw_feats = doc_feats(df)
     tgt_feats = doc_feats(target)
-    raw_c = raw_feats.groupBy("feat").agg(F.count(F.lit(1)).alias("c_r"))
+    # ONE corpus tokenize pass: the per-doc bucket counts are the
+    # finest relation — materialize them (narrow: <= n_buckets rows
+    # per doc) and DERIVE the bucket totals and the scalar by
+    # re-aggregation instead of re-tokenizing the corpus per statistic
+    per_doc = (
+        raw_feats.groupBy(F.col(id_col), "feat")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    raw_c = per_doc.groupBy("feat").agg(F.sum("c").alias("c_r"))
+    raw_n = raw_c.agg(F.sum("c_r").alias("n_r"))
     tgt_c = tgt_feats.groupBy("feat").agg(F.count(F.lit(1)).alias("c_t"))
-    raw_n = raw_feats.agg(F.count(F.lit(1)).alias("n_r"))
-    tgt_n = tgt_feats.agg(F.count(F.lit(1)).alias("n_t"))
+    tgt_n = tgt_c.agg(F.sum("c_t").alias("n_t"))
     # full per-bucket table: buckets absent from one side still get
     # their smoothed mass (the join is outer over the bucket space)
     ratios = (
@@ -408,9 +417,6 @@ def dsir_importance_weights(
                 * F.lit(float(1 << 20))
             ).cast("long").alias("lr_q20"),
         )
-    )
-    per_doc = raw_feats.groupBy(F.col(id_col), "feat").agg(
-        F.count(F.lit(1)).alias("c")
     )
     return (
         per_doc.join(F.broadcast(ratios), "feat")

@@ -275,8 +275,15 @@ def _agg_scope(index: PostingsIndex, qtype: str, q):
             cl = index.live_postings_for(terms).select(id_col).distinct()
             ids = cl if ids is None else ids.join(cl, id_col, "semi")
         for c in q.get("must_not", []):
+            nterms = _clause_terms(index, c)
+            if not nterms:
+                # an exclusion analyzing to nothing would silently NOT
+                # apply — for delete_by_query that means deleting docs
+                # the caller explicitly protected (same law as the
+                # simple_query_string must_not path)
+                raise _err(f"must_not clause analyzing to no terms: {c!r}")
             veto = (
-                index.live_postings_for(_clause_terms(index, c))
+                index.live_postings_for(nterms)
                 .select(id_col)
                 .distinct()
             )
@@ -807,19 +814,27 @@ def es_search(
     if qtype == "wrapper":
         # ES ``wrapper``: a base64-encoded query embedded by tooling
         # that can't emit raw JSON (templating layers, signed query
-        # pass-through). Decode and re-dispatch — every strictness
-        # rule applies to the decoded query unchanged.
+        # pass-through). Decode ITERATIVELY with a depth bound — a
+        # wrapper-in-wrapper bomb must fail by name, not by stack
+        # exhaustion — then re-dispatch; every strictness rule applies
+        # to the decoded query unchanged.
         import base64
         import json as _json
 
-        if set(q) != {"query"}:
-            raise _err(f"wrapper options {sorted(set(q) - {'query'})}")
-        try:
-            inner = _json.loads(base64.b64decode(str(q["query"])))
-        except Exception:
-            raise _err("wrapper payload (not base64-encoded JSON)")
-        if not isinstance(inner, dict):
-            raise _err("wrapper payload (decoded to a non-object)")
+        depth = 0
+        while qtype == "wrapper":
+            depth += 1
+            if depth > 3:
+                raise _err("wrapper nesting deeper than 3")
+            if set(q) != {"query"}:
+                raise _err(f"wrapper options {sorted(set(q) - {'query'})}")
+            try:
+                inner = _json.loads(base64.b64decode(str(q["query"])))
+            except Exception:
+                raise _err("wrapper payload (not base64-encoded JSON)")
+            if not isinstance(inner, dict):
+                raise _err("wrapper payload (decoded to a non-object)")
+            qtype, q = _single(inner, "query")
         rebuilt = dict(body)
         rebuilt["query"] = inner
         return es_search(
@@ -1369,6 +1384,21 @@ def es_search(
                             "(Q20-quantized — compare sum/min/max/_count)"
                         )
                     return "avg_q20"
+                if leaf == "sum" and selector_ctx:
+                    # a FRACTIONAL metric's sum is ALSO stored in Q20
+                    # units (search_facet_metric_agg's order-independent
+                    # sum law) — a literal comparison would silently be
+                    # off by 2^20; integral sums stay exact
+                    mtype = dict(
+                        index.live_docvalues().dtypes
+                    ).get(metric_field)
+                    if mtype not in (
+                        "tinyint", "smallint", "int", "bigint",
+                    ):
+                        raise _err(
+                            "bucket_selector over a fractional metric's "
+                            "sum (Q20-quantized — compare min/max/_count)"
+                        )
                 if leaf not in cols:
                     raise _err(f"buckets_path leaf {leaf!r}")
                 return cols[leaf]
@@ -1745,11 +1775,15 @@ def es_search(
             import datetime as _dt
 
             try:
-                origin_s = int(
-                    _dt.datetime.fromisoformat(
-                        origin.replace("Z", "+00:00")
-                    ).timestamp()
+                parsed = _dt.datetime.fromisoformat(
+                    origin.replace("Z", "+00:00")
                 )
+                if parsed.tzinfo is None:
+                    # a NAIVE ISO string must not pick up the machine's
+                    # local timezone (bit-replayable contract) — ES
+                    # treats zoneless dates as UTC and so does this
+                    parsed = parsed.replace(tzinfo=_dt.timezone.utc)
+                origin_s = int(parsed.timestamp())
             except ValueError:
                 raise _err(f"distance_feature origin {origin!r}")
         else:
@@ -1917,6 +1951,15 @@ def es_search(
         if missing:
             raise _err(f"multi_match fields {missing} without a field index")
         sel = {f: field_indexes[f] for f in names}
+        first_an = sel[names[0]].analyzer
+        if any(ix.analyzer != first_an for ix in sel.values()):
+            # the query analyzes ONCE and probes every field with those
+            # tokens; under per-field chains that silently misses (ES
+            # analyzes per field) — raise rather than drift
+            raise _err(
+                "multi_match across fields with DIFFERENT analyzers "
+                "(per-field query analysis is not dispatched)"
+            )
         terms = sel[names[0]].analyze_text(str(q["query"]))
         if not terms:
             raise _err("multi_match query analyzing to no terms")
@@ -1999,6 +2042,12 @@ def es_search(
                 f"combined_fields fields {missing} without a field index"
             )
         sel = {f: field_indexes[f] for f in names}
+        first_an = sel[names[0]].analyzer
+        if any(ix.analyzer != first_an for ix in sel.values()):
+            raise _err(
+                "combined_fields across fields with DIFFERENT analyzers "
+                "(the synthetic combined field needs one chain)"
+            )
         cterms = sel[names[0]].analyze_text(str(q["query"]))
         if not cterms:
             raise _err("combined_fields query analyzing to no terms")
@@ -2110,16 +2159,11 @@ def es_search(
         if not toks:
             raise _err("match_bool_prefix analyzing to no terms")
         fixed, last = toks[:-1], toks[-1]
-        dict_scan = (
-            index.live_postings()
-            .filter(F.col("term").startswith(last))
-            .groupBy("term")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .orderBy(F.col("df").desc(), F.col("term").asc())
-            .limit(max_exp)
+        from pycasselastic_spark.operators.search_probes import (
+            prefix_expansion_terms,
         )
-        expansions = [r["term"] for r in dict_scan.collect()]
-        scoring = fixed + expansions
+
+        scoring = fixed + prefix_expansion_terms(index, last, max_exp)
         if not scoring:
             return index.postings.sparkSession.createDataFrame(
                 [], f"{index.id_col} LONG, n_hit_terms LONG, score_q20 LONG"

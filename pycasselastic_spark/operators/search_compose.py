@@ -732,16 +732,11 @@ def multi_match_bool_prefix(
         if not toks:
             continue
         fixed, last = toks[:-1], toks[-1]
-        dict_scan = (
-            index.live_postings()
-            .filter(F.col("term").startswith(last))
-            .groupBy("term")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .orderBy(F.col("df").desc(), F.col("term").asc())
-            .limit(max_expansions)
+        from pycasselastic_spark.operators.search_probes import (
+            prefix_expansion_terms,
         )
-        expansions = [r["term"] for r in dict_scan.collect()]
-        scoring = fixed + expansions
+
+        scoring = fixed + prefix_expansion_terms(index, last, max_expansions)
         if not scoring:
             continue
         scored = _bm25_scored(index, scoring, k1, b).select(
@@ -1432,26 +1427,38 @@ def pinned_search(
     pin_live = pin.join(F.broadcast(live.join(
         F.broadcast(pin.select(id_col)), id_col, "semi"
     )), id_col, "semi")
-    w_pin = Window.orderBy(F.col("_pos").asc())
-    pinned_page = pin_live.select(
-        F.row_number().over(w_pin).alias("rnk"),
+    pinned_rows = pin_live.select(
         F.col(id_col),
         F.lit(True).alias("pinned"),
+        F.lit(0).alias("_grp"),
+        F.col("_pos").cast("long").alias("_a"),
+        F.lit(0).cast("long").alias("_b"),
     )
-    organic = bm25_topk_indexed(
-        index, organic_terms, k=k + len(pinned_ids), k1=k1, b=b
-    ).join(F.broadcast(pin.select(id_col)), id_col, "left_anti")
-    w_org = Window.orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
-    n_pin = pinned_page.count()
-    organic_page = organic.select(
-        (F.row_number().over(w_org) + F.lit(n_pin)).alias("rnk"),
-        F.col(id_col),
-        F.lit(False).alias("pinned"),
+    organic_top = (
+        bm25_topk_indexed(
+            index, organic_terms, k=k + len(pinned_ids), k1=k1, b=b
+        )
+        .join(F.broadcast(pin.select(id_col)), id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            F.lit(False).alias("pinned"),
+            F.lit(1).alias("_grp"),
+            (-F.col("score_q20")).alias("_a"),
+            F.col(id_col).cast("long").alias("_b"),
+        )
     )
+    # ONE rank law over the union: pinned first in list order, then
+    # organic by (score desc, id) — no driver-side count action, and
+    # the window input is (k + len(ids))-bounded by construction.
     # ES page semantics: pinned hits occupy the TOP of the same
-    # size-bounded page, they don't extend it
+    # size-bounded page, they don't extend it.
+    w = Window.orderBy("_grp", "_a", "_b")
     return (
-        pinned_page.unionByName(organic_page)
+        pinned_rows.unionByName(organic_top)
+        .select(
+            F.row_number().over(w).alias("rnk"),
+            F.col(id_col), "pinned",
+        )
         .orderBy("rnk")
         .limit(k)
     )
@@ -1756,7 +1763,11 @@ def search_auto_date_histogram_agg(
         )
     return (
         dv.select(
-            ((F.col("_s") - (F.col("_s") % width))).alias("bucket_s")
+            # pmod keeps the bucket key a floor-multiple of the width
+            # for NEGATIVE epochs too (Spark's % takes the dividend's
+            # sign, which would merge the -w and 0 buckets)
+            ((F.col("_s") - F.pmod(F.col("_s"), F.lit(width))))
+            .alias("bucket_s")
         )
         .groupBy("bucket_s")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -1856,11 +1867,13 @@ def search_date_range_agg(
         if v is None:
             return None
         if isinstance(v, str):
-            return int(
-                _dt.datetime.fromisoformat(
-                    v.replace("Z", "+00:00")
-                ).timestamp()
-            )
+            parsed = _dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
+            if parsed.tzinfo is None:
+                # zoneless ISO bounds are UTC (ES's law) — never the
+                # machine's local timezone, which would shift bucket
+                # bounds per deployment
+                parsed = parsed.replace(tzinfo=_dt.timezone.utc)
+            return int(parsed.timestamp())
         return int(v)
 
     id_col = index.id_col

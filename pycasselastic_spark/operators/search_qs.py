@@ -101,6 +101,15 @@ def _lex(s: str) -> list[tuple]:
 
 
 def _leaf(word: str) -> tuple:
+    if word[0] in "+-":
+        # Lucene's +required/-prohibited operators: the analyzer's
+        # punctuation strip would silently turn '-bar' into a POSITIVE
+        # 'bar' clause — the forbidden failure mode; the AND / AND NOT
+        # grammar expresses both, so raise by name
+        raise _err(
+            f"Lucene {word[0]!r} operator in {word!r} "
+            "(use AND / AND NOT)"
+        )
     if ":" in word:
         raise _err(f"field-scoped clause {word!r}")
     if "^" in word:

@@ -610,3 +610,50 @@ def test_terms_include_exclude_anchored(dv_idx):
         dv_idx, docs, ["alpha"], "tag", include="x",
     ).collect()}
     assert got2 == {"x": 2}
+
+
+def test_wrapper_nesting_bound(dv_idx):
+    import base64
+    import json
+
+    inner = {"match": {"text": "alpha"}}
+    body = json.dumps(inner)
+    for _ in range(5):
+        body = json.dumps({"wrapper": {"query": base64.b64encode(
+            body.encode()).decode()}})
+    with pytest.raises(ValueError, match="nesting"):
+        es_search(dv_idx, {"query": json.loads(body)["wrapper"] and
+                           json.loads(body)})
+    # two levels unwrap fine and match the direct request
+    two = json.dumps({"wrapper": {"query": base64.b64encode(
+        json.dumps({"wrapper": {"query": base64.b64encode(
+            json.dumps(inner).encode()).decode()}}).encode()).decode()}})
+    direct = es_search(dv_idx, {"query": inner, "size": 5}).collect()
+    wrapped = es_search(dv_idx, {"query": json.loads(two), "size": 5}
+                        ).collect()
+    assert wrapped == direct
+
+
+def test_agg_scope_must_not_zero_terms_raises(dv_idx):
+    with pytest.raises(ValueError, match="must_not clause analyzing"):
+        es_search(dv_idx, {
+            "query": {"bool": {
+                "must": [{"match": {"text": "alpha"}}],
+                "must_not": [{"match": {"text": ""}}],
+            }},
+            "aggs": {"s": {"stats": {"field": "val"}}},
+        })
+
+
+def test_date_range_naive_iso_is_utc(dv_idx):
+    # a zoneless ISO bound must mean UTC on every machine
+    out = es_search(dv_idx, {
+        "query": {"match": {"text": "alpha"}},
+        "aggs": {"eras": {"date_range": {
+            "field": "d",
+            "ranges": [{"to": "2024-02-15"}, {"from": "2024-02-15"}],
+        }}},
+    }).collect()
+    got = {r["bucket"]: r["n_docs"] for r in out}
+    cut = 1707955200  # 2024-02-15T00:00:00Z
+    assert got == {f"*-{cut}": 2, f"{cut}-*": 2}

@@ -185,3 +185,12 @@ def test_query_string_matches_reference_evaluator(idx, tree):
         assert set(got).issubset(want)
         for d, s in got.items():
             assert s == want[d]
+
+
+def test_lucene_plus_minus_operators_raise(idx):
+    # '-bar' would analyze to a POSITIVE 'bar' clause via punct-strip —
+    # the forbidden silent failure (review finding)
+    with pytest.raises(ValueError, match="operator"):
+        _qs(idx, "spark -filter")
+    with pytest.raises(ValueError, match="operator"):
+        _qs(idx, "+spark join")
