@@ -68,70 +68,66 @@ from pycasselastic_spark.queries.events_ops import (  # noqa: F401
 # every test look queries up BY NAME, so reordering is behavior-neutral
 # everywhere except the gate's slot assignment.
 _GATE_PRIORITY: list[str] = [
-    # ROUND 13 gate rotation (exactly the plan committed in round 12,
-    # COVERAGE.md): slots 0-30 retire the LAST 31 stale-r8 rows in
-    # their CORRECTNESS_r08 order — after CORRECTNESS_r13 lands green,
-    # no driver row in the catalog is older than round 9; slots 31-37
-    # the seven NEW round-13 queries (kNN composition: filtered /
-    # additive hybrid / rrf retriever; simple_query_string
-    # phrase+prefix grammar; date_histogram fixed_interval with
-    # zero-fill; multi_match phrase / cross_fields); slots 38-49 the
-    # 12 OLDEST stale-r9 rows in their CORRECTNESS_r09 order (the
-    # remaining 38 r9 rows head the round-14 rotation — enumerated in
-    # COVERAGE.md).
-    # --- slots 0-30: the last stale-r8 rows, CORRECTNESS_r08 order ---
-    "q11_important_stock",
-    "q12_late_lines_by_priority",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_disjunctive_revenue",
-    "q20_part_supplier_chain",
-    "q21_sole_supplier_orders",
-    "q22_idle_rich_customers",
-    "orders_above_customer_avg",
-    "having_frequent_buyers",
-    "skew_salted_agg_events",
-    "salted_join_events_customer",
-    "neardup_cluster_dedup",
-    "embedding_lsh_neardup",
-    "embedding_ivf_neardup",
-    "cosine_topk_ivf",
-    "contamination_overlap",
-    "curation_pipeline_documents",
-    "udtf_chunk_documents",
-    "multimodal_ppm_decode_stats",
-    "multimodal_ppm_resize",
-    "multimodal_image_resize",
-    "multimodal_audio_resample",
-    "streaming_stateful_first_event",
-    "streaming_session_window_events",
-    "conjunctive_bm25_indexed_documents",
-    "streaming_indexed_search_documents",
-    # --- slots 31-37: NEW round-13 queries ----------------------------
-    "knn_filtered_search_embeddings",
-    "hybrid_knn_bm25_documents",
-    "hybrid_rrf_api_documents",
-    "sqs_phrase_prefix_documents",
-    "date_histogram_fixed_documents",
-    "phrase_multi_match_documents",
-    "cross_fields_bm25_documents",
-    # --- slots 38-49: oldest stale-r9 rows, CORRECTNESS_r09 order -----
-    "postings_index_health_documents",
-    "search_highlight_documents",
-    "more_like_this_documents",
-    "fuzzy_bm25_search_documents",
-    "gap_fill_hourly_events",
-    "stratified_sample_documents",
-    "weighted_sample_documents",
-    "shard_assignment_documents",
-    "zorder_key_events",
-    "label_centroid_embeddings",
-    "tfidf_top_terms_per_doc",
-    "streaming_sliding_window_events",
+    # ROUND 14 gate rotation (exactly the plan committed in round 13,
+    # COVERAGE.md): slots 0-47 are the 48 post-gate round-12/13
+    # registrations in their registration order — none of them has
+    # EVER held a driver-green row (they were verified only by the
+    # local 286/286 sweep and, for 12 of them, the round-13 judge's
+    # oracle replay); slots 48-49 take the first two of the 38
+    # stale-r9 rows in their CORRECTNESS_r09 order. The remaining 36
+    # stale-r9 rows head the round-15 rotation (COVERAGE.md).
+    # --- slots 0-47: post-gate r12/13 registrations, registration order
+    "facet_date_histogram_agg_documents",
+    "range_query_facet_agg_documents",
+    "bool_min_should_match_documents",
+    "highlighted_search_documents",
+    "multi_terms_agg_documents",
+    "delete_by_query_documents",
+    "filter_agg_documents",
+    "span_near_documents",
+    "span_first_documents",
+    "match_bool_prefix_documents",
+    "metric_aggs_documents",
+    "dsir_importance_documents",
+    "sorted_search_after_documents",
+    "ccnet_quality_sample_documents",
+    "fuzzy_match_grouped_customer_names",
+    "bool_prefix_multi_match_documents",
+    "function_score_sqrt_documents",
+    "multi_knn_search_embeddings",
+    "cumulative_derivative_documents",
+    "bucket_selector_sort_documents",
+    "filters_agg_documents",
+    "adjacency_matrix_documents",
+    "rank_feature_documents",
+    "distance_feature_documents",
+    "pinned_search_documents",
+    "combined_fields_documents",
+    "query_string_bool_documents",
+    "query_string_mixed_documents",
+    "rare_terms_agg_documents",
+    "global_extended_stats_documents",
+    "mget_documents",
+    "semdedup_prune_embeddings",
+    "unimax_allocation_documents",
+    "unimax_sample_documents",
+    "count_api_documents",
+    "intervals_match_documents",
+    "sampler_agg_documents",
+    "weighted_avg_agg_documents",
+    "mad_agg_documents",
+    "wrapper_query_documents",
+    "fields_fetch_documents",
+    "histogram_zero_fill_documents",
+    "auto_date_histogram_documents",
+    "hard_negative_mining_embeddings",
+    "serial_diff_stats_bucket_documents",
+    "percentile_ranks_documents",
+    "date_range_agg_documents",
+    "terms_include_exclude_documents",
+    # --- slots 48-49: oldest stale-r9 rows, CORRECTNESS_r09 order -----
+    "streaming_dedup_events",
+    "fuzzy2_bm25_search_documents",
 ]
 
 

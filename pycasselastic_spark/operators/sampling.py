@@ -445,12 +445,14 @@ def unimax_allocation(
     past the cap and no head source starves the tail.
 
     Returns the per-stratum allocation table ``(<strata>, n_docs,
-    alloc_q20, rate_q20, kept_docs)``: alloc the water-filled budget,
+    alloc_q20, rate_q20, at_cap)``: alloc the water-filled budget,
     rate = min(1, alloc/n) (the dedup-style keep rate; full-cap
     strata sample at 1.0 and repeat up to max_epochs at training
-    time), kept_docs the md5-keyed keep count at that rate — the
-    same 52-bit uniform every sampler here uses, so the decision
-    replays bit-for-bit cross-engine.
+    time), at_cap whether the stratum hit its epoch cap (the
+    water-filling "full" flag). The md5-keyed per-document keep
+    decision at rate_q20 lives in ``unimax_sample`` — the same
+    52-bit uniform every sampler here uses, so the decision replays
+    bit-for-bit cross-engine.
 
     Determinism: the greedy loop has the standard water-filling
     closed form — fullness is prefix-closed in ascending size order,

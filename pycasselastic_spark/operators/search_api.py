@@ -1371,9 +1371,12 @@ def es_search(
                         f"buckets_path head {head!r} "
                         f"(known sub-aggregations: {metric_name!r})"
                     )
+                # ES stats.count counts metric VALUES (NULLs excluded),
+                # so '<stats>.count' reads val_count, not the bucket
+                # doc count n_docs ('_count' above reads that)
                 cols = {
                     "sum": "sum_val", "min": "min_val",
-                    "max": "max_val", "count": "n_docs",
+                    "max": "max_val", "count": "val_count",
                 }
                 if leaf == "avg":
                     if selector_ctx:
@@ -1404,7 +1407,8 @@ def es_search(
                 return cols[leaf]
 
             buckets = search_facet_metric_agg(
-                index, terms, field, metric_field, order_by="n_docs"
+                index, terms, field, metric_field, order_by="n_docs",
+                include_value_count=True,
             )
             if selector is not None:
                 if set(selector) != {"buckets_path", "script"}:
@@ -1444,7 +1448,10 @@ def es_search(
                 )
             else:
                 buckets = buckets.orderBy(F.col("bucket").asc())
-            return buckets
+            # val_count exists only for buckets_path resolution; the
+            # response schema (bucket, n_docs, min/max/sum/avg) is
+            # pinned by the oracles
+            return buckets.drop("val_count")
         if sub:
             _sn, s = _single(sub, "sub-aggregation")
             if set(s) == {"stats"}:
@@ -2012,6 +2019,7 @@ def es_search(
             index, str(q["query"]),
             default_operator=str(q.get("default_operator", "or")),
             k=size,
+            field_indexes=field_indexes,
         )
 
     if qtype == "combined_fields":
@@ -2059,12 +2067,11 @@ def es_search(
             # AND over the combined field: every distinct query term
             # must appear in SOME field — filter BEFORE the limit so
             # the page never under-fills (the conjunctive-probe law);
-            # the unlimited inner call is still TakeOrderedAndProject
+            # k=None skips the inner sort entirely, so the only sort
+            # is the root TakeOrderedAndProject after the filter
             cid = sel[names[0]].id_col
             return (
-                combined_fields_search(
-                    sel, cterms, weights=weights, k=2_147_483_647
-                )
+                combined_fields_search(sel, cterms, weights=weights, k=None)
                 .filter(F.col("n_hit_terms") == len(set(cterms)))
                 .orderBy(F.col("score_q20").desc(), F.col(cid).asc())
                 .limit(size)

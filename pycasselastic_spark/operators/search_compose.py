@@ -913,6 +913,7 @@ def search_facet_metric_agg(
     facet_field: str,
     metric_field: str,
     order_by: str = "n_docs",
+    include_value_count: bool = False,
 ) -> DataFrame:
     """ES ``terms`` aggregation carrying a METRIC sub-aggregation —
     the most common composed request ("per source: hit count and
@@ -959,19 +960,26 @@ def search_facet_metric_agg(
         if integral
         else F.sum(F.floor(dv_col(metric_field) * Q20)).cast("long")
     )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(dv_col(metric_field)).alias("min_val"),
+        F.max(dv_col(metric_field)).alias("max_val"),
+        sum_col.alias("sum_val"),
+        F.floor(F.avg(dv_col(metric_field)) * Q20)
+        .cast("long")
+        .alias("avg_q20"),
+    ]
+    if include_value_count:
+        # ES stats.count is the number of metric VALUES (NULLs
+        # excluded), NOT the bucket doc count — buckets_path
+        # '<stats>.count' resolves here, while '_count' reads n_docs.
+        # Opt-in so the base response schema stays pinned.
+        aggs.append(F.count(dv_col(metric_field)).alias("val_count"))
     return (
         dv.join(_bounded_broadcast(hits), id_col)
         .filter(dv_col(facet_field).isNotNull())
         .groupBy(dv_col(facet_field).alias("bucket"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min(dv_col(metric_field)).alias("min_val"),
-            F.max(dv_col(metric_field)).alias("max_val"),
-            sum_col.alias("sum_val"),
-            F.floor(F.avg(dv_col(metric_field)) * Q20)
-            .cast("long")
-            .alias("avg_q20"),
-        )
+        .agg(*aggs)
         .orderBy(F.col(order_by).desc(), F.col("bucket").asc())
     )
 
@@ -1468,7 +1476,7 @@ def combined_fields_search(
     field_indexes: dict[str, PostingsIndex],
     query_terms: list[str],
     weights: dict[str, int] | None = None,
-    k: int = 10,
+    k: int | None = 10,
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
@@ -1587,13 +1595,22 @@ def combined_fields_search(
             ).cast("long"),
         )
     )
-    return (
+    scored = (
         per_term_doc.groupBy("_id")
         .agg(
             F.count(F.lit(1)).alias("n_hit_terms"),
             F.sum("s_q20").cast("long").alias("score_q20"),
         )
         .select(F.col("_id").alias(id_col), "n_hit_terms", "score_q20")
+    )
+    if k is None:
+        # unsorted/unlimited mode for callers that filter the hit set
+        # and re-sort at the root (the combined_fields AND path) — an
+        # inner orderBy past topKSortFallbackThreshold would plan a
+        # full global sort that the outer sort then throws away
+        return scored
+    return (
+        scored
         .orderBy(F.col("score_q20").desc(), F.col(id_col).asc())
         .limit(k)
     )

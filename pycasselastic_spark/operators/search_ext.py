@@ -36,6 +36,11 @@ from pycasselastic_spark.operators.search_index import (  # noqa: E402
     _bounded_broadcast,
 )
 
+# ES rejects aggregations that would create more buckets than
+# ``search.max_buckets`` (default 65536, too_many_buckets_exception);
+# every zero-filling agg here enforces the same bound by name.
+MAX_HISTOGRAM_BUCKETS = 65536
+
 
 # ES field_value_factor modifiers — EXACTLY ES's function names: the
 # log family is base 10, the ln family natural (Lucene's
@@ -1032,10 +1037,12 @@ def search_histogram_agg(
     synthesizes EMPTY buckets across the hit set's value span —
     the zero-gap rendering every distribution chart needs. Same plan
     shape as ``search_stats_agg`` with a two-column aggregation; the
-    zero-fill is ONE generate-series from a one-row min/max reduction
+    zero-fill is a local range scan sized by a one-row min/max reduction
     over bucket INDEXES (exact longs — the double bucket key is one
-    identical multiply per engine). Bucket counts are bounded by the
-    field's range over the hit set, never the corpus."""
+    identical multiply per engine), bounded by ES's
+    ``search.max_buckets`` (65536) — a small interval over a wide-range
+    field raises ``ValueError`` by name instead of exploding a
+    billion-row grid (ES throws too_many_buckets_exception there)."""
     if field not in index.stored_fields:
         raise ValueError(
             f"field {field!r} is not stored in this index's doc values "
@@ -1059,17 +1066,33 @@ def search_histogram_agg(
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
     if min_doc_count == 0:
-        span = counts.agg(
+        # ES bounds bucket generation at search.max_buckets (65536) and
+        # rejects the request past it; an unguarded sequence over a wide
+        # span (interval=1.0 on an epoch-seconds field) would generate
+        # billions of grid rows. One-row scalar reduction (the repo's
+        # bounded-collect rule), then the grid is a local range scan —
+        # the final plan no longer recomputes the span either.
+        row = counts.agg(
             F.min("_bidx").alias("_lo"), F.max("_bidx").alias("_hi")
-        ).filter(F.col("_lo").isNotNull())
-        grid = span.select(
-            F.explode(F.sequence("_lo", "_hi")).alias("_bidx")
-        )
-        counts = grid.join(counts, "_bidx", "left").select(
-            "_bidx",
-            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long")
-            .alias("n_docs"),
-        )
+        ).collect()[0]
+        lo, hi = row["_lo"], row["_hi"]
+        if lo is not None:
+            n_buckets = int(hi) - int(lo) + 1
+            if n_buckets > MAX_HISTOGRAM_BUCKETS:
+                raise ValueError(
+                    f"histogram zero-fill spans {n_buckets} buckets, over "
+                    f"the max_buckets bound {MAX_HISTOGRAM_BUCKETS} (ES's "
+                    f"search.max_buckets); widen interval={interval!r} or "
+                    f"use min_doc_count=1"
+                )
+            grid = counts.sparkSession.range(int(lo), int(hi) + 1).select(
+                F.col("id").cast("long").alias("_bidx")
+            )
+            counts = grid.join(counts, "_bidx", "left").select(
+                "_bidx",
+                F.coalesce(F.col("n_docs"), F.lit(0)).cast("long")
+                .alias("n_docs"),
+            )
     return (
         counts.select(
             (F.col("_bidx").cast("double") * F.lit(float(interval))

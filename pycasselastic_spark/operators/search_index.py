@@ -256,6 +256,23 @@ class Analyzer:
                     out = out[:-1]
         return out
 
+    def normalize_base_py(self, token: str) -> str:
+        """The CHARACTER pipeline only (lowercase + punct strip) — what
+        Lucene's ``Analyzer.normalize`` runs on wildcard/fuzzy/prefix
+        bases: multi-term query bases are normalized but never
+        tokenized, stopped, synonym-rewritten, or stemmed (stemming a
+        prefix would change what it prefixes). query_string routes its
+        ``foo*`` / ``foo~N`` bases through here so ``Spark*`` under a
+        lowercasing analyzer expands exactly like ``spark*``."""
+        import re
+
+        out = token
+        if self.lowercase:
+            out = out.lower()
+        if self.strip_punct:
+            out = re.sub(_PUNCT_RE, "", out)
+        return out
+
     def apply_py(self, token: str) -> str:
         """Python twin of ``_apply_col`` — query-side analysis must be
         byte-identical to ingest-side (the one invariant every search

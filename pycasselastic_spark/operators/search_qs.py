@@ -6,12 +6,20 @@ search box; here the subset with deterministic, index-served
 semantics is dispatched and everything else raises by name:
 
 * leaves: bare terms, ``"quoted phrases"`` (``~N`` slop), trailing
-  ``*`` prefixes, ``~N`` fuzzy terms
+  ``*`` prefixes, ``~N`` fuzzy terms (prefix/fuzzy bases normalized
+  through the analyzer's character pipeline — Lucene's
+  ``Analyzer.normalize`` contract), ``field:[a TO b]`` /
+  ``field:{a TO b}`` ranges over stored doc-values (constant score
+  1.0, ``*`` open endpoints, ``[* TO *]`` = exists)
+* ``field:`` scoping on any leaf, resolved against the per-field
+  index registry multi_match uses (``field_indexes``); ``^boost``
+  (INTEGER >= 1 — scores live in exact Q20 space; fractional boosts
+  raise by name) on leaves and parenthesized groups
 * operators: ``AND`` / ``&&``, ``OR`` / ``||``, ``NOT`` / ``!``,
   parenthesized grouping, with Lucene precedence NOT > AND > OR and
   the body's ``default_operator`` filling bare adjacency
-* raised by name: ``field:`` scoping, ``^boost``, range syntax
-  (``[a TO b]``), leading/inner wildcards, regex ``/…/``, the
+* raised by name: ``field:(grouped)`` scope distribution,
+  leading/inner wildcards, regex ``/…/``, fractional boosts, the
   error-forgiving lenient mode
 
 Scoring is Lucene's: a document's score is the SUM of the scores of
@@ -50,11 +58,58 @@ def _err(what: str) -> ValueError:
 # --- lexer -------------------------------------------------------------------
 
 _WORD = re.compile(r'[^\s()"]+')
+_FIELD = re.compile(r"([A-Za-z_][\w.]*):")
+_BOOST = re.compile(r"\^(\d+(?:\.\d+)?)")
+_RANGE = re.compile(
+    r"([\[\{])\s*([^\s\]\}]+)\s+TO\s+([^\s\]\}]+)\s*([\]\}])"
+)
+
+
+def _boost_wrap(node: tuple, boost: str | None) -> tuple:
+    """Lucene ``^boost``: a multiplicative factor on the leaf's score.
+    Scores are exact Q20 integers, so the factor must be an integer
+    >= 1 (same law as combined_fields' integral boosts) — a
+    fractional boost would force float score space and raise by name."""
+    if boost is None:
+        return node
+    if "." in boost:
+        raise _err(
+            f"fractional boost ^{boost} (scores are exact Q20 "
+            "integers — integer boosts >= 1 only)"
+        )
+    n = int(boost)
+    if n < 1:
+        raise _err(f"boost ^{boost} (integer >= 1 only)")
+    return node if n == 1 else ("boost", n, node)
+
+
+def _lex_quoted(s: str, i: int) -> tuple[tuple, int]:
+    """A '"...'" phrase starting at ``i``: returns the leaf (with ~slop
+    and ^boost suffixes consumed) and the next position."""
+    j = s.find('"', i + 1)
+    if j < 0:
+        raise _err("unterminated phrase quote")
+    text = s[i + 1:j]
+    i = j + 1
+    slop = 0
+    m = re.match(r"~(\d+)", s[i:])
+    if m:
+        slop = int(m.group(1))
+        i += m.end()
+    node = ("phrase", text, slop)
+    m = _BOOST.match(s, i)
+    if m:
+        node = _boost_wrap(node, m.group(1))
+        i = m.end()
+    return node, i
 
 
 def _lex(s: str) -> list[tuple]:
-    """Tokens: ('lparen',) ('rparen',) ('op', AND|OR|NOT) and leaves
-    ('term', v) ('phrase', text, slop) ('prefix', v) ('fuzzy', v, d)."""
+    """Tokens: ('lparen',) ('rparen',) ('boostmark', n) ('op',
+    AND|OR|NOT) and leaves ('term', v) ('phrase', text, slop)
+    ('prefix', v) ('fuzzy', v, d) ('range', lo, hi, lo_incl, hi_incl)
+    — leaves optionally wrapped in ('field', name, leaf) and
+    ('boost', n, leaf)."""
     toks: list[tuple] = []
     i, n = 0, len(s)
     while i < n:
@@ -69,20 +124,55 @@ def _lex(s: str) -> list[tuple]:
         if ch == ")":
             toks.append(("rparen",))
             i += 1
+            # '(a OR b)^2' — Lucene's group boost rides the closing
+            # parenthesis; the parser applies it on group close
+            m = _BOOST.match(s, i)
+            if m:
+                if "." in m.group(1):
+                    raise _err(
+                        f"fractional boost ^{m.group(1)} (scores are "
+                        "exact Q20 integers — integer boosts >= 1 only)"
+                    )
+                toks.append(("boostmark", int(m.group(1))))
+                i = m.end()
             continue
         if ch == '"':
-            j = s.find('"', i + 1)
-            if j < 0:
-                raise _err("unterminated phrase quote")
-            text = s[i + 1:j]
-            i = j + 1
-            slop = 0
-            m = re.match(r"~(\d+)", s[i:])
-            if m:
-                slop = int(m.group(1))
-                i += m.end()
-            toks.append(("phrase", text, slop))
+            node, i = _lex_quoted(s, i)
+            toks.append(node)
             continue
+        fm = _FIELD.match(s, i)
+        if fm:
+            fname = fm.group(1)
+            if fname not in ("AND", "OR", "NOT", "TO"):
+                j = fm.end()
+                if j < n and s[j] == '"':
+                    inner, i = _lex_quoted(s, j)
+                    toks.append(("field", fname, inner))
+                    continue
+                if j < n and s[j] == "(":
+                    raise _err(
+                        f"field-scoped group {fname}:(...) (scope "
+                        "each leaf: f:a OR f:b)"
+                    )
+                rm = _RANGE.match(s, j)
+                if rm:
+                    node = ("range", rm.group(2), rm.group(3),
+                            rm.group(1) == "[", rm.group(4) == "]")
+                    i = rm.end()
+                    bm = _BOOST.match(s, i)
+                    if bm:
+                        node = _boost_wrap(node, bm.group(1))
+                        i = bm.end()
+                    toks.append(("field", fname, node))
+                    continue
+                if j < n and s[j] in "[{":
+                    raise _err(f"range syntax after {fname!r}:")
+                wm = _WORD.match(s, j)
+                if not wm:
+                    raise _err(f"field {fname!r}: without a value")
+                i = wm.end()
+                toks.append(("field", fname, _leaf(wm.group(0))))
+                continue
         m = _WORD.match(s, i)
         word = m.group(0)
         i = m.end()
@@ -112,27 +202,36 @@ def _leaf(word: str) -> tuple:
         )
     if ":" in word:
         raise _err(f"field-scoped clause {word!r}")
+    boost = None
+    bm = re.search(r"\^(\d+(?:\.\d+)?)$", word)
+    if bm:
+        boost, word = bm.group(1), word[:bm.start()]
+        if not word:
+            raise _err(f"boost ^{boost} without an operand")
     if "^" in word:
         raise _err(f"boost syntax {word!r}")
     if word in ("[", "]", "{", "}", "TO") or word.startswith(("[", "{")):
-        raise _err(f"range syntax near {word!r}")
+        raise _err(
+            f"range syntax near {word!r} (ranges are field-scoped: "
+            "f:[a TO b])"
+        )
     if word.startswith("/") and word.endswith("/") and len(word) > 1:
         raise _err(f"regex clause {word!r}")
     if "~" in word:
         base, _, d = word.rpartition("~")
         if not d.isdigit() or not base or "*" in base or "~" in base:
             raise _err(f"fuzzy syntax in {word!r}")
-        return ("fuzzy", base, int(d))
+        return _boost_wrap(("fuzzy", base, int(d)), boost)
     if word.endswith("*"):
         if "*" in word[:-1] or len(word) == 1:
             raise _err(
                 f"wildcard syntax in {word!r} "
                 "(only a trailing '*' prefix is dispatched)"
             )
-        return ("prefix", word[:-1])
+        return _boost_wrap(("prefix", word[:-1]), boost)
     if "*" in word or "?" in word:
         raise _err(f"non-trailing wildcard in {word!r}")
-    return ("term", word)
+    return _boost_wrap(("term", word), boost)
 
 
 # --- parser (Lucene precedence: NOT > AND > OR) ------------------------------
@@ -149,7 +248,8 @@ class _Parser:
 
     def _starts_operand(self, t) -> bool:
         return t is not None and t[0] in (
-            "lparen", "term", "phrase", "prefix", "fuzzy"
+            "lparen", "term", "phrase", "prefix", "fuzzy",
+            "field", "boost", "range",
         )
 
     def parse(self):
@@ -210,9 +310,18 @@ class _Parser:
             if self.peek() != ("rparen",):
                 raise _err("unbalanced parenthesis")
             self.i += 1
+            nxt = self.peek()
+            if nxt is not None and nxt[0] == "boostmark":
+                # '(a OR b)^2': the group boost multiplies the summed
+                # subtree score — Lucene's multiplicative boost law
+                self.i += 1
+                if nxt[1] > 1:
+                    node = ("boost", nxt[1], node)
             return node
         if t[0] == "rparen":
             raise _err("unbalanced parenthesis")
+        if t[0] == "boostmark":
+            raise _err("boost without an operand")
         if t[0] == "op":
             raise _err(f"operator {t[1]} without a left operand")
         self.i += 1
@@ -222,7 +331,91 @@ class _Parser:
 # --- compiler: hit-relation algebra ------------------------------------------
 
 
-def _compile(index: PostingsIndex, node, k1: float, b: float) -> DataFrame:
+def _normalize_base(index: PostingsIndex, base: str) -> str:
+    """Prefix/fuzzy bases through the analyzer's CHARACTER pipeline
+    (Lucene's ``Analyzer.normalize`` contract): ``Spark*`` under a
+    lowercasing analyzer expands like ``spark*`` instead of raising
+    'expanding to no terms' while the bare term matches — term leaves
+    are fully analyzed, so the two leaf families stay consistent
+    within one grammar. Token filters (stop/synonym/stem) do NOT run —
+    stemming a prefix would change what it prefixes. Legacy
+    (analyzer=None) indexes match raw bytes, so the base stays raw."""
+    if index.analyzer is None:
+        return base
+    out = index.analyzer.normalize_base_py(base)
+    if not out:
+        raise _err(f"prefix/fuzzy base normalizing to nothing: {base!r}")
+    return out
+
+
+def _range_endpoint(raw: str):
+    """A range endpoint literal, typed: ``*`` is the open bound,
+    integers and doubles parse numerically, anything else stays a
+    string (Spark casts the literal to the doc-values column's type —
+    ISO dates against date columns compare correctly)."""
+    if raw == "*":
+        return None
+    try:
+        return int(raw)
+    except ValueError:
+        pass
+    try:
+        return float(raw)
+    except ValueError:
+        return raw
+
+
+def _compile_range(index: PostingsIndex, fname: str, node) -> DataFrame:
+    """``f:[a TO b]`` / ``f:{a TO b}``: a constant-score doc-values
+    scan — Lucene rewrites multi-term queries to constant score 1.0
+    in query_string context, so every hit carries exactly Q20. Open
+    ``*`` endpoints drop their bound; ``[* TO *]`` is the exists
+    test. Predicates push into the columnar scan via filtered_ids."""
+    from pycasselastic_spark.operators.search_compose import Q20
+    from pycasselastic_spark.operators.search_hybrid import filtered_ids
+
+    _, lo_raw, hi_raw, lo_incl, hi_incl = node
+    lo, hi = _range_endpoint(lo_raw), _range_endpoint(hi_raw)
+    preds = []
+    if lo is not None:
+        preds.append((fname, ">=" if lo_incl else ">", lo))
+    if hi is not None:
+        preds.append((fname, "<=" if hi_incl else "<", hi))
+    if not preds:
+        preds.append((fname, "exists", None))
+    return filtered_ids(index, preds).withColumn(
+        "score_q20", F.lit(int(Q20)).cast("long")
+    )
+
+
+def _resolve_field_index(
+    index: PostingsIndex,
+    field_indexes: dict[str, PostingsIndex] | None,
+    fname: str,
+) -> PostingsIndex:
+    """``field:value`` resolution: the per-field postings index from
+    ``field_indexes`` (the same registry multi_match uses). The
+    resolved index must share the main index's id column — scores
+    from different fields integer-sum per doc, which only makes
+    sense over one document set."""
+    sub = (field_indexes or {}).get(fname)
+    if sub is None:
+        raise _err(
+            f"field {fname!r} without a field index (pass "
+            "field_indexes={...} — the multi_match registry; ranges "
+            "use stored doc-values: f:[a TO b])"
+        )
+    if sub.id_col != index.id_col:
+        raise _err(
+            f"field index {fname!r} over a different document set "
+            f"(id_col {sub.id_col!r} vs {index.id_col!r})"
+        )
+    return sub
+
+
+def _compile(index: PostingsIndex, node, k1: float, b: float,
+             field_indexes: dict[str, PostingsIndex] | None = None,
+             ) -> DataFrame:
     """Leaf -> (id, s) probe relation; AND/OR/AND NOT -> join algebra.
     Scores are Q20 integers throughout, so every combination is an
     exact integer sum."""
@@ -237,6 +430,31 @@ def _compile(index: PostingsIndex, node, k1: float, b: float) -> DataFrame:
 
     id_col = index.id_col
     kind = node[0]
+
+    if kind == "boost":
+        inner = _compile(index, node[2], k1, b, field_indexes)
+        return inner.select(
+            id_col,
+            (F.col("score_q20") * F.lit(int(node[1]))).cast("long")
+            .alias("score_q20"),
+        )
+    if kind == "field":
+        fname, leaf = node[1], node[2]
+        if leaf[0] == "range":
+            return _compile_range(index, fname, leaf)
+        if leaf[0] == "boost":
+            # f:term^2 — boost rides outside the field scope
+            return _compile(
+                index, ("boost", leaf[1], ("field", fname, leaf[2])),
+                k1, b, field_indexes,
+            )
+        sub = _resolve_field_index(index, field_indexes, fname)
+        return _compile(sub, leaf, k1, b, field_indexes)
+    if kind == "range":
+        raise _err(
+            "range without a field scope (ranges read stored "
+            "doc-values: f:[a TO b])"
+        )
 
     def scored(probe_terms: list[str]) -> DataFrame:
         # UNORDERED leaf relation: leaves feed joins, so ranking here
@@ -262,13 +480,15 @@ def _compile(index: PostingsIndex, node, k1: float, b: float) -> DataFrame:
             id_col, "score_q20"
         )
     if kind == "prefix":
-        terms = prefix_expansion_terms(index, node[1])
+        base = _normalize_base(index, node[1])
+        terms = prefix_expansion_terms(index, base)
         if not terms:
-            raise _err(f"prefix {node[1]!r} expanding to no terms")
+            raise _err(f"prefix {base!r} expanding to no terms")
         return scored(terms)
     if kind == "fuzzy":
-        expanded = expand_fuzzy_terms(index, [node[1]], node[2])
-        return scored(sorted(set(expanded) | {node[1]}))
+        base = _normalize_base(index, node[1])
+        expanded = expand_fuzzy_terms(index, [base], node[2])
+        return scored(sorted(set(expanded) | {base}))
     if kind == "not":
         raise _err(
             "pure-negative query (Lucene matches nothing — require a "
@@ -278,19 +498,21 @@ def _compile(index: PostingsIndex, node, k1: float, b: float) -> DataFrame:
     if kind == "andnot":
         if left[0] == "not":
             raise _err("pure-negative query")
-        l_df = _compile(index, left, k1, b)
-        r_df = _compile_positive(index, right, k1, b)
+        l_df = _compile(index, left, k1, b, field_indexes)
+        r_df = _compile_positive(index, right, k1, b, field_indexes)
         return l_df.join(r_df.select(id_col), id_col, "left_anti")
     if kind == "and":
         # x AND NOT y arrives as ('and', x, ('not', y)) via unary NOT
         if right[0] == "not" and left[0] == "not":
             raise _err("pure-negative query")
         if right[0] == "not":
-            return _compile(index, ("andnot", left, right[1]), k1, b)
+            return _compile(index, ("andnot", left, right[1]), k1, b,
+                            field_indexes)
         if left[0] == "not":
-            return _compile(index, ("andnot", right, left[1]), k1, b)
-        l_df = _compile(index, left, k1, b)
-        r_df = _compile(index, right, k1, b)
+            return _compile(index, ("andnot", right, left[1]), k1, b,
+                            field_indexes)
+        l_df = _compile(index, left, k1, b, field_indexes)
+        r_df = _compile(index, right, k1, b, field_indexes)
         return (
             l_df.withColumnRenamed("score_q20", "_sl")
             .join(r_df.withColumnRenamed("score_q20", "_sr"), id_col)
@@ -302,8 +524,8 @@ def _compile(index: PostingsIndex, node, k1: float, b: float) -> DataFrame:
     if kind == "or":
         if left[0] == "not" or right[0] == "not":
             raise _err("NOT under OR (use AND NOT or parentheses)")
-        l_df = _compile(index, left, k1, b)
-        r_df = _compile(index, right, k1, b)
+        l_df = _compile(index, left, k1, b, field_indexes)
+        r_df = _compile(index, right, k1, b, field_indexes)
         return (
             l_df.withColumnRenamed("score_q20", "_sl")
             .join(
@@ -324,17 +546,19 @@ def _compile(index: PostingsIndex, node, k1: float, b: float) -> DataFrame:
     raise _err(f"node {kind!r}")
 
 
-def _compile_positive(index, node, k1, b):
+def _compile_positive(index, node, k1, b, field_indexes=None):
     if node[0] == "not":
         raise _err("double negation")
-    return _compile(index, node, k1, b)
+    return _compile(index, node, k1, b, field_indexes)
 
 
 def _count_leaves(node) -> int:
-    if node[0] in ("term", "phrase", "prefix", "fuzzy"):
+    if node[0] in ("term", "phrase", "prefix", "fuzzy", "range"):
         return 1
     if node[0] == "not":
         return _count_leaves(node[1])
+    if node[0] in ("boost", "field"):
+        return _count_leaves(node[2])
     return _count_leaves(node[1]) + _count_leaves(node[2])
 
 
@@ -345,11 +569,15 @@ def query_string_search(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    field_indexes: dict[str, PostingsIndex] | None = None,
 ) -> DataFrame:
     """Parse and execute a Lucene ``query_string`` against the stored
     index. Returns ``(id, score_q20)`` top-k (score = integer sum of
-    matched clause scores, Lucene's combination law). See the module
-    docstring for the dispatched grammar."""
+    matched clause scores, Lucene's combination law). ``field_indexes``
+    is the per-field registry ``field:value`` clauses resolve against
+    (the same dict multi_match takes); ranges read the MAIN index's
+    stored doc-values. See the module docstring for the dispatched
+    grammar."""
     default_operator = str(default_operator).lower()
     if default_operator not in ("or", "and"):
         raise _err(f"default_operator {default_operator!r}")
@@ -362,7 +590,7 @@ def query_string_search(
         raise _err(
             f"{n_leaves} clauses (max_clause_count {_MAX_LEAVES})"
         )
-    out = _compile(index, ast, k1, b)
+    out = _compile(index, ast, k1, b, field_indexes)
     id_col = index.id_col
     return (
         out.orderBy(F.col("score_q20").desc(), F.col(id_col).asc())

@@ -532,7 +532,8 @@ ORDER BY score_q20 DESC, doc_id LIMIT 10
     "AND NOT an anti join (operators/search_qs.py). Pure-negative "
     "queries and NOT-under-OR raise by name (Lucene's "
     "prohibited-clause OR semantics is a silent-miss trap), as do "
-    "field: scoping, ^boosts, ranges and inner wildcards. "
+    "inner wildcards (field: scoping, ^boosts and ranges dispatch "
+    "since round 14 — query_string_fielded_documents). "
     "Determinism: leaves floor independently, combinations are exact "
     "integer sums. Dispatched from query.query_string.",
 )

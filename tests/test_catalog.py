@@ -43,32 +43,24 @@ def test_query_runs(spark, sf_dir, name):
     assert len(df.columns) == len(set(df.columns))
 
 
-def test_round13_gate_slots():
-    """The driver hashes the FIRST 50 registered queries; the round-13
-    rotation retires the LAST 31 stale-r8 rows in slots 0-30 (their
-    CORRECTNESS_r08 order — after this lands green no driver row is
-    older than round 9), puts the seven NEW round-13 queries (kNN
-    composition x3, sqs grammar, date_histogram fixed/zero-fill,
-    multi_match phrase/cross_fields) in slots 31-37, and backfills
-    slots 38-49 with the 12 OLDEST stale-r9 rows (CORRECTNESS_r09
-    order). Pin the boundary slots so an accidental registration
-    reorder is caught before the driver runs (COVERAGE.md enumerates
-    the full list)."""
+def test_round14_gate_slots():
+    """The driver hashes the FIRST 50 registered queries; the round-14
+    rotation puts the 48 post-gate round-12/13 registrations (never
+    driver-gated) in slots 0-47 in their registration order, and
+    backfills slots 48-49 with the two OLDEST stale-r9 rows
+    (CORRECTNESS_r09 order). Pin the boundary slots so an accidental
+    registration reorder is caught before the driver runs
+    (COVERAGE.md enumerates the full list)."""
     names = list(QUERIES)
-    assert names[0] == "q11_important_stock"
-    assert names[13] == "having_frequent_buyers"
-    assert names[14] == "skew_salted_agg_events"
-    assert names[29] == "conjunctive_bm25_indexed_documents"
-    assert names[30] == "streaming_indexed_search_documents"
-    assert names[31] == "knn_filtered_search_embeddings"
-    assert names[32] == "hybrid_knn_bm25_documents"
-    assert names[33] == "hybrid_rrf_api_documents"
-    assert names[34] == "sqs_phrase_prefix_documents"
-    assert names[35] == "date_histogram_fixed_documents"
-    assert names[36] == "phrase_multi_match_documents"
-    assert names[37] == "cross_fields_bm25_documents"
-    assert names[38] == "postings_index_health_documents"
-    assert names[49] == "streaming_sliding_window_events"
+    assert names[0] == "facet_date_histogram_agg_documents"
+    assert names[5] == "delete_by_query_documents"
+    assert names[14] == "fuzzy_match_grouped_customer_names"
+    assert names[27] == "query_string_mixed_documents"
+    assert names[31] == "semdedup_prune_embeddings"
+    assert names[43] == "hard_negative_mining_embeddings"
+    assert names[47] == "terms_include_exclude_documents"
+    assert names[48] == "streaming_dedup_events"
+    assert names[49] == "fuzzy2_bm25_search_documents"
     # the gate is the FIRST 50; post-gate registrations grow the tail
     # every round (COVERAGE.md enumerates them), so pin a floor, not
     # an exact count — an accidental DEregistration still fails here

@@ -78,6 +78,65 @@ def test_bucket_selector_keeps_only_passing_buckets(dv_idx):
     ]
 
 
+def test_bucket_selector_stats_count_excludes_nulls(spark, tmp_path):
+    # ES stats.count counts metric VALUES, not bucket docs: tag 'x'
+    # has 2 docs but only 1 non-NULL val, so '<stats>.count >= 2'
+    # must drop it while '_count >= 2' keeps it (round-13 advisor
+    # finding — count previously aliased the bucket doc count)
+    rows = [
+        (1, "alpha one", 10, "x"),
+        (2, "alpha two", None, "x"),
+        (3, "alpha three", 30, "y"),
+        (4, "alpha four", 40, "y"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, val long, tag string"
+    )
+    path = str(tmp_path / "nullidx")
+    SRCH.build_postings_index(
+        docs, "doc_id", "text", path, n_buckets=4,
+        stored_fields=["val", "tag"],
+    )
+    idx = SRCH.load_postings_index(spark, path)
+
+    def run(script, path_key):
+        return es_search(idx, {
+            "query": {"match": {"text": "alpha"}},
+            "aggs": {"t": {
+                "terms": {"field": "tag"},
+                "aggs": {
+                    "v": {"stats": {"field": "val"}},
+                    "k": {"bucket_selector": {
+                        "buckets_path": {"c": path_key},
+                        "script": script,
+                    }},
+                },
+            }},
+        }).collect()
+
+    by_values = run("params.c >= 2", "v.count")
+    assert [r["bucket"] for r in by_values] == ["y"]
+    by_docs = run("params.c >= 2", "_count")
+    assert sorted(r["bucket"] for r in by_docs) == ["x", "y"]
+    # the buckets_path helper column never leaks into the response
+    assert "val_count" not in by_values[0].asDict()
+
+
+def test_histogram_zero_fill_bounded_at_max_buckets(dv_idx):
+    # interval 0.0001 over vals 10..50 would grid ~400k buckets —
+    # past ES's search.max_buckets (65536) the request must raise by
+    # name instead of exploding the zero-fill (round-13 advisor
+    # finding; ES throws too_many_buckets_exception)
+    with pytest.raises(ValueError, match="max_buckets"):
+        es_search(dv_idx, {
+            "query": {"match": {"text": "alpha"}},
+            "aggs": {"h": {"histogram": {
+                "field": "val", "interval": 0.0001,
+                "min_doc_count": 0,
+            }}},
+        }).collect()
+
+
 def test_bucket_sort_orders_by_metric_and_pages(dv_idx):
     # x sum=40, y sum=20 -> asc: y first; from=0 size=1 keeps y only
     out = es_search(dv_idx, {

@@ -86,9 +86,42 @@ def test_prefix_leaf_matches_standalone_probe(idx):
     assert _qs(idx, "pu*") == want
 
 
+@pytest.fixture(scope="module")
+def an_idx(spark, tmp_path_factory):
+    """Analyzed (lowercasing) twin of ``idx`` for the base-normalization
+    contract — the legacy fixture matches raw bytes by design."""
+    docs = spark.createDataFrame([
+        (1, "spark join shuffle join"),
+        (2, "spark filter scan"),
+        (3, "join join broadcast window"),
+        (4, "scan scan filter pushdown spark"),
+        (5, "unrelated words only here"),
+    ], ["doc_id", "text"])
+    path = str(tmp_path_factory.mktemp("qs_an") / "idx")
+    SRCH.build_postings_index(
+        docs, "doc_id", "text", path, n_buckets=4,
+        analyzer=SRCH.Analyzer(),
+    )
+    return SRCH.load_postings_index(spark, path)
+
+
+def test_prefix_fuzzy_bases_normalized_through_char_pipeline(an_idx, idx):
+    # Lucene normalizes multi-term bases through the analyzer's
+    # character pipeline: 'Pu*' under a lowercasing analyzer expands
+    # exactly like 'pu*' (round-13 advisor finding — the raw base
+    # raised 'expanding to no terms' while the bare term matched)
+    assert _qs(an_idx, "Pu*") == _qs(an_idx, "pu*")
+    assert _qs(an_idx, "SPARK~1") == _qs(an_idx, "spark~1")
+    # legacy (analyzer=None) indexes match raw bytes: the base stays raw
+    with pytest.raises(ValueError, match="expanding to no terms"):
+        _qs(idx, "Pu*")
+
+
 @pytest.mark.parametrize("bad,needle", [
-    ("title:spark", "field-scoped"),
-    ("spark^2", "boost"),
+    ("title:spark", "without a field index"),
+    ("spark^1.5", "fractional boost"),
+    ("spark^0", "integer >= 1"),
+    ("title:(a OR b)", "field-scoped group"),
     ("NOT spark", "pure-negative"),
     ("spark OR NOT join", "NOT under OR"),
     ("a AND (b", "parenthesis"),
@@ -100,6 +133,93 @@ def test_prefix_leaf_matches_standalone_probe(idx):
 def test_query_string_strictness(idx, bad, needle):
     with pytest.raises(ValueError, match=needle):
         _qs(idx, bad)
+
+
+# --- field scoping / boosts / ranges -----------------------------------------
+
+
+@pytest.fixture(scope="module")
+def scoped(spark, tmp_path_factory):
+    """Main index with stored doc-values + two per-field indexes over
+    the SAME doc ids — the field/boost/range grammar surface."""
+    base = tmp_path_factory.mktemp("qs_scoped")
+    docs = spark.createDataFrame([
+        (1, "spark join shuffle join", 10),
+        (2, "spark filter scan", 20),
+        (3, "join join broadcast window", 30),
+        (4, "scan scan filter pushdown spark", 40),
+        (5, "unrelated words only here", None),
+    ], "doc_id long, text string, val long")
+    mp = str(base / "main")
+    SRCH.build_postings_index(
+        docs, "doc_id", "text", mp, n_buckets=4, stored_fields=["val"]
+    )
+    title = spark.createDataFrame([
+        (1, "alpha spark"), (2, "alpha beta"), (3, "spark gamma"),
+        (4, "delta"), (5, "alpha"),
+    ], ["doc_id", "text"])
+    tp = str(base / "title")
+    SRCH.build_postings_index(title, "doc_id", "text", tp, n_buckets=4)
+    return (
+        SRCH.load_postings_index(spark, mp),
+        {"title": SRCH.load_postings_index(spark, tp)},
+    )
+
+
+def _qsf(idx, q, fi=None, **kw):
+    body = {"query": {"query_string": {"query": q, **kw}}, "size": 10}
+    return {r["doc_id"]: r["score_q20"]
+            for r in es_search(idx, body, field_indexes=fi).collect()}
+
+
+def test_boost_multiplies_leaf_and_group_scores(idx):
+    s1, s2 = _term_scores(idx, "spark"), _term_scores(idx, "join")
+    assert _qs(idx, "spark^2") == {d: 2 * s for d, s in s1.items()}
+    # ^1 is the identity, not an error
+    assert _qs(idx, "spark^1") == s1
+    # group boost multiplies the summed subtree score
+    want = {d: 3 * (s1.get(d, 0) + s2.get(d, 0)) for d in set(s1) | set(s2)}
+    assert _qs(idx, "(spark OR join)^3") == want
+    # boost binds the leaf, not the conjunction
+    got = _qs(idx, "spark^2 AND join")
+    assert got == {d: 2 * s1[d] + s2[d] for d in set(s1) & set(s2)}
+
+
+def test_field_scoped_leaf_resolves_the_field_index(scoped):
+    midx, fi = scoped
+    tidx = fi["title"]
+    want = {r["doc_id"]: r["score_q20"]
+            for r in bm25_topk_indexed(tidx, ["spark"], k=100).collect()}
+    assert _qsf(midx, "title:spark", fi) == want
+    # field leaves join the same OR algebra as default-field leaves
+    s_main = _qsf(midx, "filter", fi)
+    got = _qsf(midx, "filter OR title:spark", fi)
+    assert got == {d: s_main.get(d, 0) + want.get(d, 0)
+                   for d in set(s_main) | set(want)}
+    # field-scoped boost
+    assert _qsf(midx, "title:spark^2", fi) == {d: 2 * s
+                                               for d, s in want.items()}
+
+
+def test_range_leaves_are_constant_score_docvalues_scans(scoped):
+    midx, fi = scoped
+    Q20 = 1 << 20
+    # inclusive: val 10..30 -> docs 1,2,3 at constant 1.0
+    assert _qsf(midx, "val:[10 TO 30]", fi) == {1: Q20, 2: Q20, 3: Q20}
+    # exclusive brackets
+    assert _qsf(midx, "val:{10 TO 30}", fi) == {2: Q20}
+    # mixed + open endpoint
+    assert _qsf(midx, "val:{20 TO *]", fi) == {3: Q20, 4: Q20}
+    # [* TO *] is the exists test: doc 5's NULL val drops
+    assert _qsf(midx, "val:[* TO *]", fi) == {d: Q20 for d in (1, 2, 3, 4)}
+    # ranges compose with scored leaves through the AND join
+    s1 = _qsf(midx, "spark", fi)
+    got = _qsf(midx, "spark AND val:[10 TO 30]", fi)
+    assert got == {d: s1[d] + Q20 for d in (1, 2)}
+    # range boost
+    assert _qsf(midx, "val:[10 TO 30]^2", fi) == {
+        1: 2 * Q20, 2: 2 * Q20, 3: 2 * Q20
+    }
 
 
 def test_clause_budget(idx):
