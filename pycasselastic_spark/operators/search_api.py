@@ -1259,6 +1259,80 @@ def es_search(
                             (pname, ("serial_diff", lag), "n_docs")
                         )
                         continue
+                    if pkind == "moving_fn":
+                        pextra = set(pspec) - {
+                            "buckets_path", "window", "script", "shift",
+                        }
+                        if pextra:
+                            raise _err(
+                                f"moving_fn options {sorted(pextra)}"
+                            )
+                        if pspec["buckets_path"] != "_count":
+                            raise _err(
+                                f"moving_fn buckets_path "
+                                f"{pspec['buckets_path']!r} "
+                                "(supported: _count)"
+                            )
+                        m = re.fullmatch(
+                            r"\s*MovingFunctions\.(\w+)\(values\)\s*",
+                            str(pspec.get("script", "")),
+                        )
+                        if not m or m.group(1) not in (
+                            "unweightedAvg", "sum", "min", "max",
+                        ):
+                            # ewma/holt/holtWinters/stdDev and custom
+                            # Painless raise by name — the four exact
+                            # reductions are the SQL-expressible set
+                            raise _err(
+                                "moving_fn script "
+                                f"{pspec.get('script')!r} (supported: "
+                                "MovingFunctions.unweightedAvg/sum/"
+                                "min/max over 'values')"
+                            )
+                        mwin = int(pspec["window"])
+                        if mwin < 1:
+                            raise _err(f"moving_fn window {mwin!r}")
+                        mshift = int(pspec.get("shift", 0))
+                        pipelines.append((
+                            pname,
+                            ("moving_fn", m.group(1), mwin, mshift),
+                            "n_docs",
+                        ))
+                        continue
+                    if pkind == "moving_avg":
+                        # the legacy (pre-ES8) smoother: only the
+                        # 'simple' model is an exact reduction — it is
+                        # moving_fn unweightedAvg anchored to INCLUDE
+                        # the current bucket (shift 1)
+                        pextra = set(pspec) - {
+                            "buckets_path", "window", "model",
+                        }
+                        if pextra:
+                            raise _err(
+                                f"moving_avg options {sorted(pextra)}"
+                            )
+                        if pspec["buckets_path"] != "_count":
+                            raise _err(
+                                f"moving_avg buckets_path "
+                                f"{pspec['buckets_path']!r} "
+                                "(supported: _count)"
+                            )
+                        model = str(pspec.get("model", "simple"))
+                        if model != "simple":
+                            raise _err(
+                                f"moving_avg model {model!r} (simple "
+                                "only — ewma/holt fit state, not an "
+                                "exact reduction)"
+                            )
+                        mwin = int(pspec.get("window", 5))
+                        if mwin < 1:
+                            raise _err(f"moving_avg window {mwin!r}")
+                        pipelines.append((
+                            pname,
+                            ("moving_fn", "unweightedAvg", mwin, 1),
+                            "n_docs",
+                        ))
+                        continue
                     if pkind not in ("cumulative_sum", "derivative"):
                         raise _err(
                             f"date_histogram sub-aggregation {pkind!r}"
@@ -2132,6 +2206,86 @@ def es_search(
         return span_near_search(
             index, sterms, slop=int(q.get("slop", 0)),
             in_order=bool(q.get("in_order", True)),
+        )
+    if qtype == "span_or":
+        extra = set(q) - {"clauses"}
+        if extra or "clauses" not in q:
+            raise _err(f"span_or body {sorted(q)} (expected clauses)")
+        sterms = []
+        for c in q["clauses"]:
+            ckind, cbody = _single(c, "span_or clause")
+            if ckind != "span_term":
+                raise _err(
+                    f"span_or clause type {ckind!r} (span_term only)"
+                )
+            _f, v = _single(cbody, "span_term")
+            sterms.append(str(v))
+        from pycasselastic_spark.operators.search_ext import (
+            span_or_search,
+        )
+
+        return span_or_search(index, sterms)
+    if qtype == "span_not":
+        extra = set(q) - {"include", "exclude", "pre", "post", "dist"}
+        if extra or "include" not in q or "exclude" not in q:
+            raise _err(
+                f"span_not body {sorted(q)} (expected include + exclude)"
+            )
+        if "dist" in q and ("pre" in q or "post" in q):
+            raise _err("span_not dist beside pre/post (ES rejects both)")
+        pre = int(q.get("dist", q.get("pre", 0)))
+        post = int(q.get("dist", q.get("post", 0)))
+
+        def _span_terms_of(body, what: str) -> tuple[list[str], int | None]:
+            kind, spec = _single(body, what)
+            if kind == "span_term":
+                _f, v = _single(spec, "span_term")
+                return [str(v)], None
+            if kind == "span_or":
+                terms = []
+                for c in spec["clauses"]:
+                    ck, cb = _single(c, f"{what} span_or clause")
+                    if ck != "span_term":
+                        raise _err(
+                            f"{what} span_or clause type {ck!r} "
+                            "(span_term only)"
+                        )
+                    _f, v = _single(cb, "span_term")
+                    terms.append(str(v))
+                return terms, None
+            if kind == "span_near":
+                terms = []
+                for c in spec["clauses"]:
+                    ck, cb = _single(c, f"{what} span_near clause")
+                    if ck != "span_term":
+                        raise _err(
+                            f"{what} span_near clause type {ck!r} "
+                            "(span_term only)"
+                        )
+                    _f, v = _single(cb, "span_term")
+                    terms.append(str(v))
+                if not bool(spec.get("in_order", True)):
+                    raise _err(f"{what} span_near in_order=false")
+                return terms, int(spec.get("slop", 0))
+            raise _err(
+                f"{what} span type {kind!r} "
+                "(span_term / span_or / span_near)"
+            )
+
+        inc_terms, inc_slop = _span_terms_of(q["include"], "span_not include")
+        exc_terms, exc_slop = _span_terms_of(q["exclude"], "span_not exclude")
+        if exc_slop is not None:
+            raise _err(
+                "span_not exclude span_near (single-position exclude "
+                "spans only)"
+            )
+        from pycasselastic_spark.operators.search_ext import (
+            span_not_search,
+        )
+
+        return span_not_search(
+            index, inc_terms, exc_terms, pre=pre, post=post,
+            include_slop=inc_slop,
         )
     if qtype == "span_first":
         extra = set(q) - {"match", "end"}

@@ -1057,10 +1057,41 @@ def apply_bucket_pipelines(
                 (F.col(value_col)
                  - F.lag(value_col, int(kind[1])).over(w)).cast("long"),
             )
+        elif isinstance(kind, tuple) and kind[0] in (
+            "moving_fn", "moving_avg"
+        ):
+            # ES moving_fn: a sliding window over the bucket order —
+            # window N with shift s covers buckets [i-N+s, i+s-1]
+            # (default shift 0 EXCLUDES the current bucket; the legacy
+            # moving_avg 'simple' model is the same window anchored to
+            # INCLUDE it: shift 1). Empty windows follow Lucene's
+            # MovingFunctions: sum -> 0.0, avg/min/max -> NaN (NULL
+            # here). The avg is Q20-floored — the cross-engine float
+            # law every avg in this engine follows.
+            _, fn, n, shift = kind
+            win = w.rowsBetween(-int(n) + int(shift), int(shift) - 1)
+            c = F.col(value_col)
+            if fn == "unweightedAvg":
+                expr = F.floor(F.avg(c).over(win) * Q20).cast("long")
+            elif fn == "sum":
+                expr = F.coalesce(
+                    F.sum(c).over(win), F.lit(0)
+                ).cast("long")
+            elif fn == "min":
+                expr = F.min(c).over(win).cast("long")
+            elif fn == "max":
+                expr = F.max(c).over(win).cast("long")
+            else:
+                raise ValueError(
+                    f"unsupported moving_fn script {fn!r} (supported: "
+                    "MovingFunctions.unweightedAvg/sum/min/max)"
+                )
+            out = out.withColumn(out_name, expr)
         else:
             raise ValueError(
                 f"unsupported pipeline aggregation {kind!r} "
-                "(supported: cumulative_sum, derivative, serial_diff)"
+                "(supported: cumulative_sum, derivative, serial_diff, "
+                "moving_fn, moving_avg)"
             )
     return out.orderBy(F.col(order_col).asc())
 

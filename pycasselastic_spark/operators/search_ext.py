@@ -920,6 +920,119 @@ def span_first_search(
     )
 
 
+def _span_term_rel(index: PostingsIndex, terms: list[str]) -> DataFrame:
+    """The span relation of one or more ``span_term`` clauses:
+    ``(id, ps, pe)`` with ps = pe = each stored occurrence position —
+    the Lucene Spans enumeration re-expressed relationally. ONE pruned
+    postings probe for the whole term set; query-bounded."""
+    if not terms:
+        raise ValueError("span clause set analyzing to no terms")
+    id_col = index.id_col
+    postings = index.live_postings_for(sorted(set(terms)))
+    return postings.select(
+        F.col(id_col), F.explode("positions").alias("ps")
+    ).withColumn("pe", F.col("ps"))
+
+
+def span_or_search(
+    index: PostingsIndex,
+    clause_terms: list[str],
+) -> DataFrame:
+    """ES ``span_or``: the UNION of its clauses' spans (Lucene
+    SpanOrQuery) — here over span_term clauses, so the spans are the
+    occurrence positions of ANY listed term. Returns ``(id,
+    n_spans)`` with n_spans = distinct union spans per doc — the same
+    response shape as the other span probes, so the combinators
+    compose.
+
+    Plan shape: ONE pruned postings probe covering every clause term
+    (the union is free — one IN filter), explode positions, distinct
+    (identical spans from duplicate clauses collapse, exactly
+    Lucene's ordered-spans dedup), one reduction."""
+    spans = _span_term_rel(index, clause_terms)
+    id_col = index.id_col
+    return (
+        spans.select(id_col, "ps", "pe")
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+    )
+
+
+def span_not_search(
+    index: PostingsIndex,
+    include_terms: list[str],
+    exclude_terms: list[str],
+    pre: int = 0,
+    post: int = 0,
+    include_slop: int | None = None,
+) -> DataFrame:
+    """ES ``span_not``: include spans that do NOT overlap any exclude
+    span (Lucene SpanNotQuery) — 'alpha near beta but not when gamma
+    intervenes'. ``pre``/``post`` widen the exclusion window by that
+    many positions before/behind each exclude span (ES's pre/post
+    dials; ``dist`` is pre=post=dist). The include is either the
+    span_or of ``include_terms`` (single-position spans) or, with
+    ``include_slop`` set, the span_near chain over them (in-order,
+    total-stretch law — spans ``[p_start, p_end]``). Returns ``(id,
+    n_spans)`` = surviving include spans per doc.
+
+    Plan shape: two query-bounded span relations; the exclusion is a
+    LEFT ANTI join on (same doc, interval overlap) — the exclude side
+    is a pruned probe of the exclude terms only, never the corpus;
+    then the same distinct + reduction as every span probe."""
+    if pre < 0 or post < 0:
+        raise ValueError(f"span_not pre/post must be >= 0 ({pre}, {post})")
+    id_col = index.id_col
+    if include_slop is None:
+        inc = _span_term_rel(index, include_terms)
+    else:
+        if len(include_terms) < 2:
+            raise ValueError(
+                "span_not include span_near needs at least two clauses"
+            )
+        width = len(include_terms) + include_slop - 1
+        postings = index.live_postings_for(sorted(set(include_terms)))
+        per_term = {
+            t: postings.filter(F.col("term") == t).select(
+                F.col(id_col), F.explode("positions").alias("pos")
+            )
+            for t in set(include_terms)
+        }
+        chain = per_term[include_terms[0]].select(
+            id_col, F.col("pos").alias("ps"), F.col("pos").alias("p_prev")
+        )
+        for t in include_terms[1:]:
+            nxt = per_term[t].select(id_col, F.col("pos").alias("p_next"))
+            chain = (
+                chain.join(nxt, id_col)
+                .filter(
+                    (F.col("p_next") > F.col("p_prev"))
+                    & (F.col("p_next") - F.col("ps") <= width)
+                )
+                .select(id_col, "ps", F.col("p_next").alias("p_prev"))
+            )
+        inc = chain.select(id_col, "ps", F.col("p_prev").alias("pe"))
+    exc = _span_term_rel(index, exclude_terms).select(
+        F.col(id_col).alias("_xid"),
+        (F.col("ps") - F.lit(int(pre))).alias("xs"),
+        (F.col("pe") + F.lit(int(post))).alias("xe"),
+    )
+    survivors = inc.join(
+        exc,
+        (F.col(id_col) == F.col("_xid"))
+        & (F.col("ps") <= F.col("xe"))
+        & (F.col("pe") >= F.col("xs")),
+        "left_anti",
+    )
+    return (
+        survivors.select(id_col, "ps", "pe")
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+    )
+
+
 def search_multi_terms_agg(
     index: PostingsIndex,
     query_terms,

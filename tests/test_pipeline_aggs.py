@@ -171,12 +171,74 @@ def test_bucket_sort_from_skips_leading_buckets(dv_idx):
     assert [(r["bucket"], r["sum_val"]) for r in out] == [("x", 40)]
 
 
+def test_moving_fn_slides_the_bucket_window(dv_idx):
+    # months Jan:1 Feb:2 Mar:1; window=2 shift=0 covers the PREVIOUS
+    # two buckets excluding current (ES moving_fn default)
+    Q20 = 1 << 20
+    base = {"query": {"match": {"text": "alpha"}}}
+    out = es_search(dv_idx, {**base, "aggs": {"m": {
+        "date_histogram": {"field": "d", "calendar_interval": "month"},
+        "aggs": {
+            "avg": {"moving_fn": {
+                "buckets_path": "_count", "window": 2,
+                "script": "MovingFunctions.unweightedAvg(values)",
+            }},
+            "tot": {"moving_fn": {
+                "buckets_path": "_count", "window": 2,
+                "script": "MovingFunctions.sum(values)",
+            }},
+        },
+    }}}).collect()
+    got = [(r["n_docs"], r["avg"], r["tot"]) for r in out]
+    # empty window: avg NULL (MovingFunctions NaN), sum 0 (Lucene law)
+    assert got == [
+        (1, None, 0),
+        (2, 1 * Q20, 1),
+        (1, (3 * Q20) // 2, 3),
+    ]
+    # shift=1 anchors the window to include the current bucket
+    out = es_search(dv_idx, {**base, "aggs": {"m": {
+        "date_histogram": {"field": "d", "calendar_interval": "month"},
+        "aggs": {"mx": {"moving_fn": {
+            "buckets_path": "_count", "window": 1, "shift": 1,
+            "script": "MovingFunctions.max(values)",
+        }}},
+    }}}).collect()
+    assert [(r["n_docs"], r["mx"]) for r in out] == [(1, 1), (2, 2), (1, 1)]
+
+
+def test_moving_avg_simple_includes_current_bucket(dv_idx):
+    # legacy moving_avg 'simple' = unweightedAvg anchored to include
+    # the current bucket; window truncates at the series head
+    Q20 = 1 << 20
+    out = es_search(dv_idx, {
+        "query": {"match": {"text": "alpha"}},
+        "aggs": {"m": {
+            "date_histogram": {"field": "d", "calendar_interval": "month"},
+            "aggs": {"sm": {"moving_avg": {
+                "buckets_path": "_count", "window": 2,
+            }}},
+        }},
+    }).collect()
+    assert [(r["n_docs"], r["sm"]) for r in out] == [
+        (1, 1 * Q20), (2, (3 * Q20) // 2), (1, (3 * Q20) // 2),
+    ]
+
+
 @pytest.mark.parametrize("body_patch,needle", [
-    # unsupported pipeline kind under date_histogram
+    # moving_fn scripts beyond the four exact reductions raise by name
     ({"aggs": {"m": {"date_histogram": {
         "field": "d", "calendar_interval": "month"},
-        "aggs": {"p": {"moving_fn": {"buckets_path": "_count"}}}}}},
-     "moving_fn"),
+        "aggs": {"p": {"moving_fn": {
+            "buckets_path": "_count", "window": 3,
+            "script": "MovingFunctions.ewma(values, 0.3)"}}}}}},
+     "moving_fn script"),
+    # moving_avg models that fit state are not exact reductions
+    ({"aggs": {"m": {"date_histogram": {
+        "field": "d", "calendar_interval": "month"},
+        "aggs": {"p": {"moving_avg": {
+            "buckets_path": "_count", "model": "ewma"}}}}}},
+     "moving_avg model"),
     # buckets_path beyond _count under date_histogram pipelines
     ({"aggs": {"m": {"date_histogram": {
         "field": "d", "calendar_interval": "month"},

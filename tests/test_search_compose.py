@@ -911,6 +911,105 @@ def test_span_near_total_stretch_vs_phrase_per_gap(spark, tmp_path):
     assert got == {2: 1, 4: 1}
 
 
+def test_span_or_unions_clause_spans(spark, tmp_path):
+    docs = _corpus(spark, [
+        (1, "a x a y b"),    # a at 0,2; b at 4 -> 3 union spans
+        (2, "x y z"),        # neither
+        (3, "b b"),          # b at 0,1 -> 2 spans
+    ])
+    path = str(tmp_path / "spanor")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4)
+    sidx = SRCH.load_postings_index(spark, path)
+    got = {r["doc_id"]: r["n_spans"] for r in es_search(sidx, {
+        "query": {"span_or": {"clauses": [
+            {"span_term": {"text": "a"}}, {"span_term": {"text": "b"}},
+        ]}},
+    }).collect()}
+    assert got == {1: 3, 3: 2}
+    # duplicate clauses collapse to identical spans (Lucene dedup)
+    dup = {r["doc_id"]: r["n_spans"] for r in es_search(sidx, {
+        "query": {"span_or": {"clauses": [
+            {"span_term": {"text": "a"}}, {"span_term": {"text": "a"}},
+        ]}},
+    }).collect()}
+    assert dup == {1: 2}
+    with pytest.raises(ValueError, match="span_term only"):
+        es_search(sidx, {"query": {"span_or": {"clauses": [
+            {"span_near": {"clauses": []}},
+        ]}}})
+
+
+def test_span_not_drops_overlapping_and_widened_spans(spark, tmp_path):
+    from pycasselastic_spark.operators.search_ext import span_not_search
+
+    docs = _corpus(spark, [
+        (1, "a g a"),     # a at 0,2; g at 1
+        (2, "a x x g"),   # a at 0; g at 3
+        (3, "a"),         # no exclude at all
+    ])
+    path = str(tmp_path / "spannot")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4)
+    sidx = SRCH.load_postings_index(spark, path)
+    # single-position includes never overlap g's positions -> all 'a'
+    # occurrences survive with pre=post=0
+    got = {r["doc_id"]: r["n_spans"] for r in es_search(sidx, {
+        "query": {"span_not": {
+            "include": {"span_term": {"text": "a"}},
+            "exclude": {"span_term": {"text": "g"}},
+        }},
+    }).collect()}
+    assert got == {1: 2, 2: 1, 3: 1}
+    # pre=1 widens each g span one position LEFT: doc 1's a@0 and a@2
+    # both fall inside [0, 1] / widened via post? pre widens before:
+    # g@1 covers [0,1] -> a@0 dies; a@2 survives
+    got = {r["doc_id"]: r["n_spans"] for r in es_search(sidx, {
+        "query": {"span_not": {
+            "include": {"span_term": {"text": "a"}},
+            "exclude": {"span_term": {"text": "g"}},
+            "pre": 1,
+        }},
+    }).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+    # dist widens both sides: g@1 covers [0,2] -> doc 1 fully excluded
+    got = {r["doc_id"]: r["n_spans"] for r in es_search(sidx, {
+        "query": {"span_not": {
+            "include": {"span_term": {"text": "a"}},
+            "exclude": {"span_term": {"text": "g"}},
+            "dist": 1,
+        }},
+    }).collect()}
+    assert got == {2: 1, 3: 1}
+    # span_near include: 'a ... g' spans [0,1] in doc 1 ([0,3] at
+    # slop 2 in doc 2); excluding 'x' kills doc 2's stretched span
+    # (x@1 overlaps [0,3]) but not doc 1's adjacent pair
+    got = {r["doc_id"]: r["n_spans"] for r in es_search(sidx, {
+        "query": {"span_not": {
+            "include": {"span_near": {"clauses": [
+                {"span_term": {"text": "a"}},
+                {"span_term": {"text": "g"}},
+            ], "slop": 2}},
+            "exclude": {"span_term": {"text": "x"}},
+        }},
+    }).collect()}
+    assert got == {1: 1}
+    with pytest.raises(ValueError, match="dist beside"):
+        es_search(sidx, {"query": {"span_not": {
+            "include": {"span_term": {"text": "a"}},
+            "exclude": {"span_term": {"text": "g"}},
+            "dist": 1, "pre": 1,
+        }}})
+    with pytest.raises(ValueError, match="exclude span_near"):
+        es_search(sidx, {"query": {"span_not": {
+            "include": {"span_term": {"text": "a"}},
+            "exclude": {"span_near": {"clauses": [
+                {"span_term": {"text": "x"}},
+                {"span_term": {"text": "g"}},
+            ]}},
+        }}})
+    with pytest.raises(ValueError, match="pre/post"):
+        span_not_search(sidx, ["a"], ["g"], pre=-1)
+
+
 def test_match_all_pages_with_id_cursor(idx):
     p1 = es_search(idx, {"query": {"match_all": {}}, "size": 2}).collect()
     p2 = es_search(idx, {
