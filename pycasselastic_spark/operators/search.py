@@ -288,6 +288,7 @@ from pycasselastic_spark.operators.search_ext import (  # noqa: E402,F401
     search_facets,
     search_facets_after,
     significant_terms,
+    significant_text,
     suggest_phrase,
     suggest_terms,
     top_hits_by_facet,

@@ -422,6 +422,105 @@ def significant_terms(
     )
 
 
+def significant_text(
+    index: PostingsIndex,
+    query_terms: list[str],
+    m: int = 10,
+    min_fg_df: int = 2,
+    heuristic: str = "jlh",
+) -> DataFrame:
+    """ES ``significant_text`` aggregation: the free-text twin of
+    ``significant_terms`` — "what words are unusual in this slice" —
+    with the significance HEURISTIC dial dispatched (``jlh`` default,
+    ``chi_square``, ``percentage``). ES re-analyzes hit text on the
+    fly because text fields have no fielddata; here the analyzed
+    tokens are already STORED (the forward relation), so the
+    aggregation runs index-only — same stats, no re-analysis, no raw
+    text.
+
+    Heuristics, per term, from the exact contingency counts fg_df
+    (hit docs containing it), n_fg, bg_df (corpus docs), n_docs —
+    each one double expression Q20-floored (the cross-engine law):
+
+    * ``jlh``: ``(fg% - bg%) * (fg% / bg%)`` — ES's default blend of
+      absolute and relative change.
+    * ``chi_square``: ES's ChiSquare with include_negatives=false and
+      background_is_superset=true — the out-set contingency
+      ``a=fg_df, b=n_fg-a, c=bg_df-a, d=(n_docs-n_fg)-c`` scored
+      ``(ad - bc)^2 (a+b+c+d) / ((a+b)(c+d)(b+d)(a+c))``; terms LESS
+      common in the slice than outside drop (include_negatives=false).
+    * ``percentage``: ``fg_df / bg_df`` — the naive dial ES offers
+      when commonness should not be rewarded at all.
+
+    Returns ``(term, fg_df, bg_df, score_q20)`` top-``m``.
+    ``filter_duplicate_text`` is NOT implemented — near-duplicate
+    suppression belongs to the dedup operators; raise upstream rather
+    than approximate. Plan shape identical to ``significant_terms``:
+    pruned probe -> broadcast-or-shuffle hit join on the forward
+    relation, one background aggregation over stored postings (the
+    global-ordinals pass ES pays too)."""
+    if heuristic not in ("jlh", "chi_square", "percentage"):
+        raise ValueError(
+            f"unsupported significant_text heuristic {heuristic!r} "
+            "(supported: jlh, chi_square, percentage — gnd/"
+            "mutual_information need log tables this engine doesn't "
+            "pin cross-engine)"
+        )
+    id_col = index.id_col
+    hits = hits_relation(index, query_terms)
+    n_fg = hits.count()
+    if n_fg == 0:
+        return index.postings.sparkSession.createDataFrame(
+            [], "term STRING, fg_df LONG, bg_df LONG, score_q20 LONG"
+        )
+    hit_side = hits if n_fg > 2_000_000 else F.broadcast(hits)
+    fg = (
+        index.live_forward()
+        .join(hit_side, id_col)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fg_df"))
+        .filter(
+            (F.col("fg_df") >= min_fg_df)
+            & ~F.col("term").isin(sorted(set(query_terms)))
+        )
+    )
+    bg = index.live_postings().groupBy("term").agg(
+        F.count(F.lit(1)).alias("bg_df")
+    )
+    joined = fg.join(bg, "term")
+    if heuristic == "jlh":
+        fgp = F.col("fg_df") / F.lit(float(n_fg))
+        bgp = F.col("bg_df") / F.lit(float(index.n_docs))
+        score = (fgp - bgp) * (fgp / bgp)
+    elif heuristic == "chi_square":
+        a = F.col("fg_df").cast("double")
+        b = F.lit(float(n_fg)) - a
+        c = (F.col("bg_df") - F.col("fg_df")).cast("double")
+        d = F.lit(float(index.n_docs - n_fg)) - c
+        # squared via multiplication, not pow(): pow's libm rounding
+        # is not pinned cross-engine; x*x is one IEEE multiply in both
+        diff = a * d - b * c
+        score = (
+            diff * diff * (a + b + c + d)
+            / ((a + b) * (c + d) * (b + d) * (a + c))
+        )
+        # include_negatives=false: a term LESS frequent in the slice
+        # than outside is not "significant here"
+        joined = joined.filter(
+            F.col("fg_df") * F.lit(float(index.n_docs - n_fg))
+            > (F.col("bg_df") - F.col("fg_df")) * F.lit(float(n_fg))
+        )
+    else:  # percentage
+        score = F.col("fg_df") / F.col("bg_df")
+    return (
+        joined.withColumn(
+            "score_q20", F.floor(score * Q20).cast("long")
+        )
+        .orderBy(F.col("score_q20").desc(), F.col("term").asc())
+        .limit(m)
+    )
+
+
 def percolate(
     docs: DataFrame,
     id_col: str,

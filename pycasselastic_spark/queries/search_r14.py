@@ -243,3 +243,64 @@ def span_not_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         }},
     })
     return out.orderBy("doc_id")
+
+
+@register(
+    "significant_text_documents",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+postings AS (
+  SELECT term, doc_id FROM tok WHERE term <> '' GROUP BY term, doc_id
+),
+hits AS (SELECT DISTINCT doc_id FROM postings WHERE term = 'merge'),
+nfg AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM hits),
+nall AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+fg AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS fg_df
+       FROM postings JOIN hits USING (doc_id)
+       WHERE term <> 'merge' GROUP BY term HAVING COUNT(*) >= 2),
+bg AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS bg_df
+       FROM postings GROUP BY term),
+cells AS (SELECT term, fg_df, bg_df,
+         CAST(fg_df AS DOUBLE) AS a,
+         nfg.n - CAST(fg_df AS DOUBLE) AS b,
+         CAST(bg_df - fg_df AS DOUBLE) AS c,
+         (nall.n - nfg.n) - CAST(bg_df - fg_df AS DOUBLE) AS d
+       FROM fg JOIN bg USING (term) CROSS JOIN nfg CROSS JOIN nall
+       WHERE CAST(fg_df AS DOUBLE) * (nall.n - nfg.n)
+             > CAST(bg_df - fg_df AS DOUBLE) * nfg.n)
+SELECT term, fg_df, bg_df,
+       CAST(FLOOR(
+         (a * d - b * c) * (a * d - b * c) * (a + b + c + d)
+         / ((a + b) * (c + d) * (b + d) * (a + c)) * 1048576.0
+       ) AS BIGINT) AS score_q20
+FROM cells
+ORDER BY score_q20 DESC, term ASC LIMIT 10
+""",
+    doc="ES ``significant_text`` aggregation with the CHI-SQUARE "
+    "significance heuristic (include_negatives=false, "
+    "background_is_superset=true — the out-set 2x2 contingency "
+    "(ad-bc)^2(a+b+c+d)/((a+b)(c+d)(b+d)(a+c)), squared via "
+    "multiplication because pow()'s libm rounding is not pinned "
+    "cross-engine): the 'what's unusual in this slice' exploration "
+    "agg over the hits for 'merge' (round-13 verdict gap #5). ES "
+    "re-analyzes hit text on the fly because text fields lack "
+    "fielddata; here the analyzed tokens are STORED (forward "
+    "relation), so the same statistics come index-only — terms less "
+    "frequent in the slice than outside drop before scoring. "
+    "operators/search_ext.py:significant_text (heuristics jlh / "
+    "chi_square / percentage dispatched by name; gnd and "
+    "mutual_information raise). Plan: pruned probe -> broadcast hit "
+    "join on the forward relation, one background aggregation over "
+    "stored postings — the global-ordinals pass ES pays too.",
+)
+def significant_text_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pycasselastic_spark.operators.search_ext import significant_text
+
+    idx = _postings_index_for(spark, sf_dir)
+    return significant_text(
+        idx, ["merge"], m=10, min_fg_df=2, heuristic="chi_square"
+    )

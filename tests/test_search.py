@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from pycasselastic_spark.core.merge import lww_merge, lww_snapshots
@@ -815,6 +816,42 @@ def test_significant_terms_finds_cooccurring_term(spark, tmp_path):
     by = {r["term"]: r for r in got}
     assert by["b"]["fg_df"] == 5 and by["b"]["bg_df"] == 5
     assert by["b"]["jlh_q20"] > by["c"]["jlh_q20"]
+
+
+def test_significant_text_heuristics_hand_counted(spark, tmp_path):
+    """6 docs, query 'q' hits docs 0-2. 'z' lives only in the slice
+    (a=2,b=1,c=0,d=3 -> chi2 = 36*6/(3*3*4*2) = 3.0); 'w' is MORE
+    common outside (2/3 fg vs 3/3 out) so include_negatives=false
+    drops it; percentage is fg_df/bg_df; jlh equals the
+    significant_terms operator exactly."""
+    Q20 = 1 << 20
+    docs = _corpus(spark, [
+        (0, "q z w"), (1, "q z w"), (2, "q y"),
+        (3, "w"), (4, "w"), (5, "w"),
+    ])
+    path = str(tmp_path / "sigtext")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4)
+    idx = SRCH.load_postings_index(spark, path)
+    chi = {r["term"]: r for r in SRCH.significant_text(
+        idx, ["q"], m=10, min_fg_df=2, heuristic="chi_square"
+    ).collect()}
+    assert set(chi) == {"z"}  # 'w' dropped by include_negatives
+    assert chi["z"]["fg_df"] == 2 and chi["z"]["bg_df"] == 2
+    assert chi["z"]["score_q20"] == 3 * Q20
+    pct = {r["term"]: r["score_q20"] for r in SRCH.significant_text(
+        idx, ["q"], m=10, min_fg_df=2, heuristic="percentage"
+    ).collect()}
+    assert pct["z"] == Q20          # 2/2
+    assert pct["w"] == (2 * Q20) // 5  # 2/5
+    jlh_text = {(r["term"], r["fg_df"], r["bg_df"], r["score_q20"])
+                for r in SRCH.significant_text(
+                    idx, ["q"], m=10, min_fg_df=2).collect()}
+    jlh_terms = {(r["term"], r["fg_df"], r["bg_df"], r["jlh_q20"])
+                 for r in SRCH.significant_terms(
+                     idx, ["q"], m=10, min_fg_df=2).collect()}
+    assert jlh_text == jlh_terms
+    with pytest.raises(ValueError, match="heuristic"):
+        SRCH.significant_text(idx, ["q"], heuristic="gnd")
 
 
 def test_function_score_multiplies_before_quantization(spark, tmp_path):
