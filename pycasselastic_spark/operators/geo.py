@@ -1,0 +1,161 @@
+"""Geo queries: ``geo_bounding_box`` and ``geo_distance`` — the two
+ES geo primitives every location-filter dashboard issues (the
+reference's ES dependency serves them through the same filter-context
+path as range/term filters, ``pyCassElastic.py:366-397``'s query
+composition).
+
+Both operate on plain ``lat``/``lon`` double columns (ES geo_point
+doc-values re-expressed as two columns — the storage ES itself uses
+under the hood is an encoded (lat, lon) pair):
+
+* ``geo_bounding_box`` is pure comparisons — all four bounds push
+  into the columnar scan; antimeridian-crossing boxes (left > right)
+  become one OR of two pushed ranges, exactly ES's dateline split.
+* ``geo_distance`` is the haversine circle with a CONSERVATIVE
+  bounding-box prefilter pushed into the scan first (the standard
+  geo optimization: cheap pruning before trig; ES's BKD tree plays
+  the same role), then the exact haversine on survivors only.
+
+Determinism: the haversine is ONE identical expression tree in Spark
+and the DuckDB oracle — squares via multiplication (pow's libm
+rounding is not pinned cross-engine), degree->radian via the literal
+pi/180 (no engine-pi dependence), earth radius fixed at 6 371 000 m
+(ES GeoUtils uses the IUGG mean 6 371 008.77 m; the constant is an
+API contract here, documented, not a hidden divergence). Distances
+quantize to Q20 micrometers-scale fixed point for the value-hash.
+
+Scale: both operators are single-scan, shuffle-free until the
+optional top-k (TakeOrderedAndProject — per-partition heaps). At
+100 TB the bounding-box prefilter is what matters: it reaches the
+parquet row-group stats, so a city-sized circle over a
+planet-sized corpus reads only the row groups whose min/max
+lat/lon intersect the box.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Q20 = 1 << 20
+EARTH_RADIUS_M = 6_371_000.0
+_DEG2RAD = 0.017453292519943295  # pi / 180, the literal both engines use
+
+
+def _check_latlon(lat: float, lon: float) -> None:
+    if not (-90.0 <= lat <= 90.0):
+        raise ValueError(f"latitude {lat!r} outside [-90, 90]")
+    if not (-180.0 <= lon <= 180.0):
+        raise ValueError(f"longitude {lon!r} outside [-180, 180]")
+
+
+def geo_bounding_box(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    top: float,
+    left: float,
+    bottom: float,
+    right: float,
+) -> DataFrame:
+    """ES ``geo_bounding_box``: rows whose point falls inside the box
+    (bounds inclusive, exactly ES). ``left > right`` is the
+    antimeridian-crossing box and becomes an OR of the two pushed
+    longitude ranges (ES's dateline split). NULL coordinates never
+    match (a missing point is not inside any box). Returns ``df``
+    filtered — four comparisons, all pushed to the scan."""
+    _check_latlon(top, left)
+    _check_latlon(bottom, right)
+    if bottom > top:
+        raise ValueError(
+            f"geo_bounding_box bottom {bottom!r} above top {top!r}"
+        )
+    la, lo = F.col(lat_col), F.col(lon_col)
+    lat_pred = (la >= F.lit(float(bottom))) & (la <= F.lit(float(top)))
+    if left <= right:
+        lon_pred = (lo >= F.lit(float(left))) & (lo <= F.lit(float(right)))
+    else:
+        lon_pred = (lo >= F.lit(float(left))) | (lo <= F.lit(float(right)))
+    return df.filter(lat_pred & lon_pred)
+
+
+def haversine_m(lat1, lon1, lat2, lon2):
+    """Haversine distance in meters as ONE fixed expression tree —
+    the exact shape the DuckDB oracles replay (squares via
+    multiplication, radians via the pi/180 literal). Column or
+    literal inputs."""
+    dlat_h = (lat2 - lat1) * F.lit(_DEG2RAD) / F.lit(2.0)
+    dlon_h = (lon2 - lon1) * F.lit(_DEG2RAD) / F.lit(2.0)
+    s1 = F.sin(dlat_h)
+    s2 = F.sin(dlon_h)
+    a = (
+        s1 * s1
+        + F.cos(lat1 * F.lit(_DEG2RAD))
+        * F.cos(lat2 * F.lit(_DEG2RAD))
+        * s2 * s2
+    )
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+def geo_distance(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    center_lat: float,
+    center_lon: float,
+    distance_m: float,
+    id_col: str | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """ES ``geo_distance``: rows within ``distance_m`` meters of the
+    center (haversine, bound inclusive — ES's arc distance default).
+    Adds ``dist_q20`` = floor(meters x 2^20). With ``k`` (requires
+    ``id_col`` for the total-order tiebreak) the result is the
+    nearest-k page — ES's ``sort: _geo_distance`` — via
+    TakeOrderedAndProject.
+
+    Plan: a CONSERVATIVE lat/lon box prefilter pushed into the scan
+    (latitude band is exact — meridian arcs are great circles; the
+    longitude band uses the widest parallel inside the band, widened
+    1%, and drops entirely when the band touches a pole where
+    parallels degenerate), then the exact haversine on survivors."""
+    _check_latlon(center_lat, center_lon)
+    if distance_m <= 0:
+        raise ValueError(f"geo_distance distance {distance_m!r} (> 0 m)")
+    if k is not None and id_col is None:
+        raise ValueError("geo_distance k needs id_col for the tiebreak")
+    ddeg = math.degrees(distance_m / EARTH_RADIUS_M)
+    la, lo = F.col(lat_col), F.col(lon_col)
+    lat_lo, lat_hi = center_lat - ddeg, center_lat + ddeg
+    pre = (la >= F.lit(lat_lo)) & (la <= F.lit(lat_hi))
+    band_edge = min(abs(lat_lo), abs(lat_hi)) if lat_lo * lat_hi > 0 else 0.0
+    if max(abs(lat_lo), abs(lat_hi)) < 89.0:
+        # widest parallel in the band is the one nearest the equator
+        dlon = ddeg / math.cos(math.radians(band_edge)) * 1.01
+        lon_lo, lon_hi = center_lon - dlon, center_lon + dlon
+        if lon_lo >= -180.0 and lon_hi <= 180.0:
+            pre = pre & (lo >= F.lit(lon_lo)) & (lo <= F.lit(lon_hi))
+        # a box spilling over the antimeridian keeps only the exact
+        # latitude band — correctness never depends on the prefilter
+    out = (
+        df.filter(la.isNotNull() & lo.isNotNull())
+        .filter(pre)
+        .withColumn(
+            "dist_q20",
+            F.floor(
+                haversine_m(la, lo, F.lit(float(center_lat)),
+                            F.lit(float(center_lon))) * F.lit(float(Q20))
+            ).cast("long"),
+        )
+        .filter(
+            F.col("dist_q20")
+            <= F.lit(int(math.floor(float(distance_m) * Q20)))
+        )
+    )
+    if k is not None:
+        out = out.orderBy(
+            F.col("dist_q20").asc(), F.col(id_col).asc()
+        ).limit(int(k))
+    return out

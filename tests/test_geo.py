@@ -1,0 +1,99 @@
+"""Geo operators: bounding box (incl. the antimeridian split) and
+haversine distance — hand-computed fixtures pin the distance law and
+the prefilter's conservativeness near poles."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pycasselastic_spark.operators.geo import (
+    EARTH_RADIUS_M,
+    Q20,
+    geo_bounding_box,
+    geo_distance,
+)
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(
+        rows, "pid long, lat double, lon double"
+    )
+
+
+def test_bounding_box_inclusive_and_null_safe(spark):
+    df = _pts(spark, [
+        (1, 10.0, 5.0),    # exactly on the bottom bound -> in
+        (2, 20.0, 5.0),    # exactly on the top bound -> in
+        (3, 15.0, 5.0),    # inside
+        (4, 25.0, 5.0),    # above
+        (5, None, 5.0),    # NULL never matches
+        (6, 15.0, 40.0),   # east of the box
+    ])
+    got = {r["pid"] for r in geo_bounding_box(
+        df, "lat", "lon", top=20.0, left=0.0, bottom=10.0, right=10.0
+    ).collect()}
+    assert got == {1, 2, 3}
+
+
+def test_bounding_box_antimeridian_split(spark):
+    df = _pts(spark, [
+        (1, 0.0, 175.0),    # west side of the dateline box
+        (2, 0.0, -175.0),   # east side
+        (3, 0.0, 0.0),      # opposite hemisphere
+    ])
+    got = {r["pid"] for r in geo_bounding_box(
+        df, "lat", "lon", top=10.0, left=170.0, bottom=-10.0, right=-170.0
+    ).collect()}
+    assert got == {1, 2}
+    with pytest.raises(ValueError, match="outside"):
+        geo_bounding_box(df, "lat", "lon", 95.0, 0.0, 0.0, 10.0)
+    with pytest.raises(ValueError, match="above top"):
+        geo_bounding_box(df, "lat", "lon", 0.0, 0.0, 10.0, 10.0)
+
+
+def test_geo_distance_matches_hand_haversine(spark):
+    # one degree of latitude from the origin is exactly R * pi/180
+    # meters under the fixed-radius haversine
+    df = _pts(spark, [
+        (1, 1.0, 0.0),
+        (2, 0.0, 2.0),
+        (3, 80.0, 80.0),   # far away
+        (4, None, 0.0),
+    ])
+    one_deg = EARTH_RADIUS_M * math.pi / 180.0
+    got = {r["pid"]: r["dist_q20"] for r in geo_distance(
+        df, "lat", "lon", 0.0, 0.0, distance_m=250_000.0
+    ).collect()}
+    assert set(got) == {1, 2}
+    assert got[1] == math.floor(
+        2.0 * EARTH_RADIUS_M
+        * math.asin(math.sqrt(math.sin(math.radians(-1.0) / 2.0) ** 2))
+        * Q20
+    )
+    assert abs(got[1] / Q20 - one_deg) < 1.0
+    assert abs(got[2] / Q20 - 2 * one_deg) < 1.0
+
+
+def test_geo_distance_topk_page_and_pole_prefilter(spark):
+    df = _pts(spark, [
+        (1, 0.1, 0.0), (2, 0.2, 0.0), (3, 0.3, 0.0), (4, 50.0, 50.0),
+    ])
+    page = geo_distance(
+        df, "lat", "lon", 0.0, 0.0, distance_m=10_000_000.0,
+        id_col="pid", k=2,
+    ).collect()
+    assert [r["pid"] for r in page] == [1, 2]
+    # near the pole the longitude prefilter must drop (parallels
+    # degenerate): a point 179 degrees of longitude away at lat 89.9
+    # is only ~22 km from the pole-side center and MUST survive
+    polar = _pts(spark, [(1, 89.9, 179.0)])
+    got = geo_distance(
+        polar, "lat", "lon", 89.9, 0.0, distance_m=50_000.0
+    ).collect()
+    assert [r["pid"] for r in got] == [1]
+    with pytest.raises(ValueError, match="needs id_col"):
+        geo_distance(df, "lat", "lon", 0.0, 0.0, 1000.0, k=5)
+    with pytest.raises(ValueError, match="> 0 m"):
+        geo_distance(df, "lat", "lon", 0.0, 0.0, 0.0)
