@@ -244,6 +244,9 @@ def _trees(depth):
     sub = _trees(depth - 1)
     return st.one_of(
         _leaf.map(lambda t: ("term", t)),
+        # ^boost on leaves joins the algebra (round-14 grammar)
+        st.tuples(st.just("boost"), st.integers(2, 4),
+                  _leaf.map(lambda t: ("term", t))),
         st.tuples(st.just("and"), sub, sub),
         st.tuples(st.just("or"), sub, sub),
         # NOT only as the right arm of AND (the dispatched shape)
@@ -255,6 +258,8 @@ def _render(node):
     kind = node[0]
     if kind == "term":
         return node[1]
+    if kind == "boost":
+        return f"{_render(node[2])}^{node[1]}"
     l, r = _render(node[1]), _render(node[2])
     op = {"and": "AND", "or": "OR", "andnot": "AND NOT"}[kind]
     return f"({l} {op} {r})"
@@ -265,6 +270,9 @@ def _eval_ref(node, doc_terms, term_scores):
     kind = node[0]
     if kind == "term":
         return term_scores.get(node[1])
+    if kind == "boost":
+        inner = _eval_ref(node[2], doc_terms, term_scores)
+        return None if inner is None else node[1] * inner
     ls = _eval_ref(node[1], doc_terms, term_scores)
     rs = _eval_ref(node[2], doc_terms, term_scores)
     if kind == "and":
