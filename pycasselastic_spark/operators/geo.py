@@ -99,6 +99,63 @@ def haversine_m(lat1, lon1, lat2, lon2):
     return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
 
 
+_PI = 3.141592653589793
+_MERCATOR_LAT = 85.05112878  # Web-Mercator clamp, ES's GeoTileUtils
+
+
+def geotile_cells(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    zoom: int,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``geotile_grid`` aggregation: bucket points into Web-Mercator
+    map tiles at ``zoom`` (the "z/x/y" keys every slippy map consumes),
+    count per tile, top-``k`` by (count desc, tile asc) — ES's bucket
+    order with a deterministic key tiebreak. Latitudes clamp to the
+    Mercator bound ±85.05112878 (ES GeoTileUtils does the same);
+    NULL points never bucket.
+
+    Determinism: the y tile uses ``ln((sin φ + 1) / cos φ)`` — the
+    tan+sec identity rewritten onto the sin/cos/ln set the haversine
+    already pins cross-engine — with pi as a literal; x is pure
+    arithmetic. Both floor in double then clamp to [0, 2^z - 1].
+
+    Plan shape: one scan, two row-local expressions, ONE
+    partial-aggregated groupBy + TakeOrderedAndProject."""
+    if not (0 <= int(zoom) <= 29):
+        raise ValueError(f"geotile_grid precision {zoom!r} (0..29, ES law)")
+    n = float(1 << int(zoom))
+    la = F.least(
+        F.greatest(F.col(lat_col), F.lit(-_MERCATOR_LAT)),
+        F.lit(_MERCATOR_LAT),
+    )
+    lo = F.col(lon_col)
+    xt = F.floor((lo + F.lit(180.0)) / F.lit(360.0) * F.lit(n))
+    xt = F.least(F.greatest(xt, F.lit(0)), F.lit(int(n) - 1))
+    phi = la * F.lit(_DEG2RAD)
+    yraw = (
+        (F.lit(1.0)
+         - F.log((F.sin(phi) + F.lit(1.0)) / F.cos(phi)) / F.lit(_PI))
+        / F.lit(2.0) * F.lit(n)
+    )
+    yt = F.least(F.greatest(F.floor(yraw), F.lit(0)), F.lit(int(n) - 1))
+    return (
+        df.filter(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
+        .select(
+            F.concat_ws(
+                "/", F.lit(str(int(zoom))), xt.cast("long").cast("string"),
+                yt.cast("long").cast("string"),
+            ).alias("tile")
+        )
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("tile").asc())
+        .limit(int(k))
+    )
+
+
 def geo_distance(
     df: DataFrame,
     lat_col: str,

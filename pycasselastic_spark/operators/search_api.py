@@ -1033,6 +1033,17 @@ def es_search(
                 offset=float(hspec.get("offset", 0.0)),
                 min_doc_count=int(hspec.get("min_doc_count", 1)),
             )
+        if set(agg) == {"boxplot"}:
+            spec = agg["boxplot"]
+            extra = set(spec) - {"field"}
+            if extra:
+                # compression is the t-digest dial; exact needs none
+                raise _err(f"boxplot options {sorted(extra)}")
+            from pycasselastic_spark.operators.search_compose import (
+                search_boxplot_agg,
+            )
+
+            return search_boxplot_agg(index, terms, spec["field"])
         if set(agg) == {"percentiles"}:
             spec = agg["percentiles"]
             extra = set(spec) - {"field", "percents"}
@@ -1211,6 +1222,7 @@ def es_search(
                     "max_bucket", "stats_bucket",
                 )
                 pipelines = []
+                rate_cols: list[tuple[str, int]] = []
                 for pname, pbody in sub.items():
                     pkind, pspec = _single(
                         pbody, f"date_histogram sub-aggregation {pname!r}"
@@ -1258,6 +1270,33 @@ def es_search(
                         pipelines.append(
                             (pname, ("serial_diff", lag), "n_docs")
                         )
+                        continue
+                    if pkind == "rate":
+                        # ES rate agg (7.10): the bucket count scaled
+                        # to a time unit — "requests per hour" off a
+                        # 12h histogram. Fixed-interval parents only:
+                        # a calendar bucket has no constant width to
+                        # scale by (ES restricts the calendar case to
+                        # matching calendar units; raise by name)
+                        pextra = set(pspec) - {"unit"}
+                        if pextra:
+                            raise _err(f"rate options {sorted(pextra)}")
+                        if not spec.get("fixed_interval"):
+                            raise _err(
+                                "rate under a calendar_interval parent "
+                                "(fixed_interval parents only)"
+                            )
+                        runit = str(pspec.get("unit", "hour"))
+                        unit_s = {
+                            "second": 1, "minute": 60, "hour": 3600,
+                            "day": 86400, "week": 604800,
+                        }.get(runit)
+                        if unit_s is None:
+                            raise _err(
+                                f"rate unit {runit!r} (fixed units "
+                                "second/minute/hour/day/week)"
+                            )
+                        rate_cols.append((pname, unit_s))
                         continue
                     if pkind == "moving_fn":
                         pextra = set(pspec) - {
@@ -1348,7 +1387,30 @@ def es_search(
                             f"{pspec['buckets_path']!r} (supported: _count)"
                         )
                     pipelines.append((pname, pkind, "n_docs"))
-                buckets = apply_bucket_pipelines(buckets, pipelines)
+                if pipelines:
+                    buckets = apply_bucket_pipelines(buckets, pipelines)
+                if rate_cols:
+                    from pycasselastic_spark.operators.search_compose import (  # noqa: E501
+                        _parse_fixed_interval,
+                    )
+
+                    interval_s = _parse_fixed_interval(
+                        str(spec["fixed_interval"])
+                    )
+                    for pname, unit_s in rate_cols:
+                        # one row-local expression; the oracle replays
+                        # FLOOR(n_docs * (unit / interval) * Q20) with
+                        # the identical grouping
+                        buckets = buckets.withColumn(
+                            pname,
+                            F.floor(
+                                F.col("n_docs")
+                                * (F.lit(float(unit_s))
+                                   / F.lit(float(interval_s)))
+                                * F.lit(float(1 << 20))
+                            ).cast("long"),
+                        )
+                    buckets = buckets.orderBy(F.col("bucket").asc())
             return buckets
         if set(agg) == {"auto_date_histogram"}:
             spec = agg["auto_date_histogram"]
@@ -1551,6 +1613,59 @@ def es_search(
                 return search_facet_metric_agg(
                     index, terms, field, s["stats"]["field"],
                     order_by=order_by,
+                )
+            if set(s) == {"top_metrics"}:
+                # terms > top_metrics: per bucket, the metric carried
+                # by the doc atop a sort ("per source: the n_chars of
+                # the newest doc"); size=1 only — the multi-row page
+                # is top_hits' job
+                tspec = s["top_metrics"]
+                textra = set(tspec) - {"metrics", "sort", "size"}
+                if textra:
+                    raise _err(f"top_metrics options {sorted(textra)}")
+                if int(tspec.get("size", 1)) != 1:
+                    raise _err(
+                        "top_metrics size > 1 (one row per bucket — "
+                        "use top_hits for the page)"
+                    )
+                mspec = tspec["metrics"]
+                if isinstance(mspec, list):
+                    if len(mspec) != 1:
+                        raise _err("top_metrics with multiple metrics")
+                    mspec = mspec[0]
+                if set(mspec) != {"field"}:
+                    raise _err(
+                        f"top_metrics metric options "
+                        f"{sorted(set(mspec) - {'field'})}"
+                    )
+                sspec = tspec["sort"]
+                if isinstance(sspec, list):
+                    if len(sspec) != 1:
+                        raise _err("top_metrics with multiple sorts")
+                    sspec = sspec[0]
+                sfield, sdir = _single(sspec, "top_metrics sort")
+                if isinstance(sdir, dict):
+                    if set(sdir) != {"order"}:
+                        raise _err(
+                            f"top_metrics sort options "
+                            f"{sorted(set(sdir) - {'order'})}"
+                        )
+                    sdir = sdir["order"]
+                if str(sdir) not in ("asc", "desc"):
+                    raise _err(f"top_metrics sort order {sdir!r}")
+                textra2 = set(agg["terms"]) - {"field"}
+                if textra2:
+                    raise _err(
+                        f"terms options {sorted(textra2)} with a "
+                        "top_metrics sub-agg"
+                    )
+                from pycasselastic_spark.operators.search_compose import (  # noqa: E501
+                    search_facet_top_metrics,
+                )
+
+                return search_facet_top_metrics(
+                    index, terms, field, mspec["field"], sfield,
+                    ascending=(str(sdir) == "asc"),
                 )
             if set(s) == {"date_histogram"}:
                 # terms > date_histogram: the two-level time-series

@@ -296,6 +296,103 @@ def search_percentiles_agg(
     )
 
 
+def search_boxplot_agg(
+    index: PostingsIndex,
+    query_terms: list[str],
+    field: str,
+) -> DataFrame:
+    """ES ``boxplot`` aggregation over the hit set from STORED
+    doc-values: one row ``(n_vals, min_val, max_val, q1_q20, q2_q20,
+    q3_q20)`` — min/max exact raw values (deterministic picks),
+    quartiles EXACT linear-interpolated and Q20-quantized (ES's
+    t-digest approximates this limit; Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the interpolation law — the same
+    contract search_percentiles_agg pins). NULL metric values are
+    excluded from every cell (ES's value-count law).
+
+    Plan shape: hit ids (pruned probe, count-guarded broadcast) join
+    the column-pruned doc-values scan, ONE reduction."""
+    one = _hit_docvalues(index, query_terms, field).agg(
+        F.count(dv_col(field)).cast("long").alias("n_vals"),
+        F.min(dv_col(field)).alias("min_val"),
+        F.max(dv_col(field)).alias("max_val"),
+        F.expr(
+            f"percentile(`{field}`, array(0.25D, 0.5D, 0.75D))"
+        ).alias("_q"),
+    )
+    return one.select(
+        "n_vals", "min_val", "max_val",
+        F.floor(F.element_at("_q", 1) * Q20).cast("long").alias("q1_q20"),
+        F.floor(F.element_at("_q", 2) * Q20).cast("long").alias("q2_q20"),
+        F.floor(F.element_at("_q", 3) * Q20).cast("long").alias("q3_q20"),
+    )
+
+
+def search_facet_top_metrics(
+    index: PostingsIndex,
+    query_terms: list[str],
+    facet_field: str,
+    metric_field: str,
+    sort_field: str,
+    ascending: bool = False,
+    order_by_bucket: bool = True,
+) -> DataFrame:
+    """ES ``top_metrics`` riding a ``terms`` aggregation: per bucket,
+    the metric value carried by the doc at the TOP of a sort — "per
+    source: the n_chars of the newest doc". ES breaks sort ties
+    arbitrarily; this engine breaks them by id ascending so the
+    answer is total-ordered and replayable (the same determinism
+    upgrade every top-k here applies). Returns ``(bucket, n_docs,
+    top_sort, top_metric)`` — the sort value rides along exactly as
+    ES returns it.
+
+    Plan shape: hit ids join ONE column-pruned doc-values scan
+    carrying facet + sort + metric, then a single partial-aggregated
+    max_by/min_by reduction — no window, no second pass. Docs with a
+    NULL sort value cannot win (ES drops them from the sort)."""
+    for f in (facet_field, metric_field, sort_field):
+        if f not in index.stored_fields:
+            raise ValueError(
+                f"field {f!r} is not stored in this index's doc values "
+                f"(stored_fields={index.stored_fields})"
+            )
+    id_col = index.id_col
+    hits = hits_relation(index, query_terms)
+    dv = index.live_docvalues().select(
+        F.col(id_col), dv_col(facet_field), dv_col(sort_field),
+        dv_col(metric_field),
+    )
+    # total order: (sort, id) — for desc sort the winner maximizes
+    # (sort, -id); negate the id so max_by stays one reduction
+    key = F.struct(
+        dv_col(sort_field).alias("s"),
+        (-F.col(id_col)).alias("tb") if not ascending
+        else F.col(id_col).alias("tb"),
+    )
+    pick = F.max_by if not ascending else F.min_by
+    payload = F.struct(
+        dv_col(sort_field).alias("sv"), dv_col(metric_field).alias("mv")
+    )
+    out = (
+        dv.join(_bounded_broadcast(hits), id_col)
+        .filter(dv_col(facet_field).isNotNull())
+        .filter(dv_col(sort_field).isNotNull())
+        .groupBy(dv_col(facet_field).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            pick(payload, key).alias("_top"),
+        )
+        .select(
+            "bucket", "n_docs",
+            F.col("_top.sv").alias("top_sort"),
+            F.col("_top.mv").alias("top_metric"),
+        )
+    )
+    if order_by_bucket:
+        out = out.orderBy(F.col("bucket").asc())
+    return out
+
+
 def search_cardinality_agg(
     index: PostingsIndex,
     query_terms: list[str],

@@ -399,3 +399,161 @@ def geo_distance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         g, "lat", "lon", center_lat=0.0, center_lon=0.0,
         distance_m=2_500_000.0, id_col="event_id", k=20,
     ).select("event_id", "dist_q20")
+
+
+@register(
+    "rate_agg_documents",
+    f"""
+WITH {_HITS_MERGE},
+d AS (SELECT doc_id,
+        {_TS0} + (doc_id % 7) * {_TS_STEP} AS ts FROM documents),
+c AS (SELECT CAST(FLOOR(ts / 43200) * 43200 AS BIGINT) AS bucket_s,
+        CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM d JOIN hits USING (doc_id) GROUP BY 1)
+SELECT bucket_s, n_docs,
+       CAST(FLOOR(n_docs * (3600.0 / 43200.0) * 1048576.0) AS BIGINT)
+         AS per_hour_q20
+FROM c ORDER BY bucket_s
+""",
+    doc="ES ``rate`` aggregation (7.10) riding a date_histogram: the "
+    "bucket count scaled to a time unit — 'docs per hour' off 12h "
+    "buckets, the normalization every throughput dashboard does by "
+    "hand. Fixed-interval parents only (a calendar bucket has no "
+    "constant width; ES restricts the calendar case to matching "
+    "calendar units — raises by name here), units "
+    "second/minute/hour/day/week. One row-local expression "
+    "FLOOR(n_docs x (unit/interval) x Q20) with the division "
+    "grouped identically in both engines. Dispatched from "
+    "aggs.<name>.aggs.<p>.rate.",
+)
+def rate_agg_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _ts_index_for(spark, sf_dir)
+    out = es_search(idx, {
+        "query": {"match": {"text": "merge"}},
+        "aggs": {"halfdays": {
+            "date_histogram": {
+                "field": "ingest_ts", "fixed_interval": "12h",
+            },
+            "aggs": {"per_hour_q20": {"rate": {"unit": "hour"}}},
+        }},
+    })
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket_s"),
+        "n_docs", "per_hour_q20",
+    ).orderBy("bucket_s")
+
+
+@register(
+    "boxplot_agg_documents",
+    f"""
+WITH {_HITS_MERGE}
+SELECT CAST(COUNT(n_chars) AS BIGINT) AS n_vals,
+       MIN(n_chars) AS min_val,
+       MAX(n_chars) AS max_val,
+       CAST(FLOOR(quantile_cont(n_chars, 0.25) * 1048576.0) AS BIGINT)
+         AS q1_q20,
+       CAST(FLOOR(quantile_cont(n_chars, 0.5) * 1048576.0) AS BIGINT)
+         AS q2_q20,
+       CAST(FLOOR(quantile_cont(n_chars, 0.75) * 1048576.0) AS BIGINT)
+         AS q3_q20
+FROM documents JOIN hits USING (doc_id)
+""",
+    doc="ES ``boxplot`` aggregation over the hit set: min / max / "
+    "exact interpolated quartiles of n_chars — the five-number "
+    "summary behind every distribution widget. ES ships a t-digest "
+    "approximation forced by its segment architecture; one Spark "
+    "reduction computes the exact limit, and Spark ``percentile`` "
+    "shares DuckDB ``quantile_cont``'s interpolation law "
+    "(bit-equality pinned since percentile_stats_lineitem). "
+    "Quartiles Q20-quantized; min/max exact raw picks; NULLs "
+    "excluded per ES's value-count law. operators/search_compose.py:"
+    "search_boxplot_agg; dispatched from aggs.<name>.boxplot. Plan: "
+    "pruned probe -> broadcast hit join -> ONE reduction.",
+)
+def boxplot_agg_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"match": {"text": "merge"}},
+        "aggs": {"chars": {"boxplot": {"field": "n_chars"}}},
+    })
+
+
+@register(
+    "top_metrics_documents",
+    f"""
+WITH {_HITS_MERGE},
+ranked AS (
+  SELECT d.lang AS bucket, d.n_chars, d.source, d.doc_id,
+         COUNT(*) OVER (PARTITION BY d.lang) AS n_docs,
+         ROW_NUMBER() OVER (PARTITION BY d.lang
+                            ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+  FROM documents d JOIN hits USING (doc_id)
+  WHERE d.lang IS NOT NULL AND d.n_chars IS NOT NULL
+)
+SELECT bucket, CAST(n_docs AS BIGINT) AS n_docs,
+       n_chars AS top_sort, source AS top_metric
+FROM ranked WHERE rn = 1 ORDER BY bucket
+""",
+    doc="ES ``top_metrics`` riding a terms aggregation — 'per lang: "
+    "the source of the LONGEST doc' (metric carried by the doc atop "
+    "a sort; the one-value sibling of top_hits). ES breaks sort "
+    "ties arbitrarily; this engine breaks them by id ascending so "
+    "the answer is total-ordered and replayable. size=1 only "
+    "(the multi-row page is top_hits' job); multiple metrics/sorts "
+    "raise by name. operators/search_compose.py:"
+    "search_facet_top_metrics; dispatched from "
+    "aggs.<name>.terms + aggs.<sub>.top_metrics. Plan: hit ids join "
+    "ONE column-pruned doc-values scan, a single partial-aggregated "
+    "max_by reduction — no window, no second pass.",
+)
+def top_metrics_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"match": {"text": "merge"}},
+        "aggs": {"per_lang": {
+            "terms": {"field": "lang"},
+            "aggs": {"longest": {"top_metrics": {
+                "metrics": {"field": "source"},
+                "sort": {"n_chars": "desc"},
+            }}},
+        }},
+    })
+
+
+@register(
+    "geotile_grid_events",
+    "WITH "
+    + _GEO_SQL
+    + """,
+t AS (SELECT
+  CONCAT('4', '/',
+    CAST(CAST(LEAST(GREATEST(FLOOR((lon + 180.0) / 360.0 * 16.0), 0),
+      15) AS BIGINT) AS VARCHAR), '/',
+    CAST(CAST(LEAST(GREATEST(FLOOR(
+      (1.0 - ln((sin(LEAST(GREATEST(lat, -85.05112878), 85.05112878)
+                   * 0.017453292519943295) + 1.0)
+                / cos(LEAST(GREATEST(lat, -85.05112878), 85.05112878)
+                      * 0.017453292519943295)) / 3.141592653589793)
+      / 2.0 * 16.0), 0), 15) AS BIGINT) AS VARCHAR)) AS tile
+  FROM g)
+SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM t GROUP BY tile
+ORDER BY n_docs DESC, tile ASC LIMIT 15
+""",
+    doc="ES ``geotile_grid`` aggregation: points bucketed into "
+    "Web-Mercator map tiles at zoom 4 — the 'z/x/y' keys every "
+    "slippy-map heat layer consumes — top-15 cells by (count desc, "
+    "tile asc), ES's bucket order with a deterministic key "
+    "tiebreak; latitudes clamp to ±85.05112878 exactly like ES "
+    "GeoTileUtils. Determinism: the y tile uses "
+    "ln((sin phi + 1)/cos phi) — the tan+sec identity rewritten "
+    "onto the sin/cos/ln set the haversine already pins "
+    "cross-engine — pi and the clamp as literals. operators/geo.py:"
+    "geotile_cells. Plan: one scan, two row-local expressions, ONE "
+    "partial-aggregated groupBy + TakeOrderedAndProject.",
+)
+def geotile_grid_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pycasselastic_spark.operators.geo import geotile_cells
+
+    g = _geo_events(spark, sf_dir)
+    return geotile_cells(g, "lat", "lon", zoom=4, k=15)

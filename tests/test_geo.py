@@ -13,6 +13,7 @@ from pycasselastic_spark.operators.geo import (
     Q20,
     geo_bounding_box,
     geo_distance,
+    geotile_cells,
 )
 
 
@@ -97,3 +98,21 @@ def test_geo_distance_topk_page_and_pole_prefilter(spark):
         geo_distance(df, "lat", "lon", 0.0, 0.0, 1000.0, k=5)
     with pytest.raises(ValueError, match="> 0 m"):
         geo_distance(df, "lat", "lon", 0.0, 0.0, 0.0)
+
+
+def test_geotile_cells_known_tiles_and_clamp(spark):
+    # z=1 hand tiles: (0,0) -> x=1 (east half), y=1 (south half of
+    # the mercator square starts at the equator line: y index 1);
+    # (45,-90) -> x=0, y=0; lat 89.9 clamps to the mercator bound
+    df = _pts(spark, [
+        (1, 0.0, 0.0),
+        (2, 45.0, -90.0),
+        (3, 89.9, -90.0),   # clamped -> y=0
+        (4, None, 0.0),     # never buckets
+        (5, 0.0, 180.0),    # x would be 2^z -> clamps to 1
+    ])
+    got = {r["tile"]: r["n_docs"]
+           for r in geotile_cells(df, "lat", "lon", zoom=1, k=10).collect()}
+    assert got == {"1/1/1": 2, "1/0/0": 2}
+    with pytest.raises(ValueError, match="precision"):
+        geotile_cells(df, "lat", "lon", zoom=30)

@@ -207,6 +207,97 @@ def test_moving_fn_slides_the_bucket_window(dv_idx):
     assert [(r["n_docs"], r["mx"]) for r in out] == [(1, 1), (2, 2), (1, 1)]
 
 
+def test_rate_scales_bucket_counts_to_the_unit(dv_idx):
+    # daily fixed buckets, unit=hour: each 1-doc bucket reads
+    # floor(1 * (3600/86400) * Q20) = floor(Q20/24) = 43690
+    out = es_search(dv_idx, {
+        "query": {"match": {"text": "alpha"}},
+        "aggs": {"days": {
+            "date_histogram": {"field": "d", "fixed_interval": "1d"},
+            "aggs": {"hourly": {"rate": {"unit": "hour"}}},
+        }},
+    }).collect()
+    assert all(r["hourly"] == 43690 * r["n_docs"] for r in out)
+    with pytest.raises(ValueError, match="calendar_interval parent"):
+        es_search(dv_idx, {
+            "query": {"match": {"text": "alpha"}},
+            "aggs": {"m": {
+                "date_histogram": {"field": "d",
+                                   "calendar_interval": "month"},
+                "aggs": {"r": {"rate": {"unit": "hour"}}},
+            }},
+        })
+    with pytest.raises(ValueError, match="rate unit"):
+        es_search(dv_idx, {
+            "query": {"match": {"text": "alpha"}},
+            "aggs": {"m": {
+                "date_histogram": {"field": "d", "fixed_interval": "1d"},
+                "aggs": {"r": {"rate": {"unit": "month"}}},
+            }},
+        })
+
+
+def test_boxplot_exact_quartiles(dv_idx):
+    # hits 1,2,3,5 -> vals 10,20,30,50: q1=17.5 q2=25 q3=35 (the
+    # percentile/quantile_cont interpolation law)
+    Q20 = 1 << 20
+    row = es_search(dv_idx, {
+        "query": {"match": {"text": "alpha"}},
+        "aggs": {"b": {"boxplot": {"field": "val"}}},
+    }).collect()[0]
+    assert (row["n_vals"], row["min_val"], row["max_val"]) == (4, 10, 50)
+    assert row["q1_q20"] == int(17.5 * Q20)
+    assert row["q2_q20"] == 25 * Q20
+    assert row["q3_q20"] == 35 * Q20
+    with pytest.raises(ValueError, match="boxplot options"):
+        es_search(dv_idx, {
+            "query": {"match": {"text": "alpha"}},
+            "aggs": {"b": {"boxplot": {"field": "val",
+                                       "compression": 200}}},
+        })
+
+
+def test_top_metrics_picks_the_sorted_top_per_bucket(dv_idx):
+    # tag x: docs 1(val 10), 3(val 30) -> top by val desc is 30;
+    # tag y: doc 2 -> 20; doc 5's NULL tag excluded
+    out = {r["bucket"]: r for r in es_search(dv_idx, {
+        "query": {"match": {"text": "alpha"}},
+        "aggs": {"t": {
+            "terms": {"field": "tag"},
+            "aggs": {"top": {"top_metrics": {
+                "metrics": {"field": "val"},
+                "sort": {"val": "desc"},
+            }}},
+        }},
+    }).collect()}
+    assert out["x"]["n_docs"] == 2 and out["x"]["top_metric"] == 30
+    assert out["y"]["n_docs"] == 1 and out["y"]["top_metric"] == 20
+    assert out["x"]["top_sort"] == 30
+    # asc flips the pick
+    asc = {r["bucket"]: r["top_metric"] for r in es_search(dv_idx, {
+        "query": {"match": {"text": "alpha"}},
+        "aggs": {"t": {
+            "terms": {"field": "tag"},
+            "aggs": {"top": {"top_metrics": {
+                "metrics": {"field": "val"},
+                "sort": {"val": {"order": "asc"}},
+            }}},
+        }},
+    }).collect()}
+    assert asc == {"x": 10, "y": 20}
+    with pytest.raises(ValueError, match="size > 1"):
+        es_search(dv_idx, {
+            "query": {"match": {"text": "alpha"}},
+            "aggs": {"t": {
+                "terms": {"field": "tag"},
+                "aggs": {"top": {"top_metrics": {
+                    "metrics": {"field": "val"},
+                    "sort": {"val": "desc"}, "size": 3,
+                }}},
+            }},
+        })
+
+
 def test_moving_avg_simple_includes_current_bucket(dv_idx):
     # legacy moving_avg 'simple' = unweightedAvg anchored to include
     # the current bucket; window truncates at the series head
