@@ -99,6 +99,69 @@ def haversine_m(lat1, lon1, lat2, lon2):
     return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
 
 
+def geo_distance_ranges(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    center_lat: float,
+    center_lon: float,
+    edges_m: list[float],
+) -> DataFrame:
+    """ES ``geo_distance`` AGGREGATION: ring buckets around an origin
+    — counts per distance band, ``from`` inclusive / ``to`` exclusive
+    (the ES range-agg law), bucket keys in ES's ``*-100.0`` /
+    ``100.0-300.0`` / ``300.0-*`` format, EMPTY rings kept at 0 (ES
+    returns every requested range). ``edges_m`` are the ascending
+    ring boundaries in meters; n+1 buckets come back for n edges.
+
+    Determinism: ONE haversine per row (the same pinned expression
+    tree as geo_distance), compared in Q20 integer space against
+    Q20-floored edges. Plan: one scan, one row-local distance, one
+    partial-aggregated conditional-sum reduction to n+1 cells — the
+    filters-agg shape, never a shuffle per ring."""
+    _check_latlon(center_lat, center_lon)
+    edges = [float(e) for e in edges_m]
+    if not edges or any(e <= 0 for e in edges) or sorted(edges) != edges:
+        raise ValueError(
+            f"geo_distance ranges need ascending positive edges, "
+            f"got {edges_m!r}"
+        )
+    la, lo = F.col(lat_col), F.col(lon_col)
+    d_q = F.floor(
+        haversine_m(la, lo, F.lit(float(center_lat)),
+                    F.lit(float(center_lon))) * F.lit(float(Q20))
+    ).cast("long")
+    bounds = [None, *[int(math.floor(e * Q20)) for e in edges], None]
+    cells = []
+    keys = []
+    for i in range(len(edges) + 1):
+        lo_q, hi_q = bounds[i], bounds[i + 1]
+        cond = F.lit(True)
+        if lo_q is not None:
+            cond = cond & (d_q >= F.lit(lo_q))
+        if hi_q is not None:
+            cond = cond & (d_q < F.lit(hi_q))
+        lo_key = "*" if lo_q is None else repr(edges[i - 1])
+        hi_key = "*" if hi_q is None else repr(edges[i])
+        key = f"{lo_key}-{hi_key}"
+        keys.append(key)
+        # coalesce: an empty frame sums to NULL, ES returns 0 rings
+        cells.append(
+            F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+            .cast("long").alias(f"_c{i}")
+        )
+    one = df.filter(la.isNotNull() & lo.isNotNull()).agg(*cells)
+    pairs = F.array(*[
+        F.struct(F.lit(k).alias("bucket"), F.col(f"_c{i}").alias("n_docs"))
+        for i, k in enumerate(keys)
+    ])
+    return (
+        one.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.bucket").alias("bucket"),
+                F.col("p.n_docs").alias("n_docs"))
+    )
+
+
 _PI = 3.141592653589793
 _MERCATOR_LAT = 85.05112878  # Web-Mercator clamp, ES's GeoTileUtils
 

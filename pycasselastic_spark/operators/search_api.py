@@ -1008,6 +1008,65 @@ def es_search(
                 index, terms, spec["field"],
                 max_doc_count=int(spec.get("max_doc_count", 1)),
             )
+        for skind in ("significant_terms", "significant_text"):
+            if set(agg) == {skind}:
+                spec = agg[skind]
+                known = {
+                    "field", "size", "min_doc_count",
+                    "jlh", "chi_square", "percentage",
+                }
+                extra = set(spec) - known
+                if extra:
+                    raise _err(f"{skind} options {sorted(extra)}")
+                if not isinstance(terms, list):
+                    # the operators exclude the QUERY TERMS from the
+                    # scored set — a derived hit relation has no term
+                    # list to exclude
+                    raise _err(
+                        f"{skind} under a non-match query (the "
+                        "significance scorers need the match terms)"
+                    )
+                if "field" in spec and spec["field"] in index.stored_fields:
+                    raise _err(
+                        f"{skind} over doc-values field "
+                        f"{spec['field']!r} (the indexed TEXT field "
+                        "only — that is what this index analyzed)"
+                    )
+                picked = [h for h in ("jlh", "chi_square", "percentage")
+                          if h in spec]
+                if len(picked) > 1:
+                    raise _err(f"{skind} with multiple heuristics {picked}")
+                heuristic = picked[0] if picked else "jlh"
+                if picked:
+                    hopts = dict(spec[picked[0]] or {})
+                    if heuristic == "chi_square":
+                        # the implemented contingency is the out-set
+                        # (background_is_superset=true) with negatives
+                        # excluded; other combos raise by name
+                        if bool(hopts.pop("include_negatives", False)):
+                            raise _err(
+                                "chi_square include_negatives=true"
+                            )
+                        if not bool(
+                            hopts.pop("background_is_superset", True)
+                        ):
+                            raise _err(
+                                "chi_square background_is_superset=false"
+                            )
+                    if hopts:
+                        raise _err(
+                            f"{heuristic} options {sorted(hopts)}"
+                        )
+                from pycasselastic_spark.operators.search_ext import (
+                    significant_text,
+                )
+
+                return significant_text(
+                    index, terms,
+                    m=int(spec.get("size", 10)),
+                    min_fg_df=int(spec.get("min_doc_count", 2)),
+                    heuristic=heuristic,
+                )
         for m in ("avg", "sum", "min", "max", "value_count", "missing"):
             if set(agg) == {m}:
                 if set(agg[m]) != {"field"}:

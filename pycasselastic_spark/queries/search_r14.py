@@ -557,3 +557,59 @@ def geotile_grid_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _geo_events(spark, sf_dir)
     return geotile_cells(g, "lat", "lon", zoom=4, k=15)
+
+
+@register(
+    "geo_distance_ranges_events",
+    "WITH "
+    + _GEO_SQL
+    + """,
+d AS (SELECT CAST(FLOOR(12742000.0 * asin(sqrt(
+    sin((0.0 - lat) * 0.017453292519943295 / 2.0)
+      * sin((0.0 - lat) * 0.017453292519943295 / 2.0)
+    + cos(lat * 0.017453292519943295) * cos(0.0 * 0.017453292519943295)
+      * sin((0.0 - lon) * 0.017453292519943295 / 2.0)
+      * sin((0.0 - lon) * 0.017453292519943295 / 2.0)
+  )) * 1048576.0) AS BIGINT) AS dq FROM g),
+e AS (SELECT CAST(FLOOR(1000000.0 * 1048576.0) AS BIGINT) AS e1,
+             CAST(FLOOR(3000000.0 * 1048576.0) AS BIGINT) AS e2,
+             CAST(FLOOR(8000000.0 * 1048576.0) AS BIGINT) AS e3)
+SELECT * FROM (
+  SELECT '*-1000000.0' AS bucket,
+         CAST(SUM(CASE WHEN dq < e1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs FROM d CROSS JOIN e
+  UNION ALL
+  SELECT '1000000.0-3000000.0',
+         CAST(SUM(CASE WHEN dq >= e1 AND dq < e2 THEN 1 ELSE 0 END)
+           AS BIGINT) FROM d CROSS JOIN e
+  UNION ALL
+  SELECT '3000000.0-8000000.0',
+         CAST(SUM(CASE WHEN dq >= e2 AND dq < e3 THEN 1 ELSE 0 END)
+           AS BIGINT) FROM d CROSS JOIN e
+  UNION ALL
+  SELECT '8000000.0-*',
+         CAST(SUM(CASE WHEN dq >= e3 THEN 1 ELSE 0 END) AS BIGINT)
+         FROM d CROSS JOIN e)
+ORDER BY bucket
+""",
+    doc="ES ``geo_distance`` AGGREGATION — ring buckets around an "
+    "origin ('how many events within 1 000 / 3 000 / 8 000 km'), "
+    "from inclusive / to exclusive exactly ES's range-agg law, "
+    "bucket keys in ES's *-to / from-to / from-* format, empty "
+    "rings kept at 0. One haversine per row (the same pinned "
+    "libm-neutral expression tree as geo_distance_events), compared "
+    "in Q20 INTEGER space against Q20-floored edges. operators/"
+    "geo.py:geo_distance_ranges. Plan: one scan, one row-local "
+    "distance, one partial-aggregated conditional-sum reduction to "
+    "n+1 cells — the filters-agg shape, never a shuffle per ring.",
+)
+def geo_distance_ranges_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pycasselastic_spark.operators.geo import geo_distance_ranges
+
+    g = _geo_events(spark, sf_dir)
+    return geo_distance_ranges(
+        g, "lat", "lon", center_lat=0.0, center_lon=0.0,
+        edges_m=[1_000_000.0, 3_000_000.0, 8_000_000.0],
+    ).orderBy("bucket")

@@ -116,3 +116,32 @@ def test_geotile_cells_known_tiles_and_clamp(spark):
     assert got == {"1/1/1": 2, "1/0/0": 2}
     with pytest.raises(ValueError, match="precision"):
         geotile_cells(df, "lat", "lon", zoom=30)
+
+
+def test_geo_distance_ranges_ring_buckets(spark):
+    from pycasselastic_spark.operators.geo import geo_distance_ranges
+
+    one_deg = EARTH_RADIUS_M * math.pi / 180.0  # ~111.2 km
+    df = _pts(spark, [
+        (1, 0.5, 0.0),   # ~55.6 km  -> first ring
+        (2, 2.0, 0.0),   # ~222 km   -> second ring
+        (3, 0.0, 4.0),   # ~445 km   -> last (open) ring
+        (4, None, 0.0),  # never buckets
+    ])
+    got = {r["bucket"]: r["n_docs"] for r in geo_distance_ranges(
+        df, "lat", "lon", 0.0, 0.0,
+        edges_m=[one_deg, 3 * one_deg],
+    ).collect()}
+    assert list(got.values()) == [1, 1, 1] or got == {
+        f"*-{one_deg!r}": 1,
+        f"{one_deg!r}-{3 * one_deg!r}": 1,
+        f"{3 * one_deg!r}-*": 1,
+    }
+    # empty rings stay at 0 (ES returns every requested range)
+    empty = {r["bucket"]: r["n_docs"] for r in geo_distance_ranges(
+        df.limit(0), "lat", "lon", 0.0, 0.0, edges_m=[1000.0],
+    ).collect()}
+    assert empty == {"*-1000.0": 0, "1000.0-*": 0}
+    with pytest.raises(ValueError, match="ascending positive"):
+        geo_distance_ranges(df, "lat", "lon", 0.0, 0.0,
+                            edges_m=[2000.0, 1000.0])

@@ -207,6 +207,44 @@ def test_moving_fn_slides_the_bucket_window(dv_idx):
     assert [(r["n_docs"], r["mx"]) for r in out] == [(1, 1), (2, 2), (1, 1)]
 
 
+def test_significant_aggs_dispatch_from_the_request_body(dv_idx):
+    from pycasselastic_spark.operators.search_ext import significant_text
+
+    body = {
+        "query": {"match": {"text": "alpha"}},
+        "aggs": {"sig": {"significant_text": {
+            "field": "text", "size": 5, "min_doc_count": 2,
+            "chi_square": {"include_negatives": False,
+                           "background_is_superset": True},
+        }}},
+    }
+    got = es_search(dv_idx, body).collect()
+    want = significant_text(
+        dv_idx, ["alpha"], m=5, min_fg_df=2, heuristic="chi_square"
+    ).collect()
+    assert got == want
+    # significant_terms dispatches onto the same scorer (jlh default)
+    got2 = es_search(dv_idx, {
+        "query": {"match": {"text": "alpha"}},
+        "aggs": {"sig": {"significant_terms": {"field": "text"}}},
+    }).collect()
+    assert got2 == significant_text(dv_idx, ["alpha"]).collect()
+    with pytest.raises(ValueError, match="doc-values field"):
+        es_search(dv_idx, {
+            "query": {"match": {"text": "alpha"}},
+            "aggs": {"s": {"significant_text": {"field": "tag"}}},
+        })
+    with pytest.raises(ValueError, match="include_negatives"):
+        es_search(dv_idx, {
+            "query": {"match": {"text": "alpha"}},
+            "aggs": {"s": {"significant_text": {
+                "field": "text",
+                "chi_square": {"include_negatives": True,
+                               "background_is_superset": True},
+            }}},
+        })
+
+
 def test_rate_scales_bucket_counts_to_the_unit(dv_idx):
     # daily fixed buckets, unit=hour: each 1-doc bucket reads
     # floor(1 * (3600/86400) * Q20) = floor(Q20/24) = 43690
