@@ -251,6 +251,7 @@ from pycasselastic_spark.operators.search_lifecycle import (  # noqa: E402,F401
     reindex_postings_index,
     snapshot_postings_index,
     start_streaming_index_maintenance,
+    update_by_query,
 )
 from pycasselastic_spark.operators.search_probes import (  # noqa: E402,F401
     _bm25_scored,

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -622,6 +623,153 @@ def delete_by_query(spark: SparkSession, path: str, body: dict) -> int:
     scope = _agg_scope(idx, qtype, q)
     ids = hits_relation(idx, scope)
     return delete_ids_from_index(spark, path, ids)
+
+
+_UPDATE_SCRIPT = re.compile(
+    r"\s*ctx\._source\.(\w+)\s*(=|\+=)\s*params\.(\w+)\s*$"
+)
+
+
+def update_by_query(spark: SparkSession, path: str, body: dict) -> int:
+    """ES ``_update_by_query``: derive the hit set of a ``query`` body
+    (the same scope machinery aggregations and _delete_by_query use),
+    then rewrite ONE stored doc-values field on every matched doc —
+    the bulk re-tag / priority-bump / backfill request every index
+    operator runs. The supported Painless grammar is the
+    set-or-increment shape ``ctx._source.<field> = params.<p>`` /
+    ``ctx._source.<field> += params.<p>``; anything else raises by
+    name (the bucket_selector precedent — one comparison's worth of
+    Painless, never a half-understood script).
+
+    Semantics are ES's: each matched doc is re-indexed as a NEW
+    version (generation here), the old version superseded — text,
+    postings, positions and length norms are byte-identical copies
+    (the update touches no analyzed content, so probes rank exactly
+    as before), only the doc-values row carries the new field value.
+    Re-running the same update supersedes its own earlier generation
+    and converges (the LWW-absorbs-replay argument). n_docs/total_dl
+    are unchanged — one live version per doc throughout.
+
+    Crash atomicity: the claim/append/commit protocol of
+    ``update_postings_index`` — every appended row carries the
+    claimed generation, readers filter to committed generations, so
+    a crash before the stats rewrite leaves invisible orphans and a
+    concurrent commit fails loudly.
+
+    Scale: every copy is a PRUNED read — matched (id, gen) pairs
+    join each relation on its own bucketed layout (postings by term
+    bucket, forward/docvalues by id bucket), and each write lands at
+    most one file per touched bucket per relation. The matched set,
+    not the corpus, bounds the work — exactly what ES's
+    version-conflict-free _update_by_query promises. Returns the
+    number of updated docs."""
+    from pycasselastic_spark.operators.search_api import (
+        _agg_scope,
+        _single,
+    )
+    from pycasselastic_spark.operators.search_index import hits_relation
+
+    script = body.get("script")
+    if not isinstance(script, dict) or "source" not in script:
+        raise ValueError("update_by_query needs script.source")
+    m = _UPDATE_SCRIPT.fullmatch(str(script["source"]))
+    if not m:
+        raise ValueError(
+            f"unsupported update_by_query script {script['source']!r} "
+            "(supported: 'ctx._source.<field> = params.<p>' or '+= ')"
+        )
+    field, op, pname = m.group(1), m.group(2), m.group(3)
+    params = dict(script.get("params") or {})
+    if pname not in params:
+        raise ValueError(
+            f"update_by_query script references params.{pname} but "
+            f"params carries {sorted(params)}"
+        )
+    value = params[pname]
+    idx = load_postings_index(spark, path)
+    if field not in idx.stored_fields:
+        raise ValueError(
+            f"update_by_query field {field!r} is not a stored "
+            f"doc-values field (stored_fields={list(idx.stored_fields)})"
+        )
+    id_col = idx.id_col
+    qtype, q = _single(body.get("query", {}), "query")
+    scope = _agg_scope(idx, qtype, q)
+    ids = hits_relation(idx, scope).select(id_col).distinct()
+
+    with open(os.path.join(path, "stats.json")) as f:
+        stats = json.load(f)
+    committed = list(stats["committed_gens"])
+    gen = _core._claim_generation(path, stats["next_gen"])
+    docstats = spark.read.parquet(os.path.join(path, "docstats")).filter(
+        F.col("gen").isin(committed)
+    )
+    superseded = (
+        spark.read.parquet(os.path.join(path, "superseded"))
+        .filter(F.col("by_gen").isin(committed))
+        .select(id_col, "gen")
+    )
+    live = docstats.join(superseded, [id_col, "gen"], "left_anti")
+    matched = live.join(ids, id_col, "semi").persist()
+    try:
+        n_ids = matched.select(id_col).distinct().count()
+        pairs = matched.select(id_col, "gen")
+        bump = F.lit(gen).cast("long").alias("gen")
+        post = (
+            spark.read.parquet(os.path.join(path, "postings"))
+            .filter(F.col("gen").isin(committed))
+            .join(pairs, [id_col, "gen"])
+        )
+        post.drop("gen").select("*", bump).repartition("pbucket").write \
+            .partitionBy("pbucket").mode("append") \
+            .parquet(os.path.join(path, "postings"))
+        fwd = (
+            spark.read.parquet(os.path.join(path, "forward"))
+            .filter(F.col("gen").isin(committed))
+            .join(pairs, [id_col, "gen"])
+        )
+        fwd.drop("gen").select("*", bump).repartition("ibucket").write \
+            .partitionBy("ibucket").mode("append") \
+            .parquet(os.path.join(path, "forward"))
+        dv = (
+            spark.read.parquet(os.path.join(path, "docvalues"))
+            .filter(F.col("gen").isin(committed))
+            .join(pairs, [id_col, "gen"])
+        )
+        ftype = dict(dv.dtypes)[field]
+        new_val = (
+            F.lit(value) if op == "="
+            else F.col(field) + F.lit(value)
+        ).cast(ftype)
+        dv.withColumn(field, new_val).drop("gen").select("*", bump) \
+            .repartition("ibucket").write.partitionBy("ibucket") \
+            .mode("append").parquet(os.path.join(path, "docvalues"))
+        matched.drop("gen").select("*", bump).write.mode("append") \
+            .parquet(os.path.join(path, "docstats"))
+        pairs.select(
+            id_col, "gen", F.lit(gen).cast("long").alias("by_gen")
+        ).write.mode("append").parquet(os.path.join(path, "superseded"))
+    finally:
+        matched.unpersist()
+    lock = _core._acquire_commit_lock(path)
+    try:
+        with open(os.path.join(path, "stats.json")) as f:
+            current = json.load(f)
+        if current["committed_gens"] != committed:
+            raise RuntimeError(
+                f"concurrent update committed {current['committed_gens']} "
+                f"while update generation {gen} was being written; it "
+                "stays uncommitted (invisible) — re-run the update"
+            )
+        stats.update(
+            generation=gen,
+            next_gen=gen + 1,
+            committed_gens=committed + [gen],
+        )
+        _core._write_stats(path, stats)
+    finally:
+        os.remove(lock)
+    return int(n_ids)
 
 
 def _max_files_per_bucket(relation_dir: str) -> int:

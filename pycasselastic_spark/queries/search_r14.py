@@ -613,3 +613,73 @@ def geo_distance_ranges_events(
         g, "lat", "lon", center_lat=0.0, center_lon=0.0,
         edges_m=[1_000_000.0, 3_000_000.0, 8_000_000.0],
     ).orderBy("bucket")
+
+
+@register(
+    "update_by_query_documents",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+winners AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'window'),
+eff AS (SELECT d.doc_id,
+        CASE WHEN w.doc_id IS NOT NULL THEN 'curated' ELSE d.source END
+          AS source
+        FROM documents d LEFT JOIN winners w USING (doc_id)),
+hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge')
+SELECT eff.source AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(d.n_chars) AS min_val,
+       MAX(d.n_chars) AS max_val,
+       CAST(SUM(d.n_chars) AS BIGINT) AS sum_val,
+       CAST(FLOOR(AVG(d.n_chars) * 1048576.0) AS BIGINT) AS avg_q20
+FROM eff JOIN hits USING (doc_id) JOIN documents d USING (doc_id)
+WHERE eff.source IS NOT NULL
+GROUP BY eff.source ORDER BY n_docs DESC, bucket
+""",
+    doc="ES ``_update_by_query`` — the bulk re-tag request every "
+    "index operator runs ('mark every doc matching window as "
+    "curated'): the matched docs re-index as a NEW generation with "
+    "ONE stored doc-values field rewritten (supported Painless: the "
+    "set/increment shapes ctx._source.f = params.v / += params.v; "
+    "anything else raises by name), postings/positions/norms "
+    "byte-identical copies so every probe ranks exactly as before, "
+    "old versions superseded through the standard LWW machinery "
+    "under the claim/append/commit crash protocol — replay "
+    "supersedes itself and converges. The query then reads the "
+    "update BACK through a terms+stats aggregation keyed by the "
+    "rewritten field; the oracle computes the effective field with a CASE "
+    "over raw text. operators/search_lifecycle.py:update_by_query. "
+    "Scale: matched (id, gen) pairs join each relation on its own "
+    "bucketed layout — the matched set, not the corpus, bounds the "
+    "work.",
+)
+def update_by_query_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+
+    from pycasselastic_spark.operators import search as SRCH2
+    from pycasselastic_spark.plans.tuning import ensure_parallelism
+    from pycasselastic_spark.queries.base import _t
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), spark)
+    path = os.path.join(tempfile.mkdtemp(prefix="updq_idx_"), "idx")
+    SRCH2.build_postings_index(
+        docs, "doc_id", "text", path, n_buckets=16,
+        stored_fields=["n_chars", "source"],
+    )
+    SRCH2.update_by_query(spark, path, {
+        "query": {"match": {"text": "window"}},
+        "script": {"source": "ctx._source.source = params.s",
+                   "params": {"s": "curated"}},
+    })
+    idx = SRCH2.load_postings_index(spark, path)
+    return es_search(idx, {
+        "query": {"match": {"text": "merge"}},
+        "aggs": {"by_source": {
+            "terms": {"field": "source"},
+            "aggs": {"chars": {"stats": {"field": "n_chars"}}},
+        }},
+    })

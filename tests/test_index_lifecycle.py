@@ -373,3 +373,68 @@ def test_delete_crash_before_commit_is_invisible_and_retryable(
     assert (idx2.n_docs, idx2.total_dl) == (fresh.n_docs, fresh.total_dl)
     assert SRCH.bm25_topk_indexed(idx2, ["alpha"], k=10).collect() == \
         SRCH.bm25_topk_indexed(fresh, ["alpha"], k=10).collect()
+
+
+def test_update_by_query_rewrites_docvalues_only(spark, tmp_path):
+    """_update_by_query must (1) rewrite the scripted field on exactly
+    the matched docs, (2) leave every probe ranking byte-identically
+    (no analyzed content changed), (3) converge under replay (LWW
+    absorbs the superseded twin), and (4) raise by name on
+    unsupported Painless / unknown params / non-stored fields."""
+    docs = spark.createDataFrame([
+        (1, "alpha beta", 10, "keep"),
+        (2, "alpha gamma", 20, "keep"),
+        (3, "gamma delta", 30, "keep"),
+    ], "doc_id long, text string, prio long, tag string")
+    path = str(tmp_path / "upd")
+    SRCH.build_postings_index(
+        docs, "doc_id", "text", path, n_buckets=4,
+        stored_fields=["prio", "tag"],
+    )
+    before = SRCH.bm25_topk_indexed(
+        SRCH.load_postings_index(spark, path), ["alpha", "gamma"], k=10
+    ).collect()
+    n = SRCH.update_by_query(spark, path, {
+        "query": {"match": {"text": "alpha"}},
+        "script": {"source": "ctx._source.prio += params.bump",
+                   "params": {"bump": 5}},
+    })
+    assert n == 2
+    idx = SRCH.load_postings_index(spark, path)
+    dv = {r["doc_id"]: r["prio"]
+          for r in idx.live_docvalues().select("doc_id", "prio").collect()}
+    assert dv == {1: 15, 2: 25, 3: 30}
+    # exactly one live version per doc; ranking unchanged
+    assert idx.live_docvalues().count() == 3
+    after = SRCH.bm25_topk_indexed(idx, ["alpha", "gamma"], k=10).collect()
+    assert after == before
+    # set-form + replay convergence
+    for _ in range(2):
+        SRCH.update_by_query(spark, path, {
+            "query": {"term": {"text": "delta"}},
+            "script": {"source": "ctx._source.tag = params.t",
+                       "params": {"t": "hot"}},
+        })
+    idx2 = SRCH.load_postings_index(spark, path)
+    tags = {r["doc_id"]: r["tag"]
+            for r in idx2.live_docvalues().select("doc_id", "tag").collect()}
+    assert tags == {1: "keep", 2: "keep", 3: "hot"}
+    assert idx2.live_docvalues().count() == 3
+    import pytest as _p
+    with _p.raises(ValueError, match="unsupported update_by_query"):
+        SRCH.update_by_query(spark, path, {
+            "query": {"match": {"text": "alpha"}},
+            "script": {"source": "ctx._source.prio *= 2"},
+        })
+    with _p.raises(ValueError, match="params carries"):
+        SRCH.update_by_query(spark, path, {
+            "query": {"match": {"text": "alpha"}},
+            "script": {"source": "ctx._source.prio = params.v",
+                       "params": {"w": 1}},
+        })
+    with _p.raises(ValueError, match="not a stored"):
+        SRCH.update_by_query(spark, path, {
+            "query": {"match": {"text": "alpha"}},
+            "script": {"source": "ctx._source.nope = params.v",
+                       "params": {"v": 1}},
+        })
