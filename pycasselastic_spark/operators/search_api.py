@@ -2461,6 +2461,67 @@ def es_search(
             index, inc_terms, exc_terms, pre=pre, post=post,
             include_slop=inc_slop,
         )
+    if qtype in ("span_containing", "span_within"):
+        extra = set(q) - {"big", "little"}
+        if extra or "big" not in q or "little" not in q:
+            raise _err(
+                f"{qtype} body {sorted(q)} (expected big + little)"
+            )
+
+        def _span_near_terms(body, what: str) -> tuple[list[str], int]:
+            kind, spec = _single(body, what)
+            if kind != "span_near":
+                raise _err(
+                    f"{what} span type {kind!r} (span_near only — the "
+                    "big side must be able to enclose)"
+                )
+            if not bool(spec.get("in_order", True)):
+                raise _err(f"{what} span_near in_order=false")
+            out = []
+            for c in spec["clauses"]:
+                ck, cb = _single(c, f"{what} span_near clause")
+                if ck != "span_term":
+                    raise _err(
+                        f"{what} span_near clause type {ck!r} "
+                        "(span_term only)"
+                    )
+                _f, v = _single(cb, "span_term")
+                out.append(str(v))
+            return out, int(spec.get("slop", 0))
+
+        def _little_terms(body, what: str) -> list[str]:
+            kind, spec = _single(body, what)
+            if kind == "span_term":
+                _f, v = _single(spec, "span_term")
+                return [str(v)]
+            if kind == "span_or":
+                out = []
+                for c in spec["clauses"]:
+                    ck, cb = _single(c, f"{what} span_or clause")
+                    if ck != "span_term":
+                        raise _err(
+                            f"{what} span_or clause type {ck!r} "
+                            "(span_term only)"
+                        )
+                    _f, v = _single(cb, "span_term")
+                    out.append(str(v))
+                return out
+            raise _err(
+                f"{what} span type {kind!r} (span_term / span_or)"
+            )
+
+        big_terms, big_slop = _span_near_terms(
+            q["big"], f"{qtype} big"
+        )
+        little = _little_terms(q["little"], f"{qtype} little")
+        from pycasselastic_spark.operators.search_ext import (
+            span_containing_search,
+        )
+
+        return span_containing_search(
+            index, big_terms, big_slop, little,
+            within=(qtype == "span_within"),
+        )
     if qtype == "span_first":
         extra = set(q) - {"match", "end"}
         if extra or "match" not in q or "end" not in q:

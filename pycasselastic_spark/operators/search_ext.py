@@ -1132,6 +1132,87 @@ def span_not_search(
     )
 
 
+def span_containing_search(
+    index: PostingsIndex,
+    big_terms: list[str],
+    big_slop: int,
+    little_terms: list[str],
+    within: bool = False,
+) -> DataFrame:
+    """ES ``span_containing`` / ``span_within`` (Lucene
+    SpanContainingQuery / SpanWithinQuery): ``span_containing``
+    returns BIG spans (a span_near over ``big_terms`` with the
+    total-stretch law) that enclose at least one LITTLE span (a
+    span_term/span_or position); ``within=True`` flips the return
+    side — LITTLE spans enclosed by at least one big span. Enclosure
+    is Lucene's: big.start <= little.start AND little.end <= big.end.
+    Returns ``(id, n_spans)`` — the shared span-probe shape.
+
+    Plan shape: the big side is the span_near position chain (every
+    intermediate join pruned by the stretch bound), the little side
+    one pruned probe; the containment test is ONE semi join on
+    (same doc, interval enclosure) — both sides query-bounded."""
+    if len(big_terms) < 2:
+        raise ValueError(
+            "span_containing/within big side needs a span_near of at "
+            "least two clauses (a one-term big span cannot strictly "
+            "contain anything beyond itself — use span_or)"
+        )
+    id_col = index.id_col
+    width = len(big_terms) + big_slop - 1
+    postings = index.live_postings_for(sorted(set(big_terms)))
+    per_term = {
+        t: postings.filter(F.col("term") == t).select(
+            F.col(id_col), F.explode("positions").alias("pos")
+        )
+        for t in set(big_terms)
+    }
+    chain = per_term[big_terms[0]].select(
+        id_col, F.col("pos").alias("ps"), F.col("pos").alias("p_prev")
+    )
+    for t in big_terms[1:]:
+        nxt = per_term[t].select(id_col, F.col("pos").alias("p_next"))
+        chain = (
+            chain.join(nxt, id_col)
+            .filter(
+                (F.col("p_next") > F.col("p_prev"))
+                & (F.col("p_next") - F.col("ps") <= width)
+            )
+            .select(id_col, "ps", F.col("p_next").alias("p_prev"))
+        )
+    big = chain.select(id_col, "ps", F.col("p_prev").alias("pe"))
+    little = _span_term_rel(index, little_terms)
+    if within:
+        keep, other = little, big
+    else:
+        keep, other = big, little
+    other = other.select(
+        F.col(id_col).alias("_oid"),
+        F.col("ps").alias("_ops"), F.col("pe").alias("_ope"),
+    )
+    if within:
+        # little kept iff SOME big encloses it
+        cond = (
+            (F.col(id_col) == F.col("_oid"))
+            & (F.col("_ops") <= F.col("ps"))
+            & (F.col("pe") <= F.col("_ope"))
+        )
+    else:
+        # big kept iff it encloses SOME little
+        cond = (
+            (F.col(id_col) == F.col("_oid"))
+            & (F.col("ps") <= F.col("_ops"))
+            & (F.col("_ope") <= F.col("pe"))
+        )
+    return (
+        keep.join(other, cond, "left_semi")
+        .select(id_col, "ps", "pe")
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+    )
+
+
 def search_multi_terms_agg(
     index: PostingsIndex,
     query_terms,

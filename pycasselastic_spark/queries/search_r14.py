@@ -683,3 +683,57 @@ def update_by_query_documents(
             "aggs": {"chars": {"stats": {"field": "n_chars"}}},
         }},
     })
+
+
+@register(
+    "span_containing_documents",
+    "WITH "
+    + _TOKPOS_SQL
+    + """,
+a AS (SELECT doc_id, pos FROM tok WHERE term = 'fast'),
+b AS (SELECT doc_id, pos FROM tok WHERE term = 'merge'),
+big AS (SELECT DISTINCT a.doc_id, a.pos AS ps, b.pos AS pe
+        FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos > a.pos
+             AND b.pos - a.pos <= 3),
+little AS (SELECT doc_id, pos FROM tok
+           WHERE term IN ('scan', 'slow', 'hash', 'sort')),
+keep AS (SELECT DISTINCT big.doc_id, big.ps, big.pe FROM big
+         WHERE EXISTS (
+           SELECT 1 FROM little l WHERE l.doc_id = big.doc_id
+             AND big.ps <= l.pos AND l.pos <= big.pe))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+FROM keep GROUP BY doc_id ORDER BY doc_id
+""",
+    doc="ES ``span_containing`` (Lucene SpanContainingQuery): big "
+    "spans — 'fast then merge' within total stretch slop=2 — that "
+    "ENCLOSE at least one little span ('scan'/'slow'/'hash'/'sort' "
+    "via span_or), Lucene's enclosure law big.start <= little.start "
+    "AND little.end <= big.end; ``span_within`` flips which side "
+    "returns, dispatched from the same operator. Completes the span "
+    "combinator family (span_near/span_first r13, span_or/span_not "
+    "earlier this round). operators/search_ext.py:"
+    "span_containing_search. Plan: the span_near position chain "
+    "(stretch-pruned intermediate joins) semi-joined against ONE "
+    "pruned little-side probe on (doc, interval enclosure) — both "
+    "sides query-bounded, no raw text. Oracle replays positions "
+    "from raw text with the identical EXISTS enclosure.",
+)
+def span_containing_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    out = es_search(idx, {
+        "query": {"span_containing": {
+            "big": {"span_near": {"clauses": [
+                {"span_term": {"text": "fast"}},
+                {"span_term": {"text": "merge"}},
+            ], "slop": 2}},
+            "little": {"span_or": {"clauses": [
+                {"span_term": {"text": "scan"}},
+                {"span_term": {"text": "slow"}},
+                {"span_term": {"text": "hash"}},
+                {"span_term": {"text": "sort"}},
+            ]}},
+        }},
+    })
+    return out.orderBy("doc_id")

@@ -145,3 +145,38 @@ def test_geo_distance_ranges_ring_buckets(spark):
     with pytest.raises(ValueError, match="ascending positive"):
         geo_distance_ranges(df, "lat", "lon", 0.0, 0.0,
                             edges_m=[2000.0, 1000.0])
+
+
+def test_geo_distance_prefilter_never_drops_a_true_hit(spark):
+    """Property: the pushed lat/lon box prefilter is CONSERVATIVE —
+    for seeded random points and centers (including near-pole and
+    near-antimeridian centers), geo_distance returns exactly the
+    brute-force haversine filter with no prefilter at all."""
+    import random
+
+    rng = random.Random(20260816)
+    pts = [(i, rng.uniform(-90, 90), rng.uniform(-180, 180))
+           for i in range(400)]
+    df = _pts(spark, pts)
+
+    def hav(lat1, lon1, lat2, lon2):
+        import math as m
+        c = 0.017453292519943295
+        s1 = m.sin((lat2 - lat1) * c / 2.0)
+        s2 = m.sin((lon2 - lon1) * c / 2.0)
+        a = s1 * s1 + m.cos(lat1 * c) * m.cos(lat2 * c) * s2 * s2
+        return 2.0 * EARTH_RADIUS_M * m.asin(m.sqrt(a))
+
+    centers = [(0.0, 0.0), (89.5, 10.0), (-88.0, -170.0),
+               (45.0, 179.5), (-30.0, -179.9)]
+    for clat, clon in centers:
+        r_m = rng.uniform(100_000, 4_000_000)
+        got = {r["pid"] for r in geo_distance(
+            df, "lat", "lon", clat, clon, distance_m=r_m
+        ).collect()}
+        want = {
+            pid for pid, la, lo in pts
+            if math.floor(hav(la, lo, clat, clon) * Q20)
+            <= math.floor(r_m * Q20)
+        }
+        assert got == want, (clat, clon, r_m)

@@ -1010,6 +1010,45 @@ def test_span_not_drops_overlapping_and_widened_spans(spark, tmp_path):
         span_not_search(sidx, ["a"], ["g"], pre=-1)
 
 
+def test_span_containing_and_within(spark, tmp_path):
+    docs = _corpus(spark, [
+        (1, "a z b"),      # big a..b [0,2] contains z@1
+        (2, "a b z"),      # big [0,1]; z@2 outside
+        (3, "a x x b"),    # big [0,3] at slop 2; no z
+        (4, "z a b"),      # big [1,2]; z@0 outside
+    ])
+    path = str(tmp_path / "spanc")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4)
+    sidx = SRCH.load_postings_index(spark, path)
+    big = {"span_near": {"clauses": [
+        {"span_term": {"text": "a"}}, {"span_term": {"text": "b"}},
+    ], "slop": 2}}
+    got = {r["doc_id"]: r["n_spans"] for r in es_search(sidx, {
+        "query": {"span_containing": {
+            "big": big, "little": {"span_term": {"text": "z"}},
+        }},
+    }).collect()}
+    assert got == {1: 1}
+    # span_within returns the LITTLE side: z spans enclosed by a..b
+    got = {r["doc_id"]: r["n_spans"] for r in es_search(sidx, {
+        "query": {"span_within": {
+            "big": big, "little": {"span_term": {"text": "z"}},
+        }},
+    }).collect()}
+    assert got == {1: 1}
+    with pytest.raises(ValueError, match="span_near only"):
+        es_search(sidx, {"query": {"span_containing": {
+            "big": {"span_term": {"text": "a"}},
+            "little": {"span_term": {"text": "z"}},
+        }}})
+    with pytest.raises(ValueError, match="at least two"):
+        from pycasselastic_spark.operators.search_ext import (
+            span_containing_search,
+        )
+
+        span_containing_search(sidx, ["a"], 0, ["z"])
+
+
 def test_match_all_pages_with_id_cursor(idx):
     p1 = es_search(idx, {"query": {"match_all": {}}, "size": 2}).collect()
     p2 = es_search(idx, {
