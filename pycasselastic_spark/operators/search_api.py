@@ -512,7 +512,13 @@ def es_search(
       ``not.term`` — ``pyCassElastic.py:366-397``), ``multi_match``
       (all four types — ``best_fields`` / ``most_fields`` (+ caret
       boosts) / ``phrase`` (+``slop``) / ``cross_fields`` — over
-      per-field indexes passed via ``field_indexes``), and ``bool``
+      per-field indexes passed via ``field_indexes``),
+      ``query_string`` (the Lucene grammar incl. ``field:`` scoping
+      via ``field_indexes``, integer ``^boosts``, ``f:[a TO b]``
+      doc-values ranges — ``operators/search_qs.py``), the full span
+      family (``span_near`` / ``span_first`` / ``span_or`` /
+      ``span_not`` / ``span_containing`` / ``span_within`` over the
+      stored-position algebra), and ``bool``
       with ``must`` / ``should`` / ``must_not`` lists of match/term
       leaves plus bool-level ``minimum_should_match`` (N of the
       should CLAUSES required).
@@ -530,10 +536,16 @@ def es_search(
       these need the ``docs`` frame for the stored-field fetch.
     - ``aggs`` metric/bucket forms over STORED doc-values (no docs
       frame): ``stats``, ``histogram``, ``percentiles`` (exact),
-      ``cardinality`` (exact), ``range``, ``date_histogram``
-      (calendar_interval hour/day/week/month/quarter/year, or
-      fixed_interval <n>s/m/h/d, with min_doc_count=0 +
-      extended_bounds zero-fill). Aggregations compose with ANY
+      ``boxplot`` (exact), ``cardinality`` (exact), ``range``,
+      ``date_histogram`` (calendar_interval
+      hour/day/week/month/quarter/year, or fixed_interval <n>s/m/h/d,
+      with min_doc_count=0 + extended_bounds zero-fill) — plus the
+      pipeline riders ``cumulative_sum`` / ``derivative`` /
+      ``serial_diff`` / ``moving_fn`` (unweightedAvg/sum/min/max) /
+      ``moving_avg`` (simple) / ``rate`` on fixed-interval parents,
+      ``top_metrics`` under ``terms``, and ``significant_terms`` /
+      ``significant_text`` (jlh / chi_square / percentage) under
+      match queries. Aggregations compose with ANY
       dispatched hit-defining query — match / term / match_all /
       exists / range / terms / bool(must, must_not) — the hit set is
       derived once and shared (top_hits stays match-only: it needs
