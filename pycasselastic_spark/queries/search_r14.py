@@ -737,3 +737,56 @@ def span_containing_documents(
         }},
     })
     return out.orderBy("doc_id")
+
+
+@register(
+    "ingest_pipeline_documents",
+    """
+WITH p AS (
+  SELECT doc_id,
+         string_split(trim(lower(regexp_replace(text, '[aeiou]', '',
+                                                'g'))), ' ') AS toks,
+         source, lang,
+         CAST(n_chars AS DOUBLE) AS n_chars_d,
+         'pipelined' AS tag
+  FROM documents)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+       source, lang, n_chars_d, tag
+FROM p ORDER BY doc_id LIMIT 50
+""",
+    doc="ES ingest pipeline (``_ingest/pipeline`` / ``_simulate``) — "
+    "the processor chain every doc passes before indexing, applied "
+    "at corpus scale: gsub (strip vowels) -> lowercase -> trim -> "
+    "split -> convert(n_chars to double) -> set(tag), IN ORDER, "
+    "each processor seeing the previous one's output exactly like "
+    "ES; unsupported processors, options ('if', on_failure) and "
+    "convert types raise by name — a silently-skipped processor is "
+    "how pipelines corrupt downstream data. This is the type-"
+    "coercion layer the reference hand-rolled as its convert_xxx "
+    "helpers (SURVEY §2.1 O13). operators/ingest_pipeline.py:"
+    "simulate_pipeline. Plan: the whole chain collapses into ONE "
+    "Catalyst projection riding the scan — zero shuffles, "
+    "whole-stage codegen, identical cost at any corpus size.",
+)
+def ingest_pipeline_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pycasselastic_spark.operators.ingest_pipeline import (
+        simulate_pipeline,
+    )
+    from pycasselastic_spark.queries.base import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    out = simulate_pipeline(docs, [
+        {"gsub": {"field": "text", "pattern": "[aeiou]",
+                  "replacement": ""}},
+        {"lowercase": {"field": "text"}},
+        {"trim": {"field": "text"}},
+        {"split": {"field": "text", "separator": " "}},
+        {"convert": {"field": "n_chars", "type": "double"}},
+        {"set": {"field": "tag", "value": "pipelined"}},
+    ])
+    return out.select(
+        "doc_id", F.size("text").cast("long").alias("n_toks"),
+        "source", "lang", F.col("n_chars").alias("n_chars_d"), "tag",
+    ).orderBy("doc_id").limit(50)
