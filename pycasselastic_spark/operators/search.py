@@ -283,6 +283,7 @@ from pycasselastic_spark.operators.search_ext import (  # noqa: E402,F401
     bm25_collapse,
     bm25_decay_score,
     bm25_function_score,
+    es_analyze,
     highlight_snippets,
     hybrid_rrf_search,
     percolate,
@@ -290,6 +291,7 @@ from pycasselastic_spark.operators.search_ext import (  # noqa: E402,F401
     search_facets_after,
     significant_terms,
     significant_text,
+    suggest_completion,
     suggest_phrase,
     suggest_terms,
     top_hits_by_facet,

@@ -580,6 +580,29 @@ def es_search(
                 f"suggest combined with {sorted(set(body) - {'suggest', 'size'})}"
             )
         _sname, spec = _single(body["suggest"], "suggest")
+        if isinstance(spec, dict) and "completion" in spec:
+            # autocomplete: prefix in, popularity-ranked terms out
+            if set(spec) != {"prefix", "completion"}:
+                raise _err(
+                    f"completion suggest body {sorted(spec)} "
+                    "(expected prefix + completion)"
+                )
+            copts = spec["completion"]
+            cextra = set(copts) - {"field", "size", "skip_duplicates"}
+            if cextra:
+                raise _err(f"completion options {sorted(cextra)}")
+            if not bool(copts.get("skip_duplicates", True)):
+                # the dictionary is distinct by construction; a
+                # duplicate-emitting mode would be a lie
+                raise _err("completion skip_duplicates=false")
+            from pycasselastic_spark.operators.search_ext import (
+                suggest_completion,
+            )
+
+            return suggest_completion(
+                index, str(spec["prefix"]),
+                k=int(copts.get("size", 5)),
+            )
         if (
             not isinstance(spec, dict)
             or "text" not in spec

@@ -521,6 +521,72 @@ def significant_text(
     )
 
 
+def suggest_completion(
+    index: PostingsIndex,
+    prefix: str,
+    k: int = 5,
+) -> DataFrame:
+    """ES ``completion`` suggester: search-box autocomplete — dictionary
+    terms starting with ``prefix`` ranked by popularity. ES serves this
+    from a dedicated FST field with author-supplied weights; this
+    engine's dictionary IS the live postings, so the weight is the
+    term's document frequency (the popularity signal ES users most
+    often feed in as the weight anyway) and duplicates are impossible
+    by construction (``skip_duplicates`` is the free default). The
+    prefix normalizes through the analyzer's character pipeline —
+    the same ``Analyzer.normalize`` contract query_string bases use.
+    Returns ``(suggestion, weight)`` top-``k`` by (weight desc,
+    suggestion asc).
+
+    Plan shape: one dictionary scan with the prefix pushed as a
+    StartsWith filter, a term-level aggregation (query-bounded
+    output), TakeOrderedAndProject."""
+    if not prefix:
+        raise ValueError("completion suggester needs a non-empty prefix")
+    base = prefix
+    if index.analyzer is not None:
+        base = index.analyzer.normalize_base_py(prefix)
+        if not base:
+            raise ValueError(
+                f"completion prefix {prefix!r} normalizing to nothing"
+            )
+    return (
+        index.live_postings()
+        .filter(F.col("term").startswith(base))
+        .groupBy(F.col("term").alias("suggestion"))
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+        .orderBy(F.col("weight").desc(), F.col("suggestion").asc())
+        .limit(int(k))
+    )
+
+
+def es_analyze(index: PostingsIndex, text: str) -> list[dict]:
+    """ES ``_analyze`` API: run one text through the index's stored
+    analysis chain and return the token stream —
+    ``[{"token", "position"}, ...]`` with Lucene position semantics
+    (dropped tokens — stopwords, punctuation-only, contracted
+    synonym slots — leave GAPS, which is exactly why phrase queries
+    honor them). The one-string-in / token-list-out shape is the
+    real endpoint's: a driver-side operation on a single request
+    string, never a corpus job. This is the debugging window into
+    the ingest/query analysis invariant — what you see here is
+    byte-identical to what both sides indexed and probed."""
+    if index.analyzer is None:
+        slots = str(text).split(" ")
+    else:
+        an = index.analyzer
+        raw = an.split_py(str(text))
+        slots = (
+            an.apply_tokens_py(raw)
+            if an.has_phrase_rules
+            else [an.apply_py(t) for t in raw]
+        )
+    return [
+        {"token": t, "position": i}
+        for i, t in enumerate(slots) if t != ""
+    ]
+
+
 def percolate(
     docs: DataFrame,
     id_col: str,

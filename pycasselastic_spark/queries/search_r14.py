@@ -790,3 +790,36 @@ def ingest_pipeline_documents(
         "doc_id", F.size("text").cast("long").alias("n_toks"),
         "source", "lang", F.col("n_chars").alias("n_chars_d"), "tag",
     ).orderBy("doc_id").limit(50)
+
+
+@register(
+    "completion_suggest_documents",
+    f"""
+WITH {_TOK_POSTINGS}
+SELECT term AS suggestion, CAST(COUNT(*) AS BIGINT) AS weight
+FROM postings WHERE term LIKE 's%'
+GROUP BY term ORDER BY weight DESC, suggestion LIMIT 5
+""",
+    doc="ES ``completion`` suggester — search-box autocomplete: "
+    "dictionary terms starting with s- ranked by popularity "
+    "(document frequency as the weight — the signal ES users most "
+    "often feed the FST's author-supplied weight with; duplicates "
+    "impossible by construction, so skip_duplicates is the free "
+    "default and =false raises). The prefix normalizes through the "
+    "analyzer's character pipeline, the same Analyzer.normalize "
+    "contract query_string bases use. operators/search_ext.py:"
+    "suggest_completion; dispatched from "
+    "suggest.<name>.prefix + completion. Plan: one dictionary scan "
+    "with the prefix pushed as a StartsWith filter, a query-bounded "
+    "term aggregation, TakeOrderedAndProject.",
+)
+def completion_suggest_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "suggest": {"autocomplete": {
+            "prefix": "s",
+            "completion": {"field": "text", "size": 5},
+        }},
+    })

@@ -1010,6 +1010,57 @@ def test_span_not_drops_overlapping_and_widened_spans(spark, tmp_path):
         span_not_search(sidx, ["a"], ["g"], pre=-1)
 
 
+def test_completion_suggester_ranks_by_df(spark, tmp_path):
+    docs = _corpus(spark, [
+        (1, "Spark sort"), (2, "spark scan"), (3, "spark sort"),
+        (4, "other"),
+    ])
+    path = str(tmp_path / "comp")
+    SRCH.build_postings_index(
+        docs, "doc_id", "text", path, n_buckets=4,
+        analyzer=SRCH.Analyzer(),
+    )
+    cidx = SRCH.load_postings_index(spark, path)
+    got = [(r["suggestion"], r["weight"]) for r in es_search(cidx, {
+        "suggest": {"auto": {
+            # mixed-case prefix normalizes through the char pipeline
+            "prefix": "S",
+            "completion": {"field": "text", "size": 3},
+        }},
+    }).collect()]
+    assert got == [("spark", 3), ("sort", 2), ("scan", 1)]
+    with pytest.raises(ValueError, match="skip_duplicates"):
+        es_search(cidx, {"suggest": {"a": {
+            "prefix": "s",
+            "completion": {"field": "text", "skip_duplicates": False},
+        }}})
+
+
+def test_es_analyze_returns_positions_with_gaps(spark, tmp_path):
+    from pycasselastic_spark.operators.search_ext import es_analyze
+
+    docs = _corpus(spark, [(1, "x")])
+    path = str(tmp_path / "an")
+    SRCH.build_postings_index(
+        docs, "doc_id", "text", path, n_buckets=4,
+        analyzer=SRCH.Analyzer(stopwords=("the",)),
+    )
+    aidx = SRCH.load_postings_index(spark, path)
+    # 'the' drops but leaves its position GAP (Lucene position law)
+    assert es_analyze(aidx, "The Quick;; the FOX") == [
+        {"token": "quick", "position": 1},
+        {"token": "fox", "position": 3},
+    ]
+    # legacy index: raw whitespace slots
+    lpath = str(tmp_path / "leg")
+    SRCH.build_postings_index(docs, "doc_id", "text", lpath, n_buckets=4)
+    lidx = SRCH.load_postings_index(spark, lpath)
+    assert es_analyze(lidx, "A  B") == [
+        {"token": "A", "position": 0},
+        {"token": "B", "position": 2},
+    ]
+
+
 def test_span_containing_and_within(spark, tmp_path):
     docs = _corpus(spark, [
         (1, "a z b"),      # big a..b [0,2] contains z@1
