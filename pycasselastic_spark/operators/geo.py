@@ -246,14 +246,21 @@ def geo_distance(
         raise ValueError(f"geo_distance distance {distance_m!r} (> 0 m)")
     if k is not None and id_col is None:
         raise ValueError("geo_distance k needs id_col for the tiebreak")
-    ddeg = math.degrees(distance_m / EARTH_RADIUS_M)
+    r_ang = distance_m / EARTH_RADIUS_M
+    ddeg = math.degrees(r_ang)
     la, lo = F.col(lat_col), F.col(lon_col)
     lat_lo, lat_hi = center_lat - ddeg, center_lat + ddeg
     pre = (la >= F.lit(lat_lo)) & (la <= F.lit(lat_hi))
-    band_edge = min(abs(lat_lo), abs(lat_hi)) if lat_lo * lat_hi > 0 else 0.0
-    if max(abs(lat_lo), abs(lat_hi)) < 89.0:
-        # widest parallel in the band is the one nearest the equator
-        dlon = ddeg / math.cos(math.radians(band_edge)) * 1.01
+    if abs(center_lat) + ddeg < 89.0:
+        # exact maximum longitude half-width of a geodesic circle:
+        # asin(sin r / cos φ_center) — the tangent-meridian law; the
+        # naive ddeg / cos(φ) underestimates away from the equator
+        # (round-14 review finding: at (60°, r=5°) the circle reaches
+        # 10.04° of longitude, not 8.8°). The guard keeps the asin
+        # argument < 1 (r < 90 - |φ|); 1% widening absorbs rounding.
+        dlon = math.degrees(
+            math.asin(math.sin(r_ang) / math.cos(math.radians(center_lat)))
+        ) * 1.01
         lon_lo, lon_hi = center_lon - dlon, center_lon + dlon
         if lon_lo >= -180.0 and lon_hi <= 180.0:
             pre = pre & (lo >= F.lit(lon_lo)) & (lo <= F.lit(lon_hi))

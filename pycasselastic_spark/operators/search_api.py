@@ -80,6 +80,28 @@ from pycasselastic_spark.operators.search_ext import (
 _RANGE_OPS = {"gte": ">=", "lte": "<=", "gt": ">", "lt": "<"}
 
 
+def _check_text_field(index: PostingsIndex, field: str, what: str) -> None:
+    """A request body naming the analyzed text field must name it
+    CORRECTLY — a typo silently served from the real text field is
+    the wrong-field answer this engine's contract forbids (round-14
+    review finding). Indexes store their text column name since round
+    14; older stats.json files lack it, where the best available
+    check is rejecting doc-values collisions."""
+    if index.text_col is not None:
+        if field != index.text_col:
+            raise _err(
+                f"{what} field {field!r} (this index analyzed "
+                f"{index.text_col!r}; doc-values fields: "
+                f"{list(index.stored_fields)})"
+            )
+        return
+    if field in index.stored_fields:
+        raise _err(
+            f"{what} over doc-values field {field!r} (the indexed "
+            "TEXT field only — that is what this index analyzed)"
+        )
+
+
 def _filter_predicates(clauses: list) -> list:
     """ES filter-context clauses -> (field, op, value) triples for
     ``bm25_topk_filtered`` — ``range`` and exact ``term`` filters,
@@ -591,6 +613,10 @@ def es_search(
             cextra = set(copts) - {"field", "size", "skip_duplicates"}
             if cextra:
                 raise _err(f"completion options {sorted(cextra)}")
+            if "field" in copts:
+                _check_text_field(
+                    index, str(copts["field"]), "completion"
+                )
             if not bool(copts.get("skip_duplicates", True)):
                 # the dictionary is distinct by construction; a
                 # duplicate-emitting mode would be a lie
@@ -1061,12 +1087,8 @@ def es_search(
                         f"{skind} under a non-match query (the "
                         "significance scorers need the match terms)"
                     )
-                if "field" in spec and spec["field"] in index.stored_fields:
-                    raise _err(
-                        f"{skind} over doc-values field "
-                        f"{spec['field']!r} (the indexed TEXT field "
-                        "only — that is what this index analyzed)"
-                    )
+                if "field" in spec:
+                    _check_text_field(index, str(spec["field"]), skind)
                 picked = [h for h in ("jlh", "chi_square", "percentage")
                           if h in spec]
                 if len(picked) > 1:
@@ -1400,6 +1422,12 @@ def es_search(
                             raise _err(
                                 f"moving_fn options {sorted(pextra)}"
                             )
+                        missing = {"buckets_path", "window",
+                                   "script"} - set(pspec)
+                        if missing:
+                            raise _err(
+                                f"moving_fn missing {sorted(missing)}"
+                            )
                         if pspec["buckets_path"] != "_count":
                             raise _err(
                                 f"moving_fn buckets_path "
@@ -1444,6 +1472,8 @@ def es_search(
                             raise _err(
                                 f"moving_avg options {sorted(pextra)}"
                             )
+                        if "buckets_path" not in pspec:
+                            raise _err("moving_avg missing buckets_path")
                         if pspec["buckets_path"] != "_count":
                             raise _err(
                                 f"moving_avg buckets_path "
@@ -1717,6 +1747,9 @@ def es_search(
                 textra = set(tspec) - {"metrics", "sort", "size"}
                 if textra:
                     raise _err(f"top_metrics options {sorted(textra)}")
+                tmissing = {"metrics", "sort"} - set(tspec)
+                if tmissing:
+                    raise _err(f"top_metrics missing {sorted(tmissing)}")
                 if int(tspec.get("size", 1)) != 1:
                     raise _err(
                         "top_metrics size > 1 (one row per bucket — "

@@ -378,48 +378,13 @@ def significant_terms(
     (``(fg% - bg%) * (fg% / bg%)``), query terms excluded, Q20
     fixed point. Returns ``(term, fg_df, bg_df, jlh_q20)``.
 
-    Index-only analytics: the hit set comes from the pruned postings
-    probe; per-term foreground counts from the FORWARD relation
-    joined to the broadcast hit list (hit-set-bounded); background
-    counts are one aggregation over the stored postings — a full
-    stored-relation scan by design (ES pays the same global-ordinals
-    pass), but never a raw-text scan."""
-    id_col = index.id_col
-    hits = hits_relation(index, query_terms)
-    n_fg = hits.count()
-    if n_fg == 0:
-        return index.postings.sparkSession.createDataFrame(
-            [], "term STRING, fg_df LONG, bg_df LONG, jlh_q20 LONG"
-        )
-    # hit lists are usually query-bounded-small -> broadcast; a very
-    # common term can match a corpus-scale fraction, where a broadcast
-    # would overflow the driver — fall back to a shuffle join there
-    # (ES's sampler-aggregation escape hatch, chosen automatically)
-    hit_side = hits if n_fg > 2_000_000 else F.broadcast(hits)
-    fg = (
-        index.live_forward()
-        .join(hit_side, id_col)
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("fg_df"))
-        .filter(
-            (F.col("fg_df") >= min_fg_df)
-            & ~F.col("term").isin(sorted(set(query_terms)))
-        )
-    )
-    bg = index.live_postings().groupBy("term").agg(
-        F.count(F.lit(1)).alias("bg_df")
-    )
-    fgp = F.col("fg_df") / F.lit(float(n_fg))
-    bgp = F.col("bg_df") / F.lit(float(index.n_docs))
-    return (
-        fg.join(bg, "term")
-        .withColumn(
-            "jlh_q20",
-            F.floor((fgp - bgp) * (fgp / bgp) * Q20).cast("long"),
-        )
-        .orderBy(F.col("jlh_q20").desc(), F.col("term").asc())
-        .limit(m)
-    )
+    Since round 14 this is ``significant_text`` at its jlh default
+    with the historical column name — ONE scorer implementation
+    (the review found two verbatim copies drifting); see
+    ``significant_text`` for the plan shape and the heuristic dial."""
+    return significant_text(
+        index, query_terms, m=m, min_fg_df=min_fg_df, heuristic="jlh"
+    ).withColumnRenamed("score_q20", "jlh_q20")
 
 
 def significant_text(
@@ -998,6 +963,45 @@ def search_stats_agg(
     )
 
 
+def _span_near_rel(
+    index: PostingsIndex, span_terms: list[str], slop: int
+) -> DataFrame:
+    """The in-order span_near SPAN RELATION ``(id, ps, pe)`` under
+    Lucene's total-stretch law (end - start <= n_terms + slop - 1):
+    the one position-chain construction every span combinator builds
+    on (span_near itself, span_not includes, span_containing bigs —
+    extracted round 14 after the review found three drifting copies).
+    Every intermediate join is pruned by the stretch bound (positions
+    only grow), so candidates stay bounded exactly like the per-gap
+    phrase chain."""
+    if len(span_terms) < 2:
+        raise ValueError("span_near needs at least two clauses")
+    id_col = index.id_col
+    width = len(span_terms) + slop - 1  # max (end - start)
+    postings = index.live_postings_for(sorted(set(span_terms)))
+    per_term = {
+        t: postings.filter(F.col("term") == t).select(
+            F.col(id_col), F.explode("positions").alias("pos")
+        )
+        for t in set(span_terms)
+    }
+    chain = per_term[span_terms[0]].select(
+        id_col, F.col("pos").alias("ps"), F.col("pos").alias("p_prev")
+    )
+    for t in span_terms[1:]:
+        nxt = per_term[t].select(id_col, F.col("pos").alias("p_next"))
+        chain = (
+            chain.join(nxt, id_col)
+            .filter(
+                (F.col("p_next") > F.col("p_prev"))
+                & (F.col("p_next") - F.col("ps") <= width)
+            )
+            .select(id_col, "ps", F.col("p_next").alias("p_prev"))
+        )
+    return chain.select(id_col, "ps", F.col("p_prev").alias("pe"))
+
+
+
 def span_near_search(
     index: PostingsIndex,
     span_terms: list[str],
@@ -1015,42 +1019,18 @@ def span_near_search(
     ``in_order=False`` raises by name (unordered spans need interval
     algebra this join chain doesn't implement).
 
-    Plan shape: the phrase probe's position chain joins with the
-    TOTAL-stretch bound applied incrementally (positions only grow,
-    so ``p_next - p_start <= n_terms + slop - 1`` prunes every
-    intermediate join, keeping candidates bounded exactly like the
-    per-gap chain)."""
+    Plan shape: the shared ``_span_near_rel`` position chain (every
+    intermediate join pruned by the stretch bound), then one
+    distinct + reduction."""
     if not in_order:
         raise ValueError(
             "span_near in_order=false is not implemented (unordered "
             "span interval algebra) — raise rather than approximate"
         )
-    if len(span_terms) < 2:
-        raise ValueError("span_near needs at least two clauses")
     id_col = index.id_col
-    width = len(span_terms) + slop - 1  # max (end - start)
-    postings = index.live_postings_for(sorted(set(span_terms)))
-    per_term = {
-        t: postings.filter(F.col("term") == t).select(
-            F.col(id_col), F.explode("positions").alias("pos")
-        )
-        for t in set(span_terms)
-    }
-    chain = per_term[span_terms[0]].select(
-        id_col, F.col("pos").alias("p_start"), F.col("pos").alias("p_prev")
-    )
-    for t in span_terms[1:]:
-        nxt = per_term[t].select(id_col, F.col("pos").alias("p_next"))
-        chain = (
-            chain.join(nxt, id_col)
-            .filter(
-                (F.col("p_next") > F.col("p_prev"))
-                & (F.col("p_next") - F.col("p_start") <= width)
-            )
-            .select(id_col, "p_start", F.col("p_next").alias("p_prev"))
-        )
+    rel = _span_near_rel(index, span_terms, slop)
     return (
-        chain.select(id_col, "p_start")
+        rel.select(id_col, "ps")
         .distinct()
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_spans"))
@@ -1152,32 +1132,7 @@ def span_not_search(
     if include_slop is None:
         inc = _span_term_rel(index, include_terms)
     else:
-        if len(include_terms) < 2:
-            raise ValueError(
-                "span_not include span_near needs at least two clauses"
-            )
-        width = len(include_terms) + include_slop - 1
-        postings = index.live_postings_for(sorted(set(include_terms)))
-        per_term = {
-            t: postings.filter(F.col("term") == t).select(
-                F.col(id_col), F.explode("positions").alias("pos")
-            )
-            for t in set(include_terms)
-        }
-        chain = per_term[include_terms[0]].select(
-            id_col, F.col("pos").alias("ps"), F.col("pos").alias("p_prev")
-        )
-        for t in include_terms[1:]:
-            nxt = per_term[t].select(id_col, F.col("pos").alias("p_next"))
-            chain = (
-                chain.join(nxt, id_col)
-                .filter(
-                    (F.col("p_next") > F.col("p_prev"))
-                    & (F.col("p_next") - F.col("ps") <= width)
-                )
-                .select(id_col, "ps", F.col("p_next").alias("p_prev"))
-            )
-        inc = chain.select(id_col, "ps", F.col("p_prev").alias("pe"))
+        inc = _span_near_rel(index, include_terms, include_slop)
     exc = _span_term_rel(index, exclude_terms).select(
         F.col(id_col).alias("_xid"),
         (F.col("ps") - F.lit(int(pre))).alias("xs"),
@@ -1225,28 +1180,7 @@ def span_containing_search(
             "contain anything beyond itself — use span_or)"
         )
     id_col = index.id_col
-    width = len(big_terms) + big_slop - 1
-    postings = index.live_postings_for(sorted(set(big_terms)))
-    per_term = {
-        t: postings.filter(F.col("term") == t).select(
-            F.col(id_col), F.explode("positions").alias("pos")
-        )
-        for t in set(big_terms)
-    }
-    chain = per_term[big_terms[0]].select(
-        id_col, F.col("pos").alias("ps"), F.col("pos").alias("p_prev")
-    )
-    for t in big_terms[1:]:
-        nxt = per_term[t].select(id_col, F.col("pos").alias("p_next"))
-        chain = (
-            chain.join(nxt, id_col)
-            .filter(
-                (F.col("p_next") > F.col("p_prev"))
-                & (F.col("p_next") - F.col("ps") <= width)
-            )
-            .select(id_col, "ps", F.col("p_next").alias("p_prev"))
-        )
-    big = chain.select(id_col, "ps", F.col("p_prev").alias("pe"))
+    big = _span_near_rel(index, big_terms, big_slop)
     little = _span_term_rel(index, little_terms)
     if within:
         keep, other = little, big

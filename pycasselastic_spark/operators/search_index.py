@@ -523,6 +523,12 @@ class PostingsIndex:
     docvalues: "DataFrame | None" = None  # (ibucket, id, <fields>, gen)
     stored_fields: tuple[str, ...] = ()
     nested_fields: tuple[str, ...] = ()  # array<struct> ES 'nested' types
+    # the analyzed TEXT field's column name — recorded so field-naming
+    # request bodies (significant_text, completion) can be validated
+    # instead of silently serving the wrong field; None on indexes
+    # built before round 14 (validation falls back to rejecting
+    # stored-field collisions only)
+    text_col: "str | None" = None
 
     @property
     def avgdl(self) -> float:
@@ -821,6 +827,7 @@ def build_postings_index(
         "analyzer": analyzer.to_dict() if analyzer else None,
         "stored_fields": sorted(stored_fields) if stored_fields else None,
         "nested_fields": sorted(nested_fields) if nested_fields else None,
+        "text_col": text_col,
     })
 
 
@@ -1112,6 +1119,7 @@ def load_postings_index(spark: SparkSession, path: str) -> PostingsIndex:
         docvalues=docvalues,
         stored_fields=stored_fields,
         nested_fields=nested_fields,
+        text_col=stats.get("text_col"),
     )
 
 def set_index_alias(alias_path: str, index_path: str) -> None:

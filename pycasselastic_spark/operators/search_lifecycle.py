@@ -279,6 +279,7 @@ def compact_postings_index(
         "analyzer": stats.get("analyzer"),
         "stored_fields": stats.get("stored_fields"),
         "nested_fields": stats.get("nested_fields"),
+        "text_col": stats.get("text_col"),
     })
     return n_superseded, 0
 
@@ -501,6 +502,7 @@ def reindex_postings_index(
         "analyzer": new_analyzer_dict,
         "stored_fields": stats.get("stored_fields"),
         "nested_fields": stats.get("nested_fields"),
+        "text_col": stats.get("text_col"),
     }
     with open(os.path.join(tmp, "stats.json"), "w") as f:
         json.dump(new_stats, f)

@@ -125,15 +125,15 @@ def _lex(s: str) -> list[tuple]:
             toks.append(("rparen",))
             i += 1
             # '(a OR b)^2' — Lucene's group boost rides the closing
-            # parenthesis; the parser applies it on group close
+            # parenthesis; the parser applies it on group close.
+            # _boost_wrap validates (fractional AND ^0 raise — the
+            # leaf path's law; review finding: ^0 was silently the
+            # identity here while 'spark^0' raised)
             m = _BOOST.match(s, i)
             if m:
-                if "." in m.group(1):
-                    raise _err(
-                        f"fractional boost ^{m.group(1)} (scores are "
-                        "exact Q20 integers — integer boosts >= 1 only)"
-                    )
-                toks.append(("boostmark", int(m.group(1))))
+                marked = _boost_wrap(("group",), m.group(1))
+                n_boost = marked[1] if marked[0] == "boost" else 1
+                toks.append(("boostmark", n_boost))
                 i = m.end()
             continue
         if ch == '"':

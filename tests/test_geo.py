@@ -167,8 +167,12 @@ def test_geo_distance_prefilter_never_drops_a_true_hit(spark):
         a = s1 * s1 + m.cos(lat1 * c) * m.cos(lat2 * c) * s2 * s2
         return 2.0 * EARTH_RADIUS_M * m.asin(m.sqrt(a))
 
+    # mid-latitude centers included deliberately: the naive
+    # ddeg/cos(lat) lon band UNDERestimates there (review finding —
+    # the tangent-meridian width asin(sin r / cos lat) is the truth)
     centers = [(0.0, 0.0), (89.5, 10.0), (-88.0, -170.0),
-               (45.0, 179.5), (-30.0, -179.9)]
+               (45.0, 179.5), (-30.0, -179.9), (60.0, 0.0),
+               (55.0, 20.0), (-45.0, 100.0), (70.0, -60.0)]
     for clat, clon in centers:
         r_m = rng.uniform(100_000, 4_000_000)
         got = {r["pid"] for r in geo_distance(
@@ -180,3 +184,15 @@ def test_geo_distance_prefilter_never_drops_a_true_hit(spark):
             <= math.floor(r_m * Q20)
         }
         assert got == want, (clat, clon, r_m)
+
+
+def test_geo_distance_prefilter_mid_latitude_regression(spark):
+    """The exact regression from the round-14 review: center (60, 0),
+    r = 5 degrees of arc — the circle reaches 10.04 degrees of
+    longitude; the old ddeg/cos(band) band stopped at 8.8 and dropped
+    the point (60.1, 10.02) which is INSIDE the circle."""
+    r_m = 555_975.0  # ~5 degrees of arc
+    df = _pts(spark, [(1, 60.1, 10.02)])
+    got = geo_distance(df, "lat", "lon", 60.0, 0.0,
+                       distance_m=r_m).collect()
+    assert [r["pid"] for r in got] == [1]

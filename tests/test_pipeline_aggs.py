@@ -243,6 +243,36 @@ def test_significant_aggs_dispatch_from_the_request_body(dv_idx):
                                "background_is_superset": True},
             }}},
         })
+    # a typo'd field must raise, not silently serve the text field
+    # (round-14 review finding; the index records its text column)
+    with pytest.raises(ValueError, match="analyzed 'text'"):
+        es_search(dv_idx, {
+            "query": {"match": {"text": "alpha"}},
+            "aggs": {"s": {"significant_text": {"field": "titel"}}},
+        })
+
+
+def test_pipeline_missing_keys_raise_by_name(dv_idx):
+    base = {"query": {"match": {"text": "alpha"}}}
+    with pytest.raises(ValueError, match="moving_fn missing"):
+        es_search(dv_idx, {**base, "aggs": {"m": {
+            "date_histogram": {"field": "d", "calendar_interval": "month"},
+            "aggs": {"p": {"moving_fn": {
+                "script": "MovingFunctions.sum(values)", "window": 3,
+            }}},
+        }}})
+    with pytest.raises(ValueError, match="moving_avg missing"):
+        es_search(dv_idx, {**base, "aggs": {"m": {
+            "date_histogram": {"field": "d", "calendar_interval": "month"},
+            "aggs": {"p": {"moving_avg": {"window": 2}}},
+        }}})
+    with pytest.raises(ValueError, match="top_metrics missing"):
+        es_search(dv_idx, {**base, "aggs": {"t": {
+            "terms": {"field": "tag"},
+            "aggs": {"p": {"top_metrics": {
+                "metrics": {"field": "val"},
+            }}},
+        }}})
 
 
 def test_rate_scales_bucket_counts_to_the_unit(dv_idx):

@@ -121,6 +121,8 @@ def test_prefix_fuzzy_bases_normalized_through_char_pipeline(an_idx, idx):
     ("title:spark", "without a field index"),
     ("spark^1.5", "fractional boost"),
     ("spark^0", "integer >= 1"),
+    ("(spark OR join)^0", "integer >= 1"),
+    ("(spark OR join)^1.5", "fractional boost"),
     ("title:(a OR b)", "field-scoped group"),
     ("NOT spark", "pure-negative"),
     ("spark OR NOT join", "NOT under OR"),

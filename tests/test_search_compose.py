@@ -1034,6 +1034,11 @@ def test_completion_suggester_ranks_by_df(spark, tmp_path):
             "prefix": "s",
             "completion": {"field": "text", "skip_duplicates": False},
         }}})
+    # a typo'd field raises instead of silently serving 'text'
+    with pytest.raises(ValueError, match="analyzed 'text'"):
+        es_search(cidx, {"suggest": {"a": {
+            "prefix": "s", "completion": {"field": "title"},
+        }}})
 
 
 def test_es_analyze_returns_positions_with_gaps(spark, tmp_path):
