@@ -80,6 +80,83 @@ from pycasselastic_spark.operators.search_ext import (
 _RANGE_OPS = {"gte": ">=", "lte": "<=", "gt": ">", "lt": "<"}
 
 
+_RUNTIME_EMIT = re.compile(
+    r"\s*emit\(\s*doc\['(\w[\w.]*)'\]\.value"
+    r"(?:\s*([+\-*/])\s*(-?\d+(?:\.\d+)?))?\s*\)\s*$"
+)
+
+_RUNTIME_TYPES = {"long": "long", "double": "double",
+                  "keyword": "string"}
+
+
+def _with_runtime_fields(index: PostingsIndex, mappings: dict):
+    """ES ``runtime_mappings``: derive query-time fields from stored
+    doc-values and expose them as first-class fields — every range /
+    term / exists filter and every doc-values aggregation downstream
+    sees them transparently, because the computed column rides the
+    doc-values scan's PROJECTION (Catalyst keeps it inside the same
+    stage; pushdown on the base columns is unchanged). Supported
+    Painless: ``emit(doc['f'].value)`` and ``emit(doc['f'].value <op>
+    <literal>)`` with one of ``+ - * /`` — the re-scale/re-bucket
+    shapes runtime fields are actually used for; scripts beyond one
+    expression raise by name. The emitted NULL law is ES's: a doc
+    missing the source field emits nothing (stays NULL)."""
+    import dataclasses
+
+    dv = index.live_docvalues()
+    new_fields = []
+    for name, spec in mappings.items():
+        extra = set(spec) - {"type", "script"}
+        if extra:
+            raise _err(f"runtime field options {sorted(extra)}")
+        rtype = _RUNTIME_TYPES.get(str(spec.get("type")))
+        if rtype is None:
+            raise _err(
+                f"runtime field type {spec.get('type')!r} "
+                f"(supported: {sorted(_RUNTIME_TYPES)})"
+            )
+        script = spec.get("script")
+        if not isinstance(script, dict) or "source" not in script:
+            raise _err(f"runtime field {name!r} without script.source")
+        m = _RUNTIME_EMIT.fullmatch(str(script["source"]))
+        if not m:
+            raise _err(
+                f"runtime script {script['source']!r} (supported: "
+                "emit(doc['f'].value) / emit(doc['f'].value <op> "
+                "<literal>))"
+            )
+        src, op, lit = m.group(1), m.group(2), m.group(3)
+        if src not in index.stored_fields:
+            raise _err(
+                f"runtime field {name!r} reads {src!r} which is not "
+                f"stored (stored_fields={list(index.stored_fields)})"
+            )
+        if name in index.stored_fields or name in (index.text_col,):
+            raise _err(
+                f"runtime field {name!r} shadows an existing field"
+            )
+        col = F.col(f"`{src}`")
+        if op is not None:
+            litval = float(lit) if "." in lit else int(lit)
+            if op == "/" and litval == 0:
+                raise _err(f"runtime field {name!r} divides by zero")
+            col = {
+                "+": col + F.lit(litval), "-": col - F.lit(litval),
+                "*": col * F.lit(litval), "/": col / F.lit(litval),
+            }[op]
+        dv = dv.withColumn(name, col.cast(rtype))
+        new_fields.append(name)
+    # the wrapper's docvalues are already superseded-folded
+    # (live_docvalues ran above); live_docvalues() on the wrapper
+    # re-applies the anti-join, which is idempotent — generation is
+    # left untouched because the POSTINGS side still needs it
+    return dataclasses.replace(
+        index,
+        docvalues=dv,
+        stored_fields=tuple(index.stored_fields) + tuple(new_fields),
+    )
+
+
 def _check_text_field(index: PostingsIndex, field: str, what: str) -> None:
     """A request body naming the analyzed text field must name it
     CORRECTLY — a typo silently served from the real text field is
@@ -589,10 +666,21 @@ def es_search(
     unknown = set(body) - {
         "query", "size", "search_after", "collapse", "aggs", "sort", "knn",
         "rank", "highlight", "suggest", "rescore", "fields",
+        "runtime_mappings",
     }
     if unknown:
         raise _err(f"body keys {sorted(unknown)}")
     size = int(body.get("size", 10))
+
+    if "runtime_mappings" in body:
+        # ES runtime fields: computed at query time from stored
+        # doc-values, then usable anywhere a stored field is — the
+        # natural Catalyst fit (the expression rides the scan's
+        # projection). The dispatched Painless grammar is one emit of
+        # one doc-value, optionally through one arithmetic op with a
+        # literal; anything else raises by name.
+        index = _with_runtime_fields(index, body["runtime_mappings"])
+        body = {k: v for k, v in body.items() if k != "runtime_mappings"}
 
     if "suggest" in body:
         # suggest-only request (ES allows it with no query) — one

@@ -823,3 +823,40 @@ def completion_suggest_documents(
             "completion": {"field": "text", "size": 5},
         }},
     })
+
+
+@register(
+    "runtime_field_documents",
+    f"""
+WITH {_HITS_MERGE}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(d.n_chars * 2) AS min_val,
+       MAX(d.n_chars * 2) AS max_val,
+       CAST(SUM(d.n_chars * 2) AS BIGINT) AS sum_val,
+       CAST(FLOOR(AVG(d.n_chars * 2) * 1048576.0) AS BIGINT) AS avg_q20
+FROM documents d JOIN hits USING (doc_id)
+""",
+    doc="ES ``runtime_mappings`` — query-time computed fields: "
+    "``n2 = emit(doc['n_chars'].value * 2)`` declared in the request "
+    "body, then used by a stats aggregation exactly like a stored "
+    "field (ranges/terms/exists filters see it too — the wrapper "
+    "index exposes the computed column as first-class doc-values). "
+    "The natural Catalyst fit: the expression rides the doc-values "
+    "scan's PROJECTION, same stage, base-column pushdown unchanged — "
+    "where ES re-executes the Painless script per doc per query. "
+    "Supported grammar: one emit of one doc-value through at most "
+    "one arithmetic op with a literal; richer scripts, shadowing "
+    "names, unknown source fields and divide-by-zero raise by name. "
+    "operators/search_api.py:_with_runtime_fields. Oracle replays "
+    "the arithmetic inline.",
+)
+def runtime_field_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "runtime_mappings": {"n2": {
+            "type": "long",
+            "script": {"source": "emit(doc['n_chars'].value * 2)"},
+        }},
+        "query": {"match": {"text": "merge"}},
+        "aggs": {"s": {"stats": {"field": "n2"}}},
+    })

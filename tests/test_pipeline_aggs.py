@@ -252,6 +252,48 @@ def test_significant_aggs_dispatch_from_the_request_body(dv_idx):
         })
 
 
+def test_runtime_mappings_fields_act_like_stored_fields(dv_idx):
+    # val2 = val * 2: range filter + stats agg both see it
+    rt = {"val2": {"type": "long",
+                   "script": {"source": "emit(doc['val'].value * 2)"}}}
+    got = {r["doc_id"] for r in es_search(dv_idx, {
+        "runtime_mappings": rt,
+        "query": {"range": {"val2": {"gte": 40, "lte": 60}}},
+    }).collect()}
+    assert got == {2, 3}  # val 20,30 -> 40,60
+    row = es_search(dv_idx, {
+        "runtime_mappings": rt,
+        "query": {"match": {"text": "alpha"}},
+        "aggs": {"s": {"stats": {"field": "val2"}}},
+    }).collect()[0]
+    assert (row["min_val"], row["max_val"], row["sum_val"]) == (20, 100, 220)
+    # strictness: rich scripts / unknown sources / shadowing raise
+    with pytest.raises(ValueError, match="runtime script"):
+        es_search(dv_idx, {
+            "runtime_mappings": {"x": {"type": "long", "script": {
+                "source": "emit(doc['val'].value * doc['val'].value)"}}},
+            "query": {"match_all": {}},
+        })
+    with pytest.raises(ValueError, match="not\\s+stored"):
+        es_search(dv_idx, {
+            "runtime_mappings": {"x": {"type": "long", "script": {
+                "source": "emit(doc['nope'].value)"}}},
+            "query": {"match_all": {}},
+        })
+    with pytest.raises(ValueError, match="shadows"):
+        es_search(dv_idx, {
+            "runtime_mappings": {"val": {"type": "long", "script": {
+                "source": "emit(doc['val'].value)"}}},
+            "query": {"match_all": {}},
+        })
+    with pytest.raises(ValueError, match="divides by zero"):
+        es_search(dv_idx, {
+            "runtime_mappings": {"x": {"type": "long", "script": {
+                "source": "emit(doc['val'].value / 0)"}}},
+            "query": {"match_all": {}},
+        })
+
+
 def test_pipeline_missing_keys_raise_by_name(dv_idx):
     base = {"query": {"match": {"text": "alpha"}}}
     with pytest.raises(ValueError, match="moving_fn missing"):
