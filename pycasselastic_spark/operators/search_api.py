@@ -1427,6 +1427,7 @@ def es_search(
                 )
                 pipelines = []
                 rate_cols: list[tuple[str, int]] = []
+                norm_cols: list[tuple[str, str]] = []
                 for pname, pbody in sub.items():
                     pkind, pspec = _single(
                         pbody, f"date_histogram sub-aggregation {pname!r}"
@@ -1584,6 +1585,24 @@ def es_search(
                             "n_docs",
                         ))
                         continue
+                    if pkind == "normalize":
+                        # ES normalize (7.9): rescale the per-bucket
+                        # count against the WHOLE bucket set
+                        pextra = set(pspec) - {"buckets_path", "method"}
+                        if pextra:
+                            raise _err(
+                                f"normalize options {sorted(pextra)}"
+                            )
+                        if pspec.get("buckets_path") != "_count":
+                            raise _err(
+                                f"normalize buckets_path "
+                                f"{pspec.get('buckets_path')!r} "
+                                "(supported: _count)"
+                            )
+                        if "method" not in pspec:
+                            raise _err("normalize missing method")
+                        norm_cols.append((pname, str(pspec["method"])))
+                        continue
                     if pkind not in ("cumulative_sum", "derivative"):
                         raise _err(
                             f"date_histogram sub-aggregation {pkind!r}"
@@ -1623,6 +1642,15 @@ def es_search(
                             ).cast("long"),
                         )
                     buckets = buckets.orderBy(F.col("bucket").asc())
+                if norm_cols:
+                    from pycasselastic_spark.operators.search_compose import (  # noqa: E501
+                        apply_normalize,
+                    )
+
+                    for pname, method in norm_cols:
+                        buckets = apply_normalize(
+                            buckets, "n_docs", method, pname
+                        )
             return buckets
         if set(agg) == {"auto_date_histogram"}:
             spec = agg["auto_date_histogram"]
@@ -1662,7 +1690,9 @@ def es_search(
         field = agg["terms"]["field"]
         sub = agg.get("aggs")
         if sub and any(
-            isinstance(s, dict) and set(s) & {"bucket_selector", "bucket_sort"}
+            isinstance(s, dict) and set(s) & {
+                "bucket_selector", "bucket_sort", "bucket_script",
+            }
             for s in sub.values()
         ):
             # sibling PIPELINE aggregations under terms: exactly one
@@ -1676,6 +1706,7 @@ def es_search(
 
             selector = sorter = None
             metric_name = None
+            scripts: list[tuple[str, dict]] = []
             for pname, pbody in sub.items():
                 pkind, pspec = _single(
                     pbody, f"terms sub-aggregation {pname!r}"
@@ -1688,6 +1719,11 @@ def es_search(
                     if sorter is not None:
                         raise _err("multiple bucket_sort entries")
                     sorter = pspec
+                elif pkind == "bucket_script":
+                    # a computed per-bucket metric column (ratio /
+                    # percentage dashboards); applied before
+                    # selector/sort so they could page on raw metrics
+                    scripts.append((pname, pspec))
                 elif pkind == "stats":
                     if metric_name is not None:
                         raise _err("multiple metric sub-aggregations")
@@ -1758,6 +1794,27 @@ def es_search(
                 index, terms, field, metric_field, order_by="n_docs",
                 include_value_count=True,
             )
+            for pname, pspec in scripts:
+                if set(pspec) != {"buckets_path", "script"}:
+                    raise _err(
+                        "bucket_script options "
+                        f"{sorted(set(pspec) - {'buckets_path', 'script'})}"
+                    )
+                from pycasselastic_spark.operators.search_compose import (
+                    apply_bucket_script,
+                )
+
+                # avg/fractional-sum paths are Q20-quantized — mixing
+                # them into raw arithmetic would silently be off by
+                # 2^20, so bucket_script resolves paths under the
+                # selector law (exact integer columns only)
+                spaths = {
+                    var: _path_col(p, selector_ctx=True)
+                    for var, p in pspec["buckets_path"].items()
+                }
+                buckets = apply_bucket_script(
+                    buckets, spaths, pspec["script"], pname
+                )
             if selector is not None:
                 if set(selector) != {"buckets_path", "script"}:
                     raise _err(

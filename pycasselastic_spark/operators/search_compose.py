@@ -1310,6 +1310,180 @@ def apply_bucket_sort(
     return out
 
 
+# bucket_script expressions: ES runs Painless; the SQL-expressible
+# (and by far the most used) shape is ARITHMETIC over buckets_path
+# variables and numeric literals — ratios, percentages, per-unit
+# normalizations. The grammar below is + - * / with parentheses and
+# unary minus; anything else (method calls, conditionals, string ops)
+# raises by name.
+_SCRIPT_TOKEN = re.compile(
+    r"\s*(params\.\w+|\d+(?:\.\d+)?|[()+\-*/])"
+)
+
+
+def _parse_bucket_script(script: str, paths: dict[str, str]):
+    """Compile an ES ``bucket_script`` arithmetic expression into a
+    Spark Column over the bucket relation. Recursive descent over the
+    + - * / ( ) grammar; ``params.<var>`` resolves through ``paths``
+    to a bucket column, numeric literals become DOUBLE literals.
+    Returns the UNQUANTIZED double-typed Column — the caller applies
+    the Q20 floor so the quantization law lives in one place."""
+    pos = 0
+    tokens: list[str] = []
+    s = str(script)
+    while pos < len(s):
+        m = _SCRIPT_TOKEN.match(s, pos)
+        if not m:
+            if s[pos:].strip() == "":
+                break
+            raise ValueError(
+                f"unsupported bucket_script {script!r} (supported: "
+                "arithmetic over params.<var> and numeric literals "
+                "with + - * / and parentheses)"
+            )
+        tokens.append(m.group(1))
+        pos = m.end()
+    i = 0
+
+    def peek():
+        return tokens[i] if i < len(tokens) else None
+
+    def take():
+        nonlocal i
+        t = tokens[i]
+        i += 1
+        return t
+
+    def atom():
+        nonlocal i
+        t = peek()
+        if t is None:
+            raise ValueError(f"bucket_script {script!r}: truncated")
+        if t == "(":
+            take()
+            e = expr()
+            if peek() != ")":
+                raise ValueError(
+                    f"bucket_script {script!r}: unbalanced parentheses"
+                )
+            take()
+            return e
+        if t == "-":
+            take()
+            return -atom()
+        take()
+        if t.startswith("params."):
+            var = t[len("params."):]
+            if var not in paths:
+                raise ValueError(
+                    f"bucket_script variable {var!r} not in "
+                    f"buckets_path {sorted(paths)}"
+                )
+            return F.col(paths[var]).cast("double")
+        return F.lit(float(t))
+
+    def term():
+        e = atom()
+        while peek() in ("*", "/"):
+            op = take()
+            rhs = atom()
+            # try_divide: x/0 -> NULL under ANSI mode (the documented
+            # divergence from Painless's ArithmeticException — keep
+            # the bucket instead of failing the whole response)
+            e = e * rhs if op == "*" else F.try_divide(e, rhs)
+        return e
+
+    def expr():
+        e = term()
+        while peek() in ("+", "-"):
+            op = take()
+            rhs = term()
+            e = e + rhs if op == "+" else e - rhs
+        return e
+
+    out = expr()
+    if peek() is not None:
+        raise ValueError(
+            f"bucket_script {script!r}: trailing tokens from {peek()!r}"
+        )
+    return out
+
+
+def apply_bucket_script(
+    buckets: DataFrame,
+    paths: dict[str, str],
+    script: str,
+    out_name: str,
+) -> DataFrame:
+    """ES ``bucket_script``: a per-bucket computed metric — an
+    arithmetic expression over sibling buckets_path values (the
+    "error rate = errors / total * 100" dashboard column). The result
+    is Q20-floored to a long (division produces fractions; the
+    cross-engine float law every fractional metric in this engine
+    follows). SQL's division law applies: x/0 is NULL (ES Painless
+    would throw — NULL is the documented divergence, it keeps the
+    bucket instead of failing the response). Row-local expression
+    over the response-sized bucket relation; no shuffle."""
+    for var, col_name in paths.items():
+        if col_name not in buckets.columns:
+            raise ValueError(
+                f"bucket_script buckets_path column {col_name!r} (for "
+                f"params.{var}) not in the bucket relation "
+                f"(columns: {buckets.columns})"
+            )
+    e = _parse_bucket_script(script, paths)
+    return buckets.withColumn(
+        out_name, F.floor(e * Q20).cast("long")
+    )
+
+
+_NORMALIZE_METHODS = ("rescale_0_1", "percent_of_sum", "z-score")
+
+
+def apply_normalize(
+    buckets: DataFrame,
+    value_col: str,
+    method: str,
+    out_name: str,
+    order_col: str = "bucket",
+) -> DataFrame:
+    """ES ``normalize`` pipeline aggregation: rescale a per-bucket
+    metric against the WHOLE bucket set — ``rescale_0_1``
+    ((x-min)/(max-min)), ``percent_of_sum`` (x/sum), ``z-score``
+    ((x-mean)/stddev_pop). Outputs are Q20-floored longs (the
+    cross-engine float law); degenerate sets follow SQL division:
+    max==min or sum==0 or stddev==0 -> NULL.
+
+    Scale note: the unpartitioned window is over the response-sized
+    bucket relation (ES caps it at search.max_buckets, default
+    65536), never the corpus — same law as apply_bucket_pipelines."""
+    from pyspark.sql.window import Window
+
+    if value_col not in buckets.columns:
+        raise ValueError(
+            f"normalize buckets_path column {value_col!r} not in the "
+            f"bucket relation (columns: {buckets.columns})"
+        )
+    if method not in _NORMALIZE_METHODS:
+        raise ValueError(
+            f"unsupported normalize method {method!r} "
+            f"(supported: {list(_NORMALIZE_METHODS)})"
+        )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    x = F.col(value_col).cast("double")
+    if method == "rescale_0_1":
+        e = (x - F.min(x).over(w)) / (F.max(x).over(w) - F.min(x).over(w))
+    elif method == "percent_of_sum":
+        e = x / F.sum(x).over(w)
+    else:
+        e = (x - F.avg(x).over(w)) / F.stddev_pop(x).over(w)
+    return buckets.withColumn(
+        out_name, F.floor(e * Q20).cast("long")
+    ).orderBy(F.col(order_col).asc())
+
+
 def _named_filter_conditions(
     index: PostingsIndex,
     named_filters: list[tuple[str, list]],

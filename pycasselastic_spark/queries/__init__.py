@@ -28,3 +28,4 @@ from pycasselastic_spark.queries import search_r12b  # noqa: F401
 from pycasselastic_spark.queries import search_r13  # noqa: F401
 from pycasselastic_spark.queries import search_r13b  # noqa: F401
 from pycasselastic_spark.queries import search_r14  # noqa: F401
+from pycasselastic_spark.queries import search_r14b  # noqa: F401

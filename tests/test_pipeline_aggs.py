@@ -979,3 +979,119 @@ def test_date_range_naive_iso_is_utc(dv_idx):
     got = {r["bucket"]: r["n_docs"] for r in out}
     cut = 1707955200  # 2024-02-15T00:00:00Z
     assert got == {f"*-{cut}": 2, f"{cut}-*": 2}
+
+
+def test_bucket_script_arithmetic_over_paths(dv_idx):
+    # alpha hits docs 1,2,3,5; tags x:{1,3} vals 10,30 / y:{2} val 20
+    # (doc 5's NULL tag is excluded by the facet law)
+    out = es_search(dv_idx, {
+        "query": {"match": {"text": "alpha"}},
+        "aggs": {"t": {
+            "terms": {"field": "tag"},
+            "aggs": {
+                "v": {"stats": {"field": "val"}},
+                "span_per_doc": {"bucket_script": {
+                    "buckets_path": {"mn": "v.min", "mx": "v.max",
+                                     "n": "_count"},
+                    "script": "(params.mx - params.mn) / params.n",
+                }},
+            },
+        }},
+    }).collect()
+    got = {r["bucket"]: r["span_per_doc"] for r in out}
+    # x: (30-10)/2 = 10.0 -> 10 * 2^20; y: 0/1 = 0
+    assert got == {"x": 10 * (1 << 20), "y": 0}
+
+
+def test_bucket_script_division_by_zero_is_null(dv_idx):
+    out = es_search(dv_idx, {
+        "query": {"match": {"text": "alpha"}},
+        "aggs": {"t": {
+            "terms": {"field": "tag"},
+            "aggs": {
+                "v": {"stats": {"field": "val"}},
+                "bad": {"bucket_script": {
+                    "buckets_path": {"mn": "v.min", "mx": "v.max"},
+                    "script": "params.mn / (params.mx - params.mx)",
+                }},
+            },
+        }},
+    }).collect()
+    assert all(r["bad"] is None for r in out)
+
+
+def test_bucket_script_strictness(dv_idx):
+    base = {"query": {"match": {"text": "alpha"}}}
+
+    def body(script, paths):
+        return {**base, "aggs": {"t": {
+            "terms": {"field": "tag"},
+            "aggs": {
+                "v": {"stats": {"field": "val"}},
+                "s": {"bucket_script": {
+                    "buckets_path": paths, "script": script,
+                }},
+            },
+        }}}
+
+    # comparisons are bucket_selector's grammar, not bucket_script's
+    with pytest.raises(ValueError, match="bucket_script"):
+        es_search(dv_idx, body("params.mn > 1", {"mn": "v.min"}))
+    # unknown script variable raises by name
+    with pytest.raises(ValueError, match="nope"):
+        es_search(dv_idx, body("params.nope + 1", {"mn": "v.min"}))
+    # the Q20-quantized avg cannot enter raw arithmetic
+    with pytest.raises(ValueError, match="avg"):
+        es_search(dv_idx, body("params.a * 2", {"a": "v.avg"}))
+    # unbalanced parentheses raise by name
+    with pytest.raises(ValueError, match="parenthes"):
+        es_search(dv_idx, body("(params.mn + 1", {"mn": "v.min"}))
+
+
+def test_normalize_rescales_against_the_bucket_set(dv_idx):
+    # alpha months Jan:1 Feb:2 Mar:1
+    out = es_search(dv_idx, {
+        "query": {"match": {"text": "alpha"}},
+        "aggs": {"m": {
+            "date_histogram": {"field": "d", "calendar_interval": "month"},
+            "aggs": {
+                "share": {"normalize": {
+                    "buckets_path": "_count",
+                    "method": "percent_of_sum",
+                }},
+                "scaled": {"normalize": {
+                    "buckets_path": "_count",
+                    "method": "rescale_0_1",
+                }},
+                "z": {"normalize": {
+                    "buckets_path": "_count", "method": "z-score",
+                }},
+            },
+        }},
+    }).collect()
+    q20 = 1 << 20
+    assert [r["share"] for r in out] == [q20 // 4, q20 // 2, q20 // 4]
+    assert [r["scaled"] for r in out] == [0, q20, 0]
+    # z-score: mean 4/3, stddev_pop sqrt(2)/3 — pinned to +-1 ulp of
+    # the closed form (engine moment algorithms may differ in the
+    # last bit; the Q20 floor absorbs everything above that)
+    import math
+
+    mean, std = 4.0 / 3.0, math.sqrt(2.0) / 3.0
+    exp = [math.floor((x - mean) / std * q20) for x in (1, 2, 1)]
+    got = [r["z"] for r in out]
+    assert all(abs(g - e) <= 1 for g, e in zip(got, exp))
+
+
+def test_normalize_strictness(dv_idx):
+    base = {"query": {"match": {"text": "alpha"}},
+            "aggs": {"m": {
+                "date_histogram": {
+                    "field": "d", "calendar_interval": "month",
+                },
+                "aggs": {"n": {"normalize": {
+                    "buckets_path": "_count", "method": "softmax",
+                }}},
+            }}}
+    with pytest.raises(ValueError, match="softmax"):
+        es_search(dv_idx, base)
