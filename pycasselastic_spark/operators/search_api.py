@@ -582,6 +582,8 @@ def es_search(
     docs: DataFrame | None = None,
     embeddings: DataFrame | None = None,
     field_indexes: dict[str, PostingsIndex] | None = None,
+    join_field: DataFrame | None = None,
+    join_relations: dict | None = None,
 ) -> DataFrame:
     """Execute an ES ``_search`` request body against a stored index.
 
@@ -617,7 +619,11 @@ def es_search(
       doc-values ranges — ``operators/search_qs.py``), the full span
       family (``span_near`` / ``span_first`` / ``span_or`` /
       ``span_not`` / ``span_containing`` / ``span_within`` over the
-      stored-position algebra), and ``bool``
+      stored-position algebra), ``has_child`` / ``has_parent``
+      (join-field parent/child semantics over the (id, join_name,
+      parent) relation passed via ``join_field`` +
+      ``join_relations`` — score_mode none/sum/max/min/avg, parent
+      score propagation), and ``bool``
       with ``must`` / ``should`` / ``must_not`` lists of match/term
       leaves plus bool-level ``minimum_should_match`` (N of the
       should CLAUSES required).
@@ -2335,6 +2341,59 @@ def es_search(
             else:
                 raise _err(f"nested leaf type {lkind!r}")
         return search_nested(index, npath, conditions, k=size)
+    if qtype in ("has_child", "has_parent"):
+        # ES join-field (parent/child) queries: the join mapping is
+        # the (id, join_name, parent) relation + the declared
+        # {parent: children} map, both passed alongside the index
+        # (the mapping lives outside the request body in ES too)
+        if join_field is None or join_relations is None:
+            raise _err(
+                f"{qtype} without join_field/join_relations (the ES "
+                "join mapping)"
+            )
+        from pycasselastic_spark.operators.search_join import (
+            has_child_search,
+            has_parent_search,
+        )
+
+        if qtype == "has_child":
+            extra = set(q) - {"type", "query", "score_mode"}
+            if extra:
+                raise _err(f"has_child options {sorted(extra)}")
+            if "type" not in q or "query" not in q:
+                raise _err("has_child needs type + query")
+            ikind, ibody = _single(q["query"], "has_child inner query")
+            if ikind != "match":
+                raise _err(
+                    f"has_child inner query type {ikind!r} (match only)"
+                )
+            terms = index.analyze_text(
+                _match_text(ibody, "has_child")
+            )
+            if not terms:
+                raise _err("has_child query analyzing to no terms")
+            return has_child_search(
+                index, join_field, join_relations, str(q["type"]),
+                terms, score_mode=str(q.get("score_mode", "none")),
+                k=size,
+            )
+        extra = set(q) - {"parent_type", "query", "score"}
+        if extra:
+            raise _err(f"has_parent options {sorted(extra)}")
+        if "parent_type" not in q or "query" not in q:
+            raise _err("has_parent needs parent_type + query")
+        ikind, ibody = _single(q["query"], "has_parent inner query")
+        if ikind != "match":
+            raise _err(
+                f"has_parent inner query type {ikind!r} (match only)"
+            )
+        terms = index.analyze_text(_match_text(ibody, "has_parent"))
+        if not terms:
+            raise _err("has_parent query analyzing to no terms")
+        return has_parent_search(
+            index, join_field, join_relations, str(q["parent_type"]),
+            terms, score=bool(q.get("score", False)), k=size,
+        )
     if qtype == "terms_set":
         field, spec = _single(q, "terms_set")
         extra = set(spec) - {"terms", "minimum_should_match_field"}

@@ -17,11 +17,16 @@ from pyspark.sql import functions as F
 
 from pycasselastic_spark.operators.search_api import es_search
 from pycasselastic_spark.queries.base import register
+from pycasselastic_spark.queries.base import _t
 from pycasselastic_spark.queries.search_dsl import _postings_index_for
 from pycasselastic_spark.queries.search_r13 import (
     _TS0,
     _TS_STEP,
     _ts_index_for,
+)
+from pycasselastic_spark.queries.search_r12b import (
+    _BM25_TERM_SCORE,
+    _TOK_POSTINGS,
 )
 from pycasselastic_spark.queries.search_r13b import _HITS_MERGE
 
@@ -138,3 +143,117 @@ def normalize_agg_documents(
         F.col("bucket").cast("long").alias("bucket_s"),
         "n_docs", "share_q20", "scaled_q20",
     ).orderBy("bucket_s")
+
+
+# the deterministic join-field fixture shared by the has_child /
+# has_parent twins and their oracles: every 5th doc is a 'post'
+# (parent), the rest are 'comment' children of the preceding post —
+# the same replica-synthesized-fixture pattern the date_histogram
+# queries use for ingest_ts
+_JOIN_FIELD_SQL = """
+jf AS (SELECT doc_id,
+  CASE WHEN doc_id % 5 = 0 THEN 'post' ELSE 'comment' END AS join_name,
+  CASE WHEN doc_id % 5 = 0 THEN NULL
+       ELSE doc_id - (doc_id % 5) END AS parent
+  FROM documents)
+"""
+
+
+def _join_field_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    is_post = F.col("doc_id") % 5 == 0
+    return docs.select(
+        "doc_id",
+        F.when(is_post, F.lit("post"))
+         .otherwise(F.lit("comment")).alias("join_name"),
+        F.when(is_post, F.lit(None).cast("long"))
+         .otherwise(
+             (F.col("doc_id") - F.col("doc_id") % 5).cast("long")
+         ).alias("parent"),
+    )
+
+
+@register(
+    "has_child_documents",
+    f"""
+WITH {_TOK_POSTINGS},
+{_JOIN_FIELD_SQL.strip().lstrip()},
+qt AS (SELECT * FROM postings WHERE term = 'spark'),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term),
+scored AS (SELECT qt.doc_id,
+  CAST(FLOOR(({_BM25_TERM_SCORE}) * 1048576.0) AS BIGINT) AS s
+  FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc),
+kids AS (SELECT jf.doc_id, jf.parent, s
+  FROM jf JOIN scored USING (doc_id) WHERE join_name = 'comment'),
+pp AS (SELECT parent, CAST(COUNT(*) AS BIGINT) AS n_children,
+         CAST(SUM(s) AS BIGINT) AS score_q20
+       FROM kids GROUP BY parent),
+posts AS (SELECT doc_id AS parent FROM jf WHERE join_name = 'post')
+SELECT pp.parent AS parent_id, n_children, score_q20
+FROM pp JOIN posts USING (parent)
+ORDER BY score_q20 DESC, parent_id LIMIT 10
+""",
+    doc="ES ``has_child`` join-field query: return PARENT docs "
+    "('post') having at least one 'comment' child matching the inner "
+    "match, score_mode=sum over the children's exact Q20 BM25 "
+    "scores. The join mapping is the (id, join_name, parent) "
+    "relation ES co-routes to one shard — here it rides the corpus's "
+    "own doc-id partitioning, so the hit->parent rollup is an "
+    "equi-join on the partitioning the data already has. Plan: one "
+    "pruned postings probe, one pushed-filter join-relation scan, "
+    "map-side partial groupBy(parent), parent-type semi-join, "
+    "TakeOrderedAndProject. operators/search_join.py:"
+    "has_child_search, dispatched from query.has_child.",
+)
+def has_child_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"has_child": {
+            "type": "comment",
+            "query": {"match": {"text": "spark"}},
+            "score_mode": "sum",
+        }},
+        "size": 10,
+    }, join_field=_join_field_for(spark, sf_dir),
+       join_relations={"post": "comment"})
+
+
+@register(
+    "has_parent_documents",
+    f"""
+WITH {_TOK_POSTINGS},
+{_JOIN_FIELD_SQL.strip().lstrip()},
+qt AS (SELECT * FROM postings WHERE term = 'merge'),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term),
+scored AS (SELECT qt.doc_id,
+  CAST(FLOOR(({_BM25_TERM_SCORE}) * 1048576.0) AS BIGINT) AS s
+  FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc),
+phits AS (SELECT jf.doc_id AS parent, s FROM jf
+  JOIN scored USING (doc_id) WHERE join_name = 'post'),
+kids AS (SELECT doc_id AS child_id, parent FROM jf
+  WHERE join_name = 'comment')
+SELECT child_id, parent AS parent_id, CAST(s AS BIGINT) AS score_q20
+FROM kids JOIN phits USING (parent)
+ORDER BY score_q20 DESC, child_id LIMIT 12
+""",
+    doc="ES ``has_parent`` join-field query: return CHILD docs "
+    "('comment') whose 'post' parent matches the inner match, "
+    "score=true — the parent's exact Q20 BM25 score propagated to "
+    "every child (ES score mode 'score'). Inverse propagation of "
+    "has_child over the same co-partitioned join relation: parent "
+    "hits (pruned probe ∩ parent-typed ids) equi-join the child "
+    "slice of the join-field scan on the parent id. operators/"
+    "search_join.py:has_parent_search, dispatched from "
+    "query.has_parent.",
+)
+def has_parent_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"has_parent": {
+            "parent_type": "post",
+            "query": {"match": {"text": "merge"}},
+            "score": True,
+        }},
+        "size": 12,
+    }, join_field=_join_field_for(spark, sf_dir),
+       join_relations={"post": "comment"})
