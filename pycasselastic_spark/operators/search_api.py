@@ -1353,6 +1353,107 @@ def es_search(
                 .agg(F.count(F.lit(1)).alias("n_docs"))
                 .orderBy(F.col("n_docs").desc(), F.col("bucket").asc())
             )
+        if set(agg) == {"diversified_sampler", "aggs"}:
+            # ES ``diversified_sampler``: the sampler's top-scoring
+            # scope with a per-value cap — at most max_docs_per_value
+            # docs sharing one value of the diversity field enter the
+            # sample (the "don't let one domain dominate" guard).
+            # Same one-logical-shard determinism note as sampler.
+            spec = agg["diversified_sampler"]
+            dextra = set(spec) - {"field", "shard_size",
+                                  "max_docs_per_value"}
+            if dextra:
+                raise _err(
+                    f"diversified_sampler options {sorted(dextra)}"
+                )
+            if "field" not in spec:
+                raise _err("diversified_sampler missing field")
+            if not isinstance(terms, list):
+                raise _err(
+                    f"diversified_sampler under query type {qtype!r}"
+                )
+            divfield = spec["field"]
+            _sname, samp_sub = _single(
+                agg["aggs"], "diversified_sampler sub-aggregation"
+            )
+            if (set(samp_sub) != {"terms"}
+                    or set(samp_sub["terms"]) != {"field"}):
+                raise _err(
+                    "diversified_sampler sub-aggregation (a plain "
+                    "terms facet only)"
+                )
+            sfield = samp_sub["terms"]["field"]
+            for f in (divfield, sfield):
+                if f not in index.stored_fields:
+                    raise _err(
+                        f"diversified_sampler field {f!r} without "
+                        "doc-values"
+                    )
+            from pyspark.sql.window import Window
+
+            from pycasselastic_spark.operators.search_index import dv_col
+            from pycasselastic_spark.operators.search_probes import (
+                _bm25_scored,
+            )
+
+            # scores join the diversity values; the per-value cap is
+            # a window PARTITIONED by the diversity value (bounded
+            # state per key, no global window); docs missing the
+            # diversity value carry no value to de-duplicate on and
+            # are excluded from the sample (documented)
+            scored = _bm25_scored(index, terms, 1.2, 0.75)
+            divdv = index.live_docvalues().select(
+                F.col(index.id_col), dv_col(divfield).alias("_div"),
+                dv_col(sfield).alias("_facet"),
+            )
+            joined = (
+                divdv.join(scored, index.id_col)
+                .filter(F.col("_div").isNotNull())
+            )
+            w = Window.partitionBy("_div").orderBy(
+                F.col("score_q20").desc(), F.col(index.id_col).asc()
+            )
+            sample = (
+                joined.withColumn("_rn", F.row_number().over(w))
+                .filter(
+                    F.col("_rn")
+                    <= int(spec.get("max_docs_per_value", 1))
+                )
+                .orderBy(
+                    F.col("score_q20").desc(), F.col(index.id_col).asc()
+                )
+                .limit(int(spec.get("shard_size", 100)))
+            )
+            return (
+                sample.filter(F.col("_facet").isNotNull())
+                .groupBy(F.col("_facet").alias("bucket"))
+                .agg(F.count(F.lit(1)).alias("n_docs"))
+                .orderBy(F.col("n_docs").desc(), F.col("bucket").asc())
+            )
+        if set(agg) == {"string_stats"}:
+            spec = agg["string_stats"]
+            if set(spec) - {"field"}:
+                raise _err(
+                    f"string_stats options {sorted(set(spec) - {'field'})}"
+                )
+            from pycasselastic_spark.operators.search_ext import (
+                search_string_stats_agg,
+            )
+
+            return search_string_stats_agg(index, terms, spec["field"])
+        if set(agg) == {"matrix_stats"}:
+            spec = agg["matrix_stats"]
+            if set(spec) - {"fields"}:
+                raise _err(
+                    f"matrix_stats options {sorted(set(spec) - {'fields'})}"
+                )
+            from pycasselastic_spark.operators.search_ext import (
+                search_matrix_stats_agg,
+            )
+
+            return search_matrix_stats_agg(
+                index, terms, list(spec["fields"])
+            )
         if set(agg) == {"filters"}:
             spec = agg["filters"]
             if set(spec) != {"filters"}:

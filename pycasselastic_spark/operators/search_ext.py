@@ -1776,3 +1776,180 @@ def search_rare_terms_agg(
         .filter(F.col("n_docs") <= int(max_doc_count))
         .orderBy(F.col("n_docs").asc(), F.col("bucket").asc())
     )
+
+
+def search_string_stats_agg(
+    index: PostingsIndex,
+    query_terms,
+    field: str,
+) -> DataFrame:
+    """ES ``string_stats`` metric aggregation over the hit set's
+    stored string doc-values: one row ``(val_count, min_len, max_len,
+    avg_len_q20, entropy_q20)`` — value count (NULLs excluded),
+    length extrema, Q20-floored mean length, and the Shannon entropy
+    of the aggregated CHARACTER distribution (ES's
+    ``show_distribution`` source statistic).
+
+    Determinism: entropy is transcendental, so the reduction follows
+    the Q30 fixed-point law the bigram LM uses — per-character terms
+    ``FLOOR(c*log2(c) * 2^30)`` are exact longs summed exactly
+    (order-independent), and ``H = log2(T) - S / (T*2^30)`` is then
+    evaluated once in IEEE double from exact integers (identical
+    rounding cross-engine), Q20-floored.
+
+    Plan shape: hit ids join the column-pruned doc-values scan; the
+    length row is ONE partial-aggregated reduction; the entropy leg
+    explodes values into characters (linear in hit-set character
+    mass, the work entropy inherently needs) and reduces over the
+    tiny per-character key space — two bounded aggregations, no
+    corpus shuffle, crossed through broadcast scalars."""
+    if field not in index.stored_fields:
+        raise ValueError(
+            f"field {field!r} is not stored in this index's doc values "
+            f"(stored_fields={index.stored_fields})"
+        )
+    id_col = index.id_col
+    hits = hits_relation(index, query_terms)
+    vals = (
+        index.live_docvalues()
+        .select(F.col(id_col), dv_col(field).alias("_v"))
+        .join(_bounded_broadcast(hits), id_col)
+        .filter(F.col("_v").isNotNull())
+        .select(F.col("_v").cast("string").alias("_v"))
+    )
+    lstats = vals.agg(
+        F.count(F.lit(1)).cast("long").alias("val_count"),
+        F.min(F.length("_v")).cast("long").alias("min_len"),
+        F.max(F.length("_v")).cast("long").alias("max_len"),
+        F.floor(F.avg(F.length("_v")) * Q20).cast("long")
+         .alias("avg_len_q20"),
+    )
+    chars = (
+        vals.select(F.explode(F.split("_v", "")).alias("ch"))
+        # the empty-value edge: Spark's split('','') yields [''],
+        # DuckDB's yields [] — drop the phantom so both agree
+        .filter(F.col("ch") != "")
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(
+            F.sum("c").cast("long").alias("t"),
+            F.sum(
+                F.floor(F.col("c") * F.log2("c") * F.lit(float(1 << 30)))
+                .cast("long")
+            ).cast("long").alias("s_q30"),
+        )
+    )
+    return lstats.crossJoin(F.broadcast(chars)).select(
+        "val_count", "min_len", "max_len", "avg_len_q20",
+        F.floor(
+            (F.log2("t") - F.col("s_q30") / F.lit(float(1 << 30))
+             / F.col("t")) * Q20
+        ).cast("long").alias("entropy_q20"),
+    )
+
+
+_INTEGRAL_DV = ("tinyint", "smallint", "int", "bigint")
+
+
+def matrix_stats_2d(
+    df: DataFrame, field_a: str, field_b: str
+) -> DataFrame:
+    """ES ``matrix_stats`` for one field pair over any relation with
+    two INTEGRAL numeric columns: one row ``(n_docs, mean_a_q20,
+    mean_b_q20, var_a_q20, var_b_q20, cov_q20, corr_q20)``. Rows
+    missing EITHER field are excluded (ES's default missing-handling
+    for matrix_stats). Variance/covariance are the UNBIASED (n-1)
+    estimators ES reports; correlation is Pearson.
+
+    Determinism (the extended_stats law): n, Σa, Σb, Σa², Σb², Σab
+    are exact BIGINTs (integral inputs only — fractional callers
+    pre-quantize, e.g. the exact-cents law), every derived statistic
+    is then one fixed IEEE-double expression over those exact
+    integers (identical rounding cross-engine), Q20-floored. Callers
+    own the no-overflow bound (|x|²·n < 2⁶³), same as
+    extended_stats.
+
+    Plan shape: ONE partial-aggregated reduction to a single row —
+    map-side partial sums, no shuffle beyond the final combine."""
+    for f in (field_a, field_b):
+        if f not in df.columns:
+            raise ValueError(
+                f"matrix_stats field {f!r} not in the relation "
+                f"(columns: {df.columns})"
+            )
+        if dict(df.dtypes)[f] not in _INTEGRAL_DV:
+            raise ValueError(
+                f"matrix_stats field {f!r} is {dict(df.dtypes)[f]} — "
+                "INTEGRAL fields only (fractional fields pre-quantize, "
+                "e.g. the exact-cents law; their float sums would be "
+                "partitioning-dependent)"
+            )
+    a, b = F.col(field_a), F.col(field_b)
+    sums = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(a).cast("long").alias("sa"),
+            F.sum(b).cast("long").alias("sb"),
+            F.sum(a * a).cast("long").alias("saa"),
+            F.sum(b * b).cast("long").alias("sbb"),
+            F.sum(a * b).cast("long").alias("sab"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    saa = F.col("saa").cast("double")
+    sbb = F.col("sbb").cast("double")
+    sab = F.col("sab").cast("double")
+    var_a = (saa - sa * sa / n) / (n - 1)
+    var_b = (sbb - sb * sb / n) / (n - 1)
+    cov = (sab - sa * sb / n) / (n - 1)
+    q = F.lit(float(Q20))
+
+    def q20(c):
+        return F.floor(c * q).cast("long")
+
+    return sums.select(
+        F.col("n").alias("n_docs"),
+        q20(sa / n).alias("mean_a_q20"),
+        q20(sb / n).alias("mean_b_q20"),
+        q20(var_a).alias("var_a_q20"),
+        q20(var_b).alias("var_b_q20"),
+        q20(cov).alias("cov_q20"),
+        q20(cov / F.sqrt(var_a * var_b)).alias("corr_q20"),
+    )
+
+
+def search_matrix_stats_agg(
+    index: PostingsIndex,
+    query_terms,
+    fields: list[str],
+) -> DataFrame:
+    """ES ``matrix_stats`` over the hit set's stored doc-values —
+    the two-field form (ES's most common use: does metric A move
+    with metric B inside this slice). Dispatch validates exactly two
+    INTEGRAL stored fields; the law and plan are ``matrix_stats_2d``
+    over the hit-joined, column-pruned doc-values scan."""
+    if len(fields) != 2:
+        raise ValueError(
+            f"matrix_stats fields {fields!r} (the dispatched form is "
+            "exactly two fields)"
+        )
+    for f in fields:
+        if f not in index.stored_fields:
+            raise ValueError(
+                f"field {f!r} is not stored in this index's doc "
+                f"values (stored_fields={index.stored_fields})"
+            )
+    id_col = index.id_col
+    hits = hits_relation(index, query_terms)
+    dv = (
+        index.live_docvalues()
+        .select(
+            F.col(id_col),
+            dv_col(fields[0]).alias("_a"),
+            dv_col(fields[1]).alias("_b"),
+        )
+        .join(_bounded_broadcast(hits), id_col)
+    )
+    return matrix_stats_2d(dv, "_a", "_b")

@@ -257,3 +257,158 @@ def has_parent_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "size": 12,
     }, join_field=_join_field_for(spark, sf_dir),
        join_relations={"post": "comment"})
+
+
+@register(
+    "string_stats_documents",
+    f"""
+WITH {_HITS_MERGE},
+v AS (SELECT d.source AS v FROM documents d JOIN hits USING (doc_id)
+      WHERE d.source IS NOT NULL),
+ls AS (SELECT CAST(COUNT(*) AS BIGINT) AS val_count,
+              CAST(MIN(len(v)) AS BIGINT) AS min_len,
+              CAST(MAX(len(v)) AS BIGINT) AS max_len,
+              CAST(FLOOR(AVG(len(v)) * 1048576.0) AS BIGINT)
+                AS avg_len_q20
+       FROM v),
+cc AS (SELECT ch, CAST(COUNT(*) AS BIGINT) AS c
+       FROM (SELECT unnest(string_split(v, '')) AS ch FROM v)
+       WHERE ch <> '' GROUP BY ch),
+ent AS (SELECT CAST(SUM(c) AS BIGINT) AS t,
+               CAST(SUM(CAST(FLOOR(c * log2(c) * 1073741824.0)
+                 AS BIGINT)) AS BIGINT) AS s_q30
+        FROM cc)
+SELECT val_count, min_len, max_len, avg_len_q20,
+       CAST(FLOOR((log2(t) - s_q30 / 1073741824.0 / t) * 1048576.0)
+         AS BIGINT) AS entropy_q20
+FROM ls CROSS JOIN ent
+""",
+    doc="ES ``string_stats`` metric aggregation over the hit set's "
+    "stored string doc-values (the keyword-field profile panel): "
+    "value count (NULLs excluded), length extrema, Q20 mean length, "
+    "and the Shannon entropy of the aggregated character "
+    "distribution. Entropy is transcendental, so the reduction "
+    "follows the bigram-LM Q30 fixed-point law: per-character "
+    "FLOOR(c*log2(c)*2^30) terms are exact longs summed exactly "
+    "(order-independent across partitions), and H = log2(T) - "
+    "S/(T*2^30) is ONE double expression over exact ints, "
+    "Q20-floored — bit-deterministic cross-engine. Plan: hit-joined "
+    "column-pruned doc-values scan; one reduction for lengths, one "
+    "char explode (linear in hit character mass — the work entropy "
+    "needs) over a tiny key space. operators/search_ext.py:"
+    "search_string_stats_agg, dispatched from aggs.string_stats.",
+)
+def string_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"match": {"text": "merge"}},
+        "aggs": {"src": {"string_stats": {"field": "source"}}},
+    })
+
+
+@register(
+    "matrix_stats_events",
+    """
+WITH e AS (SELECT CAST(FLOOR(value * 100) AS BIGINT) AS a,
+                  CAST(user_id AS BIGINT) AS b
+           FROM events
+           WHERE value IS NOT NULL AND user_id IS NOT NULL),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a) AS BIGINT) AS sa,
+             CAST(SUM(b) AS BIGINT) AS sb,
+             CAST(SUM(a * a) AS BIGINT) AS saa,
+             CAST(SUM(b * b) AS BIGINT) AS sbb,
+             CAST(SUM(a * b) AS BIGINT) AS sab
+      FROM e)
+SELECT n AS n_docs,
+  CAST(FLOOR(CAST(sa AS DOUBLE) / CAST(n AS DOUBLE) * 1048576.0)
+    AS BIGINT) AS mean_a_q20,
+  CAST(FLOOR(CAST(sb AS DOUBLE) / CAST(n AS DOUBLE) * 1048576.0)
+    AS BIGINT) AS mean_b_q20,
+  CAST(FLOOR((CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) * 1048576.0)
+    AS BIGINT) AS var_a_q20,
+  CAST(FLOOR((CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) * 1048576.0)
+    AS BIGINT) AS var_b_q20,
+  CAST(FLOOR((CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) * 1048576.0)
+    AS BIGINT) AS cov_q20,
+  CAST(FLOOR(
+    ((CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+       / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+    / SQRT(((CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+        / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+      * ((CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+        / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)))
+    * 1048576.0) AS BIGINT) AS corr_q20
+FROM s
+""",
+    doc="ES ``matrix_stats`` (two-field form — does metric A move "
+    "with metric B): unbiased variance/covariance and Pearson "
+    "correlation of events.value (exact-cents quantized, the "
+    "user_value_outliers law) vs user_id. Determinism is the "
+    "extended_stats law generalized to the cross-moment: n, Σa, Σb, "
+    "Σa², Σb², Σab are exact BIGINTs from integral inputs (one "
+    "map-side-partial reduction, no corpus shuffle), every derived "
+    "statistic ONE fixed IEEE-double expression over exact ints, "
+    "Q20-floored. operators/search_ext.py:matrix_stats_2d / "
+    "search_matrix_stats_agg (the es_search aggs.matrix_stats "
+    "dispatch shares this law over stored doc-values).",
+)
+def matrix_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pycasselastic_spark.operators.search_ext import matrix_stats_2d
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+        F.col("user_id").cast("long").alias("user_id"),
+    )
+    return matrix_stats_2d(ev, "value_cents", "user_id")
+
+
+@register(
+    "diversified_sampler_documents",
+    f"""
+WITH {_TOK_POSTINGS},
+qt AS (SELECT * FROM postings WHERE term = 'merge'),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY term),
+scored AS (SELECT qt.doc_id,
+  CAST(FLOOR(({_BM25_TERM_SCORE}) * 1048576.0) AS BIGINT) AS s
+  FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc),
+j AS (SELECT d.doc_id, d.source, d.lang, s
+      FROM documents d JOIN scored USING (doc_id)
+      WHERE d.source IS NOT NULL),
+rn AS (SELECT *, ROW_NUMBER() OVER
+         (PARTITION BY source ORDER BY s DESC, doc_id) AS rnk FROM j),
+samp AS (SELECT * FROM rn WHERE rnk <= 2
+         ORDER BY s DESC, doc_id LIMIT 50)
+SELECT lang AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM samp WHERE lang IS NOT NULL
+GROUP BY 1 ORDER BY n_docs DESC, bucket
+""",
+    doc="ES ``diversified_sampler``: the sampler's top-scoring scope "
+    "with a per-value cap — at most max_docs_per_value=2 docs per "
+    "source enter the 50-doc sample (the 'don't let one domain "
+    "dominate the sample' guard), then a lang terms facet over the "
+    "sample. The per-value cap is a window PARTITIONED by the "
+    "diversity value (bounded state per key, never a global window); "
+    "docs missing the diversity value are excluded (documented). "
+    "ES's per-shard sample is topology-dependent; this engine's one "
+    "logical shard makes it the exact global answer under the "
+    "(score desc, id) law. Dispatched from "
+    "aggs.diversified_sampler + aggs.",
+)
+def diversified_sampler_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"match": {"text": "merge"}},
+        "aggs": {"div": {
+            "diversified_sampler": {
+                "field": "source", "shard_size": 50,
+                "max_docs_per_value": 2,
+            },
+            "aggs": {"by_lang": {"terms": {"field": "lang"}}},
+        }},
+    })

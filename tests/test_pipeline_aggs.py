@@ -1095,3 +1095,81 @@ def test_normalize_strictness(dv_idx):
             }}}
     with pytest.raises(ValueError, match="softmax"):
         es_search(dv_idx, base)
+
+
+def test_string_stats_length_and_entropy(dv_idx):
+    import math
+
+    # alpha hits docs 1,2,3,5 -> tag values [x, y, x] (5's NULL drops)
+    out = es_search(dv_idx, {
+        "query": {"match": {"text": "alpha"}},
+        "aggs": {"s": {"string_stats": {"field": "tag"}}},
+    }).collect()
+    assert len(out) == 1
+    r = out[0]
+    q20, q30 = 1 << 20, 1 << 30
+    assert (r["val_count"], r["min_len"], r["max_len"]) == (3, 1, 1)
+    assert r["avg_len_q20"] == q20
+    # chars x:2 y:1, T=3 — replay the exact Q30 fixed-point law
+    s_q30 = math.floor(2 * math.log2(2) * q30)  # y's c=1 term is 0
+    exp = math.floor((math.log2(3) - s_q30 / q30 / 3) * q20)
+    assert r["entropy_q20"] == exp
+
+
+def test_matrix_stats_exact_moments(spark):
+    import math
+
+    from pycasselastic_spark.operators.search_ext import matrix_stats_2d
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 4), (3, 7), (None, 9)], "a long, b long"
+    )
+    r = matrix_stats_2d(df, "a", "b").collect()[0]
+    q20 = 1 << 20
+    # exact sums over the 3 complete rows: n=3 sa=6 sb=13 saa=14
+    # sbb=69 sab=31 — replay the one-double-expression law
+    n, sa, sb, saa, sbb, sab = 3.0, 6.0, 13.0, 14.0, 69.0, 31.0
+    var_a = (saa - sa * sa / n) / (n - 1)
+    var_b = (sbb - sb * sb / n) / (n - 1)
+    cov = (sab - sa * sb / n) / (n - 1)
+    assert r["n_docs"] == 3
+    assert r["mean_a_q20"] == math.floor(sa / n * q20)
+    assert r["mean_b_q20"] == math.floor(sb / n * q20)
+    assert r["var_a_q20"] == math.floor(var_a * q20)
+    assert r["var_b_q20"] == math.floor(var_b * q20)
+    assert r["cov_q20"] == math.floor(cov * q20)
+    assert r["corr_q20"] == math.floor(
+        cov / math.sqrt(var_a * var_b) * q20
+    )
+
+
+def test_matrix_stats_strictness(spark, dv_idx):
+    from pycasselastic_spark.operators.search_ext import matrix_stats_2d
+
+    frac = spark.createDataFrame([(1.5, 2)], "a double, b long")
+    with pytest.raises(ValueError, match="INTEGRAL"):
+        matrix_stats_2d(frac, "a", "b")
+    with pytest.raises(ValueError, match="exactly two"):
+        es_search(dv_idx, {
+            "query": {"match": {"text": "alpha"}},
+            "aggs": {"m": {"matrix_stats": {
+                "fields": ["val", "val", "val"],
+            }}},
+        })
+
+
+def test_diversified_sampler_caps_per_value(dv_idx):
+    # alpha hits 1,2,3,5; tags x:{1,3} y:{2} (5 has no tag ->
+    # excluded); cap 1 per tag keeps the higher-scoring of 1,3
+    out = es_search(dv_idx, {
+        "query": {"match": {"text": "alpha"}},
+        "aggs": {"d": {
+            "diversified_sampler": {
+                "field": "tag", "shard_size": 10,
+                "max_docs_per_value": 1,
+            },
+            "aggs": {"t": {"terms": {"field": "tag"}}},
+        }},
+    }).collect()
+    got = {r["bucket"]: r["n_docs"] for r in out}
+    assert got == {"x": 1, "y": 1}
