@@ -3090,3 +3090,94 @@ def es_count(index: PostingsIndex, body: dict) -> DataFrame:
     scope = _agg_scope(index, qtype, q)
     ids = hits_relation(index, scope)
     return ids.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+
+
+# ES _search/template: mustache variable nodes. Sections ({{#...}},
+# {{^...}}), partials ({{>...}}) and comments ({{!...}}) are
+# CONDITIONAL template logic — they can change the request's JSON
+# shape, so they raise by name instead of rendering wrongly.
+_MUSTACHE_VAR = re.compile(r"\{\{\s*(\w+)\s*\}\}")
+_MUSTACHE_SECTION = re.compile(r"\{\{\s*[#^>!/]")
+
+
+def _render_template(node, params: dict):
+    if isinstance(node, str):
+        if _MUSTACHE_SECTION.search(node):
+            raise _err(
+                f"search template section/partial in {node!r} "
+                "(conditional mustache is not dispatched — variable "
+                "nodes only)"
+            )
+        whole = _MUSTACHE_VAR.fullmatch(node)
+        if whole:
+            # a value that IS one variable keeps the param's native
+            # JSON type — "{{k}}" with params.k=5 renders the number
+            name = whole.group(1)
+            if name not in params:
+                raise _err(f"search template param {name!r} missing")
+            return params[name]
+
+        def sub(m: "re.Match[str]") -> str:
+            name = m.group(1)
+            if name not in params:
+                raise _err(f"search template param {name!r} missing")
+            v = params[name]
+            if isinstance(v, (dict, list)):
+                raise _err(
+                    f"search template param {name!r} is non-scalar "
+                    "but embedded in a string"
+                )
+            return str(v)
+
+        return _MUSTACHE_VAR.sub(sub, node)
+    if isinstance(node, dict):
+        for k in node:
+            if "{{" in str(k):
+                raise _err(
+                    f"search template variable in object KEY {k!r} "
+                    "(value positions only)"
+                )
+        return {k: _render_template(v, params) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_render_template(v, params) for v in node]
+    return node
+
+
+def es_search_template(
+    index: PostingsIndex,
+    body: dict,
+    **kwargs,
+) -> DataFrame:
+    """ES ``_search/template``: render a mustache-parameterized
+    request body, then dispatch it through ``es_search`` — the
+    "saved search with blanks" API every Kibana saved query uses.
+
+    Dispatched surface: the INLINE dict ``source`` with ``params``;
+    variable nodes ``{{name}}`` only. A value that is exactly one
+    variable keeps the param's native JSON type (``"size":
+    "{{k}}"`` renders the number); embedded variables stringify;
+    missing params, non-scalar embedded params, variables in object
+    keys, string-form sources and conditional mustache
+    (sections/partials/comments) all raise by name — a
+    mis-rendered template is a silently different query, the
+    dispatcher's forbidden failure mode. Stored-template ids need a
+    template store; not dispatched.
+
+    ``kwargs`` pass through to ``es_search`` (docs frame,
+    field_indexes, join_field, ...). Rendering is driver-side string
+    work on a request-sized object; the plan is whatever the
+    rendered body dispatches."""
+    extra = set(body) - {"source", "params"}
+    if extra:
+        raise _err(f"search template options {sorted(extra)}")
+    if "source" not in body:
+        raise _err("search template without source (stored-template "
+                   "ids are not dispatched)")
+    source = body["source"]
+    if not isinstance(source, dict):
+        raise _err(
+            "string-form template source (conditional mustache JSON "
+            "assembly — dict source only)"
+        )
+    rendered = _render_template(source, dict(body.get("params", {})))
+    return es_search(index, rendered, **kwargs)

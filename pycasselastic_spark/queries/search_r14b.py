@@ -412,3 +412,39 @@ def diversified_sampler_documents(
             "aggs": {"by_lang": {"terms": {"field": "lang"}}},
         }},
     })
+
+
+from pycasselastic_spark.queries.search_dsl import (  # noqa: E402
+    _BM25_ORACLE_TEMPLATE,
+)
+
+
+@register(
+    "search_template_documents",
+    _BM25_ORACLE_TEMPLATE.format(terms="'merge', 'scan'"),
+    doc="ES ``_search/template``: a mustache-parameterized saved "
+    "search rendered then dispatched — \"{{q}}\" fills the match "
+    "text, \"{{k}}\" (a whole-value variable) renders as the "
+    "NUMBER 10 for size. The oracle is the plain match-query BM25 "
+    "law with the params inlined: rendering must not change the "
+    "ranking by even one Q20 unit. Conditional mustache "
+    "(sections/partials), missing params, non-scalar embedded "
+    "params and templated object keys raise by name — a "
+    "mis-rendered template is a silently different query. "
+    "operators/search_api.py:es_search_template/_render_template.",
+)
+def search_template_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pycasselastic_spark.operators.search_api import (
+        es_search_template,
+    )
+
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search_template(idx, {
+        "source": {
+            "query": {"match": {"text": "{{q}}"}},
+            "size": "{{k}}",
+        },
+        "params": {"q": "merge scan", "k": 10},
+    })

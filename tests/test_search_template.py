@@ -1,0 +1,85 @@
+"""ES _search/template rendering laws: native-type whole-value
+substitution, embedded stringification, and the raise-by-name set
+(missing params, sections, templated keys, string sources)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pycasselastic_spark.operators import search as SRCH
+from pycasselastic_spark.operators.search_api import (
+    es_search,
+    es_search_template,
+)
+
+
+@pytest.fixture(scope="module")
+def tpl_idx(spark, tmp_path_factory):
+    rows = [
+        (1, "alpha beta"),
+        (2, "alpha gamma"),
+        (3, "beta beta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path_factory.mktemp("tpl") / "idx")
+    SRCH.build_postings_index(docs, "doc_id", "text", path, n_buckets=4)
+    return SRCH.load_postings_index(spark, path)
+
+
+def test_rendered_template_equals_inline_query(tpl_idx):
+    via_tpl = es_search_template(tpl_idx, {
+        "source": {
+            "query": {"match": {"text": "{{q}}"}},
+            "size": "{{k}}",
+        },
+        "params": {"q": "alpha beta", "k": 2},
+    }).collect()
+    inline = es_search(tpl_idx, {
+        "query": {"match": {"text": "alpha beta"}},
+        "size": 2,
+    }).collect()
+    assert via_tpl == inline
+    assert len(via_tpl) == 2  # "{{k}}" rendered as the NUMBER 2
+
+
+def test_embedded_variable_stringifies(tpl_idx):
+    out = es_search_template(tpl_idx, {
+        "source": {"query": {"match": {"text": "alpha {{w}}"}}},
+        "params": {"w": "beta"},
+    }).collect()
+    inline = es_search(tpl_idx, {
+        "query": {"match": {"text": "alpha beta"}},
+    }).collect()
+    assert out == inline
+
+
+def test_template_strictness(tpl_idx):
+    with pytest.raises(ValueError, match="missing"):
+        es_search_template(tpl_idx, {
+            "source": {"query": {"match": {"text": "{{q}}"}}},
+            "params": {},
+        })
+    with pytest.raises(ValueError, match="section"):
+        es_search_template(tpl_idx, {
+            "source": {"query": {"match": {
+                "text": "{{#cond}}alpha{{/cond}}",
+            }}},
+            "params": {"cond": True},
+        })
+    with pytest.raises(ValueError, match="KEY"):
+        es_search_template(tpl_idx, {
+            "source": {"query": {"{{qt}}": {"text": "alpha"}}},
+            "params": {"qt": "match"},
+        })
+    with pytest.raises(ValueError, match="dict source"):
+        es_search_template(tpl_idx, {
+            "source": '{"query": {"match": {"text": "{{q}}"}}}',
+            "params": {"q": "alpha"},
+        })
+    with pytest.raises(ValueError, match="non-scalar"):
+        es_search_template(tpl_idx, {
+            "source": {"query": {"match": {"text": "alpha {{v}}"}}},
+            "params": {"v": ["a", "b"]},
+        })
+    with pytest.raises(ValueError, match="template options"):
+        es_search_template(tpl_idx, {"id": "stored-one", "params": {}})
