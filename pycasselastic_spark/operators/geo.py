@@ -286,3 +286,104 @@ def geo_distance(
             F.col("dist_q20").asc(), F.col(id_col).asc()
         ).limit(int(k))
     return out
+
+
+_GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_quant(precision: int):
+    """(total_bits, lon_bits, lat_bits) for a geohash precision —
+    bits alternate lon-first, so lon gets the extra bit when 5p is
+    odd."""
+    if not (1 <= int(precision) <= 12):
+        raise ValueError(
+            f"geohash_grid precision {precision!r} (1..12, ES law)"
+        )
+    bits = 5 * int(precision)
+    nlon = (bits + 1) // 2
+    return bits, nlon, bits - nlon
+
+
+def geohash_py(lat: float, lon: float, precision: int) -> str:
+    """Driver-side geohash twin of the Column construction below —
+    quantize each axis to its bit budget, interleave lon-first,
+    base32-encode. Kept in lockstep with geohash_cells (tests pin
+    both against the classic interval-halving construction)."""
+    bits, nlon, nlat = _geohash_quant(precision)
+    x = min(int((lon + 180.0) / 360.0 * (1 << nlon)), (1 << nlon) - 1)
+    y = min(int((lat + 90.0) / 180.0 * (1 << nlat)), (1 << nlat) - 1)
+    v = 0
+    for j in range(bits):
+        if j % 2 == 0:
+            bit = (x >> (nlon - 1 - j // 2)) & 1
+        else:
+            bit = (y >> (nlat - 1 - (j - 1) // 2)) & 1
+        v = (v << 1) | bit
+    return "".join(
+        _GEOHASH_BASE32[(v >> (5 * (precision - 1 - i))) & 31]
+        for i in range(precision)
+    )
+
+
+def geohash_cells(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    precision: int,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``geohash_grid`` aggregation: bucket points into base32
+    geohash cells at ``precision`` (1..12 chars), count per cell,
+    top-``k`` by (count desc, cell asc) — ES's bucket order with a
+    deterministic key tiebreak; NULL points never bucket.
+
+    Determinism: geohash is INTEGER arithmetic end-to-end — each
+    axis quantizes once (floor of a double division whose operands
+    stay far below 2^53, so the division is exact-rounded the same
+    everywhere), then the bit interleave and base32 chunks are
+    exact integer terms. No transcendentals at all — strictly
+    easier than geotile's Mercator y.
+
+    Plan shape: one scan, one generated row-local expression tree
+    (~5·precision integer terms inside whole-stage codegen), ONE
+    partial-aggregated groupBy + TakeOrderedAndProject."""
+    bits, nlon, nlat = _geohash_quant(precision)
+    la, lo = F.col(lat_col), F.col(lon_col)
+    xq = F.least(
+        F.floor((lo + F.lit(180.0)) / F.lit(360.0)
+                * F.lit(float(1 << nlon))).cast("long"),
+        F.lit((1 << nlon) - 1),
+    )
+    yq = F.least(
+        F.floor((la + F.lit(90.0)) / F.lit(180.0)
+                * F.lit(float(1 << nlat))).cast("long"),
+        F.lit((1 << nlat) - 1),
+    )
+    v = None
+    for j in range(bits):
+        if j % 2 == 0:
+            src, sh = xq, nlon - 1 - j // 2
+        else:
+            src, sh = yq, nlat - 1 - (j - 1) // 2
+        bit = F.floor(
+            src.cast("double") / F.lit(float(1 << sh))
+        ).cast("long") % 2
+        term = bit * F.lit(1 << (bits - 1 - j))
+        v = term if v is None else v + term
+    chars = [
+        F.substring(
+            F.lit(_GEOHASH_BASE32),
+            (F.floor(v.cast("double") / F.lit(float(1 << (5 * (precision - 1 - i)))))
+             .cast("long") % 32).cast("int") + F.lit(1),
+            1,
+        )
+        for i in range(precision)
+    ]
+    return (
+        df.filter(la.isNotNull() & lo.isNotNull())
+        .select(F.concat(*chars).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("cell").asc())
+        .limit(int(k))
+    )

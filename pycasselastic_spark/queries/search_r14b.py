@@ -448,3 +448,73 @@ def search_template_documents(
         },
         "params": {"q": "merge scan", "k": 10},
     })
+
+
+# geohash oracle SQL generated from the SAME (bits, nlon, nlat)
+# derivation the Column construction uses — integer arithmetic
+# end-to-end, so the two engines agree bit-for-bit by construction
+def _geohash_oracle_sql(precision: int, k: int) -> str:
+    from pycasselastic_spark.operators.geo import (
+        _GEOHASH_BASE32,
+        _geohash_quant,
+    )
+    from pycasselastic_spark.queries.search_r14 import _GEO_SQL
+
+    bits, nlon, nlat = _geohash_quant(precision)
+    terms = []
+    for j in range(bits):
+        if j % 2 == 0:
+            src, sh = "xq", nlon - 1 - j // 2
+        else:
+            src, sh = "yq", nlat - 1 - (j - 1) // 2
+        terms.append(
+            f"(CAST(FLOOR(CAST({src} AS DOUBLE) / {float(1 << sh)}) "
+            f"AS BIGINT) % 2) * {1 << (bits - 1 - j)}"
+        )
+    chars = [
+        "SUBSTRING('" + _GEOHASH_BASE32 + "', CAST(CAST(FLOOR("
+        f"CAST(v AS DOUBLE) / {float(1 << (5 * (precision - 1 - i)))}"
+        ") AS BIGINT) % 32 AS INT) + 1, 1)"
+        for i in range(precision)
+    ]
+    return (
+        "WITH " + _GEO_SQL + f""",
+q AS (SELECT
+  LEAST(CAST(FLOOR((lon + 180.0) / 360.0 * {float(1 << nlon)})
+    AS BIGINT), {(1 << nlon) - 1}) AS xq,
+  LEAST(CAST(FLOOR((lat + 90.0) / 180.0 * {float(1 << nlat)})
+    AS BIGINT), {(1 << nlat) - 1}) AS yq
+  FROM g),
+vv AS (SELECT {' + '.join(terms)} AS v FROM q),
+c AS (SELECT CONCAT({', '.join(chars)}) AS cell FROM vv)
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM c GROUP BY cell
+ORDER BY n_docs DESC, cell ASC LIMIT {k}
+"""
+    )
+
+
+@register(
+    "geohash_grid_events",
+    _geohash_oracle_sql(4, 15),
+    doc="ES ``geohash_grid`` aggregation: points bucketed into "
+    "base32 geohash cells at precision 4 (~39 km cells), top-15 by "
+    "(count desc, cell asc) — ES's bucket order with a "
+    "deterministic key tiebreak. Geohash is INTEGER arithmetic "
+    "end-to-end (quantize each axis once, interleave lon-first, "
+    "base32 the 5-bit chunks) — no transcendentals, strictly easier "
+    "cross-engine than geotile's Mercator y; the driver-side twin "
+    "geohash_py is pinned against the classic interval-halving "
+    "construction in pytest. Completes the geo family "
+    "(geotile_grid / geo_bounding_box / geo_distance / "
+    "geo_distance ring buckets, round 14). operators/geo.py:"
+    "geohash_cells. Plan: one scan, one generated row-local integer "
+    "expression tree inside whole-stage codegen, ONE "
+    "partial-aggregated groupBy + TakeOrderedAndProject.",
+)
+def geohash_grid_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pycasselastic_spark.operators.geo import geohash_cells
+    from pycasselastic_spark.queries.search_r14 import _geo_events
+
+    g = _geo_events(spark, sf_dir)
+    return geohash_cells(g, "lat", "lon", precision=4, k=15)

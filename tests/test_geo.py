@@ -196,3 +196,89 @@ def test_geo_distance_prefilter_mid_latitude_regression(spark):
     got = geo_distance(df, "lat", "lon", 60.0, 0.0,
                        distance_m=r_m).collect()
     assert [r["pid"] for r in got] == [1]
+
+
+def _geohash_halving(lat, lon, precision):
+    """The classic interval-halving geohash construction — an
+    INDEPENDENT reference for the quantize+interleave build."""
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    out, bit, ch, even = [], 0, 0, True
+    while len(out) < precision:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                ch = (ch << 1) | 1
+                lon_lo = mid
+            else:
+                ch = ch << 1
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                ch = (ch << 1) | 1
+                lat_lo = mid
+            else:
+                ch = ch << 1
+                lat_hi = mid
+        even = not even
+        bit += 1
+        if bit == 5:
+            out.append(alphabet[ch])
+            bit, ch = 0, 0
+    return "".join(out)
+
+
+def test_geohash_py_matches_interval_halving():
+    from pycasselastic_spark.operators.geo import geohash_py
+
+    cases = [
+        (42.605, -5.603, 5),       # the canonical 'ezs42'
+        (57.64911, 10.40744, 11),  # 'u4pruydqqvj'
+        (0.0, 0.0, 6),
+        (-89.9, -179.9, 7),
+        (89.9, 179.9, 7),
+        (-33.86, 151.21, 8),
+    ]
+    assert geohash_py(42.605, -5.603, 5) == "ezs42"
+    assert geohash_py(57.64911, 10.40744, 11) == "u4pruydqqvj"
+    for lat, lon, p in cases:
+        assert geohash_py(lat, lon, p) == _geohash_halving(lat, lon, p), \
+            (lat, lon, p)
+
+
+def test_geohash_cells_counts_and_order(spark):
+    from pycasselastic_spark.operators.geo import (
+        geohash_cells,
+        geohash_py,
+    )
+
+    pts = [
+        (42.605, -5.603),
+        (42.606, -5.604),   # same precision-5 cell as above
+        (57.64911, 10.40744),
+        (None, 10.0),       # NULL never buckets
+    ]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    out = geohash_cells(df, "lat", "lon", precision=5, k=10).collect()
+    got = {r["cell"]: r["n_docs"] for r in out}
+    assert got == {
+        geohash_py(42.605, -5.603, 5): 2,
+        geohash_py(57.64911, 10.40744, 5): 1,
+    }
+    # count-desc, cell-asc order law
+    assert [r["cell"] for r in out] == sorted(
+        got, key=lambda c: (-got[c], c)
+    )
+
+
+def test_geohash_precision_bounds():
+    import pytest as _pytest
+
+    from pycasselastic_spark.operators.geo import geohash_py
+
+    with _pytest.raises(ValueError, match="precision"):
+        geohash_py(0.0, 0.0, 0)
+    with _pytest.raises(ValueError, match="precision"):
+        geohash_py(0.0, 0.0, 13)
