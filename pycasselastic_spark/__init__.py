@@ -190,6 +190,22 @@ _EXPORTS: dict[str, str] = {
     "unimax_allocation": "operators.sampling",
     "unimax_sample": "operators.sampling",
     "hard_negative_mining": "operators.similarity",
+    # round-14 surface: geo queries, join-field parent/child, the
+    # template/ingest/analyze APIs, and the pipeline-agg completions
+    "geo_bounding_box": "operators.geo",
+    "geo_distance": "operators.geo",
+    "geo_distance_ranges": "operators.geo",
+    "geotile_cells": "operators.geo",
+    "geohash_cells": "operators.geo",
+    "es_search_template": "operators.search",
+    "has_child_search": "operators.search",
+    "has_parent_search": "operators.search",
+    "matrix_stats_2d": "operators.search",
+    "search_string_stats_agg": "operators.search",
+    "update_by_query": "operators.search",
+    "es_analyze": "operators.search",
+    "suggest_completion": "operators.search",
+    "simulate_pipeline": "operators.ingest_pipeline",
 }
 
 __all__ = ["__version__", *sorted(_EXPORTS)]

@@ -339,3 +339,15 @@ from pycasselastic_spark.operators.search_rollover import (  # noqa: E402,F401
     rollover_bm25_topk,
     write_index_path,
 )
+from pycasselastic_spark.operators.search_api import (  # noqa: E402,F401
+    es_search_template,
+)
+from pycasselastic_spark.operators.search_join import (  # noqa: E402,F401
+    has_child_search,
+    has_parent_search,
+)
+from pycasselastic_spark.operators.search_ext import (  # noqa: E402,F401
+    matrix_stats_2d,
+    search_matrix_stats_agg,
+    search_string_stats_agg,
+)
