@@ -1454,6 +1454,42 @@ def es_search(
             return search_matrix_stats_agg(
                 index, terms, list(spec["fields"])
             )
+        if set(agg) == {"t_test"}:
+            spec = agg["t_test"]
+            textra = set(spec) - {"a", "b", "type"}
+            if textra:
+                raise _err(f"t_test options {sorted(textra)}")
+            pops = {}
+            for pk in ("a", "b"):
+                if pk not in spec:
+                    raise _err(f"t_test missing population {pk!r}")
+                pspec = spec[pk]
+                if set(pspec) != {"field", "filter"}:
+                    raise _err(
+                        f"t_test {pk} options {sorted(set(pspec))} "
+                        "(the two-filter form needs field + filter; "
+                        "the filterless paired form needs a pairing "
+                        "key, not a doc-values law)"
+                    )
+                pops[pk] = (
+                    pspec["field"],
+                    _filter_predicates([pspec["filter"]]),
+                )
+            if pops["a"][0] != pops["b"][0]:
+                raise _err(
+                    f"t_test fields differ ({pops['a'][0]!r} vs "
+                    f"{pops['b'][0]!r}) — the two-filter form compares "
+                    "ONE metric across two populations"
+                )
+            from pycasselastic_spark.operators.search_ext import (
+                search_t_test_agg,
+            )
+
+            return search_t_test_agg(
+                index, terms, pops["a"][0],
+                pops["a"][1], pops["b"][1],
+                test_type=str(spec.get("type", "heteroscedastic")),
+            )
         if set(agg) == {"filters"}:
             spec = agg["filters"]
             if set(spec) != {"filters"}:

@@ -1953,3 +1953,111 @@ def search_matrix_stats_agg(
         .join(_bounded_broadcast(hits), id_col)
     )
     return matrix_stats_2d(dv, "_a", "_b")
+
+
+def search_t_test_agg(
+    index: PostingsIndex,
+    query_terms,
+    field: str,
+    filter_a: list,
+    filter_b: list,
+    test_type: str = "heteroscedastic",
+) -> DataFrame:
+    """ES ``t_test`` aggregation (the two-filter unpaired form): is
+    the metric's mean different between two populations of the hit
+    set. One row ``(n_a, n_b, mean_a_q20, mean_b_q20, t_stat_q20,
+    df_q20)`` — Welch's statistic for ``heteroscedastic`` (ES's
+    default) with the Welch-Satterthwaite df, pooled-variance
+    Student's for ``homoscedastic`` (df = n_a + n_b - 2).
+
+    DOCUMENTED DIVERGENCE from the ES response: ES reports the
+    p-value (a t-distribution CDF lookup — an approximation
+    evaluated in Java with no SQL-replayable law); this engine
+    reports the exact test STATISTIC and df the CDF would consume.
+    The decision content (|t| vs a critical value) is preserved;
+    the approximation is not reproduced.
+
+    Determinism: the extended_stats law — each population's n, Σx,
+    Σx² are exact BIGINTs from INTEGRAL inputs (fractional fields
+    raise; pre-quantize by the exact-cents law), sample variances
+    and the statistic are ONE fixed IEEE-double expression over
+    those exact ints, Q20-floored. ``paired`` raises (it needs a
+    row-pairing key ES takes from _id adjacency — not a doc-values
+    law).
+
+    Plan shape: hit ids join ONE column-pruned doc-values scan;
+    both populations reduce in a single conditional aggregation
+    (map-side partials, no second scan, no shuffle beyond the final
+    combine)."""
+    if test_type not in ("heteroscedastic", "homoscedastic"):
+        raise ValueError(
+            f"t_test type {test_type!r} (supported: heteroscedastic, "
+            "homoscedastic; paired needs a pairing key, not a "
+            "doc-values law)"
+        )
+    if field not in index.stored_fields:
+        raise ValueError(
+            f"field {field!r} is not stored in this index's doc values "
+            f"(stored_fields={index.stored_fields})"
+        )
+    id_col = index.id_col
+    hits = hits_relation(index, query_terms)
+    dv = index.live_docvalues()
+    ftype = dict(dv.select(dv_col(field).alias("_f")).dtypes)["_f"]
+    if ftype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"t_test field {field!r} is {ftype} — INTEGRAL fields only "
+            "(pre-quantize fractional metrics, the exact-cents law)"
+        )
+    from pycasselastic_spark.operators.search_compose import (
+        _named_filter_conditions,
+    )
+
+    conds = dict(_named_filter_conditions(
+        index, [("a", filter_a), ("b", filter_b)]
+    ))
+    x = dv_col(field)
+    aggs = []
+    for k, cond in conds.items():
+        sel = cond & x.isNotNull()
+        aggs += [
+            F.sum(F.when(sel, 1).otherwise(0)).cast("long").alias(f"n_{k}"),
+            F.sum(F.when(sel, x)).cast("long").alias(f"s_{k}"),
+            F.sum(F.when(sel, x * x)).cast("long").alias(f"ss_{k}"),
+        ]
+    sums = dv.join(_bounded_broadcast(hits), id_col).agg(*aggs)
+    # try_divide throughout: a DEGENERATE population (n < 2, or an
+    # empty filter) yields NULL statistics instead of an ANSI
+    # divide-by-zero failure — the documented small-sample law
+    div = F.try_divide
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("s_a").cast("double"), F.col("s_b").cast("double")
+    ssa = F.col("ss_a").cast("double")
+    ssb = F.col("ss_b").cast("double")
+    ma, mb = div(sa, na), div(sb, nb)
+    va = div(ssa - div(sa * sa, na), na - 1)   # sample variances
+    vb = div(ssb - div(sb * sb, nb), nb - 1)
+    q = F.lit(float(Q20))
+
+    def q20(c):
+        return F.floor(c * q).cast("long")
+
+    if test_type == "heteroscedastic":
+        se2_a, se2_b = div(va, na), div(vb, nb)
+        t = div(ma - mb, F.sqrt(se2_a + se2_b))
+        df = div(
+            (se2_a + se2_b) * (se2_a + se2_b),
+            div(se2_a * se2_a, na - 1) + div(se2_b * se2_b, nb - 1),
+        )
+    else:
+        sp2 = div((na - 1) * va + (nb - 1) * vb, na + nb - 2)
+        t = div(ma - mb, F.sqrt(sp2 * (div(F.lit(1.0), na)
+                                       + div(F.lit(1.0), nb))))
+        df = na + nb - 2
+    return sums.select(
+        F.col("n_a"), F.col("n_b"),
+        q20(ma).alias("mean_a_q20"),
+        q20(mb).alias("mean_b_q20"),
+        q20(t).alias("t_stat_q20"),
+        q20(df).alias("df_q20"),
+    )

@@ -518,3 +518,70 @@ def geohash_grid_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _geo_events(spark, sf_dir)
     return geohash_cells(g, "lat", "lon", precision=4, k=15)
+
+
+@register(
+    "t_test_documents",
+    f"""
+WITH {_HITS_MERGE},
+dv AS (SELECT d.lang, d.n_chars FROM documents d JOIN hits USING (doc_id)),
+s AS (SELECT
+  CAST(SUM(CASE WHEN lang = 'en' AND n_chars IS NOT NULL
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+  CAST(SUM(CASE WHEN lang = 'en' AND n_chars IS NOT NULL
+    THEN n_chars END) AS BIGINT) AS s_a,
+  CAST(SUM(CASE WHEN lang = 'en' AND n_chars IS NOT NULL
+    THEN n_chars * n_chars END) AS BIGINT) AS ss_a,
+  CAST(SUM(CASE WHEN lang = 'de' AND n_chars IS NOT NULL
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+  CAST(SUM(CASE WHEN lang = 'de' AND n_chars IS NOT NULL
+    THEN n_chars END) AS BIGINT) AS s_b,
+  CAST(SUM(CASE WHEN lang = 'de' AND n_chars IS NOT NULL
+    THEN n_chars * n_chars END) AS BIGINT) AS ss_b
+  FROM dv),
+m AS (SELECT n_a, n_b,
+  CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+  CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+  (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+    / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1) AS va,
+  (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+    / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1) AS vb
+  FROM s),
+e AS (SELECT *, va / CAST(n_a AS DOUBLE) AS sea,
+               vb / CAST(n_b AS DOUBLE) AS seb FROM m)
+SELECT n_a, n_b,
+  CAST(FLOOR(ma * 1048576.0) AS BIGINT) AS mean_a_q20,
+  CAST(FLOOR(mb * 1048576.0) AS BIGINT) AS mean_b_q20,
+  CAST(FLOOR((ma - mb) / SQRT(sea + seb) * 1048576.0) AS BIGINT)
+    AS t_stat_q20,
+  CAST(FLOOR((sea + seb) * (sea + seb)
+    / (sea * sea / (CAST(n_a AS DOUBLE) - 1)
+       + seb * seb / (CAST(n_b AS DOUBLE) - 1)) * 1048576.0) AS BIGINT)
+    AS df_q20
+FROM e
+""",
+    doc="ES ``t_test`` aggregation (two-filter unpaired form): is "
+    "mean n_chars different between lang=en and lang=de inside the "
+    "hit set — Welch's heteroscedastic statistic with the "
+    "Welch-Satterthwaite df. DOCUMENTED DIVERGENCE: ES reports the "
+    "p-value (a t-CDF lookup with no SQL-replayable law); this "
+    "engine reports the exact STATISTIC and df the CDF would "
+    "consume — the decision content (|t| vs critical value) is "
+    "preserved, the approximation is not reproduced. Determinism = "
+    "the extended_stats law over both populations' exact BIGINT "
+    "moments from ONE conditional reduction (no second scan); "
+    "INTEGRAL fields only, paired raises by name. operators/"
+    "search_ext.py:search_t_test_agg, dispatched from aggs.t_test.",
+)
+def t_test_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _postings_index_for(spark, sf_dir)
+    return es_search(idx, {
+        "query": {"match": {"text": "merge"}},
+        "aggs": {"len_shift": {"t_test": {
+            "a": {"field": "n_chars",
+                  "filter": {"term": {"lang": "en"}}},
+            "b": {"field": "n_chars",
+                  "filter": {"term": {"lang": "de"}}},
+            "type": "heteroscedastic",
+        }}},
+    })

@@ -1173,3 +1173,76 @@ def test_diversified_sampler_caps_per_value(dv_idx):
     }).collect()
     got = {r["bucket"]: r["n_docs"] for r in out}
     assert got == {"x": 1, "y": 1}
+
+
+def test_t_test_welch_hand_computed(spark, tmp_path):
+    import math
+
+    rows = [
+        (1, "alpha a", 10, "p"),
+        (2, "alpha b", 14, "p"),
+        (3, "alpha c", 18, "p"),
+        (4, "alpha d", 30, "q"),
+        (5, "alpha e", 34, "q"),
+        (6, "beta sleeper", 99, "p"),  # not an alpha hit
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, val long, grp string"
+    )
+    path = str(tmp_path / "ttidx")
+    SRCH.build_postings_index(
+        docs, "doc_id", "text", path, n_buckets=4,
+        stored_fields=["val", "grp"],
+    )
+    idx = SRCH.load_postings_index(spark, path)
+    out = es_search(idx, {
+        "query": {"match": {"text": "alpha"}},
+        "aggs": {"t": {"t_test": {
+            "a": {"field": "val", "filter": {"term": {"grp": "p"}}},
+            "b": {"field": "val", "filter": {"term": {"grp": "q"}}},
+        }}},
+    }).collect()[0]
+    # a = [10,14,18] (doc 6 is not a hit), b = [30,34]
+    q20 = 1 << 20
+    na, nb = 3.0, 2.0
+    ma, mb = 14.0, 32.0
+    va = ((100 + 196 + 324) - 42.0 * 42.0 / na) / (na - 1)   # 16
+    vb = ((900 + 1156) - 64.0 * 64.0 / nb) / (nb - 1)        # 8
+    sea, seb = va / na, vb / nb
+    t = (ma - mb) / math.sqrt(sea + seb)
+    df = (sea + seb) ** 2 / (sea * sea / (na - 1) + seb * seb / (nb - 1))
+    assert (out["n_a"], out["n_b"]) == (3, 2)
+    assert out["mean_a_q20"] == math.floor(ma * q20)
+    assert out["mean_b_q20"] == math.floor(mb * q20)
+    assert abs(out["t_stat_q20"] - math.floor(t * q20)) <= 1
+    assert abs(out["df_q20"] - math.floor(df * q20)) <= 1
+    # a DEGENERATE population (n=1 after filtering) yields NULL
+    # statistics, not an ANSI divide-by-zero failure
+    deg = es_search(idx, {
+        "query": {"match": {"text": "beta"}},
+        "aggs": {"t": {"t_test": {
+            "a": {"field": "val", "filter": {"term": {"grp": "p"}}},
+            "b": {"field": "val", "filter": {"term": {"grp": "q"}}},
+        }}},
+    }).collect()[0]
+    assert deg["n_a"] == 1 and deg["n_b"] == 0
+    assert deg["t_stat_q20"] is None and deg["df_q20"] is None
+
+
+def test_t_test_strictness(dv_idx):
+    base = {"query": {"match": {"text": "alpha"}}}
+    with pytest.raises(ValueError, match="paired|field \\+ filter"):
+        es_search(dv_idx, {**base, "aggs": {"t": {"t_test": {
+            "a": {"field": "val"}, "b": {"field": "val"},
+        }}}})
+    with pytest.raises(ValueError, match="fields differ"):
+        es_search(dv_idx, {**base, "aggs": {"t": {"t_test": {
+            "a": {"field": "val", "filter": {"term": {"tag": "x"}}},
+            "b": {"field": "d", "filter": {"term": {"tag": "y"}}},
+        }}}})
+    with pytest.raises(ValueError, match="t_test type"):
+        es_search(dv_idx, {**base, "aggs": {"t": {"t_test": {
+            "a": {"field": "val", "filter": {"term": {"tag": "x"}}},
+            "b": {"field": "val", "filter": {"term": {"tag": "y"}}},
+            "type": "paired",
+        }}}})
