@@ -206,6 +206,8 @@ _EXPORTS: dict[str, str] = {
     "es_analyze": "operators.search",
     "suggest_completion": "operators.search",
     "simulate_pipeline": "operators.ingest_pipeline",
+    "nb_train": "operators.classify",
+    "nb_score": "operators.classify",
 }
 
 __all__ = ["__version__", *sorted(_EXPORTS)]

@@ -585,3 +585,79 @@ def t_test_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type": "heteroscedastic",
         }}},
     })
+
+
+@register(
+    "nb_classifier_documents",
+    """
+WITH lab AS (SELECT doc_id, text, (lang = 'en') AS pos
+             FROM documents WHERE lang IS NOT NULL),
+tk AS (SELECT doc_id, pos, term FROM
+        (SELECT doc_id, pos, unnest(string_split(text, ' ')) AS term
+         FROM lab)
+       WHERE term <> ''),
+pt AS (SELECT term,
+         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+         CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+       FROM tk GROUP BY term),
+sc AS (SELECT CAST(SUM(c_pos) AS BIGINT) AS m_pos,
+              CAST(SUM(c_neg) AS BIGINT) AS m_neg,
+              CAST(COUNT(*) AS BIGINT) AS v FROM pt),
+dc AS (SELECT CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+         AS d_pos,
+              CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT)
+         AS d_neg FROM lab),
+w AS (SELECT term, CAST(FLOOR(
+        (ln((c_pos + 1.0) / (m_pos + v))
+         - ln((c_neg + 1.0) / (m_neg + v))) * 1073741824.0) AS BIGINT)
+        AS w_q30
+      FROM pt CROSS JOIN sc),
+k AS (SELECT CAST(FLOOR(
+        (ln(1.0 / (m_pos + v)) - ln(1.0 / (m_neg + v)))
+        * 1073741824.0) AS BIGINT) AS oov_q30,
+             CAST(FLOOR(ln(CAST(d_pos AS DOUBLE) / CAST(d_neg AS DOUBLE))
+        * 1073741824.0) AS BIGINT) AS prior_q30
+      FROM sc CROSS JOIN dc),
+at2 AS (SELECT doc_id, term FROM
+         (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents)
+        WHERE term <> ''),
+ds AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(COALESCE(w_q30, k.oov_q30)) + MAX(k.prior_q30)
+           AS BIGINT) AS score_q30
+       FROM at2 LEFT JOIN w USING (term) CROSS JOIN k GROUP BY doc_id),
+noempty AS (SELECT d.doc_id, CAST(0 AS BIGINT) AS n_tokens,
+              k.prior_q30 AS score_q30
+            FROM documents d
+            LEFT JOIN (SELECT DISTINCT doc_id FROM at2) t
+              ON d.doc_id = t.doc_id
+            CROSS JOIN k WHERE t.doc_id IS NULL),
+u AS (SELECT * FROM ds UNION ALL SELECT * FROM noempty)
+SELECT doc_id, n_tokens, score_q30 FROM u
+ORDER BY score_q30 DESC, doc_id LIMIT 20
+""",
+    doc="LLM-pipeline classifier step: multinomial Naive Bayes "
+    "trained in ONE corpus pass on a weak label (lang='en' — the "
+    "language-ID-distillation / CCNet-quality-filter shape) and "
+    "scored corpus-wide with a posting-style term join; top-20 by "
+    "(score desc, id). Add-one smoothing makes the unseen-term "
+    "weight a CONSTANT, so OOV is a coalesce, not a lookup miss. "
+    "Determinism: exact BIGINT counts -> per-term Q30-floored "
+    "log-likelihood-ratio (ONE double expression over exact ints) "
+    "-> per-doc exact integer sums over token occurrences -> "
+    "prior-only score for token-less docs. Scale: train output is "
+    "vocab-bounded, scoring is an equi-join on term + per-doc "
+    "partial sum — no driver loops, corpus scalars broadcast. "
+    "operators/classify.py:nb_train/nb_score.",
+)
+def nb_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pycasselastic_spark.operators.classify import nb_score, nb_train
+
+    docs = _t(spark, sf_dir, "documents")
+    weights, consts = nb_train(
+        docs, "doc_id", "text", F.col("lang") == "en"
+    )
+    out = nb_score(docs, "doc_id", "text", weights, consts)
+    return out.orderBy(
+        F.col("score_q30").desc(), F.col("doc_id").asc()
+    ).limit(20)
