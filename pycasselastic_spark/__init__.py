@@ -208,6 +208,8 @@ _EXPORTS: dict[str, str] = {
     "simulate_pipeline": "operators.ingest_pipeline",
     "nb_train": "operators.classify",
     "nb_score": "operators.classify",
+    "bpe_train": "operators.bpe",
+    "bpe_segment": "operators.bpe",
 }
 
 __all__ = ["__version__", *sorted(_EXPORTS)]

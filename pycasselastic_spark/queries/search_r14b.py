@@ -661,3 +661,62 @@ def nb_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(
         F.col("score_q30").desc(), F.col("doc_id").asc()
     ).limit(20)
+
+
+# BPE oracle generated with one CTE block per unrolled merge round —
+# pair counting, deterministic argmax, and the same literal
+# non-overlapping left-to-right replace both engines share
+def _bpe_oracle_sql(k: int) -> str:
+    parts = ["""
+w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM
+        (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       WHERE w <> '' GROUP BY w),
+s0 AS (SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' '
+         AS seg, freq FROM w0)"""]
+    for r in range(k):
+        parts.append(f"""
+i{r} AS (SELECT unnest(range(1, len(string_split(trim(seg), ' '))))
+           AS i, string_split(trim(seg), ' ') AS s, freq FROM s{r}),
+p{r} AS (SELECT s[i] AS l, s[i+1] AS r, CAST(SUM(freq) AS BIGINT)
+           AS cnt FROM i{r} GROUP BY 1, 2),
+b{r} AS (SELECT l, r, cnt FROM p{r}
+         ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+s{r + 1} AS (SELECT replace(seg, ' ' || b.l || ' ' || b.r || ' ',
+               ' ' || b.l || b.r || ' ') AS seg, freq
+             FROM s{r}, b{r} b)""")
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, l AS left_sym, "
+        f"r AS right_sym, l || r AS merged, cnt FROM b{r}"
+        for r in range(k)
+    )
+    return (
+        "WITH " + ",".join(parts)
+        + f"\nSELECT * FROM ({union}) ORDER BY merge_rank"
+    )
+
+
+@register(
+    "bpe_train_documents",
+    _bpe_oracle_sql(5),
+    doc="LLM-pipeline tokenizer TRAINING: 5 rounds of BPE merge "
+    "induction (Sennrich et al. 2016) over the corpus — the merge "
+    "table (rank, pair, merged, weighted count) IS the tokenizer "
+    "vocabulary induction step. Scale law: the corpus is touched "
+    "ONCE (word-frequency table); every round then pair-counts and "
+    "re-segments the VOCAB-bounded relation — distinct words, not "
+    "corpus rows — with one bounded (pair, count) scalar fetch per "
+    "round (the IVF-centroid pattern; the loop is inherently "
+    "sequential in k). Determinism: exact BIGINT pair counts, "
+    "(cnt desc, left asc, right asc) argmax, and re-segmentation by "
+    "literal non-overlapping left-to-right string replace on the "
+    "space-delimited symbol encoding — semantics both engines' "
+    "replace() share, so the whole training loop replays in SQL "
+    "with unrolled rounds. operators/bpe.py:bpe_train (+ "
+    "bpe_segment, the encode twin, pytest-pinned against a pure-"
+    "Python BPE reference).",
+)
+def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pycasselastic_spark.operators.bpe import bpe_train_df
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train_df(docs, "text", 5)
