@@ -647,8 +647,16 @@ def es_search(
       with min_doc_count=0 + extended_bounds zero-fill) — plus the
       pipeline riders ``cumulative_sum`` / ``derivative`` /
       ``serial_diff`` / ``moving_fn`` (unweightedAvg/sum/min/max) /
-      ``moving_avg`` (simple) / ``rate`` on fixed-interval parents,
-      ``top_metrics`` under ``terms``, and ``significant_terms`` /
+      ``moving_avg`` (simple) / ``rate`` on fixed-interval parents /
+      ``normalize`` (percent_of_sum / rescale_0_1 / z-score),
+      ``top_metrics`` and ``bucket_script`` (arithmetic over
+      buckets_path) under ``terms``, ``string_stats`` (incl. the
+      Q30-deterministic character entropy), ``matrix_stats`` (the
+      two-field covariance/correlation form), ``t_test``
+      (Welch/pooled statistic + df; the p-value CDF is the
+      documented divergence), ``diversified_sampler``
+      (per-value-capped top-scoring sample), and
+      ``significant_terms`` /
       ``significant_text`` (jlh / chi_square / percentage) under
       match queries. Aggregations compose with ANY
       dispatched hit-defining query — match / term / match_all /
