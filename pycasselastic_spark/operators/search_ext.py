@@ -1896,14 +1896,18 @@ def matrix_stats_2d(
             F.sum(a * b).cast("long").alias("sab"),
         )
     )
+    # try_divide throughout: a DEGENERATE input (0 or 1 complete
+    # rows) yields NULL statistics instead of an ANSI divide-by-zero
+    # failure — the same small-sample law as search_t_test_agg
+    div = F.try_divide
     n = F.col("n").cast("double")
     sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
     saa = F.col("saa").cast("double")
     sbb = F.col("sbb").cast("double")
     sab = F.col("sab").cast("double")
-    var_a = (saa - sa * sa / n) / (n - 1)
-    var_b = (sbb - sb * sb / n) / (n - 1)
-    cov = (sab - sa * sb / n) / (n - 1)
+    var_a = div(saa - div(sa * sa, n), n - 1)
+    var_b = div(sbb - div(sb * sb, n), n - 1)
+    cov = div(sab - div(sa * sb, n), n - 1)
     q = F.lit(float(Q20))
 
     def q20(c):
@@ -1911,12 +1915,12 @@ def matrix_stats_2d(
 
     return sums.select(
         F.col("n").alias("n_docs"),
-        q20(sa / n).alias("mean_a_q20"),
-        q20(sb / n).alias("mean_b_q20"),
+        q20(div(sa, n)).alias("mean_a_q20"),
+        q20(div(sb, n)).alias("mean_b_q20"),
         q20(var_a).alias("var_a_q20"),
         q20(var_b).alias("var_b_q20"),
         q20(cov).alias("cov_q20"),
-        q20(cov / F.sqrt(var_a * var_b)).alias("corr_q20"),
+        q20(div(cov, F.sqrt(var_a * var_b))).alias("corr_q20"),
     )
 
 

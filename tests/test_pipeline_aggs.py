@@ -1246,3 +1246,15 @@ def test_t_test_strictness(dv_idx):
             "b": {"field": "val", "filter": {"term": {"tag": "y"}}},
             "type": "paired",
         }}}})
+
+
+def test_matrix_stats_degenerate_inputs_yield_null(spark):
+    from pycasselastic_spark.operators.search_ext import matrix_stats_2d
+
+    one = spark.createDataFrame([(1, 2)], "a long, b long")
+    r = matrix_stats_2d(one, "a", "b").collect()[0]
+    assert r["n_docs"] == 1
+    assert r["var_a_q20"] is None and r["corr_q20"] is None
+    empty = spark.createDataFrame([], "a long, b long")
+    r0 = matrix_stats_2d(empty, "a", "b").collect()[0]
+    assert r0["n_docs"] == 0 and r0["mean_a_q20"] is None
