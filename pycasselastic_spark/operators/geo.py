@@ -310,8 +310,10 @@ def geohash_py(lat: float, lon: float, precision: int) -> str:
     base32-encode. Kept in lockstep with geohash_cells (tests pin
     both against the classic interval-halving construction)."""
     bits, nlon, nlat = _geohash_quant(precision)
-    x = min(int((lon + 180.0) / 360.0 * (1 << nlon)), (1 << nlon) - 1)
-    y = min(int((lat + 90.0) / 180.0 * (1 << nlat)), (1 << nlat) - 1)
+    x = max(min(int((lon + 180.0) / 360.0 * (1 << nlon)),
+                (1 << nlon) - 1), 0)
+    y = max(min(int((lat + 90.0) / 180.0 * (1 << nlat)),
+                (1 << nlat) - 1), 0)
     v = 0
     for j in range(bits):
         if j % 2 == 0:
@@ -349,15 +351,21 @@ def geohash_cells(
     partial-aggregated groupBy + TakeOrderedAndProject."""
     bits, nlon, nlat = _geohash_quant(precision)
     la, lo = F.col(lat_col), F.col(lon_col)
-    xq = F.least(
-        F.floor((lo + F.lit(180.0)) / F.lit(360.0)
-                * F.lit(float(1 << nlon))).cast("long"),
-        F.lit((1 << nlon) - 1),
+    xq = F.greatest(
+        F.least(
+            F.floor((lo + F.lit(180.0)) / F.lit(360.0)
+                    * F.lit(float(1 << nlon))).cast("long"),
+            F.lit((1 << nlon) - 1),
+        ),
+        F.lit(0),
     )
-    yq = F.least(
-        F.floor((la + F.lit(90.0)) / F.lit(180.0)
-                * F.lit(float(1 << nlat))).cast("long"),
-        F.lit((1 << nlat) - 1),
+    yq = F.greatest(
+        F.least(
+            F.floor((la + F.lit(90.0)) / F.lit(180.0)
+                    * F.lit(float(1 << nlat))).cast("long"),
+            F.lit((1 << nlat) - 1),
+        ),
+        F.lit(0),
     )
     v = None
     for j in range(bits):

@@ -480,10 +480,10 @@ def _geohash_oracle_sql(precision: int, k: int) -> str:
     return (
         "WITH " + _GEO_SQL + f""",
 q AS (SELECT
-  LEAST(CAST(FLOOR((lon + 180.0) / 360.0 * {float(1 << nlon)})
-    AS BIGINT), {(1 << nlon) - 1}) AS xq,
-  LEAST(CAST(FLOOR((lat + 90.0) / 180.0 * {float(1 << nlat)})
-    AS BIGINT), {(1 << nlat) - 1}) AS yq
+  GREATEST(LEAST(CAST(FLOOR((lon + 180.0) / 360.0 * {float(1 << nlon)})
+    AS BIGINT), {(1 << nlon) - 1}), 0) AS xq,
+  GREATEST(LEAST(CAST(FLOOR((lat + 90.0) / 180.0 * {float(1 << nlat)})
+    AS BIGINT), {(1 << nlat) - 1}), 0) AS yq
   FROM g),
 vv AS (SELECT {' + '.join(terms)} AS v FROM q),
 c AS (SELECT CONCAT({', '.join(chars)}) AS cell FROM vv)
