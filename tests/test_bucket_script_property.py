@@ -45,7 +45,10 @@ def _render(node):
     if kind == "lit":
         return str(node[1])
     if kind == "neg":
-        return f"-{_render(node[1])}"
+        # parenthesize the operand: unary minus binds TIGHTER than
+        # binary ops, so "-X" with a compound X would re-associate
+        # (hypothesis caught exactly this on '-(a) + (a)')
+        return f"-({_render(node[1])})"
     if kind == "paren":
         return f"({_render(node[1])})"
     op, l, r = node
