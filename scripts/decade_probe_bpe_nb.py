@@ -39,12 +39,16 @@ WORDS = (
 def synth_docs(spark, n):
     # 12 words per doc chosen by id arithmetic over the fixed vocab;
     # a deterministic 'lang' label splits ~1/3 positive for NB
+    # doc content cycles every 9973 ids, so a 10x corpus repeats the
+    # SAME word multiset 10x over — relative pair frequencies (and
+    # therefore the induced merge table) are scale-invariant, which
+    # the merge_tables_equal flag then genuinely checks
     words_arr = F.array(*[F.lit(w) for w in WORDS])
+    cyc = F.col("id") % 9973
     cols = [
         F.element_at(
             words_arr,
-            ((F.col("id") * (2 * k + 1) + k * k) % len(WORDS) + 1)
-            .cast("int"),
+            ((cyc * (2 * k + 1) + k * k) % len(WORDS) + 1).cast("int"),
         )
         for k in range(12)
     ]
