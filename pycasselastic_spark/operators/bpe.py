@@ -20,10 +20,15 @@ in k (each round's counts depend on the previous merge).
 
 Determinism: counts are exact BIGINTs; the best pair breaks ties by
 (count desc, left asc, right asc); re-segmentation uses literal
-non-overlapping left-to-right string replacement on a space-delimited
-symbol encoding — the exact semantics of SQL ``replace`` in both
-engines, so the whole training loop replays in SQL with unrolled
-rounds.
+non-overlapping left-to-right string replacement on a DOUBLE-space
+symbol encoding — ``'  a  n  '`` with pattern ``' a  n '`` — so the
+pattern consumes ONE boundary space from each side and consecutive
+non-overlapping pair occurrences share no characters (``banana``
+merges BOTH ``an``s in one pass, ``aaaa`` -> ``aa aa``, exactly the
+Sennrich greedy law; a single-space encoding silently skips every
+second occurrence — round-14 review finding). SQL ``replace`` shares
+these semantics in both engines, so the whole training loop replays
+in SQL with unrolled rounds.
 """
 
 from __future__ import annotations
@@ -34,10 +39,10 @@ from pyspark.sql import functions as F
 
 def word_freq_table(docs: DataFrame, text_col: str) -> DataFrame:
     """One corpus pass: ``(seg, freq)`` — each distinct whitespace
-    word space-delimited into characters (the initial BPE
-    segmentation, with sentinel spaces at both ends so every symbol
-    occurrence is ``' sym '``-addressable), weighted by corpus
-    frequency."""
+    word DOUBLE-space-delimited into characters (the initial BPE
+    segmentation; the double separator is what makes one literal
+    replace per round equal greedy non-overlapping pair merging),
+    weighted by corpus frequency."""
     return (
         docs.select(
             F.explode(F.split(F.col(text_col), " ")).alias("w")
@@ -47,9 +52,9 @@ def word_freq_table(docs: DataFrame, text_col: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
         .select(
             F.concat(
-                F.lit(" "),
-                F.array_join(F.split(F.col("w"), ""), " "),
-                F.lit(" "),
+                F.lit("  "),
+                F.array_join(F.split(F.col("w"), ""), "  "),
+                F.lit("  "),
             ).alias("seg"),
             "freq",
         )
@@ -57,7 +62,7 @@ def word_freq_table(docs: DataFrame, text_col: str) -> DataFrame:
 
 
 def _pair_counts(seg: DataFrame) -> DataFrame:
-    syms = F.split(F.trim(F.col("seg")), " ")
+    syms = F.split(F.trim(F.col("seg")), "  ")
     return (
         seg.select(
             "freq",
@@ -107,7 +112,7 @@ def bpe_train(
         seg = seg.select(
             F.replace(
                 F.col("seg"),
-                F.lit(f" {left} {right} "),
+                F.lit(f" {left}  {right} "),
                 F.lit(f" {left}{right} "),
             ).alias("seg"),
             "freq",
@@ -148,11 +153,12 @@ def bpe_segment(
         F.posexplode(F.split(F.col(text_col), " ")).alias("word_pos", "w"),
     ).filter(F.col("w") != "")
     seg = F.concat(
-        F.lit(" "), F.array_join(F.split(F.col("w"), ""), " "), F.lit(" ")
+        F.lit("  "), F.array_join(F.split(F.col("w"), ""), "  "),
+        F.lit("  ")
     )
     for _rank, left, right, merged, _cnt in merges:
-        seg = F.replace(seg, F.lit(f" {left} {right} "),
+        seg = F.replace(seg, F.lit(f" {left}  {right} "),
                         F.lit(f" {merged} "))
     return out.select(
-        id_col, "word_pos", F.split(F.trim(seg), " ").alias("tokens")
+        id_col, "word_pos", F.split(F.trim(seg), "  ").alias("tokens")
     )

@@ -62,9 +62,14 @@ def nb_train(
     labeled = docs.withColumn("_pos", positive).filter(
         F.col("_pos").isNotNull()
     )
-    toks = _tokens(labeled, id_col, text_col).join(
-        labeled.select(id_col, "_pos"), id_col
-    )
+    # carry the label THROUGH the explode — re-joining the token
+    # stream to the corpus on id just to recover a column the row
+    # already had would add a corpus-scale shuffle (round-14 review
+    # finding)
+    toks = labeled.select(
+        "_pos",
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
     per_term = toks.groupBy("term").agg(
         F.sum(F.when(F.col("_pos"), 1).otherwise(0))
          .cast("long").alias("c_pos"),
@@ -122,24 +127,29 @@ def nb_score(
     class. Exact integer arithmetic end-to-end after training's one
     float expression per term. Docs with NO tokens score exactly the
     prior (ES of this op: the empty document is all-prior)."""
+    # one pass: per-doc weight sums, then an outer join FROM docs so
+    # token-less docs fall out as prior-only rows — no second
+    # tokenize, no distinct/anti-join (round-14 review finding)
     toks = _tokens(docs, id_col, text_col)
-    scored = (
+    sums = (
         toks.join(weights, "term", "left")
-        .crossJoin(F.broadcast(consts))
+        .crossJoin(F.broadcast(consts.select("oov_q30")))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            (F.sum(F.coalesce(F.col("w_q30"), F.col("oov_q30")))
-             + F.first("prior_q30")).cast("long").alias("score_q30"),
+            F.sum(F.coalesce(F.col("w_q30"), F.col("oov_q30")))
+             .cast("long").alias("_wsum"),
         )
     )
-    empty = (
-        docs.join(toks.select(id_col).distinct(), id_col, "left_anti")
-        .crossJoin(F.broadcast(consts))
+    return (
+        docs.select(id_col)
+        .join(sums, id_col, "left")
+        .crossJoin(F.broadcast(consts.select("prior_q30")))
         .select(
             F.col(id_col),
-            F.lit(0).cast("long").alias("n_tokens"),
-            F.col("prior_q30").cast("long").alias("score_q30"),
+            F.coalesce(F.col("n_tokens"), F.lit(0))
+             .cast("long").alias("n_tokens"),
+            (F.coalesce(F.col("_wsum"), F.lit(0))
+             + F.col("prior_q30")).cast("long").alias("score_q30"),
         )
     )
-    return scored.unionByName(empty)

@@ -378,11 +378,15 @@ def geohash_cells(
         ).cast("long") % 2
         term = bit * F.lit(1 << (bits - 1 - j))
         v = term if v is None else v + term
+    # chunk extraction must stay in INTEGER space: v reaches 2^60-1
+    # at precision 12 and a double cast would shear the low bits
+    # (round-14 review finding) — shiftright/AND are exact at any
+    # precision
     chars = [
         F.substring(
             F.lit(_GEOHASH_BASE32),
-            (F.floor(v.cast("double") / F.lit(float(1 << (5 * (precision - 1 - i)))))
-             .cast("long") % 32).cast("int") + F.lit(1),
+            F.shiftright(v, 5 * (precision - 1 - i))
+             .bitwiseAND(F.lit(31)).cast("int") + F.lit(1),
             1,
         )
         for i in range(precision)

@@ -3152,6 +3152,14 @@ def _render_template(node, params: dict):
                 "(conditional mustache is not dispatched — variable "
                 "nodes only)"
             )
+        if "{{{" in node or "}}}" in node:
+            # triple mustache ({{{unescaped}}}) would slip past the
+            # variable matcher and render '{5}'-style garbage — the
+            # forbidden silent-mis-render (round-14 review finding)
+            raise _err(
+                f"search template triple mustache in {node!r} "
+                "(unescaped-variable syntax is not dispatched)"
+            )
         whole = _MUSTACHE_VAR.fullmatch(node)
         if whole:
             # a value that IS one variable keeps the param's native

@@ -1472,13 +1472,19 @@ def apply_normalize(
     w = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    # try_divide: degenerate bucket sets (single bucket, all-equal
+    # counts, all-zero zero-fill) yield the documented NULL instead
+    # of an ANSI DIVIDE_BY_ZERO failing the whole response
     x = F.col(value_col).cast("double")
     if method == "rescale_0_1":
-        e = (x - F.min(x).over(w)) / (F.max(x).over(w) - F.min(x).over(w))
+        e = F.try_divide(
+            x - F.min(x).over(w),
+            F.max(x).over(w) - F.min(x).over(w),
+        )
     elif method == "percent_of_sum":
-        e = x / F.sum(x).over(w)
+        e = F.try_divide(x, F.sum(x).over(w))
     else:
-        e = (x - F.avg(x).over(w)) / F.stddev_pop(x).over(w)
+        e = F.try_divide(x - F.avg(x).over(w), F.stddev_pop(x).over(w))
     return buckets.withColumn(
         out_name, F.floor(e * Q20).cast("long")
     ).orderBy(F.col(order_col).asc())

@@ -471,10 +471,12 @@ def _geohash_oracle_sql(precision: int, k: int) -> str:
             f"(CAST(FLOOR(CAST({src} AS DOUBLE) / {float(1 << sh)}) "
             f"AS BIGINT) % 2) * {1 << (bits - 1 - j)}"
         )
+    # integer shift/mask — exact at any precision (v reaches 2^60-1
+    # at precision 12; a double divide would shear the low bits)
     chars = [
-        "SUBSTRING('" + _GEOHASH_BASE32 + "', CAST(CAST(FLOOR("
-        f"CAST(v AS DOUBLE) / {float(1 << (5 * (precision - 1 - i)))}"
-        ") AS BIGINT) % 32 AS INT) + 1, 1)"
+        "SUBSTRING('" + _GEOHASH_BASE32 + "', CAST("
+        f"(v >> {5 * (precision - 1 - i)}) & 31"
+        " AS INT) + 1, 1)"
         for i in range(precision)
     ]
     return (
@@ -671,17 +673,17 @@ def _bpe_oracle_sql(k: int) -> str:
 w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM
         (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        WHERE w <> '' GROUP BY w),
-s0 AS (SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' '
-         AS seg, freq FROM w0)"""]
+s0 AS (SELECT '  ' || array_to_string(string_split(w, ''), '  ')
+         || '  ' AS seg, freq FROM w0)"""]
     for r in range(k):
         parts.append(f"""
-i{r} AS (SELECT unnest(range(1, len(string_split(trim(seg), ' '))))
-           AS i, string_split(trim(seg), ' ') AS s, freq FROM s{r}),
+i{r} AS (SELECT unnest(range(1, len(string_split(trim(seg), '  '))))
+           AS i, string_split(trim(seg), '  ') AS s, freq FROM s{r}),
 p{r} AS (SELECT s[i] AS l, s[i+1] AS r, CAST(SUM(freq) AS BIGINT)
            AS cnt FROM i{r} GROUP BY 1, 2),
 b{r} AS (SELECT l, r, cnt FROM p{r}
          ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-s{r + 1} AS (SELECT replace(seg, ' ' || b.l || ' ' || b.r || ' ',
+s{r + 1} AS (SELECT replace(seg, ' ' || b.l || '  ' || b.r || ' ',
                ' ' || b.l || b.r || ' ') AS seg, freq
              FROM s{r}, b{r} b)""")
     union = "\nUNION ALL ".join(

@@ -69,6 +69,10 @@ TEXTS = [
     "low lower lowest slow slower",
     "new newer newest low low",
     "widest wide wider new",
+    # repeated-pair words: a single-space encoding's replace skips
+    # every second occurrence (round-14 review finding) — banana
+    # must merge BOTH 'an's, aaaa must become [aa, aa]
+    "banana bananas aaaa aaa banana",
 ]
 
 

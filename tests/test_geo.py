@@ -236,6 +236,8 @@ def test_geohash_py_matches_interval_halving():
     cases = [
         (42.605, -5.603, 5),       # the canonical 'ezs42'
         (57.64911, 10.40744, 11),  # 'u4pruydqqvj'
+        (57.64911, 10.40744, 12),
+        (42.605, -5.603, 12),
         (0.0, 0.0, 6),
         (-89.9, -179.9, 7),
         (89.9, 179.9, 7),
@@ -282,3 +284,20 @@ def test_geohash_precision_bounds():
         geohash_py(0.0, 0.0, 0)
     with _pytest.raises(ValueError, match="precision"):
         geohash_py(0.0, 0.0, 13)
+
+
+def test_geohash_cells_full_precision_no_bit_shear(spark):
+    # precision 12: the interleaved value reaches 2^60-1 — chunk
+    # extraction must be exact integer shift/mask (a double divide
+    # shears the low bits; round-14 review finding)
+    from pycasselastic_spark.operators.geo import (
+        geohash_cells,
+        geohash_py,
+    )
+
+    pts = [(57.64911, 10.40744), (42.605, -5.603), (-33.8688, 151.2093)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    out = geohash_cells(df, "lat", "lon", precision=12, k=10).collect()
+    assert {r["cell"] for r in out} == {
+        geohash_py(lat, lon, 12) for lat, lon in pts
+    }

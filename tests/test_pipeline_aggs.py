@@ -1258,3 +1258,30 @@ def test_matrix_stats_degenerate_inputs_yield_null(spark):
     empty = spark.createDataFrame([], "a long, b long")
     r0 = matrix_stats_2d(empty, "a", "b").collect()[0]
     assert r0["n_docs"] == 0 and r0["mean_a_q20"] is None
+
+
+def test_normalize_degenerate_bucket_set_is_null(dv_idx):
+    # 'delta' hits docs 4,5 -> one March bucket; rescale_0_1's
+    # max-min = 0 and z-score's stddev = 0 must yield NULL, not an
+    # ANSI DIVIDE_BY_ZERO failing the response
+    out = es_search(dv_idx, {
+        "query": {"match": {"text": "delta"}},
+        "aggs": {"m": {
+            "date_histogram": {"field": "d", "calendar_interval": "month"},
+            "aggs": {
+                "scaled": {"normalize": {
+                    "buckets_path": "_count", "method": "rescale_0_1",
+                }},
+                "z": {"normalize": {
+                    "buckets_path": "_count", "method": "z-score",
+                }},
+                "share": {"normalize": {
+                    "buckets_path": "_count",
+                    "method": "percent_of_sum",
+                }},
+            },
+        }},
+    }).collect()
+    assert len(out) == 1
+    assert out[0]["scaled"] is None and out[0]["z"] is None
+    assert out[0]["share"] == 1 << 20   # sum nonzero: 2/2 = 1.0

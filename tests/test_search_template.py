@@ -83,3 +83,13 @@ def test_template_strictness(tpl_idx):
         })
     with pytest.raises(ValueError, match="template options"):
         es_search_template(tpl_idx, {"id": "stored-one", "params": {}})
+
+
+def test_triple_mustache_raises_instead_of_rendering_garbage(tpl_idx):
+    # {{{k}}} would pass the section guard and render '{5}' silently
+    with pytest.raises(ValueError, match="triple mustache"):
+        es_search_template(tpl_idx, {
+            "source": {"size": "{{{k}}}",
+                       "query": {"match": {"text": "alpha"}}},
+            "params": {"k": 5},
+        })
