@@ -109,3 +109,38 @@ def test_bpe_k_validation(spark):
     docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
     with pytest.raises(ValueError, match="k_merges"):
         bpe_train(docs, "text", 0)
+
+
+def test_bpe_property_random_corpora(spark):
+    # random short-alphabet corpora maximize repeated/overlapping
+    # pair density — the class the curated TEXTS can undersample
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="ab", min_size=1, max_size=6)
+    corpus = st.lists(
+        st.lists(word, min_size=1, max_size=5).map(" ".join),
+        min_size=1, max_size=3,
+    )
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[
+                  HealthCheck.function_scoped_fixture])
+    @given(texts=corpus)
+    def check(texts):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        ref = _ref_bpe(texts, 4)
+        if len(ref) < 4:
+            with pytest.raises(ValueError, match="exhausted"):
+                bpe_train(docs, "text", 4)
+            if not ref:
+                return
+            got = bpe_train(docs, "text", len(ref))
+        else:
+            got = bpe_train(docs, "text", 4)
+        assert got == ref
+
+    check()

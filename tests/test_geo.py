@@ -301,3 +301,29 @@ def test_geohash_cells_full_precision_no_bit_shear(spark):
     assert {r["cell"] for r in out} == {
         geohash_py(lat, lon, 12) for lat, lon in pts
     }
+
+
+def test_geohash_property_vs_interval_halving():
+    # driver-side twin vs the independent halving construction over
+    # random coordinates and every precision — pure Python, cheap.
+    # Coordinates are drawn at 6-decimal (~0.1 m) granularity: within
+    # ~1 ulp of 180 BELOW a cell boundary (~3 nm), (lon+180)/360
+    # absorbs the offset while halving keeps it — a representation-
+    # dependent window far below any physical coordinate precision
+    # (hypothesis found it at lon=-1.4e-45).
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pycasselastic_spark.operators.geo import geohash_py
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        lat_u=st.integers(-90_000_000, 90_000_000),
+        lon_u=st.integers(-180_000_000, 180_000_000),
+        p=st.integers(1, 12),
+    )
+    def check(lat_u, lon_u, p):
+        lat, lon = lat_u / 1e6, lon_u / 1e6
+        assert geohash_py(lat, lon, p) == _geohash_halving(lat, lon, p)
+
+    check()
