@@ -198,6 +198,7 @@ _EXPORTS: dict[str, str] = {
     "geotile_cells": "operators.geo",
     "geohash_cells": "operators.geo",
     "es_search_template": "operators.search",
+    "es_msearch_template": "operators.search",
     "has_child_search": "operators.search",
     "has_parent_search": "operators.search",
     "matrix_stats_2d": "operators.search",

@@ -351,3 +351,6 @@ from pycasselastic_spark.operators.search_ext import (  # noqa: E402,F401
     search_matrix_stats_agg,
     search_string_stats_agg,
 )
+from pycasselastic_spark.operators.search_api import (  # noqa: E402,F401
+    es_msearch_template,
+)

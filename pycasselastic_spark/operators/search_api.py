@@ -3233,3 +3233,73 @@ def es_search_template(
         )
     rendered = _render_template(source, dict(body.get("params", {})))
     return es_search(index, rendered, **kwargs)
+
+
+def es_msearch_template(
+    index: PostingsIndex,
+    searches: dict[str, dict],
+    k: int = 10,
+) -> DataFrame:
+    """ES ``_msearch/template``: a batch of NAMED template requests
+    rendered and answered in ONE pass over the index — template
+    rendering composed onto ``bm25_msearch``'s amortization (the
+    postings probe, df aggregation and scoring shuffle are paid once
+    for the union of all rendered query terms). Returns
+    ``(query_id, id, n_hit_terms, score_q20, rank)``.
+
+    Dispatched rendered shape: each template must render to a plain
+    ``{"query": {"match": {field: text}}}`` body, optionally with
+    ``size`` — and every ``size`` in the batch must agree with ``k``
+    (ES allows per-line sizes; a mixed batch would silently return
+    differently-truncated pages, so it raises by name). Renders
+    follow every ``es_search_template`` law (sections, triple
+    mustache, missing params all raise). Non-match rendered bodies
+    raise — heterogeneous batches dispatch line-by-line through
+    ``es_search_template`` instead."""
+    from pycasselastic_spark.operators.search_probes import bm25_msearch
+
+    term_map: dict[str, list[str]] = {}
+    for qid in sorted(searches):
+        body = searches[qid]
+        extra = set(body) - {"source", "params"}
+        if extra:
+            raise _err(
+                f"msearch template {qid!r} options {sorted(extra)}"
+            )
+        if "source" not in body or not isinstance(body["source"], dict):
+            raise _err(
+                f"msearch template {qid!r} without a dict source"
+            )
+        rendered = _render_template(
+            body["source"], dict(body.get("params", {}))
+        )
+        rextra = set(rendered) - {"query", "size"}
+        if rextra:
+            raise _err(
+                f"msearch template {qid!r} rendered body keys "
+                f"{sorted(rextra)} (the batched path is plain match "
+                "only — dispatch other shapes via es_search_template)"
+            )
+        if "size" in rendered and int(rendered["size"]) != int(k):
+            raise _err(
+                f"msearch template {qid!r} size {rendered['size']!r} "
+                f"!= batch k={k} (mixed per-line sizes would silently "
+                "truncate differently — use one batch size)"
+            )
+        qkind, qbody = _single(
+            rendered.get("query", {}), f"msearch template {qid!r} query"
+        )
+        if qkind != "match":
+            raise _err(
+                f"msearch template {qid!r} rendered query type "
+                f"{qkind!r} (match only on the batched path)"
+            )
+        terms = index.analyze_text(_match_text(qbody, "msearch template"))
+        if not terms:
+            raise _err(
+                f"msearch template {qid!r} analyzing to no terms"
+            )
+        term_map[qid] = terms
+    if not term_map:
+        raise _err("msearch template batch is empty")
+    return bm25_msearch(index, term_map, k=int(k))

@@ -93,3 +93,45 @@ def test_triple_mustache_raises_instead_of_rendering_garbage(tpl_idx):
                        "query": {"match": {"text": "alpha"}}},
             "params": {"k": 5},
         })
+
+
+def test_msearch_template_equals_per_line_searches(tpl_idx):
+    from pycasselastic_spark.operators.search_api import (
+        es_msearch_template,
+    )
+    from pycasselastic_spark.operators.search_probes import bm25_msearch
+
+    out = es_msearch_template(tpl_idx, {
+        "q_alpha": {"source": {"query": {"match": {"text": "{{t}}"}}},
+                    "params": {"t": "alpha"}},
+        "q_beta": {"source": {"query": {"match": {"text": "{{t}}"}},
+                              "size": "{{k}}"},
+                   "params": {"t": "beta beta", "k": 5}},
+    }, k=5).collect()
+    ref = bm25_msearch(tpl_idx, {
+        "q_alpha": ["alpha"], "q_beta": ["beta"],
+    }, k=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, ref))
+
+
+def test_msearch_template_strictness(tpl_idx):
+    from pycasselastic_spark.operators.search_api import (
+        es_msearch_template,
+    )
+
+    with pytest.raises(ValueError, match="size"):
+        es_msearch_template(tpl_idx, {
+            "a": {"source": {"query": {"match": {"text": "alpha"}},
+                             "size": 3}},
+        }, k=5)
+    with pytest.raises(ValueError, match="match only"):
+        es_msearch_template(tpl_idx, {
+            "a": {"source": {"query": {"term": {"text": "alpha"}}}},
+        })
+    with pytest.raises(ValueError, match="empty"):
+        es_msearch_template(tpl_idx, {})
+    with pytest.raises(ValueError, match="missing"):
+        es_msearch_template(tpl_idx, {
+            "a": {"source": {"query": {"match": {"text": "{{t}}"}}},
+                  "params": {}},
+        })
