@@ -135,3 +135,33 @@ def test_msearch_template_strictness(tpl_idx):
             "a": {"source": {"query": {"match": {"text": "{{t}}"}}},
                   "params": {}},
         })
+
+
+def test_template_kwargs_pass_through_to_join_field(spark, tpl_idx):
+    # a template rendering a has_child body: the join mapping kwargs
+    # must flow through es_search_template into the dispatcher
+    from pycasselastic_spark.operators.search_api import es_search
+
+    jf = spark.createDataFrame(
+        [(1, "post", None), (2, "post", None), (3, "comment", 1)],
+        "doc_id long, join_name string, parent long",
+    )
+    rel = {"post": "comment"}
+    # doc 3 'beta beta' is the only comment; its parent is 1
+    via_tpl = es_search_template(tpl_idx, {
+        "source": {"query": {"has_child": {
+            "type": "comment",
+            "query": {"match": {"text": "{{t}}"}},
+            "score_mode": "sum",
+        }}},
+        "params": {"t": "beta"},
+    }, join_field=jf, join_relations=rel).collect()
+    inline = es_search(tpl_idx, {
+        "query": {"has_child": {
+            "type": "comment",
+            "query": {"match": {"text": "beta"}},
+            "score_mode": "sum",
+        }},
+    }, join_field=jf, join_relations=rel).collect()
+    assert via_tpl == inline
+    assert [r["parent_id"] for r in via_tpl] == [1]
