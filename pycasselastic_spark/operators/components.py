@@ -120,7 +120,8 @@ def connected_components_with_rounds(
         .localCheckpoint(eager=True)  # don't re-run the (possibly
         # expensive) pair-generation subtree inside the loop
     )
-    converged = edges.limit(1).count() == 0  # no edges: nothing to do
+    n_edges = edges.count()  # no edges: nothing to do
+    converged = n_edges == 0
     for _ in range(max_iterations):
         if converged:
             break
@@ -128,12 +129,14 @@ def connected_components_with_rounds(
         new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         # fixed point = identical edge set. Both sides are distinct and
         # directed-canonical, so set equality is count equality plus an
-        # empty difference.
+        # empty difference. The previous round's count is remembered
+        # (n_edges) instead of re-counted — one fewer job per round.
+        n_new = new_edges.count()
         converged = (
-            new_edges.count() == edges.count()
+            n_new == n_edges
             and new_edges.exceptAll(edges).limit(1).count() == 0
         )
-        edges = new_edges
+        edges, n_edges = new_edges, n_new
     if not converged:
         raise RuntimeError(
             f"connected_components did not reach its star fixed point in "

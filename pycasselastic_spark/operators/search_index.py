@@ -620,22 +620,41 @@ class PostingsIndex:
         )
 
 
-def _positional_postings(
-    docs: DataFrame, id_col: str, text_col: str, n_buckets: int, gen: int,
-    analyzer: Analyzer | None = None,
+def _tokenized_base(
+    docs: DataFrame, id_col: str, text_col: str,
+    analyzer: Analyzer | None,
 ) -> DataFrame:
-    """(pbucket, term, id, tf, positions, dl, gen) for one ingest.
+    """(id, dl, _toks) for one ingest — the analyzer chain run EXACTLY
+    ONCE per document. Both the postings aggregation and the docstats
+    relation derive from this frame, so an ingest that persists it
+    tokenizes the batch once instead of once per consumer (the build
+    path used to re-run the full analysis chain three times: postings,
+    docstats write, corpus-scalar agg). ``dl`` is byte-identical to
+    ``analyzed_dl``: raw slot count for the legacy bare split, kept
+    (non-empty) token count under an analyzer."""
+    toks = analyze_tokens(text_col, analyzer)
+    if analyzer is None:
+        dl = F.size(toks)
+    else:
+        dl = F.size(F.filter(toks, lambda x: x != ""))
+    return docs.select(F.col(id_col), dl.alias("dl"), toks.alias("_toks"))
+
+
+def _positional_postings_from_base(
+    base: DataFrame, id_col: str, n_buckets: int, gen: int
+) -> DataFrame:
+    """(pbucket, term, id, tf, positions, dl, gen) for one ingest,
+    from a ``_tokenized_base`` frame.
 
     One posexplode + one hash aggregation — the same single-shuffle
     shape as ``term_postings`` plus proximity data. Positions are
     slot indices into the single-space split (dropped tokens — empty,
     punctuation-only, stopwords — keep their slot: Lucene position
-    gaps); the analyzer chain runs INSIDE the same projection, so an
-    analyzed ingest is still one scan + one shuffle."""
-    toks = docs.select(
+    gaps)."""
+    toks = base.select(
         F.col(id_col),
-        analyzed_dl(text_col, analyzer).alias("dl"),
-        F.posexplode(analyze_tokens(text_col, analyzer)).alias("pos", "term"),
+        F.col("dl"),
+        F.posexplode("_toks").alias("pos", "term"),
     ).filter(F.col("term") != "")
     return (
         toks.groupBy("term", id_col)
@@ -646,6 +665,19 @@ def _positional_postings(
         )
         .withColumn("gen", F.lit(gen).cast("long"))
         .withColumn("pbucket", _term_bucket_col(F.col("term"), n_buckets))
+    )
+
+
+def _positional_postings(
+    docs: DataFrame, id_col: str, text_col: str, n_buckets: int, gen: int,
+    analyzer: Analyzer | None = None,
+) -> DataFrame:
+    """(pbucket, term, id, tf, positions, dl, gen) for one ingest —
+    the analyzer chain runs INSIDE the same projection, so an
+    analyzed ingest is still one scan + one shuffle."""
+    return _positional_postings_from_base(
+        _tokenized_base(docs, id_col, text_col, analyzer),
+        id_col, n_buckets, gen,
     )
 
 
@@ -799,26 +831,39 @@ def build_postings_index(
     later ingest re-reads and applies the SAME analyzer and field
     list (changing any is a ``reindex_postings_index`` / rebuild)."""
     spark = docs.sparkSession
-    postings = _positional_postings(
-        docs, id_col, text_col, n_buckets, gen=0, analyzer=analyzer
-    )
-    _write_index_relations(
-        postings, id_col, n_buckets, path, "overwrite", variant_depth
-    )
-    docstats = docs.select(
-        F.col(id_col), analyzed_dl(text_col, analyzer).alias("dl"),
-        F.lit(0).cast("long").alias("gen"),
-    )
-    docstats.write.mode("overwrite").parquet(os.path.join(path, "docstats"))
-    if stored_fields or nested_fields:
-        _write_docvalues(docs, id_col, stored_fields or [], n_buckets, 0,
-                         path, "overwrite", nested_fields=nested_fields)
-    spark.createDataFrame([], f"{id_col} LONG, gen LONG, by_gen LONG").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "superseded"))
-    agg = docstats.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
-    ).collect()[0]
+    # ONE tokenize pass for the whole build: postings, docstats and the
+    # corpus scalars all derive from the persisted (id, dl, _toks)
+    # frame. Before round 14 the analyzer chain ran over the full
+    # corpus THREE times here (postings materialization, the docstats
+    # write, and the lazy docstats re-scan under the scalar agg) —
+    # guide §1.2's "don't compute things you throw away" applied to
+    # the ingest path. MEMORY_AND_DISK persist: corpus-token-sized,
+    # spills rather than OOMs at scale, freed before return.
+    base = _tokenized_base(docs, id_col, text_col, analyzer).persist()
+    try:
+        postings = _positional_postings_from_base(
+            base, id_col, n_buckets, gen=0
+        )
+        _write_index_relations(
+            postings, id_col, n_buckets, path, "overwrite", variant_depth
+        )
+        docstats = base.select(
+            F.col(id_col), F.col("dl"), F.lit(0).cast("long").alias("gen"),
+        )
+        docstats.write.mode("overwrite").parquet(
+            os.path.join(path, "docstats")
+        )
+        if stored_fields or nested_fields:
+            _write_docvalues(docs, id_col, stored_fields or [], n_buckets, 0,
+                             path, "overwrite", nested_fields=nested_fields)
+        spark.createDataFrame(
+            [], f"{id_col} LONG, gen LONG, by_gen LONG"
+        ).write.mode("overwrite").parquet(os.path.join(path, "superseded"))
+        agg = docstats.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+        ).collect()[0]
+    finally:
+        base.unpersist()
     _write_stats(path, {
         "n_docs": agg["n"], "total_dl": int(agg["s"] or 0),
         "generation": 0, "next_gen": 1, "committed_gens": [0],
@@ -1013,38 +1058,50 @@ def update_postings_index(
         .select(id_col, "gen")
     )
     live = docstats.join(superseded, [id_col, "gen"], "left_anti")
+    # replaced feeds BOTH the retraction scalars and the superseded
+    # append — persist the (small: re-ingested ids only) result so the
+    # docstats anti-join + semi-join run once, not twice
     replaced = live.join(
         F.broadcast(delta.select(id_col).distinct()), id_col, "semi"
-    )
-    r = replaced.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
-    ).collect()[0]
+    ).persist()
+    # ONE tokenize pass for the whole ingest (same single-pass shape
+    # as build_postings_index): postings, the docstats append and the
+    # delta scalars all derive from the persisted (id, dl, _toks)
+    # frame — the delta used to pay the analyzer chain three times
+    base = _tokenized_base(delta, id_col, text_col, analyzer).persist()
+    try:
+        r = replaced.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+        ).collect()[0]
 
-    # step 2: data appends, all tagged with the claimed generation
-    postings = _positional_postings(
-        delta, id_col, text_col, n_buckets, gen, analyzer=analyzer
-    )
-    _write_index_relations(
-        postings, id_col, n_buckets, path, "append",
-        stats.get("variant_depth", 1), write_variants=not defer_variants,
-    )
-    new_stats = delta.select(
-        F.col(id_col), analyzed_dl(text_col, analyzer).alias("dl"),
-        F.lit(gen).cast("long").alias("gen"),
-    )
-    new_stats.write.mode("append").parquet(os.path.join(path, "docstats"))
-    if stats.get("stored_fields") or stats.get("nested_fields"):
-        _write_docvalues(
-            delta, id_col, stats.get("stored_fields") or [], n_buckets,
-            gen, path, "append",
-            nested_fields=stats.get("nested_fields"),
+        # step 2: data appends, all tagged with the claimed generation
+        postings = _positional_postings_from_base(
+            base, id_col, n_buckets, gen
         )
-    replaced.select(
-        id_col, "gen", F.lit(gen).cast("long").alias("by_gen")
-    ).write.mode("append").parquet(os.path.join(path, "superseded"))
-    d = new_stats.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
-    ).collect()[0]
+        _write_index_relations(
+            postings, id_col, n_buckets, path, "append",
+            stats.get("variant_depth", 1), write_variants=not defer_variants,
+        )
+        new_stats = base.select(
+            F.col(id_col), F.col("dl"),
+            F.lit(gen).cast("long").alias("gen"),
+        )
+        new_stats.write.mode("append").parquet(os.path.join(path, "docstats"))
+        if stats.get("stored_fields") or stats.get("nested_fields"):
+            _write_docvalues(
+                delta, id_col, stats.get("stored_fields") or [], n_buckets,
+                gen, path, "append",
+                nested_fields=stats.get("nested_fields"),
+            )
+        replaced.select(
+            id_col, "gen", F.lit(gen).cast("long").alias("by_gen")
+        ).write.mode("append").parquet(os.path.join(path, "superseded"))
+        d = new_stats.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+        ).collect()[0]
+    finally:
+        base.unpersist()
+        replaced.unpersist()
 
     # step 3: atomic commit — the generation becomes visible everywhere
     # at once or not at all. The commit section (re-read + rewrite) is

@@ -302,9 +302,16 @@ def _reanalyzed_relations(
     recomputed per doc as sum(tf) over its surviving terms (the Lucene
     field norm; a doc whose every token drops keeps a docstats row
     with dl=0). Returns (relations, per-doc dl frame for the scalar
-    rebuild). One corpus-postings-sized shuffle on (new_term, id),
+    rebuild, persisted frames the caller must unpersist after the
+    writes). One corpus-postings-sized shuffle on (new_term, id),
     then bucket-partitioned writes — the same cost shape as a plain
-    re-bucketing compaction."""
+    re-bucketing compaction.
+
+    The re-analysis aggregation is PERSISTED here: postings, forward,
+    variants, docstats and the scalar agg all chain off it, and before
+    round 14 each write re-executed the full (new_term, id) shuffle —
+    five corpus-postings-sized aggregations where one suffices (guide
+    §5: cache exactly the reused-and-expensive intermediate)."""
     id_col = idx.id_col
     if analyzer.has_phrase_rules:
         # a phrase-synonym chain needs token ADJACENCY, which a
@@ -358,6 +365,7 @@ def _reanalyzed_relations(
             )
             .withColumnRenamed("new_term", "term")
         )
+    new_postings = new_postings.persist()
     new_dl = new_postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     # the authoritative doc list is DOCSTATS, not the postings — a doc
     # whose every token dropped (or that never had tokens) keeps its
@@ -365,7 +373,7 @@ def _reanalyzed_relations(
     all_docs = live_docstats.select(id_col).distinct()
     doc_dl = all_docs.join(new_dl, id_col, "left").select(
         F.col(id_col), F.coalesce(F.col("dl"), F.lit(0)).cast("long").alias("dl")
-    )
+    ).persist()
     live_postings = (
         new_postings.join(doc_dl, id_col)
         .withColumn("gen", F.lit(0).cast("long"))
@@ -409,7 +417,7 @@ def _reanalyzed_relations(
                 ),
             )
         relations.append(("docvalues", live_dv, "ibucket"))
-    return tuple(relations), doc_dl
+    return tuple(relations), doc_dl, (new_postings, doc_dl)
 
 
 def reindex_postings_index(
@@ -465,6 +473,7 @@ def reindex_postings_index(
                 "rebuild from raw text to change an analyzer"
             )
         analyzer = None  # same chain: a plain re-bucket/deepen reindex
+    persisted: tuple = ()
     if analyzer is not None:
         committed = stats["committed_gens"]
         docstats = spark.read.parquet(
@@ -473,7 +482,7 @@ def reindex_postings_index(
         live_docstats = docstats.join(
             idx.superseded, [idx.id_col, "gen"], "left_anti"
         )
-        relations, doc_dl = _reanalyzed_relations(
+        relations, doc_dl, persisted = _reanalyzed_relations(
             spark, idx, live_docstats, analyzer, new_buckets, new_depth
         )
         agg = doc_dl.agg(
@@ -490,7 +499,11 @@ def reindex_postings_index(
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     os.makedirs(tmp)
-    _write_relations_to(relations, tmp)
+    try:
+        _write_relations_to(relations, tmp)
+    finally:
+        for frame in persisted:
+            frame.unpersist()
     spark.createDataFrame(
         [], f"{idx.id_col} LONG, gen LONG, by_gen LONG"
     ).write.mode("overwrite").parquet(os.path.join(tmp, "superseded"))
