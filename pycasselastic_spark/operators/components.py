@@ -28,7 +28,7 @@ instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -37,35 +37,51 @@ def _large_star(edges: DataFrame) -> DataFrame:
     (u > v). For every node u (over the symmetric closure), connect
     each STRICTLY LARGER neighbor v to m = min(N(u) + {u}). Output
     pairs are (larger node, smaller label), self-loop-free by
-    construction (m <= u < v)."""
+    construction (m <= u < v).
+
+    The per-node minimum rides a window over the same partitioning the
+    rows already need, instead of the groupBy + self-join shape this
+    used through round 13 — one exchange of the symmetric closure
+    rather than two (guide §2.4: two operations keyed the same way
+    share one exchange). Values are identical: least(min(v) over u,
+    u) == the old groupBy's least(min(v), first(u))."""
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
     return (
-        sym.join(mins, "u")
+        sym.withColumn("m", m)
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .distinct()
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, input_canonical: bool = False) -> DataFrame:
     """One small-star round. Edges are directed large->small; for every
     node u, re-hang its smaller neighbors (and u itself) off
-    m = min of those neighbors. Output stays directed large->small."""
-    d = (
-        edges.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    m = min of those neighbors. Output stays directed large->small.
+
+    Same one-exchange window shape as ``_large_star``. Pass
+    ``input_canonical=True`` when the input is ALREADY distinct and
+    directed large->small — ``_large_star`` output is, by construction
+    — to skip a re-canonicalization exchange that would dedup nothing
+    (the loop composes small(large(x)), so every in-loop call takes
+    this path)."""
+    if input_canonical:
+        d = edges
+    else:
+        d = (
+            edges.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
         )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
-    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    dm = d.withColumn("m", F.min("v").over(Window.partitionBy("u")))
     return (
-        d.join(mins, "u")
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .unionByName(mins.select("u", F.col("m").alias("v")))
+        dm.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(dm.select("u", F.col("m").alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
@@ -110,6 +126,11 @@ def connected_components_with_rounds(
     round-growth claim (scripts/scaling_probe.py measures it against
     doubling graph sizes)."""
     rounds = 0
+    # lazy localCheckpoint + count: ONE job both materializes the
+    # checkpoint (truncating the possibly-expensive pair-generation
+    # lineage out of the loop) and returns the edge count the
+    # convergence test needs — the eager-checkpoint-then-count shape
+    # this used through round 14 paid a second pass per round
     edges = (
         pairs.select(
             F.greatest(F.col(src_col), F.col(dst_col)).alias("u"),
@@ -117,8 +138,7 @@ def connected_components_with_rounds(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)  # don't re-run the (possibly
-        # expensive) pair-generation subtree inside the loop
+        .localCheckpoint(eager=False)
     )
     n_edges = edges.count()  # no edges: nothing to do
     converged = n_edges == 0
@@ -126,11 +146,14 @@ def connected_components_with_rounds(
         if converged:
             break
         rounds += 1
-        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new_edges = _small_star(
+            _large_star(edges), input_canonical=True
+        ).localCheckpoint(eager=False)
         # fixed point = identical edge set. Both sides are distinct and
         # directed-canonical, so set equality is count equality plus an
         # empty difference. The previous round's count is remembered
-        # (n_edges) instead of re-counted — one fewer job per round.
+        # (n_edges) instead of re-counted, and the count doubles as the
+        # checkpoint's materialization action — one job per round.
         n_new = new_edges.count()
         converged = (
             n_new == n_edges

@@ -1235,7 +1235,15 @@ def semdedup_prune(
     )
     comp = connected_components(pairs).withColumnRenamed("node", id_col)
     unit = with_unit_vector(df.select(id_col, vec_col), vec_col, "_u")
-    members = comp.join(unit.select(id_col, "_u"), id_col)
+    # members (dup-group rows only — bounded by the pair graph, not the
+    # corpus) feeds THREE consumers: the centroid aggregation, the
+    # scoring join and (through scored) the keeper argmin. Materialize
+    # it once instead of re-running the corpus scan + normalization +
+    # join per consumer (guide §5: cache exactly the reused-and-
+    # expensive intermediate; the frame is small by construction).
+    members = comp.join(unit.select(id_col, "_u"), id_col).localCheckpoint(
+        eager=True
+    )
     cent = (
         members.select(
             "component", F.posexplode("_u").alias("_pos", "_v")

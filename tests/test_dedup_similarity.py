@@ -236,6 +236,66 @@ def test_signature_bits_sequential_matches_unrolled(spark, sf_dir):
     assert got == want and len(got) == 50
 
 
+def test_signature_bits_arrow_matches_hof_reference(spark):
+    """The round-14 Arrow signature path must be BYTE-IDENTICAL to the
+    expression fold it replaced (``_signature_bits_hof``) — including
+    the degenerate rows where the fold's null-poisoning semantics
+    matter: a null vector, a wrong-length vector, an empty vector and
+    a NaN element must all produce the all-zeros signature, and
+    near-zero dots must land on the same side of >= 0."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from pycasselastic_spark.operators.similarity import (
+        _hyperplane,
+        _signature_bits_arrow,
+        _signature_bits_hof,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    rows += [
+        (100, None),                      # null vector
+        (101, []),                        # empty
+        (102, [0.5] * 3),                 # too short
+        (103, [0.5] * 12),                # too long
+        (104, [float("nan")] + [0.1] * 7),  # NaN element
+        (105, [0.0] * 8),                 # exact-zero dots (>= 0 edge)
+        (106, [-0.0] * 8),                # negative-zero dots
+    ]
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("v", ArrayType(DoubleType())),
+    ])
+    df = spark.createDataFrame(rows, schema).localCheckpoint(eager=True)
+    planes = [_hyperplane(8, p) for p in range(40)]
+    got = {
+        r["vec_id"]: r["sig"]
+        for r in df.select(
+            "vec_id", _signature_bits_arrow(F.col("v"), planes).alias("sig")
+        ).collect()
+    }
+    want = {
+        r["vec_id"]: r["sig"]
+        for r in df.select(
+            "vec_id", _signature_bits_hof(F.col("v"), planes).alias("sig")
+        ).collect()
+    }
+    assert got == want and len(got) == len(rows)
+    assert got[100] == "0" * 40  # null fold is not >= 0
+    assert got[104] == "1" * 40  # Spark orders NaN above every number
+    assert got[105] == "1" * 40  # 0.0 >= 0 on every plane
+
+
 class TestEditDistancePairs:
     def test_distance1_recall_is_exact(self, spark):
         """Every substitution/insert/delete-1 pair must surface; the
