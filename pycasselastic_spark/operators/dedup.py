@@ -674,6 +674,18 @@ def edit_distance_pairs(
             ).alias("_variant"),
         )
     )
+    # pin the block join's partition count: the variant relation is a
+    # few MB of short strings, so AQE's byte-based coalescing folds the
+    # join to ~1 partition — and the join FANS OUT (each bucket
+    # contributes C(size,2) candidates) into a levenshtein verify, so
+    # one task ends up doing the whole corpus's edit-distance work
+    # (measured 1 partition / single-core verify at sf0.1). An explicit
+    # repartition by the join key to the cluster's parallelism keeps
+    # the verify wide; both sides share the partitioning so the join
+    # adds no further exchange. (guide §2.5: compute-heavy stages must
+    # not inherit a byte-sized partition count.)
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    variants = variants.repartition(n_parts, "_variant")
     left = variants.select(
         F.col("_id").alias("id_a"), F.col("_text").alias("text_a"), "_variant"
     )
@@ -683,10 +695,13 @@ def edit_distance_pairs(
     return (
         left.join(right, "_variant")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.levenshtein("text_a", "text_b") <= max_dist)
+        # thresholded levenshtein: banded DP + early exit, identical
+        # accept set (returns -1 iff the true distance exceeds the
+        # threshold) and identical distances for survivors
+        .filter(F.levenshtein("text_a", "text_b", max_dist) != -1)
         .select("id_a", "id_b", "text_a", "text_b")
         .distinct()
-        .withColumn("dist", F.levenshtein("text_a", "text_b"))
+        .withColumn("dist", F.levenshtein("text_a", "text_b", max_dist))
     )
 
 
@@ -741,6 +756,11 @@ def edit_distance_pairs_grouped(
             F.expr(_deletion_variants_expr(max_dist))
         ).alias("_variant"),
     )
+    # same AQE-coalescing guard as edit_distance_pairs: the deduped
+    # variant relation is byte-tiny but the block join fans out into
+    # the levenshtein verify — keep the verify at cluster parallelism
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    variants = variants.repartition(n_parts, "_variant")
     left = variants.select(
         F.col("term").alias("text_a"), F.col("_cnt").alias("_cnt_a"),
         "_variant",
@@ -752,12 +772,13 @@ def edit_distance_pairs_grouped(
     cross = (
         left.join(right, "_variant")
         .filter(F.col("text_a") < F.col("text_b"))
-        .filter(F.levenshtein("text_a", "text_b") <= max_dist)
+        .filter(F.levenshtein("text_a", "text_b", max_dist) != -1)
         .select("text_a", "text_b", "_cnt_a", "_cnt_b")
         .distinct()
         .select(
             "text_a", "text_b",
-            F.levenshtein("text_a", "text_b").cast("int").alias("dist"),
+            F.levenshtein("text_a", "text_b", max_dist)
+            .cast("int").alias("dist"),
             (F.col("_cnt_a") * F.col("_cnt_b")).cast("long").alias("n_pairs"),
         )
     )

@@ -108,12 +108,19 @@ def _live_relations(
     committed: list[int],
     new_buckets: int,
     variant_depth: int,
-) -> tuple[tuple[str, DataFrame, str | None], ...]:
+) -> tuple[tuple[tuple[str, DataFrame, str | None], ...], tuple]:
     """The live (superseded-folded, generation-0) state of every stored
     relation, re-bucketed/re-dictionaried at the TARGET settings —
     derived from stored postings alone, never raw text. Shared by
     in-place compaction (same settings) and ``reindex_postings_index``
-    (settings change into a fresh directory)."""
+    (settings change into a fresh directory).
+
+    Returns ``(relations, persisted)``: the postings anti-join is
+    PERSISTED here because two relation writes chain off it (the
+    compacted postings themselves and the rebuilt variants dictionary)
+    — before round 14 each write re-ran the corpus-postings-sized scan
+    + anti-join (guide §5: cache exactly the reused-and-expensive
+    intermediate). The caller unpersists after its writes."""
     live_postings = idx.postings.join(
         idx.superseded, [idx.id_col, "gen"], "left_anti"
     ).withColumn("gen", F.lit(0).cast("long"))
@@ -128,6 +135,7 @@ def _live_relations(
             "ibucket",
             _term_bucket_col(F.col(idx.id_col).cast("string"), new_buckets),
         )
+    live_postings = live_postings.persist()
     # committed filter first: orphan rows from crashed updates are
     # physically dropped here, never resurrected
     docstats = spark.read.parquet(os.path.join(path, "docstats")).filter(
@@ -171,7 +179,7 @@ def _live_relations(
                 ),
             )
         relations.append(("docvalues", live_dv, "ibucket"))
-    return tuple(relations)
+    return tuple(relations), (live_postings,)
 
 
 def _write_relations_to(
@@ -230,7 +238,7 @@ def compact_postings_index(
         )
     idx = load_postings_index(spark, path)
     n_superseded = idx.superseded.count()
-    relations = _live_relations(
+    relations, persisted = _live_relations(
         spark, path, idx, stats["committed_gens"], idx.n_buckets,
         stored_depth,
     )
@@ -242,12 +250,16 @@ def compact_postings_index(
         rel: os.path.join(path, f"{rel}.compact-tmp")
         for rel, _, _ in relations
     }
-    for rel, df, partition in relations:
-        w = df.repartition(partition) if partition else df
-        writer = w.write.mode("overwrite")
-        if partition:
-            writer = writer.partitionBy(partition)
-        writer.parquet(staged[rel])
+    try:
+        for rel, df, partition in relations:
+            w = df.repartition(partition) if partition else df
+            writer = w.write.mode("overwrite")
+            if partition:
+                writer = writer.partitionBy(partition)
+            writer.parquet(staged[rel])
+    finally:
+        for frame in persisted:
+            frame.unpersist()
     # phase 2: swap them in (rename-based; a crash mid-phase leaves
     # each relation either fully old or fully new — and the stats
     # rewrite below is what commits the compaction)
@@ -491,7 +503,7 @@ def reindex_postings_index(
         n_docs, total_dl = agg["n"], int(agg["s"] or 0)
         new_analyzer_dict = analyzer.to_dict()
     else:
-        relations = _live_relations(
+        relations, persisted = _live_relations(
             spark, src, idx, stats["committed_gens"], new_buckets, new_depth
         )
         new_analyzer_dict = stored_analyzer
@@ -585,15 +597,24 @@ def delete_ids_from_index(
         .select(id_col, "gen")
     )
     live = docstats.join(superseded, [id_col, "gen"], "left_anti")
-    doomed = live.join(ids.select(id_col).distinct(), id_col, "semi")
-    r = doomed.agg(
-        F.countDistinct(id_col).alias("n_ids"),
-        F.count(F.lit(1)).alias("n"),
-        F.sum("dl").alias("s"),
-    ).collect()[0]
-    doomed.select(
-        id_col, "gen", F.lit(gen).cast("long").alias("by_gen")
-    ).write.mode("append").parquet(os.path.join(path, "superseded"))
+    # doomed feeds BOTH the scalar decrement agg and the superseded
+    # append — persist the (deleted ids only) result so the docstats
+    # anti-join + semi-join run once, not twice (the update_postings_
+    # index `replaced` pattern)
+    doomed = live.join(
+        ids.select(id_col).distinct(), id_col, "semi"
+    ).persist()
+    try:
+        r = doomed.agg(
+            F.countDistinct(id_col).alias("n_ids"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dl").alias("s"),
+        ).collect()[0]
+        doomed.select(
+            id_col, "gen", F.lit(gen).cast("long").alias("by_gen")
+        ).write.mode("append").parquet(os.path.join(path, "superseded"))
+    finally:
+        doomed.unpersist()
     lock = _core._acquire_commit_lock(path)
     try:
         with open(os.path.join(path, "stats.json")) as f:
@@ -728,7 +749,13 @@ def update_by_query(spark: SparkSession, path: str, body: dict) -> int:
     matched = live.join(ids, id_col, "semi").persist()
     try:
         n_ids = matched.select(id_col).distinct().count()
-        pairs = matched.select(id_col, "gen")
+        # the matched (id, gen) pairs drive three PRUNED copy-joins
+        # (postings / forward / docvalues). Broadcast them explicitly:
+        # the matched set is query-bounded, but its size estimate after
+        # an anti-join + semi-join chain is opaque enough that the
+        # planner falls back to shuffling each relation (guide §3.1:
+        # hint when you know a side is small)
+        pairs = F.broadcast(matched.select(id_col, "gen"))
         bump = F.lit(gen).cast("long").alias("gen")
         post = (
             spark.read.parquet(os.path.join(path, "postings"))

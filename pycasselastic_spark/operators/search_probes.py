@@ -857,7 +857,9 @@ def expand_fuzzy_terms(
     )
     verified = (
         cand.join(F.broadcast(qdf))
-        .filter(F.levenshtein(F.col("term"), F.col("q")) <= max_dist)
+        # thresholded levenshtein (banded DP + early exit); identical
+        # accept set — returns -1 iff the distance exceeds max_dist
+        .filter(F.levenshtein(F.col("term"), F.col("q"), max_dist) != -1)
         .select("term")
         .distinct()
         .collect()
