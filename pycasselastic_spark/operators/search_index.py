@@ -20,6 +20,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pycasselastic_spark.plans.tuning import run_actions_concurrently
+
 Q20 = float(1 << 20)
 
 
@@ -758,25 +760,31 @@ def _write_index_relations(
     AT MOST ONE file per touched bucket per relation."""
     postings = postings.persist()
     try:
+        # the postings write runs alone first: it materializes the
+        # persisted postings cache (and, transitively, the caller's
+        # persisted base) exactly once
         (
             postings.repartition("pbucket")
             .write.partitionBy("pbucket")
             .mode(mode)
             .parquet(os.path.join(path, "postings"))
         )
-        (
-            postings.select(
-                _term_bucket_col(
-                    F.col(id_col).cast("string"), n_buckets
-                ).alias("ibucket"),
-                F.col(id_col), "term", "tf", "gen",
+
+        def _write_forward() -> None:
+            (
+                postings.select(
+                    _term_bucket_col(
+                        F.col(id_col).cast("string"), n_buckets
+                    ).alias("ibucket"),
+                    F.col(id_col), "term", "tf", "gen",
+                )
+                .repartition("ibucket")
+                .write.partitionBy("ibucket")
+                .mode(mode)
+                .parquet(os.path.join(path, "forward"))
             )
-            .repartition("ibucket")
-            .write.partitionBy("ibucket")
-            .mode(mode)
-            .parquet(os.path.join(path, "forward"))
-        )
-        if write_variants:
+
+        def _write_variants() -> None:
             (
                 postings.select("term", "gen")
                 .distinct()
@@ -795,6 +803,13 @@ def _write_index_relations(
                 .mode(mode)
                 .parquet(os.path.join(path, "variants"))
             )
+
+        # forward and variants both re-read the cached postings and
+        # write to different directories — independent jobs, overlapped
+        # so one write's task tail back-fills the other (guide §2.6)
+        run_actions_concurrently(
+            [_write_forward] + ([_write_variants] if write_variants else [])
+        )
     finally:
         postings.unpersist()
 
@@ -850,18 +865,30 @@ def build_postings_index(
         docstats = base.select(
             F.col(id_col), F.col("dl"), F.lit(0).cast("long").alias("gen"),
         )
-        docstats.write.mode("overwrite").parquet(
-            os.path.join(path, "docstats")
-        )
+        # four independent tail actions over different outputs — the
+        # docstats write and scalar agg read the (already-materialized)
+        # cached base, doc-values projects the raw docs frame, and the
+        # superseded seed is an empty local relation. Overlapped per
+        # guide §2.6 instead of paying four sequential job latencies.
+        tail = [
+            lambda: docstats.write.mode("overwrite").parquet(
+                os.path.join(path, "docstats")
+            ),
+            lambda: spark.createDataFrame(
+                [], f"{id_col} LONG, gen LONG, by_gen LONG"
+            ).write.mode("overwrite").parquet(os.path.join(path, "superseded")),
+            lambda: docstats.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+            ).collect()[0],
+        ]
         if stored_fields or nested_fields:
-            _write_docvalues(docs, id_col, stored_fields or [], n_buckets, 0,
-                             path, "overwrite", nested_fields=nested_fields)
-        spark.createDataFrame(
-            [], f"{id_col} LONG, gen LONG, by_gen LONG"
-        ).write.mode("overwrite").parquet(os.path.join(path, "superseded"))
-        agg = docstats.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
-        ).collect()[0]
+            tail.append(
+                lambda: _write_docvalues(
+                    docs, id_col, stored_fields or [], n_buckets, 0,
+                    path, "overwrite", nested_fields=nested_fields,
+                )
+            )
+        agg = run_actions_concurrently(tail)[2]
     finally:
         base.unpersist()
     _write_stats(path, {
@@ -1070,11 +1097,17 @@ def update_postings_index(
     # frame — the delta used to pay the analyzer chain three times
     base = _tokenized_base(delta, id_col, text_col, analyzer).persist()
     try:
-        r = replaced.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
-        ).collect()[0]
-
-        # step 2: data appends, all tagged with the claimed generation
+        # step 2: data appends, all tagged with the claimed generation.
+        # The postings write runs first (it materializes the persisted
+        # base exactly once); the remaining actions — docstats append,
+        # superseded append, the retraction/delta scalar aggs, and the
+        # doc-values append — are independent jobs over different
+        # outputs reading cached frames, overlapped per guide §2.6.
+        # Concurrency is safe against the dirs they also read: the
+        # committed-generation filters make every lazy plan immune to
+        # rows appended by this very ingest (gen is unclaimed until
+        # step 3), and persisted frames materialize at most once under
+        # the BlockManager's per-block lock.
         postings = _positional_postings_from_base(
             base, id_col, n_buckets, gen
         )
@@ -1086,19 +1119,30 @@ def update_postings_index(
             F.col(id_col), F.col("dl"),
             F.lit(gen).cast("long").alias("gen"),
         )
-        new_stats.write.mode("append").parquet(os.path.join(path, "docstats"))
+        tail = [
+            lambda: new_stats.write.mode("append").parquet(
+                os.path.join(path, "docstats")
+            ),
+            lambda: replaced.select(
+                id_col, "gen", F.lit(gen).cast("long").alias("by_gen")
+            ).write.mode("append").parquet(os.path.join(path, "superseded")),
+            lambda: replaced.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+            ).collect()[0],
+            lambda: new_stats.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+            ).collect()[0],
+        ]
         if stats.get("stored_fields") or stats.get("nested_fields"):
-            _write_docvalues(
-                delta, id_col, stats.get("stored_fields") or [], n_buckets,
-                gen, path, "append",
-                nested_fields=stats.get("nested_fields"),
+            tail.append(
+                lambda: _write_docvalues(
+                    delta, id_col, stats.get("stored_fields") or [],
+                    n_buckets, gen, path, "append",
+                    nested_fields=stats.get("nested_fields"),
+                )
             )
-        replaced.select(
-            id_col, "gen", F.lit(gen).cast("long").alias("by_gen")
-        ).write.mode("append").parquet(os.path.join(path, "superseded"))
-        d = new_stats.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
-        ).collect()[0]
+        results = run_actions_concurrently(tail)
+        r, d = results[2], results[3]
     finally:
         base.unpersist()
         replaced.unpersist()

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pycasselastic_spark.operators import search_index as _core
+from pycasselastic_spark.plans.tuning import run_actions_concurrently
 from pycasselastic_spark.operators.search_index import (
     Analyzer,
     PostingsIndex,
@@ -185,12 +186,23 @@ def _live_relations(
 def _write_relations_to(
     relations: tuple[tuple[str, DataFrame, str | None], ...], root: str
 ) -> None:
-    for rel, df, partition in relations:
-        w = df.repartition(partition) if partition else df
-        writer = w.write.mode("overwrite")
-        if partition:
-            writer = writer.partitionBy(partition)
-        writer.parquet(os.path.join(root, rel))
+    # up to five independent relation writes into different
+    # subdirectories — overlapped from a small thread pool (guide
+    # §2.6) instead of paying one job latency per relation; relations
+    # sharing a persisted parent (postings-derived forward/variants)
+    # materialize it once under the BlockManager's per-block lock
+    def _write_one(rel: str, df: DataFrame, partition: str | None):
+        def thunk() -> None:
+            w = df.repartition(partition) if partition else df
+            writer = w.write.mode("overwrite")
+            if partition:
+                writer = writer.partitionBy(partition)
+            writer.parquet(os.path.join(root, rel))
+        return thunk
+
+    run_actions_concurrently(
+        [_write_one(rel, df, partition) for rel, df, partition in relations]
+    )
 
 
 def compact_postings_index(
@@ -251,12 +263,21 @@ def compact_postings_index(
         for rel, _, _ in relations
     }
     try:
-        for rel, df, partition in relations:
-            w = df.repartition(partition) if partition else df
-            writer = w.write.mode("overwrite")
-            if partition:
-                writer = writer.partitionBy(partition)
-            writer.parquet(staged[rel])
+        # independent staged writes into per-relation tmp dirs —
+        # overlapped (guide §2.6); shared persisted parents (the
+        # superseded-folded postings) materialize once
+        def _stage_one(rel: str, df: DataFrame, partition: str | None):
+            def thunk() -> None:
+                w = df.repartition(partition) if partition else df
+                writer = w.write.mode("overwrite")
+                if partition:
+                    writer = writer.partitionBy(partition)
+                writer.parquet(staged[rel])
+            return thunk
+
+        run_actions_concurrently(
+            [_stage_one(rel, df, p) for rel, df, p in relations]
+        )
     finally:
         for frame in persisted:
             frame.unpersist()
@@ -605,14 +626,19 @@ def delete_ids_from_index(
         ids.select(id_col).distinct(), id_col, "semi"
     ).persist()
     try:
-        r = doomed.agg(
-            F.countDistinct(id_col).alias("n_ids"),
-            F.count(F.lit(1)).alias("n"),
-            F.sum("dl").alias("s"),
-        ).collect()[0]
-        doomed.select(
-            id_col, "gen", F.lit(gen).cast("long").alias("by_gen")
-        ).write.mode("append").parquet(os.path.join(path, "superseded"))
+        # the scalar decrement agg and the superseded append both read
+        # the persisted doomed frame — independent actions, overlapped
+        # (guide §2.6); the cache materializes once under block locking
+        r = run_actions_concurrently([
+            lambda: doomed.agg(
+                F.countDistinct(id_col).alias("n_ids"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum("dl").alias("s"),
+            ).collect()[0],
+            lambda: doomed.select(
+                id_col, "gen", F.lit(gen).cast("long").alias("by_gen")
+            ).write.mode("append").parquet(os.path.join(path, "superseded")),
+        ])[0]
     finally:
         doomed.unpersist()
     lock = _core._acquire_commit_lock(path)
@@ -762,17 +788,11 @@ def update_by_query(spark: SparkSession, path: str, body: dict) -> int:
             .filter(F.col("gen").isin(committed))
             .join(pairs, [id_col, "gen"])
         )
-        post.drop("gen").select("*", bump).repartition("pbucket").write \
-            .partitionBy("pbucket").mode("append") \
-            .parquet(os.path.join(path, "postings"))
         fwd = (
             spark.read.parquet(os.path.join(path, "forward"))
             .filter(F.col("gen").isin(committed))
             .join(pairs, [id_col, "gen"])
         )
-        fwd.drop("gen").select("*", bump).repartition("ibucket").write \
-            .partitionBy("ibucket").mode("append") \
-            .parquet(os.path.join(path, "forward"))
         dv = (
             spark.read.parquet(os.path.join(path, "docvalues"))
             .filter(F.col("gen").isin(committed))
@@ -783,14 +803,26 @@ def update_by_query(spark: SparkSession, path: str, body: dict) -> int:
             F.lit(value) if op == "="
             else F.col(field) + F.lit(value)
         ).cast(ftype)
-        dv.withColumn(field, new_val).drop("gen").select("*", bump) \
-            .repartition("ibucket").write.partitionBy("ibucket") \
-            .mode("append").parquet(os.path.join(path, "docvalues"))
-        matched.drop("gen").select("*", bump).write.mode("append") \
-            .parquet(os.path.join(path, "docstats"))
-        pairs.select(
-            id_col, "gen", F.lit(gen).cast("long").alias("by_gen")
-        ).write.mode("append").parquet(os.path.join(path, "superseded"))
+        # five independent appends (each thunk reads and appends only
+        # its OWN relation directory; matched is materialized by the
+        # n_ids count above) — overlapped per guide §2.6
+        run_actions_concurrently([
+            lambda: post.drop("gen").select("*", bump)
+            .repartition("pbucket").write.partitionBy("pbucket")
+            .mode("append").parquet(os.path.join(path, "postings")),
+            lambda: fwd.drop("gen").select("*", bump)
+            .repartition("ibucket").write.partitionBy("ibucket")
+            .mode("append").parquet(os.path.join(path, "forward")),
+            lambda: dv.withColumn(field, new_val).drop("gen")
+            .select("*", bump).repartition("ibucket").write
+            .partitionBy("ibucket").mode("append")
+            .parquet(os.path.join(path, "docvalues")),
+            lambda: matched.drop("gen").select("*", bump).write
+            .mode("append").parquet(os.path.join(path, "docstats")),
+            lambda: pairs.select(
+                id_col, "gen", F.lit(gen).cast("long").alias("by_gen")
+            ).write.mode("append").parquet(os.path.join(path, "superseded")),
+        ])
     finally:
         matched.unpersist()
     lock = _core._acquire_commit_lock(path)

@@ -163,3 +163,50 @@ def ensure_parallelism(df: DataFrame, spark: SparkSession) -> DataFrame:
     if n_parts < target:
         return df.repartition(target)
     return df
+
+
+def run_actions_concurrently(thunks) -> list:
+    """Run INDEPENDENT Spark actions (writes/aggs over already-derived
+    frames) from a small driver thread pool, returning their results in
+    thunk order.
+
+    Spark's scheduler happily runs several jobs inside one application;
+    actions are only sequential because driver code calls them
+    sequentially (optimization guide §2.6). An ingest that must write
+    postings, docstats, doc-values and superseded relations — four
+    independent jobs over different output directories — gains nothing
+    from running them back to back: each job's straggler tail leaves
+    the rest of the cluster idle. Submitting them together lets the
+    next write's tasks back-fill executors freed by the current one.
+
+    Safety notes:
+    - Shared persisted parents are materialized AT MOST once: the
+      BlockManager takes a per-block write lock, so a second job
+      needing the same cached partition blocks and then reads it.
+    - Default FIFO scheduling gives the earlier job resources first
+      and later jobs the remainder — exactly the back-fill behaviour
+      wanted here.
+    - The pool is bounded (<= 4): enough to fill the tail, not enough
+      to thrash execution memory with many concurrent shuffles.
+    The first raised exception propagates after every thread settles
+    (no write is left mid-flight when the caller's finally runs)."""
+    thunks = list(thunks)
+    if len(thunks) <= 1:
+        return [t() for t in thunks]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, len(thunks))) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        # collect every outcome before raising so no thread is abandoned
+        # mid-write; re-raise the first failure in submission order
+        results, first_exc = [], None
+        for f in futures:
+            try:
+                results.append(f.result())
+            except Exception as exc:  # noqa: BLE001 — re-raised below
+                results.append(None)
+                if first_exc is None:
+                    first_exc = exc
+        if first_exc is not None:
+            raise first_exc
+        return results
