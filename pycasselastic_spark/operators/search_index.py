@@ -648,25 +648,38 @@ def _positional_postings_from_base(
     """(pbucket, term, id, tf, positions, dl, gen) for one ingest,
     from a ``_tokenized_base`` frame.
 
-    One posexplode + one hash aggregation — the same single-shuffle
-    shape as ``term_postings`` plus proximity data. Positions are
-    slot indices into the single-space split (dropped tokens — empty,
-    punctuation-only, stopwords — keep their slot: Lucene position
-    gaps)."""
-    toks = base.select(
-        F.col(id_col),
-        F.col("dl"),
-        F.posexplode("_toks").alias("pos", "term"),
-    ).filter(F.col("term") != "")
+    One posexplode + ONE exchange for aggregation AND layout (guide
+    §2.4 — two operations keyed the same way share one exchange):
+    ``pbucket`` is a pure function of ``term``, so hash-partitioning by
+    it already clusters every ``(term, id)`` group into one partition;
+    grouping by ``(pbucket, term, id)`` then satisfies the aggregation's
+    required distribution with no further shuffle, and the output is
+    already partitioned exactly as the ``partitionBy("pbucket")``
+    parquet write needs — the ingest used to pay a second full
+    exchange of the aggregated postings just to re-key them by bucket
+    (2 Exchange -> 1, identical rows pinned by exceptAll both ways).
+    Positions are slot indices into the single-space split (dropped
+    tokens — empty, punctuation-only, stopwords — keep their slot:
+    Lucene position gaps)."""
+    toks = (
+        base.select(
+            F.col(id_col),
+            F.col("dl"),
+            F.posexplode("_toks").alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+        .withColumn("pbucket", _term_bucket_col(F.col("term"), n_buckets))
+    )
     return (
-        toks.groupBy("term", id_col)
+        toks.repartition("pbucket")
+        .groupBy("pbucket", "term", id_col)
         .agg(
             F.count(F.lit(1)).alias("tf"),
             F.sort_array(F.collect_list("pos")).alias("positions"),
             F.first("dl").alias("dl"),
         )
         .withColumn("gen", F.lit(gen).cast("long"))
-        .withColumn("pbucket", _term_bucket_col(F.col("term"), n_buckets))
+        .select("term", id_col, "tf", "positions", "dl", "gen", "pbucket")
     )
 
 
@@ -762,10 +775,13 @@ def _write_index_relations(
     try:
         # the postings write runs alone first: it materializes the
         # persisted postings cache (and, transitively, the caller's
-        # persisted base) exactly once
+        # persisted base) exactly once. No repartition here — the
+        # frame arrives hash-partitioned by pbucket from its single
+        # aggregation exchange (_positional_postings_from_base), so
+        # the partitionBy write already lands at most one file per
+        # touched bucket
         (
-            postings.repartition("pbucket")
-            .write.partitionBy("pbucket")
+            postings.write.partitionBy("pbucket")
             .mode(mode)
             .parquet(os.path.join(path, "postings"))
         )

@@ -48,6 +48,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pycasselastic_spark.plans.tuning import run_actions_concurrently
 from pycasselastic_spark.operators.search_index import (
     Analyzer,
     PostingsIndex,
@@ -375,8 +376,10 @@ def ingest_with_rollover(
     batch_ids = batch.select(id_col).distinct()
     # ONE bounded aggregation for the batch's bloom bits — reused for
     # the landed generation's routing bloom AND every older-generation
-    # overlap check (driver-side bitset ANDs, no Spark jobs)
-    batch_bits = _batch_bloom_bits(batch_ids, id_col)
+    # overlap check (driver-side bitset ANDs, no Spark jobs). On the
+    # roll/bootstrap path it runs CONCURRENTLY with the new
+    # generation's build (guide §2.6) — deferred here, forced below.
+    batch_bits: int | None = None
     landed: str
     created = _read_created(family_path)
     if indexes:
@@ -394,6 +397,7 @@ def ingest_with_rollover(
             # crash here leaves extra bits, never missing ones. Legacy
             # write indexes (no bloom file) stay bloom-less — a bloom
             # started mid-life would miss earlier ingests.
+            batch_bits = _batch_bloom_bits(batch_ids, id_col)
             prior = _read_bloom(family_path, indexes[-1])
             if prior is not None:
                 _write_bloom(family_path, indexes[-1], prior | batch_bits)
@@ -406,12 +410,23 @@ def ingest_with_rollover(
     if not landed:
         name = _next_gen_name(family_path, indexes)
         landed = os.path.join(family_path, name)
-        _write_bloom(family_path, name, batch_bits)  # before the build
-        build_postings_index(
-            batch, id_col, text_col, landed, n_buckets=n_buckets,
-            variant_depth=variant_depth, analyzer=analyzer,
-            stored_fields=stored_fields,
-        )
+        # the bloom AGGREGATION overlaps the build (guide §2.6 — two
+        # independent jobs over the same batch); the no-false-negative
+        # law only requires the bloom FILE to exist before the manifest
+        # row makes this generation visible, which stays true: a crash
+        # anywhere in here leaves an unreferenced directory, never a
+        # visible generation without its bloom. (The update path above
+        # keeps bits-before-data because update_postings_index commits
+        # visibility internally.)
+        batch_bits, _ = run_actions_concurrently([
+            lambda: _batch_bloom_bits(batch_ids, id_col),
+            lambda: build_postings_index(
+                batch, id_col, text_col, landed, n_buckets=n_buckets,
+                variant_depth=variant_depth, analyzer=analyzer,
+                stored_fields=stored_fields,
+            ),
+        ])
+        _write_bloom(family_path, name, batch_bits)
         # visibility order: complete index first, then the manifest row
         # (family probes see it), then the write alias (ingests target)
         created[name] = now
