@@ -362,25 +362,26 @@ def bloom_pruned_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = pruned.join(
         F.broadcast(dim), pruned["user_id"] == dim["c_custkey"]
     )
-    # distinct users as a two-level aggregation joined back on the
-    # 1-row group key: countDistinct beside other aggregates makes
-    # Catalyst rewrite the whole agg through Expand (see
-    # approx_distinct_stats_events)
-    d_users = (
-        joined.groupBy("c_mktsegment", "user_id")
-        .agg(F.count(F.lit(1)))
-        .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n_users"))
+    # ONE pass: the per-(segment, user) level carries the event count
+    # and the exact decimal partial sum, the second level folds both
+    # and counts the groups — distinct users WITHOUT countDistinct
+    # (which beside other aggregates makes Catalyst rewrite the whole
+    # agg through Expand) and, unlike the former two-branch
+    # aggregate-then-join-back shape, without scanning the events
+    # table and evaluating the 5-hash bloom filter TWICE (round-14,
+    # guide §2.3: aggregate before you shuffle — the branches re-ran
+    # the pruned scan per consumer). Counts are exact longs and the
+    # decimal partial sums refold exactly (integer-exact decimal
+    # space), so the result is bit-identical to the two-branch form.
+    per_user = joined.groupBy("c_mktsegment", "user_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("_v"),
     )
-    totals = joined.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("total_value"),
-    )
-    return totals.join(d_users, "c_mktsegment").select(
-        "c_mktsegment", "n_events", "n_users", "total_value"
-    )
+    return per_user.groupBy("c_mktsegment").agg(
+        F.sum("_n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("_v").cast("double").alias("total_value"),
+    ).select("c_mktsegment", "n_events", "n_users", "total_value")
 
 
 @register(
