@@ -23,7 +23,7 @@ import os
 import re
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pycasselastic_spark.operators import search_index as _core
@@ -191,18 +191,18 @@ def _write_relations_to(
     # §2.6) instead of paying one job latency per relation; relations
     # sharing a persisted parent (postings-derived forward/variants)
     # materialize it once under the BlockManager's per-block lock
-    def _write_one(rel: str, df: DataFrame, partition: str | None):
+    def _write_one(rel: str, df: DataFrame, partition: str | None,
+                   pre_partitioned: bool = False):
         def thunk() -> None:
-            w = df.repartition(partition) if partition else df
+            w = df if (pre_partitioned or not partition) \
+                else df.repartition(partition)
             writer = w.write.mode("overwrite")
             if partition:
                 writer = writer.partitionBy(partition)
             writer.parquet(os.path.join(root, rel))
         return thunk
 
-    run_actions_concurrently(
-        [_write_one(rel, df, partition) for rel, df, partition in relations]
-    )
+    run_actions_concurrently([_write_one(*entry) for entry in relations])
 
 
 def compact_postings_index(
@@ -260,15 +260,17 @@ def compact_postings_index(
     # postings first would pull the files out from under their plans)
     staged = {
         rel: os.path.join(path, f"{rel}.compact-tmp")
-        for rel, _, _ in relations
+        for rel, *_ in relations
     }
     try:
         # independent staged writes into per-relation tmp dirs —
         # overlapped (guide §2.6); shared persisted parents (the
         # superseded-folded postings) materialize once
-        def _stage_one(rel: str, df: DataFrame, partition: str | None):
+        def _stage_one(rel: str, df: DataFrame, partition: str | None,
+                       pre_partitioned: bool = False):
             def thunk() -> None:
-                w = df.repartition(partition) if partition else df
+                w = df if (pre_partitioned or not partition) \
+                    else df.repartition(partition)
                 writer = w.write.mode("overwrite")
                 if partition:
                     writer = writer.partitionBy(partition)
@@ -276,7 +278,7 @@ def compact_postings_index(
             return thunk
 
         run_actions_concurrently(
-            [_stage_one(rel, df, p) for rel, df, p in relations]
+            [_stage_one(*entry) for entry in relations]
         )
     finally:
         for frame in persisted:
@@ -286,7 +288,7 @@ def compact_postings_index(
     # rewrite below is what commits the compaction)
     import shutil
 
-    for rel, _, _ in relations:
+    for rel, *_ in relations:
         old = os.path.join(path, f"{rel}.old")
         live = os.path.join(path, rel)
         os.replace(live, old)
@@ -346,6 +348,7 @@ def _reanalyzed_relations(
     five corpus-postings-sized aggregations where one suffices (guide
     §5: cache exactly the reused-and-expensive intermediate)."""
     id_col = idx.id_col
+    _ib = _term_bucket_col(F.col(id_col).cast("string"), new_buckets)
     if analyzer.has_phrase_rules:
         # a phrase-synonym chain needs token ADJACENCY, which a
         # per-term map cannot see — reconstruct each doc's token-slot
@@ -378,6 +381,8 @@ def _reanalyzed_relations(
             F.col(id_col),
             F.posexplode(analyzed).alias("pos", "term"),
         ).filter(F.col("term") != "")
+        # no exchange: toks inherits docarr's full-width hash(id)
+        # partitioning, and id is one of the fold's grouping keys
         new_postings = toks.groupBy("term", id_col).agg(
             F.count(F.lit(1)).alias("tf"),
             F.sort_array(F.collect_list("pos")).alias("positions"),
@@ -389,7 +394,8 @@ def _reanalyzed_relations(
             .filter(F.col("new_term") != "")
         )
         new_postings = (
-            mapped.groupBy("new_term", id_col)
+            mapped.repartition(id_col)
+            .groupBy("new_term", id_col)
             .agg(
                 F.sum("tf").alias("tf"),
                 F.sort_array(F.flatten(F.collect_list("positions"))).alias(
@@ -398,26 +404,38 @@ def _reanalyzed_relations(
             )
             .withColumnRenamed("new_term", "term")
         )
-    new_postings = new_postings.persist()
-    new_dl = new_postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    # The re-analyzed fold and the per-doc dl recomputation share ONE
+    # full-width hash(id) exchange (round 14, guide §2.4): id is a
+    # grouping key of the fold, so hash(id) satisfies its clustered
+    # distribution, and dl becomes a WINDOW over the same partitioning
+    # — the former groupBy(id) + corpus-postings-sized JOIN-BACK of
+    # the fat (positions-carrying) postings by id is gone entirely.
+    # (An ibucket-keyed variant was measured first: it removes one
+    # more narrow exchange but caps the fold at n_buckets-way
+    # parallelism — slower on the phrase path at sf0.1 — so the
+    # full-width hash(id) shape is kept.)
+    w_doc = Window.partitionBy(id_col)
+    new_postings = new_postings.withColumn(
+        "dl", F.sum("tf").over(w_doc)
+    ).persist()
     # the authoritative doc list is DOCSTATS, not the postings — a doc
     # whose every token dropped (or that never had tokens) keeps its
     # row with dl = 0
+    new_dl = new_postings.select(id_col, "dl").distinct()
     all_docs = live_docstats.select(id_col).distinct()
     doc_dl = all_docs.join(new_dl, id_col, "left").select(
         F.col(id_col), F.coalesce(F.col("dl"), F.lit(0)).cast("long").alias("dl")
     ).persist()
     live_postings = (
-        new_postings.join(doc_dl, id_col)
+        new_postings
         .withColumn("gen", F.lit(0).cast("long"))
         .withColumn("pbucket", _term_bucket_col(F.col("term"), new_buckets))
         .select("pbucket", "term", id_col, "tf", "positions", "dl", "gen")
     )
-    live_forward = live_postings.select(
-        _term_bucket_col(F.col(id_col).cast("string"), new_buckets).alias(
-            "ibucket"
-        ),
-        F.col(id_col), "term", "tf", "gen",
+    live_forward = new_postings.select(
+        _ib.alias("ibucket"),
+        F.col(id_col), "term", "tf",
+        F.lit(0).cast("long").alias("gen"),
     )
     live_variants = (
         live_postings.select("term")
