@@ -68,66 +68,79 @@ from pycasselastic_spark.queries.events_ops import (  # noqa: F401
 # every test look queries up BY NAME, so reordering is behavior-neutral
 # everywhere except the gate's slot assignment.
 _GATE_PRIORITY: list[str] = [
-    # ROUND 14 gate rotation (exactly the plan committed in round 13,
-    # COVERAGE.md): slots 0-47 are the 48 post-gate round-12/13
-    # registrations in their registration order — none of them has
-    # EVER held a driver-green row (they were verified only by the
-    # local 286/286 sweep and, for 12 of them, the round-13 judge's
-    # oracle replay); slots 48-49 take the first two of the 38
-    # stale-r9 rows in their CORRECTNESS_r09 order. The remaining 36
-    # stale-r9 rows head the round-15 rotation (COVERAGE.md).
-    # --- slots 0-47: post-gate r12/13 registrations, registration order
-    "facet_date_histogram_agg_documents",
-    "range_query_facet_agg_documents",
-    "bool_min_should_match_documents",
-    "highlighted_search_documents",
-    "multi_terms_agg_documents",
-    "delete_by_query_documents",
-    "filter_agg_documents",
-    "span_near_documents",
-    "span_first_documents",
-    "match_bool_prefix_documents",
-    "metric_aggs_documents",
-    "dsir_importance_documents",
-    "sorted_search_after_documents",
-    "ccnet_quality_sample_documents",
-    "fuzzy_match_grouped_customer_names",
-    "bool_prefix_multi_match_documents",
-    "function_score_sqrt_documents",
-    "multi_knn_search_embeddings",
-    "cumulative_derivative_documents",
-    "bucket_selector_sort_documents",
-    "filters_agg_documents",
-    "adjacency_matrix_documents",
-    "rank_feature_documents",
-    "distance_feature_documents",
-    "pinned_search_documents",
-    "combined_fields_documents",
-    "query_string_bool_documents",
-    "query_string_mixed_documents",
-    "rare_terms_agg_documents",
-    "global_extended_stats_documents",
-    "mget_documents",
-    "semdedup_prune_embeddings",
-    "unimax_allocation_documents",
-    "unimax_sample_documents",
-    "count_api_documents",
-    "intervals_match_documents",
-    "sampler_agg_documents",
-    "weighted_avg_agg_documents",
-    "mad_agg_documents",
-    "wrapper_query_documents",
-    "fields_fetch_documents",
-    "histogram_zero_fill_documents",
-    "auto_date_histogram_documents",
-    "hard_negative_mining_embeddings",
-    "serial_diff_stats_bucket_documents",
-    "percentile_ranks_documents",
-    "date_range_agg_documents",
-    "terms_include_exclude_documents",
-    # --- slots 48-49: oldest stale-r9 rows, CORRECTNESS_r09 order -----
-    "streaming_dedup_events",
-    "fuzzy2_bm25_search_documents",
+    # ROUND 15 gate rotation (exactly the plan committed in round 14,
+    # COVERAGE.md, with ONE documented swap): slots 0-28 are the 29
+    # round-14 registrations in their registration order — none has
+    # ever held a driver-green row; slots 29-49 take 21 of the 36
+    # remaining stale-r9 rows. Per the committed plan those 21 are the
+    # OLDEST in CORRECTNESS_r09 order; the one swap is
+    # `bloom_pruned_join_events` (r9-stale, position 34 of 36) in
+    # place of `bloom_prefilter_customers` (position 21): the
+    # round-14 verdict (item 7) requires a driver-green row for the
+    # r14-optimized bloom_pruned one-pass aggregation, and it is
+    # itself a stale-r9 row, so the swap stays within the same cohort.
+    # The remaining 15 stale-r9 rows (bloom_prefilter_customers,
+    # ivf_cell_quality_embeddings, incremental_neardup_delta,
+    # decontaminate_documents, neardup_text_embedding_agreement,
+    # streaming_countmin_events, streaming_incremental_neardup,
+    # anti_entropy_diff_events, anti_entropy_repair_events,
+    # key_skew_report_events, gopher_rules_documents,
+    # canonical_exact_dedup_documents, exact_k_per_source_sample,
+    # time_rollup_events, user_value_outliers_events) head the
+    # round-16 rotation (COVERAGE.md).
+    # --- slots 0-28: round-14 registrations, registration order ------
+    "query_string_fielded_documents",
+    "moving_fn_documents",
+    "span_or_documents",
+    "span_not_documents",
+    "significant_text_documents",
+    "geo_bounding_box_events",
+    "geo_distance_events",
+    "rate_agg_documents",
+    "boxplot_agg_documents",
+    "top_metrics_documents",
+    "geotile_grid_events",
+    "geo_distance_ranges_events",
+    "update_by_query_documents",
+    "span_containing_documents",
+    "ingest_pipeline_documents",
+    "completion_suggest_documents",
+    "runtime_field_documents",
+    "bucket_script_documents",
+    "normalize_agg_documents",
+    "has_child_documents",
+    "has_parent_documents",
+    "string_stats_documents",
+    "matrix_stats_events",
+    "diversified_sampler_documents",
+    "search_template_documents",
+    "geohash_grid_events",
+    "t_test_documents",
+    "nb_classifier_documents",
+    "bpe_train_documents",
+    # --- slots 29-48: oldest stale-r9 rows, CORRECTNESS_r09 order ----
+    "auto_compacted_bm25_documents",
+    "string_suite_documents",
+    "regex_suite_events",
+    "null_handling_suite",
+    "date_arithmetic_suite_orders",
+    "window_function_suite_orders",
+    "array_function_suite_embeddings",
+    "explode_shingles_sample",
+    "grouping_sets_orders",
+    "range_frame_event_counts",
+    "vocab_top_terms",
+    "bigram_lm_score_documents",
+    "ngram_novelty_documents",
+    "source_balanced_sample_documents",
+    "deterministic_shuffle_documents",
+    "countmin_heavy_hitters_events",
+    "embedding_quantize_stats",
+    "histogram_order_prices",
+    "fuzzy_match_customer_names",
+    "passage_dedup_documents",
+    # --- slot 49: documented swap (r14 verdict item 7) ---------------
+    "bloom_pruned_join_events",
 ]
 
 

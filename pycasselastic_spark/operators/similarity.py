@@ -211,9 +211,15 @@ def _signature_bits_arrow(vec: Column, planes: list[list[float]]) -> Column:
     SQL oracles' ``list_sum``), never a pairwise/BLAS reduction.
     Null or non-``dim``-length vectors produce the all-zeros signature,
     exactly like the expression path (``zip_with`` pads with null, null
-    poisons the fold, and ``null >= 0`` is false for every plane; a
-    null/NaN ELEMENT likewise poisons every plane's fold in both
-    paths, since every plane spans every dimension)."""
+    poisons the fold, and ``null >= 0`` is false for every plane). A
+    null ELEMENT is handled by a Column-level guard BEFORE the UDF:
+    Arrow converts a SQL NULL element to NaN, which inside the UDF is
+    indistinguishable from a true NaN element — but the two diverge in
+    the expression path (null poisons the fold and ``null >= 0`` is
+    false -> all-'0'; NaN orders ABOVE every number in Spark SQL ->
+    all-'1'), so rows with a null element short-circuit to all-zeros
+    without entering the UDF. A true NaN element still NaN-poisons the
+    in-UDF fold and emits all-'1', matching the expression path."""
     from pyspark.sql.functions import pandas_udf
 
     pmat = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
@@ -260,7 +266,12 @@ def _signature_bits_arrow(vec: Column, planes: list[list[float]]) -> Column:
             out = [zeros] * len(rows)
         return pd.Series(out, dtype=object)
 
-    return sig(vec)
+    # null-ELEMENT guard (see docstring): the expression path emits
+    # all-'0' for a vector containing a SQL NULL element, but Arrow
+    # nulls become NaN before the UDF sees them and would emit all-'1'
+    return F.when(
+        F.exists(vec, lambda x: x.isNull()), F.lit(zeros)
+    ).otherwise(sig(vec))
 
 
 def signature_bits_matmul(vec: Column, planes: list[list[float]]) -> Column:

@@ -188,6 +188,18 @@ def run_actions_concurrently(thunks) -> list:
       wanted here.
     - The pool is bounded (<= 4): enough to fill the tail, not enough
       to thrash execution memory with many concurrent shuffles.
+    - Thunks run through ``pyspark.inheritable_thread_target`` so the
+      CALLER's JVM local properties (job group/description, scheduler
+      pool — thread-local under PySpark's pinned-thread mode) propagate
+      to the pool threads: concurrent writes stay inside any job
+      group/cancellation scope the caller established instead of
+      escaping it.
+    - Partial failure: when one thunk raises, sibling writes that
+      already ran have still landed on disk. Callers rely on the
+      generation-commit protocol (visibility flips only on the manifest
+      row, and every lazy read filters on committed generations) for
+      cleanup — a crashed overlap window leaves unreferenced files,
+      never a visible half-written relation.
     The first raised exception propagates after every thread settles
     (no write is left mid-flight when the caller's finally runs)."""
     thunks = list(thunks)
@@ -195,6 +207,9 @@ def run_actions_concurrently(thunks) -> list:
         return [t() for t in thunks]
     from concurrent.futures import ThreadPoolExecutor
 
+    from pyspark import inheritable_thread_target
+
+    thunks = [inheritable_thread_target(t) for t in thunks]
     with ThreadPoolExecutor(max_workers=min(4, len(thunks))) as pool:
         futures = [pool.submit(t) for t in thunks]
         # collect every outcome before raising so no thread is abandoned

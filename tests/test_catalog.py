@@ -43,24 +43,23 @@ def test_query_runs(spark, sf_dir, name):
     assert len(df.columns) == len(set(df.columns))
 
 
-def test_round14_gate_slots():
-    """The driver hashes the FIRST 50 registered queries; the round-14
-    rotation puts the 48 post-gate round-12/13 registrations (never
-    driver-gated) in slots 0-47 in their registration order, and
-    backfills slots 48-49 with the two OLDEST stale-r9 rows
-    (CORRECTNESS_r09 order). Pin the boundary slots so an accidental
+def test_round15_gate_slots():
+    """The driver hashes the FIRST 50 registered queries; the round-15
+    rotation puts the 29 round-14 registrations (never driver-gated)
+    in slots 0-28 in their registration order, backfills slots 29-48
+    with the 20 OLDEST stale-r9 rows (CORRECTNESS_r09 order), and
+    slot 49 holds the documented swap (`bloom_pruned_join_events`,
+    r14 verdict item 7). Pin the boundary slots so an accidental
     registration reorder is caught before the driver runs
     (COVERAGE.md enumerates the full list)."""
     names = list(QUERIES)
-    assert names[0] == "facet_date_histogram_agg_documents"
-    assert names[5] == "delete_by_query_documents"
-    assert names[14] == "fuzzy_match_grouped_customer_names"
-    assert names[27] == "query_string_mixed_documents"
-    assert names[31] == "semdedup_prune_embeddings"
-    assert names[43] == "hard_negative_mining_embeddings"
-    assert names[47] == "terms_include_exclude_documents"
-    assert names[48] == "streaming_dedup_events"
-    assert names[49] == "fuzzy2_bm25_search_documents"
+    assert names[0] == "query_string_fielded_documents"
+    assert names[12] == "update_by_query_documents"
+    assert names[28] == "bpe_train_documents"
+    assert names[29] == "auto_compacted_bm25_documents"
+    assert names[39] == "vocab_top_terms"
+    assert names[48] == "passage_dedup_documents"
+    assert names[49] == "bloom_pruned_join_events"
     # the gate is the FIRST 50; post-gate registrations grow the tail
     # every round (COVERAGE.md enumerates them), so pin a floor, not
     # an exact count — an accidental DEregistration still fails here

@@ -271,6 +271,9 @@ def test_signature_bits_arrow_matches_hof_reference(spark):
         (104, [float("nan")] + [0.1] * 7),  # NaN element
         (105, [0.0] * 8),                 # exact-zero dots (>= 0 edge)
         (106, [-0.0] * 8),                # negative-zero dots
+        (107, [0.5, None] + [0.1] * 6),   # SQL NULL element (round-15
+        # advisor fix: Arrow nulls become NaN inside the UDF, so the
+        # Column-level guard must emit the HOF's all-'0', not all-'1')
     ]
     schema = StructType([
         StructField("vec_id", LongType()),
@@ -294,6 +297,7 @@ def test_signature_bits_arrow_matches_hof_reference(spark):
     assert got[100] == "0" * 40  # null fold is not >= 0
     assert got[104] == "1" * 40  # Spark orders NaN above every number
     assert got[105] == "1" * 40  # 0.0 >= 0 on every plane
+    assert got[107] == "0" * 40  # null ELEMENT poisons the fold
 
 
 class TestEditDistancePairs:
