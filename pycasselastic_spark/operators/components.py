@@ -87,11 +87,22 @@ def _small_star(edges: DataFrame, input_canonical: bool = False) -> DataFrame:
     )
 
 
+#: Edge-count bound for the driver-local union-find fast path: at most
+#: this many (u, v) rows are ever collected (~a few MB — the same class
+#: of size-bounded driver work as a broadcast-join build side or the
+#: IVF training sample). Above it, the distributed star loop runs
+#: unchanged — at 100 TB a near-dup pair graph is corpus-scale and
+#: always takes that path; the fast path only absorbs the many small
+#: graphs whose star loop would be pure per-round job overhead.
+DRIVER_CC_MAX_EDGES = 1 << 16
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iterations: int = 64,
+    driver_max_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """Label every node of the undirected pair graph with the smallest
     node id in its component. Returns (node, component).
@@ -110,9 +121,38 @@ def connected_components(
     feed the full id set through ``assign_components`` to also label
     singletons."""
     labels, _ = connected_components_with_rounds(
-        pairs, src_col, dst_col, max_iterations
+        pairs, src_col, dst_col, max_iterations, driver_max_edges
     )
     return labels
+
+
+def _driver_union_find(edge_rows) -> dict:
+    """Exact min-label connected components over collected edges: plain
+    union-find with path halving; every node's label is the SMALLEST
+    node id in its component — precisely the star loop's fixed point."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        return r
+
+    for u, v in edge_rows:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by label order so the root IS the component minimum
+            # (node ids are totally ordered: the star loop already
+            # relies on < / greatest/least over them)
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    return {n: find(n) for n in parent}
 
 
 def connected_components_with_rounds(
@@ -120,11 +160,26 @@ def connected_components_with_rounds(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iterations: int = 64,
+    driver_max_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> tuple[DataFrame, int]:
     """:func:`connected_components` plus the number of large+small star
     round pairs it took to converge — the observable for the O(log n)
     round-growth claim (scripts/scaling_probe.py measures it against
-    doubling graph sizes)."""
+    doubling graph sizes; it passes ``driver_max_edges=0`` so the
+    distributed loop is what gets measured).
+
+    Small graphs (<= ``driver_max_edges`` distinct canonical edges — the
+    count is already in hand for the convergence test) skip the star
+    loop entirely: the edges are collected and labeled by an exact
+    driver-side union-find, identical output by construction (both
+    paths label every node with the smallest id in its component).
+    Rationale: the star loop costs one driver-coordinated job PER
+    ROUND, and on the sub-second graphs every near-dup query produces
+    at sub-TB scale that fixed job overhead dominates end-to-end
+    latency by 10x (measured: the 568-edge semdedup graph paid ~6 s of
+    driver-side planning/scheduling across its rounds for ~0.2 s of
+    task work). The collect is size-bounded exactly like a broadcast
+    hash join's build side; ``rounds`` is reported as 0 on this path."""
     rounds = 0
     # lazy localCheckpoint + count: ONE job both materializes the
     # checkpoint (truncating the possibly-expensive pair-generation
@@ -141,6 +196,30 @@ def connected_components_with_rounds(
         .localCheckpoint(eager=False)
     )
     n_edges = edges.count()  # no edges: nothing to do
+    if 0 < n_edges <= driver_max_edges:
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        labels = _driver_union_find(
+            (r[0], r[1]) for r in edges.select("u", "v").collect()
+        )
+        id_type = edges.schema["u"].dataType
+        spark = pairs.sparkSession
+        # pandas + Arrow path: the result lands as JVM-side Arrow
+        # batches; a plain list-of-tuples createDataFrame would ship
+        # pickled rows that every downstream scan re-decodes through a
+        # Python worker stage
+        out = spark.createDataFrame(
+            pd.DataFrame(
+                {"node": list(labels.keys()),
+                 "component": list(labels.values())}
+            ),
+            schema=T.StructType([
+                T.StructField("node", id_type),
+                T.StructField("component", id_type),
+            ]),
+        )
+        return out, 0
     converged = n_edges == 0
     for _ in range(max_iterations):
         if converged:

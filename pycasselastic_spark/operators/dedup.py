@@ -402,10 +402,14 @@ def _lsh_banded(
 
     planes = [_hyperplane(dim, p) for p in range(num_planes)]
     band_width = num_planes // num_bands
-    # materialize the one-row mean so callers that reference the banded
-    # result in several lineage branches (the pair self-join) don't
-    # re-run the full-corpus aggregation per branch
-    means = dim_mean_vector(unit, "_u").localCheckpoint(eager=True)
+    # the one-row mean has exactly ONE consumer here (the centering
+    # inside the sigs checkpoint below), so it needs no checkpoint of
+    # its own: it is evaluated once, inside the sigs materialization
+    # job, as that job's broadcast input. (lsh_topk keeps its own
+    # checkpointed mean — there it feeds TWO centering branches.)
+    # One fewer driver-coordinated job per banding pass; on sub-second
+    # graphs the per-job fixed cost is what dominates.
+    means = dim_mean_vector(unit, "_u")
     centered = with_centered_vector(unit, "_u", "_c", means=means)
     # evaluate the signature expression ONCE into a narrow (id, sig)
     # table before banding: substring-ing the expression directly would
@@ -488,12 +492,15 @@ def embedding_lsh_pairs(
     from pycasselastic_spark.operators.similarity import dot, with_unit_vector
 
     unit = with_unit_vector(df, vec_col, "_u")
-    # banded rows feed both sides of the self-join; materialize them (3
-    # narrow columns) so signatures — and the centering mean behind them
-    # — are computed once, mirroring simhash's fingerprint checkpoint
-    banded = _lsh_banded(unit, id_col, dim, num_planes, num_bands).localCheckpoint(
-        eager=True
-    )
+    # banded rows feed both sides of the self-join, but the expensive
+    # part — signatures, and the centering mean behind them — is
+    # already materialized ONCE inside _lsh_banded's sigs checkpoint;
+    # re-deriving the banding (substring + posexplode over the stored
+    # signature string) per join side is a narrow in-memory scan, so a
+    # second checkpoint here bought nothing but one more
+    # driver-coordinated job (round-15: removed, plans verified — both
+    # join sides read the same checkpointed sigs RDD)
+    banded = _lsh_banded(unit, id_col, dim, num_planes, num_bands)
     left = banded.select(F.col("_id").alias("doc_a"), "_band_idx", "_band_key")
     right = banded.select(F.col("_id").alias("doc_b"), "_band_idx", "_band_key")
     candidates = (

@@ -731,7 +731,9 @@ def main() -> None:
         d.count()
         pairs = D.minhash_lsh_pairs(d, "doc_id", "text", n=3, threshold=0.6)
         t0 = time.perf_counter()
-        labels, rounds = connected_components_with_rounds(pairs)
+        labels, rounds = connected_components_with_rounds(
+            pairs, driver_max_edges=0
+        )
         n_nodes = labels.count()
         emit(
             out,
@@ -754,7 +756,9 @@ def main() -> None:
             F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
         )
         t0 = time.perf_counter()
-        labels, rounds = connected_components_with_rounds(path_edges)
+        labels, rounds = connected_components_with_rounds(
+            path_edges, driver_max_edges=0
+        )
         one = labels.select("component").distinct().count()
         emit(
             out,

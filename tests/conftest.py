@@ -25,3 +25,30 @@ def sf_dir():
 
 def load(spark, sf_dir, name):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Shared catalog-query DataFrames. Index-building query fns execute their
+# ingest ACTIONS eagerly when called, so every test that needs a query's
+# DataFrame used to re-run the full ingest — the catalog smoke run and
+# the catalog-wide plan lint together paid every ingest twice (~7 min of
+# redundant suite wall at round-14 sizes). Tests that only READ the
+# result (count, schema, plan text) share one built DataFrame per query
+# name instead. Keyed by (sf_dir, name) so a non-default
+# SPARK_GRAFT_TEST_SF_DIR run can't cross-contaminate; the cache lives
+# for the pytest session only (it is process-local test plumbing, not a
+# bench/oracle artifact — bench.py and check_oracles.py never import
+# tests/).
+_QUERY_DF_CACHE: dict = {}
+
+
+def build_query_df(spark, sf_dir, name):
+    """Build (or reuse) the DataFrame of catalog query ``name``."""
+    from pycasselastic_spark.catalog import QUERIES
+
+    key = (sf_dir, name)
+    df = _QUERY_DF_CACHE.get(key)
+    if df is None:
+        df = QUERIES[name].fn(spark, sf_dir)
+        _QUERY_DF_CACHE[key] = df
+    return df

@@ -35,7 +35,9 @@ def test_contract_shapes():
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_runs(spark, sf_dir, name):
-    df = QUERIES[name].fn(spark, sf_dir)
+    from conftest import build_query_df
+
+    df = build_query_df(spark, sf_dir, name)
     n = df.count()
     if name not in MAY_BE_EMPTY:
         assert n > 0, f"{name} returned no rows at {sf_dir}"

@@ -82,11 +82,35 @@ def test_long_path_converges_in_log_rounds(spark):
 
 def test_nonconvergence_raises_loudly(spark):
     """With max_iterations too small for the graph, the operator must
-    raise instead of returning mislabeled components."""
+    raise instead of returning mislabeled components
+    (driver_max_edges=0 forces the distributed star loop — the
+    round-15 small-graph fast path needs no iterations)."""
     import pytest
 
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1000 - 1)], ["doc_a", "doc_b"]
     )
     with pytest.raises(RuntimeError, match="star fixed point"):
-        connected_components(pairs, max_iterations=1)
+        connected_components(pairs, max_iterations=1, driver_max_edges=0)
+
+
+def test_driver_fast_path_matches_star_loop(spark):
+    """Round-15 optimization pin: the bounded driver-side union-find
+    fast path must label EXACTLY like the distributed star loop — same
+    (node, component) set, same column types — on a graph mixing a
+    long path, cliques, islands and duplicate/reversed edges."""
+    import random
+
+    rng = random.Random(11)
+    edges = [(i, i + 1) for i in range(50)]           # path
+    edges += [(100 + a, 100 + b) for a in range(6) for b in range(a)]
+    edges += [(200, 201), (300, 301), (301, 300), (300, 301)]  # dup/rev
+    edges += [(rng.randrange(400, 450), rng.randrange(400, 450))
+              for _ in range(120)]                     # random blob
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    fast = connected_components(pairs)  # small graph -> driver path
+    slow = connected_components(pairs, driver_max_edges=0)
+    assert fast.schema == slow.schema
+    assert {tuple(r) for r in fast.collect()} == {
+        tuple(r) for r in slow.collect()
+    }

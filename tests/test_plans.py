@@ -12,6 +12,8 @@ from pycasselastic_spark.core.incremental import scan_increment
 from pycasselastic_spark.core.merge import lww_merge
 from pycasselastic_spark.plans import tuning
 
+from conftest import build_query_df
+
 
 def test_filter_pushdown_reaches_parquet_scan(spark, tmp_path):
     """scan_increment on a stored version column must push the range
@@ -25,14 +27,14 @@ def test_filter_pushdown_reaches_parquet_scan(spark, tmp_path):
 
 
 def test_q1_pushes_shipdate_filter(spark, sf_dir):
-    df = QUERIES["q1_pricing_summary"].fn(spark, sf_dir)
+    df = build_query_df(spark, sf_dir, "q1_pricing_summary")
     assert tuning.has_pushed_filter(df, "l_shipdate")
 
 
 def test_q1_prunes_columns(spark, sf_dir):
     """Q1 reads 7 of 11 lineitem columns — the scan schema must not
     contain the unused join keys."""
-    df = QUERIES["q1_pricing_summary"].fn(spark, sf_dir)
+    df = build_query_df(spark, sf_dir, "q1_pricing_summary")
     schemas = tuning.scan_read_schema(df)
     assert schemas and all("l_orderkey" not in s for s in schemas)
 
@@ -42,7 +44,7 @@ def test_q1_prunes_columns(spark, sf_dir):
     ("q5_region_revenue", 4),
 ])
 def test_dim_joins_are_broadcast(spark, sf_dir, name, min_broadcasts):
-    df = QUERIES[name].fn(spark, sf_dir)
+    df = build_query_df(spark, sf_dir, name)
     assert tuning.broadcast_join_count(df) >= min_broadcasts
 
 
@@ -92,7 +94,7 @@ def test_text_ops_stay_jvm_side(spark, sf_dir):
     """No Python eval nodes in the text-analysis plans — everything
     stays inside codegen."""
     for name in ("text_quality_documents", "lang_id_documents", "fingerprint_documents"):
-        plan = tuning.physical_plan(QUERIES[name].fn(spark, sf_dir))
+        plan = tuning.physical_plan(build_query_df(spark, sf_dir, name))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
 
 
@@ -100,7 +102,7 @@ def test_q6_pushes_all_three_predicates(spark, sf_dir):
     """Q6 is the purest pushdown probe: shipdate range, discount range
     and quantity bound must all reach the parquet scan, and the scan
     must read only the four referenced columns."""
-    df = QUERIES["q6_forecast_revenue"].fn(spark, sf_dir)
+    df = build_query_df(spark, sf_dir, "q6_forecast_revenue")
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert tuning.has_pushed_filter(df, col), col
     schemas = tuning.scan_read_schema(df)
@@ -114,14 +116,14 @@ def test_q6_pushes_all_three_predicates(spark, sf_dir):
     ("q19_disjunctive_revenue", 1),
 ])
 def test_new_tpch_dim_joins_are_broadcast(spark, sf_dir, name, min_broadcasts):
-    df = QUERIES[name].fn(spark, sf_dir)
+    df = build_query_df(spark, sf_dir, name)
     assert tuning.broadcast_join_count(df) >= min_broadcasts
 
 
 def test_q19_join_stays_equi_hash(spark, sf_dir):
     """The disjunctive OR predicate must not degrade the partkey
     equi-join into a nested-loop cross product."""
-    plan = tuning.physical_plan(QUERIES["q19_disjunctive_revenue"].fn(spark, sf_dir))
+    plan = tuning.physical_plan(build_query_df(spark, sf_dir, "q19_disjunctive_revenue"))
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
@@ -169,12 +171,20 @@ def test_catalog_plans_free_of_row_python_and_cartesian(spark, sf_dir):
       against a bounded side instead.
 
     Streaming queries are excluded: building them RUNS them; their
-    plan shape is covered by their oracle parity instead."""
+    plan shape is covered by their oracle parity instead.
+
+    The DataFrames come from the session-shared cache
+    (conftest.build_query_df): the catalog smoke run has already built
+    every query, so this lint only pays plan rendering instead of
+    re-running every index ingest a second time (~7 min off the
+    suite)."""
+    from conftest import build_query_df
+
     udtf_exempt = {"udtf_chunk_documents"}
-    for name, spec in QUERIES.items():
+    for name in QUERIES:
         if name.startswith("streaming_"):
             continue
-        plan = tuning.physical_plan(spec.fn(spark, sf_dir))
+        plan = tuning.physical_plan(build_query_df(spark, sf_dir, name))
         if name not in udtf_exempt:
             assert "BatchEvalPython" not in plan, (
                 f"{name}: row-at-a-time Python eval in plan"
@@ -194,7 +204,7 @@ def test_subquery_joins_stay_hash_based(spark, sf_dir):
         "q16_supplier_variety",
         "q18_large_volume_customer",
     ):
-        plan = tuning.physical_plan(QUERIES[name].fn(spark, sf_dir))
+        plan = tuning.physical_plan(build_query_df(spark, sf_dir, name))
         assert "CartesianProduct" not in plan, name
         assert "LeftSemi" in plan or "LeftAnti" in plan, name
 
@@ -260,7 +270,7 @@ def test_bm25_plan_broadcasts_and_takeordered(spark, sf_dir):
     """BM25's df table and N/avgdl scalars must ride broadcasts, and
     the top-k must be TakeOrderedAndProject (per-partition heaps) —
     never a global sort."""
-    df = QUERIES["bm25_search_documents"].fn(spark, sf_dir)
+    df = build_query_df(spark, sf_dir, "bm25_search_documents")
     plan = tuning.formatted_plan(df)
     assert plan.count("BroadcastHashJoin") >= 2
     assert "TakeOrderedAndProject" in plan
@@ -272,7 +282,7 @@ def test_multi_snapshot_is_single_aggregation(spark, sf_dir):
     the plan must contain exactly one aggregate pair (partial+final,
     one Exchange) and no join at all (the k-shuffle naive plan would
     show k joins/exchanges)."""
-    df = QUERIES["multi_snapshot_lww_events"].fn(spark, sf_dir)
+    df = build_query_df(spark, sf_dir, "multi_snapshot_lww_events")
     plan = tuning.formatted_plan(df)
     assert "Join" not in plan
     # one shuffle for the groupBy(id); AQE may add a read node, so pin
@@ -411,7 +421,7 @@ def test_exists_probe_pushes_isnotnull_to_docvalues_scan(spark, sf_dir):
     """The round-12 exists query must run as ONE doc-values scan with
     the IsNotNull predicate pushed into parquet — no postings probe,
     no docs frame, no join anywhere in the plan."""
-    df = QUERIES["exists_query_documents"].fn(spark, sf_dir)
+    df = build_query_df(spark, sf_dir, "exists_query_documents")
     assert tuning.has_pushed_filter(df, "opt_tag")
     plan = tuning.formatted_plan(df)
     assert "Join" not in plan
@@ -422,7 +432,7 @@ def test_terms_set_probe_is_candidate_bounded(spark, sf_dir):
     """terms_set: the per-doc threshold fetch must be a broadcast join
     whose build side is the query-bounded scored set — never a
     corpus-shuffled sort-merge join."""
-    df = QUERIES["terms_set_documents"].fn(spark, sf_dir)
+    df = build_query_df(spark, sf_dir, "terms_set_documents")
     plan = tuning.formatted_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
@@ -434,7 +444,7 @@ def test_multiword_synonym_chain_stays_jvm_side(spark, sf_dir):
     build AND the probe contain zero Python eval nodes, and the probe
     is the standard pruned-postings shape (no Generate over the
     corpus at query time)."""
-    df = QUERIES["multiword_synonym_bm25_documents"].fn(spark, sf_dir)
+    df = build_query_df(spark, sf_dir, "multiword_synonym_bm25_documents")
     plan = tuning.formatted_plan(df)
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert bad not in plan
