@@ -491,7 +491,17 @@ def embedding_lsh_pairs(
     """
     from pycasselastic_spark.operators.similarity import dot, with_unit_vector
 
-    unit = with_unit_vector(df, vec_col, "_u")
+    # one narrow (id, unit-vector) materialization feeds the banding
+    # AND both exact-verify sides — without it each of the three
+    # consumers re-inlines the scan + normalization lineage into its
+    # plan (same shape as embedding_ivf_pairs' unit checkpoint; the
+    # repeated ~250-node analysis of those inlined trees was a
+    # measurable slice of this operator's driver time)
+    unit = (
+        with_unit_vector(df.select(id_col, vec_col), vec_col, "_u")
+        .select(id_col, "_u")
+        .localCheckpoint(eager=True)
+    )
     # banded rows feed both sides of the self-join, but the expensive
     # part — signatures, and the centering mean behind them — is
     # already materialized ONCE inside _lsh_banded's sigs checkpoint;

@@ -232,6 +232,7 @@ from pycasselastic_spark.operators.search_index import (  # noqa: E402,F401
     _term_bucket_py,
     _write_index_relations,
     _write_stats,
+    buckets_for,
     build_postings_index,
     dv_col,
     load_postings_index,

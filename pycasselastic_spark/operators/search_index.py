@@ -830,6 +830,35 @@ def _write_index_relations(
         postings.unpersist()
 
 
+def buckets_for(n_docs: int, docs_per_bucket: int = 1_000_000) -> int:
+    """Corpus-scaled bucket count for a postings index — the ES
+    shard-sizing analog (``lsh_params_for`` is the in-repo precedent
+    for deriving layout knobs from corpus size).
+
+    ``n_buckets`` is BOTH the index's storage layout (one partition
+    directory per bucket per relation) and, since the round-14
+    one-exchange ingest, the postings aggregation's parallelism cap:
+    ``_positional_postings_from_base`` hash-partitions the token
+    stream by ``pbucket``, so at most ``n_buckets`` tasks fold the
+    aggregation. That is the right trade exactly when buckets scale
+    with the corpus the way ES scales shards — a power of two at
+    roughly ``docs_per_bucket`` docs per bucket (default 1M — tens of
+    MB of postings per bucket at typical doc lengths), floored at 16
+    so small indexes keep the local layout every test and bench pins.
+    A 100 TB corpus (~10^10 docs) lands at ~16k buckets: far above any
+    cluster's core count, so the aggregation cap never binds when this
+    helper picks the count. Callers that hardcode ``n_buckets=16`` on
+    a large corpus are accepting a 16-way ingest fold — the parameter
+    is a per-index BUILD setting, deliberately never changed by later
+    ingests (the layout is the index)."""
+    import math
+
+    if n_docs <= 0:
+        return 16
+    raw = max(1, math.ceil(n_docs / docs_per_bucket))
+    return max(16, 1 << math.ceil(math.log2(raw)))
+
+
 def _write_stats(path: str, stats: dict) -> None:
     tmp = os.path.join(path, ".stats.json.tmp")
     with open(tmp, "w") as f:
@@ -860,7 +889,12 @@ def build_postings_index(
     the raw docs frame. All three are recorded in stats.json as index
     SETTINGS — probes check the depth before expanding, and every
     later ingest re-reads and applies the SAME analyzer and field
-    list (changing any is a ``reindex_postings_index`` / rebuild)."""
+    list (changing any is a ``reindex_postings_index`` / rebuild).
+
+    ``n_buckets`` caps the ingest aggregation's parallelism (see
+    ``buckets_for``, which derives a corpus-scaled count): pick
+    ``buckets_for(n_docs)`` for corpora beyond the tens of millions
+    of docs rather than the local default of 16."""
     spark = docs.sparkSession
     # ONE tokenize pass for the whole build: postings, docstats and the
     # corpus scalars all derive from the persisted (id, dl, _toks)

@@ -2643,3 +2643,24 @@ def test_exists_and_nested_in_filter_context(spark, tmp_path):
             "filter": [{"nested": {"path": "tag", "query": {
                 "term": {"tag.x": 1}}}}],
         }}})
+
+
+def test_buckets_for_scales_with_corpus():
+    """Round-15 guard for the one-exchange ingest's parallelism cap:
+    the bucket count must scale with the corpus (power of two, ~1M
+    docs per bucket) so the pbucket-keyed aggregation never folds a
+    large corpus through a constant-width shuffle, while small corpora
+    keep the 16-bucket local layout."""
+    from pycasselastic_spark.operators.search import buckets_for
+
+    assert buckets_for(0) == 16
+    assert buckets_for(5_000) == 16
+    assert buckets_for(20_000_000) == 32          # 20 buckets -> pow2
+    assert buckets_for(1_000_000_000) == 1024
+    assert buckets_for(10_000_000_000) == 16384   # ~100 TB corpus
+    # monotone and power-of-two
+    prev = 0
+    for n in (1, 10**6, 10**7, 10**8, 10**9, 10**10):
+        b = buckets_for(n)
+        assert b >= prev and (b & (b - 1)) == 0
+        prev = b
