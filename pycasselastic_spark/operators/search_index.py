@@ -1229,8 +1229,35 @@ def update_postings_index(
         os.remove(lock)
 
 
+#: Handle memo for ``load_postings_index``: loading an index is five
+#: ``spark.read.parquet`` relation builds, and each one costs a
+#: file-listing + footer schema-inference job on the driver (~0.4-0.5 s
+#: per load at local scale — measured in scripts/floor_probe.py; the
+#: probe families load the shared index on EVERY query). The memo key
+#: is (session, canonical path, stats.json identity): every index
+#: mutation commits by atomically rewriting stats.json (fresh inode +
+#: mtime + generation list), so a changed index can never serve a stale
+#: handle — a new commit re-lists and re-infers. This caches lazy
+#: RELATIONS (file list + schema), never data: every action on a
+#: memoized handle still scans the parquet inputs. Spark's own
+#: catalog-table FileIndex cache is the precedent (optimization guide
+#: §6 "file listing").
+_LOADED_INDEX_CACHE: dict[tuple, PostingsIndex] = {}
+
+
 def load_postings_index(spark: SparkSession, path: str) -> PostingsIndex:
-    with open(os.path.join(path, "stats.json")) as f:
+    stats_path = os.path.join(path, "stats.json")
+    st = os.stat(stats_path)
+    cache_key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(path),
+        st.st_mtime_ns,
+        st.st_size,
+    )
+    cached = _LOADED_INDEX_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+    with open(stats_path) as f:
         stats = json.load(f)
     committed = stats["committed_gens"]
     postings = spark.read.parquet(os.path.join(path, "postings")).filter(
@@ -1254,7 +1281,7 @@ def load_postings_index(spark: SparkSession, path: str) -> PostingsIndex:
         docvalues = spark.read.parquet(
             os.path.join(path, "docvalues")
         ).filter(F.col("gen").isin(committed))
-    return PostingsIndex(
+    idx = PostingsIndex(
         path=path,
         postings=postings,
         superseded=superseded,
@@ -1272,6 +1299,9 @@ def load_postings_index(spark: SparkSession, path: str) -> PostingsIndex:
         nested_fields=nested_fields,
         text_col=stats.get("text_col"),
     )
+    _LOADED_INDEX_CACHE[cache_key] = idx
+    return idx
+
 
 def set_index_alias(alias_path: str, index_path: str) -> None:
     """ES index alias: a named pointer to a physical index, swapped

@@ -208,8 +208,15 @@ def run_actions_concurrently(thunks) -> list:
     from concurrent.futures import ThreadPoolExecutor
 
     from pyspark import inheritable_thread_target
+    from pyspark.sql import SparkSession
 
-    thunks = [inheritable_thread_target(t) for t in thunks]
+    session = SparkSession.getActiveSession()
+    # passing the session (Spark 4 form) also propagates session tags;
+    # without it pyspark warns "Tags will not be inherited" per thunk
+    wrap = inheritable_thread_target(session) if session else (
+        inheritable_thread_target
+    )
+    thunks = [wrap(t) for t in thunks]
     with ThreadPoolExecutor(max_workers=min(4, len(thunks))) as pool:
         futures = [pool.submit(t) for t in thunks]
         # collect every outcome before raising so no thread is abandoned

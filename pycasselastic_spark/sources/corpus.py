@@ -20,6 +20,8 @@ agrees bit-for-bit because the session timezone is pinned UTC.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -38,10 +40,38 @@ TABLES = (
 )
 
 
+#: Relation memo: ``spark.read.parquet`` pays a fresh file listing +
+#: footer schema inference on EVERY call (~0.1 s driver-side even when
+#: the OS cache is warm — measured in scripts/floor_probe.py), and a
+#: catalog sweep calls ``load_table`` ~600 times over the same ten
+#: immutable corpus paths. Memoizing the LAZY relation per (session,
+#: table path) removes that repeated metadata work; it caches no data —
+#: every action on the returned DataFrame still scans the parquet
+#: files. Spark's own catalog-table FileIndex cache is the precedent
+#: (optimization guide §6 "file listing"); plain ``read.parquet``
+#: bypasses it, so we key our own.
+_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamps collect in the session timezone; the DuckDB oracle is
     # UTC-naive — pin UTC even when the caller's session didn't
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/{name}.parquet"
+    # mtime in the key: a rewritten table (tests build tiny corpora in
+    # tmp dirs) re-lists instead of serving a stale file set; for a
+    # directory table the mtime bumps on any file add/remove
+    try:
+        st = os.stat(path)
+        fingerprint = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        fingerprint = None
+    cache_key = (
+        spark.sparkContext.applicationId, os.path.realpath(path), fingerprint
+    )
+    cached = _TABLE_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     if name == "events":
         # set at runtime too: callers (e.g. the driver harness) may hand
         # us a session built without these configs
@@ -49,7 +79,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # timestamp[us] with no tz would otherwise scan as TIMESTAMP_NTZ,
         # which unix_millis/withWatermark reject at analysis time
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events":
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):
@@ -61,6 +91,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # conf flip can still surface NTZ; session tz is pinned UTC
             # above so the cast is value-preserving
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _TABLE_CACHE[cache_key] = df
     return df
 
 
