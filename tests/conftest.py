@@ -14,7 +14,20 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark(app_name="pycasselastic-tests")
+    # Test-session core count: the suite runs at sf0.001, where wall
+    # time is per-task/per-job fixed overhead, not compute — measured
+    # on test_index_lifecycle.py: 152.7 s at local[32], 113.5 s at
+    # local[8], 117.2 s at local[4]. Default to 8 so the driver's
+    # verify completes inside its time budget (round-14 verdict item
+    # 1); $SPARK_GRAFT_TEST_CPUS overrides (deliberately NOT
+    # $SPARK_GRAFT_CPUS — the bench's core-count contract must not
+    # leak into test plumbing, and vice versa). Tests that reason
+    # about parallelism read spark.sparkContext.defaultParallelism
+    # dynamically, so they hold at any setting.
+    spark = get_spark(
+        app_name="pycasselastic-tests",
+        cpus=int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8")),
+    )
     yield spark
 
 
